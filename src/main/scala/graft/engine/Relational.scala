@@ -1,0 +1,408 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One catalog entry: the Spark plan and (when SQL-expressible) its DuckDB
+  * oracle twin. Keeping both in one place is what keeps column aliases in
+  * lock-step — the driver's compare sorts columns by name before hashing.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The relational query catalog: every SQL-expressible operator family from
+  * SURVEY.md §2 bound to the driver testdata tables. Conventions for oracle
+  * determinism (SURVEY.md §5/§7):
+  *   - every query ends in ORDER BY over a unique key, mirrored in the SQL;
+  *   - float *aggregates* are round()ed identically on both sides (partial
+  *     aggregation makes the last ulps order-dependent); per-row IEEE
+  *     arithmetic is left raw (bit-identical across engines);
+  *   - `events.ts` is ns-precision parquet (Spark truncates to µs, DuckDB
+  *     keeps ns), so queries never emit raw `ts` — they emit truncated
+  *     epoch seconds, computed as `cast(ts as long)` in Spark and
+  *     `epoch_us(ts)//1000000` in DuckDB (both floor to whole seconds);
+  *   - windows over events order by `event_id` (unique, time-correlated)
+  *     rather than raw `ts`, eliminating µs-vs-ns tie ambiguity.
+  */
+object Relational {
+
+  import Tables._
+
+  /** DuckDB-side truncated epoch seconds for events.ts (see scaladoc). */
+  private val EpochS = "epoch_us(ts)//1000000"
+
+  val catalog: Seq[QuerySpec] = Seq(
+
+    // ── frequency encoding (flagship) — reference: src/feature_engineering.py:224-234
+    QuerySpec("freq_encoding",
+      (s, d) => Features.frequencyEncoding(customer(s, d), Seq("c_mktsegment"))
+        .select("c_custkey", "c_mktsegment", "c_mktsegment_freq")
+        .orderBy("c_custkey"),
+      Some("""SELECT c.c_custkey, c.c_mktsegment, f.c_mktsegment_freq
+             |FROM customer c
+             |JOIN (SELECT c_mktsegment, count(*) AS c_mktsegment_freq
+             |      FROM customer GROUP BY 1) f USING (c_mktsegment)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── group-wise multi-agg joined back — reference: src/feature_engineering.py:36-58
+    QuerySpec("agg_features",
+      (s, d) => Features.aggregationFeatures(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice"),
+          Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"), roundTo = 4)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+             |       l.l_returnflag, l.l_quantity, l.l_extendedprice,
+             |       a.l_quantity_mean, a.l_quantity_std, a.l_quantity_min,
+             |       a.l_quantity_max, a.l_quantity_count,
+             |       a.l_extendedprice_mean, a.l_extendedprice_std,
+             |       a.l_extendedprice_min, a.l_extendedprice_max,
+             |       a.l_extendedprice_count
+             |FROM lineitem l
+             |LEFT JOIN (
+             |  SELECT l_returnflag,
+             |         round(avg(l_quantity), 4)    AS l_quantity_mean,
+             |         round(stddev(l_quantity), 4) AS l_quantity_std,
+             |         min(l_quantity)              AS l_quantity_min,
+             |         max(l_quantity)              AS l_quantity_max,
+             |         count(l_quantity)            AS l_quantity_count,
+             |         round(avg(l_extendedprice), 4)    AS l_extendedprice_mean,
+             |         round(stddev(l_extendedprice), 4) AS l_extendedprice_std,
+             |         min(l_extendedprice)              AS l_extendedprice_min,
+             |         max(l_extendedprice)              AS l_extendedprice_max,
+             |         count(l_extendedprice)            AS l_extendedprice_count
+             |  FROM lineitem GROUP BY 1) a USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── arithmetic time features — reference: src/feature_engineering.py:25-34
+    // (deliberately fractional hour/day_of_week — SURVEY.md §2.7 semantics note)
+    QuerySpec("time_features",
+      (s, d) => Features.timeFeatures(events(s, d), "ts")
+        .select("event_id", "epoch_s", "hour", "day_of_week", "day_of_month",
+          "is_weekend")
+        .orderBy("event_id"),
+      Some(s"""WITH e AS (SELECT event_id, $EpochS AS epoch_s FROM events)
+             |SELECT event_id, epoch_s,
+             |       (epoch_s % 86400) / 3600        AS hour,
+             |       (epoch_s / 86400) % 7           AS day_of_week,
+             |       (epoch_s / 86400) % 31 + 1      AS day_of_month,
+             |       CASE WHEN (epoch_s / 86400) % 7 IN (5, 6)
+             |            THEN 1 ELSE 0 END          AS is_weekend
+             |FROM e ORDER BY event_id""".stripMargin)),
+
+    // ── zero-guarded ratios — reference: src/feature_engineering.py:60-74
+    QuerySpec("ratio_features",
+      (s, d) => Features.ratioFeatures(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_extendedprice", "l_discount", "l_quantity", "l_tax"),
+          Seq("l_extendedprice", "l_discount"), Seq("l_quantity", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_extendedprice, l_discount,
+             |       l_quantity, l_tax,
+             |       CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity
+             |            ELSE 0 END AS l_extendedprice_to_l_quantity_ratio,
+             |       CASE WHEN l_tax <> 0 THEN l_extendedprice / l_tax
+             |            ELSE 0 END AS l_extendedprice_to_l_tax_ratio,
+             |       CASE WHEN l_quantity <> 0 THEN l_discount / l_quantity
+             |            ELSE 0 END AS l_discount_to_l_quantity_ratio,
+             |       CASE WHEN l_tax <> 0 THEN l_discount / l_tax
+             |            ELSE 0 END AS l_discount_to_l_tax_ratio
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── pairwise interactions — reference: src/feature_engineering.py:76-85
+    QuerySpec("interaction_features",
+      (s, d) => Features.interactionFeatures(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_quantity, l_extendedprice, l_discount,
+             |       l_quantity * l_extendedprice  AS l_quantity_x_l_extendedprice,
+             |       l_quantity * l_discount       AS l_quantity_x_l_discount,
+             |       l_extendedprice * l_discount  AS l_extendedprice_x_l_discount
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── z-score outlier flags (window form of the reference's two-pass) —
+    // reference: src/feature_engineering.py:156-176
+    QuerySpec("outlier_flags",
+      (s, d) => Features.outlierFlags(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_quantity", "l_extendedprice"),
+          Seq("l_quantity", "l_extendedprice"), threshold = 3.0)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_quantity, l_extendedprice,
+             |       CASE WHEN stddev(l_quantity) OVER () <> 0
+             |            THEN (abs(l_quantity - avg(l_quantity) OVER ())
+             |                  / stddev(l_quantity) OVER () > 3.0)::INT
+             |            ELSE 0 END AS l_quantity_is_outlier,
+             |       CASE WHEN stddev(l_extendedprice) OVER () <> 0
+             |            THEN (abs(l_extendedprice - avg(l_extendedprice) OVER ())
+             |                  / stddev(l_extendedprice) OVER () > 3.0)::INT
+             |            ELSE 0 END AS l_extendedprice_is_outlier
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── lag features — reference: src/feature_engineering.py:178-196
+    // (windows ordered by event_id: unique + arrival-ordered, so the plan is
+    // deterministic on both engines regardless of the ts µs/ns mismatch)
+    QuerySpec("lag_features",
+      (s, d) => Features.lagFeatures(
+          events(s, d).select("event_id", "user_id", "value"),
+          Seq("user_id"), "event_id", Seq("value"), Seq(1, 7, 30))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value,
+             |       lag(value, 1)  OVER w AS value_lag_1,
+             |       lag(value, 7)  OVER w AS value_lag_7,
+             |       lag(value, 30) OVER w AS value_lag_30
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── rolling mean/sum over ROWS [-w, 0] — reference: src/feature_engineering.py:198-222
+    // `value` is 2-decimal fixed-point, so the rolling stats are computed in
+    // exact integer cents and divided once at the end: both engines then
+    // divide the *same* integers, making the doubles bit-identical (a float
+    // rolling mean of 2-decimal data lands exactly on rounding boundaries,
+    // e.g. sum/8 = 61.16875, where last-ulp summation-order differences flip
+    // round()). The general float form lives in Features.rollingFeatures
+    // (ScalaTest-covered).
+    QuerySpec("rolling_features",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        def f(n: Int) = w.rowsBetween(-n, 0)
+        val vc = round(col("value") * 100).cast("long")
+        events(s, d).select(col("event_id"), col("user_id"), col("value"),
+            vc.as("vc"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            (sum("vc").over(f(7)) / (count("vc").over(f(7)) * 100))
+              .as("value_rolling_mean_7"),
+            (sum("vc").over(f(7)) / 100.0).as("value_rolling_sum_7"),
+            (sum("vc").over(f(30)) / (count("vc").over(f(30)) * 100))
+              .as("value_rolling_mean_30"),
+            (sum("vc").over(f(30)) / 100.0).as("value_rolling_sum_30"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, value,
+             |         CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+             |SELECT event_id, user_id, value,
+             |  sum(vc) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+             |    / (count(vc) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) * 100)
+             |    AS value_rolling_mean_7,
+             |  sum(vc) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) / 100.0
+             |    AS value_rolling_sum_7,
+             |  sum(vc) OVER (w ROWS BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |    / (count(vc) OVER (w ROWS BETWEEN 30 PRECEDING AND CURRENT ROW) * 100)
+             |    AS value_rolling_mean_30,
+             |  sum(vc) OVER (w ROWS BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0
+             |    AS value_rolling_sum_30
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ── target encoding (in-sample, leakage-faithful) —
+    // reference: src/feature_engineering.py:236-249
+    QuerySpec("target_encoding",
+      (s, d) => Features.targetEncoding(
+          orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          Seq("o_orderpriority"), "o_totalprice", roundTo = 4)
+        .select("o_orderkey", "o_orderpriority", "o_orderpriority_target_mean")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o.o_orderkey, o.o_orderpriority,
+             |       t.o_orderpriority_target_mean
+             |FROM orders o
+             |JOIN (SELECT o_orderpriority,
+             |             round(avg(o_totalprice), 4) AS o_orderpriority_target_mean
+             |      FROM orders GROUP BY 1) t USING (o_orderpriority)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── mean imputation, window form — reference: src/feature_engineering.py:140-149
+    // (testdata has no nulls, so nulls are synthesized deterministically on
+    // event_id % 10 to actually exercise the imputation on both engines)
+    QuerySpec("mean_impute",
+      (s, d) => {
+        val e = events(s, d).select(col("event_id"),
+          when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value"))
+            .as("value_n"))
+        Features.meanImpute(e, Seq("value_n"), roundTo = 4).orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value_n
+             |  FROM events)
+             |SELECT event_id, value_n,
+             |       coalesce(value_n, round(avg(value_n) OVER (), 4)) AS value_n_imputed
+             |FROM e ORDER BY event_id""".stripMargin)),
+
+    // ── multi-table join chain region→nation→customer→orders→lineitem
+    // (TPC-H Q5-shaped; dims broadcast) — SURVEY.md §2.3
+    QuerySpec("multi_join_revenue",
+      (s, d) => {
+        val rev = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+                 .as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+        rev
+      },
+      Some("""SELECT r_name, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ── global top-k (TakeOrderedAndProject: no full sort at scale) — SURVEY.md §2.6
+    QuerySpec("top_k_orders",
+      (s, d) => orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ── distinct — SURVEY.md §2.6 extension
+    QuerySpec("distinct_pairs",
+      (s, d) => lineitem(s, d).select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── anti join (customers with no orders) — SURVEY.md §2.6 extension
+    QuerySpec("anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── semi join (customers with at least one order)
+    QuerySpec("semi_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── JSON extraction from events.props — SURVEY.md §2.7 extension
+    QuerySpec("json_extract",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ── event-time tumbling window as batch SQL — SURVEY.md §2.8
+    // (bucket emitted as integer epoch seconds: exact on both engines)
+    QuerySpec("tumbling_window",
+      (s, d) => {
+        val epochS = col("ts").cast("long")
+        events(s, d)
+          .select((epochS - epochS % 3600).as("hour_bucket"),
+            col("event_type"), col("value"))
+          .groupBy("hour_bucket", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+               round(sum(col("value")), 4).as("sum_value"))
+          .orderBy("hour_bucket", "event_type")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT $EpochS AS epoch_s, event_type, value FROM events)
+             |SELECT epoch_s - epoch_s % 3600 AS hour_bucket, event_type,
+             |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+             |FROM e GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
+
+    // ── sessionization: 30-min-gap sessions via lag + running sum — SURVEY.md §2.8
+    QuerySpec("sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("epoch_s"))
+          .withColumn("new_s",
+            when(col("epoch_s") - lag("epoch_s", 1).over(w) > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("new_s").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min("epoch_s").as("session_start"),
+               max("epoch_s").as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id, $EpochS AS epoch_s FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_s, event_id) > 1800
+             |    THEN 1 ELSE 0 END AS new_s FROM e),
+             |sess AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       min(epoch_s) AS session_start, max(epoch_s) AS session_end
+             |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // ── exact ntile binning (the oracle-checkable stand-in for
+    // QuantileDiscretizer, which is approx by design) — SURVEY.md §2.9
+    QuerySpec("ntile_binning",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice")
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey")))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_extendedprice,
+             |       ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+             |                       l_linenumber, l_partkey, l_suppkey) AS bin
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── union — SURVEY.md §2.6 extension
+    QuerySpec("union_keys",
+      (s, d) => customer(s, d).select(lit("cust").as("kind"),
+          col("c_custkey").as("key"))
+        .unionByName(supplier(s, d).select(lit("supp").as("kind"),
+          col("s_suppkey").as("key")))
+        .orderBy("kind", "key"),
+      Some("""SELECT 'cust' AS kind, c_custkey AS key FROM customer
+             |UNION ALL
+             |SELECT 'supp' AS kind, s_suppkey AS key FROM supplier
+             |ORDER BY kind, key""".stripMargin)),
+
+    // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
+    QuerySpec("window_rank",
+      (s, d) => orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+  )
+}

@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables (see /root/repo/TESTDATA.md).
+  *
+  * Mirrors the reference's suffix-dispatched reader
+  * (reference: src/ml_pipeline.py:57-74) minus Delta (no delta jar in this
+  * zero-egress env — Parquet carries the same semantics for our tables).
+  * All loads are lazy plans; Catalyst pushes filters/projections into the
+  * Parquet scan, which is the property we care about at 100 TB.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Suffix-dispatched generic reader (reference: src/ml_pipeline.py:57-71). */
+  def loadPath(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    else if (path.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (path.endsWith(".json")) spark.read.json(path)
+    else spark.read.parquet(path) // default branch (reference defaults to delta)
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default. We read it via `spark.sql.legacy.parquet.nanosAsLong` (ts
+    * arrives as a LongType nanosecond count) and normalize: `ts_ns` keeps
+    * full precision, `ts` is a µs-truncated TimestampType for
+    * calendar/window functions. `cast(ts as long)` then yields
+    * floor-to-second epochs, matching DuckDB's `epoch_us(ts)//1000000`
+    * on the oracle side.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").select(
+      col("event_id"),
+      col("ts").as("ts_ns"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
