@@ -12,7 +12,8 @@ import graft.engine._
   */
 object SparkEntry {
 
-  private def allSpecs: Seq[QuerySpec] = Relational.catalog
+  private def allSpecs: Seq[QuerySpec] =
+    Relational.catalog ++ ExtensionQueries.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

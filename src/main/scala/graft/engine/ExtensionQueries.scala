@@ -1,0 +1,189 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the Extensions operators (dedup / similarity /
+  * text analysis), following the same determinism conventions as
+  * [[Relational]]. Non-SQL-expressible ops (LSH families) register
+  * without an oracle → driver records the rows-only check; their
+  * semantics are covered by ScalaTest instead.
+  */
+object ExtensionQueries {
+
+  import Tables._
+
+  val catalog: Seq[QuerySpec] = Seq(
+
+    // ── exact dedup with deterministic survivor ─────────────────────────
+    QuerySpec("dedup_exact",
+      (s, d) => Extensions.dedupExact(documents(s, d), Seq("text"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang, source, n_chars,
+             |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── text statistics + quality score (integer-derived → exact) ───────
+    QuerySpec("text_stats",
+      (s, d) => Extensions.textStats(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, length(text) AS char_count,
+             |         length(replace(text, ' ', '')) AS no_space,
+             |         ' ' || lower(text) || ' ' AS padded
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, text, padded, char_count, no_space,
+             |         char_count - no_space + 1 AS token_count,
+             |         no_space - length(replace(replace(replace(replace(
+             |           replace(text, ' ', ''), '.', ''), ',', ''), '!', ''),
+             |           '?', '')) AS punct_count
+             |  FROM t),
+             |v AS (
+             |  SELECT *, round(no_space / token_count, 6) AS avg_token_len,
+             |    CAST((length(padded) - length(replace(padded, ' the ', ' '))) / 4
+             |       + (length(padded) - length(replace(padded, ' a ', ' '))) / 2
+             |       + (length(padded) - length(replace(padded, ' of ', ' '))) / 3
+             |       + (length(padded) - length(replace(padded, ' and ', ' '))) / 4
+             |       + (length(padded) - length(replace(padded, ' to ', ' '))) / 3
+             |      AS BIGINT) AS stopword_count
+             |  FROM u)
+             |SELECT doc_id, char_count, token_count, punct_count,
+             |       avg_token_len, stopword_count,
+             |       round(least(1.0, token_count / 100.0) * 0.5
+             |           + (1.0 - least(1.0, punct_count / greatest(token_count, 1))) * 0.3
+             |           + least(1.0, avg_token_len / 10.0) * 0.2, 6) AS quality_score
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // ── language-ID heuristic (distinct-stopword scoring, fixed-precedence
+    // argmax) ────────────────────────────────────────────────────────────
+    QuerySpec("lang_id",
+      (s, d) => Extensions.langId(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val scores = Extensions.langProfiles.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(toks, $lst)) AS score_$lang"
+        }.mkString(",\n             |         ")
+        val langs = Extensions.langProfiles.map(_._1)
+        val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l =>
+          s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString("\n             |         ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_distinct(string_split(lower(text), ' ')) AS toks
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |         $scores
+           |  FROM t),
+           |b AS (SELECT *, $best AS best FROM s)
+           |SELECT doc_id, score_en, score_fr, score_de, score_es, score_zh,
+           |       CASE $cases
+           |         ELSE 'und' END AS pred_lang
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── brute-force cosine vs one query vector (float arrays, double math,
+    // sequential fold — mirrored by list_dot_product on DOUBLE[]) ─────────
+    QuerySpec("cosine_sim",
+      (s, d) => Extensions.cosineVsQuery(embeddings(s, d), "embedding",
+          "vec_id", queryId = 0L)
+        .select(col("vec_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+        .orderBy("vec_id"),
+      Some("""WITH q AS (
+             |  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |       round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                        e.embedding::DOUBLE[]) = 0
+             |                    OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |             ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                  / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                           e.embedding::DOUBLE[]))
+             |                   * sqrt(list_dot_product(q.qe, q.qe)))
+             |             END, 6) AS cosine_sim
+             |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin)),
+
+    // ── brute-force top-k neighbors for 5 query vectors ──────────────────
+    QuerySpec("cosine_topk",
+      (s, d) => Extensions.cosineTopK(embeddings(s, d), "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy("query_id", "rank"),
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+             |s AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                          e.embedding::DOUBLE[]) = 0
+             |                      OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |               ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                             e.embedding::DOUBLE[]))
+             |                     * sqrt(list_dot_product(q.qe, q.qe)))
+             |               END, 6) AS cosine_sim
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine_sim DESC, neighbor_id) AS rank FROM s)
+             |SELECT query_id, neighbor_id, cosine_sim, rank FROM r
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // ── exact n-gram Jaccard on a bounded sample (the precise scorer; the
+    // scale path is minhash_neardup / simhash below) ─────────────────────
+    QuerySpec("ngram_jaccard",
+      (s, d) => Extensions.ngramJaccardPairs(
+          documents(s, d).filter(col("doc_id") < 300), "text", "doc_id",
+          n = 3, minJaccard = 0.0)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+2], ' ') AS shingle
+             |  FROM t, range(1, 100000) i
+             |  WHERE i.range <= len(toks) - 2),
+             |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM sh a JOIN sh b USING (shingle)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       n_inter / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+             |FROM inter
+             |JOIN c ca ON ca.doc_id = id_a
+             |JOIN c cb ON cb.doc_id = id_b
+             |WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.0
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── SimHash signatures (custom Catalyst expression; hash function is
+    // JVM-side Murmur3 → not SQL-expressible, rows-only check + ScalaTest)
+    QuerySpec("simhash_signatures",
+      (s, d) => Extensions.simhashSignatures(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      None),
+
+    // ── MinHash-LSH near-dup pairs (seeded LSH → not SQL-expressible) ────
+    QuerySpec("minhash_neardup",
+      (s, d) => Extensions.minhashNearDups(
+          documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
+          maxJaccardDist = 0.5, numHashTables = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6)
+          .as("jaccard_dist"))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
+    QuerySpec("ann_bucketed",
+      (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("l2_dist"), 6).as("l2_dist"), col("rank"))
+        .orderBy("query_id", "rank"),
+      None)
+  )
+}

@@ -1,0 +1,254 @@
+package graft.engine
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, RegexTokenizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64.simhash64
+
+/** North-star training-data pipeline operators (SURVEY.md §7 step 4,
+  * BASELINE.json): deduplication (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard), similarity search over embeddings (brute-force cosine +
+  * LSH-bucketed scale path), and text analysis (token stats, quality
+  * score, language ID). The reference has none of these; they're what a
+  * 100 TB training-data pipeline needs on top of it.
+  */
+object Extensions {
+
+  // ── deduplication ────────────────────────────────────────────────────
+
+  /** Exact dedup, deterministic survivor: keep the min-key row per
+    * `dupeCols` group via row_number (dropDuplicates keeps an arbitrary
+    * first-encountered row — nondeterministic across partitions, so
+    * unusable under an oracle and unrepeatable in production).
+    * One shuffle on the dedup key; survives any scale.
+    */
+  def dedupExact(df: DataFrame, dupeCols: Seq[String],
+      keyCol: String): DataFrame = {
+    val w = Window.partitionBy(dupeCols.map(col): _*).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Tokenized lowercase words — the shared text preprocessing. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+
+  /** SimHash signatures per document (custom Catalyst expression,
+    * graft.functions.SimHash64): one narrow projection, no shuffle.
+    * Near-dups = small hamming distance between signatures.
+    */
+  def simhashSignatures(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol),
+      simhash64(docs.sparkSession, tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup candidate pairs: band the 64-bit signature into
+    * four 16-bit bands (standard LSH trick — any pair hamming-close in
+    * all bits collides on ≥1 band with high probability), self-join per
+    * band, then filter on exact hamming distance. Shuffles on the small
+    * band keys, never the full cross product.
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("bandkey"))): _*))
+        .as("b"))
+      .select(col(idCol), col("simhash"),
+        col("b.band").as("band"), col("b.bandkey").as("bandkey"))
+    val a = banded.select(col("band"), col("bandkey"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("bandkey"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** MinHash-LSH near-dup pairs via MLlib: tokens → binary
+    * CountVectorizer → MinHashLSH → approxSimilarityJoin. The LSH
+    * bucketing keeps the join candidate-limited (no O(n²) cross
+    * product) — this is the scale path for fuzzy dedup.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxJaccardDist: Double = 0.8, numHashTables: Int = 3): DataFrame = {
+    val toks = new RegexTokenizer().setInputCol(textCol).setOutputCol("__toks")
+      .setPattern("\\s+")
+    val tokenized = toks.transform(docs.select(col(idCol), col(textCol)))
+    val cv = new CountVectorizer().setInputCol("__toks").setOutputCol("__tf")
+      .setBinary(true).setMinDF(1.0)
+    val cvm = cv.fit(tokenized)
+    val tf = cvm.transform(tokenized)
+    val lsh = new MinHashLSH().setInputCol("__tf").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(tf)
+    model.approxSimilarityJoin(tf, tf, maxJaccardDist, "jaccard_dist")
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"), col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Exact word-n-gram Jaccard similarity for candidate pairs sharing at
+    * least one shingle. Exact but candidate-join-bounded: cost grows with
+    * shingle collision rate, so production use pre-filters by
+    * MinHash/SimHash; this is the precise scorer on survivors.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // NB sequence(1, 0) in Spark DESCENDS ([1,0]) instead of returning
+    // empty, so short docs need the explicit guard.
+    val shingles = toks
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN " +
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> array_join(slice(toks, i, $n), ' ')) " +
+        "ELSE array() END")).as("shingle"))
+      .distinct()
+    val counts = shingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
+    val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ── similarity search over embeddings ────────────────────────────────
+
+  /** Cosine similarity of every row against one query vector (both as
+    * array<float>, math in double). `aggregate` HOF folds sequentially —
+    * deterministic summation order, which the oracle twin mirrors.
+    */
+  def cosineVsQuery(emb: DataFrame, embCol: String, idCol: String,
+      queryId: Long): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(embCol).as("__q"))
+    val joined = emb.crossJoin(broadcast(q))
+    joined.select(col(idCol),
+      cosine(col(embCol), col("__q")).as("cosine_sim"))
+  }
+
+  /** dot(a,b) / (|a|·|b|), computed in double via HOFs (codegen'd —
+    * no UDF). Zero-norm guarded to 0.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na =!= 0 && nb =!= 0, d / (na * nb)).otherwise(0.0)
+  }
+
+  /** Brute-force top-k cosine neighbors for a set of query ids:
+    * broadcast the queries, one pass over the corpus, per-query top-k
+    * via window rank. The baseline ANN answer; exact.
+    */
+  def cosineTopK(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col(embCol), col("__q")), 6).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN scale path: random-hyperplane projection buckets
+    * via MLlib BucketedRandomProjectionLSH (seed-fixed). Candidates come
+    * from bucket collisions — at 100 TB you probe buckets instead of
+    * scanning the corpus. Returns (query_id, neighbor_id, l2_dist).
+    */
+  def annBucketed(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int = 10, bucketLength: Double = 2.0,
+      numHashTables: Int = 3): DataFrame = {
+    val vecs = emb.select(col(idCol), array_to_vector(col(embCol)).as("__vec"))
+    val lsh = new BucketedRandomProjectionLSH().setInputCol("__vec")
+      .setOutputCol("__hashes").setBucketLength(bucketLength)
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(vecs)
+    val hashed = model.transform(vecs)
+    val queries = hashed.filter(col(idCol).isin(queryIds: _*))
+    model.approxSimilarityJoin(queries, hashed, Double.MaxValue, "l2_dist")
+      .select(col(s"datasetA.$idCol").as("query_id"),
+        col(s"datasetB.$idCol").as("neighbor_id"), col("l2_dist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(asc("l2_dist"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  // ── text analysis ────────────────────────────────────────────────────
+
+  /** Exact-arithmetic text statistics + quality score. Every stat is
+    * integer-derived (replace-based counting), so the oracle twin is
+    * bit-identical — see Relational's determinism conventions.
+    */
+  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val charCount = length(t)
+    val noSpace = length(expr(s"replace($textCol, ' ', '')"))
+    val tokenCount = charCount - noSpace + lit(1)
+    val punct = noSpace - length(expr(
+      s"replace(replace(replace(replace(replace($textCol, ' ', ''), " +
+        "'.', ''), ',', ''), '!', ''), '?', '')"))
+    val avgTokLen = round(noSpace / tokenCount, 6)
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stopCount = stopwords.map { sw =>
+      (length(padded) - length(regexp_replace(padded,
+        lit(s" $sw "), lit(" ")))) / lit(sw.length + 1)
+    }.reduce(_ + _)
+    val quality = round(
+      least(lit(1.0), tokenCount / lit(100.0)) * 0.5 +
+        (lit(1.0) - least(lit(1.0), punct / greatest(tokenCount, lit(1)))) * 0.3 +
+        least(lit(1.0), avgTokLen / lit(10.0)) * 0.2, 6)
+    docs.select(col(idCol), charCount.as("char_count"),
+      tokenCount.as("token_count"), punct.as("punct_count"),
+      avgTokLen.as("avg_token_len"), stopCount.cast("long").as("stopword_count"),
+      quality.as("quality_score"))
+  }
+
+  /** N-gram-free language ID heuristic: score each language by distinct
+    * stopword hits in the token set, argmax with fixed precedence.
+    * Deterministic and SQL-expressible.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "que", "avec"),
+    "de" -> Seq("der", "die", "und", "von", "zu", "ist", "das", "mit"),
+    "es" -> Seq("el", "la", "y", "de", "un", "es", "que", "con"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = array_distinct(tokens(col(textCol)))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks,
+        array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    docs.select(col(idCol) +:
+      scores.map { case (l, s) => s.as(s"score_$l") } :+
+      pred.as("pred_lang"): _*)
+  }
+}
