@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Extensions
+
+/** Invariant tests for the non-oracle extension ops (SURVEY.md §5:
+  * self-similarity, symmetry, determinism) plus exact-value checks for
+  * the SimHash expression.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again no"),
+    (3L, "completely different words about spark query engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again ok"))
+    .toDF("doc_id", "text")
+
+  test("simhash: identical docs get identical signatures") {
+    val sigs = Extensions.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+  }
+
+  test("simhash: near-dup hamming < distinct-doc hamming") {
+    val sigs = Extensions.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("simhash near-dup pairs find the duplicate cluster") {
+    val pairs = Extensions.simhashNearDups(docs, "text", "doc_id",
+      maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical docs, hamming 0
+  }
+
+  test("dedup exact keeps the min-key survivor") {
+    val out = Extensions.dedupExact(docs, Seq("text"), "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L)) // 4 deduped into 1
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sims = Extensions.cosineVsQuery(emb, "embedding", "vec_id", 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(0L) - 1.0) < 1e-12)
+    assert(math.abs(sims(1L)) < 1e-12)
+    assert(math.abs(sims(2L) - 1.0) < 1e-12)
+  }
+
+  test("cosine top-k ranks the true nearest neighbor first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Extensions.cosineTopK(emb, "embedding", "vec_id", Seq(0L), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.head == 1L)
+  }
+
+  test("ngram jaccard: identical docs score 1.0") {
+    val pairs = Extensions.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+  }
+
+  test("minhash near-dups surfaces the identical pair") {
+    val pairs = Extensions.minhashNearDups(docs, "text", "doc_id",
+      maxJaccardDist = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("text stats compute exact token arithmetic") {
+    val one = Seq((1L, "ab cd ef.")).toDF("doc_id", "text")
+    val r = Extensions.textStats(one, "text", "doc_id").head()
+    assert(r.getAs[Int]("char_count") == 9)
+    assert(r.getAs[Int]("token_count") == 3)
+    assert(r.getAs[Int]("punct_count") == 1)
+  }
+
+  test("lang id picks the stopword-matching language") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house went to sleep"),
+      (2L, "le chat et la maison est un endroit avec de la lumiere"))
+      .toDF("doc_id", "text")
+    val preds = Extensions.langId(d, "text", "doc_id")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "fr")
+  }
+
+  test("ann bucketed returns ranked neighbors deterministically") {
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Extensions.annBucketed(emb, "embedding", "vec_id", Seq(0L), k = 3)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val b = Extensions.annBucketed(emb, "embedding", "vec_id", Seq(0L), k = 3)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.size == 3)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.MLPipe
+
+/** Mirrors the reference's pipeline lifecycle tests on the same 8-row
+  * fixture (reference: tests/test_pipeline.py:30-51, :89-184), plus the
+  * regression/clustering metric surface the reference config declares
+  * but never wired (config/pipeline_config.yaml:109-115).
+  */
+class MLPipeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // feature_k of row i is i+k-1; label alternates 0/1 (ref :40-49)
+  def sample: DataFrame = (1 to 8).map(i =>
+    (i.toDouble, i + 1.0, i + 2.0, (i + 1) % 2)).toSeq
+    .toDF("feature_1", "feature_2", "feature_3", "label")
+
+  val features = Seq("feature_1", "feature_2", "feature_3")
+
+  test("train random forest classification (ref :107-116)") {
+    val r = MLPipe.train(sample, features, "random_forest", "classification")
+    assert(r.model != null)
+    assert(r.metrics.contains("accuracy"))
+    assert(r.metrics("accuracy") >= 0.0 && r.metrics("accuracy") <= 1.0)
+  }
+
+  test("train logistic regression (ref :118-126)") {
+    val r = MLPipe.train(sample, features, "logistic_regression",
+      "classification")
+    assert(Seq("areaUnderROC", "areaUnderPR", "f1", "weightedPrecision",
+      "weightedRecall").forall(r.metrics.contains))
+  }
+
+  test("predict adds a prediction column (ref :128-142)") {
+    val r = MLPipe.train(sample, features, "random_forest", "classification")
+    val preds = MLPipe.predict(r.model, sample)
+    assert(preds.columns.contains("prediction"))
+    assert(preds.count() == 8)
+  }
+
+  test("save and load round-trips predictions (ref :164-184)") {
+    val r = MLPipe.train(sample, features, "logistic_regression",
+      "classification")
+    val dir = Files.createTempDirectory("graft-model").toString + "/m"
+    MLPipe.saveModel(r.model, dir)
+    val loaded = MLPipe.loadModel(dir)
+    val a = MLPipe.predict(r.model, sample).select("prediction")
+      .as[Double].collect().toSeq
+    val b = MLPipe.predict(loaded, sample).select("prediction")
+      .as[Double].collect().toSeq
+    assert(a == b)
+  }
+
+  test("regression task produces rmse/mae/r2") {
+    val df = sample.withColumnRenamed("label", "intlabel")
+      .selectExpr("feature_1", "feature_2", "feature_3",
+        "cast(feature_1 * 2 + 1 as double) as label")
+    val r = MLPipe.train(df, features, "linear_regression", "regression")
+    assert(Seq("rmse", "mae", "r2").forall(r.metrics.contains))
+    assert(r.metrics("rmse") >= 0.0)
+  }
+
+  test("clustering task produces silhouette") {
+    val r = MLPipe.train(sample, features, "kmeans", "clustering")
+    assert(r.metrics.contains("silhouette"))
+  }
+
+  test("unknown algorithm raises (ref get_model dispatch)") {
+    intercept[IllegalArgumentException] {
+      MLPipe.getModel("nope", "classification")
+    }
+  }
+
+  test("seeded training is reproducible across runs") {
+    val a = MLPipe.train(sample, features, "random_forest", "classification")
+    val b = MLPipe.train(sample, features, "random_forest", "classification")
+    val pa = MLPipe.predict(a.model, sample).select("prediction")
+      .as[Double].collect().toSeq
+    val pb = MLPipe.predict(b.model, sample).select("prediction")
+      .as[Double].collect().toSeq
+    assert(pa == pb)
+  }
+
+  test("LR hyperparameter tuning runs the reference grid (ref :258-284)") {
+    val r = MLPipe.hyperparameterTuning(sample, features,
+      "logistic_regression")
+    assert(r.metrics.contains("accuracy"))
+  }
+}
