@@ -177,6 +177,22 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // ── multimodal plumbing: binary payloads → partition-local feature
+    // extraction (decode is a deterministic stub; Spark-side plumbing is
+    // the real contract — rows-only + exact-value ScalaTest) ─────────────
+    QuerySpec("multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.fromText(documents(s, d), "doc_id", "text")
+          .as[Multimodal.MediaRow]
+        Multimodal.extractFeatures(media, dim = 16)
+          .toDF()
+          .select(col("media_id"), col("modality"), col("n_bytes"),
+            transform(col("features"), x => round(x, 4)).as("features"))
+          .orderBy("media_id")
+      },
+      None),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

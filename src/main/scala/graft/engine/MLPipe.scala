@@ -187,4 +187,18 @@ object MLPipe {
     */
   def predict(model: PipelineModel, df: DataFrame): DataFrame =
     model.transform(df)
+
+  /** Batch scoring sink (reference: api/api.py:196-223): transform →
+    * parquet overwrite → count. The reference recomputes the transform
+    * for its final count (no cache despite config declaring it,
+    * SURVEY.md §3.3); we cache around the double action — identical
+    * results, one pass.
+    */
+  def batchScore(model: PipelineModel, in: DataFrame, outPath: String): Long = {
+    val predictions = model.transform(in).cache()
+    try {
+      predictions.write.mode("overwrite").parquet(outPath)
+      predictions.count()
+    } finally predictions.unpersist()
+  }
 }

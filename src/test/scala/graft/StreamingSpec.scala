@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+import graft.streaming.Streaming
+
+/** Batch/stream equivalence: the same aggregation function applied to
+  * the events table as a batch DataFrame and as a file-source stream
+  * must agree (SURVEY.md §2.8 stretch — test-only, not oracle-checked).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-events").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("tumbling window: stream result equals batch result") {
+    val batch = Streaming.tumblingCounts(
+      spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("ws", "event_type").collect().toSeq
+    val q = Streaming.runToMemory(
+      Streaming.tumblingCounts(Streaming.eventStream(spark, stagedDir)),
+      "tumbling_out")
+    try {
+      val streamed = spark.table("tumbling_out")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows count every event exactly once") {
+    val batch = Streaming.sessionCounts(
+      spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
+    val total = batch.agg(sum("n_events")).head().getLong(0)
+    assert(total == 1000L) // sf0.001 events row count
+  }
+}
