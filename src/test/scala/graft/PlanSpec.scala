@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB posture checks (SURVEY.md §7
+  * scale risks). Correctness tests say the answers are right; these say
+  * the *plans* are the ones that survive a 1000-executor scale-up:
+  * small sides broadcast, scans column-pruned, filters pushed down.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) executed plan string, after forcing execution. */
+  def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  test("freq_encoding joins the count table via broadcast, not sort-merge") {
+    val plan = executedPlan(SparkEntry.queries("freq_encoding")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+  }
+
+  test("agg_features broadcast-joins the per-group aggregate back") {
+    val plan = executedPlan(SparkEntry.queries("agg_features")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("multi_join_revenue prunes lineitem to the 3 needed columns") {
+    val plan = executedPlan(SparkEntry.queries("multi_join_revenue")(spark, sf))
+    val lineitemScan = plan.linesIterator
+      .find(l => l.contains("lineitem") && l.contains("ReadSchema"))
+    assert(lineitemScan.isDefined, s"no lineitem scan in:\n$plan")
+    val schema = lineitemScan.get.split("ReadSchema:").last
+    for (c <- Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      assert(schema.contains(c), s"missing $c in $schema")
+    for (c <- Seq("l_quantity", "l_shipdate", "l_returnflag"))
+      assert(!schema.contains(c), s"unpruned $c in $schema")
+  }
+
+  test("ngram_jaccard pushes the doc_id sample filter into the scan") {
+    val plan = executedPlan(SparkEntry.queries("ngram_jaccard")(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)]")
+      || plan.contains("LessThan(doc_id,300)"), s"plan was:\n$plan")
+  }
+
+  test("outlier_flags never funnels the fact table into one partition") {
+    // the global-stats form must be a 1-row broadcast, not a Window over ()
+    val plan = executedPlan(SparkEntry.queries("outlier_flags")(spark, sf))
+    assert(!plan.contains("Window"), s"plan was:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("top_k_orders uses TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(SparkEntry.queries("top_k_orders")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("simhash signatures stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("simhash_signatures")(spark, sf)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val projLine = plan.linesIterator.find(_.contains("simhash64"))
+    assert(projLine.exists(_.contains("*(")),
+      s"simhash projection not codegen'd:\n$plan")
+  }
+}
