@@ -37,6 +37,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query manifest so a harness can detect queries that failed
+    // before producing any output (extra file; driver reads only
+    // oracle_sql.json + the per-query dirs).
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.ml.clustering.{BisectingKMeans, GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, ClusteringEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressor, GeneralizedLinearRegression, LinearRegression, RandomForestRegressor}
-import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.ml.feature.Imputer
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder, TrainValidationSplit}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StringType
 
@@ -172,6 +174,55 @@ object MLPipe {
     val cvModel = cv.fit(trainDf)
     val best = cvModel.bestModel.asInstanceOf[PipelineModel]
     TrainResult(best, evaluateClassification(best.transform(testDf)))
+  }
+
+  /** MLlib Imputer with the reference's drop-and-rename-back dance
+    * (reference: src/feature_engineering.py:140-149): impute into
+    * `{c}_imputed`, drop the original, rename back. strategy ∈
+    * {mean, median}.
+    */
+  def imputeMissing(df: DataFrame, cols: Seq[String],
+      strategy: String = "mean"): DataFrame = {
+    val imputer = new Imputer().setInputCols(cols.toArray)
+      .setOutputCols(cols.map(c => s"${c}_imputed").toArray)
+      .setStrategy(strategy)
+    val imputed = imputer.fit(df).transform(df)
+    cols.foldLeft(imputed) { (acc, c) =>
+      acc.drop(c).withColumnRenamed(s"${c}_imputed", c)
+    }
+  }
+
+  /** TrainValidationSplit variant of the LR grid — the tuning mode the
+    * reference config declares but never implements
+    * (reference: config/pipeline_config.yaml:87).
+    */
+  def trainValidationTuning(df: DataFrame, featureCols: Seq[String]):
+      TrainResult = {
+    val stages = buildFeaturePipeline(df, featureCols)
+    val lr = new LogisticRegression().setLabelCol("label")
+      .setFeaturesCol("features")
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 0.1, 1.0)).build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(new Pipeline().setStages((stages :+ lr).toArray))
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid).setTrainRatio(0.75).setSeed(42L)
+    val Array(trainDf, testDf) = df.randomSplit(Array(0.8, 0.2), 42L)
+    val best = tvs.fit(trainDf).bestModel.asInstanceOf[PipelineModel]
+    TrainResult(best, evaluateClassification(best.transform(testDf)))
+  }
+
+  /** ALS recommender — declared in the reference README, never coded
+    * (reference: README.md:54-58). Implicit-feedback shaped.
+    */
+  def alsRecommender(ratings: DataFrame, userCol: String, itemCol: String,
+      ratingCol: String, rank: Int = 8, maxIter: Int = 5):
+      org.apache.spark.ml.recommendation.ALSModel = {
+    new ALS().setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setRank(rank).setMaxIter(maxIter).setSeed(42L)
+      .setColdStartStrategy("drop")
+      .fit(ratings)
   }
 
   /** Persist / reload (reference: src/ml_pipeline.py:289-302). */

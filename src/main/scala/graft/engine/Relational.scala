@@ -390,6 +390,59 @@ object Relational {
              |SELECT 'supp' AS kind, s_suppkey AS key FROM supplier
              |ORDER BY kind, key""".stripMargin)),
 
+    // ── distinct counts: exact countDistinct (oracle) — SURVEY.md §2.4
+    // extension; the approx HLL++ twin is approx_distinct below (rows-only:
+    // HLL sketches aren't cross-engine comparable)
+    QuerySpec("distinct_counts",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+             countDistinct("l_suppkey").as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    QuerySpec("approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // ── rollup with grouping_id (subtotal levels sorted by gid so NULL
+    // subtotal keys never hit engine NULLS-ordering differences) —
+    // SURVEY.md §2.4 extension
+    QuerySpec("rollup_revenue",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name", "l_extendedprice", "l_discount")
+        // alias-qualify the grouping column: Expand duplicates grouping
+        // attributes, which otherwise trips Spark's ambiguous-self-join
+        // check on any joined input (Spark 4.1 quirk)
+        .as("t")
+        .rollup(col("t.n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"),
+             grouping_id().cast("int").as("gid"))
+        .orderBy("gid", "n_name"),
+      Some("""SELECT n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items,
+             |       GROUPING(n_name) AS gid
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP (n_name)
+             |ORDER BY gid, n_name""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)

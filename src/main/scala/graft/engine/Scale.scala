@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join strategies (100 TB posture; SURVEY.md §7 risks).
+  * Nothing here changes results — only physical distribution.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random-free deterministic salt derived from a row fingerprint, the
+    * small side is exploded `saltFactor`× so every (key, salt) bucket
+    * joins. Use when one join key holds a disproportionate share of rows
+    * and AQE's skew splitting isn't enough (e.g. a null-heavy or
+    * celebrity key). Result-identical to a plain inner equi-join.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)))
+    val exploded = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write both sides bucketed by the join key so subsequent joins are
+    * exchange-free (co-located). At warehouse scale this is the standard
+    * "pay the shuffle once at ingest" trade. Requires a table catalog
+    * (works with Spark's default in-memory catalog + warehouse dir).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Read a bucketed table back from the catalog. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Scale, Tables}
+
+/** Scale strategies: result-identity of the salted join and
+  * exchange-freeness of bucketed joins.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("salted join is result-identical to the plain join") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).head()
+    val salted = Scale.saltedJoin(li, o, "l_orderkey", saltFactor = 4)
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).head()
+    assert(plain == salted)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Scale.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    Scale.writeBucketed(li, "b_lineitem", "o_orderkey", 4)
+    val joined = Scale.readBucketed(spark, "b_orders")
+      .join(Scale.readBucketed(spark, "b_lineitem"), "o_orderkey")
+    joined.collect()
+    val plan = (joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
+  }
+}

@@ -21,10 +21,17 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+try:
+    manifest = json.load(open(f"{out}/manifest.json"))
+except FileNotFoundError:
+    manifest = sorted(d for d in os.listdir(out)
+                      if os.path.isdir(f"{out}/{d}"))
 fails = 0
-for name in sorted(os.listdir(out)):
+for name in manifest:
     pdir = f"{out}/{name}"
     if not os.path.isdir(pdir):
+        print(f"FAIL {name}: query produced no output (threw in Verify)")
+        fails += 1
         continue
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:
