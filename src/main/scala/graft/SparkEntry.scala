@@ -13,7 +13,8 @@ import graft.engine._
 object SparkEntry {
 
   private def allSpecs: Seq[QuerySpec] =
-    Relational.catalog ++ ExtensionQueries.catalog ++ MLQueries.catalog
+    Relational.catalog ++ TpchQueries.catalog ++ ExtensionQueries.catalog ++
+      MLQueries.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

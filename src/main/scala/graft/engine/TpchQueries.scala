@@ -1,0 +1,134 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H-shaped analytics over the testdata star schema, plus
+  * the SQL entry surface (spark.sql over registered views) and the
+  * calendar-correct time features (the clearly-named extras promised in
+  * SURVEY.md §2.7).
+  *
+  * Float-parity notes: quantities are integral-valued doubles (sums
+  * exact, so averages divide identical operands); 2-decimal money and
+  * discount columns average via the exact integer-cents form (see
+  * Relational's rolling_features note); sums of products round to 2.
+  */
+object TpchQueries {
+
+  import Tables._
+
+  val catalog: Seq[QuerySpec] = Seq(
+
+    // ── TPC-H Q1 shape: pricing summary report ──────────────────────────
+    QuerySpec("tpch_q1",
+      (s, d) => {
+        val cutoff = to_timestamp(lit("1999-01-01 00:00:00"))
+        val pc = (round(col("l_extendedprice") * 100)).cast("long")
+        val dc = (round(col("l_discount") * 100)).cast("long")
+        lineitem(s, d).filter(col("l_shipdate") <= cutoff)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax"), pc.as("pc"), dc.as("dc"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"), // integral-valued: exact
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+            (sum("pc") / (count(lit(1)) * 100)).as("avg_price"),
+            (sum("dc") / (count(lit(1)) * 100)).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             |         AS sum_charge,
+             |       sum(l_quantity) / count(*) AS avg_qty,
+             |       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |         / (count(*) * 100) AS avg_price,
+             |       sum(CAST(round(l_discount * 100) AS BIGINT))
+             |         / (count(*) * 100) AS avg_disc,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── TPC-H Q3 shape: top-10 revenue orders for one segment ───────────
+    QuerySpec("tpch_q3",
+      (s, d) => customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+             |GROUP BY o_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ── TPC-H Q6 shape: forecast revenue change (scalar) ────────────────
+    QuerySpec("tpch_q6",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(col("revenue"), col("n_rows")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             |       count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ── SQL entry surface: the same engine through spark.sql over
+    // registered views — monthly order revenue ──────────────────────────
+    QuerySpec("sql_interface",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                 count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS monthly_revenue
+                 FROM v_orders GROUP BY 1, 2 ORDER BY y, m""")
+      },
+      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |       count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS monthly_revenue
+             |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
+
+    // ── calendar-correct time features (the clearly-named extras beside
+    // the reference-faithful fractional ones) — SURVEY.md §2.7 ───────────
+    QuerySpec("cal_time_features",
+      (s, d) => Features.calendarTimeFeatures(
+          orders(s, d).select("o_orderkey", "o_orderdate"), "o_orderdate")
+        .select("o_orderkey", "cal_hour", "cal_day_of_week",
+          "cal_day_of_month", "cal_is_weekend")
+        .orderBy("o_orderkey"),
+      // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday
+      Some("""SELECT o_orderkey,
+             |       hour(o_orderdate) AS cal_hour,
+             |       (dayofweek(o_orderdate) + 1)::INT AS cal_day_of_week,
+             |       dayofmonth(o_orderdate)::INT AS cal_day_of_month,
+             |       CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+             |            THEN 1 ELSE 0 END AS cal_is_weekend
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Extensions, Features}
+
+/** ScalaCheck properties for the algebraic operators (SURVEY.md §5 item
+  * 3). Generators are driven directly with fixed seeds (the
+  * scalatest↔scalacheck bridge isn't in this offline cache) — 5 cases
+  * per property, each case a Spark job, reproducible run to run.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** forAll stand-in: sample `gen` with seeds 1..5, run the check. */
+  def forAll[T](gen: Gen[T])(check: T => Unit): Unit =
+    (1 to 5).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)) match {
+        case Some(v) => check(v)
+        case None    => ()
+      }
+    }
+
+  def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  val smallDoubles: Gen[List[(Double, Double)]] =
+    Gen.listOfN(6, Gen.zip(Gen.chooseNum(-100.0, 100.0),
+      Gen.oneOf(Gen.const(0.0), Gen.chooseNum(-10.0, 10.0))))
+
+  test("ratio guard: zero denominator always yields 0, else n/d") {
+    forAll(smallDoubles) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("n", "d")
+        val out = Features.ratioFeatures(df, Seq("n"), Seq("d"))
+          .select("n", "d", "n_to_d_ratio").as[(Double, Double, Double)]
+          .collect()
+        out.foreach { case (n, d, r) =>
+          if (d == 0.0) assert(r == 0.0) else assert(r == n / d)
+        }
+      }
+    }
+  }
+
+  test("interaction features commute: a_x_b equals b*a") {
+    forAll(smallDoubles) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("a", "b")
+        val out = Features.interactionFeatures(df, Seq("a", "b"))
+          .select("a", "b", "a_x_b").as[(Double, Double, Double)].collect()
+        out.foreach { case (a, b, ab) => assert(ab == b * a) }
+      }
+    }
+  }
+
+  test("rolling window of size 0 is the identity") {
+    forAll(Gen.listOfN(6, Gen.chooseNum(-50.0, 50.0))) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+          .toDF("user_id", "event_id", "value")
+        val out = Features.rollingFeatures(df, Seq("user_id"), "event_id",
+          Seq("value"), Seq(0))
+          .select("value", "value_rolling_mean_0", "value_rolling_sum_0")
+          .as[(Double, Double, Double)].collect()
+        out.foreach { case (v, m, s) => assert(m == v && s == v) }
+      }
+    }
+  }
+
+  test("mean impute leaves no nulls and preserves non-null values") {
+    val genRows = Gen.listOfN(6,
+      Gen.option(Gen.chooseNum(-50.0, 50.0))).suchThat(_.exists(_.isDefined))
+    forAll(genRows) { vs =>
+      val df = vs.toDF("v")
+      val out = Features.meanImpute(df, Seq("v"))
+      assert(out.filter(col("v_imputed").isNull).count() == 0)
+      assert(out.filter(col("v").isNotNull &&
+        col("v") =!= col("v_imputed")).count() == 0)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    forAll(Gen.listOfN(8, Gen.oneOf("a", "b", "c"))) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val once = Extensions.dedupExact(df, Seq("text"), "doc_id")
+        val twice = Extensions.dedupExact(once, Seq("text"), "doc_id")
+        assert(once.count() == twice.count())
+        assert(once.count() == texts.distinct.size)
+      }
+    }
+  }
+
+  test("simhash is permutation-invariant over tokens") {
+    forAll(Gen.listOfN(10, Gen.oneOf("spark", "scan", "join", "sort",
+      "hash", "merge"))) { toks =>
+      whenever(toks.nonEmpty) {
+        val df = Seq((1L, toks.mkString(" ")),
+          (2L, scala.util.Random.shuffle(toks).mkString(" ")))
+          .toDF("doc_id", "text")
+        val sigs = Extensions.simhashSignatures(df, "text", "doc_id")
+          .select("simhash").as[Long].collect()
+        assert(sigs(0) == sigs(1))
+      }
+    }
+  }
+}
