@@ -197,9 +197,11 @@ object Features {
     cfg.agg.foreach(a => out = aggregationFeatures(out, a.groupCols, a.aggCols))
     cfg.ratio.foreach(r => out = ratioFeatures(out, r.numCols, r.denCols))
     cfg.missing match {
-      case Some("drop") => out = dropMissing(out)
-      case Some("mean") => out = meanImpute(out, cfg.imputeCols)
-      case _            => ()
+      case Some("drop")   => out = dropMissing(out)
+      case Some("mean")   => out = meanImpute(out, cfg.imputeCols)
+      case Some("median") => out = MLPipe.imputeMissing(out, cfg.imputeCols,
+        "median")
+      case _              => ()
     }
     out
   }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming twins of the batch event-time operators
@@ -42,6 +42,41 @@ object Streaming {
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
       .withWatermark("ts", "10 minutes")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionState(sessionId: Long, lastEpochS: Long)
+  final case class SessionizedEvent(event_id: Long, user_id: Long,
+      session_id: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: assigns a
+    * per-user session id that increments on >30-min gaps, carrying
+    * (sessionId, lastSeen) as explicit keyed state. The stateful-stream
+    * path for arbitrary per-key logic that `session_window` can't
+    * express; on a bounded batch-as-stream it reproduces the relational
+    * `sessionize` query's assignment (events must arrive in-order per
+    * user, which a file-replay of the events table satisfies).
+    */
+  def statefulSessionize(events: Dataset[Event],
+      gapSeconds: Long = 1800L): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val epochS = e.ts.getTime / 1000
+            if (st.lastEpochS != Long.MinValue &&
+                epochS - st.lastEpochS > gapSeconds)
+              st = SessionState(st.sessionId + 1, epochS)
+            else st = SessionState(st.sessionId, epochS)
+            SessionizedEvent(e.event_id, userId, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 
   /** Run a streaming aggregation to a named in-memory sink until all
     * currently-available input is processed (local smoke path).

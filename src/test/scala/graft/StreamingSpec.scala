@@ -40,6 +40,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionize on a stream matches the batch session count") {
+    import TestSpark.spark.implicits._
+    val stream = Streaming.eventStream(spark, stagedDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event]
+    val q = Streaming.statefulSessionize(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+      assert(streamed.count() == 1000L) // every event sessionized once
+      val nSessions = streamed
+        .select("user_id", "session_id").distinct().count()
+      // batch reference: the relational sessionize query at sf0.001
+      val batchSessions = SparkEntry.queries("sessionize")(spark,
+        "/root/testdata/sf0.001").count()
+      assert(nSessions == batchSessions)
+    } finally q.stop()
+  }
+
   test("session windows count every event exactly once") {
     val batch = Streaming.sessionCounts(
       spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
