@@ -177,6 +177,36 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // ── embedding-cosine near-dup pairs (exact all-pairs ground truth
+    // for the ANN-bucketed candidate pipeline) ───────────────────────────
+    QuerySpec("cosine_neardup",
+      (s, d) => Extensions.cosineNearDups(
+          embeddings(s, d).filter(col("vec_id") < 500), "embedding",
+          "vec_id", minCosine = 0.35)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+             |  WHERE vec_id < 500),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         round(CASE WHEN list_dot_product(a.emb, a.emb) = 0
+             |                      OR list_dot_product(b.emb, b.emb) = 0 THEN 0
+             |               ELSE list_dot_product(a.emb, b.emb)
+             |                    / (sqrt(list_dot_product(a.emb, a.emb))
+             |                     * sqrt(list_dot_product(b.emb, b.emb)))
+             |               END, 6) AS cosine_sim
+             |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cosine_sim FROM p
+             |WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── bottom-k shingle-hash fingerprints (winnowing-style sketch;
+    // xxhash64 is engine-internal → rows-only + ScalaTest) ───────────────
+    QuerySpec("doc_fingerprints",
+      (s, d) => Extensions.fingerprintBottomK(documents(s, d), "text",
+          "doc_id", n = 3, k = 8)
+        .orderBy("doc_id"),
+      None),
+
     // ── multimodal plumbing: binary payloads → partition-local feature
     // extraction (decode is a deterministic stub; Spark-side plumbing is
     // the real contract — rows-only + exact-value ScalaTest) ─────────────

@@ -125,6 +125,45 @@ object Extensions {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
+    * Exact all-pairs form — production pre-buckets with [[annBucketed]]
+    * and runs this as the precision pass on candidates; here it doubles
+    * as the oracle-checked ground truth for that pipeline.
+    */
+  def cosineNearDups(emb: DataFrame, embCol: String, idCol: String,
+      minCosine: Double): DataFrame = {
+    // norms hoisted to per-row (vs per-pair): pure common-subexpression
+    // motion — same operands, bit-identical results, n vs n² sqrt/dot work
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      sqrt(dot(col(embCol), col(embCol))).as("__na"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      sqrt(dot(col(embCol), col(embCol))).as("__nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(col("__na") =!= 0 && col("__nb") =!= 0,
+          dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+          .otherwise(0.0), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+  }
+
+  /** Bottom-k fingerprint per document: the k smallest shingle hashes
+    * (a winnowing-style sketch — two docs' fingerprints overlap in
+    * proportion to their shingle Jaccard). One narrow aggregation, no
+    * self-join; hashes are engine-internal (xxhash64) → rows-only +
+    * ScalaTest.
+    */
+  def fingerprintBottomK(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val ngram = new org.apache.spark.ml.feature.NGram()
+      .setN(n).setInputCol("toks").setOutputCol("__shingles")
+    ngram.transform(toks)
+      .select(col(idCol), explode(col("__shingles")).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .groupBy(idCol)
+      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("fingerprint"))
+  }
+
   // ── similarity search over embeddings ────────────────────────────────
 
   /** Cosine similarity of every row against one query vector (both as
@@ -140,13 +179,15 @@ object Extensions {
       cosine(col(embCol), col("__q")).as("cosine_sim"))
   }
 
-  /** dot(a,b) / (|a|·|b|), computed in double via HOFs (codegen'd —
-    * no UDF). Zero-norm guarded to 0.
+  /** Sequential-fold dot product in double via HOFs (codegen'd — no
+    * UDF); the summation order the oracle's list_dot_product mirrors.
     */
+  def dot(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** dot(a,b) / (|a|·|b|), zero-norm guarded to 0. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
     val d = dot(a, b)
     val na = sqrt(dot(a, a))
     val nb = sqrt(dot(b, b))
@@ -160,11 +201,17 @@ object Extensions {
   def cosineTopK(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val q = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(embCol).as("__q"))
-    val scored = emb.crossJoin(broadcast(q))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q"),
+        sqrt(dot(col(embCol), col(embCol))).as("__nq"))
+    val scored = emb
+      .select(col(idCol), col(embCol),
+        sqrt(dot(col(embCol), col(embCol))).as("__ne"))
+      .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(cosine(col(embCol), col("__q")), 6).as("cosine_sim"))
+        round(when(col("__ne") =!= 0 && col("__nq") =!= 0,
+          dot(col(embCol), col("__q")) / (col("__ne") * col("__nq")))
+          .otherwise(0.0), 6).as("cosine_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -99,6 +99,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(preds(2L) == "fr")
   }
 
+  test("cosine near-dups find parallel vectors only") {
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Extensions.cosineNearDups(emb, "embedding", "vec_id", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("fingerprints: identical docs identical, k-bounded, deterministic") {
+    val fps = Extensions.fingerprintBottomK(docs, "text", "doc_id", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L) == fps(4L))
+    assert(fps(1L).size <= 4)
+    assert(fps(1L) != fps(3L))
+    assert(fps(1L) == fps(1L).sorted)
+  }
+
   test("ann bucketed returns ranked neighbors deterministically") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
