@@ -51,7 +51,9 @@ object ExtensionQueries {
              |       + (length(padded) - length(replace(padded, ' to ', ' '))) / 3
              |      AS BIGINT) AS stopword_count
              |  FROM u)
-             |SELECT doc_id, char_count, token_count, punct_count,
+             |SELECT doc_id, char_count::INT AS char_count,
+             |       token_count::INT AS token_count,
+             |       punct_count::INT AS punct_count,
              |       avg_token_len, stopword_count,
              |       round(least(1.0, token_count / 100.0) * 0.5
              |           + (1.0 - least(1.0, punct_count / greatest(token_count, 1))) * 0.3
@@ -66,7 +68,7 @@ object ExtensionQueries {
       Some {
         val scores = Extensions.langProfiles.map { case (lang, words) =>
           val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_intersect(toks, $lst)) AS score_$lang"
+          s"len(list_intersect(toks, $lst))::INT AS score_$lang"
         }.mkString(",\n             |         ")
         val langs = Extensions.langProfiles.map(_._1)
         val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
@@ -128,7 +130,7 @@ object ExtensionQueries {
              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
              |r AS (
              |  SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY cosine_sim DESC, neighbor_id) AS rank FROM s)
+             |    ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank FROM s)
              |SELECT query_id, neighbor_id, cosine_sim, rank FROM r
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 

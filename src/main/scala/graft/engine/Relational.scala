@@ -354,8 +354,9 @@ object Relational {
              |    (PARTITION BY user_id ORDER BY epoch_s, event_id) > 1800
              |    THEN 1 ELSE 0 END AS new_s FROM e),
              |sess AS (
-             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
-             |    ORDER BY epoch_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_s, event_id ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |       min(epoch_s) AS session_start, max(epoch_s) AS session_end
@@ -374,7 +375,7 @@ object Relational {
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              |       l_extendedprice,
              |       ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
-             |                       l_linenumber, l_partkey, l_suppkey) AS bin
+             |                       l_linenumber, l_partkey, l_suppkey)::INT AS bin
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
 
@@ -435,7 +436,7 @@ object Relational {
       Some("""SELECT n_name,
              |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
              |       count(*) AS n_items,
-             |       GROUPING(n_name) AS gid
+             |       GROUPING(n_name)::INT AS gid
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -454,7 +455,7 @@ object Relational {
       Some("""SELECT * FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |         row_number() OVER (PARTITION BY o_custkey
-             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |           ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
              |  FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
   )

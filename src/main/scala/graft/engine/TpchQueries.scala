@@ -109,7 +109,7 @@ object TpchQueries {
                  round(sum(o_totalprice), 2) AS monthly_revenue
                  FROM v_orders GROUP BY 1, 2 ORDER BY y, m""")
       },
-      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      Some("""SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
              |       count(*) AS n_orders,
              |       round(sum(o_totalprice), 2) AS monthly_revenue
              |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
@@ -124,7 +124,7 @@ object TpchQueries {
         .orderBy("o_orderkey"),
       // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday
       Some("""SELECT o_orderkey,
-             |       hour(o_orderdate) AS cal_hour,
+             |       hour(o_orderdate)::INT AS cal_hour,
              |       (dayofweek(o_orderdate) + 1)::INT AS cal_day_of_week,
              |       dayofmonth(o_orderdate)::INT AS cal_day_of_month,
              |       CASE WHEN dayofweek(o_orderdate) IN (0, 6)
