@@ -65,6 +65,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("lag/rolling window pipeline shuffles exactly once (on user_id)") {
+    val df = SparkEntry.queries("lag_features")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("sessionize shuffles the events once, then stays partition-local") {
+    val df = SparkEntry.queries("sessionize")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one exchange for the user_id window; the final groupBy(user_id,
+    // session_id) reuses nothing narrower than user_id, so at most one more
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+  }
+
+  test("tumbling_window aggregates partially before its single shuffle") {
+    val df = SparkEntry.queries("tumbling_window")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregation:\n$plan")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+
+/** Suffix-dispatched source coverage (reference: src/ml_pipeline.py:57-71):
+  * parquet / csv-with-inferSchema / json round-trips through
+  * Tables.loadPath.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+
+  def tmp(suffix: String): String =
+    Files.createTempDirectory("graft-src").toString + "/data" + suffix
+
+  test("parquet round-trip") {
+    val p = tmp(".parquet")
+    df.write.parquet(p)
+    val back = Tables.loadPath(spark, p)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv round-trip with header + schema inference") {
+    val p = tmp(".csv")
+    df.write.option("header", "true").csv(p)
+    val back = Tables.loadPath(spark, p)
+    assert(back.schema("id").dataType.typeName == "integer") // inferred
+    assert(back.count() == 2)
+    assert(back.filter(col("s") === "b").select("v").as[Double].head() == 2.5)
+  }
+
+  test("json round-trip") {
+    val p = tmp(".json")
+    df.write.json(p)
+    val back = Tables.loadPath(spark, p)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "s", "v"))
+  }
+
+  test("eager count after load (the reference's load_data action)") {
+    val d = Tables.customer(spark, "/root/testdata/sf0.001")
+    assert(d.count() == 150 && d.columns.length == 5)
+  }
+}
