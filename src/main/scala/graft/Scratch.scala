@@ -6,49 +6,48 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc profiling/repro main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.001"
-    import graft.engine.Tables._
+    val d = "/root/testdata/sf0.1"
+    spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    def attempt(label: String)(f: => Long): Unit =
-      try println(s"[scratch] $label OK rows=" + f)
-      catch { case e: Throwable =>
-        println(s"[scratch] $label FAILED: ${e.getMessage.take(120)}") }
-
-    val base = lineitem(spark, d)
-      .join(orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
-      .select("n_name", "l_extendedprice", "l_discount")
-
-    attempt("plain groupBy")(base.groupBy("n_name").count().count())
-    attempt("rollup no orderBy")(
-      base.rollup("n_name").agg(count(lit(1)).as("n")).count())
-    attempt("rollup + gid")(
-      base.rollup("n_name").agg(count(lit(1)).as("n"),
-        grouping_id().cast("int").as("gid")).count())
-    attempt("rollup + gid + orderBy")(
-      base.rollup("n_name").agg(count(lit(1)).as("n"),
-        grouping_id().cast("int").as("gid")).orderBy("gid", "n_name").count())
-    attempt("rollup on cached/localCheckpoint")(
-      base.localCheckpoint(false).rollup("n_name")
-        .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
-        .orderBy("gid", "n_name").count())
-    attempt("rollup via spark.sql") {
-      base.createOrReplaceTempView("rollup_base")
-      spark.sql("""SELECT n_name, count(*) AS n,
-                   CAST(grouping(n_name) AS INT) AS gid
-                   FROM rollup_base GROUP BY ROLLUP (n_name)
-                   ORDER BY gid, n_name""").count()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
-    attempt("rollup via alias-qualified col")(
-      base.as("t").rollup(col("t.n_name")).agg(count(lit(1)).as("n"))
-        .count())
+
+    import graft.engine.Tables
+    import org.apache.spark.ml.feature._
+
+    // minhash_neardup decomposition
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 500)
+      .select("doc_id", "text")
+    val toks = new RegexTokenizer().setInputCol("text").setOutputCol("__toks")
+      .setPattern("\\s+").transform(docs)
+    val cvm = time("cv fit")(new CountVectorizer().setInputCol("__toks")
+      .setOutputCol("__tf").setBinary(true).setMinDF(1.0).fit(toks))
+    val tf = cvm.transform(toks)
+    val lshm = time("lsh fit")(new MinHashLSH().setInputCol("__tf")
+      .setOutputCol("__h").setNumHashTables(3).setSeed(42L).fit(tf))
+    time("approx join")(println(
+      lshm.approxSimilarityJoin(tf, tf, 0.5, "dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id")).count()))
+
+    // ann_bucketed decomposition
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("__vec"))
+    val brp = time("brp fit")(new BucketedRandomProjectionLSH()
+      .setInputCol("__vec").setOutputCol("__h").setBucketLength(2.0)
+      .setNumHashTables(3).setSeed(42L).fit(emb))
+    val hashed = brp.transform(emb)
+    val queries = hashed.filter(col("vec_id") < 5)
+    time("ann join")(println(
+      brp.approxSimilarityJoin(queries, hashed, Double.MaxValue, "dist").count()))
     spark.stop()
   }
 }

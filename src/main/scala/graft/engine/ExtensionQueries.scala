@@ -169,10 +169,14 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
-    // ── MinHash-LSH near-dup pairs (seeded LSH → not SQL-expressible) ────
+    // ── MinHash-LSH near-dup pairs (seeded LSH → not SQL-expressible).
+    // Sample-bounded like ngram_jaccard: this synthetic corpus draws from
+    // a tiny vocabulary, so nearly ALL pairs collide at Jaccard 0.5 and
+    // the join degenerates to all-pairs distance scoring — a corpus
+    // artifact, not an operator property. ───────────────────────────────
     QuerySpec("minhash_neardup",
       (s, d) => Extensions.minhashNearDups(
-          documents(s, d).filter(col("doc_id") < 500), "text", "doc_id",
+          documents(s, d).filter(col("doc_id") < 300), "text", "doc_id",
           maxJaccardDist = 0.5, numHashTables = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6)
           .as("jaccard_dist"))

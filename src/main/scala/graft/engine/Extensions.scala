@@ -125,6 +125,21 @@ object Extensions {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** The production fuzzy-dedup shape: cheap LSH candidate generation
+    * (SimHash bands — one projection + a band-key self-join) followed by
+    * exact n-gram Jaccard rescoring of ONLY the candidate pairs. At
+    * 100 TB the candidate set is orders of magnitude smaller than
+    * all-pairs; exactness of the final score is preserved.
+    */
+  def fuzzyDedupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 16, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val candidates = simhashNearDups(docs, textCol, idCol, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val exact = ngramJaccardPairs(docs, textCol, idCol, n, minJaccard = 0.0)
+    candidates.join(exact, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
     * Exact all-pairs form — production pre-buckets with [[annBucketed]]
     * and runs this as the precision pass on candidates; here it doubles

@@ -99,6 +99,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(preds(2L) == "fr")
   }
 
+  test("fuzzy dedup pipeline: LSH candidates rescored exactly") {
+    val pairs = Extensions.fuzzyDedupPairs(docs, "text", "doc_id",
+      maxHamming = 16, n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("cosine near-dups find parallel vectors only") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
       (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
