@@ -229,6 +229,13 @@ object ExtensionQueries {
       },
       None),
 
+    // ── IVF ANN (seeded KMeans coarse quantizer → rows-only) ─────────────
+    QuerySpec("ann_ivf",
+      (s, d) => Extensions.annIvf(embeddings(s, d), "embedding", "vec_id",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy("query_id", "rank"),
+      None),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

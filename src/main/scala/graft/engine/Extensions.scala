@@ -256,6 +256,48 @@ object Extensions {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: KMeans coarse quantizer (seed-fixed) partitions the
+    * corpus into nprobe-able cells; queries scan only the `nprobe`
+    * nearest cells. The other scale path beside [[annBucketed]]'s
+    * random-hyperplane LSH — at 100 TB the cell assignment is the
+    * partition key, so a probe touches a bounded fraction of the corpus.
+    */
+  def annIvf(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int = 10, nCells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val vecs = emb.select(col(idCol), col(embCol),
+      array_to_vector(col(embCol)).as("__vec"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .setK(nCells).setSeed(42L).fit(vecs)
+    val assigned = km.transform(vecs)
+    // each query probes its nprobe nearest centroids
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centDf = emb.sparkSession.createDataFrame(centroids)
+      .toDF("__cell", "__centroid")
+    val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("__cdist", -cosine(col("__q"), col("__centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("__cdist"), asc("__cell"))))
+      .filter(col("__crank") <= nprobe)
+      .select(col("query_id"), col("__q"), col("__cell"))
+    val candidates = assigned
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__e"),
+        col("__cell"))
+      .join(probed, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__e"), col("__q")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("cosine_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   // ── text analysis ────────────────────────────────────────────────────
 
   /** Exact-arithmetic text statistics + quality score. Every stat is

@@ -187,6 +187,35 @@ object Features {
   /** Drop-nulls strategy (reference: src/feature_engineering.py:151-152). */
   def dropMissing(df: DataFrame): DataFrame = df.na.drop()
 
+  /** Quantile binning `{c}_binned` per numeric col, fit+transform loop
+    * (reference: src/feature_engineering.py:87-101). Approximate
+    * (Greenwald-Khanna) by design — the exact twin is the catalog's
+    * ntile_binning.
+    */
+  def binningFeatures(df: DataFrame, cols: Seq[String],
+      numBuckets: Int = 10): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      new org.apache.spark.ml.feature.QuantileDiscretizer()
+        .setInputCol(c).setOutputCol(s"${c}_binned")
+        .setNumBuckets(numBuckets).setHandleInvalid("keep")
+        .fit(acc).transform(acc)
+    }
+
+  /** Degree-2 polynomial expansion `{c}_poly` of a vector column
+    * (reference: src/feature_engineering.py:103-114). */
+  def polynomialFeatures(df: DataFrame, vectorCol: String,
+      degree: Int = 2): DataFrame =
+    new org.apache.spark.ml.feature.PolynomialExpansion()
+      .setInputCol(vectorCol).setOutputCol(s"${vectorCol}_poly")
+      .setDegree(degree).transform(df)
+
+  /** PCA `{c}_pca`, k components, fit+transform
+    * (reference: src/feature_engineering.py:116-128). */
+  def pcaFeatures(df: DataFrame, vectorCol: String, k: Int = 10): DataFrame =
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol(vectorCol).setOutputCol(s"${vectorCol}_pca").setK(k)
+      .fit(df).transform(df)
+
   /** Config-keyed chain mirroring create_feature_pipeline
     * (reference: src/feature_engineering.py:252-277): time →
     * aggregations → ratios → missing_values, each step optional.

@@ -124,6 +124,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(1L).sorted)
   }
 
+  test("ivf ann achieves high recall vs brute force on the testdata") {
+    val emb = graft.engine.Tables.embeddings(TestSpark.spark,
+      "/root/testdata/sf0.001")
+    val exact = Extensions.cosineTopK(emb, "embedding", "vec_id",
+      Seq(0L), k = 10).select("neighbor_id").as[Long].collect().toSet
+    val ivf = Extensions.annIvf(emb, "embedding", "vec_id", Seq(0L),
+      k = 10, nCells = 8, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    // probing half the cells should recover most true neighbors
+    assert(ivf.intersect(exact).size >= 5,
+      s"recall too low: ${ivf.intersect(exact).size}/10")
+  }
+
   test("ann bucketed returns ranked neighbors deterministically") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))

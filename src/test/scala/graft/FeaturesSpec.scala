@@ -124,6 +124,35 @@ class FeaturesSpec extends AnyFunSuite {
       .select("cat_target_mean").as[Double].head() == 2.0)
   }
 
+  test("binning features are monotone in the binned value (ref :87-101)") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Features.binningFeatures(df, Seq("v"), numBuckets = 4)
+      .orderBy("v").select("v", "v_binned").as[(Double, Double)].collect()
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq) // monotone
+    assert(out.map(_._2).distinct.length == 4)
+  }
+
+  test("polynomial features expand the vector (ref :103-114)") {
+    val df = Seq((2.0, 3.0)).toDF("a", "b")
+    val va = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("a", "b")).setOutputCol("v")
+    val out = Features.polynomialFeatures(va.transform(df), "v", degree = 2)
+    val poly = out.select("v_poly").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(poly.toArray.toSeq == Seq(2.0, 4.0, 3.0, 6.0, 9.0))
+  }
+
+  test("pca features reduce to k dimensions (ref :116-128)") {
+    val df = (1 to 20).map(i => (i.toDouble, i * 2.0, i % 3 * 1.0))
+      .toDF("a", "b", "c")
+    val va = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("a", "b", "c")).setOutputCol("v")
+    val out = Features.pcaFeatures(va.transform(df), "v", k = 2)
+    val pca = out.select("v_pca").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(pca.size == 2)
+  }
+
   test("feature pipeline chains config-selected steps (ref :252-277)") {
     val df = Seq((1.0, 2.0), (3.0, 0.0)).toDF("num", "den")
     val cfg = Features.FeatureConfig(
