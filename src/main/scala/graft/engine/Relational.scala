@@ -444,6 +444,47 @@ object Relational {
              |GROUP BY ROLLUP (n_name)
              |ORDER BY gid, n_name""".stripMargin)),
 
+    // ── CUBE over two grouping columns (all four grouping sets) ──────────
+    QuerySpec("cube_flags",
+      (s, d) => lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .as("t")
+        .cube(col("t.l_returnflag"), col("t.l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), // integral-valued: exact
+             count(lit(1)).as("n_rows"),
+             grouping_id().cast("int").as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       count(*) AS n_rows,
+             |       (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::INT
+             |         AS gid
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── string function family over part names — SURVEY.md §2.7 extension
+    QuerySpec("string_funcs",
+      (s, d) => part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          trim(col("p_name")).as("name_trim"),
+          split(col("p_type"), " ").getItem(0).as("type_first"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |       upper(p_name) AS name_upper,
+             |       lower(p_brand) AS brand_lower,
+             |       substring(p_name, 1, 5) AS name_prefix,
+             |       length(p_name)::INT AS name_len,
+             |       p_brand || '|' || p_type AS brand_type,
+             |       trim(p_name) AS name_trim,
+             |       string_split(p_type, ' ')[1] AS type_first
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)
