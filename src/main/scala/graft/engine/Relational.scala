@@ -444,6 +444,40 @@ object Relational {
              |GROUP BY ROLLUP (n_name)
              |ORDER BY gid, n_name""".stripMargin)),
 
+    // ── as-of join: each event backfilled with the user's most recent
+    // prior order (point-in-time feature join; graft.operators.AsOfJoin,
+    // oracle = DuckDB's native ASOF LEFT JOIN). Time keys are made unique
+    // as epoch_s*1e6 + orderkey (orderkey < 1e6 at these SFs; widen the
+    // base at larger scale) so "most recent" is deterministic even with
+    // several same-day orders per customer. ──────────────────────────────
+    QuerySpec("asof_join",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          (col("ts").cast("long") * 1000000L + 999999L).as("e_k"))
+        val ord = orders(s, d).select(col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ: cast via TIMESTAMP (session tz
+          // is pinned UTC) to get epoch seconds
+          (col("o_orderdate").cast("timestamp").cast("long") * 1000000L
+            + col("o_orderkey")).as("o_k"),
+          col("o_orderkey"), col("o_totalprice"))
+        graft.operators.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey",
+            "e_k", "o_k", Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id,
+             |         ($EpochS) * 1000000 + 999999 AS e_k FROM events),
+             |o AS (
+             |  SELECT o_custkey,
+             |         epoch_us(o_orderdate)//1000000 * 1000000 + o_orderkey AS o_k,
+             |         o_orderkey, o_totalprice
+             |  FROM orders)
+             |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+             |FROM e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.e_k >= o.o_k
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ── CUBE over two grouping columns (all four grouping sets) ──────────
     QuerySpec("cube_flags",
       (s, d) => lineitem(s, d)

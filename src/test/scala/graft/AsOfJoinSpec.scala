@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+/** As-of join semantics on a hand-built fixture + shuffle-shape assert. */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+    (2L, 10L, "e3")).toDF("k", "t", "ev")
+  val right = Seq((1L, 8L, 100.0), (1L, 15L, 200.0), (3L, 1L, 999.0))
+    .toDF("k", "rt", "price")
+
+  test("picks the most recent right row at or before the left time") {
+    val out = AsOfJoin.asOf(left, right, "k", "k", "t", "rt", Seq("price"))
+      .orderBy("t").select("ev", "price")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("e0", None),         // t=5: no order yet
+      ("e1", Some(100.0)),  // t=10: rt=8 is latest <= 10
+      ("e3", None),         // key 2: no right rows
+      ("e2", Some(200.0)))) // t=20: rt=15
+  }
+
+  test("right row exactly at the left time matches (ties right-first)") {
+    val r2 = Seq((1L, 10L, 42.0)).toDF("k", "rt", "price")
+    val out = AsOfJoin.asOf(left, r2, "k", "k", "t", "rt", Seq("price"))
+      .filter($"ev" === "e1").select("price").as[Double].head()
+    assert(out == 42.0)
+  }
+
+  test("as-of join costs exactly one hash exchange") {
+    val df = AsOfJoin.asOf(left, right, "k", "k", "t", "rt", Seq("price"))
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected 1 exchange:\n$plan")
+  }
+}
