@@ -478,6 +478,34 @@ object Relational {
              |  ON e.user_id = o.o_custkey AND e.e_k >= o.o_k
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ── banded range join: pairs of a user's events within 10 minutes
+    // (graft.operators.RangeJoin — tolerance-band equi-join, not a
+    // cartesian; oracle = the plain inequality join DuckDB can afford
+    // at this scale) ─────────────────────────────────────────────────────
+    QuerySpec("range_join",
+      (s, d) => {
+        val base = events(s, d).select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("e_s"))
+        val a = base.select(col("event_id").as("id_a"),
+          col("user_id"), col("e_s").as("t_a"))
+        val b = base.select(col("event_id").as("id_b"),
+          col("user_id").as("user_b"), col("e_s").as("t_b"))
+        graft.operators.RangeJoin.bandedWithin(a, b, "user_id", "user_b",
+            "t_a", "t_b", tolerance = 600L)
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("user_id"),
+            (col("t_b") - col("t_a")).as("dt_s"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id, $EpochS AS e_s FROM events)
+             |SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+             |       b.e_s - a.e_s AS dt_s
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             |                  AND abs(a.e_s - b.e_s) <= 600
+             |                  AND a.event_id < b.event_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── CUBE over two grouping columns (all four grouping sets) ──────────
     QuerySpec("cube_flags",
       (s, d) => lineitem(s, d)
