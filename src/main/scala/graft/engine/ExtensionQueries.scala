@@ -162,6 +162,22 @@ object ExtensionQueries {
              |WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.0
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── generator/explode surface: tokens with positions (posexplode;
+    // oracle via 1-based list indexing) ──────────────────────────────────
+    QuerySpec("explode_tokens",
+      (s, d) => documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(Extensions.tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("token"))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, i.range::INT AS pos, toks[i.range] AS token
+             |FROM t, range(1, 100000) i
+             |WHERE i.range <= len(toks)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // ── SimHash signatures (custom Catalyst expression; hash function is
     // JVM-side Murmur3 → not SQL-expressible, rows-only check + ScalaTest)
     QuerySpec("simhash_signatures",
