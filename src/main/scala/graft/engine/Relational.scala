@@ -547,6 +547,105 @@ object Relational {
              |       string_split(p_type, ' ')[1] AS type_first
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ── pivot: events long → wide per-user per-type value sums ───────────
+    QuerySpec("pivot_events",
+      (s, d) => {
+        val vc = (round(col("value") * 100)).cast("long") // exact cents
+        events(s, d).select(col("user_id"), col("event_type"), vc.as("vc"))
+          .groupBy("user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(coalesce(sum("vc"), lit(0L)))
+          .withColumnsRenamed(Map(
+            "click" -> "click_cents", "error" -> "error_cents",
+            "purchase" -> "purchase_cents", "signup" -> "signup_cents",
+            "view" -> "view_cents"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  coalesce(sum(CAST(round(value*100) AS BIGINT))
+             |    FILTER (WHERE event_type = 'click'), 0)::BIGINT AS click_cents,
+             |  coalesce(sum(CAST(round(value*100) AS BIGINT))
+             |    FILTER (WHERE event_type = 'error'), 0)::BIGINT AS error_cents,
+             |  coalesce(sum(CAST(round(value*100) AS BIGINT))
+             |    FILTER (WHERE event_type = 'purchase'), 0)::BIGINT AS purchase_cents,
+             |  coalesce(sum(CAST(round(value*100) AS BIGINT))
+             |    FILTER (WHERE event_type = 'signup'), 0)::BIGINT AS signup_cents,
+             |  coalesce(sum(CAST(round(value*100) AS BIGINT))
+             |    FILTER (WHERE event_type = 'view'), 0)::BIGINT AS view_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── unpivot/melt: lineitem wide → long ───────────────────────────────
+    QuerySpec("unpivot_lineitem",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey")),
+          Array(col("l_quantity"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       measure, val
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |         'l_quantity' AS measure, l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |         'l_discount', l_discount FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |         measure""".stripMargin)),
+
+    // ── array function family over document tokens — SURVEY.md §2.7
+    // (array_distinct order differs across engines → always sorted first)
+    QuerySpec("array_funcs",
+      (s, d) => {
+        val toks = split(lower(col("text")), " ")
+        documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_distinct"),
+            slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+            array_contains(toks, "the").cast("int").as("has_the"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT doc_id,
+             |       len(toks)::INT AS n_tokens,
+             |       len(list_distinct(toks))::INT AS n_distinct,
+             |       list_sort(list_distinct(toks))[1:3] AS first3,
+             |       list_contains(toks, 'the')::INT AS has_the
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ── sliding event-time windows (1h window, 30min slide → each event
+    // in exactly 2 windows), emitted as integer epoch starts ─────────────
+    QuerySpec("sliding_window",
+      (s, d) => {
+        val epochS = col("ts").cast("long")
+        events(s, d)
+          .select(epochS.as("e_s"), col("event_type"), col("value"))
+          .groupBy(window(timestamp_seconds(col("e_s")), "1 hour",
+            "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               round(sum(col("value")), 4).as("sum_value"))
+          .select(col("window.start").cast("long").as("win_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("win_start", "event_type")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT $EpochS AS e_s, event_type, value FROM events),
+             |w AS (
+             |  SELECT (e_s // 1800) * 1800 - 1800 * g.range AS win_start,
+             |         event_type, value
+             |  FROM e, range(0, 2) g)
+             |SELECT win_start, event_type, count(*) AS n_events,
+             |       round(sum(value), 4) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)
