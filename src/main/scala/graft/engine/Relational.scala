@@ -646,6 +646,56 @@ object Relational {
              |       round(sum(value), 4) AS sum_value
              |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // ── intersect / except set ops — SURVEY.md §2.6 ──────────────────────
+    QuerySpec("intersect_except",
+      (s, d) => {
+        val custKeys = customer(s, d).select(col("c_custkey").as("key"))
+        val eventUsers = events(s, d).select(col("user_id").as("key"))
+        custKeys.intersect(eventUsers)
+          .select(lit("both").as("kind"), col("key"))
+          .unionByName(custKeys.except(eventUsers)
+            .select(lit("cust_only").as("kind"), col("key")))
+          .orderBy("kind", "key")
+      },
+      Some("""SELECT 'both' AS kind, key FROM (
+             |  SELECT c_custkey AS key FROM customer
+             |  INTERSECT
+             |  SELECT user_id FROM events)
+             |UNION ALL
+             |SELECT 'cust_only', key FROM (
+             |  SELECT c_custkey AS key FROM customer
+             |  EXCEPT
+             |  SELECT user_id FROM events)
+             |ORDER BY kind, key""".stripMargin)),
+
+    // ── null semantics through an outer join: most customers have no
+    // events, so the right side is NULL-heavy — exercises null-skipping
+    // aggregation, coalesce, and null flags ──────────────────────────────
+    QuerySpec("null_semantics",
+      (s, d) => {
+        val vc = (round(col("value") * 100)).cast("long")
+        val ev = events(s, d).select(col("user_id"), vc.as("vc"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"), sum("vc").as("sum_cents"))
+        customer(s, d).select("c_custkey")
+          .join(ev, col("c_custkey") === col("user_id"), "left")
+          .select(col("c_custkey"),
+            col("n_ev").isNull.cast("int").as("no_events"),
+            coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+            coalesce(col("sum_cents"), lit(-1L)).as("sum_cents"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, count(*) AS n_ev,
+             |         sum(CAST(round(value*100) AS BIGINT))::BIGINT AS sum_cents
+             |  FROM events GROUP BY 1)
+             |SELECT c_custkey,
+             |       (ev.n_ev IS NULL)::INT AS no_events,
+             |       coalesce(ev.n_ev, 0) AS n_ev,
+             |       coalesce(ev.sum_cents, -1) AS sum_cents
+             |FROM customer LEFT JOIN ev ON c_custkey = ev.user_id
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)
