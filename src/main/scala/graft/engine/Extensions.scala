@@ -172,11 +172,15 @@ object Extensions {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
     val ngram = new org.apache.spark.ml.feature.NGram()
       .setN(n).setInputCol("toks").setOutputCol("__shingles")
+    // bottom_k is a custom TypedImperativeAggregate (O(k) buffer per
+    // group) — collect_set would hold every distinct shingle hash per
+    // doc before truncating (graft.functions.BottomK)
     ngram.transform(toks)
       .select(col(idCol), explode(col("__shingles")).as("shingle"))
       .select(col(idCol), xxhash64(col("shingle")).as("h"))
       .groupBy(idCol)
-      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("fingerprint"))
+      .agg(graft.functions.BottomK.bottomK(docs.sparkSession, col("h"), k)
+        .as("fingerprint"))
   }
 
   // ── similarity search over embeddings ────────────────────────────────

@@ -25,6 +25,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("partitioned parquet write enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val n = filtered.count()
+    assert(n > 0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not pushed:\n$plan")
+    // pruned read returns exactly the purchase rows
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(n == expected)
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
