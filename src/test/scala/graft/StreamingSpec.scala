@@ -60,6 +60,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet sink with checkpoint lands every row") {
+    val outDir = Files.createTempDirectory("graft-ssink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = Streaming.eventStream(spark, stagedDir)
+      .select("event_id", "user_id", "value")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 1000L)
+    } finally q.stop()
+  }
+
   test("session windows count every event exactly once") {
     val batch = Streaming.sessionCounts(
       spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
