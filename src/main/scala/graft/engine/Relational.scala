@@ -696,6 +696,33 @@ object Relational {
              |FROM customer LEFT JOIN ev ON c_custkey = ev.user_id
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ── regex function family (simple character-class patterns behave
+    // identically under Java regex and DuckDB's RE2) ─────────────────────
+    QuerySpec("regex_funcs",
+      (s, d) => part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+          col("p_name").rlike("ST").cast("int").as("has_st"),
+          regexp_replace(col("p_brand"), "[0-9]", "#").as("brand_masked"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+             |       regexp_matches(p_name, 'ST')::INT AS has_st,
+             |       regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ── struct construction through parquet (named_struct ↔ struct_pack)
+    QuerySpec("struct_funcs",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          struct(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+            .as("meta"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       {'u': user_id, 'k': CAST(props->>'k' AS BIGINT)} AS meta
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)

@@ -42,6 +42,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.columns.sorted.toSeq == Seq("id", "s", "v"))
   }
 
+  // map compare is not parquet-oracle-stable, so maps are test-only
+  test("map type: build, lookup, keys") {
+    val dfm = Seq((1L, "a", 10.0), (1L, "b", 20.0)).toDF("id", "k", "v")
+      .groupBy("id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("k"),
+        col("v"))))).as("m"))
+    val row = dfm.select(col("m")("b").as("vb"),
+      map_keys(col("m")).as("ks")).head()
+    assert(row.getDouble(0) == 20.0)
+    assert(row.getSeq[String](1) == Seq("a", "b"))
+  }
+
   test("eager count after load (the reference's load_data action)") {
     val d = Tables.customer(spark, "/root/testdata/sf0.001")
     assert(d.count() == 150 && d.columns.length == 5)
