@@ -94,6 +94,58 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  val joinRows: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] =
+    Gen.zip(
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))
+        .map { case (k, t) => (k, t, k * 100.0 + t) }))
+
+  test("as-of join equals the naive per-row maximum-prior lookup") {
+    forAll(joinRows) { case (ls, rs) =>
+      whenever(ls.nonEmpty) {
+        // unique right time keys per key (the operator's documented
+        // requirement): dedupe (k, t)
+        val rd = rs.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "lt")
+        val right = rd.toDF("rk", "rt", "price")
+        val got = graft.operators.AsOfJoin
+          .asOf(left, right, "k", "rk", "lt", "rt", Seq("price"))
+          .select("lid", "price").as[(Long, Option[Double])]
+          .collect().toMap
+        ls.zipWithIndex.foreach { case ((k, t), i) =>
+          val expected = rd.filter(r => r._1 == k && r._2 <= t)
+            .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+          assert(got(i.toLong) == expected,
+            s"lid=$i k=$k t=$t: got ${got(i.toLong)}, want $expected")
+        }
+      }
+    }
+  }
+
+  test("banded range join equals the naive cross filter on random data") {
+    forAll(joinRows) { case (ls, rs) =>
+      whenever(ls.nonEmpty && rs.nonEmpty) {
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "lt")
+        val right = rs.zipWithIndex
+          .map { case ((k, t, _), i) => (i.toLong, k, t) }
+          .toDF("rid", "rk", "rt")
+        val banded = graft.operators.RangeJoin
+          .bandedWithin(left, right, "k", "rk", "lt", "rt", 7L)
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val naive = (for {
+          ((lk, lt), li) <- ls.zipWithIndex
+          ((rk, rt, _), ri) <- rs.zipWithIndex
+          if lk == rk && math.abs(lt - rt) <= 7
+        } yield (li.toLong, ri.toLong)).toSet
+        assert(banded == naive)
+      }
+    }
+  }
+
   test("simhash is permutation-invariant over tokens") {
     forAll(Gen.listOfN(10, Gen.oneOf("spark", "scan", "join", "sort",
       "hash", "merge"))) { toks =>
