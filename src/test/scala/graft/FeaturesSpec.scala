@@ -153,6 +153,23 @@ class FeaturesSpec extends AnyFunSuite {
     assert(pca.size == 2)
   }
 
+  test("wide feature frames (1000+ derived columns) stay analyzable") {
+    // the reference claims 10k+ features (README.md:134) built via
+    // withColumn loops (quadratic analyzer cost); our single-select form
+    // keeps analysis linear — 45 base cols -> 990 interactions
+    val base = (1 to 45).map(i => s"c$i")
+    val row = base.indices.map(_.toDouble)
+    val df = Seq(1).toDF("seed").select(
+      base.zipWithIndex.map { case (c, i) => lit(row(i)).as(c) }: _*)
+    val t0 = System.nanoTime()
+    val wide = Features.interactionFeatures(df, base)
+    assert(wide.columns.length == 45 + 45 * 44 / 2) // 1035 columns
+    val r = wide.select("c2_x_c3").as[Double].head()
+    assert(r == 1.0 * 2.0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"wide-plan analysis took ${secs}s")
+  }
+
   test("feature pipeline chains config-selected steps (ref :252-277)") {
     val df = Seq((1.0, 2.0), (3.0, 0.0)).toDF("num", "den")
     val cfg = Features.FeatureConfig(

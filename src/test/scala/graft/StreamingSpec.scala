@@ -74,6 +74,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    import TestSpark.spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    def write(rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: events across 00:00-03:00 → watermark advances to 02:50
+    write(Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:40:00", 1L, "click", 1.0),
+      (3L, "2024-01-01 03:00:00", 1L, "click", 1.0)))
+    val agg = Streaming.tumblingCounts(Streaming.eventStream(spark, dir))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one event far behind the watermark (00:30) + one fresh
+      write(Seq(
+        (4L, "2024-01-01 00:30:00", 1L, "click", 1.0), // LATE → dropped
+        (5L, "2024-01-01 03:30:00", 1L, "click", 1.0)))
+      q.processAllAvailable()
+      val counts = spark.table("late_out")
+        .select(col("window.start").cast("string").as("ws"), col("n_events"))
+        .as[(String, Long)].collect().toMap
+      // the 00:00 window was finalized with 2 events; the late event 4
+      // must not re-open or re-emit it
+      assert(counts("2024-01-01 00:00:00") == 2L,
+        s"late event leaked into finalized window: $counts")
+    } finally q.stop()
+  }
+
   test("session windows count every event exactly once") {
     val batch = Streaming.sessionCounts(
       spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
