@@ -28,7 +28,7 @@ object Features {
     val epoch = col(tsCol).cast("timestamp").cast("long")
     val dow = epoch / 86400 % 7
     df.select(
-      df.columns.map(col) ++ Seq(
+      df.columns.toSeq.map(col) ++ Seq(
         epoch.as("epoch_s"),
         (epoch % 86400 / 3600).as("hour"),
         dow.as("day_of_week"),
@@ -39,7 +39,7 @@ object Features {
   /** Calendar-correct extras (named distinctly from the faithful ops). */
   def calendarTimeFeatures(df: DataFrame, tsCol: String): DataFrame =
     df.select(
-      df.columns.map(col) ++ Seq(
+      df.columns.toSeq.map(col) ++ Seq(
         hour(col(tsCol)).as("cal_hour"),
         dayofweek(col(tsCol)).as("cal_day_of_week"),
         dayofmonth(col(tsCol)).as("cal_day_of_month"),
@@ -76,7 +76,7 @@ object Features {
     val ratios = for (n <- numCols; d <- denCols if n != d) yield
       when(col(d) =!= 0, col(n) / col(d)).otherwise(0.0)
         .as(s"${n}_to_${d}_ratio")
-    df.select(df.columns.map(col) ++ ratios: _*)
+    df.select(df.columns.toSeq.map(col) ++ ratios: _*)
   }
 
   /** Pairwise products `{a}_x_{b}`, i<j
@@ -85,7 +85,7 @@ object Features {
     val inter = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (col(cols(i)) * col(cols(j))).as(s"${cols(i)}_x_${cols(j)}")
-    df.select(df.columns.map(col) ++ inter: _*)
+    df.select(df.columns.toSeq.map(col) ++ inter: _*)
   }
 
   /** Z-score outlier flags `{c}_is_outlier`
@@ -108,7 +108,7 @@ object Features {
       when(std =!= 0, (abs(col(c) - mean) / std > threshold).cast("int"))
         .otherwise(0).as(s"${c}_is_outlier")
     }
-    df.crossJoin(broadcast(stats)).select(df.columns.map(col) ++ flags: _*)
+    df.crossJoin(broadcast(stats)).select(df.columns.toSeq.map(col) ++ flags: _*)
   }
 
   /** Lag features `{c}_lag_{n}` (reference: src/feature_engineering.py:178-196).
@@ -122,7 +122,7 @@ object Features {
       .orderBy((orderCol +: tieBreak).map(col): _*)
     val lagged = for (c <- valueCols; n <- lags)
       yield lag(col(c), n).over(w).as(s"${c}_lag_$n")
-    df.select(df.columns.map(col) ++ lagged: _*)
+    df.select(df.columns.toSeq.map(col) ++ lagged: _*)
   }
 
   /** Rolling mean/sum `{c}_rolling_{mean,sum}_{w}` over ROW frames
@@ -141,7 +141,7 @@ object Features {
         val e = if (f == "mean") avg(col(c)).over(w) else sum(col(c)).over(w)
         r(e).as(s"${c}_rolling_${f}_$n")
       }
-    df.select(df.columns.map(col) ++ rolled: _*)
+    df.select(df.columns.toSeq.map(col) ++ rolled: _*)
   }
 
   /** Frequency encoding `{c}_freq` via count-join
@@ -181,7 +181,7 @@ object Features {
       coalesce(col(c), if (roundTo >= 0) round(m, roundTo) else m)
         .as(s"${c}_imputed")
     }
-    df.crossJoin(broadcast(stats)).select(df.columns.map(col) ++ imputed: _*)
+    df.crossJoin(broadcast(stats)).select(df.columns.toSeq.map(col) ++ imputed: _*)
   }
 
   /** Drop-nulls strategy (reference: src/feature_engineering.py:151-152). */

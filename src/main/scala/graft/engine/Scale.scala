@@ -18,7 +18,7 @@ object Scale {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8): DataFrame = {
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)))
+      pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(saltFactor)))
     val exploded = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
