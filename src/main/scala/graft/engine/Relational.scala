@@ -723,6 +723,57 @@ object Relational {
              |       {'u': user_id, 'k': CAST(props->>'k' AS BIGINT)} AS meta
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ── exact interpolated percentiles (Spark `percentile` and DuckDB
+    // quantile_cont share the p*(n-1) linear-interpolation definition;
+    // identical sorted operands → identical doubles) ─────────────────────
+    QuerySpec("percentiles",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+             expr("percentile(l_extendedprice, 0.9)").as("p90"),
+             expr("percentile(l_quantity, 0.25)").as("q25"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       quantile_cont(l_extendedprice, 0.5) AS p50,
+             |       quantile_cont(l_extendedprice, 0.9) AS p90,
+             |       quantile_cont(l_quantity, 0.25) AS q25
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ── correlation / covariance / variance (order-sensitive float
+    // aggregates → rounded) ──────────────────────────────────────────────
+    QuerySpec("corr_stats",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("qp_corr"),
+             round(covar_samp("l_quantity", "l_extendedprice"), 4)
+               .as("qp_covar"),
+             round(var_samp("l_quantity"), 6).as("q_var"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+             |       round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar,
+             |       round(var_samp(l_quantity), 6) AS q_var
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ── argmax/argmin aggregates; the ordering value is made unique
+    // (price*1e7 + partkey, exact in double) so ties can't diverge ───────
+    QuerySpec("argmax_minby",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_partkey"),
+               col("l_extendedprice") * 10000000 + col("l_partkey"))
+               .as("max_price_part"),
+             min_by(col("l_partkey"),
+               col("l_extendedprice") * 10000000 + col("l_partkey"))
+               .as("min_price_part"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       max_by(l_partkey, l_extendedprice * 10000000 + l_partkey)
+             |         AS max_price_part,
+             |       min_by(l_partkey, l_extendedprice * 10000000 + l_partkey)
+             |         AS min_price_part
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)
