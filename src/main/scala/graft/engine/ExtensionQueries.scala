@@ -229,6 +229,14 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
+    // ── full dedup: near-dup pairs → connected components → survivors
+    // (iterative CC — rows-only; clustering covered by ScalaTest) ────────
+    QuerySpec("dedup_clusters",
+      (s, d) => Extensions.dedupClusters(documents(s, d), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("doc_id"),
+      None),
+
     // ── multimodal plumbing: binary payloads → partition-local feature
     // extraction (decode is a deterministic stub; Spark-side plumbing is
     // the real contract — rows-only + exact-value ScalaTest) ─────────────

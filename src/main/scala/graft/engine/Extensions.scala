@@ -140,6 +140,20 @@ object Extensions {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Near-dup pairs → dedup clusters → deterministic survivors: the
+    * full production dedup (transitive closure via
+    * graft.operators.ConnectedComponents, survivor = min id per
+    * component). Returns every doc with its component and a keep flag.
+    */
+  def dedupClusters(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val pairs = simhashNearDups(docs, textCol, idCol, maxHamming)
+    val comps = graft.operators.ConnectedComponents.components(
+      docs.select(col(idCol)), pairs, idCol, "id_a", "id_b")
+    comps.withColumn("keep",
+      (col(idCol) === col("component")).cast("int"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
     * Exact all-pairs form — production pre-buckets with [[annBucketed]]
     * and runs this as the precision pass on candidates; here it doubles
