@@ -229,6 +229,17 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
+    // ── deterministic hash split (reproducible train/holdout independent
+    // of partitioning — md5 buckets, exact on both engines) ──────────────
+    QuerySpec("hash_split",
+      (s, d) => Extensions.hashSplit(
+          documents(s, d).select("doc_id"), "doc_id", keepBuckets = 205)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       substr(md5(doc_id::VARCHAR), 1, 2) AS split_bucket,
+             |       (substr(md5(doc_id::VARCHAR), 1, 2) < 'cd')::INT AS is_train
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── full dedup: near-dup pairs → connected components → survivors
     // (iterative CC — rows-only; clustering covered by ScalaTest) ────────
     QuerySpec("dedup_clusters",

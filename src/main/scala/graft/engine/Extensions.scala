@@ -316,6 +316,22 @@ object Extensions {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic hash split: assign each row to train/holdout by a
+    * stable content hash of its key — reproducible across runs, cluster
+    * sizes, AND partitionings (randomSplit's seed only fixes the result
+    * for one physical partitioning, a classic training-pipeline trap).
+    * Bucket = first two hex chars of md5(key) (256 buckets);
+    * `keepBuckets` of 256 go to the kept split (205/256 ≈ 80%).
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      keepBuckets: Int = 205): DataFrame = {
+    require(keepBuckets >= 0 && keepBuckets <= 256)
+    val bucket = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 2)
+    val threshold = f"${keepBuckets}%02x" // lexical compare on lower hex
+    df.withColumn("split_bucket", bucket)
+      .withColumn("is_train", (bucket < lit(threshold)).cast("int"))
+  }
+
   // ── text analysis ────────────────────────────────────────────────────
 
   /** Exact-arithmetic text statistics + quality score. Every stat is

@@ -26,6 +26,7 @@ object Tables {
     else if (path.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (path.endsWith(".json")) spark.read.json(path)
+    else if (path.endsWith(".orc")) spark.read.orc(path)
     else spark.read.parquet(path) // default branch (reference defaults to delta)
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -42,6 +42,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.columns.sorted.toSeq == Seq("id", "s", "v"))
   }
 
+  test("orc round-trip") {
+    val p = tmp(".orc")
+    df.write.orc(p)
+    val back = Tables.loadPath(spark, p)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("hash split is invariant under repartitioning (unlike randomSplit)") {
+    val ids = (1L to 1000L).toDF("doc_id")
+    def trainSet(parts: Int): Set[Long] =
+      graft.engine.Extensions.hashSplit(ids.repartition(parts), "doc_id")
+        .filter(col("is_train") === 1).select("doc_id").as[Long]
+        .collect().toSet
+    val a = trainSet(2)
+    val b = trainSet(13)
+    assert(a == b)
+    // ~80% of 1000 ± sampling noise
+    assert(a.size > 700 && a.size < 900, s"split size ${a.size}")
+  }
+
   // map compare is not parquet-oracle-stable, so maps are test-only
   test("map type: build, lookup, keys") {
     val dfm = Seq((1L, "a", 10.0), (1L, "b", 20.0)).toDF("id", "k", "v")
