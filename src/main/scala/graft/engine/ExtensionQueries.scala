@@ -229,6 +229,21 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
+    // ── token counting: whitespace + BPE-ish regex pieces (letters /
+    // digits / single punct — identical under Java regex and RE2) ────────
+    QuerySpec("token_counts",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       len(string_split(text, ' '))::INT AS ws_tokens,
+             |       len(regexp_extract_all(text,
+             |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))::INT AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── deterministic hash split (reproducible train/holdout independent
     // of partitioning — md5 buckets, exact on both engines) ──────────────
     QuerySpec("hash_split",

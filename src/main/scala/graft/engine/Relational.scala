@@ -774,6 +774,32 @@ object Relational {
              |         AS min_price_part
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // ── RANGE-frame window: trailing 1-hour per-user sums keyed on the
+    // time VALUE (peers included), vs the ROWS frames used elsewhere ─────
+    QuerySpec("range_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("epoch_s")
+          .rangeBetween(-3600, 0)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("epoch_s"),
+            (round(col("value") * 100)).cast("long").as("vc"))
+          .select(col("event_id"), col("user_id"), col("epoch_s"),
+            (sum("vc").over(w) / 100.0).as("trailing_hour_value"),
+            count(lit(1)).over(w).cast("long").as("trailing_hour_events"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id, $EpochS AS epoch_s,
+             |         CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+             |SELECT event_id, user_id, epoch_s,
+             |       sum(vc) OVER w / 100.0 AS trailing_hour_value,
+             |       count(*) OVER w AS trailing_hour_events
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)
