@@ -257,8 +257,11 @@ object ExtensionQueries {
 
     // ── full dedup: near-dup pairs → connected components → survivors
     // (iterative CC — rows-only; clustering covered by ScalaTest) ────────
+    // (sample-bounded like the other fuzzy-dedup queries: the tiny-
+    // vocabulary synthetic corpus is pathologically self-similar)
     QuerySpec("dedup_clusters",
-      (s, d) => Extensions.dedupClusters(documents(s, d), "text", "doc_id",
+      (s, d) => Extensions.dedupClusters(
+          documents(s, d).filter(col("doc_id") < 1000), "text", "doc_id",
           maxHamming = 3)
         .orderBy("doc_id"),
       None),
