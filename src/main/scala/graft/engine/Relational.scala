@@ -800,6 +800,61 @@ object Relational {
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)),
 
+    // ── window navigation: first/last/nth/lead/percent_rank over a
+    // unique total order per customer ────────────────────────────────────
+    QuerySpec("window_navigation",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_orderkey").over(full).as("best_order"),
+            last("o_orderkey").over(full).as("worst_order"),
+            nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+            lead("o_orderkey", 1).over(w).as("next_order"),
+            round(percent_rank().over(w), 6).as("pr"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       first_value(o_orderkey) OVER wf AS best_order,
+             |       last_value(o_orderkey) OVER wf AS worst_order,
+             |       nth_value(o_orderkey, 2) OVER wf AS second_order,
+             |       lead(o_orderkey, 1) OVER w AS next_order,
+             |       round(percent_rank() OVER w, 6) AS pr
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_totalprice DESC, o_orderkey),
+             |       wf AS (PARTITION BY o_custkey
+             |              ORDER BY o_totalprice DESC, o_orderkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING
+             |              AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ── date function family (string-formatted outputs to dodge any
+    // date-type serialization differences) ───────────────────────────────
+    QuerySpec("date_funcs",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(date_add(col("o_orderdate").cast("date"), 7),
+            "yyyy-MM-dd").as("next_week"),
+          quarter(col("o_orderdate")).as("q"),
+          weekofyear(col("o_orderdate")).as("iso_week"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+             |       date_diff('day', DATE '1995-01-01',
+             |                 o_orderdate::DATE)::INT AS days_since,
+             |       strftime(o_orderdate::DATE + INTERVAL 7 DAY,
+             |                '%Y-%m-%d') AS next_week,
+             |       quarter(o_orderdate)::INT AS q,
+             |       weekofyear(o_orderdate)::INT AS iso_week
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)
