@@ -229,6 +229,34 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
+    // ── higher-order array functions (lambda filter/transform — the
+    // codegen'd alternative to UDFs for per-row collection work) ─────────
+    QuerySpec("hof_funcs",
+      (s, d) => {
+        val toks = split(lower(col("text")), " ")
+        documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            size(filter(toks, t => length(t) > 4)).as("n_long_tokens"),
+            (size(filter(toks, t => length(t) > 8)) > 0).cast("int")
+              .as("has_very_long"),
+            aggregate(transform(toks, t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("total_chars"),
+            upper(element_at(toks, 1)).as("first_upper"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT doc_id,
+             |       len(list_filter(toks, x -> length(x) > 4))::INT
+             |         AS n_long_tokens,
+             |       (len(list_filter(toks, x -> length(x) > 8)) > 0)::INT
+             |         AS has_very_long,
+             |       list_sum(list_transform(toks, x -> length(x)))::BIGINT
+             |         AS total_chars,
+             |       upper(toks[1]) AS first_upper
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ── token counting: whitespace + BPE-ish regex pieces (letters /
     // digits / single punct — identical under Java regex and RE2) ────────
     QuerySpec("token_counts",
