@@ -285,9 +285,11 @@ object Extensions {
       nprobe: Int = 4): DataFrame = {
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
+    // a coarse quantizer doesn't need tight convergence — 5 Lloyd
+    // iterations give stable-enough cells at a fraction of the fit cost
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .setK(nCells).setSeed(42L).fit(vecs)
+      .setK(nCells).setSeed(42L).setMaxIter(5).fit(vecs)
     val assigned = km.transform(vecs)
     // each query probes its nprobe nearest centroids
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
