@@ -39,6 +39,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L))) // identical docs, hamming 0
   }
 
+  test("simhash64 and bottom_k are usable from SQL once registered") {
+    graft.functions.SimHash64.register(spark)
+    graft.functions.BottomK.register(spark)
+    docs.createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(split(lower(text), ' ')) AS sig
+        |FROM sql_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Extensions.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    val bk = spark.sql(
+      "SELECT bottom_k(doc_id, 2) FROM sql_docs").head().getSeq[Long](0)
+    assert(bk == Seq(1L, 2L))
+  }
+
   test("dedup exact keeps the min-key survivor") {
     val out = Extensions.dedupExact(docs, Seq("text"), "doc_id")
     val ids = out.select("doc_id").as[Long].collect().toSet

@@ -42,6 +42,32 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(loaded.transform(spark.read.parquet(dataPath)).count() == 40)
   }
 
+  test("config-driven run with a feature chain (time -> ratio -> impute)") {
+    val dataPath = Files.createTempDirectory("graft-orch2").toString +
+      "/train.parquet"
+    (1 to 40).map(i => (i.toDouble, (i % 7 + 1).toDouble, (i + 1) % 2,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 3600L))))
+      .toSeq.toDF("feature_1", "feature_2", "label", "ts")
+      .write.parquet(dataPath)
+    val cfg = PipelineConfig.fromString(
+      s"""data:
+         |  input_path: "$dataPath"
+         |features:
+         |  numeric_features: [feature_1, feature_2, hour,
+         |    feature_1_to_feature_2_ratio]
+         |model:
+         |  algorithm: "logistic_regression"
+         |  task: "classification"
+         |""".stripMargin)
+    val fc = graft.engine.Features.FeatureConfig(
+      timeCol = Some("ts"),
+      ratio = Some(graft.engine.Features.RatioSpec(
+        Seq("feature_1"), Seq("feature_2"))))
+    val r = Orchestrator.run(spark, cfg, Some(fc))
+    assert(r.rowsLoaded == 40)
+    assert(r.metrics.contains("accuracy"))
+  }
+
   test("session builder honors the config's wired performance block") {
     val cfg = PipelineConfig(master = "local[2]", appName = "graft-cfg",
       numPartitions = 7, broadcastThreshold = 12345678L)

@@ -53,6 +53,14 @@ class ScoringSpec extends AnyFunSuite {
     assert(preds.count() == 8)
   }
 
+  test("batchPredict dispatches csv input through the same path") {
+    val in = Files.createTempDirectory("graft-in-csv").toString + "/in.csv"
+    val out = Files.createTempDirectory("graft-out-csv").toString + "/preds"
+    sample.write.option("header", "true").csv(in)
+    val n = Scoring.batchPredict(spark, modelPath, in, out)
+    assert(n == 8)
+  }
+
   test("end-to-end train on the embeddings table beats chance") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
