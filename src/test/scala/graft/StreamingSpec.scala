@@ -108,6 +108,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark on event_id") {
+    import TestSpark.spark.implicits._
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    // duplicate event_ids within the watermark horizon
+    Seq((1L, "2024-01-01 00:10:00", 1L, "click", 1.0),
+        (1L, "2024-01-01 00:10:30", 1L, "click", 1.0),
+        (2L, "2024-01-01 00:20:00", 1L, "view", 2.0))
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val q = Streaming.eventStream(spark, dir)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").count() == 2L) // dup id 1 collapsed
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join") {
+    import TestSpark.spark.implicits._
+    val userDim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = Streaming.eventStream(spark, stagedDir)
+      .join(userDim, Seq("user_id"), "left")
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() == 1000L)
+      assert(out.filter(col("user_id") === 1L && col("tier") =!= "gold")
+        .count() == 0)
+    } finally q.stop()
+  }
+
   test("session windows count every event exactly once") {
     val batch = Streaming.sessionCounts(
       spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
