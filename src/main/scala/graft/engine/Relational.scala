@@ -129,8 +129,8 @@ object Relational {
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
 
-    // ── z-score outlier flags (window form of the reference's two-pass) —
-    // reference: src/feature_engineering.py:156-176
+    // ── z-score outlier flags (broadcast global-agg form of the
+    // reference's two-pass) — reference: src/feature_engineering.py:156-176
     QuerySpec("outlier_flags",
       (s, d) => Features.outlierFlags(
           lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
