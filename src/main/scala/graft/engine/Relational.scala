@@ -855,6 +855,62 @@ object Relational {
              |       weekofyear(o_orderdate)::INT AS iso_week
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ── salted skew join under the oracle: result-identity with the
+    // plain equi-join IS the operator's contract (graft.engine.Scale) ────
+    QuerySpec("salted_join",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_extendedprice",
+          "l_discount")
+        val o = orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority"))
+        Scale.saltedJoin(li, o, "l_orderkey", saltFactor = 4)
+          .groupBy("o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+                 .as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── data profiling: per-column null/distinct/min/max report ──────────
+    QuerySpec("table_profile",
+      (s, d) => {
+        val o = orders(s, d)
+        def prof(c: String, minMax: Boolean) = o.agg(
+          lit(c).as("col_name"),
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          (if (minMax) round(min(col(c)), 2) else lit(null).cast("double"))
+            .as("min_num"),
+          (if (minMax) round(max(col(c)), 2) else lit(null).cast("double"))
+            .as("max_num"))
+        prof("o_totalprice", minMax = true)
+          .unionByName(prof("o_orderpriority", minMax = false))
+          .unionByName(prof("o_custkey", minMax = true))
+          .orderBy("col_name")
+      },
+      Some("""SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+             |       count(o_custkey) AS n_nonnull,
+             |       count(DISTINCT o_custkey) AS n_distinct,
+             |       round(min(o_custkey), 2)::DOUBLE AS min_num,
+             |       round(max(o_custkey), 2)::DOUBLE AS max_num
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+             |       count(DISTINCT o_orderpriority), NULL, NULL
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', count(*), count(o_totalprice),
+             |       count(DISTINCT o_totalprice),
+             |       round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+             |FROM orders
+             |ORDER BY col_name""".stripMargin)),
+
     // ── ranking window: top-3 orders per customer — SURVEY.md §2.5 extension
     QuerySpec("window_rank",
       (s, d) => orders(s, d)

@@ -85,6 +85,24 @@ class MLPipeSpec extends AnyFunSuite {
     assert(pa == pb)
   }
 
+  test("QuantileDiscretizer bins agree with exact ntile for >95% of rows") {
+    val q = SparkEntry.queries("quantile_binning")(spark,
+      "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice_binned")
+    val n = SparkEntry.queries("ntile_binning")(spark,
+      "/root/testdata/sf0.001")
+    val joined = q.join(n,
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    val total = joined.count()
+    // ntile is 1-based, discretizer 0-based
+    val agree = joined.filter(
+      org.apache.spark.sql.functions.col("l_extendedprice_binned") + 1 ===
+        org.apache.spark.sql.functions.col("bin")).count()
+    assert(agree.toDouble / total > 0.95,
+      s"approx/exact bin agreement ${agree.toDouble / total}")
+  }
+
   test("LR hyperparameter tuning runs the reference grid (ref :258-284)") {
     val r = MLPipe.hyperparameterTuning(sample, features,
       "logistic_regression")
