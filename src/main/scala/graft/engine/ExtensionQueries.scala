@@ -272,6 +272,23 @@ object ExtensionQueries {
              |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))::INT AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── deterministic stratified sample: exactly ceil(10%) per event_type,
+    // chosen by md5 order (reproducible, balanced — unlike seeded
+    // approximate sampleBy) ──────────────────────────────────────────────
+    QuerySpec("stratified_sample",
+      (s, d) => Extensions.stratifiedSample(
+          events(s, d).select("event_id", "event_type"),
+          "event_type", "event_id", fraction = 0.1)
+        .orderBy("event_id"),
+      Some("""WITH t AS (
+             |  SELECT event_id, event_type,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY md5(event_id::VARCHAR), event_id) AS rn,
+             |         count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_id, event_type FROM t
+             |WHERE rn <= ceil(n * 0.1) ORDER BY event_id""".stripMargin)),
+
     // ── deterministic hash split (reproducible train/holdout independent
     // of partitioning — md5 buckets, exact on both engines) ──────────────
     QuerySpec("hash_split",

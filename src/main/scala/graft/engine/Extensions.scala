@@ -334,6 +334,22 @@ object Extensions {
       .withColumn("is_train", (bucket < lit(threshold)).cast("int"))
   }
 
+  /** Deterministic stratified sample: exactly ceil(fraction·n) rows per
+    * stratum, chosen by md5-hash order — reproducible across runs and
+    * partitionings, with per-stratum balance (sampleBy is seeded AND
+    * approximate; this is neither). One shuffle on the stratum key.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      fraction: Double): DataFrame = {
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(stratumCol).orderBy(h, col(keyCol))
+    val cnt = Window.partitionBy(stratumCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+
   // ── text analysis ────────────────────────────────────────────────────
 
   /** Exact-arithmetic text statistics + quality score. Every stat is
