@@ -69,6 +69,30 @@ class MLPipeSpec extends AnyFunSuite {
     assert(r.metrics.contains("silhouette"))
   }
 
+  // wider fixture for the remaining algorithm x task combinations
+  // (GMM/BisectingKMeans degenerate on 8 rows)
+  lazy val wide = (1 to 40).map(i =>
+    (i.toDouble, (i * 7 % 13).toDouble, (i * 3 % 5).toDouble, i % 2)).toSeq
+    .toDF("feature_1", "feature_2", "feature_3", "label")
+
+  for ((algo, task) <- Seq(
+      "gradient_boosting" -> "classification",
+      "naive_bayes" -> "classification",
+      "gradient_boosting" -> "regression",
+      "random_forest" -> "regression",
+      "glm" -> "regression",
+      "bisecting_kmeans" -> "clustering",
+      "gmm" -> "clustering"))
+    test(s"train $algo/$task end to end") {
+      val df = if (task == "regression")
+        wide.withColumn("label",
+          org.apache.spark.sql.functions.col("feature_1") * 2.0 + 1.0)
+      else wide
+      val r = MLPipe.train(df, features, algo, task)
+      assert(r.metrics.nonEmpty)
+      assert(MLPipe.predict(r.model, df).count() == 40)
+    }
+
   test("unknown algorithm raises (ref get_model dispatch)") {
     intercept[IllegalArgumentException] {
       MLPipe.getModel("nope", "classification")
