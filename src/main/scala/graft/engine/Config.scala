@@ -29,7 +29,8 @@ final case class PipelineConfig(
     cacheData: Boolean = false,
     repartition: Boolean = false,
     numPartitions: Int = 200,
-    broadcastThreshold: Long = 10485760L) {
+    broadcastThreshold: Long = 10485760L,
+    metricsLogPath: String = "") {
 
   def featureCols: Seq[String] = numericFeatures ++ categoricalFeatures
 }
@@ -68,7 +69,11 @@ object PipelineConfig {
       repartition = str("performance", "repartition", "false").toBoolean,
       numPartitions = str("performance", "num_partitions", "200").toInt,
       broadcastThreshold =
-        str("performance", "broadcast_threshold", "10485760").toLong)
+        str("performance", "broadcast_threshold", "10485760").toLong,
+      // the reference's MLflow tracking boundary (src/ml_pipeline.py:
+      // 198-217) reduced to its library-shaped core: a params+metrics
+      // JSON-lines file
+      metricsLogPath = str("tracking", "metrics_log", ""))
   }
 
   /** section → key → raw scalar. Comments and blank lines skipped;

@@ -193,7 +193,7 @@ object ExtensionQueries {
     QuerySpec("minhash_neardup",
       (s, d) => Extensions.minhashNearDups(
           documents(s, d).filter(col("doc_id") < 300), "text", "doc_id",
-          maxJaccardDist = 0.5, numHashTables = 3)
+          maxJaccardDist = 0.3, numHashTables = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6)
           .as("jaccard_dist"))
         .orderBy("id_a", "id_b"),
@@ -222,10 +222,13 @@ object ExtensionQueries {
              |WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
     // ── bottom-k shingle-hash fingerprints (winnowing-style sketch;
-    // xxhash64 is engine-internal → rows-only + ScalaTest) ───────────────
+    // xxhash64 is engine-internal → rows-only + ScalaTest; the array is
+    // emitted concat_ws'd so the driver comparator can hash it) ──────────
     QuerySpec("doc_fingerprints",
       (s, d) => Extensions.fingerprintBottomK(documents(s, d), "text",
           "doc_id", n = 3, k = 8)
+        .select(col("doc_id"),
+          concat_ws(",", col("fingerprint")).as("fingerprint"))
         .orderBy("doc_id"),
       None),
 
@@ -313,7 +316,8 @@ object ExtensionQueries {
 
     // ── multimodal plumbing: binary payloads → partition-local feature
     // extraction (decode is a deterministic stub; Spark-side plumbing is
-    // the real contract — rows-only + exact-value ScalaTest) ─────────────
+    // the real contract — rows-only + exact-value ScalaTest; the feature
+    // array is emitted concat_ws'd so the driver comparator can hash it)
     QuerySpec("multimodal_features",
       (s, d) => {
         import s.implicits._
@@ -322,7 +326,9 @@ object ExtensionQueries {
         Multimodal.extractFeatures(media, dim = 16)
           .toDF()
           .select(col("media_id"), col("modality"), col("n_bytes"),
-            transform(col("features"), x => round(x, 4)).as("features"))
+            concat_ws(",",
+              transform(col("features"), x => round(x, 4).cast("string")))
+              .as("features"))
           .orderBy("media_id")
       },
       None),

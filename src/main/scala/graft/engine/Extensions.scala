@@ -19,16 +19,31 @@ object Extensions {
   // ── deduplication ────────────────────────────────────────────────────
 
   /** Exact dedup, deterministic survivor: keep the min-key row per
-    * `dupeCols` group via row_number (dropDuplicates keeps an arbitrary
+    * `dupeCols` group (dropDuplicates keeps an arbitrary
     * first-encountered row — nondeterministic across partitions, so
     * unusable under an oracle and unrepeatable in production).
-    * One shuffle on the dedup key; survives any scale.
+    *
+    * Scale shape: ONE shuffle keyed on `xxhash64(dupeCols)` — an 8-byte
+    * key — never on the dupe payload itself (a multi-KB document text as
+    * shuffle/sort key is ~100× the key weight on a real corpus). Within
+    * a hash group, rows sort by (dupeCols, key); a row survives iff it's
+    * the first of its exact dupe-value run, which keeps the result exact
+    * even under 64-bit hash collisions (colliding-but-different payloads
+    * land in the same window group but start their own run).
     */
   def dedupExact(df: DataFrame, dupeCols: Seq[String],
       keyCol: String): DataFrame = {
-    val w = Window.partitionBy(dupeCols.map(col): _*).orderBy(col(keyCol))
+    val h = xxhash64(dupeCols.map(col): _*)
+    val w = Window.partitionBy(h)
+      .orderBy(dupeCols.map(col) :+ col(keyCol): _*)
+    // first row of the window has no lag → guard with row_number, NOT a
+    // null-check on lag (a genuinely-null dupe value would alias it)
+    val sameAsPrev = dupeCols.map(c => lag(col(c), 1).over(w) <=> col(c))
+      .reduce(_ && _)
     df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__same", sameAsPrev)
+      .filter(col("__rn") === 1 || !col("__same"))
+      .drop("__rn", "__same")
   }
 
   /** Tokenized lowercase words — the shared text preprocessing. */
@@ -44,18 +59,29 @@ object Extensions {
       simhash64(docs.sparkSession, tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup candidate pairs: band the 64-bit signature into
-    * four 16-bit bands (standard LSH trick — any pair hamming-close in
-    * all bits collides on ≥1 band with high probability), self-join per
-    * band, then filter on exact hamming distance. Shuffles on the small
-    * band keys, never the full cross product.
+    * `numBands` equal bands (standard LSH trick), self-join per band,
+    * then filter on exact hamming distance. Shuffles on the small band
+    * keys, never the full cross product.
+    *
+    * RECALL BOUND (pigeonhole): a pair at hamming distance h is
+    * GUARANTEED a band collision only when h ≤ numBands−1 — beyond that
+    * the differing bits can spread across every band and the pair is
+    * silently dropped; recall is probabilistic and falls with h. More
+    * bands ⇒ wider guarantee but narrower band keys (64/numBands bits)
+    * ⇒ coarser buckets ⇒ more candidate pairs to rescore: at corpus
+    * scale keep band keys ≥8 bits (numBands ≤ 8).
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, numBands: Int = 4): DataFrame = {
+    require(numBands > 0 && numBands <= 16 && 64 % numBands == 0,
+      "numBands must divide 64 (and keep band keys ≥4 bits)")
+    val width = 64 / numBands
+    val mask = (1L << width) - 1
     val sigs = simhashSignatures(docs, textCol, idCol)
     val banded = sigs.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+          shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
             .as("bandkey"))): _*))
         .as("b"))
       .select(col(idCol), col("simhash"),
@@ -85,7 +111,10 @@ object Extensions {
     val cv = new CountVectorizer().setInputCol("__toks").setOutputCol("__tf")
       .setBinary(true).setMinDF(1.0)
     val cvm = cv.fit(tokenized)
+    // the TF frame feeds three consumers (LSH fit + both sides of the
+    // self-join) — without the cache, tokenize+vectorize runs 3×
     val tf = cvm.transform(tokenized)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH().setInputCol("__tf").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(tf)
@@ -129,11 +158,18 @@ object Extensions {
     * (SimHash bands — one projection + a band-key self-join) followed by
     * exact n-gram Jaccard rescoring of ONLY the candidate pairs. At
     * 100 TB the candidate set is orders of magnitude smaller than
-    * all-pairs; exactness of the final score is preserved.
+    * all-pairs; exactness of the final SCORE is preserved, but candidate
+    * RECALL follows [[simhashNearDups]]'s band bound: guaranteed only
+    * for pairs within hamming numBands−1, probabilistic beyond. Bands
+    * auto-widen to 8 (8-bit keys, guarantee ≤7) when maxHamming asks
+    * for more than the 4-band guarantee of ≤3; pass `numBands`
+    * explicitly to trade bucket selectivity against recall.
     */
   def fuzzyDedupPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 16, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val candidates = simhashNearDups(docs, textCol, idCol, maxHamming)
+      maxHamming: Int = 16, n: Int = 3, minJaccard: Double = 0.5,
+      numBands: Int = 0): DataFrame = {
+    val bands = if (numBands > 0) numBands else if (maxHamming <= 3) 4 else 8
+    val candidates = simhashNearDups(docs, textCol, idCol, maxHamming, bands)
       .select(col("id_a"), col("id_b"))
     val exact = ngramJaccardPairs(docs, textCol, idCol, n, minJaccard = 0.0)
     candidates.join(exact, Seq("id_a", "id_b"))
@@ -263,7 +299,9 @@ object Extensions {
       .setOutputCol("__hashes").setBucketLength(bucketLength)
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(vecs)
+    // hashed feeds both the query probe and the corpus side of the join
     val hashed = model.transform(vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = hashed.filter(col(idCol).isin(queryIds: _*))
     model.approxSimilarityJoin(queries, hashed, Double.MaxValue, "l2_dist")
       .select(col(s"datasetA.$idCol").as("query_id"),
@@ -283,14 +321,18 @@ object Extensions {
   def annIvf(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], k: Int = 10, nCells: Int = 16,
       nprobe: Int = 4): DataFrame = {
+    // cached: the KMeans fit iterates over it, then transform reads it again
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a coarse quantizer doesn't need tight convergence — 5 Lloyd
     // iterations give stable-enough cells at a fraction of the fit cost
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .setK(nCells).setSeed(42L).setMaxIter(5).fit(vecs)
+    // assigned feeds both the query-probe filter and the candidate scan
     val assigned = km.transform(vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each query probes its nprobe nearest centroids
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
@@ -329,25 +371,57 @@ object Extensions {
       keepBuckets: Int = 205): DataFrame = {
     require(keepBuckets >= 0 && keepBuckets <= 256)
     val bucket = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 2)
-    val threshold = f"${keepBuckets}%02x" // lexical compare on lower hex
+    // keepBuckets=256 must keep everything: f"%02x" would render it as the
+    // 3-char "100", which compares LESS than 2-char hex "11".."ff" under
+    // the lexical compare and would silently keep only ~17/256 buckets
+    val isTrain =
+      if (keepBuckets == 256) lit(true)
+      else bucket < lit(f"${keepBuckets}%02x") // lexical compare on lower hex
     df.withColumn("split_bucket", bucket)
-      .withColumn("is_train", (bucket < lit(threshold)).cast("int"))
+      .withColumn("is_train", isTrain.cast("int"))
   }
 
   /** Deterministic stratified sample: exactly ceil(fraction·n) rows per
     * stratum, chosen by md5-hash order — reproducible across runs and
     * partitionings, with per-stratum balance (sampleBy is seeded AND
-    * approximate; this is neither). One shuffle on the stratum key.
+    * approximate; this is neither).
+    *
+    * Scale shape: a `partitionBy(stratum)` window would bound
+    * parallelism by stratum cardinality (5 strata → 5 tasks; at 100×
+    * one partition holds 20% of the corpus). Instead the global
+    * md5-order rank is computed two-level: rows split into 256 ORDERED
+    * range sub-buckets by the first hash byte, the per-(stratum,bucket)
+    * counts (≤ strata·256 rows) are prefix-summed and broadcast back,
+    * and each row's global rank = bucket offset + its rank within the
+    * (stratum, bucket) window — so every window partition is ~1/256 of
+    * a stratum. Selection rule (k smallest (md5, key) per stratum) is
+    * bit-identical to the single-window form the oracle mirrors.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
       fraction: Double): DataFrame = {
     val h = md5(col(keyCol).cast("string").cast("binary"))
-    val w = Window.partitionBy(stratumCol).orderBy(h, col(keyCol))
-    val cnt = Window.partitionBy(stratumCol)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cnt))
+    val withH = df.withColumn("__h", h)
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    // per-(stratum, bucket) counts → bucket start offsets + stratum totals;
+    // ≤ |strata|·256 rows, so the windows here are trivially small and the
+    // join back is a broadcast
+    val bucketCounts = withH.groupBy(stratumCol, "__b")
+      .agg(count(lit(1)).as("__bn"))
+    val wOff = Window.partitionBy(stratumCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(stratumCol)
+    val offsets = bucketCounts
+      .withColumn("__off", sum("__bn").over(wOff) - col("__bn"))
+      .withColumn("__n", sum("__bn").over(wTot))
+      .select(col(stratumCol), col("__b"), col("__off"), col("__n"))
+    // __b is the leading hex of __h, so ordering by (__b, __h, key) ≡
+    // ordering by (__h, key): bucket-local rank + offset = global rank
+    val wLocal = Window.partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    withH.join(broadcast(offsets), Seq(stratumCol, "__b"))
+      .withColumn("__rn", row_number().over(wLocal) + col("__off"))
       .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
+      .drop("__h", "__b", "__off", "__n", "__rn")
   }
 
   // ── text analysis ────────────────────────────────────────────────────

@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.clustering.{BisectingKMeans, GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, ClusteringEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
-import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.feature.{Bucketizer, Interaction, OneHotEncoder, SQLTransformer, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressor, GeneralizedLinearRegression, LinearRegression, RandomForestRegressor}
 import org.apache.spark.ml.feature.Imputer
 import org.apache.spark.ml.recommendation.ALS
@@ -85,6 +85,26 @@ object MLPipe {
       case (a, t) =>
         throw new IllegalArgumentException(s"unknown algorithm/task: $a/$t")
     }
+
+  /** The four feature stages the reference imports but never uses
+    * (reference: src/feature_engineering.py:9-12) — provided as working,
+    * composable stages so declared-surface coverage is total. Each slots
+    * into [[buildFeaturePipeline]]'s output or a Pipeline directly.
+    */
+  def oneHotStage(inputCol: String, outputCol: String): OneHotEncoder =
+    new OneHotEncoder().setInputCols(Array(inputCol))
+      .setOutputCols(Array(outputCol)).setDropLast(true)
+
+  def bucketizerStage(inputCol: String, outputCol: String,
+      splits: Array[Double]): Bucketizer =
+    new Bucketizer().setInputCol(inputCol).setOutputCol(outputCol)
+      .setSplits(splits).setHandleInvalid("keep")
+
+  def interactionStage(inputCols: Seq[String], outputCol: String): Interaction =
+    new Interaction().setInputCols(inputCols.toArray).setOutputCol(outputCol)
+
+  def sqlTransformerStage(statement: String): SQLTransformer =
+    new SQLTransformer().setStatement(statement)
 
   case class TrainResult(model: PipelineModel, metrics: Map[String, Double])
 

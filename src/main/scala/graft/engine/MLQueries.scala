@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature.{PCA, PolynomialExpansion, QuantileDiscretizer, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.functions._
@@ -86,6 +87,9 @@ object MLQueries {
       None),
 
     // ── PolynomialExpansion(degree=2) — reference: src/feature_engineering.py:103-114
+    // Spark's expansion order for (x, y) is (x, x², y, x·y, y²) — plain
+    // double products, so the oracle recomputes each component exactly.
+    // Emitted as scalar columns (the driver comparator can't hash arrays).
     QuerySpec("poly_features",
       (s, d) => {
         val df = lineitem(s, d).select("l_orderkey", "l_linenumber",
@@ -94,26 +98,120 @@ object MLQueries {
           .setInputCols(Array("l_quantity", "l_discount")).setOutputCol("v")
         val pe = new PolynomialExpansion().setInputCol("v")
           .setOutputCol("v_poly").setDegree(2)
+        val arr = vector_to_array(col("v_poly"))
         pe.transform(va.transform(df))
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             col("l_suppkey"),
-            transform(vector_to_array(col("v_poly")), x => round(x, 6))
-              .as("poly"))
+            round(arr(0), 6).as("poly_x"),
+            round(arr(1), 6).as("poly_x2"),
+            round(arr(2), 6).as("poly_y"),
+            round(arr(3), 6).as("poly_xy"),
+            round(arr(4), 6).as("poly_y2"))
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       },
-      None),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       round(l_quantity, 6) AS poly_x,
+             |       round(l_quantity * l_quantity, 6) AS poly_x2,
+             |       round(l_discount, 6) AS poly_y,
+             |       round(l_quantity * l_discount, 6) AS poly_xy,
+             |       round(l_discount * l_discount, 6) AS poly_y2
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── OneHotEncoder(dropLast) over a frequencyDesc StringIndexer —
+    // the oracle rebuilds the exact one-hot string from the recomputed
+    // ordinal (reference: src/feature_engineering.py:9, unused import
+    // made real). Indexer uses handleInvalid=error: every category is
+    // seen at fit, so vector size = distinct categories − 1.
+    QuerySpec("onehot_encode",
+      (s, d) => {
+        val df = customer(s, d)
+        val si = new StringIndexer().setInputCol("c_mktsegment")
+          .setOutputCol("seg_idx").setStringOrderType("frequencyDesc")
+        val ohe = MLPipe.oneHotStage("seg_idx", "seg_vec")
+        new Pipeline().setStages(Array(si, ohe)).fit(df).transform(df)
+          .select(col("c_custkey"), col("c_mktsegment"), col("seg_idx"),
+            concat_ws(",", transform(vector_to_array(col("seg_vec")),
+              x => x.cast("int").cast("string"))).as("onehot"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
+             |idx AS (
+             |  SELECT c_mktsegment,
+             |         (dense_rank() OVER (ORDER BY n DESC, c_mktsegment ASC) - 1)
+             |           ::DOUBLE AS seg_idx
+             |  FROM cnt),
+             |tot AS (SELECT count(*)::INT AS ncat FROM cnt)
+             |SELECT c.c_custkey, c.c_mktsegment, i.seg_idx,
+             |       array_to_string(list_transform(range(0, ncat - 1),
+             |         j -> CASE WHEN j = i.seg_idx::INT THEN 1 ELSE 0 END), ',')
+             |         AS onehot
+             |FROM customer c JOIN idx i USING (c_mktsegment) CROSS JOIN tot
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── Bucketizer with explicit splits ([a,b) intervals, last closed at
+    // +inf) — reference: src/feature_engineering.py:10, unused import
+    // made real
+    QuerySpec("bucketizer_bins",
+      (s, d) => MLPipe.bucketizerStage("l_extendedprice", "price_bucket",
+          Array(Double.NegativeInfinity, 5000.0, 20000.0, 50000.0,
+            Double.PositiveInfinity))
+        .transform(lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_extendedprice,
+             |       (CASE WHEN l_extendedprice < 5000 THEN 0
+             |             WHEN l_extendedprice < 20000 THEN 1
+             |             WHEN l_extendedprice < 50000 THEN 2
+             |             ELSE 3 END)::DOUBLE AS price_bucket
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── Interaction (elementwise product space of the inputs; two
+    // scalars → their product) — reference: src/feature_engineering.py:11
+    QuerySpec("interaction_product",
+      (s, d) => MLPipe.interactionStage(Seq("l_quantity", "l_discount"), "qxd")
+        .transform(lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_quantity", "l_discount"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          round(vector_to_array(col("qxd"))(0), 6).as("q_x_d"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       round(l_quantity * l_discount, 6) AS q_x_d
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── SQLTransformer (__THIS__ substitution) — reference:
+    // src/feature_engineering.py:12
+    QuerySpec("sql_transformer_stage",
+      (s, d) => MLPipe.sqlTransformerStage(
+          """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            |       l_quantity * l_extendedprice AS qty_price
+            |FROM __THIS__""".stripMargin)
+        .transform(lineitem(s, d))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_quantity * l_extendedprice AS qty_price
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
 
     // ── PCA(k=4) over embeddings — sign-indeterminate → rows-only;
-    // reconstruction invariants in ScalaTest. reference: src/feature_engineering.py:116-128
+    // reconstruction invariants in ScalaTest. Components emitted as
+    // scalar columns (driver comparator can't hash array cells).
+    // reference: src/feature_engineering.py:116-128
     QuerySpec("pca_features",
       (s, d) => {
         val df = embeddings(s, d)
           .select(col("vec_id"), array_to_vector(col("embedding")).as("v"))
         val pca = new PCA().setInputCol("v").setOutputCol("v_pca").setK(4)
+        val arr = vector_to_array(col("v_pca"))
         pca.fit(df).transform(df)
           .select(col("vec_id"),
-            transform(vector_to_array(col("v_pca")), x => round(x, 6))
-              .as("pca"))
+            round(arr(0), 6).as("pca_1"), round(arr(1), 6).as("pca_2"),
+            round(arr(2), 6).as("pca_3"), round(arr(3), 6).as("pca_4"))
           .orderBy("vec_id")
       },
       None)

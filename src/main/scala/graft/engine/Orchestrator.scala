@@ -28,6 +28,7 @@ object Orchestrator {
       .config("spark.sql.autoBroadcastJoinThreshold",
         cfg.broadcastThreshold.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
@@ -35,6 +36,27 @@ object Orchestrator {
       model: org.apache.spark.ml.PipelineModel,
       metrics: Map[String, Double],
       rowsLoaded: Long)
+
+  /** Run-tracking sink: the reference logs params+metrics to MLflow
+    * (reference: src/ml_pipeline.py:198-217); the library-shaped
+    * equivalent is one appended JSON line per run. Driver-side file IO —
+    * a run record, not a data path.
+    */
+  def logRun(path: String, cfg: PipelineConfig, rows: Long,
+      metrics: Map[String, Double]): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val ms = metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val line = s"""{"app":${q(cfg.appName)},"algorithm":${q(cfg.algorithm)},""" +
+      s""""task":${q(cfg.task)},"input":${q(cfg.inputPath)},""" +
+      s""""feature_cols":${cfg.featureCols.map(q).mkString("[", ",", "]")},""" +
+      s""""rows_loaded":$rows,"metrics":$ms}""" + "\n"
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
 
   /** Full config-driven run on an already-open session. Honors
     * cache_data / repartition from the config's performance block.
@@ -49,6 +71,8 @@ object Orchestrator {
     val result = MLPipe.train(df, cfg.featureCols, cfg.algorithm, cfg.task)
     if (cfg.outputPath.nonEmpty)
       MLPipe.saveModel(result.model, cfg.outputPath)
+    if (cfg.metricsLogPath.nonEmpty)
+      logRun(cfg.metricsLogPath, cfg, rows, result.metrics)
     RunResult(result.model, result.metrics, rows)
   }
 }

@@ -362,21 +362,52 @@ object Relational {
              |       min(epoch_s) AS session_start, max(epoch_s) AS session_end
              |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
-    // ── exact ntile binning (the oracle-checkable stand-in for
-    // QuantileDiscretizer, which is approx by design) — SURVEY.md §2.9
+    // ── exact decile binning (the oracle-checkable stand-in for
+    // QuantileDiscretizer — value-based bins, like the real thing) —
+    // SURVEY.md §2.9. Scale shape: the 9 exact cutpoints come from ONE
+    // 1-row `percentile` aggregate that is broadcast back; bin assignment
+    // is a per-row comparison chain. No global window — the previous
+    // ntile(10) OVER (ORDER BY …) funneled the whole fact table through a
+    // single-partition sort, which dies at 100×. Spark `percentile` and
+    // DuckDB `quantile_cont` share the p·(n−1) linear interpolation, so
+    // the cutpoint doubles are bit-identical (same convention as the
+    // `percentiles` query).
     QuerySpec("ntile_binning",
-      (s, d) => lineitem(s, d)
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "l_extendedprice")
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber",
-            "l_partkey", "l_suppkey")))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      (s, d) => {
+        val df = lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice")
+        val cutCols = (1 to 9).map(i =>
+          percentile(col("l_extendedprice"), lit(i / 10.0)).as(s"__c$i"))
+        val cuts = df.agg(cutCols.head, cutCols.tail: _*)
+        val bin = (1 to 9).map(i =>
+          (col("l_extendedprice") > col(s"__c$i")).cast("int"))
+          .reduce(_ + _) + 1
+        df.crossJoin(broadcast(cuts))
+          .withColumn("bin", bin)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice", "bin")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT quantile_cont(l_extendedprice, 0.1) AS c1,
+             |         quantile_cont(l_extendedprice, 0.2) AS c2,
+             |         quantile_cont(l_extendedprice, 0.3) AS c3,
+             |         quantile_cont(l_extendedprice, 0.4) AS c4,
+             |         quantile_cont(l_extendedprice, 0.5) AS c5,
+             |         quantile_cont(l_extendedprice, 0.6) AS c6,
+             |         quantile_cont(l_extendedprice, 0.7) AS c7,
+             |         quantile_cont(l_extendedprice, 0.8) AS c8,
+             |         quantile_cont(l_extendedprice, 0.9) AS c9
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              |       l_extendedprice,
-             |       ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
-             |                       l_linenumber, l_partkey, l_suppkey)::INT AS bin
-             |FROM lineitem
+             |       (1 + (l_extendedprice > c1)::INT + (l_extendedprice > c2)::INT
+             |          + (l_extendedprice > c3)::INT + (l_extendedprice > c4)::INT
+             |          + (l_extendedprice > c5)::INT + (l_extendedprice > c6)::INT
+             |          + (l_extendedprice > c7)::INT + (l_extendedprice > c8)::INT
+             |          + (l_extendedprice > c9)::INT)::INT AS bin
+             |FROM lineitem CROSS JOIN c
              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
 
     // ── union — SURVEY.md §2.6 extension
@@ -599,7 +630,9 @@ object Relational {
              |         measure""".stripMargin)),
 
     // ── array function family over document tokens — SURVEY.md §2.7
-    // (array_distinct order differs across engines → always sorted first)
+    // (array_distinct order differs across engines → always sorted first;
+    // the array column is emitted array_join'd to a canonical string —
+    // the driver's pandas comparator can't sort/factorize ndarray cells)
     QuerySpec("array_funcs",
       (s, d) => {
         val toks = split(lower(col("text")), " ")
@@ -607,7 +640,8 @@ object Relational {
           .select(col("doc_id"),
             size(toks).as("n_tokens"),
             size(array_distinct(toks)).as("n_distinct"),
-            slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+            array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",")
+              .as("first3"),
             array_contains(toks, "the").cast("int").as("has_the"))
           .orderBy("doc_id")
       },
@@ -617,7 +651,8 @@ object Relational {
              |SELECT doc_id,
              |       len(toks)::INT AS n_tokens,
              |       len(list_distinct(toks))::INT AS n_distinct,
-             |       list_sort(list_distinct(toks))[1:3] AS first3,
+             |       array_to_string(list_sort(list_distinct(toks))[1:3], ',')
+             |         AS first3,
              |       list_contains(toks, 'the')::INT AS has_the
              |FROM t ORDER BY doc_id""".stripMargin)),
 
@@ -711,16 +746,21 @@ object Relational {
              |       regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
-    // ── struct construction through parquet (named_struct ↔ struct_pack)
+    // ── struct construction (named_struct ↔ struct_pack), emitted as
+    // canonical JSON: the driver's pandas comparator can't hash dict
+    // cells, and both engines serialize {'u':…,'k':…} identically when
+    // nulls are kept (Spark needs ignoreNullFields=false for that)
     QuerySpec("struct_funcs",
       (s, d) => events(s, d)
         .select(col("event_id"),
-          struct(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-            .as("meta"))
+          to_json(
+            struct(col("user_id").as("u"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")),
+            Map("ignoreNullFields" -> "false")).as("meta"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
-             |       {'u': user_id, 'k': CAST(props->>'k' AS BIGINT)} AS meta
+             |       to_json({'u': user_id, 'k': CAST(props->>'k' AS BIGINT)})
+             |         ::VARCHAR AS meta
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ── exact interpolated percentiles (Spark `percentile` and DuckDB

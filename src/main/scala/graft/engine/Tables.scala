@@ -20,14 +20,30 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
-  /** Suffix-dispatched generic reader (reference: src/ml_pipeline.py:57-71). */
+  /** Suffix-dispatched generic reader (reference: src/ml_pipeline.py:57-71).
+    * The reference's DEFAULT branch is Delta; there is no delta jar in
+    * this zero-egress env, so a recognizably-Delta path fails loudly
+    * instead of silently parquet-reading half a table (a Delta dir's
+    * parquet files include stale/removed versions — reading them as raw
+    * parquet is wrong, not just unsupported).
+    */
   def loadPath(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    if (isDeltaPath(path))
+      throw new UnsupportedOperationException(
+        s"Delta table detected at '$path' but no Delta jar is available " +
+          "in this environment — export the table to plain parquet and " +
+          "pass the .parquet path instead")
+    else if (path.endsWith(".parquet")) spark.read.parquet(path)
     else if (path.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (path.endsWith(".json")) spark.read.json(path)
     else if (path.endsWith(".orc")) spark.read.orc(path)
-    else spark.read.parquet(path) // default branch (reference defaults to delta)
+    else spark.read.parquet(path) // non-delta default
+
+  /** A path is Delta if it says so (.delta) or carries a transaction log. */
+  private[engine] def isDeltaPath(path: String): Boolean =
+    path.endsWith(".delta") || path.contains("_delta_log") ||
+      new java.io.File(path, "_delta_log").isDirectory
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -45,7 +61,10 @@ object Tables {
     * on the oracle side.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session builders set this up front; the guarded fallback covers
+    // externally-built sessions without re-mutating conf on every call
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events").select(
       col("event_id"),
       col("ts").as("ts_ns"),

@@ -30,22 +30,32 @@ object AsOfJoin {
       rightKey: String, leftTime: String, rightTime: String,
       carryCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // internal column names are namespaced; collisions with caller
+    // columns would otherwise surface as confusing ambiguity errors
+    // several operators downstream
+    val (kc, tc, sc) = ("__graft_asof_k", "__graft_asof_t", "__graft_asof_side")
+    val overlap = carryCols.toSet.intersect(leftCols.toSet)
+    require(overlap.isEmpty,
+      s"carryCols collide with left columns: ${overlap.mkString(", ")}")
+    val reserved = Seq(kc, tc, sc)
+    require(!(leftCols ++ carryCols).exists(reserved.contains),
+      s"reserved internal names in use: ${reserved.mkString(", ")}")
     val l = left
-      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1)) // left sorts after right on time ties
-      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+      .withColumn(kc, col(leftKey)).withColumn(tc, col(leftTime))
+      .withColumn(sc, lit(1)) // left sorts after right on time ties
+      .select(Seq(col(kc), col(tc), col(sc)) ++
         leftCols.map(col) ++ carryCols.map(c => lit(null).as(c)): _*)
     val r = right
-      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
-      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+      .withColumn(kc, col(rightKey)).withColumn(tc, col(rightTime))
+      .withColumn(sc, lit(0))
+      .select(Seq(col(kc), col(tc), col(sc)) ++
         leftCols.map(c => lit(null).as(c)) ++ carryCols.map(col): _*)
-    val w = Window.partitionBy("__k").orderBy("__t", "__side")
+    val w = Window.partitionBy(kc).orderBy(tc, sc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = carryCols.foldLeft(l.unionByName(r)) { (acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1)
+    carried.filter(col(sc) === 1)
       .select(leftCols.map(col) ++ carryCols.map(col): _*)
   }
 }

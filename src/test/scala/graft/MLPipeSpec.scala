@@ -132,4 +132,42 @@ class MLPipeSpec extends AnyFunSuite {
       "logistic_regression")
     assert(r.metrics.contains("accuracy"))
   }
+
+  // the four stages the reference imports but never uses
+  // (feature_engineering.py:9-12) — now real, declared-surface-complete
+
+  test("OneHotEncoder stage: dropLast one-hot of an indexed column") {
+    import org.apache.spark.ml.functions.vector_to_array
+    val df = Seq(0.0, 1.0, 2.0, 1.0).toDF("idx")
+    val out = MLPipe.oneHotStage("idx", "vec").fit(df).transform(df)
+      .select(vector_to_array($"vec")).as[Seq[Double]].collect()
+    assert(out.forall(_.size == 2)) // 3 categories, last dropped
+    assert(out(0) == Seq(1.0, 0.0))
+    assert(out(1) == Seq(0.0, 1.0))
+    assert(out(2) == Seq(0.0, 0.0)) // last category → all zeros
+  }
+
+  test("Bucketizer stage: [a,b) split semantics") {
+    val df = Seq(1.0, 2.0, 9.99, 10.0, 999.0).toDF("x")
+    val out = MLPipe.bucketizerStage("x", "b",
+      Array(Double.NegativeInfinity, 2.0, 10.0, Double.PositiveInfinity))
+      .transform(df).select("b").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 1.0, 1.0, 2.0, 2.0))
+  }
+
+  test("Interaction stage: product space of the inputs") {
+    import org.apache.spark.ml.functions.vector_to_array
+    val df = Seq((2.0, 3.0), (4.0, 0.5)).toDF("a", "b")
+    val out = MLPipe.interactionStage(Seq("a", "b"), "axb").transform(df)
+      .select(vector_to_array($"axb")(0)).as[Double].collect().toSeq
+    assert(out == Seq(6.0, 2.0))
+  }
+
+  test("SQLTransformer stage: __THIS__ substitution") {
+    val df = Seq((2.0, 3.0)).toDF("a", "b")
+    val out = MLPipe.sqlTransformerStage(
+      "SELECT *, a + b AS s FROM __THIS__").transform(df)
+    assert(out.columns.toSeq == Seq("a", "b", "s"))
+    assert(out.select("s").as[Double].head() == 5.0)
+  }
 }

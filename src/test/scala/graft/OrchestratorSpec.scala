@@ -68,6 +68,34 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(r.metrics.contains("accuracy"))
   }
 
+  test("run appends a params+metrics record to the tracking log") {
+    val dataPath = Files.createTempDirectory("graft-orch3").toString +
+      "/train.parquet"
+    (1 to 40).map(i => (i.toDouble, i + 1.0, (i + 1) % 2)).toSeq
+      .toDF("feature_1", "feature_2", "label")
+      .write.parquet(dataPath)
+    val logPath = Files.createTempDirectory("graft-orch3-log").toString +
+      "/runs.jsonl"
+    val cfg = PipelineConfig.fromString(
+      s"""data:
+         |  input_path: "$dataPath"
+         |features:
+         |  numeric_features: [feature_1, feature_2]
+         |model:
+         |  algorithm: "logistic_regression"
+         |  task: "classification"
+         |tracking:
+         |  metrics_log: "$logPath"
+         |""".stripMargin)
+    Orchestrator.run(spark, cfg)
+    Orchestrator.run(spark, cfg) // appends, not overwrites
+    val lines = Files.readAllLines(java.nio.file.Paths.get(logPath))
+    assert(lines.size == 2)
+    assert(lines.get(0).contains("\"algorithm\":\"logistic_regression\""))
+    assert(lines.get(0).contains("\"rows_loaded\":40"))
+    assert(lines.get(0).contains("\"accuracy\":"))
+  }
+
   test("session builder honors the config's wired performance block") {
     val cfg = PipelineConfig(master = "local[2]", appName = "graft-cfg",
       numPartitions = 7, broadcastThreshold = 12345678L)

@@ -93,6 +93,40 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation:\n$plan")
   }
 
+  test("ntile_binning has no single-partition window (broadcast cutpoints)") {
+    val df = SparkEntry.queries("ntile_binning")(spark, sf)
+    df.collect()
+    val planNode = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // the typed check PlanAudit uses — the round-1 string detector
+    // missed exactly this query
+    val globalWin = planNode.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
+    }
+    assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+    // the 9 cutpoints arrive via a broadcast of the 1-row aggregate
+    assert(planNode.toString.contains("BroadcastExchange"),
+      s"no broadcast cutpoints in:\n$planNode")
+  }
+
+  test("stratified_sample windows on (stratum, bucket), not stratum alone") {
+    val df = SparkEntry.queries("stratified_sample")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df)
+    // parallelism must not be bounded by stratum cardinality: the
+    // row_number rank window over the full data has to partition on the
+    // 256-way range bucket too (the tiny per-bucket-counts window that
+    // partitions on stratum alone holds ≤ strata·256 rows — intended)
+    val rankWindows = plan.linesIterator.filter(l =>
+      l.contains("row_number() windowspecdefinition"))
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__b")),
+      s"stratum-only rank window in:\n$plan")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()

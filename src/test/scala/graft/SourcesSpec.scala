@@ -62,6 +62,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.size > 700 && a.size < 900, s"split size ${a.size}")
   }
 
+  test("hash split keepBuckets=256 keeps every row (hex-compare boundary)") {
+    val ids = (1L to 100L).toDF("doc_id")
+    val kept = graft.engine.Extensions.hashSplit(ids, "doc_id",
+      keepBuckets = 256).filter(col("is_train") === 1).count()
+    assert(kept == 100)
+    val none = graft.engine.Extensions.hashSplit(ids, "doc_id",
+      keepBuckets = 0).filter(col("is_train") === 1).count()
+    assert(none == 0)
+  }
+
+  test("delta paths fail loudly instead of silently parquet-reading") {
+    intercept[UnsupportedOperationException] {
+      Tables.loadPath(spark, "/tmp/graft-no-such/table.delta")
+    }
+    val dir = Files.createTempDirectory("graft-delta")
+    Files.createDirectory(dir.resolve("_delta_log"))
+    intercept[UnsupportedOperationException] {
+      Tables.loadPath(spark, dir.toString)
+    }
+  }
+
   // map compare is not parquet-oracle-stable, so maps are test-only
   test("map type: build, lookup, keys") {
     val dfm = Seq((1L, "a", 10.0), (1L, "b", 20.0)).toDF("id", "k", "v")
