@@ -325,11 +325,16 @@ object Extensions {
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // a coarse quantizer doesn't need tight convergence — 5 Lloyd
-    // iterations give stable-enough cells at a fraction of the fit cost
+    // a coarse quantizer doesn't need tight convergence OR the full
+    // corpus: standard IVF practice fits it on a sample (deterministic
+    // hash sample here — reproducible across runs/partitionings) and
+    // assigns the full corpus afterwards. At 100 TB this is the
+    // difference between a bounded fit and 5 full-corpus Lloyd passes.
+    val fitSample = vecs
+      .filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .setK(nCells).setSeed(42L).setMaxIter(5).fit(vecs)
+      .setK(nCells).setSeed(42L).setMaxIter(5).fit(fitSample)
     // assigned feeds both the query-probe filter and the candidate scan
     val assigned = km.transform(vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -99,6 +99,80 @@ object TpchQueries {
              |  AND l_discount BETWEEN 0.05 AND 0.07
              |  AND l_quantity < 24""".stripMargin)),
 
+    // ── TPC-H Q5 shape: local supplier volume — the 6-table star join
+    // (customer/orders/lineitem/supplier/nation/region, with the
+    // customer-and-supplier-same-nation equi-constraint). Scale shape:
+    // the dims broadcast; only orders⋈lineitem shuffles. ───────────────
+    QuerySpec("tpch_q5",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .groupBy("n_name")
+        // exact integer form: price·(1−disc) is integral in 1e-4 units,
+        // so the sum is order-independent, and the final /10000.0 is the
+        // same IEEE division on both engines. NO round() — Spark rounds
+        // the decimal string and DuckDB the binary double, which flip
+        // against each other exactly at .xx5 boundaries.
+        .agg((sum((round(col("l_extendedprice") * 100)).cast("long")
+            * (lit(100L) - (round(col("l_discount") * 100)).cast("long")))
+          / 10000.0).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name")),
+      Some("""SELECT n_name,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |             AS BIGINT) / 10000.0 AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |              AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ── TPC-H Q10 shape: returned-item reporting — top-20 customers by
+    // lost revenue on returned lineitems in a quarter-year window ───────
+    QuerySpec("tpch_q10",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R"
+          && col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        // same exact integer form as tpch_q5 (this one DID flip a .xx5
+        // round boundary under the float-sum form at sf0.01)
+        .agg((sum((round(col("l_extendedprice") * 100)).cast("long")
+            * (lit(100L) - (round(col("l_discount") * 100)).cast("long")))
+          / 10000.0).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             |             AS BIGINT) / 10000.0 AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // ── SQL entry surface: the same engine through spark.sql over
     // registered views — monthly order revenue ──────────────────────────
     QuerySpec("sql_interface",
