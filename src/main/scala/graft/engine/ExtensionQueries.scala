@@ -275,6 +275,22 @@ object ExtensionQueries {
              |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))::INT AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── exact corpus heavy hitters: top-50 tokens by document frequency.
+    // Scale shape: explode → partial-agg count (map-side combine) → one
+    // shuffle on the token → TakeOrdered for the top-k (no global sort).
+    QuerySpec("top_tokens",
+      (s, d) => documents(s, d)
+        .select(explode(Extensions.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(50),
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+             |      FROM documents)
+             |GROUP BY token
+             |ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
     // ── deterministic stratified sample: exactly ceil(10%) per event_type,
     // chosen by md5 order (reproducible, balanced — unlike seeded
     // approximate sampleBy) ──────────────────────────────────────────────

@@ -556,6 +556,30 @@ object Relational {
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
 
+    // ── explicit GROUPING SETS (the general form beside rollup/cube):
+    // per-flag, per-(flag,status), and grand-total sets in one pass ──────
+    QuerySpec("grouping_sets",
+      (s, d) => {
+        lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
+          .createOrReplaceTempView("v_li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |       sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+                |       CAST(grouping_id() AS INT) AS gid
+                |FROM v_li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag),
+                |                        (l_returnflag, l_linestatus), ())
+                |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       count(*) AS n_rows,
+             |       (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::INT
+             |         AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag),
+             |                        (l_returnflag, l_linestatus), ())
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
     // ── string function family over part names — SURVEY.md §2.7 extension
     QuerySpec("string_funcs",
       (s, d) => part(s, d)

@@ -78,6 +78,24 @@ object Streaming {
       }
   }
 
+  /** Stream-stream (or batch) interval join: inner join on key with the
+    * right row's time within ±`withinSeconds` of the left row's. On two
+    * streams BOTH sides must carry watermarks (see [[eventStream]]) —
+    * the time-range predicate is what lets Spark bound and expire the
+    * join state instead of buffering both streams forever. Column names
+    * must be disjoint (rename before joining, as with any self-join).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      withinSeconds: Long): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) -
+          expr(s"INTERVAL $withinSeconds SECONDS") &&
+        col(rightTime) <= col(leftTime) +
+          expr(s"INTERVAL $withinSeconds SECONDS"))
+
   /** Run a streaming aggregation to a named in-memory sink until all
     * currently-available input is processed (local smoke path).
     */

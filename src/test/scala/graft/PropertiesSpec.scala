@@ -146,6 +146,46 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  /** Mirror of the engine's selection hash: md5 over the UTF-8 bytes of
+    * the key's decimal string, lowercase hex.
+    */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stratified sample equals the naive per-stratum md5-order pick") {
+    val genRows = Gen.listOfN(30, Gen.zip(Gen.oneOf("x", "y", "z"),
+      Gen.chooseNum(0L, 10000L)))
+    forAll(genRows) { rows =>
+      // unique keys (the hash of the key drives selection)
+      val rs = rows.groupBy(_._2).map(_._2.head).toList
+      whenever(rs.nonEmpty) {
+        val df = rs.toDF("stratum", "key")
+        val got = Extensions.stratifiedSample(df, "stratum", "key", 0.3)
+          .select("key").as[Long].collect().toSet
+        val naive = rs.groupBy(_._1).flatMap { case (_, g) =>
+          val k = math.ceil(g.size * 0.3).toInt
+          g.sortBy(r => (md5hex(r._2.toString), r._2)).take(k).map(_._2)
+        }.toSet
+        assert(got == naive)
+      }
+    }
+  }
+
+  test("dedup exact survivor is exactly the min key per dupe value") {
+    forAll(Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = Extensions.dedupExact(df, Seq("text"), "doc_id")
+          .select("doc_id").as[Long].collect().toSet
+        val naive = texts.zipWithIndex.groupBy(_._1)
+          .map { case (_, g) => g.map(_._2).min.toLong }.toSet
+        assert(got == naive)
+      }
+    }
+  }
+
   test("simhash is permutation-invariant over tokens") {
     forAll(Gen.listOfN(10, Gen.oneOf("spark", "scan", "join", "sort",
       "hash", "merge"))) { toks =>

@@ -145,6 +145,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import TestSpark.spark.implicits._
+    def stage(rows: Seq[(Long, String, Long)], dir: String): String = {
+      rows.toDF("event_id", "tss", "user_id")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), lit("click").as("event_type"), lit(1.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val clicksDir = stage(Seq(
+      (1L, "2024-01-01 00:10:00", 1L),
+      (2L, "2024-01-01 01:00:00", 1L),
+      (3L, "2024-01-01 00:20:00", 2L)),
+      Files.createTempDirectory("graft-ssj-c").toString)
+    val viewsDir = stage(Seq(
+      (10L, "2024-01-01 00:15:00", 1L), // within 30min of click 1
+      (11L, "2024-01-01 02:00:00", 1L), // within 30min of nothing... (60min from click 2)
+      (12L, "2024-01-01 00:25:00", 2L)),
+      Files.createTempDirectory("graft-ssj-v").toString)
+    def shape(dir: String, side: String) =
+      Streaming.eventStream(spark, dir).select(
+        col("event_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"),
+        col("user_id").as(s"${side}_user"))
+    val joined = Streaming.intervalJoin(
+      shape(clicksDir, "c"), shape(viewsDir, "v"),
+      "c_user", "v_user", "c_ts", "v_ts", withinSeconds = 1800L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").select("c_id", "v_id")
+        .as[(Long, Long)].collect().toSet
+      // batch twin of the same join
+      def batchShape(dir: String, side: String) =
+        spark.read.schema(Streaming.eventSchema).parquet(dir).select(
+          col("event_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"),
+          col("user_id").as(s"${side}_user"))
+      val batch = Streaming.intervalJoin(
+        batchShape(clicksDir, "c"), batchShape(viewsDir, "v"),
+        "c_user", "v_user", "c_ts", "v_ts", withinSeconds = 1800L)
+        .select("c_id", "v_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 10L), (3L, 12L))) // the ±30min matches
+    } finally q.stop()
+  }
+
   test("session windows count every event exactly once") {
     val batch = Streaming.sessionCounts(
       spark.read.schema(Streaming.eventSchema).parquet(stagedDir))
