@@ -275,6 +275,88 @@ object ExtensionQueries {
              |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))::INT AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── PII scrubbing: email/phone/digit-run redaction (synthetic PII is
+    // appended so the patterns actually fire; DuckDB needs the 'g' flag
+    // to match Spark's replace-all semantics) ────────────────────────────
+    QuerySpec("pii_scrub",
+      (s, d) => {
+        val withPii = documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567 ref 1234567890123"))
+              .as("text"))
+        Extensions.piiScrub(withPii, "text", "doc_id").orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || doc_id ||
+             |           '@example.com or 555-123-4567 ref 1234567890123'
+             |           AS text
+             |  FROM documents WHERE doc_id < 200),
+             |s AS (
+             |  SELECT doc_id, text,
+             |         regexp_replace(regexp_replace(regexp_replace(text,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |           '<EMAIL>', 'g'),
+             |           '[0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g'),
+             |           '[0-9]{9,}', '<NUM>', 'g') AS text_scrubbed
+             |  FROM w)
+             |SELECT doc_id, text_scrubbed,
+             |       (length(text) - length(text_scrubbed))::INT
+             |         AS chars_redacted
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ── eval-set decontamination: flag train docs sharing ≥1 word 8-gram
+    // with the eval split (doc_id < 100 plays the eval set). Spark joins
+    // on xxhash64(shingle); the oracle joins on the shingle string —
+    // identical up to a 2^-64 collision ──────────────────────────────────
+    QuerySpec("decontamination",
+      (s, d) => {
+        val docs0 = documents(s, d)
+        Extensions.contaminationFlags(
+            docs0.filter(col("doc_id") >= 100),
+            docs0.filter(col("doc_id") < 100),
+            "text", "doc_id", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id >= 100),
+             |ev AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |trs AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM tr, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |evs AS (
+             |  SELECT DISTINCT array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM ev, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |c AS (
+             |  SELECT DISTINCT doc_id FROM trs WHERE sh IN (SELECT sh FROM evs))
+             |SELECT d.doc_id,
+             |       (c.doc_id IS NOT NULL)::INT AS contaminated
+             |FROM documents d LEFT JOIN c USING (doc_id)
+             |WHERE d.doc_id >= 100 ORDER BY d.doc_id""".stripMargin)),
+
+    // ── repetition stats: distinct-vs-total trigram counts + ratio (the
+    // boilerplate/template detector); docs with <3 tokens have no
+    // trigrams and drop out on both engines ──────────────────────────────
+    QuerySpec("repetition_stats",
+      (s, d) => Extensions.repetitionStats(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, array_to_string(toks[i.range:i.range+2], ' ') AS sh
+             |  FROM t, range(1, 100000) i WHERE i.range <= len(toks) - 2)
+             |SELECT doc_id, count(*) AS total_ngrams,
+             |       count(DISTINCT sh) AS distinct_ngrams,
+             |       round(1.0 - count(DISTINCT sh) / count(*), 6)
+             |         AS repetition_ratio
+             |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── exact corpus heavy hitters: top-50 tokens by document frequency.
     // Scale shape: explode → partial-agg count (map-side combine) → one
     // shuffle on the token → TakeOrdered for the top-k (no global sort).

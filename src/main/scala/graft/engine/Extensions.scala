@@ -460,6 +460,76 @@ object Extensions {
       quality.as("quality_score"))
   }
 
+  /** PII scrubbing: regex redaction of emails, simple phone shapes, and
+    * long digit runs — the pre-training hygiene pass every corpus gets.
+    * Pure projection (codegen'd regexp_replace chain, no UDF, no
+    * shuffle); patterns restricted to character-class forms that behave
+    * identically under Java regex and RE2, so the op is oracle-checkable.
+    */
+  def piiScrub(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}"
+    val digits = "[0-9]{9,}"
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          phone, "<PHONE>"),
+        digits, "<NUM>")
+    docs.select(col(idCol), scrubbed.as("text_scrubbed"),
+      (length(col(textCol)) - length(scrubbed)).as("chars_redacted"))
+  }
+
+  /** Eval-set decontamination: flag training documents that share at
+    * least one word n-gram with any document in the held-out eval set —
+    * the standard n-gram-collision contamination check run before
+    * training on web-scale corpora.
+    *
+    * Scale shape: shingle both sides, hash each shingle to 8 bytes,
+    * semi-join train shingles against the (much smaller) DISTINCT eval
+    * shingle set — one shuffle keyed on the hash, never doc×doc. With a
+    * small eval set the semi-join's build side broadcasts.
+    */
+  def contaminationFlags(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      val ngram = new org.apache.spark.ml.feature.NGram()
+        .setN(n).setInputCol("toks").setOutputCol("__sh")
+      ngram.transform(toks)
+        .select(col(idCol), explode(col("__sh")).as("shingle"))
+        .select(col(idCol), xxhash64(col("shingle")).as("__h"))
+    }
+    val evalHashes = shingleHashes(eval).select("__h").distinct()
+    val contaminated = shingleHashes(train)
+      .join(evalHashes, Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(1))
+    train.select(col(idCol))
+      .join(contaminated, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contaminated"), lit(0)).as("contaminated"))
+  }
+
+  /** Repetition statistics: distinct-vs-total word-trigram counts per
+    * document plus the repetition ratio (1 − distinct/total) — the
+    * boilerplate/template detector in corpus quality filtering. One
+    * narrow aggregation per doc.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val ngram = new org.apache.spark.ml.feature.NGram()
+      .setN(n).setInputCol("toks").setOutputCol("__sh")
+    ngram.transform(toks)
+      .select(col(idCol), explode(col("__sh")).as("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("shingle")).as("distinct_ngrams"))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - col("distinct_ngrams") / col("total_ngrams"), 6))
+  }
+
   /** N-gram-free language ID heuristic: score each language by distinct
     * stopword hits in the token set, argmax with fixed precedence.
     * Deterministic and SQL-expressible.

@@ -140,6 +140,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(1L).sorted)
   }
 
+  test("pii scrub redacts emails, phones, and digit runs") {
+    val d = Seq((1L, "mail me at jo.doe+x@corp.example.org or 555-123-4567"),
+      (2L, "account 123456789012 is fine but 12345678 is too short"))
+      .toDF("doc_id", "text")
+    val out = Extensions.piiScrub(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> or <PHONE>")
+    assert(out(2L) == "account <NUM> is fine but 12345678 is too short")
+  }
+
+  test("contamination flags exactly the train docs sharing an n-gram") {
+    val train = Seq(
+      (101L, "alpha beta gamma delta epsilon"), // contains eval 3-gram
+      (102L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, "x y alpha beta gamma z")).toDF("doc_id", "text")
+    val flags = Extensions.contaminationFlags(train, eval, "text", "doc_id",
+      n = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flags(101L) == 1)
+    assert(flags(102L) == 0)
+  }
+
+  test("repetition stats: repeated trigrams raise the ratio") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // trigram "a b c" repeats
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val out = Extensions.repetitionStats(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 7 && out(1L)._2 < 7 && out(1L)._3 > 0.0)
+    assert(out(2L)._3 == 0.0) // all distinct
+  }
+
   test("ivf ann achieves high recall vs brute force on the testdata") {
     val emb = graft.engine.Tables.embeddings(TestSpark.spark,
       "/root/testdata/sf0.001")

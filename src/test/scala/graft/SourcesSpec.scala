@@ -62,6 +62,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.size > 700 && a.size < 900, s"split size ${a.size}")
   }
 
+  test("partitioned parquet write enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/li"
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    val expected = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter(col("l_returnflag") === "A").count()
+    assert(back.count() == expected)
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a post-scan data filter — at 100 TB this is the difference
+    // between scanning one partition and scanning the table
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(l_returnflag"),
+      s"partition filter not pushed:\n$plan")
+  }
+
   test("hash split keepBuckets=256 keeps every row (hex-compare boundary)") {
     val ids = (1L to 100L).toDF("doc_id")
     val kept = graft.engine.Extensions.hashSplit(ids, "doc_id",
