@@ -248,12 +248,16 @@ object Extensions {
       cosine(col(embCol), col("__q")).as("cosine_sim"))
   }
 
-  /** Sequential-fold dot product in double via HOFs (codegen'd — no
-    * UDF); the summation order the oracle's list_dot_product mirrors.
+  /** Sequential-fold dot product in double — the summation order the
+    * oracle's list_dot_product mirrors. Backed by the native
+    * [[graft.functions.DotF32]] Catalyst expression (codegen'd tight
+    * loop, zero allocation) rather than the equivalent
+    * aggregate(zip_with(...)) HOF, which materializes a throwaway
+    * array<double> per evaluation — per PAIR in the all-pairs/top-k
+    * cosine scans. Results are bit-identical to the HOF form.
     */
-  def dot(x: Column, y: Column): Column = aggregate(
-    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column =
+    graft.functions.DotF32.dotF32(x, y)
 
   /** dot(a,b) / (|a|·|b|), zero-norm guarded to 0. */
   def cosine(a: Column, b: Column): Column = {

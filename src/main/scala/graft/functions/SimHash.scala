@@ -43,9 +43,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     SimHash64.eval(arr)
   }
 
+  // NB: the companion must be referenced as SimHash64$.MODULE$ — scalac
+  // emits no static `eval` forwarder on the class because Expression
+  // already declares eval(InternalRow); the bare class reference fails
+  // janino compilation, which silently fell back to interpreted eval
+  // per record (a WARN in the logs, not an error)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash64.eval($c);")
+      s"${ev.value} = graft.functions.SimHash64$$.MODULE$$.eval($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
