@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{BottomK, DotF32, SimHash64}
+
+/** SparkSessionExtensions entry point — the production route to the
+  * library's custom Catalyst functions. Users add
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) and `simhash64`,
+  * `dot_f32`, and `bottom_k` are available in SQL and via
+  * `call_function` on every session of that context — no per-session
+  * `register()` calls. The companion `register(spark)` helpers on each
+  * function object remain for ad-hoc sessions; this class is the
+  * deploy-time wiring (ladder rung (c): SparkSessionExtensions as the
+  * packaging for custom expressions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotF32(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BottomK(exprs.head,
+          exprs(1).eval(InternalRow.empty).asInstanceOf[Int])
+          .toAggregateExpression()))
+  }
+}

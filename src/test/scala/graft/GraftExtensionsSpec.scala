@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions wiring must make simhash64 / dot_f32 /
+  * bottom_k available in SQL on a session built with the extension —
+  * no per-session register() calls.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects the three custom functions") {
+    val base = TestSpark.spark
+    // expected simhash from the explicitly-registered path
+    graft.functions.SimHash64.register(base)
+    val expectedSim = base.sql("SELECT simhash64(array('a', 'b'))")
+      .head().getLong(0)
+
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // no active/default session → getOrCreate builds a NEW SparkSession
+      // over the existing context and applies the extensions
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base)
+      val r = s2.sql(
+        """SELECT simhash64(array('a', 'b')) AS h,
+          |       dot_f32(array(cast(1.5 as float), cast(2.0 as float)),
+          |               array(cast(2.0 as float), cast(3.0 as float))) AS d
+          |""".stripMargin).head()
+      assert(r.getLong(0) == expectedSim)
+      assert(r.getDouble(1) == 9.0)
+      val bk = s2.sql(
+        "SELECT bottom_k(x, 2) FROM VALUES (3L), (1L), (2L) t(x)")
+        .head().getSeq[Long](0)
+      assert(bk == Seq(1L, 2L))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
