@@ -285,7 +285,9 @@ object ExtensionQueries {
             concat(col("text"), lit(" contact user"), col("doc_id"),
               lit("@example.com or 555-123-4567 ref 1234567890123"))
               .as("text"))
-        Extensions.piiScrub(withPii, "text", "doc_id").orderBy("doc_id")
+        Extensions.piiScrub(withPii, "text", "doc_id")
+          .select("doc_id", "text_scrubbed", "chars_redacted")
+          .orderBy("doc_id")
       },
       Some("""WITH w AS (
              |  SELECT doc_id,
@@ -356,6 +358,59 @@ object ExtensionQueries {
              |       round(1.0 - count(DISTINCT sh) / count(*), 6)
              |         AS repetition_ratio
              |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── the full curation pipeline composed end-to-end (dedup → quality
+    // filter → PII scrub → deterministic split) — ONE shuffle total;
+    // the oracle replays every stage as CTEs ─────────────────────────────
+    QuerySpec("corpus_curation",
+      (s, d) => Extensions.curateCorpus(documents(s, d), "text", "doc_id",
+          minQuality = 0.3, keepBuckets = 205)
+        .orderBy("doc_id"),
+      Some("""WITH dd AS (
+             |  SELECT doc_id, text,
+             |         row_number() OVER (PARTITION BY text ORDER BY doc_id)
+             |           AS rn
+             |  FROM documents),
+             |u AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+             |t AS (
+             |  SELECT doc_id, text, length(text) AS char_count,
+             |         length(replace(text, ' ', '')) AS no_space,
+             |         ' ' || lower(text) || ' ' AS padded
+             |  FROM u),
+             |v AS (
+             |  SELECT doc_id, text, char_count, no_space,
+             |         char_count - no_space + 1 AS token_count,
+             |         no_space - length(replace(replace(replace(replace(
+             |           replace(text, ' ', ''), '.', ''), ',', ''), '!', ''),
+             |           '?', '')) AS punct_count
+             |  FROM t),
+             |w AS (
+             |  SELECT *, round(no_space / token_count, 6) AS avg_token_len
+             |  FROM v),
+             |q AS (
+             |  SELECT doc_id, text, token_count,
+             |         round(least(1.0, token_count / 100.0) * 0.5
+             |             + (1.0 - least(1.0, punct_count
+             |                 / greatest(token_count, 1))) * 0.3
+             |             + least(1.0, avg_token_len / 10.0) * 0.2, 6)
+             |           AS quality_score
+             |  FROM w),
+             |k AS (SELECT * FROM q WHERE quality_score >= 0.3),
+             |sc AS (
+             |  SELECT doc_id, token_count, quality_score,
+             |         length(text) AS orig_len,
+             |         regexp_replace(regexp_replace(regexp_replace(text,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |           '<EMAIL>', 'g'),
+             |           '[0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g'),
+             |           '[0-9]{9,}', '<NUM>', 'g') AS text_scrubbed
+             |  FROM k)
+             |SELECT doc_id, text_scrubbed,
+             |       (orig_len - length(text_scrubbed))::INT AS chars_redacted,
+             |       token_count::INT AS token_count, quality_score,
+             |       substr(md5(doc_id::VARCHAR), 1, 2) AS split_bucket,
+             |       (substr(md5(doc_id::VARCHAR), 1, 2) < 'cd')::INT AS is_train
+             |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // ── exact corpus heavy hitters: top-50 tokens by document frequency.
     // Scale shape: explode → partial-agg count (map-side combine) → one

@@ -33,17 +33,21 @@ object Extensions {
     */
   def dedupExact(df: DataFrame, dupeCols: Seq[String],
       keyCol: String): DataFrame = {
-    val h = xxhash64(dupeCols.map(col): _*)
-    val w = Window.partitionBy(h)
+    // the hash must be a MATERIALIZED column, not an inline expression:
+    // partitionBy(xxhash64(...)) would be re-projected separately for the
+    // row_number and lag windows (two `_w0` attributes → two exchanges);
+    // a concrete column lets both share one partitioning and one shuffle
+    val withH = df.withColumn("__h", xxhash64(dupeCols.map(col): _*))
+    val w = Window.partitionBy("__h")
       .orderBy(dupeCols.map(col) :+ col(keyCol): _*)
     // first row of the window has no lag → guard with row_number, NOT a
     // null-check on lag (a genuinely-null dupe value would alias it)
     val sameAsPrev = dupeCols.map(c => lag(col(c), 1).over(w) <=> col(c))
       .reduce(_ && _)
-    df.withColumn("__rn", row_number().over(w))
+    withH.withColumn("__rn", row_number().over(w))
       .withColumn("__same", sameAsPrev)
       .filter(col("__rn") === 1 || !col("__same"))
-      .drop("__rn", "__same")
+      .drop("__h", "__rn", "__same")
   }
 
   /** Tokenized lowercase words — the shared text preprocessing. */
@@ -435,11 +439,11 @@ object Extensions {
 
   // ── text analysis ────────────────────────────────────────────────────
 
-  /** Exact-arithmetic text statistics + quality score. Every stat is
-    * integer-derived (replace-based counting), so the oracle twin is
-    * bit-identical — see Relational's determinism conventions.
+  /** The text-stat column expressions, shared by [[textStats]] (the
+    * narrow per-doc stats projection) and [[withTextStats]] (stats as
+    * added columns — what a pipeline composes without a join).
     */
-  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private def textStatCols(textCol: String): Seq[(String, Column)] = {
     val t = col(textCol)
     val charCount = length(t)
     val noSpace = length(expr(s"replace($textCol, ' ', '')"))
@@ -458,11 +462,25 @@ object Extensions {
       least(lit(1.0), tokenCount / lit(100.0)) * 0.5 +
         (lit(1.0) - least(lit(1.0), punct / greatest(tokenCount, lit(1)))) * 0.3 +
         least(lit(1.0), avgTokLen / lit(10.0)) * 0.2, 6)
-    docs.select(col(idCol), charCount.as("char_count"),
-      tokenCount.as("token_count"), punct.as("punct_count"),
-      avgTokLen.as("avg_token_len"), stopCount.cast("long").as("stopword_count"),
-      quality.as("quality_score"))
+    Seq("char_count" -> charCount, "token_count" -> tokenCount,
+      "punct_count" -> punct, "avg_token_len" -> avgTokLen,
+      "stopword_count" -> stopCount.cast("long"),
+      "quality_score" -> quality)
   }
+
+  /** Exact-arithmetic text statistics + quality score. Every stat is
+    * integer-derived (replace-based counting), so the oracle twin is
+    * bit-identical — see Relational's determinism conventions.
+    */
+  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      textStatCols(textCol).map { case (n, c) => c.as(n) }: _*)
+
+  /** Same stats appended as columns — projection-only, no join. */
+  def withTextStats(docs: DataFrame, textCol: String): DataFrame =
+    textStatCols(textCol).foldLeft(docs) { case (acc, (n, c)) =>
+      acc.withColumn(n, c)
+    }
 
   /** PII scrubbing: regex redaction of emails, simple phone shapes, and
     * long digit runs — the pre-training hygiene pass every corpus gets.
@@ -480,8 +498,10 @@ object Extensions {
           regexp_replace(col(textCol), email, "<EMAIL>"),
           phone, "<PHONE>"),
         digits, "<NUM>")
-    docs.select(col(idCol), scrubbed.as("text_scrubbed"),
-      (length(col(textCol)) - length(scrubbed)).as("chars_redacted"))
+    // appends rather than projects so pipelines compose without a join
+    docs.withColumn("text_scrubbed", scrubbed)
+      .withColumn("chars_redacted",
+        length(col(textCol)) - length(col("text_scrubbed")))
   }
 
   /** Eval-set decontamination: flag training documents that share at
@@ -532,6 +552,29 @@ object Extensions {
         countDistinct(col("shingle")).as("distinct_ngrams"))
       .withColumn("repetition_ratio",
         round(lit(1.0) - col("distinct_ngrams") / col("total_ngrams"), 6))
+  }
+
+  /** The full corpus-curation pipeline a pre-training run needs, as ONE
+    * composed operator: exact dedup (deterministic min-key survivor) →
+    * quality scoring → threshold filter → PII scrub → deterministic
+    * hash split.
+    *
+    * Scale shape: ONE shuffle total — dedup's 8-byte-hash exchange.
+    * Everything after it (stats, filter, scrub, split) is
+    * projection-only, because [[withTextStats]]/[[piiScrub]]/
+    * [[hashSplit]] append columns instead of joining stat tables back.
+    * At 100 TB the pipeline cost is the dedup shuffle plus one pass.
+    */
+  def curateCorpus(docs: DataFrame, textCol: String, idCol: String,
+      minQuality: Double = 0.3, keepBuckets: Int = 205): DataFrame = {
+    val deduped = dedupExact(docs, Seq(textCol), idCol)
+    val scored = withTextStats(deduped, textCol)
+      .filter(col("quality_score") >= minQuality)
+    val scrubbed = piiScrub(scored, textCol, idCol)
+    hashSplit(scrubbed, idCol, keepBuckets)
+      .select(col(idCol), col("text_scrubbed"), col("chars_redacted"),
+        col("token_count"), col("quality_score"),
+        col("split_bucket"), col("is_train"))
   }
 
   /** N-gram-free language ID heuristic: score each language by distinct

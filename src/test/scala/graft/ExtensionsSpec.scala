@@ -145,7 +145,8 @@ class ExtensionsSpec extends AnyFunSuite {
       (2L, "account 123456789012 is fine but 12345678 is too short"))
       .toDF("doc_id", "text")
     val out = Extensions.piiScrub(d, "text", "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_scrubbed"))
+      .toMap
     assert(out(1L) == "mail me at <EMAIL> or <PHONE>")
     assert(out(2L) == "account <NUM> is fine but 12345678 is too short")
   }
@@ -172,6 +173,25 @@ class ExtensionsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out(1L)._1 == 7 && out(1L)._2 < 7 && out(1L)._3 > 0.0)
     assert(out(2L)._3 == 0.0) // all distinct
+  }
+
+  test("curate corpus: dedups, drops junk, scrubs, splits — in one pass") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then rests " +
+        "quietly in the warm afternoon sun near the old farm house"),
+      (2L, "the quick brown fox jumps over the lazy dog and then rests " +
+        "quietly in the warm afternoon sun near the old farm house"), // dup of 1
+      (3L, "!!! ??? ... ,,, !!!"), // punctuation junk → low quality
+      (4L, "reach me at someone@example.net about the meeting and the " +
+        "plans for the next quarter of the year with all of the team"))
+      .toDF("doc_id", "text")
+    val out = Extensions.curateCorpus(corpus, "text", "doc_id",
+      minQuality = 0.3)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 4L)) // 2 deduped away, 3 quality-dropped
+    assert(rows(4L).getAs[String]("text_scrubbed").contains("<EMAIL>"))
+    assert(rows(4L).getAs[Int]("chars_redacted") > 0)
+    assert(Set(0, 1).contains(rows(1L).getAs[Int]("is_train")))
   }
 
   test("ivf ann achieves high recall vs brute force on the testdata") {

@@ -127,6 +127,17 @@ class PlanSpec extends AnyFunSuite {
       s"stratum-only rank window in:\n$plan")
   }
 
+  test("corpus_curation runs the whole pipeline on a single hash exchange") {
+    val df = SparkEntry.queries("corpus_curation")(spark, sf)
+    df.collect()
+    val plan = executedPlan(df)
+    // dedup's 8-byte-hash exchange is the ONLY shuffle: stats, quality
+    // filter, PII scrub, and hash split are all projection-only
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()
