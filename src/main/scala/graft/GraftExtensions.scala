@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{BottomK, DotF32, SimHash64}
@@ -24,23 +23,32 @@ import graft.functions.{BottomK, DotF32, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+
+  private def arity(name: String, exprs: Exprs, n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs.head)))
+      (exprs: Exprs) => {
+        arity("simhash64", exprs, 1)
+        SimHash64(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotF32(exprs.head, exprs(1))))
+      (exprs: Exprs) => {
+        arity("dot_f32", exprs, 2)
+        DotF32(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        BottomK(exprs.head,
-          exprs(1).eval(InternalRow.empty).asInstanceOf[Int])
-          .toAggregateExpression()))
+      // arity + foldable-integral-k validation lives in BottomK.fromExprs
+      (exprs: Exprs) => BottomK.fromExprs(exprs)))
   }
 }

@@ -16,6 +16,16 @@ import graft.functions.SimHash64.simhash64
   */
 object Extensions {
 
+  /** Internal temp-column collision guard (same contract as
+    * AsOfJoin's): fail loudly instead of silently overwriting and then
+    * dropping a caller column of the same name.
+    */
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input uses reserved internal column names: ${clash.mkString(", ")}")
+  }
+
   // ── deduplication ────────────────────────────────────────────────────
 
   /** Exact dedup, deterministic survivor: keep the min-key row per
@@ -33,6 +43,7 @@ object Extensions {
     */
   def dedupExact(df: DataFrame, dupeCols: Seq[String],
       keyCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__h", "__rn", "__same"))
     // the hash must be a MATERIALIZED column, not an inline expression:
     // partitionBy(xxhash64(...)) would be re-projected separately for the
     // row_number and lag windows (two `_w0` attributes → two exchanges);
@@ -77,8 +88,10 @@ object Extensions {
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 8, numBands: Int = 4): DataFrame = {
-    require(numBands > 0 && numBands <= 16 && 64 % numBands == 0,
-      "numBands must divide 64 (and keep band keys ≥4 bits)")
+    // ≥2: one band would be the degenerate all-pairs join (and its 64-bit
+    // mask computation, 1L << 64, wraps to 0 on the JVM)
+    require(numBands >= 2 && numBands <= 16 && 64 % numBands == 0,
+      "numBands must divide 64, in [2, 16]")
     val width = 64 / numBands
     val mask = (1L << width) - 1
     val sigs = simhashSignatures(docs, textCol, idCol)
@@ -106,6 +119,12 @@ object Extensions {
     * CountVectorizer → MinHashLSH → approxSimilarityJoin. The LSH
     * bucketing keeps the join candidate-limited (no O(n²) cross
     * product) — this is the scale path for fuzzy dedup.
+    *
+    * NOTE: persists the internal TF frame for the duration of the
+    * session (it feeds the fit and both join sides — uncaching before
+    * the result is consumed would force 3× recompute). Long-lived
+    * services calling this repeatedly should `spark.catalog.clearCache()`
+    * between batches; same applies to [[annBucketed]]/[[annIvf]].
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxJaccardDist: Double = 0.8, numHashTables: Int = 3): DataFrame = {
@@ -338,8 +357,12 @@ object Extensions {
     // hash sample here — reproducible across runs/partitionings) and
     // assigns the full corpus afterwards. At 100 TB this is the
     // difference between a bounded fit and 5 full-corpus Lloyd passes.
-    val fitSample = vecs
-      .filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    // floor: on a small corpus the 1-in-4 sample can hold fewer points
+    // than centroids (or none) — fall back to the full (cached) corpus.
+    // The count is one cheap pass over the cached vecs.
+    val fitSample =
+      if (sample.count() >= nCells.toLong * 4) sample else vecs
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .setK(nCells).setSeed(42L).setMaxIter(5).fit(fitSample)
@@ -412,6 +435,8 @@ object Extensions {
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
       fraction: Double): DataFrame = {
+    requireNoReserved(df,
+      Seq("__h", "__b", "__bn", "__off", "__n", "__rn", "__st", "__ob"))
     val h = md5(col(keyCol).cast("string").cast("binary"))
     val withH = df.withColumn("__h", h)
       .withColumn("__b", substring(col("__h"), 1, 2))
@@ -426,15 +451,20 @@ object Extensions {
     val offsets = bucketCounts
       .withColumn("__off", sum("__bn").over(wOff) - col("__bn"))
       .withColumn("__n", sum("__bn").over(wTot))
-      .select(col(stratumCol), col("__b"), col("__off"), col("__n"))
+      .select(col(stratumCol).as("__st"), col("__b").as("__ob"),
+        col("__off"), col("__n"))
     // __b is the leading hex of __h, so ordering by (__b, __h, key) ≡
     // ordering by (__h, key): bucket-local rank + offset = global rank
     val wLocal = Window.partitionBy(col(stratumCol), col("__b"))
       .orderBy(col("__h"), col(keyCol))
-    withH.join(broadcast(offsets), Seq(stratumCol, "__b"))
+    // null-safe join keys: a NULL stratum (or a NULL key → NULL bucket)
+    // is a legitimate group and must be sampled like any other — a plain
+    // equi-join would silently drop the whole null stratum
+    withH.join(broadcast(offsets),
+        withH(stratumCol) <=> col("__st") && col("__b") <=> col("__ob"))
       .withColumn("__rn", row_number().over(wLocal) + col("__off"))
       .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__h", "__b", "__off", "__n", "__rn")
+      .drop("__h", "__b", "__off", "__n", "__rn", "__st", "__ob")
   }
 
   // ── text analysis ────────────────────────────────────────────────────

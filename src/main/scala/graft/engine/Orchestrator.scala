@@ -45,8 +45,12 @@ object Orchestrator {
   def logRun(path: String, cfg: PipelineConfig, rows: Long,
       metrics: Map[String, Double]): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // NaN/Infinity are not JSON tokens (an evaluator legitimately returns
+    // NaN on a degenerate split) — serialize them as null
+    def num(v: Double) =
+      if (v.isNaN || v.isInfinite) "null" else v.toString
     val ms = metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}:${num(v)}" }.mkString("{", ",", "}")
     val line = s"""{"app":${q(cfg.appName)},"algorithm":${q(cfg.algorithm)},""" +
       s""""task":${q(cfg.task)},"input":${q(cfg.inputPath)},""" +
       s""""feature_cols":${cfg.featureCols.map(q).mkString("[", ",", "]")},""" +

@@ -40,9 +40,13 @@ object Tables {
     else if (path.endsWith(".orc")) spark.read.orc(path)
     else spark.read.parquet(path) // non-delta default
 
-  /** A path is Delta if it says so (.delta) or carries a transaction log. */
+  /** A path is Delta if it says so (.delta) or actually carries a
+    * transaction log directory. Deliberately NOT a substring match on
+    * "_delta_log" — that would false-positive on any unrelated path
+    * that merely contains the string (e.g. /backups/my_delta_logs/x.parquet).
+    */
   private[engine] def isDeltaPath(path: String): Boolean =
-    path.endsWith(".delta") || path.contains("_delta_log") ||
+    path.endsWith(".delta") ||
       new java.io.File(path, "_delta_log").isDirectory
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -87,18 +87,42 @@ case class BottomK(
 }
 
 object BottomK {
+
+  /** Validated SQL builder shared by [[register]] and
+    * [[graft.GraftExtensions]]: k must be a foldable integral literal —
+    * a raw eval/cast would surface ClassCastException (BIGINT literal)
+    * or an eval-on-unresolved crash (column reference) to SQL users.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"bottom_k expects 2 arguments, got ${exprs.length}")
+    if (!exprs(1).foldable)
+      throw new IllegalArgumentException(
+        "bottom_k: k must be a literal, not a column")
+    val k = exprs(1).eval(InternalRow.empty) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"bottom_k: k must be an integral literal, got $other")
+    }
+    BottomK(exprs.head, k).toAggregateExpression()
+  }
+
   /** Register `bottom_k(col, k)` in the session's function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k",
-      exprs => BottomK(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])
-        .toAggregateExpression(),
-      "scala_udf")
+      "bottom_k", fromExprs, "scala_udf")
 
+  /** Column-API entry point; wraps the aggregate directly (no
+    * session-registry side effect). `spark` kept for signature
+    * stability.
+    */
   def bottomK(spark: SparkSession, c: Column, k: Int): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("bottom_k", c,
-      org.apache.spark.sql.functions.lit(k))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      BottomK(ColumnBridge.expression(c), k).toAggregateExpression())
   }
 }

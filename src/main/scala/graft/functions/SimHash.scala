@@ -89,17 +89,19 @@ object SimHash64 {
     Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
       s.numBytes(), seed)
 
-  /** Register `simhash64` in the session's function registry (the public
-    * route from Expression to Column in Spark 4 — ExpressionUtils is
-    * private[sql]). Idempotent.
+  /** Register `simhash64` in the session's function registry — the SQL
+    * route (see also [[graft.GraftExtensions]]). Idempotent.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
 
-  /** Column-API entry point: `simhash64(spark, split(lower(text), " "))`. */
+  /** Column-API entry point: `simhash64(spark, split(lower(text), " "))`.
+    * Wraps the expression directly (no session-registry side effect);
+    * the `spark` parameter is kept for signature stability.
+    */
   def simhash64(spark: SparkSession, tokens: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.call_function("simhash64", tokens)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   }
 }

@@ -38,10 +38,22 @@ class DotF32Spec extends AnyFunSuite {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(out(1L).contains(11.0))
     assert(out(2L).isEmpty) // length mismatch → null, like zip_with padding
+    DotF32.register(spark) // Column API no longer registers as a side effect
     val withNullElem = spark.sql(
       "SELECT dot_f32(array(cast(1.0 as float), cast(null as float)), " +
         "array(cast(1.0 as float), cast(1.0 as float))) AS d")
     assert(withNullElem.head().isNullAt(0))
+  }
+
+  test("accepts array<double> on either side (HOF parity preserved)") {
+    val df = Seq((Array(1.5, 2.0), Array(2.0f, 3.0f))).toDF("d", "f")
+    val out = df.select(
+      DotF32.dotF32(col("d"), col("f")).as("df"),
+      DotF32.dotF32(col("d"), col("d")).as("dd"),
+      hofDot(col("d"), col("f")).as("hof")).head()
+    assert(out.getDouble(0) == 9.0)
+    assert(out.getDouble(1) == 1.5 * 1.5 + 4.0)
+    assert(out.getDouble(0) == out.getDouble(2))
   }
 
   test("usable from SQL and stays inside whole-stage codegen") {

@@ -194,6 +194,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(Set(0, 1).contains(rows(1L).getAs[Int]("is_train")))
   }
 
+  test("stratified sample keeps the NULL stratum (null-safe join keys)") {
+    val rows = (1L to 40L).map(i =>
+      (if (i % 4 == 0) null else s"s${i % 2}", i))
+    val df = rows.toDF("stratum", "key")
+    val out = Extensions.stratifiedSample(df, "stratum", "key", 0.5)
+    val nullCount = out.filter(col("stratum").isNull).count()
+    assert(nullCount == 5) // ceil(10 * 0.5) of the 10 null-stratum rows
+    // strata: null=10 (i%4==0), s1=20 (odd i), s0=10 (even, not %4)
+    assert(out.count() == 5 + 10 + 5)
+  }
+
+  test("dedup/sample reject inputs using reserved internal columns") {
+    val clash = Seq((1L, "a", 0)).toDF("doc_id", "text", "__rn")
+    intercept[IllegalArgumentException] {
+      Extensions.dedupExact(clash, Seq("text"), "doc_id")
+    }
+    val clash2 = Seq(("s", 1L, 0)).toDF("stratum", "key", "__off")
+    intercept[IllegalArgumentException] {
+      Extensions.stratifiedSample(clash2, "stratum", "key", 0.5)
+    }
+  }
+
   test("ivf ann achieves high recall vs brute force on the testdata") {
     val emb = graft.engine.Tables.embeddings(TestSpark.spark,
       "/root/testdata/sf0.001")

@@ -100,6 +100,11 @@ class SourcesSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       Tables.loadPath(spark, dir.toString)
     }
+    // but a path that merely CONTAINS the string is not Delta
+    val p = Files.createTempDirectory("graft-my_delta_logs").toString +
+      "/data.parquet"
+    df.write.parquet(p)
+    assert(Tables.loadPath(spark, p).count() == 2)
   }
 
   // map compare is not parquet-oracle-stable, so maps are test-only
