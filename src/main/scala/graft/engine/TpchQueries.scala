@@ -16,6 +16,22 @@ object TpchQueries {
 
   import Tables._
 
+  /** Revenue term `price · (1 − discount)` in exact 1e-4 integer units:
+    * both factors are 2-decimal, so the product is integral, the sum is
+    * order-independent, and the final `/ 10000.0` is the same IEEE
+    * division on both engines. NO round() on the float sum — Spark
+    * rounds the decimal string and DuckDB the binary double, which flip
+    * against each other exactly at .xx5 boundaries.
+    */
+  private def revenueUnits =
+    (round(col("l_extendedprice") * 100)).cast("long") *
+      (lit(100L) - (round(col("l_discount") * 100)).cast("long"))
+
+  /** The DuckDB twin of [[revenueUnits]]. */
+  private val revenueUnitsSql =
+    """CAST(round(l_extendedprice * 100) AS BIGINT)
+      | * (100 - CAST(round(l_discount * 100) AS BIGINT))""".stripMargin
+
   val catalog: Seq[QuerySpec] = Seq(
 
     // ── TPC-H Q1 shape: pricing summary report ──────────────────────────
@@ -115,14 +131,7 @@ object TpchQueries {
           && col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
           && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .groupBy("n_name")
-        // exact integer form: price·(1−disc) is integral in 1e-4 units,
-        // so the sum is order-independent, and the final /10000.0 is the
-        // same IEEE division on both engines. NO round() — Spark rounds
-        // the decimal string and DuckDB the binary double, which flip
-        // against each other exactly at .xx5 boundaries.
-        .agg((sum((round(col("l_extendedprice") * 100)).cast("long")
-            * (lit(100L) - (round(col("l_discount") * 100)).cast("long")))
-          / 10000.0).as("revenue"))
+        .agg((sum(revenueUnits) / 10000.0).as("revenue"))
         .orderBy(desc("revenue"), asc("n_name")),
       Some("""SELECT n_name,
              |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -152,11 +161,9 @@ object TpchQueries {
           && col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
           && col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        // same exact integer form as tpch_q5 (this one DID flip a .xx5
-        // round boundary under the float-sum form at sf0.01)
-        .agg((sum((round(col("l_extendedprice") * 100)).cast("long")
-            * (lit(100L) - (round(col("l_discount") * 100)).cast("long")))
-          / 10000.0).as("revenue"))
+        // this one DID flip a .xx5 round boundary under the float-sum
+        // form at sf0.01 — keep the exact revenueUnits form
+        .agg((sum(revenueUnits) / 10000.0).as("revenue"))
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20),
       Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
@@ -172,6 +179,148 @@ object TpchQueries {
              |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ── TPC-H Q4 shape: order-priority checking. The EXISTS correlated
+    // subquery is a left-semi join with a non-equi residual — one
+    // shuffle on the order key, lineitem never widens the output.
+    // (This schema has no commit/receipt dates; l_shipdate > o_orderdate
+    // plays the late-lineitem role.) ────────────────────────────────────
+    QuerySpec("tpch_q4",
+      (s, d) => orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01 00:00:00"))
+          && col("o_orderdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+        .join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── TPC-H Q7 shape: volume shipping between two nations. The nation
+    // dim joins TWICE (supplier side and customer side) with a
+    // disjunctive cross-nation predicate — both copies broadcast; the
+    // only shuffles are the fact-fact joins. ────────────────────────────
+    QuerySpec("tpch_q7",
+      (s, d) => {
+        val n1 = nation(s, d).select(col("n_nationkey").as("n1_key"),
+          col("n_name").as("supp_nation"))
+        val n2 = nation(s, d).select(col("n_nationkey").as("n2_key"),
+          col("n_name").as("cust_nation"))
+        supplier(s, d)
+          .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+          .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === "NATION_3"
+              && col("cust_nation") === "NATION_7")
+            || (col("supp_nation") === "NATION_7"
+              && col("cust_nation") === "NATION_3"))
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+            && col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg((sum(revenueUnits) / 10000.0).as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |       year(l_shipdate)::INT AS l_year,
+              |       CAST(sum($revenueUnitsSql) AS BIGINT) / 10000.0 AS revenue,
+              |       count(*) AS n_rows
+              |FROM supplier
+              |JOIN lineitem ON s_suppkey = l_suppkey
+              |JOIN orders   ON o_orderkey = l_orderkey
+              |JOIN customer ON c_custkey = o_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ── TPC-H Q14 shape: promo revenue share — conditional aggregation
+    // over a fact⋈dim join, two sums in one pass. Numerator and
+    // denominator both accumulate in exact integer units; the single
+    // (100.0 · num) / den division is identical IEEE on both engines. ───
+    QuerySpec("tpch_q14",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(((lit(100.0) * sum(when(col("p_type") === "PROMO", revenueUnits)
+            .otherwise(lit(0L)))) / sum(revenueUnits)).as("promo_revenue"),
+          count(lit(1)).as("n_rows")),
+      Some(s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+              |         THEN $revenueUnitsSql ELSE 0 END) AS BIGINT)
+              |       / CAST(sum($revenueUnitsSql) AS BIGINT) AS promo_revenue,
+              |       count(*) AS n_rows
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
+    // ── TPC-H Q18 shape: large-volume customers — a HAVING subquery on
+    // the fact (partial agg before its one shuffle) drives a key join
+    // back to orders/customer, then top-100. The quantity sum is
+    // integral-valued, so it is exact on both engines. ──────────────────
+    QuerySpec("tpch_q18",
+      (s, d) => {
+        val big = lineitem(s, d).groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 250)
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             |       o_totalprice, t.total_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(l_quantity) > 250) t
+             |  ON o_orderkey = t.l_orderkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ── TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    // predicate spanning both join sides — the part conjuncts push into
+    // the dim scan, the shared l_partkey join key stays an equi-join
+    // (no BroadcastNestedLoop), and the residual evaluates post-join. ───
+    QuerySpec("tpch_q19",
+      (s, d) => lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#4"
+            && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 15))
+          || (col("p_brand") === "Brand#2"
+            && col("p_size").between(10, 30)
+            && col("l_quantity").between(5, 25))
+          || (col("p_brand") === "Brand#19"
+            && col("p_size").between(20, 50)
+            && col("l_quantity").between(10, 40)))
+        .agg((sum(revenueUnits) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some(s"""SELECT CAST(sum($revenueUnitsSql) AS BIGINT) / 10000.0 AS revenue,
+              |       count(*) AS n_rows
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#4'
+              |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+              |   OR (p_brand = 'Brand#2'
+              |       AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 25)
+              |   OR (p_brand = 'Brand#19'
+              |       AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)""".stripMargin)),
 
     // ── SQL entry surface: the same engine through spark.sql over
     // registered views — monthly order revenue ──────────────────────────

@@ -138,6 +138,29 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("tpch_q4 EXISTS runs as a semi join, never widening orders") {
+    val plan = executedPlan(SparkEntry.queries("tpch_q4")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"plan was:\n$plan")
+    // the semi join must carry the non-equi residual, not cross-product it
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+  }
+
+  test("tpch_q7 broadcasts both copies of the nation dim") {
+    val plan = executedPlan(SparkEntry.queries("tpch_q7")(spark, sf))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("tpch_q19 keeps the OR-of-ANDs as an equi-join with residual") {
+    val plan = executedPlan(SparkEntry.queries("tpch_q19")(spark, sf))
+    // the shared l_partkey = p_partkey key must stay the join condition
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+    // the brand/size conjuncts push into the part scan
+    assert(plan.contains("Brand#"), s"no pushed brand predicate in:\n$plan")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()
