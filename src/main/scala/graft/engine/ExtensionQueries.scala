@@ -445,6 +445,54 @@ object ExtensionQueries {
              |SELECT event_id, event_type FROM t
              |WHERE rn <= ceil(n * 0.1) ORDER BY event_id""".stripMargin)),
 
+    // ── corpus mixing: per-source target fractions (data mixing
+    // weights), deterministic md5-rank selection, default for the tail ──
+    QuerySpec("corpus_mixing",
+      (s, d) => Extensions.mixCorpus(
+          documents(s, d).select("doc_id", "source"),
+          "source", "doc_id",
+          Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS n
+             |  FROM documents)
+             |SELECT doc_id, source FROM t
+             |WHERE rn <= ceil(n * (CASE source
+             |        WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+             |        WHEN 'src2' THEN 0.25 ELSE 0.1 END))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── concat-then-chunk sequence packing: global token offsets via the
+    // two-level prefix sum (never a single-partition window), fixed
+    // 512-token training windows. Oracle is the single-window cumsum. ────
+    QuerySpec("token_chunking",
+      (s, d) => Extensions.chunkForTraining(
+          documents(s, d).select(col("doc_id"),
+            (length(col("text"))
+              - length(expr("replace(text, ' ', '')")) + 1).as("n_tokens")),
+          "doc_id", "n_tokens", ctxLen = 512)
+        .select("doc_id", "n_tokens", "start_off", "first_chunk",
+          "last_chunk")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         (length(text) - length(replace(text, ' ', '')) + 1) AS n
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, n,
+             |         CAST(sum(n) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           - n AS BIGINT) AS start_off
+             |  FROM t)
+             |SELECT doc_id, n::INT AS n_tokens, start_off,
+             |       start_off // 512 AS first_chunk,
+             |       (start_off + n - 1) // 512 AS last_chunk
+             |FROM o ORDER BY doc_id""".stripMargin)),
+
     // ── deterministic hash split (reproducible train/holdout independent
     // of partitioning — md5 buckets, exact on both engines) ──────────────
     QuerySpec("hash_split",

@@ -434,7 +434,32 @@ object Extensions {
     * bit-identical to the single-window form the oracle mirrors.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
-      fraction: Double): DataFrame = {
+      fraction: Double): DataFrame =
+    rankedStratumSample(df, stratumCol, keyCol, lit(fraction))
+
+  /** Corpus mixing: deterministic per-source sampling to target
+    * fractions — the "data mixing weights" step of corpus assembly
+    * (e.g. up-weight curated sources, down-weight crawl). Each stratum
+    * keeps exactly ceil(fraction(stratum)·n) rows, chosen by md5-hash
+    * order; strata absent from `fractions` (and the NULL stratum) fall
+    * back to `defaultFraction`. Same two-level scale shape as
+    * [[stratifiedSample]] — parallelism never bounded by source count.
+    */
+  def mixCorpus(df: DataFrame, stratumCol: String, keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f =>
+      f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    // deterministic when-chain (sorted keys); a NULL stratum compares
+    // null on every branch and lands on the default, by design
+    val fracCol = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    rankedStratumSample(df, stratumCol, keyCol, fracCol)
+  }
+
+  private def rankedStratumSample(df: DataFrame, stratumCol: String,
+      keyCol: String, fraction: Column): DataFrame = {
     requireNoReserved(df,
       Seq("__h", "__b", "__bn", "__off", "__n", "__rn", "__st", "__ob"))
     val h = md5(col(keyCol).cast("string").cast("binary"))
@@ -465,6 +490,63 @@ object Extensions {
       .withColumn("__rn", row_number().over(wLocal) + col("__off"))
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .drop("__h", "__b", "__off", "__n", "__rn", "__st", "__ob")
+  }
+
+  /** GPT-style concat-then-chunk sequence packing: documents are laid
+    * out back-to-back in ascending-`keyCol` order and cut into fixed
+    * `ctxLen`-token training windows. Appends each row's exclusive
+    * global token offset (`start_off`) and the chunk span it lands in
+    * (`first_chunk`/`last_chunk`) — the bookkeeping a tokenize-and-pack
+    * stage needs to emit training examples.
+    *
+    * Scale shape: the global running offset is NOT a single-partition
+    * window. The numeric ordering key splits into 256 ordered range
+    * buckets (bounds from a broadcast 1-row min/max agg — no collect),
+    * per-bucket token sums (≤256 rows) turn into bucket start offsets
+    * via a window-free triangular self-join, and each row's offset =
+    * its bucket's offset + a partition-local cumulative sum — so every
+    * window partition is ~1/256 of the data, at any scale. Result is
+    * bit-identical to the single-window form (the oracle mirrors that).
+    *
+    * `keyCol` must be numeric and non-null; `nTokensCol` integral ≥ 0.
+    */
+  def chunkForTraining(df: DataFrame, keyCol: String, nTokensCol: String,
+      ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    requireNoReserved(df,
+      Seq("__lo", "__hi", "__b", "__bn", "__pb", "__pn", "__off", "__cum"))
+    // range buckets keep the key order both within and across buckets;
+    // the bucket function is weakly monotonic in the key (monotone
+    // double ops + truncation), so cross-bucket order is preserved
+    val bounds = df.agg(min(col(keyCol)).cast("double").as("__lo"),
+      max(col(keyCol)).cast("double").as("__hi"))
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("__b", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(((col(keyCol).cast("double") - col("__lo")) * 256.0 /
+          (col("__hi") - col("__lo") + 1.0)).cast("long")))
+      .drop("__lo", "__hi")
+    // per-bucket token sums (≤256 rows) → exclusive bucket offsets via a
+    // triangular join: sum of every strictly-earlier bucket's tokens.
+    // Window-free on purpose — even the tiny frame stays off the
+    // single-partition-window audit.
+    val bucketSums = withB.groupBy("__b")
+      .agg(sum(col(nTokensCol).cast("long")).as("__bn"))
+    val prior = bucketSums.select(col("__b").as("__pb"),
+      col("__bn").as("__pn"))
+    val offsets = bucketSums
+      .join(broadcast(prior), col("__pb") < col("__b"), "left")
+      .groupBy("__b").agg(coalesce(sum("__pn"), lit(0L)).as("__off"))
+    // bucket-local exclusive cumsum + bucket offset = global offset
+    val wLocal = Window.partitionBy("__b").orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col(nTokensCol).cast("long")
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum", sum(n).over(wLocal) - n)
+      .withColumn("start_off", col("__off") + col("__cum"))
+      .withColumn("first_chunk", expr(s"start_off DIV $ctxLen"))
+      .withColumn("last_chunk",
+        expr(s"(start_off + CAST($nTokensCol AS BIGINT) - 1) DIV $ctxLen"))
+      .drop("__b", "__off", "__cum")
   }
 
   // ── text analysis ────────────────────────────────────────────────────

@@ -205,6 +205,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.count() == 5 + 10 + 5)
   }
 
+  test("mixCorpus keeps exact per-stratum fractions with a default tail") {
+    val rows = (1L to 60L).map(i => (s"s${i % 3}", i)) // 20 per stratum
+    val df = rows.toDF("source", "key")
+    val out = Extensions.mixCorpus(df, "source", "key",
+      Map("s0" -> 0.5, "s1" -> 0.25), defaultFraction = 0.1)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 10L, "s1" -> 5L, "s2" -> 2L))
+    // same stratum+fraction → identical selection as stratifiedSample
+    val viaSs = Extensions.stratifiedSample(
+      df.filter(col("source") === "s0"), "source", "key", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    val viaMix = out.filter(col("source") === "s0")
+      .collect().map(_.getLong(1)).toSet
+    assert(viaSs == viaMix)
+  }
+
+  test("chunkForTraining matches the single-window cumsum exactly") {
+    val rows = (1L to 500L).map(i => (i, (i % 37 + 1).toInt))
+    val df = rows.toDF("key", "n_tok")
+    val out = Extensions.chunkForTraining(df, "key", "n_tok", ctxLen = 64)
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("start_off"), r.getAs[Long]("first_chunk"),
+          r.getAs[Long]("last_chunk"))).toMap
+    var off = 0L
+    rows.foreach { case (k, n) =>
+      assert(out(k) == (off, off / 64, (off + n - 1) / 64), s"key $k")
+      off += n
+    }
+    // spans are contiguous: every chunk id up to the last appears
+    val lastChunk = out(500L)._3
+    val covered = out.values.flatMap(v => v._2 to v._3).toSet
+    assert(covered == (0L to lastChunk).toSet)
+  }
+
+  test("chunkForTraining handles a single-key corpus (degenerate range)") {
+    val df = Seq((7L, 100)).toDF("key", "n_tok")
+    val r = Extensions.chunkForTraining(df, "key", "n_tok", ctxLen = 30)
+      .head()
+    assert(r.getAs[Long]("start_off") == 0L)
+    assert(r.getAs[Long]("first_chunk") == 0L)
+    assert(r.getAs[Long]("last_chunk") == 3L) // tokens 0..99 → chunks 0..3
+  }
+
   test("dedup/sample reject inputs using reserved internal columns") {
     val clash = Seq((1L, "a", 0)).toDF("doc_id", "text", "__rn")
     intercept[IllegalArgumentException] {

@@ -161,6 +161,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Brand#"), s"no pushed brand predicate in:\n$plan")
   }
 
+  test("token_chunking never computes the global offset in one partition") {
+    val df = SparkEntry.queries("token_chunking")(spark, sf)
+    df.collect()
+    val planNode = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // the whole point of the two-level prefix sum: no WindowExec may see
+    // SinglePartition input (the bucket offsets are a window-free join)
+    val globalWin = planNode.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
+    }
+    assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()
