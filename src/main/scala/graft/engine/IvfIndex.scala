@@ -1,0 +1,135 @@
+package graft.engine
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Build-once / query-many IVF (inverted-file) similarity index over an
+  * embedding column — the persisted form of [[Extensions.annIvf]].
+  *
+  * [[Extensions.annIvf]] answers one ad-hoc query batch and throws the
+  * fitted quantizer away; a production vector store builds the index
+  * ONCE and serves many query batches from it:
+  *
+  *   - '''build''': sampled KMeans fit (bounded cost at any corpus
+  *     size, same procedure as annIvf) + one corpus pass to assign
+  *     cells;
+  *   - '''save''': the corpus written parquet-partitioned BY CELL,
+  *     beside the quantizer centroids;
+  *   - '''query''': rank centroids per query (tiny broadcast), then
+  *     read ONLY the probed cells — on the saved layout that is
+  *     file-level partition pruning: a 100 TB corpus probed at
+  *     nprobe=4 of 256 cells touches ~1.6 TB of files, not 100 TB.
+  *
+  * The only data that ever reaches the driver is the probed cell-id
+  * set (≤ queries × nprobe ints): materializing those ids as literals
+  * is exactly what turns the probe into a partition filter the scan
+  * can prune on. Corpus rows never leave the executors.
+  */
+final class IvfIndex private (
+    centroids: Seq[(Int, Array[Float])],
+    corpus: DataFrame,
+    val idCol: String,
+    val embCol: String) {
+
+  /** Exact cosine top-k within the probed cells for each query id
+    * (query vectors are looked up in the corpus). Output schema
+    * matches [[Extensions.annIvf]]:
+    * (query_id, neighbor_id, cosine_sim, rank).
+    */
+  def queryByIds(queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    query(corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q")),
+      k, nprobe)
+
+  /** Exact cosine top-k within the probed cells for external query
+    * vectors: `queries` must carry (query_id, __q: array<float>).
+    */
+  def query(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val spark = corpus.sparkSession
+    val centDf = spark.createDataFrame(centroids)
+      .toDF("__cell", "__centroid")
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("__cdist",
+        -Extensions.cosine(col("__q"), col("__centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("__cdist"), asc("__cell"))))
+      .filter(col("__crank") <= nprobe)
+      .select(col("query_id"), col("__q"), col("__cell"))
+    // the probe set is tiny by construction (queries × nprobe ints);
+    // cell ids must become LITERALS for the corpus scan to prune
+    // partitions — a join key can't prune files
+    val cells = probed.select("__cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    corpus.filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__e"),
+        col("__cell"))
+      .join(broadcast(probed), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Extensions.cosine(col("__e"), col("__q")), 6)
+          .as("cosine_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("cosine_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist the index: centroids + the corpus partitioned by cell.
+    * [[IvfIndex.load]] reads it back with the partition layout intact.
+    */
+  def save(path: String): Unit = {
+    corpus.sparkSession.createDataFrame(centroids)
+      .toDF("__cell", "__centroid")
+      .write.mode("overwrite").parquet(s"$path/quantizer")
+    corpus.write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/cells")
+  }
+}
+
+object IvfIndex {
+
+  /** Fit the coarse quantizer on a deterministic 1-in-4 hash sample
+    * (bounded fit at any corpus size; falls back to the full corpus
+    * when the sample is smaller than 4× the centroid count — see
+    * [[Extensions.annIvf]] for the rationale) and assign every corpus
+    * row to its cell.
+    */
+  def build(emb: DataFrame, embCol: String, idCol: String,
+      nCells: Int = 16): IvfIndex = {
+    require(nCells > 0, "nCells must be positive")
+    val clash = emb.columns.toSet
+      .intersect(Set("__vec", "__cell", "__q", "__e"))
+    require(clash.isEmpty,
+      s"input uses reserved internal column names: ${clash.mkString(", ")}")
+    val vecs = emb.select(col(idCol), col(embCol))
+      .withColumn("__vec", array_to_vector(col(embCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    val fitSample =
+      if (sample.count() >= nCells.toLong * 4) sample else vecs
+    val km = new KMeans()
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .setK(nCells).setSeed(42L).setMaxIter(5).fit(fitSample)
+    val corpus = km.transform(vecs)
+      .select(col(idCol), col(embCol), col("__cell"))
+    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    new IvfIndex(cents, corpus, idCol, embCol)
+  }
+
+  /** Open a saved index. Queries against it prune the cell partitions
+    * of the saved layout at the file level.
+    */
+  def load(spark: SparkSession, path: String, idCol: String,
+      embCol: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val corpus = spark.read.parquet(s"$path/cells")
+    new IvfIndex(cents, corpus, idCol, embCol)
+  }
+}
