@@ -161,6 +161,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Brand#"), s"no pushed brand predicate in:\n$plan")
   }
 
+  test("tpch_q2 broadcasts every dim around the two-level min-cost agg") {
+    val plan = executedPlan(SparkEntry.queries("tpch_q2")(spark, sf))
+    // part, supplier, nation, region, and the per-part min all broadcast;
+    // the only exchanges are the two aggregations over lineitem pairs
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
+  test("tpch_q21 runs EXISTS/NOT-EXISTS as semi/anti joins with residuals") {
+    val plan = executedPlan(SparkEntry.queries("tpch_q21")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"plan was:\n$plan")
+    assert(plan.contains("LeftAnti"), s"plan was:\n$plan")
+    // the <> residual must ride the order-key equi-join, never widen
+    assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
+  }
+
+  test("tpch_q11/q15/q22 use broadcast 1-row aggs, not global windows") {
+    for (q <- Seq("tpch_q11", "tpch_q15", "tpch_q22")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Window"), s"$q plan was:\n$plan")
+    }
+  }
+
   test("token_chunking never computes the global offset in one partition") {
     val df = SparkEntry.queries("token_chunking")(spark, sf)
     df.collect()
