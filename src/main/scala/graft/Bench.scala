@@ -14,8 +14,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup so the first timed query doesn't
     // absorb ~3s of classloading; queries themselves run once, cold.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Touches each heavyweight execution path once — shuffle agg,
+    // broadcast join, window, MLlib clustering — on throwaway micro
+    // inputs (no query input or result is cached).
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      val micro = spark.range(64L)
+        .select(col("id"), (col("id") % 8).as("k"))
+      micro.join(broadcast(micro.select(col("k").as("k2")).distinct()),
+          col("k") === col("k2"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy("id")))
+        .groupBy("k").agg(sum("rn")).count()
+      val pts = spark.range(32L).select(
+        org.apache.spark.ml.functions.array_to_vector(
+          array(rand(7L), rand(11L))).as("__vec"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setFeaturesCol("__vec").setK(2).setSeed(1L).setMaxIter(1).fit(pts)
+    }
     // failed queries record duration -1 (sentinel) and land in "errors" —
     // a fast failure must never masquerade as a fast success in the
     // recorded baseline

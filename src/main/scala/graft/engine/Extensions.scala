@@ -313,27 +313,52 @@ object Extensions {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN scale path: random-hyperplane projection buckets
-    * via MLlib BucketedRandomProjectionLSH (seed-fixed). Candidates come
-    * from bucket collisions — at 100 TB you probe buckets instead of
-    * scanning the corpus. Returns (query_id, neighbor_id, l2_dist).
+  /** LSH-bucketed ANN scale path: native sign-random-projection
+    * (SimHash-for-vectors) buckets. Seeded hyperplanes enter the plan as
+    * literals, so the whole bucket assignment is one codegen'd
+    * projection over [[graft.functions.DotF32]] — no model fit, no
+    * MLlib job chain. Each of `numTables` tables packs `bitsPerTable`
+    * hyperplane signs into a bucket id; candidates come from colliding
+    * in ANY table (OR-amplification), then an exact L2 rescore ranks
+    * them. At 100 TB you probe buckets instead of scanning the corpus,
+    * and raise `bitsPerTable` so buckets stay executor-sized (recall per
+    * table ≈ (1 − θ/π)^bits, compensated by adding tables). Returns
+    * (query_id, neighbor_id, l2_dist, rank); deterministic for a fixed
+    * seed.
     */
   def annBucketed(emb: DataFrame, embCol: String, idCol: String,
-      queryIds: Seq[Long], k: Int = 10, bucketLength: Double = 2.0,
-      numHashTables: Int = 3): DataFrame = {
-    val vecs = emb.select(col(idCol), array_to_vector(col(embCol)).as("__vec"))
-    val lsh = new BucketedRandomProjectionLSH().setInputCol("__vec")
-      .setOutputCol("__hashes").setBucketLength(bucketLength)
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(vecs)
-    // hashed feeds both the query probe and the corpus side of the join
-    val hashed = model.transform(vecs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = hashed.filter(col(idCol).isin(queryIds: _*))
-    model.approxSimilarityJoin(queries, hashed, Double.MaxValue, "l2_dist")
-      .select(col(s"datasetA.$idCol").as("query_id"),
-        col(s"datasetB.$idCol").as("neighbor_id"), col("l2_dist"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      queryIds: Seq[Long], k: Int = 10, numTables: Int = 4,
+      bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numTables > 0 && bitsPerTable > 0 && bitsPerTable <= 62,
+      "need numTables > 0 and 0 < bitsPerTable <= 62")
+    val dim = emb.select(size(col(embCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    // gaussian hyperplanes, carried into codegen as one reference
+    // object: every bucket id of a row computes inside a single
+    // SignBuckets call (see its scaladoc for why not composed DotF32s)
+    val planes = Array.fill(numTables, bitsPerTable)(
+      Array.fill(dim)(rnd.nextGaussian().toFloat))
+    def buckets(v: Column): Column =
+      graft.functions.SignBuckets.signBuckets(v, planes)
+    // queries are driver-known ids: tiny after the isin pushdown, so the
+    // exploded (table, bucket) probe set broadcasts
+    val probes = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q"),
+        posexplode(buckets(col(embCol))).as(Seq("__t", "__b")))
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__e"),
+      posexplode(buckets(col(embCol))).as(Seq("__t", "__b")))
+    corpus.join(broadcast(probes), Seq("__t", "__b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // exact rescore: |a−b| = sqrt(|a|² + |b|² − 2a·b), all DotF32
+        sqrt(greatest(dot(col("__q"), col("__q")) + dot(col("__e"), col("__e"))
+          - lit(2.0) * dot(col("__q"), col("__e")), lit(0.0))).as("l2"))
+      // a pair colliding in several tables appears once; deduping AFTER
+      // the rescore keeps embedding arrays out of the exchange (the l2
+      // copies are identical, min picks one)
+      .groupBy("query_id", "neighbor_id")
+      .agg(min(col("l2")).as("l2_dist"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(asc("l2_dist"), asc("neighbor_id"))))
       .filter(col("rank") <= k)

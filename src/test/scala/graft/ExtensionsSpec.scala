@@ -273,6 +273,19 @@ class ExtensionsSpec extends AnyFunSuite {
       s"recall too low: ${ivf.intersect(exact).size}/10")
   }
 
+  test("bucketed ann achieves decent recall vs brute force on the testdata") {
+    val emb = graft.engine.Tables.embeddings(TestSpark.spark,
+      "/root/testdata/sf0.001")
+    // nearest-by-cosine and nearest-by-L2 agree enough on this corpus to
+    // measure recall of the L2-ranked LSH against the cosine oracle
+    val exact = Extensions.cosineTopK(emb, "embedding", "vec_id",
+      Seq(0L), k = 10).select("neighbor_id").as[Long].collect().toSet
+    val lsh = Extensions.annBucketed(emb, "embedding", "vec_id", Seq(0L),
+      k = 10).select("neighbor_id").as[Long].collect().toSet
+    assert(lsh.intersect(exact).size >= 5,
+      s"recall too low: ${lsh.intersect(exact).size}/10")
+  }
+
   test("ann bucketed returns ranked neighbors deterministically") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
