@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Run graft.Bench N times (default 3) and emit the per-query-median
+JSON line that BASELINE.md records — the same statistic the judge
+compares driver runs against.
+
+Usage: python3 tools/bench_median.py [N] [SF_DIR] [CPUS]
+Writes each raw run to /tmp/graft_bench_run{i}.json and prints the
+median-combined JSON line on stdout (total = sum of per-query medians).
+"""
+import json
+import statistics
+import subprocess
+import sys
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+
+runs = []
+for i in range(n):
+    out = subprocess.run(
+        ["sbt", "runMain graft.Bench"],
+        env={"SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": cpus,
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"},
+        capture_output=True, text=True, cwd="/root/repo").stdout
+    line = next(l for l in out.splitlines() if '"metric"' in l)
+    line = line[line.index('{"metric"'):]
+    d = json.loads(line)
+    if d["errors"]:
+        sys.exit(f"run {i}: bench reported errors: {d['errors']}")
+    with open(f"/tmp/graft_bench_run{i}.json", "w") as f:
+        f.write(line)
+    print(f"run {i}: total={d['value']:.1f}s", file=sys.stderr)
+    runs.append(d["queries"])
+
+med = {q: statistics.median(r[q] for r in runs) for q in runs[0]}
+out = {"metric": "total", "value": sum(med.values()), "unit": "sec",
+       "queries": dict(sorted(med.items())), "errors": [], "sf": sf}
+print(json.dumps(out))
