@@ -26,6 +26,34 @@ object ExtensionQueries {
              |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── best-variant dedup: canonicalize (here: 40-char prefix
+    // fingerprint) and keep the highest-quality row of each group ───────
+    QuerySpec("dedup_best",
+      (s, d) => Extensions.dedupBest(
+          documents(s, d).withColumn("canon", substring(col("text"), 1, 40)),
+          Seq("canon"), "doc_id", "n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id"),
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, n_chars,
+             |         row_number() OVER (PARTITION BY substr(text, 1, 40)
+             |                            ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, n_chars FROM ranked WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── deterministic global shuffle: stable training order as if
+    // sorted by (md5(key), key), computed two-level (bucket ranks +
+    // broadcast prefix-sum offsets), never a global sort ────────────────
+    QuerySpec("corpus_shuffle",
+      (s, d) => Extensions.shuffleDeterministic(documents(s, d), "doc_id")
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+             |         - 1 AS shuffle_pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── text statistics + quality score (integer-derived → exact) ───────
     QuerySpec("text_stats",
       (s, d) => Extensions.textStats(documents(s, d), "text", "doc_id")

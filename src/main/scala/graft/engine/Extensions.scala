@@ -428,6 +428,64 @@ object Extensions {
     * Bucket = first two hex chars of md5(key) (256 buckets);
     * `keepBuckets` of 256 go to the kept split (205/256 ≈ 80%).
     */
+  /** Exact dedup keeping the BEST row of each dupe group instead of the
+    * min-key row: survivor = max `qualityCol`, ties broken by min
+    * `keyCol`. Same scale shape as [[dedupExact]] — one shuffle on
+    * `xxhash64(dupeCols)` with collision-exact run detection; only the
+    * within-run order changes (quality desc before key), so the first
+    * row of each equal-`dupeCols` run is the best one. The
+    * curation-pipeline shape: canonicalize → keep the highest-quality
+    * variant.
+    */
+  def dedupBest(df: DataFrame, dupeCols: Seq[String], keyCol: String,
+      qualityCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__h", "__rn", "__same"))
+    val withH = df.withColumn("__h", xxhash64(dupeCols.map(col): _*))
+    val w = Window.partitionBy("__h")
+      .orderBy(dupeCols.map(col) ++
+        Seq(desc(qualityCol), asc(keyCol)): _*)
+    val sameAsPrev = dupeCols.map(c => lag(col(c), 1).over(w) <=> col(c))
+      .reduce(_ && _)
+    withH.withColumn("__rn", row_number().over(w))
+      .withColumn("__same", sameAsPrev)
+      .filter(col("__rn") === 1 || !col("__same"))
+      .drop("__h", "__rn", "__same")
+  }
+
+  /** Deterministic global shuffle for training-data ordering: assigns
+    * every row a stable 0-based `shuffle_pos` as if the corpus were
+    * sorted by `(md5(key), key)` — reproducible across runs, cluster
+    * sizes, and partitionings, unlike `orderBy(rand())`.
+    *
+    * Never a global sort: the md5 hex's leading byte range-buckets the
+    * hash space (bucket order == hash order), each bucket ranks locally
+    * (the only window, partitioned 256 ways), and cross-bucket offsets
+    * come from a broadcast triangular-join prefix sum over the ≤256
+    * bucket counts — the [[chunkForTraining]] shape. At 100 TB widen
+    * `md5` prefix length from 2 to 3-4 hex chars so buckets stay
+    * executor-sized; order and positions are unchanged.
+    */
+  def shuffleDeterministic(df: DataFrame, keyCol: String): DataFrame = {
+    requireNoReserved(df,
+      Seq("__md5", "__b", "__bn", "__pb", "__pn", "__off", "__rn"))
+    val withB = df
+      .withColumn("__md5", md5(col(keyCol).cast("string")))
+      .withColumn("__b", conv(substring(col("__md5"), 1, 2), 16, 10)
+        .cast("long"))
+    val bucketCounts = withB.groupBy("__b").agg(count(lit(1)).as("__bn"))
+    val prior = bucketCounts.select(col("__b").as("__pb"),
+      col("__bn").as("__pn"))
+    val offsets = bucketCounts
+      .join(broadcast(prior), col("__pb") < col("__b"), "left")
+      .groupBy("__b").agg(coalesce(sum("__pn"), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy("__b")
+      .orderBy(col("__md5"), col(keyCol))
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn("shuffle_pos",
+        col("__off") + row_number().over(wLocal).cast("long") - 1L)
+      .drop("__md5", "__b", "__off")
+  }
+
   def hashSplit(df: DataFrame, keyCol: String,
       keepBuckets: Int = 205): DataFrame = {
     require(keepBuckets >= 0 && keepBuckets <= 256)

@@ -249,6 +249,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("last_chunk") == 3L) // tokens 0..99 → chunks 0..3
   }
 
+  test("dedupBest keeps the highest-quality row of each dupe group") {
+    val df = Seq(
+      (1L, "aaa", 10), (2L, "aaa", 30), (3L, "aaa", 30), // group: max q, tie -> min id
+      (4L, "bbb", 5),                                    // singleton
+      (5L, "ccc", 7), (6L, "ccc", 2))
+      .toDF("doc_id", "canon", "quality")
+    val out = Extensions.dedupBest(df, Seq("canon"), "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 4L, 5L))
+  }
+
+  test("shuffleDeterministic emits a permutation, stable across partitionings") {
+    val df = (0L until 300L).toDF("id")
+    val a = Extensions.shuffleDeterministic(df, "id")
+      .select("id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.toSeq.sorted == (0L until 300L))
+    val b = Extensions.shuffleDeterministic(df.repartition(7), "id")
+      .select("id", "shuffle_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("dedup/sample reject inputs using reserved internal columns") {
     val clash = Seq((1L, "a", 0)).toDF("doc_id", "text", "__rn")
     intercept[IllegalArgumentException] {

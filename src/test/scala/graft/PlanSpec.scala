@@ -185,6 +185,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_shuffle ranks inside hash buckets, never one partition") {
+    val df = SparkEntry.queries("corpus_shuffle")(spark, sf)
+    df.collect()
+    val planNode = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val globalWin = planNode.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
+    }
+    assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+  }
+
   test("token_chunking never computes the global offset in one partition") {
     val df = SparkEntry.queries("token_chunking")(spark, sf)
     df.collect()
