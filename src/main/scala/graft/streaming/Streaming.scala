@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming twins of the batch event-time operators
@@ -95,6 +95,65 @@ object Streaming {
           expr(s"INTERVAL $withinSeconds SECONDS") &&
         col(rightTime) <= col(leftTime) +
           expr(s"INTERVAL $withinSeconds SECONDS"))
+
+  /** Input row of [[tokenBudgetAdmit]]. */
+  case class Doc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Output row of [[tokenBudgetAdmit]]: `running_tokens` is the
+    * per-source admitted total INCLUDING this doc. */
+  case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long,
+      running_tokens: Long)
+
+  /** Per-source token-budget admission on the Spark 4 arbitrary-state
+    * API (`transformWithState`): each source key carries one
+    * `ValueState[Long]` of tokens admitted so far, and a doc is
+    * admitted while that counter is still below the budget (so the
+    * budget may overshoot by at most one doc — the greedy quota rule).
+    * State persists across micro-batches, which is the point: a corpus
+    * streamed over many batches stops admitting mid-stream, exactly
+    * where the same replay would stop again.
+    *
+    * Docs are processed in `doc_id` order WITHIN each (key, batch) —
+    * deterministic for ordered replays; cross-batch arrival order is
+    * the stream's own.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does
+    * not run on the default HDFS-backed store.
+    */
+  class TokenBudgetProcessor(budgetPerSource: Long)
+      extends StatefulProcessor[String, Doc, AdmittedDoc] {
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[Doc],
+        timerValues: TimerValues): Iterator[AdmittedDoc] = {
+      var total = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+        if (total < budgetPerSource) {
+          total += d.n_tokens
+          Some(AdmittedDoc(d.doc_id, d.source, d.n_tokens, total))
+        } else None
+      }
+      admitted.update(total)
+      out.iterator
+    }
+  }
+
+  /** Streaming training-data assembly: admit documents per source until
+    * that source's token budget is spent (see [[TokenBudgetProcessor]]).
+    */
+  def tokenBudgetAdmit(docs: Dataset[Doc],
+      budgetPerSource: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new TokenBudgetProcessor(budgetPerSource),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Run a streaming aggregation to a named in-memory sink until all
     * currently-available input is processed (local smoke path).

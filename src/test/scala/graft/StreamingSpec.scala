@@ -108,6 +108,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenBudgetAdmit spends per-source budgets across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.Streaming.{AdmittedDoc, Doc}
+    // transformWithState runs only on the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Doc](spark)
+      val q = graft.streaming.Streaming
+        .tokenBudgetAdmit(in.toDS(), budgetPerSource = 100L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("budget_out").start()
+      try {
+        // batch 1: web spends 90 of its 100-token budget; books spends 60
+        in.addData(Doc(1L, "web", 50L), Doc(2L, "web", 40L),
+          Doc(3L, "books", 60L))
+        q.processAllAvailable()
+        // batch 2: web has 10 left -> doc 4 admitted (overshoot rule:
+        // counter 90 < 100), doc 5 rejected; books admits doc 6
+        in.addData(Doc(4L, "web", 30L), Doc(5L, "web", 10L),
+          Doc(6L, "books", 30L))
+        q.processAllAvailable()
+        val out = spark.table("budget_out").as[AdmittedDoc]
+          .collect().map(a => a.doc_id -> a.running_tokens).toMap
+        assert(out == Map(1L -> 50L, 2L -> 90L, 3L -> 60L,
+          4L -> 120L, 6L -> 90L))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event_id") {
     import TestSpark.spark.implicits._
     val dir = Files.createTempDirectory("graft-sdedup").toString
