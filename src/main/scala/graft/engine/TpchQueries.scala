@@ -333,15 +333,19 @@ object TpchQueries {
     // partial-combine before their one shuffle; every dim broadcasts. ────
     QuerySpec("tpch_q2",
       (s, d) => {
+        // min-per-part via a window over the aggregated (part, supplier)
+        // pairs, NOT a second aggregation joined back: the two-agg form
+        // scans lineitem twice (AQE's pruning defeats ReuseExchange);
+        // this form scans once, and the window partitions on l_partkey —
+        // bounded by suppliers-per-part, never SinglePartition
         val cost = lineitem(s, d)
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(cents(col("l_extendedprice"))).as("supply_cost"))
-        val minCost = cost.groupBy(col("l_partkey").as("mc_partkey"))
-          .agg(min(col("supply_cost")).as("min_cost"))
+          .withColumn("min_cost", min(col("supply_cost")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+          .filter(col("supply_cost") === col("min_cost"))
         part(s, d).filter(col("p_type") === "LARGE")
           .join(cost, col("p_partkey") === col("l_partkey"))
-          .join(minCost, col("l_partkey") === col("mc_partkey")
-            && col("supply_cost") === col("min_cost"))
           .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
           .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
