@@ -456,6 +456,14 @@ object ExtensionQueries {
              |GROUP BY token
              |ORDER BY n DESC, token LIMIT 50""".stripMargin)),
 
+    // ── count-min-sketch token frequencies (seeded CMS → rows-only; the
+    // mergeable approximate twin of top_tokens' exact count) ─────────────
+    QuerySpec("token_freq_cms",
+      (s, d) => Extensions.freqSketchEstimates(documents(s, d), "text",
+          Seq("the", "of", "and", "data", "model"))
+        .orderBy("token"),
+      None),
+
     // ── deterministic stratified sample: exactly ceil(10%) per event_type,
     // chosen by md5 order (reproducible, balanced — unlike seeded
     // approximate sampleBy) ──────────────────────────────────────────────

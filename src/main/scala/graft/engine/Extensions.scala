@@ -428,6 +428,32 @@ object Extensions {
     * Bucket = first two hex chars of md5(key) (256 buckets);
     * `keepBuckets` of 256 go to the kept split (205/256 ≈ 80%).
     */
+  /** Approximate token frequencies via a count-min sketch — the
+    * mergeable-sketch companion to the exact heavy hitters
+    * (`top_tokens`): per-partition sketches merge associatively, so ONE
+    * ~KB binary crosses the wire per partition regardless of corpus
+    * size, where the exact count shuffles every distinct token. The
+    * standard CMS guarantee bounds the overcount: estimate ∈
+    * [true, true + ε·N] with probability ≥ 1−δ (N = total tokens).
+    * The merged sketch is decoded on the driver — a few KB, the only
+    * driver-side data (like IvfIndex's probed cell-id set). Seeded:
+    * bit-reproducible estimates.
+    */
+  def freqSketchEstimates(docs: DataFrame, textCol: String,
+      queryTokens: Seq[String], eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    val skBytes = docs
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .agg(expr(s"count_min_sketch(__tok, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("__sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val rows = queryTokens.map(t => (t, sk.estimateCount(t)))
+    docs.sparkSession.createDataFrame(rows).toDF("token", "est_count")
+  }
+
   /** Exact dedup keeping the BEST row of each dupe group instead of the
     * min-key row: survivor = max `qualityCol`, ties broken by min
     * `keyCol`. Same scale shape as [[dedupExact]] — one shuffle on

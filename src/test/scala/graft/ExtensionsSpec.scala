@@ -249,6 +249,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("last_chunk") == 3L) // tokens 0..99 → chunks 0..3
   }
 
+  test("freqSketchEstimates honors the CMS overcount bound vs exact counts") {
+    val docs = graft.engine.Tables.documents(TestSpark.spark,
+      "/root/testdata/sf0.001")
+    val toks = docs.select(explode(Extensions.tokens(col("text"))).as("t"))
+    val n = toks.count()
+    val probes = Seq("the", "of", "and", "data", "model")
+    val exact = toks.filter(col("t").isin(probes: _*))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Extensions.freqSketchEstimates(docs, "text", probes,
+      eps = 0.001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (p <- probes) {
+      val ex = exact.getOrElse(p, 0L)
+      assert(est(p) >= ex, s"$p: CMS must never undercount")
+      assert(est(p) <= ex + (0.001 * n).ceil.toLong,
+        s"$p: ${est(p)} exceeds the eps*N overcount bound over $ex")
+    }
+    // seeded: bit-reproducible
+    val again = Extensions.freqSketchEstimates(docs, "text", probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est)
+  }
+
   test("dedupBest keeps the highest-quality row of each dupe group") {
     val df = Seq(
       (1L, "aaa", 10), (2L, "aaa", 30), (3L, "aaa", 30), // group: max q, tie -> min id
