@@ -186,6 +186,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupBest survivor is exactly the per-group (max quality, min key)") {
+    val groups: Gen[List[(Long, Int, Int)]] =
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 100L),
+        Gen.chooseNum(0, 3), Gen.chooseNum(0, 5)))
+    forAll(groups) { rows =>
+      whenever(rows.map(_._1).distinct.size == rows.size) {
+        val df = rows.toDF("id", "grp", "q")
+        val out = Extensions.dedupBest(df, Seq("grp"), "id", "q")
+          .select("id").as[Long].collect().toSet
+        val expect = rows.groupBy(_._2).values.map { g =>
+          g.minBy(r => (-r._3, r._1))._1
+        }.toSet
+        assert(out == expect)
+      }
+    }
+  }
+
+  test("shuffleDeterministic equals the naive global (md5, key) rank") {
+    val keys: Gen[List[Long]] =
+      Gen.listOfN(20, Gen.chooseNum(0L, 1000000L))
+    forAll(keys) { ks =>
+      whenever(ks.distinct.size == ks.size && ks.nonEmpty) {
+        val df = ks.toDF("id")
+        val out = Extensions.shuffleDeterministic(df, "id")
+          .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+        def hex(k: Long) = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(k.toString.getBytes("UTF-8"))
+          d.map("%02x".format(_)).mkString
+        }
+        val expect = ks.sortBy(k => (hex(k), k)).zipWithIndex
+          .map { case (k, i) => k -> i.toLong }.toMap
+        assert(out == expect)
+      }
+    }
+  }
+
   test("simhash is permutation-invariant over tokens") {
     forAll(Gen.listOfN(10, Gen.oneOf("spark", "scan", "join", "sort",
       "hash", "merge"))) { toks =>
