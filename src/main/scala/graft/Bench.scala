@@ -50,7 +50,12 @@ object Bench {
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // headline fields lead (head-anchored parsers) AND repeat at the end:
+    // bounded tail captures truncate the FRONT of this line, so the
+    // summary must also sit last to survive them. Duplicate keys are
+    // valid JSON (json.loads keeps the last occurrence — same values).
+    val head = s""""metric":"total","value":$total,"unit":"sec""""
+    println(s"""{$head,"queries":$qs,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},$head}""")
     spark.stop()
   }
 }

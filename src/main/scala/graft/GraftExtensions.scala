@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BottomK, DotF32, SimHash64}
+import graft.functions.{BottomK, DotF32, MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point — the production route to the
   * library's custom Catalyst functions. Users add
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("dot_f32", exprs, 2)
         DotF32(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      // arity + foldable-literal k/seed validation lives in fromExprs
+      (exprs: Exprs) => MinHashSig.fromExprs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),

@@ -213,7 +213,8 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
-    // ── MinHash-LSH near-dup pairs (seeded LSH → not SQL-expressible).
+    // ── MinHash near-dup pairs (native MinHashSig expression; seeded
+    // hashing → not SQL-expressible, rows-only).
     // Sample-bounded like ngram_jaccard: this synthetic corpus draws from
     // a tiny vocabulary, so nearly ALL pairs collide at Jaccard 0.5 and
     // the join degenerates to all-pairs distance scoring — a corpus

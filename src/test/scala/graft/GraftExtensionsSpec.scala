@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SparkSessionExtensions wiring must make simhash64 / dot_f32 /
-  * bottom_k available in SQL on a session built with the extension —
-  * no per-session register() calls.
+  * minhash_sig / bottom_k available in SQL on a session built with the
+  * extension — no per-session register() calls.
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions injects the three custom functions") {
+  test("GraftExtensions injects the four custom functions") {
     val base = TestSpark.spark
     // expected simhash from the explicitly-registered path
     graft.functions.SimHash64.register(base)
@@ -36,6 +36,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT bottom_k(x, 2) FROM VALUES (3L), (1L), (2L) t(x)")
         .head().getSeq[Long](0)
       assert(bk == Seq(1L, 2L))
+      val mh = s2.sql("SELECT minhash_sig(array('a', 'b'), 4, 42) AS s")
+        .head().getSeq[Long](0)
+      assert(mh.length == 4)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
