@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def allSpecs: Seq[QuerySpec] =
     Relational.catalog ++ TpchQueries.catalog ++ ExtensionQueries.catalog ++
-      MLQueries.catalog
+      MLQueries.catalog ++ AnalyticsQueries.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,253 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics and data-maintenance operators: conversion
+  * funnels, cohort retention, CDC-style merge/upsert, weighted
+  * sampling, embedding quantization, PageRank. Everything here is a
+  * declarative DataFrame plan (Catalyst optimizes, AQE re-plans) and
+  * each operator's scaladoc states its shuffle shape — the property
+  * that decides whether it survives 100 TB.
+  *
+  * Extends the reference's analytics surface (its widest aggregation
+  * is groupBy/agg, reference: src/data_processing.py:71-93) with the
+  * event-funnel / retention / merge shapes a production analytics
+  * engine is expected to answer.
+  */
+object Analytics {
+
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input uses reserved internal column name(s): ${clash.mkString(", ")}")
+  }
+
+  /** Strict ordered conversion funnel: for each user, step i counts as
+    * reached only by an event of `steps(i)` STRICTLY AFTER the user's
+    * step-(i−1) completion time (and within `deadlineSeconds` of it,
+    * when given). Returns one row per step: (step, event_type,
+    * users_reached).
+    *
+    * Shuffle shape: ONE hash exchange on `userCol`. Each step is a
+    * conditional-min window over the same user partitioning, so
+    * Catalyst stacks the WindowExecs on a single exchange; the
+    * per-user collapse reuses that partitioning (no second shuffle),
+    * and the final per-step rollup exchanges |steps| rows per
+    * partition. No joins, no self-unions — at 1000 executors the cost
+    * is one pass over events plus one tiny rollup.
+    *
+    * `tsCol` must cast to a numeric epoch (the library convention is
+    * epoch seconds — [[Tables.events]]' `ts` qualifies).
+    */
+  def funnel(ev: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], deadlineSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    requireNoReserved(ev, steps.indices.map(i => s"__s$i") :+ "__t")
+    val w = Window.partitionBy(userCol)
+    var df = ev.select(col(userCol), col(typeCol),
+      col(tsCol).cast("long").as("__t"))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val base = col(typeCol) === lit(st)
+      val cond =
+        if (i == 0) base
+        else {
+          val after = base && col("__t") > col(s"__s${i - 1}")
+          deadlineSeconds
+            .map(dl => after && col("__t") <= col(s"__s${i - 1}") + lit(dl))
+            .getOrElse(after)
+        }
+      df = df.withColumn(s"__s$i", min(when(cond, col("__t"))).over(w))
+    }
+    val aggs = steps.indices.map(i => max(col(s"__s$i")).as(s"__s$i"))
+    val perUser = df.groupBy(userCol).agg(aggs.head, aggs.tail: _*)
+    val stepStructs = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("step"), lit(st).as("event_type"),
+        col(s"__s$i").isNotNull.cast("long").as("r"))
+    }
+    perUser.select(explode(array(stepStructs: _*)).as("__x"))
+      .groupBy(col("__x.step").as("step"),
+        col("__x.event_type").as("event_type"))
+      .agg(sum(col("__x.r")).as("users_reached"))
+  }
+
+  /** Cohort retention: users are cohorted by the bucket (default:
+    * day) of their first event in `ev`, and each (cohort, offset)
+    * cell counts users active `offset` buckets after their cohort
+    * bucket. Pre-filter `ev` to the activity that defines "active"
+    * (e.g. purchases only). Returns (cohort_bucket, bucket_offset,
+    * active_users).
+    *
+    * Shuffle shape: one exchange on `userCol` (first-bucket window +
+    * the per-(user, bucket) distinct reuse it via partial aggregation),
+    * then one exchange on (cohort, offset) for the cell counts —
+    * cardinality ≤ buckets², independent of user count.
+    */
+  def cohortRetention(ev: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    requireNoReserved(ev, Seq("__u", "__b", "__cb"))
+    val base = ev.select(col(userCol).as("__u"),
+      (col(tsCol).cast("long") / bucketSeconds).cast("long").as("__b"))
+    base
+      .withColumn("__cb", min("__b").over(Window.partitionBy("__u")))
+      .select("__u", "__cb", "__b").distinct()
+      .groupBy(col("__cb").as("cohort_bucket"),
+        (col("__b") - col("__cb")).as("bucket_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** CDC-style MERGE (upsert + optional delete): rows of `updates`
+    * overwrite matching `target` rows column-by-column (update columns
+    * may be a subset of the target's — unmentioned columns keep their
+    * target values), unmatched update rows insert, and update rows
+    * with `deleteCol = true` delete the matching target row. The
+    * semantics of `MERGE INTO target USING updates ON keys WHEN
+    * MATCHED [AND del] THEN DELETE / WHEN MATCHED THEN UPDATE SET ... /
+    * WHEN NOT MATCHED THEN INSERT`, as one declarative plan.
+    *
+    * Shuffle shape: a single full-outer hash join on `keyCols` — both
+    * sides exchange once on the key; when `updates` is small (the
+    * normal CDC case) AQE downgrades its side to a broadcast. No
+    * windows, no row_number — at 100 TB the merge costs what the one
+    * join costs.
+    *
+    * Key columns must be non-null on both sides (MERGE semantics —
+    * enforced by the null-safe join only pairing genuine key matches).
+    */
+  def mergeUpsert(target: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val dataCols = target.columns.filterNot(keyCols.contains).toSeq
+    val updData = updates.columns.filterNot(keyCols.contains)
+      .filterNot(c => deleteCol.contains(c)).toSeq
+    require(updData.forall(dataCols.contains),
+      s"update columns not in target: ${updData.filterNot(dataCols.contains).mkString(", ")}")
+    val t = target.as("__mt")
+    val u = updates.as("__mu")
+    val cond = keyCols.map(k => col(s"__mt.$k") <=> col(s"__mu.$k"))
+      .reduce(_ && _)
+    val joined = t.join(u, cond, "full_outer")
+    val present = col(s"__mu.${keyCols.head}").isNotNull
+    val kept = deleteCol match {
+      case Some(d) =>
+        joined.filter(!(present && coalesce(col(s"__mu.$d"), lit(false))))
+      case None => joined
+    }
+    val outKey = keyCols.map(k =>
+      coalesce(col(s"__mt.$k"), col(s"__mu.$k")).as(k))
+    val outData = dataCols.map { c =>
+      if (updData.contains(c))
+        when(present, col(s"__mu.$c")).otherwise(col(s"__mt.$c")).as(c)
+      else col(s"__mt.$c").as(c)
+    }
+    kept.select(outKey ++ outData: _*)
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis exponential ranks): keeps the `n` rows with
+    * the smallest `−ln(u)/w`, where `u ∈ (0, 1]` derives from
+    * `md5(key)` — so the sample is a pure function of the keys, stable
+    * across partitionings and re-runs, and each row's inclusion odds
+    * are proportional to its weight.
+    *
+    * u uses 13 hex digits = 52 bits: exactly representable in a
+    * double, so an oracle recomputing it via BIGINT→DOUBLE gets the
+    * identical value. Rows with weight ≤ 0 are excluded (zero odds).
+    *
+    * Shuffle shape: no global sort — `orderBy(...).limit(n)` plans as
+    * TakeOrderedAndProject (per-partition top-n, then a driver-side
+    * merge of n·partitions candidates).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    requireNoReserved(df, Seq("__score"))
+    val u = (conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 13), 16, 10).cast("double") + 1.0) / 4503599627370496.0 // 2^52
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("__score", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__score"), col(keyCol))
+      .limit(n)
+      .drop("__score")
+  }
+
+  /** Symmetric int8 scalar quantization of an embedding column, with
+    * per-vector reconstruction diagnostics: `quant_scale` (= amax/127),
+    * an integer `q_checksum` (sum of the quantized codes — an exact,
+    * engine-independent fingerprint of the full code vector), and the
+    * max absolute reconstruction error. The all-zero vector quantizes
+    * to all-zero codes (scale 0).
+    *
+    * Shuffle shape: pure projection — array HOFs (`transform` /
+    * `zip_with` / `aggregate`) stay inside whole-stage codegen; no
+    * exchange at any scale. The float→double cast happens before any
+    * arithmetic so results are bit-reproducible across engines.
+    */
+  def quantizeEmbeddings(emb: DataFrame, embCol: String,
+      idCol: String): DataFrame = {
+    requireNoReserved(emb, Seq("__e", "__amax", "__scale", "__q"))
+    emb
+      .select(col(idCol), transform(col(embCol), x => x.cast("double")).as("__e"))
+      .withColumn("__amax", array_max(transform(col("__e"), x => abs(x))))
+      .withColumn("__scale", col("__amax") / 127.0)
+      .withColumn("__q", when(col("__amax") === 0.0,
+          transform(col("__e"), _ => lit(0.0)))
+        .otherwise(transform(col("__e"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            round(x / col("__scale"), 0))))))
+      .select(col(idCol),
+        size(col("__e")).as("n_dims"),
+        col("__scale").as("quant_scale"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_checksum"),
+        round(array_max(zip_with(col("__e"), col("__q"),
+          (x, q) => abs(x - q * col("__scale")))), 6).as("max_abs_err"))
+  }
+
+  /** Fixed-iteration PageRank over an edge list (damping d, uniform
+    * init, dangling mass dropped — the standard simplified recurrence
+    * `pr' = (1−d)/N + d·Σ pr(in)/outdeg(in)`). Fixed iteration count
+    * keeps the result a deterministic, oracle-checkable function of
+    * the edges; convergence-driven stopping belongs to the caller.
+    *
+    * Shuffle shape per iteration: one hash join of the rank frame with
+    * the (pre-degreed, persisted) edge frame on `src`, one aggregation
+    * exchange on `dst`, one left join back to the node set — all on
+    * node/edge keys, never materializing anything driver-side. N and
+    * the teleport term ride a broadcast 1-row aggregate. Lineage grows
+    * linearly with iterations; the persisted edge/node frames pin the
+    * expensive base so each iteration re-reads memory, not parquet.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+    val nodes = e.select(col("__src").as("id"))
+      .union(e.select(col("__dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDeg = e.join(
+        e.groupBy("__src").agg(count(lit(1)).cast("double").as("__deg")),
+        "__src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var pr = nodes.crossJoin(broadcast(nCount))
+      .select(col("id"), (lit(1.0) / col("__n")).as("pagerank"))
+    for (_ <- 1 to iters) {
+      val contribs = pr.join(eDeg, pr("id") === eDeg("__src"))
+        .select(col("__dst").as("id"),
+          (col("pagerank") / col("__deg")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__sum"))
+      pr = nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(nCount))
+        .select(col("id"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__sum"), lit(0.0))).as("pagerank"))
+    }
+    pr
+  }
+}

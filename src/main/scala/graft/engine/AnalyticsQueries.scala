@@ -1,0 +1,187 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the [[Analytics]] operators, with DuckDB oracle
+  * twins (same determinism conventions as [[Relational]]: epoch
+  * seconds, dtype-aligned casts, round only what cannot flip).
+  */
+object AnalyticsQueries {
+
+  import Tables._
+
+  private val EpochS = "epoch_us(ts)//1000000"
+
+  val catalog: Seq[QuerySpec] = Seq(
+
+    // ── strict ordered funnel with a 3-day per-step deadline: one user
+    // exchange, stacked conditional-min windows ──────────────────────────
+    QuerySpec("funnel_steps",
+      (s, d) => Analytics.funnel(events(s, d), "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"),
+          deadlineSeconds = Some(259200L))
+        .orderBy("step"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, $EpochS AS t FROM events),
+             |w1 AS (SELECT *, min(CASE WHEN event_type='signup' THEN t END)
+             |         OVER (PARTITION BY user_id) AS t1 FROM e),
+             |w2 AS (SELECT *, min(CASE WHEN event_type='view'
+             |           AND t > t1 AND t <= t1 + 259200 THEN t END)
+             |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+             |w3 AS (SELECT *, min(CASE WHEN event_type='click'
+             |           AND t > t2 AND t <= t2 + 259200 THEN t END)
+             |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+             |w4 AS (SELECT *, min(CASE WHEN event_type='purchase'
+             |           AND t > t3 AND t <= t3 + 259200 THEN t END)
+             |         OVER (PARTITION BY user_id) AS t4 FROM w3),
+             |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+             |             max(t3) AS t3, max(t4) AS t4 FROM w4 GROUP BY 1)
+             |SELECT 1 AS step, 'signup' AS event_type,
+             |       CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_reached FROM u
+             |UNION ALL SELECT 2, 'view',
+             |       CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM u
+             |UNION ALL SELECT 3, 'click',
+             |       CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM u
+             |UNION ALL SELECT 4, 'purchase',
+             |       CAST(sum(CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM u
+             |ORDER BY step""".stripMargin)),
+
+    // ── daily cohort retention over high-value purchases ────────────────
+    QuerySpec("cohort_retention",
+      (s, d) => Analytics.cohortRetention(
+          events(s, d).filter(col("event_type") === "purchase" &&
+            col("value") > 90),
+          "user_id", "ts", bucketSeconds = 86400L)
+        .orderBy("cohort_bucket", "bucket_offset"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, ($EpochS)//86400 AS b FROM events
+             |  WHERE event_type = 'purchase' AND value > 90),
+             |f AS (SELECT *, min(b) OVER (PARTITION BY user_id) AS cb FROM e),
+             |d AS (SELECT DISTINCT user_id, cb, b FROM f)
+             |SELECT cb AS cohort_bucket, (b - cb) AS bucket_offset,
+             |       count(*)::BIGINT AS active_users
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── CDC merge: price-bump updates on every 10th order (deleting
+    // key%100=7), inserts keyed +10M — one full-outer join ───────────────
+    QuerySpec("merge_upsert",
+      (s, d) => {
+        val o = orders(s, d)
+        val updates = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 100.0).as("o_totalprice"),
+            lit("U").as("o_orderstatus"),
+            (col("o_orderkey") % 100 === 7).as("del"))
+          .unionAll(o.filter(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_totalprice"), lit("I").as("o_orderstatus"),
+              lit(false).as("del")))
+        Analytics.mergeUpsert(o, updates, Seq("o_orderkey"),
+            deleteCol = Some("del"))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH upd AS (
+             |  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             |         'U' AS o_orderstatus, (o_orderkey % 100 = 7) AS del
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_totalprice, 'I', false
+             |  FROM orders WHERE o_orderkey % 1000 = 1),
+             |m AS (
+             |  SELECT coalesce(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+             |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+             |              ELSE t.o_totalprice END AS o_totalprice,
+             |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+             |              ELSE t.o_orderstatus END AS o_orderstatus,
+             |         t.o_custkey, coalesce(u.del, false) AS del
+             |  FROM orders t FULL OUTER JOIN upd u USING (o_orderkey))
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM m WHERE NOT del ORDER BY o_orderkey""".stripMargin)),
+
+    // ── deterministic weighted sample (Efraimidis–Spirakis, md5-derived
+    // uniforms — 52-bit so the BIGINT→DOUBLE oracle is lossless) ─────────
+    QuerySpec("weighted_sample",
+      (s, d) => Analytics.weightedSample(
+          orders(s, d), "o_orderkey", "o_totalprice", n = 100)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_totalprice,
+             |         -ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 13))::BIGINT + 1)
+             |             / 4503599627370496.0) / o_totalprice AS score
+             |  FROM orders WHERE o_totalprice > 0)
+             |SELECT o_orderkey, o_totalprice FROM (
+             |  SELECT * FROM w ORDER BY score, o_orderkey LIMIT 100)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── int8 embedding quantization: projection-only HOFs; integer code
+    // checksum is the engine-independent fingerprint ─────────────────────
+    QuerySpec("embed_quantize",
+      (s, d) => Analytics.quantizeEmbeddings(embeddings(s, d),
+          "embedding", "vec_id")
+        .orderBy("vec_id"),
+      Some("""WITH q AS (
+             |  SELECT vec_id, len(embedding)::INT AS n_dims,
+             |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax,
+             |         list_transform(embedding, x -> x::DOUBLE) AS e
+             |  FROM embeddings),
+             |z AS (
+             |  SELECT vec_id, n_dims, amax / 127.0 AS scale,
+             |         CASE WHEN amax = 0 THEN list_transform(e, x -> 0.0)
+             |              ELSE list_transform(e, x -> greatest(-127.0,
+             |                least(127.0, round(x / (amax/127.0), 0)))) END AS qv,
+             |         e
+             |  FROM q)
+             |SELECT vec_id, n_dims, scale AS quant_scale,
+             |       CAST(list_sum(list_transform(qv, x -> x::BIGINT)) AS BIGINT) AS q_checksum,
+             |       round(list_max(list_transform(list_zip(e, qv),
+             |         p -> abs(p[1] - p[2] * scale))), 6) AS max_abs_err
+             |FROM z ORDER BY vec_id""".stripMargin)),
+
+    // ── 3-iteration PageRank over the bipartite customer↔supplier graph
+    // (supplier ids offset into a disjoint space; both directions so no
+    // node is dangling) ──────────────────────────────────────────────────
+    QuerySpec("pagerank_fixed",
+      (s, d) => {
+        val pairs = orders(s, d).filter(col("o_orderkey") % 20 === 0)
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("s"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+        Analytics.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+          .select(col("id").as("node_id"), round(col("pagerank"), 9)
+            .as("pagerank"))
+          .orderBy("node_id")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |  WHERE o.o_orderkey % 20 = 0),
+             |edges AS (SELECT c AS src, s AS dst FROM pairs
+             |          UNION ALL SELECT s, c FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+             |outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+             |pr0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS pr FROM nodes),
+             |it1 AS (SELECT n.id, 0.15/(SELECT n FROM nn) + 0.85*coalesce(s.c, 0.0) AS pr
+             |        FROM nodes n LEFT JOIN (
+             |          SELECT e.dst AS id, sum(p.pr/d.deg) AS c FROM pr0 p
+             |          JOIN edges e ON p.id = e.src
+             |          JOIN outdeg d ON e.src = d.src GROUP BY 1) s ON n.id = s.id),
+             |it2 AS (SELECT n.id, 0.15/(SELECT n FROM nn) + 0.85*coalesce(s.c, 0.0) AS pr
+             |        FROM nodes n LEFT JOIN (
+             |          SELECT e.dst AS id, sum(p.pr/d.deg) AS c FROM it1 p
+             |          JOIN edges e ON p.id = e.src
+             |          JOIN outdeg d ON e.src = d.src GROUP BY 1) s ON n.id = s.id),
+             |it3 AS (SELECT n.id, 0.15/(SELECT n FROM nn) + 0.85*coalesce(s.c, 0.0) AS pr
+             |        FROM nodes n LEFT JOIN (
+             |          SELECT e.dst AS id, sum(p.pr/d.deg) AS c FROM it2 p
+             |          JOIN edges e ON p.id = e.src
+             |          JOIN outdeg d ON e.src = d.src GROUP BY 1) s ON n.id = s.id)
+             |SELECT id AS node_id, round(pr, 9) AS pagerank FROM it3
+             |ORDER BY node_id""".stripMargin))
+  )
+}

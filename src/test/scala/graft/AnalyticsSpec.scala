@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Analytics
+
+/** Semantic laws for the Analytics family: funnel ordering/deadline,
+  * retention offsets, MERGE semantics, weighted-sample determinism and
+  * bias, quantization reconstruction bounds, PageRank mass
+  * conservation and ranking.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val ev = Seq(
+      // u1: a -> b in order
+      (1L, "a", 100L), (1L, "b", 200L),
+      // u2: b BEFORE a — must not count for step 2
+      (2L, "b", 100L), (2L, "a", 200L),
+      // u3: a only
+      (3L, "a", 100L),
+      // u4: a and b at the SAME time — strict > excludes b
+      (4L, "a", 100L), (4L, "b", 100L)
+    ).toDF("user_id", "event_type", "t")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "t", Seq("a", "b"))
+      .orderBy("step")
+      .select("users_reached").as[Long].collect()
+    assert(out.toSeq == Seq(4L, 1L))
+  }
+
+  test("funnel deadline excludes steps completed too late") {
+    val ev = Seq(
+      (1L, "a", 100L), (1L, "b", 150L),  // within 100s
+      (2L, "a", 100L), (2L, "b", 300L)   // 200s later — too late
+    ).toDF("user_id", "event_type", "t")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "t",
+        Seq("a", "b"), deadlineSeconds = Some(100L))
+      .orderBy("step").select("users_reached").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 1L))
+    // a later in-deadline retry still counts: first a at 100, b at 300
+    // misses, but a SECOND a at 250 does not reset (min rule: step 1
+    // anchors at the user's FIRST step-1 event)
+    val retry = Seq((3L, "a", 100L), (3L, "a", 250L), (3L, "b", 300L))
+      .toDF("user_id", "event_type", "t")
+    val r = Analytics.funnel(retry, "user_id", "event_type", "t",
+        Seq("a", "b"), deadlineSeconds = Some(100L))
+      .orderBy("step").select("users_reached").as[Long].collect()
+    assert(r.toSeq == Seq(1L, 0L))
+  }
+
+  test("cohort retention buckets users by first event and offsets") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0 * day + 10), (1L, 2 * day + 10),          // cohort 0: active d0, d2
+      (2L, 0 * day + 20),                              // cohort 0: d0 only
+      (3L, 1 * day + 30), (3L, 1 * day + 40), (3L, 2 * day)  // cohort 1: d0(dup), d1
+    ).toDF("user_id", "t")
+    val out = Analytics.cohortRetention(ev, "user_id", "t", day)
+      .orderBy("cohort_bucket", "bucket_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("mergeUpsert: update wins, insert appears, delete removes, " +
+      "unmentioned columns keep target values") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "price")
+    val updates = Seq(
+      (2L, 25.0, false),  // update price only — name must stay "b"
+      (3L, 0.0, true),    // delete
+      (9L, 90.0, false)   // insert (name null — not in update schema)
+    ).toDF("k", "price", "del")
+    val out = Analytics.mergeUpsert(target, updates, Seq("k"), Some("del"))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L))
+    val byK = out.map(r => r.getLong(0) ->
+      (Option(r.getString(1)), r.getDouble(2))).toMap
+    assert(byK(1L) == (Some("a"), 10.0))   // untouched
+    assert(byK(2L) == (Some("b"), 25.0))   // price updated, name kept
+    assert(byK(9L) == (None, 90.0))        // inserted; name has no source
+  }
+
+  test("weightedSample is deterministic across partitionings and " +
+      "near-certainly includes a dominating weight") {
+    val df = spark.range(1000L).select(col("id"),
+      when(col("id") === 7L, lit(1e9)).otherwise(lit(1.0)).as("w"))
+    val a = Analytics.weightedSample(df, "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    val b = Analytics.weightedSample(df.repartition(13), "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size == 50)
+    assert(a.contains(7L)) // P[exclusion] ≈ (score ~1e-9 ranking below 50/1000) ≈ 0
+    // zero/negative weights never sampled
+    val z = Analytics.weightedSample(
+      Seq((1L, 0.0), (2L, -1.0), (3L, 5.0)).toDF("id", "w"), "id", "w", 3)
+      .select("id").as[Long].collect().toSeq
+    assert(z == Seq(3L))
+  }
+
+  test("quantizeEmbeddings: error bounded by scale/2, zero vector safe, " +
+      "checksum reflects the code vector") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(127.0f, -127.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Analytics.quantizeEmbeddings(emb, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    val r1 = rows(0)
+    val scale1 = r1.getDouble(2)
+    assert(math.abs(scale1 - 1.0 / 127.0) < 1e-15)
+    // every in-range value reconstructs within half a quantization step
+    assert(r1.getDouble(4) <= scale1 / 2 + 1e-12)
+    // codes: 1.0→127, -0.5→-63 or -64, 0.25→31 or 32, 0→0; checksum in range
+    val cks1 = r1.getLong(3)
+    assert(cks1 >= 127L - 64 + 31 && cks1 <= 127L - 63 + 32)
+    val r2 = rows(1)
+    assert(r2.getDouble(2) == 0.0 && r2.getLong(3) == 0L &&
+      r2.getDouble(4) == 0.0)
+    val r3 = rows(2)
+    assert(r3.getLong(3) == 127L - 127 + 1 + 0)
+  }
+
+  test("pageRank: mass conserved on a dangling-free graph; star center " +
+      "outranks leaves; deterministic") {
+    // undirected star: center 0 <-> leaves 1..5
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = (pairs.map { case (c, l) => (c, l) } ++
+      pairs.map { case (c, l) => (l, c) }).toDF("src", "dst")
+    val pr = Analytics.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(0L) > pr(1L) * 3)
+    (1L to 5L).foreach(l => assert(math.abs(pr(l) - pr(1L)) < 1e-12))
+    val again = Analytics.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr == again)
+  }
+}

@@ -229,4 +229,28 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.exists(_.contains("*(")),
       s"simhash projection not codegen'd:\n$plan")
   }
+
+  test("funnel windows stack on ONE user exchange (+ the tiny step rollup)") {
+    val plan = executedPlan(SparkEntry.queries("funnel_steps")(spark, sf))
+    val userExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected 1 user_id exchange, got $userExchanges:\n$plan")
+  }
+
+  test("embed_quantize is projection-only: no exchange at any scale") {
+    // the catalog entry adds an orderBy for the comparator; the OPERATOR
+    // itself must not exchange
+    val df = graft.engine.Analytics.quantizeEmbeddings(
+      graft.engine.Tables.embeddings(spark, sf), "embedding", "vec_id")
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"), s"plan was:\n$plan")
+  }
+
+  test("weighted_sample plans per-partition top-n, not a global sort") {
+    val df = graft.engine.Analytics.weightedSample(
+      graft.engine.Tables.orders(spark, sf), "o_orderkey", "o_totalprice", 100)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
 }
