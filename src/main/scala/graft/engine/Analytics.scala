@@ -110,31 +110,55 @@ object Analytics {
     *
     * Shuffle shape: a single full-outer hash join on `keyCols` — both
     * sides exchange once on the key; when `updates` is small (the
-    * normal CDC case) AQE downgrades its side to a broadcast. No
-    * windows, no row_number — at 100 TB the merge costs what the one
-    * join costs.
+    * normal CDC case) AQE downgrades its side to a broadcast. The
+    * multi-match guard is a count window on the update side over the
+    * same key partitioning, so it rides the exchange the join already
+    * pays — no extra shuffle, no row_number over the target.
     *
-    * Key columns must be non-null on both sides (MERGE semantics —
-    * enforced by the null-safe join only pairing genuine key matches).
+    * ANSI MERGE semantics, including the edges: a NULL key never
+    * matches (`ON t.k = u.k`), so NULL-keyed update rows insert and
+    * NULL-keyed target rows pass through unchanged; and if more than
+    * one update row matches the same target row the merge raises at
+    * execution time (SQL's "MERGE ... matched by multiple source
+    * rows" error) rather than silently fanning the target row out.
+    * Duplicate-keyed update rows that match no target row all insert,
+    * as in SQL.
     */
   def mergeUpsert(target: DataFrame, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    requireNoReserved(target, Seq("__mu_present", "__mu_dups"))
+    requireNoReserved(updates, Seq("__mu_present", "__mu_dups"))
     val dataCols = target.columns.filterNot(keyCols.contains).toSeq
     val updData = updates.columns.filterNot(keyCols.contains)
       .filterNot(c => deleteCol.contains(c)).toSeq
     require(updData.forall(dataCols.contains),
       s"update columns not in target: ${updData.filterNot(dataCols.contains).mkString(", ")}")
     val t = target.as("__mt")
-    val u = updates.as("__mu")
-    val cond = keyCols.map(k => col(s"__mt.$k") <=> col(s"__mu.$k"))
+    // Marker + per-key multiplicity ride the update side; the window's
+    // key partitioning is the join's, so Catalyst plans one exchange.
+    val u = updates
+      .withColumn("__mu_present", lit(true))
+      .withColumn("__mu_dups", count(lit(1)).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+      .as("__mu")
+    val cond = keyCols.map(k => col(s"__mt.$k") === col(s"__mu.$k"))
       .reduce(_ && _)
     val joined = t.join(u, cond, "full_outer")
-    val present = col(s"__mu.${keyCols.head}").isNotNull
+    val present = col(s"__mu.__mu_present").isNotNull
+    // Matched ⇒ both sides real (join cond guarantees non-null keys).
+    val multiMatch = present && col(s"__mt.${keyCols.head}").isNotNull &&
+      col(s"__mu.__mu_dups") > lit(1L)
+    val guarded = joined.filter(
+      when(multiMatch, raise_error(concat(
+          lit("mergeUpsert: multiple update rows match target key ("),
+          concat_ws(",", keyCols.map(k => col(s"__mu.$k").cast("string")): _*),
+          lit(") — dedup updates to one row per key first"))))
+        .otherwise(lit(true)))
     val kept = deleteCol match {
       case Some(d) =>
-        joined.filter(!(present && coalesce(col(s"__mu.$d"), lit(false))))
-      case None => joined
+        guarded.filter(!(present && coalesce(col(s"__mu.$d"), lit(false))))
+      case None => guarded
     }
     val outKey = keyCols.map(k =>
       coalesce(col(s"__mt.$k"), col(s"__mu.$k")).as(k))
@@ -156,6 +180,13 @@ object Analytics {
     * u uses 13 hex digits = 52 bits: exactly representable in a
     * double, so an oracle recomputing it via BIGINT→DOUBLE gets the
     * identical value. Rows with weight ≤ 0 are excluded (zero odds).
+    *
+    * PRECONDITION: `keyCol` must be unique. Duplicate keys share the
+    * same (score, key) sort value, so which duplicate survives a
+    * `limit(n)` boundary would depend on partition order — the
+    * determinism guarantee holds only for unique keys. (A generic
+    * whole-row tiebreak is not possible here: the frame may carry
+    * map-typed columns, which Spark can neither order nor hash.)
     *
     * Shuffle shape: no global sort — `orderBy(...).limit(n)` plans as
     * TakeOrderedAndProject (per-partition top-n, then a driver-side
@@ -220,6 +251,11 @@ object Analytics {
     * the teleport term ride a broadcast 1-row aggregate. Lineage grows
     * linearly with iterations; the persisted edge/node frames pin the
     * expensive base so each iteration re-reads memory, not parquet.
+    *
+    * Caching contract (same as [[Extensions.minhashNearDupsMLlib]] /
+    * [[Extensions.annBucketed]]): the node/edge persists live until the
+    * session drops them — call `spark.catalog.clearCache()` when done
+    * with the returned ranks to release them.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {

@@ -138,8 +138,16 @@ object Extensions {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxJaccardDist: Double = 0.8, numHashTables: Int = 3,
       seed: Long = 42L): DataFrame = {
+    // "" is not a token (split("", " ") yields [""]): without stripping
+    // it, every empty/whitespace-only doc shares that token, collides on
+    // every band, AND survives the exact rescore — O(m²) output on a
+    // corpus with m empty docs. Empty-token-set docs can never emit a
+    // pair (the rescore needs a nonzero intersection), so drop them
+    // before signing; [[dedupExact]] is the operator that pairs
+    // byte-identical (incl. empty) texts.
     val toks = docs.select(col(idCol),
-      array_distinct(tokens(col(textCol))).as("__toks"))
+      array_remove(array_distinct(tokens(col(textCol))), "").as("__toks"))
+      .filter(size(col("__toks")) > 0)
     val sig = toks.select(col(idCol),
       graft.functions.MinHashSig.minhashSig(col("__toks"), numHashTables, seed)
         .as("__sig"))

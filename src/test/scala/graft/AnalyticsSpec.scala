@@ -83,6 +83,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byK(9L) == (None, 90.0))        // inserted; name has no source
   }
 
+  test("mergeUpsert: multiple update rows matching one target key raise; " +
+      "duplicate-keyed pure inserts do not") {
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+    val dupMatched = Seq((2L, 21.0), (2L, 22.0)).toDF("k", "price")
+    val ex = intercept[Exception] {
+      Analytics.mergeUpsert(target, dupMatched, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("multiple update rows"))
+    // duplicate keys that match NO target row are plain inserts (SQL
+    // MERGE does not error on those) — both rows land
+    val dupInserts = Seq((9L, 90.0), (9L, 91.0)).toDF("k", "price")
+    val out = Analytics.mergeUpsert(target, dupInserts, Seq("k"))
+      .orderBy("k", "price").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10.0), (2L, 20.0), (9L, 90.0), (9L, 91.0)))
+  }
+
+  test("mergeUpsert: NULL keys never match — null-keyed updates insert, " +
+      "null-keyed target rows pass through") {
+    val target = Seq((Some(1L), 10.0), (None, 99.0))
+      .toDF("k", "price")
+    val updates = Seq((Option.empty[Long], 55.0)).toDF("k", "price")
+    val out = Analytics.mergeUpsert(target, updates, Seq("k"))
+      .orderBy(col("k").asc_nulls_first, col("price"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getDouble(1))).toSeq
+    // target's null-key row keeps 99.0; the null-key update INSERTS 55.0
+    assert(out == Seq((None, 55.0), (None, 99.0), (Some(1L), 10.0)))
+  }
+
   test("weightedSample is deterministic across partitionings and " +
       "near-certainly includes a dominating weight") {
     val df = spark.range(1000L).select(col("id"),

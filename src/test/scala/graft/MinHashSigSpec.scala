@@ -83,6 +83,18 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("native near-dups: empty docs never pair (no all-sentinel band " +
+      "collisions)") {
+    // m empty docs share the identical all-sentinel signature — without
+    // the pre-signature filter they form O(m²) candidate pairs
+    val docs = ((1L to 20L).map(i => (i, "")) :+ (21L, "alpha beta") :+
+      (22L, "alpha beta")).toDF("doc_id", "text")
+    val pairs = Extensions.minhashNearDups(docs, "text", "doc_id",
+        maxJaccardDist = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((21L, 22L)))
+  }
+
   test("native and MLlib forms agree on near-identical pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
