@@ -38,7 +38,12 @@ object Bench {
     // failed queries record duration -1 (sentinel) and land in "errors" —
     // a fast failure must never masquerade as a fast success in the
     // recorded baseline
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c times a subset (local iteration only — the
+    // driver and BASELINE.md always run the full catalog).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

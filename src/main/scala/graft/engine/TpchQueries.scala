@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic TPC-H-shaped analytics over the testdata star schema, plus
@@ -656,22 +657,26 @@ object TpchQueries {
     // 60+ days after the order date (no receipt/commit dates here). ─────
     QuerySpec("tpch_q21",
       (s, d) => {
-        val late = lineitem(s, d)
-          .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+        // Single lineitem scan: EXISTS/NOT-EXISTS over same-order pairs
+        // collapse to per-order counts — a late (order, supplier) pair
+        // qualifies iff the order has another supplier (n_supp > 1) and
+        // no OTHER late one (n_late = 1). The pair agg hashes on
+        // (orderkey, suppkey); the per-order rollup rides a window over
+        // the far smaller pair frame, not a second lineitem pass.
+        val pairs = lineitem(s, d)
+          .join(orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
             col("o_orderkey") === col("l_orderkey"))
-          .filter(col("l_shipdate") >
-            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select("l_orderkey", "l_suppkey").distinct()
-        val others = lineitem(s, d)
-          .select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
-          .distinct()
-        val lateOthers = late
-          .select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
-        late
-          .join(others, col("o_key") === col("l_orderkey")
-            && col("o_supp") =!= col("l_suppkey"), "left_semi")
-          .join(lateOthers, col("o_key") === col("l_orderkey")
-            && col("o_supp") =!= col("l_suppkey"), "left_anti")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L)).as("late"))
+        val w = Window.partitionBy("l_orderkey")
+        pairs
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late", sum(col("late")).over(w))
+          .filter(col("late") === 1L && col("n_supp") > 1L &&
+            col("n_late") === 1L)
           .groupBy("l_suppkey")
           .agg(count(lit(1)).as("numwait"))
           .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))

@@ -35,15 +35,28 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // Convergence certificate: every step takes a min, so each node's
+    // label is monotone non-increasing — the label SUM strictly
+    // decreases until the fixpoint, and an unchanged sum ⇒ no label
+    // changed. A one-row aggregate over the just-checkpointed frame
+    // replaces a join-based changed-count: one fewer shuffle per round.
+    // decimal(38,0) keeps the sum exact (no long overflow at any n).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var converged = labels.isEmpty
+    var prevSum = if (converged) null else labelSum(labels)
     var iter = 0
     while (!converged && iter < maxIter) {
       // (1) neighbor min
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
+      // next feeds BOTH sides of the jump self-join below; checkpoint it
+      // so the neighbor-min aggregation runs once per round, not twice
+      // (AQE re-plans defeat ReuseExchange on this shape).
       val next = labels.select(col("id"), col("comp"))
         .unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
       // (2) pointer jump: comp := label(comp) — labels only decrease, so
       // this path-halving squares the propagation rate (O(log diameter)
       // rounds instead of O(diameter))
@@ -51,10 +64,10 @@ object ConnectedComponents {
       val jumped = next.join(compMap, next("comp") === compMap("__mid"), "left")
         .select(col("id"), coalesce(col("__mcomp"), col("comp")).as("comp"))
         .localCheckpoint(true) // truncate lineage each round
-      val changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
+      val curSum = labelSum(jumped)
       labels = jumped
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     sym.unpersist()
