@@ -871,6 +871,65 @@ object Extensions {
     "es" -> Seq("el", "la", "y", "de", "un", "es", "que", "con"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
 
+  /** Per-document top-k terms under tf·idf ordering, float-free: for a
+    * fixed document, tf·idf ranks identically to (tf DESC, df ASC)
+    * because idf is strictly decreasing in df — so the ranking is pure
+    * integer comparison (term as the final tiebreak), bit-reproducible
+    * on any engine, with no log() whose last-ulp could flip a rank.
+    * Returns (id, term, tf, df, term_rank ≤ k).
+    *
+    * Scale shape: one exchange on term (tf then df as a re-aggregation
+    * plus a key join), one exchange on the doc id for the top-k window
+    * — never a driver-side vocabulary (the CountVectorizer trap).
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(desc("tf"), asc("df"), asc("term"))).cast("int"))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("term_rank"))
+  }
+
+  /** Bigram language-model statistics per document: bigram count,
+    * distinct bigrams, average corpus frequency of the document's
+    * bigrams, and how many fall below `rareBelow` corpus occurrences —
+    * the n-gram-LM quality signal (a document whose bigrams are mostly
+    * corpus-rare is boilerplate-free but possibly garbled; one whose
+    * bigrams are all corpus-common is template-like). All-integer
+    * arithmetic plus long/long division — no log-probability floats, so
+    * the oracle twin is bit-identical.
+    *
+    * Scale shape: one exchange keyed on the bigram (corpus counts +
+    * join back), one on the doc id for the per-doc rollup. The bigram
+    * frame is built with slice/zip_with HOFs inside codegen — no
+    * NGram/UDF row transform.
+    */
+  def bigramStats(docs: DataFrame, textCol: String, idCol: String,
+      rareBelow: Long = 5L): DataFrame = {
+    val t = docs.select(col(idCol),
+      filter(tokens(col(textCol)), x => x =!= lit("")).as("__t"))
+    val bg = t.select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), greatest(lit(0), size(col("__t")) - 1)),
+        slice(col("__t"), lit(2), greatest(lit(0), size(col("__t")) - 1)),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val freq = bg.groupBy("bigram").agg(count(lit(1)).as("__n"))
+    bg.join(freq, "bigram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct"),
+        (sum("__n") / count(lit(1))).as("avg_bigram_freq"),
+        sum(when(col("__n") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+  }
+
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = array_distinct(tokens(col(textCol)))
     val scores = langProfiles.map { case (lang, words) =>
