@@ -388,6 +388,51 @@ object ExtensionQueries {
              |         AS repetition_ratio
              |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── per-document top-k tf·idf terms, float-free: tf·idf ranks
+    // identically to (tf DESC, df ASC) for a fixed doc, so the ranking
+    // is pure integer comparison — bit-reproducible on any engine ────────
+    QuerySpec("tfidf_top_terms",
+      (s, d) => Extensions.tfidfTopTerms(documents(s, d), "text", "doc_id",
+          k = 3)
+        .orderBy("doc_id", "term_rank"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+             |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |        row_number() OVER (PARTITION BY tf.doc_id
+             |          ORDER BY tf.tf DESC, df.df ASC, tf.term) AS term_rank
+             |      FROM tf JOIN df USING (term))
+             |SELECT doc_id, term, tf, df, term_rank::INT AS term_rank
+             |FROM r WHERE term_rank <= 3
+             |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // ── bigram LM quality stats: corpus-frequency profile of each
+    // document's bigrams, all-integer + long/long division → exact ───────
+    QuerySpec("bigram_stats",
+      (s, d) => Extensions.bigramStats(documents(s, d), "text", "doc_id",
+          rareBelow = 5L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     x -> x <> '') AS toks
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM t),
+             |freq AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1),
+             |j AS (SELECT bg.doc_id, bg.bigram, freq.n
+             |      FROM bg JOIN freq USING (bigram))
+             |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |       count(DISTINCT bigram)::BIGINT AS n_distinct,
+             |       sum(n) / count(*) AS avg_bigram_freq,
+             |       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── the full curation pipeline composed end-to-end (dedup → quality
     // filter → PII scrub → deterministic split) — ONE shuffle total;
     // the oracle replays every stage as CTEs ─────────────────────────────

@@ -115,6 +115,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(preds(2L) == "fr")
   }
 
+  test("tfidf top terms rank by tf desc then df asc, term tiebreak") {
+    val d = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val top = Extensions.tfidfTopTerms(d, "text", "doc_id", k = 2)
+      .select("doc_id", "term", "tf", "df", "term_rank")
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._5).map(_._2).toSeq }
+    // doc 1: apple tf=2 beats banana/cherry tf=1; banana df=2 < cherry df=3
+    assert(top(1L) == Seq("apple", "banana"))
+    // doc 2: banana tf=2 first; cherry tf=1 second
+    assert(top(2L) == Seq("banana", "cherry"))
+    // doc 3: tf ties at 1 — date df=1 beats cherry df=3
+    assert(top(3L) == Seq("date", "cherry"))
+  }
+
+  test("bigram stats count corpus frequency and rarity exactly") {
+    val d = Seq(
+      (1L, "a b a b"),   // bigrams: "a b", "b a", "a b"
+      (2L, "a b c"),     // bigrams: "a b", "b c"
+      (3L, "x"))         // no bigrams — must drop from output
+    .toDF("doc_id", "text")
+    val r = Extensions.bigramStats(d, "text", "doc_id", rareBelow = 2L)
+      .select("doc_id", "n_bigrams", "n_distinct", "avg_bigram_freq",
+        "n_rare")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // corpus freq: "a b" -> 3, "b a" -> 1, "b c" -> 1
+    assert(r(1L) == ((1L, 3L, 2L, (3 + 1 + 3) / 3.0, 1L)))
+    assert(r(2L) == ((2L, 2L, 2L, (3 + 1) / 2.0, 1L)))
+    assert(!r.contains(3L))
+  }
+
   test("fuzzy dedup pipeline: LSH candidates rescored exactly") {
     val pairs = Extensions.fuzzyDedupPairs(docs, "text", "doc_id",
       maxHamming = 16, n = 3, minJaccard = 0.5)

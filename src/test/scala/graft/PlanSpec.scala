@@ -170,11 +170,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
   }
 
-  test("tpch_q21 runs EXISTS/NOT-EXISTS as semi/anti joins with residuals") {
+  test("tpch_q21 folds EXISTS/NOT-EXISTS into one scan + order-key window") {
     val plan = executedPlan(SparkEntry.queries("tpch_q21")(spark, sf))
-    assert(plan.contains("LeftSemi"), s"plan was:\n$plan")
-    assert(plan.contains("LeftAnti"), s"plan was:\n$plan")
-    // the <> residual must ride the order-key equi-join, never widen
+    // single-scan form: per-order supplier/lateness counts come from ONE
+    // window over l_orderkey, not semi/anti self-joins re-scanning lineitem
+    assert(plan.contains("Window"), s"plan was:\n$plan")
+    assert(
+      "Scan parquet .*lineitem".r.findAllIn(plan).size == 1,
+      s"expected exactly one lineitem scan; plan was:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"plan was:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan was:\n$plan")
   }
 
