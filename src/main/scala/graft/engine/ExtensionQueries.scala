@@ -597,16 +597,16 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
-    // ── multimodal plumbing: binary payloads → partition-local feature
-    // extraction (decode is a deterministic stub; Spark-side plumbing is
-    // the real contract — rows-only + exact-value ScalaTest; the feature
-    // array is emitted concat_ws'd so the driver comparator can hash it)
+    // ── multimodal: REAL media bytes (BufferedImage→PNG, PCM sine→WAV,
+    // concat-PNG video) decoded with the JDK's own codecs (javax.imageio,
+    // javax.sound.sampled) in the mapPartitions batch shape. Synthesis
+    // and decode are both deterministic (StrictMath, lossless codecs) —
+    // rows-only here, exact values pinned in MultimodalSpec; the feature
+    // array is emitted concat_ws'd so the driver comparator can hash it ──
     QuerySpec("multimodal_features",
       (s, d) => {
-        import s.implicits._
-        val media = Multimodal.fromText(documents(s, d), "doc_id", "text")
-          .as[Multimodal.MediaRow]
-        Multimodal.extractFeatures(media, dim = 16)
+        val media = Multimodal.synthesizeMedia(documents(s, d), "doc_id")
+        Multimodal.extractFeatures(media)
           .toDF()
           .select(col("media_id"), col("modality"), col("n_bytes"),
             concat_ws(",",

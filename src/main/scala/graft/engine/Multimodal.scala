@@ -1,22 +1,40 @@
 package graft.engine
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (north-star scope; BASELINE.json): treat
-  * image/audio/video payloads as opaque `binary` columns with typed
-  * metadata, and run decode / feature-extraction as partition-local
-  * batch transforms.
+/** Multimodal columns (north-star scope; BASELINE.json): image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, and
+  * REAL decode + feature extraction as partition-local batch transforms.
   *
-  * The decode step is a clearly-marked deterministic STUB — the codec
-  * libraries don't exist in this container — but everything Spark-side
-  * is real and tested: the schema, the binary column handling, the
-  * `mapPartitions` batch shape (the Scala analogue of a Pandas UDF over
-  * `mapInPandas`: one iterator in, one iterator out, per partition), and
-  * the size-aware repartitioning that keeps executor memory bounded when
-  * payloads are MBs each.
+  * Codecs are the JDK's own — `javax.imageio` (PNG/JPEG/BMP/GIF) for
+  * images and `javax.sound.sampled` (WAV/PCM) for audio; no external
+  * libraries. "Video" uses a documented concatenated-PNG container
+  * (`video/x-concat-png`) so the frame-sampling path — parse container,
+  * sample first/middle/last frame, decode each, average — is real even
+  * though no MP4 demuxer ships with the JDK. Everything runs inside
+  * `mapPartitions` (the Scala analogue of a Pandas UDF over
+  * `mapInPandas`: one iterator in, one iterator out, per partition), so
+  * payload bytes never leave the executor and never hit a row-at-a-time
+  * UDF path.
+  *
+  * Determinism: synthesis uses a splitmix-style integer hash and
+  * `StrictMath` (bit-exact across JVMs); PNG is lossless and WAV is raw
+  * PCM, so decoded features are exact functions of the synthesized
+  * payload.
   */
 object Multimodal {
+
+  // BufferedImage/ImageIO need no display, but make headless explicit so
+  // executors never try to touch a windowing system; and keep ImageIO's
+  // temp-file cache off — executor-local decode should stay in memory.
+  System.setProperty("java.awt.headless", "true")
+  ImageIO.setUseCache(false)
 
   /** Typed row: payload + metadata, the schema a media lake table
     * carries per modality.
@@ -34,46 +52,239 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
-  /** Build a media table from any table with an id and a string payload
-    * (driver testdata has no real media, so documents.text doubles as
-    * payload bytes — the plumbing is identical for real codecs).
-    */
-  def fromText(docs: DataFrame, idCol: String, textCol: String,
-      modality: String = "image"): DataFrame =
-    docs.select(
-      col(idCol).as("media_id"),
-      lit(modality).as("modality"),
-      col(textCol).cast("binary").as("content"),
-      lit(s"application/x-fake-$modality").as("mime"),
-      length(col(textCol)).cast("long").as("n_bytes"))
+  // ── deterministic synthesis (test/catalog fixture: real bytes) ───────
 
-  /** STUB decode ??? — replace with a real codec (JPEG/PNG/WAV/MP4
-    * frame-sampling) when the native libs are present. Deterministic:
-    * features are a fixed-length fold of the payload bytes, so tests and
-    * oracles can rely on stable output. Signature and batch shape are
-    * the real contract.
+  /** splitmix64-style avalanche — stable pixel/sample source. */
+  private def mix(seed: Long, a: Long, b: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L * (a * 0x100000001b3L + b + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic RGB image → real PNG bytes (lossless: decode recovers
+    * the exact pixels).
     */
-  def decodeStub(content: Array[Byte], dim: Int = 16): Array[Float] = {
-    val acc = new Array[Float](dim)
+  def synthImagePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (mix(seed, x, y) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic mono 16-bit PCM sine (StrictMath — bit-exact) → real
+    * WAV bytes via `javax.sound.sampled`.
+    */
+  def synthAudioWav(seed: Long, nSamples: Int = 800,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    val freq = 200.0 + java.lang.Math.floorMod(seed, 32L) * 25.0
+    val pcm = new Array[Byte](nSamples * 2)
     var i = 0
-    while (i < content.length) {
-      acc(i % dim) += (content(i) & 0xff) / 255.0f
+    while (i < nSamples) {
+      val s = (StrictMath.sin(2.0 * StrictMath.PI * freq * i / sampleRate)
+        * 16384.0).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    acc
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
+
+  /** Concatenated-PNG "video": 4-byte big-endian frame count, then per
+    * frame a 4-byte big-endian length + PNG bytes. A real (if minimal)
+    * container — the frame-sampling decode parses it like a demuxer.
+    */
+  def synthVideoConcatPng(seed: Long, nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = synthImagePng(mix(seed, f, -1), w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Media table synthesized per id: modality cycles image/audio/video,
+    * dimensions vary with the id. Replaces the driver testdata's missing
+    * real media with REAL encoded bytes, so the decode path below is
+    * exercised end-to-end.
+    */
+  def synthesizeMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        java.lang.Math.floorMod(id, 3L) match {
+          case 0L =>
+            val b = synthImagePng(id, 12 + (id % 5).toInt, 8 + (id % 3).toInt)
+            MediaRow(id, "image", b, "image/png", b.length.toLong)
+          case 1L =>
+            val b = synthAudioWav(id, nSamples = 400 + (id % 7).toInt * 100)
+            MediaRow(id, "audio", b, "audio/wav", b.length.toLong)
+          case _ =>
+            val b = synthVideoConcatPng(id, 2 + (id % 4).toInt, 8, 6)
+            MediaRow(id, "video", b, "video/x-concat-png", b.length.toLong)
+        }
+      }
+    }
+  }
+
+  // ── real decode (JDK codecs) ─────────────────────────────────────────
+
+  /** Image decode via `javax.imageio` (PNG/JPEG/BMP/GIF).
+    * features = [width, height, bands, meanR, meanG, meanB] with channel
+    * means in 0..255.
+    */
+  def decodeImage(bytes: Array[Byte]): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    imageFeatures(img)
+  }
+
+  private def imageFeatures(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+      sr / n, sg / n, sb / n)
+  }
+
+  /** Nearest-neighbor thumbnail: decode-side resize, flattened row-major
+    * RGB means per cell (the "resize" step of the feature pipeline).
+    */
+  def thumbnail(bytes: Array[Byte], tw: Int, th: Int): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val out = new Array[Float](tw * th)
+    val w = img.getWidth; val h = img.getHeight
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        val rgb = img.getRGB(tx * w / tw, ty * h / th)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0f
+        out(ty * tw + tx) = lum
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Audio decode via `javax.sound.sampled` (WAV, 16-bit PCM).
+    * features = [sampleRate, channels, nFrames, durationSec, rms, peak]
+    * with rms/peak normalized to full scale (32768).
+    */
+  def decodeAudio(bytes: Array[Byte]): Array[Float] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var sumSq = 0.0
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val s =
+          if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+          else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+        sumSq += s.toDouble * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else StrictMath.sqrt(sumSq / n)
+      Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+        frames / fmt.getSampleRate, (rms / 32768.0).toFloat, peak / 32768.0f)
+    } finally ais.close()
+  }
+
+  /** Video decode: parse the concat-PNG container, SAMPLE up to
+    * `sampleFrames` frames (first/evenly-spaced/last — the standard
+    * frame-sampling shape), decode each with ImageIO, average.
+    * features = [nFrames, width, height, meanR, meanG, meanB] over the
+    * sampled frames.
+    */
+  def decodeVideo(bytes: Array[Byte], sampleFrames: Int = 3): Array[Float] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val nFrames = in.readInt()
+    require(nFrames > 0, "empty video container")
+    val frames = new Array[Array[Byte]](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      frames(f) = buf
+      f += 1
+    }
+    val k = math.min(sampleFrames, nFrames)
+    val picks =
+      if (k == 1) Array(0)
+      else Array.tabulate(k)(i => (i.toLong * (nFrames - 1) / (k - 1)).toInt)
+    var w = 0f; var h = 0f; var r = 0f; var g = 0f; var b = 0f
+    picks.foreach { p =>
+      val feat = decodeImage(frames(p))
+      w = feat(0); h = feat(1)
+      r += feat(3); g += feat(4); b += feat(5)
+    }
+    Array(nFrames.toFloat, w, h, r / k, g / k, b / k)
+  }
+
+  /** Modality dispatch — the single per-row decode entry point. */
+  def decode(modality: String, content: Array[Byte]): Array[Float] =
+    modality match {
+      case "image" => decodeImage(content)
+      case "audio" => decodeAudio(content)
+      case "video" => decodeVideo(content)
+      case other =>
+        throw new IllegalArgumentException(s"unknown modality: $other")
+    }
 
   /** Partition-local feature extraction: the Scala analogue of a Pandas
     * UDF over mapInPandas — batches stay inside the executor, one
     * iterator pass, no row-at-a-time UDF overhead, no driver collect.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16):
-      Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         MediaFeatures(r.media_id, r.modality, r.n_bytes,
-          decodeStub(r.content, dim))
+          decode(r.modality, r.content))
       }
     }
   }

@@ -1,47 +1,135 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{Multimodal, Tables}
 
-/** Multimodal plumbing: schema, deterministic stub decode, partition
-  * shaping. The decode itself is a stub (no codec libs in this
-  * container) — these tests pin the Spark-side contract.
+/** Multimodal: REAL JDK decode (javax.imageio / javax.sound.sampled)
+  * over synthesized real media bytes — exact-value pins on known
+  * payloads, end-to-end determinism, partition shaping.
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  lazy val media = Multimodal.fromText(
-    Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+  lazy val media = Multimodal.synthesizeMedia(
+    Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id")
 
-  test("media table carries binary payload + typed metadata") {
-    val schema = media.schema.map(f => f.name -> f.dataType.simpleString).toMap
+  test("media table carries real binary payloads + typed metadata") {
+    val df = media.toDF()
+    val schema = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
     assert(schema("content") == "binary")
     assert(schema("n_bytes") == "bigint")
-    assert(media.count() == 500)
+    assert(df.count() == 500)
+    val modalities = df.select("modality").distinct().as[String].collect().toSet
+    assert(modalities == Set("image", "audio", "video"))
+    // real containers: PNG magic / RIFF..WAVE header / frame-count prefix
+    val byMod = df.select("modality", "content")
+      .as[(String, Array[Byte])].collect().groupBy(_._1)
+    val png = byMod("image").head._2
+    assert(png.slice(1, 4).map(_.toChar).mkString == "PNG")
+    val wav = byMod("audio").head._2
+    assert(wav.slice(0, 4).map(_.toChar).mkString == "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString == "WAVE")
   }
 
-  test("feature extraction is deterministic and batch-shaped") {
-    val ds = media.as[Multimodal.MediaRow]
-    val a = Multimodal.extractFeatures(ds, dim = 16).orderBy("media_id")
-      .select("features").as[Array[Float]].head()
-    val b = Multimodal.extractFeatures(ds, dim = 16).orderBy("media_id")
-      .select("features").as[Array[Float]].head()
-    assert(a.toSeq == b.toSeq)
-    assert(a.length == 16)
-    assert(a.sum > 0f)
+  test("image decode recovers exact dimensions and channel means") {
+    // 2x1 image: pure red + pure blue → meanR = meanB = 127.5, meanG = 0
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImage(bos.toByteArray)
+    assert(f.toSeq == Seq(2f, 1f, 3f, 127.5f, 0f, 127.5f))
   }
 
-  test("decode stub folds bytes stably") {
-    val f = Multimodal.decodeStub("abcd".getBytes("UTF-8"), dim = 2)
-    // 'a'+'c' on lane 0, 'b'+'d' on lane 1, each /255
-    assert(math.abs(f(0) - (97 + 99) / 255.0f) < 1e-6)
-    assert(math.abs(f(1) - (98 + 100) / 255.0f) < 1e-6)
+  test("png round-trip: synthesized image decodes to its own pixel means") {
+    val bytes = Multimodal.synthImagePng(seed = 7L, w = 4, h = 3)
+    val f = Multimodal.decodeImage(bytes)
+    assert(f(0) == 4f && f(1) == 3f && f(2) == 3f)
+    // lossless codec: re-encoding the decoded image yields identical features
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    assert(Multimodal.decodeImage(bos.toByteArray).toSeq == f.toSeq)
+  }
+
+  test("audio decode: square wave has exact rms and peak") {
+    // hand-build 16-bit mono little-endian PCM square wave at ±16384
+    val n = 100
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val f = Multimodal.decodeAudio(bos.toByteArray)
+    // [sampleRate, channels, frames, durationSec, rms, peak]
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 100f)
+    assert(f(3) == 100f / 8000f)
+    assert(f(4) == 0.5f && f(5) == 0.5f) // |±16384|/32768 exactly
+  }
+
+  test("synthesized wav decodes with matching frame count and sane rms") {
+    val bytes = Multimodal.synthAudioWav(seed = 1L, nSamples = 400)
+    val f = Multimodal.decodeAudio(bytes)
+    assert(f(2) == 400f)
+    // a full-ish-scale sine has rms near amplitude/sqrt(2) = 0.3536
+    assert(f(4) > 0.3f && f(4) < 0.4f)
+    assert(f(5) <= 0.5f && f(5) > 0.45f)
+  }
+
+  test("video decode: frame sampling averages first/mid/last frames") {
+    // 3 solid frames: red, green, blue → sampled all 3, means = 85 each
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(solid(0xff0000), solid(0x00ff00), solid(0x0000ff))
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(3)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    val feat = Multimodal.decodeVideo(bos.toByteArray, sampleFrames = 3)
+    assert(feat(0) == 3f && feat(1) == 2f && feat(2) == 2f)
+    assert(feat(3) == 85f && feat(4) == 85f && feat(5) == 85f)
+  }
+
+  test("feature extraction is deterministic end-to-end") {
+    val a = Multimodal.extractFeatures(media).orderBy("media_id")
+      .select("features").as[Array[Float]].collect()
+    val b = Multimodal.extractFeatures(media).orderBy("media_id")
+      .select("features").as[Array[Float]].collect()
+    assert(a.length == 500)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(f => f.length == 6 && f.forall(x => !x.isNaN)))
+  }
+
+  test("thumbnail resize is exact on a solid image") {
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(x => (0 until 8).foreach(y => img.setRGB(x, y, 0x303030)))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val t = Multimodal.thumbnail(bos.toByteArray, 2, 2)
+    assert(t.length == 4 && t.forall(_ == 0x30.toFloat))
   }
 
   test("size-aware repartitioning follows bytes not rows") {
-    val out = Multimodal.repartitionBySize(media, totalBytes = 10L << 20,
-      targetBytes = 1L << 20)
+    val out = Multimodal.repartitionBySize(media.toDF(),
+      totalBytes = 10L << 20, targetBytes = 1L << 20)
     assert(out.rdd.getNumPartitions == 10)
   }
 }
