@@ -215,21 +215,40 @@ object Extensions {
     * MinHash/SimHash; this is the precise scorer on survivors.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.2): DataFrame =
+    jaccardOverShingles(docShingles(docs, textCol, idCol, n), idCol,
+      minJaccard)
+
+  /** Distinct word-n-gram shingles per document: (idCol, shingle). */
+  private def docShingles(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
     // MLlib NGram slides an iterator — O(tokens) per doc. The HOF
     // alternative (transform over sequence + slice) is O(tokens²): slice
     // copies O(len) per position, which measured 2-3s on 300 long docs.
     val ngram = new org.apache.spark.ml.feature.NGram()
       .setN(n).setInputCol("toks").setOutputCol("__shingles")
-    val shingles = ngram.transform(toks)
+    ngram.transform(toks)
       .select(col(idCol), explode(col("__shingles")).as("shingle"))
       .distinct()
+  }
+
+  /** Shingle inverted-index self-join → exact Jaccard per co-shingled
+    * pair. Factored so callers can pre-prune the shingle frame (see
+    * [[fuzzyDedupPairs]]) without changing the scoring arithmetic.
+    */
+  private def jaccardOverShingles(shingles: DataFrame, idCol: String,
+      minJaccard: Double): DataFrame = {
     val counts = shingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
     val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
     val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    scoreJaccard(inter, counts, idCol, minJaccard)
+  }
+
+  private def scoreJaccard(inter: DataFrame, counts: DataFrame,
+      idCol: String, minJaccard: Double): DataFrame =
     inter
       .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
@@ -237,28 +256,63 @@ object Extensions {
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** The production fuzzy-dedup shape: cheap LSH candidate generation
     * (SimHash bands — one projection + a band-key self-join) followed by
-    * exact n-gram Jaccard rescoring of ONLY the candidate pairs. At
-    * 100 TB the candidate set is orders of magnitude smaller than
-    * all-pairs; exactness of the final SCORE is preserved, but candidate
-    * RECALL follows [[simhashNearDups]]'s band bound: guaranteed only
-    * for pairs within hamming numBands−1, probabilistic beyond. Bands
-    * auto-widen to 8 (8-bit keys, guarantee ≤7) when maxHamming asks
-    * for more than the 4-band guarantee of ≤3; pass `numBands`
-    * explicitly to trade bucket selectivity against recall.
+    * exact n-gram Jaccard rescoring of ONLY the candidate pairs, in that
+    * order: the shingle frame is pruned to candidate documents (left-semi
+    * on both sides) BEFORE the inverted-index self-join, and the exploded
+    * pair stream is pruned to candidate pairs before aggregation — no
+    * exact-scoring work ever touches a non-candidate document. At 100 TB
+    * the candidate set is orders of magnitude smaller than all-pairs;
+    * exactness of the final SCORE is preserved, but candidate RECALL
+    * follows [[simhashNearDups]]'s band bound: guaranteed only for pairs
+    * within hamming numBands−1, probabilistic beyond. Bands auto-widen
+    * to 8 (8-bit keys, guarantee ≤7) when maxHamming asks for more than
+    * the 4-band guarantee of ≤3; pass `numBands` explicitly to trade
+    * bucket selectivity against recall.
+    *
+    * `maxShingleDf` (0 = off) is the skew guard for web-scale corpora:
+    * shingles occurring in more than that many candidate documents
+    * (stop-shingles like "of the and") are dropped from the shingle
+    * space — both from the inverted index and the per-doc counts, so the
+    * score stays a true Jaccard over the df-filtered vocabulary — which
+    * bounds the worst bucket of the self-join to maxShingleDf² instead
+    * of (corpus df)².
     */
   def fuzzyDedupPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 16, n: Int = 3, minJaccard: Double = 0.5,
-      numBands: Int = 0): DataFrame = {
+      numBands: Int = 0, maxShingleDf: Int = 0): DataFrame = {
     val bands = if (numBands > 0) numBands else if (maxHamming <= 3) 4 else 8
+    // candidates feed three consumers (both unions of candIds + the pair
+    // semi-join); persist so the band self-join runs once
     val candidates = simhashNearDups(docs, textCol, idCol, maxHamming, bands)
       .select(col("id_a"), col("id_b"))
-    val exact = ngramJaccardPairs(docs, textCol, idCol, n, minJaccard = 0.0)
-    candidates.join(exact, Seq("id_a", "id_b"))
-      .filter(col("jaccard") >= minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    // candidate-first: only candidate documents' shingles enter the
+    // inverted index (left-semi prune feeds BOTH sides of the self-join)
+    val candShingles = docShingles(docs, textCol, idCol, n)
+      .join(candIds, Seq(idCol), "left_semi")
+    val shingles =
+      if (maxShingleDf <= 0) candShingles
+      else candShingles.join(
+        candShingles.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDf)
+          .select("shingle"),
+        Seq("shingle"), "left_semi")
+    val counts = shingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
+    val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
+    // prune to candidate PAIRS before aggregation: co-shingled pairs of
+    // two candidate docs that SimHash never banded together die here,
+    // not in the agg state
+    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    scoreJaccard(inter, counts, idCol, minJaccard)
   }
 
   /** Near-dup pairs → dedup clusters → deterministic survivors: the

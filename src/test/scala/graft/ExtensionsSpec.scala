@@ -158,6 +158,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("fuzzy dedup: candidate-first plan matches corpus-wide rescoring") {
+    // the scale-safe form (prune to candidates BEFORE the shingle join)
+    // must produce exactly the pairs+scores of the naive reference form
+    // (score everything, then intersect with candidates)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 200)
+    val fast = Extensions.fuzzyDedupPairs(corpus, "text", "doc_id",
+      maxHamming = 16, n = 3, minJaccard = 0.3)
+    val cands = Extensions.simhashNearDups(corpus, "text", "doc_id", 16, 8)
+      .select("id_a", "id_b")
+    val naive = cands.join(
+        Extensions.ngramJaccardPairs(corpus, "text", "doc_id", 3,
+          minJaccard = 0.0),
+        Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= 0.3)
+    assert(keyed(fast) == keyed(naive))
+    assert(keyed(fast).nonEmpty) // the synthetic corpus is self-similar
+  }
+
+  test("fuzzy dedup: df-cap drops stop-shingles from the score space") {
+    // a no-op cap (larger than any df) changes nothing...
+    val base = Extensions.fuzzyDedupPairs(docs, "text", "doc_id",
+      maxHamming = 16, minJaccard = 0.5, maxShingleDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(base.contains((1L, 4L)) && base((1L, 4L)) == 1.0)
+    // ...while a tight cap removes corpus-wide shingles but keeps the
+    // identical pair (its shingles all have df<=3 here) at jaccard 1.0
+    val capped = Extensions.fuzzyDedupPairs(docs, "text", "doc_id",
+      maxHamming = 16, minJaccard = 0.5, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.contains((1L, 4L)) && capped((1L, 4L)) == 1.0)
+  }
+
   test("cosine near-dups find parallel vectors only") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
       (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")

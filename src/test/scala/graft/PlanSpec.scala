@@ -257,4 +257,28 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan(df)
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
+
+  test("fuzzyDedupPairs prunes to candidates BELOW the shingle join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.engine.Extensions.fuzzyDedupPairs(
+      graft.engine.Tables.documents(spark, sf), "text", "doc_id",
+      maxHamming = 16, minJaccard = 0.5)
+    val plan = df.queryExecution.optimizedPlan
+    // the inverted-index self-join is the inner equi-join on `shingle`
+    val shingleJoins = plan.collect {
+      case j: Join if j.joinType.sql == "INNER" &&
+        j.condition.exists(_.references.exists(_.name == "shingle")) => j
+    }
+    assert(shingleJoins.nonEmpty, s"no shingle join in:\n$plan")
+    // every corpus-wide scoring join must see only candidate docs: a
+    // LeftSemi prune sits in BOTH child subtrees of the shingle join
+    shingleJoins.foreach { j =>
+      j.children.foreach { child =>
+        val semis = child.collect { case s: Join if s.joinType == LeftSemi => s }
+        assert(semis.nonEmpty,
+          s"shingle-join child lacks the candidate semi-prune:\n$child")
+      }
+    }
+  }
 }
