@@ -12,6 +12,11 @@ object ExtensionQueries {
 
   import Tables._
 
+  // spec parameters shared by a Spark call and its oracle SQL — defined
+  // once and interpolated into both sides so they cannot drift
+  private val TfidfK = 3
+  private val BigramRareBelow = 5L
+
   val catalog: Seq[QuerySpec] = Seq(
 
     // ── exact dedup with deterministic survivor ─────────────────────────
@@ -388,34 +393,40 @@ object ExtensionQueries {
              |         AS repetition_ratio
              |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    // ── per-document top-k tf·idf terms, float-free: tf·idf ranks
-    // identically to (tf DESC, df ASC) for a fixed doc, so the ranking
-    // is pure integer comparison — bit-reproducible on any engine ────────
+    // ── per-document top-k terms by TRUE tf·idf (tf·ln(N/df)); the score
+    // is rounded to 6 decimals BEFORE ranking on both engines, so a
+    // last-ulp ln() divergence can neither flip a rank nor a value (see
+    // Extensions.tfidfTopTerms). k interpolated so Spark and oracle
+    // cannot drift ─────────────────────────────────────────────────────
     QuerySpec("tfidf_top_terms",
       (s, d) => Extensions.tfidfTopTerms(documents(s, d), "text", "doc_id",
-          k = 3)
+          k = TfidfK)
         .orderBy("doc_id", "term_rank"),
-      Some("""WITH tk AS (
+      Some(s"""WITH tk AS (
              |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
              |  FROM documents),
              |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
              |       FROM tk WHERE term <> '' GROUP BY 1, 2),
              |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-             |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             |        row_number() OVER (PARTITION BY tf.doc_id
-             |          ORDER BY tf.tf DESC, df.df ASC, tf.term) AS term_rank
-             |      FROM tf JOIN df USING (term))
-             |SELECT doc_id, term, tf, df, term_rank::INT AS term_rank
-             |FROM r WHERE term_rank <= 3
+             |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |         round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+             |       FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY tfidf DESC, term) AS term_rank
+             |      FROM sc)
+             |SELECT doc_id, term, tf, df, tfidf, term_rank::INT AS term_rank
+             |FROM r WHERE term_rank <= $TfidfK
              |ORDER BY doc_id, term_rank""".stripMargin)),
 
     // ── bigram LM quality stats: corpus-frequency profile of each
-    // document's bigrams, all-integer + long/long division → exact ───────
+    // document's bigrams, all-integer + long/long division → exact;
+    // rareBelow interpolated so Spark and oracle cannot drift ────────────
     QuerySpec("bigram_stats",
       (s, d) => Extensions.bigramStats(documents(s, d), "text", "doc_id",
-          rareBelow = 5L)
+          rareBelow = BigramRareBelow)
         .orderBy("doc_id"),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
              |         list_filter(string_split(lower(text), ' '),
              |                     x -> x <> '') AS toks
@@ -430,7 +441,8 @@ object ExtensionQueries {
              |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
              |       count(DISTINCT bigram)::BIGINT AS n_distinct,
              |       sum(n) / count(*) AS avg_bigram_freq,
-             |       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+             |       sum(CASE WHEN n < $BigramRareBelow THEN 1 ELSE 0 END)::BIGINT
+             |         AS n_rare
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── the full curation pipeline composed end-to-end (dedup → quality

@@ -925,16 +925,24 @@ object Extensions {
     "es" -> Seq("el", "la", "y", "de", "un", "es", "que", "con"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
 
-  /** Per-document top-k terms under tf·idf ordering, float-free: for a
-    * fixed document, tf·idf ranks identically to (tf DESC, df ASC)
-    * because idf is strictly decreasing in df — so the ranking is pure
-    * integer comparison (term as the final tiebreak), bit-reproducible
-    * on any engine, with no log() whose last-ulp could flip a rank.
-    * Returns (id, term, tf, df, term_rank ≤ k).
+  /** Per-document top-k terms by TRUE tf·idf: score = tf · ln(N/df)
+    * with N = documents carrying at least one token. Returns
+    * (id, term, tf, df, tfidf, term_rank ≤ k).
+    *
+    * Cross-engine determinism: tf, df, N are exact integers and N/df is
+    * a correctly-rounded IEEE division, so the only engine-dependent
+    * step is ln(). The score is rounded to 6 decimals BEFORE ranking:
+    * mathematically-equal scores (e.g. 2·ln(10) vs ln(100), which
+    * engines may place one ulp apart in opposite directions) meet as
+    * identical rounded values and fall to the term tiebreak, and an
+    * UNEQUAL pair one ulp apart would have to straddle a .5e-6 decimal
+    * boundary to flip — impossible for the irrational values tf·ln(N/df)
+    * takes away from zero (df=N scores exactly 0.0 on both engines).
     *
     * Scale shape: one exchange on term (tf then df as a re-aggregation
-    * plus a key join), one exchange on the doc id for the top-k window
-    * — never a driver-side vocabulary (the CountVectorizer trap).
+    * plus a key join), a broadcast 1-row N, one exchange on the doc id
+    * for the top-k window — never a driver-side vocabulary (the
+    * CountVectorizer trap).
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
@@ -944,12 +952,16 @@ object Extensions {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(count_distinct(col(idCol)).as("__n_docs"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n_docs").cast("double") / col("df")), 6))
       .withColumn("term_rank", row_number().over(
         Window.partitionBy(idCol)
-          .orderBy(desc("tf"), asc("df"), asc("term"))).cast("int"))
+          .orderBy(desc("tfidf"), asc("term"))).cast("int"))
       .filter(col("term_rank") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("df"),
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"),
         col("term_rank"))
   }
 

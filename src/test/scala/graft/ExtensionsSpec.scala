@@ -115,22 +115,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(preds(2L) == "fr")
   }
 
-  test("tfidf top terms rank by tf desc then df asc, term tiebreak") {
+  test("tfidf top terms rank by true tf*ln(N/df), term tiebreak") {
     val d = Seq(
-      (1L, "apple apple banana cherry"),
-      (2L, "banana banana cherry"),
+      (1L, "apple apple cherry cherry cherry"),
+      (2L, "banana cherry"),
       (3L, "cherry date")).toDF("doc_id", "text")
-    val top = Extensions.tfidfTopTerms(d, "text", "doc_id", k = 2)
-      .select("doc_id", "term", "tf", "df", "term_rank")
-      .as[(Long, String, Long, Long, Int)].collect()
-      .groupBy(_._1).map { case (id, rs) =>
-        id -> rs.sortBy(_._5).map(_._2).toSeq }
-    // doc 1: apple tf=2 beats banana/cherry tf=1; banana df=2 < cherry df=3
-    assert(top(1L) == Seq("apple", "banana"))
-    // doc 2: banana tf=2 first; cherry tf=1 second
+    val rows = Extensions.tfidfTopTerms(d, "text", "doc_id", k = 2)
+      .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    val top = rows.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.sortBy(_._6).map(_._2).toSeq }
+    // N=3. doc 1: apple 2*ln(3/1)=2.197 BEATS cherry 3*ln(3/3)=0 — the
+    // exact case where raw top-tf (cherry, tf=3) is NOT tf-idf
+    assert(top(1L) == Seq("apple", "cherry"))
+    // doc 2: banana ln(3)=1.0986 > cherry 0
     assert(top(2L) == Seq("banana", "cherry"))
-    // doc 3: tf ties at 1 — date df=1 beats cherry df=3
+    // doc 3: date ln(3) > cherry 0
     assert(top(3L) == Seq("date", "cherry"))
+    val scores = rows.map(r => (r._1, r._2) -> r._5).toMap
+    // score is rounded to 6 decimals before ranking (Spark round =
+    // decimal-string HALF_UP)
+    val expected = java.math.BigDecimal.valueOf(2 * math.log(3.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(scores((1L, "apple")) == expected)
+    assert(scores((1L, "cherry")) == 0.0)
   }
 
   test("bigram stats count corpus frequency and rarity exactly") {
