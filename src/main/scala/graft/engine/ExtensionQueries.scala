@@ -16,6 +16,12 @@ object ExtensionQueries {
   // once and interpolated into both sides so they cannot drift
   private val TfidfK = 3
   private val BigramRareBelow = 5L
+  private val Bm25K = 10
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "fast hash join", 1L -> "spark window agg",
+    2L -> "slow scan filter")
+  private def bm25QueryValues: String = Bm25Queries
+    .map { case (id, t) => s"($id::BIGINT, '$t')" }.mkString(", ")
 
   val catalog: Seq[QuerySpec] = Seq(
 
@@ -418,6 +424,55 @@ object ExtensionQueries {
              |SELECT doc_id, term, tf, df, tfidf, term_rank::INT AS term_rank
              |FROM r WHERE term_rank <= $TfidfK
              |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // ── BM25 scored retrieval: per-term contributions in integer
+    // micro-units, exact integer sum, single final division (see
+    // Extensions.bm25TopK) — the text twin of cosine_topk ────────────────
+    QuerySpec("bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        Extensions.bm25TopK(documents(s, d), "text", "doc_id",
+          Bm25Queries.toDF("query_id", "query_text"), "query_text",
+          "query_id", k = Bm25K)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT * FROM (VALUES $bm25QueryValues) AS v(query_id, qtext)),
+             |qt AS (
+             |  SELECT DISTINCT query_id, term FROM (
+             |    SELECT query_id,
+             |           unnest(string_split(lower(qtext), ' ')) AS term
+             |    FROM q) WHERE term <> ''),
+             |tk AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM tf GROUP BY 1),
+             |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*)::BIGINT AS n_docs,
+             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |sc AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |         CAST(round(
+             |           ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25
+             |               + 0.75 * dl.dl / (st.sum_dl / st.n_docs))))
+             |           * 1000000.0) AS BIGINT) AS contrib
+             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+             |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+             |agg AS (SELECT query_id, doc_id,
+             |               CAST(sum(contrib) AS BIGINT) AS score_int
+             |        FROM sc GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score_int,
+             |             row_number() OVER (PARTITION BY query_id
+             |               ORDER BY score_int DESC, doc_id) AS rank
+             |      FROM agg)
+             |SELECT query_id, doc_id, score_int / 1000000.0 AS bm25,
+             |       rank::INT AS rank
+             |FROM r WHERE rank <= $Bm25K
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ── bigram LM quality stats: corpus-frequency profile of each
     // document's bigrams, all-integer + long/long division → exact;

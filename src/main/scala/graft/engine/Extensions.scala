@@ -965,6 +965,64 @@ object Extensions {
         col("term_rank"))
   }
 
+  /** BM25 scored retrieval: top-k documents per query under
+    * Okapi BM25 with the Lucene idf (ln(1 + (N−df+0.5)/(df+0.5)),
+    * always positive), k1 = 1.2, b = 0.75. Query terms are set-distinct.
+    * Returns (query_id, doc id, bm25, rank ≤ k).
+    *
+    * Cross-engine determinism — the integer-accumulate trick
+    * generalized: tf, df, dl, N, Σdl are exact integers, every rational
+    * step is a correctly-rounded IEEE op written in the same order on
+    * both engines, and each per-term contribution is rounded to integer
+    * MICRO-UNITS (·1e6 → BIGINT) before the per-document sum — so the
+    * sum is exact integer arithmetic, immune to float addition order
+    * (Spark partial aggregation order is nondeterministic), and the
+    * final score is a single bigint/1e6 division. The only
+    * engine-dependent op is ln(), contained by the micro-unit rounding.
+    *
+    * Scale shape: queries broadcast onto the (doc, term, tf) inverted
+    * index, so only documents sharing at least one query term are ever
+    * scored; doc-length and corpus stats ride a broadcast 1-row agg;
+    * the top-k cut is a per-query window, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryTextCol: String, queryIdCol: String,
+      k: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qterms = queries
+      .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val fTf = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        (lit(0.75) * col("dl")) / (col("sum_dl") / col("n_docs"))))
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib",
+        round(idf * fTf * lit(1000000.0)).cast("long"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("__contrib").as("__score_int"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(desc("__score_int"), asc(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
+  }
+
   /** Bigram language-model statistics per document: bigram count,
     * distinct bigrams, average corpus frequency of the document's
     * bigrams, and how many fall below `rareBelow` corpus occurrences —

@@ -201,6 +201,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.contains((1L, 4L)) && capped((1L, 4L)) == 1.0)
   }
 
+  test("bm25 topk: shorter doc outranks longer at equal tf; k cuts") {
+    val d = Seq(
+      (1L, "b a a"),   // dl=3, tf(b)=1
+      (2L, "b c"),     // dl=2, tf(b)=1 — shorter, must outrank doc 1
+      (3L, "c c c"))   // no 'b' — never scored for the query
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "b")).toDF("query_id", "query_text")
+    val rows = Extensions.bm25TopK(d, "text", "doc_id", q, "query_text",
+      "query_id", k = 10)
+      .select("query_id", "doc_id", "bm25", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(rows.map(r => (r._2, r._4)).toSeq == Seq((2L, 1), (1L, 2)))
+    // exact value, mirroring the operator's arithmetic: N=3, df(b)=2,
+    // avgdl=8/3; contribution rounded to integer micro-units then /1e6
+    def score(tf: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+      val f = (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (8L / 3L.toDouble)))
+      java.math.BigDecimal.valueOf(idf * f * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue / 1000000.0
+    }
+    assert(rows.find(_._2 == 2L).get._3 == score(1, 2))
+    assert(rows.find(_._2 == 1L).get._3 == score(1, 3))
+  }
+
+  test("bm25 topk: multi-term scores are exact integer sums of contributions") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = Seq((0L, "fast hash join"), (1L, "join join")).toDF(
+      "query_id", "query_text")
+    val out = Extensions.bm25TopK(corpus, "text", "doc_id", q, "query_text",
+      "query_id", k = 5)
+      .select("query_id", "doc_id", "bm25", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.count(_._1 == 0L) == 5 && out.count(_._1 == 1L) == 5)
+    // scores are multiples of 1e-6 (integer micro-unit accumulation)
+    out.foreach { r =>
+      assert(math.abs(r._3 * 1e6 - math.rint(r._3 * 1e6)) < 1e-7) }
+    // duplicate query terms are set-distinct: "join join" ≡ "join"
+    val qj = Seq((9L, "join")).toDF("query_id", "query_text")
+    val single = Extensions.bm25TopK(corpus, "text", "doc_id", qj,
+      "query_text", "query_id", k = 5)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toSet
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet == single)
+  }
+
   test("cosine near-dups find parallel vectors only") {
     val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
       (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
