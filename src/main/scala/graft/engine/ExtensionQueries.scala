@@ -37,6 +37,32 @@ object ExtensionQueries {
              |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── incremental cross-snapshot dedup: new batch (doc_id ≥ 250)
+    // anti-joined against the historical corpus (doc_id < 250) on
+    // xxhash64(text) with null-safe text equality, then exact-deduped
+    // within the batch — the recurring-crawl shape ───────────────────────
+    QuerySpec("dedup_incremental",
+      (s, d) => {
+        val all = documents(s, d)
+        Extensions.dedupIncremental(
+            all.filter(col("doc_id") >= 250),
+            all.filter(col("doc_id") < 250), Seq("text"), "doc_id")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT * FROM documents WHERE doc_id >= 250),
+             |c AS (SELECT text FROM documents WHERE doc_id < 250),
+             |fresh AS (
+             |  SELECT * FROM b WHERE NOT EXISTS (
+             |    SELECT 1 FROM c WHERE c.text IS NOT DISTINCT FROM b.text)),
+             |r AS (
+             |  SELECT doc_id, lang, source, n_chars,
+             |         row_number() OVER (PARTITION BY text
+             |                            ORDER BY doc_id) AS rn
+             |  FROM fresh)
+             |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── best-variant dedup: canonicalize (here: 40-char prefix
     // fingerprint) and keep the highest-quality row of each group ───────
     QuerySpec("dedup_best",

@@ -61,6 +61,34 @@ object Extensions {
       .drop("__h", "__rn", "__same")
   }
 
+  /** Incremental EXACT dedup across snapshots — the recurring-crawl
+    * shape: drop new-batch rows whose dupeCols tuple already exists in
+    * the historical corpus (anti-join), then [[dedupExact]] the
+    * survivors within the batch (min keyCol survives).
+    *
+    * Scale shape: the corpus side is projected to dupeCols + an
+    * xxhash64 before the join — the anti-join's equi key is the 8-byte
+    * hash, with the real columns compared null-safely in the same
+    * condition so 64-bit collisions can never drop a genuinely new row.
+    * The historical corpus is never windowed, never re-deduped, and
+    * only its dupeCols ever move.
+    */
+  def dedupIncremental(batch: DataFrame, corpus: DataFrame,
+      dupeCols: Seq[String], keyCol: String): DataFrame = {
+    requireNoReserved(batch, Seq("__h", "__rn", "__same"))
+    val bh = batch.withColumn("__h", xxhash64(dupeCols.map(col): _*))
+    // rename every corpus-side column: sidesteps ambiguous-attribute
+    // resolution when batch and corpus share lineage (the common case:
+    // two snapshots of one table)
+    val ch = corpus
+      .select(xxhash64(dupeCols.map(col): _*).as("__corpus_h") +:
+        dupeCols.map(c => col(c).as(s"__corpus_$c")): _*)
+    val cond = dupeCols.map(c => col(c) <=> col(s"__corpus_$c"))
+      .foldLeft(col("__h") === col("__corpus_h"))(_ && _)
+    val fresh = bh.join(ch, cond, "left_anti").drop("__h")
+    dedupExact(fresh, dupeCols, keyCol)
+  }
+
   /** Tokenized lowercase words — the shared text preprocessing. */
   def tokens(c: Column): Column = split(lower(c), " ")
 
@@ -171,6 +199,66 @@ object Extensions {
       .join(counts.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
       .join(counts.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"),
+        (lit(1.0) - col("__ni") / (col("__na") + col("__nb") - col("__ni")))
+          .as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+  }
+
+  /** Build-once signature store for incremental near-dup detection:
+    * (id, sig[numHashTables], tok_hashes[]) per non-empty document.
+    * Persist this as parquet once per corpus snapshot; recurring crawls
+    * then run [[minhashNearDupsIncremental]] against it without ever
+    * re-reading or re-signing the historical text.
+    */
+  def minhashSignatureStore(docs: DataFrame, textCol: String, idCol: String,
+      numHashTables: Int = 3, seed: Long = 42L): DataFrame = {
+    val toks = docs.select(col(idCol),
+      array_remove(array_distinct(tokens(col(textCol))), "").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    toks.select(col(idCol),
+      graft.functions.MinHashSig.minhashSig(col("__toks"), numHashTables, seed)
+        .as("sig"),
+      transform(col("__toks"), t => xxhash64(t)).as("tok_hashes"))
+  }
+
+  /** Incremental NEAR-dup detection: sign only the NEW batch, band-join
+    * its signatures against a persisted [[minhashSignatureStore]] of the
+    * existing corpus, and exact-rescore ONLY the candidate pairs using
+    * the store's token hashes. Returns (new id, corpus id, jaccard_dist
+    * ≤ maxJaccardDist). Same candidate rule and rescore arithmetic as
+    * [[minhashNearDups]] with the same seed, so a batch-vs-corpus pair
+    * is reported iff the batch-join self-run over the union would
+    * report it.
+    *
+    * Scale shape: the historical corpus contributes only 8-byte
+    * (band, hash) keys to the candidate join and — candidate-first, as
+    * in [[fuzzyDedupPairs]] — only candidate docs' token hashes are
+    * ever exploded for the rescore. Nothing reprocesses old text.
+    */
+  def minhashNearDupsIncremental(batch: DataFrame, textCol: String,
+      idCol: String, store: DataFrame, maxJaccardDist: Double = 0.8,
+      numHashTables: Int = 3, seed: Long = 42L): DataFrame = {
+    val bsig = minhashSignatureStore(batch, textCol, idCol, numHashTables,
+      seed)
+    val bb = bsig.select(col(idCol).as("new_id"),
+      posexplode(col("sig")).as(Seq("__band", "__h")))
+    val sb = store.select(col(idCol).as("corpus_id"),
+      posexplode(col("sig")).as(Seq("__band", "__h")))
+    val cand = bb.join(sb, Seq("__band", "__h"))
+      .select("new_id", "corpus_id").distinct()
+    val bth = bsig.select(col(idCol).as("new_id"),
+        size(col("tok_hashes")).as("__na"), explode(col("tok_hashes")).as("__th"))
+      .join(cand.select("new_id").distinct(), Seq("new_id"), "left_semi")
+    val sth = store.select(col(idCol).as("corpus_id"),
+        size(col("tok_hashes")).as("__nb"), explode(col("tok_hashes")).as("__th"))
+      .join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+    val inter = cand
+      .join(bth, Seq("new_id"))
+      .join(sth, Seq("corpus_id", "__th"))
+      .groupBy(col("new_id"), col("corpus_id"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__ni"))
+    inter
+      .select(col("new_id"), col("corpus_id"),
         (lit(1.0) - col("__ni") / (col("__na") + col("__nb") - col("__ni")))
           .as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxJaccardDist)

@@ -201,6 +201,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.contains((1L, 4L)) && capped((1L, 4L)) == 1.0)
   }
 
+  test("incremental exact dedup: corpus hits drop, batch dups keep min id") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = Extensions.dedupIncremental(batch, corpus, Seq("text"), "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // "alpha" already in corpus → dropped; "gamma" twice → min id survives
+    assert(out == Set((11L, "gamma")))
+  }
+
+  test("incremental exact dedup: shared-lineage snapshots resolve cleanly") {
+    val all = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Extensions.dedupIncremental(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+      Seq("text"), "doc_id")
+    // survivors are a subset of the batch, exact-deduped within it
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.forall(_ >= 250) && ids.nonEmpty)
+    assert(ids.length == ids.distinct.length)
+    val texts = out.select("text").as[String].collect()
+    assert(texts.length == texts.distinct.length)
+  }
+
+  test("incremental near-dup equals the union self-join on cross pairs") {
+    val all = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 120)
+    val corpus = all.filter(col("doc_id") < 60)
+    val batch = all.filter(col("doc_id") >= 60)
+    val store = Extensions.minhashSignatureStore(corpus, "text", "doc_id")
+    val inc = Extensions.minhashNearDupsIncremental(batch, "text", "doc_id",
+        store, maxJaccardDist = 0.8)
+      .select("new_id", "corpus_id", "jaccard_dist")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the same seed over the union reports exactly the same cross pairs
+    val full = Extensions.minhashNearDups(all, "text", "doc_id",
+        maxJaccardDist = 0.8)
+      .select("id_a", "id_b", "jaccard_dist")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a < 60 && b >= 60 }
+      .map { case (a, b, j) => (b, a) -> j }.toMap
+    assert(inc == full)
+    assert(inc.nonEmpty) // the synthetic corpus is self-similar
+  }
+
   test("bm25 topk: shorter doc outranks longer at equal tf; k cuts") {
     val d = Seq(
       (1L, "b a a"),   // dl=3, tf(b)=1
