@@ -182,6 +182,62 @@ object AnalyticsQueries {
              |          JOIN edges e ON p.id = e.src
              |          JOIN outdeg d ON e.src = d.src GROUP BY 1) s ON n.id = s.id)
              |SELECT id AS node_id, round(pr, 9) AS pagerank FROM it3
-             |ORDER BY node_id""".stripMargin))
+             |ORDER BY node_id""".stripMargin)),
+
+    // ── grouped top-k via the bounded-heap TopKPairs aggregate: map-side
+    // partial top-k (≤k rows per group per partition shuffle) instead of
+    // the row_number window's full-table shuffle+sort. Oracle is the
+    // window form — same rows, different physics ─────────────────────────
+    QuerySpec("group_topk", {
+      val k = 3
+      (s, d) => Analytics.groupTopK(orders(s, d), Seq("o_custkey"),
+          "o_totalprice", "o_orderkey", k)
+        .orderBy("o_custkey", "rk")
+    }, {
+      val k = 3
+      Some(s"""SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+             |FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders)
+             |WHERE rk <= $k ORDER BY o_custkey, rk""".stripMargin)
+    }),
+
+    // ── SCD2 dimension build from the orders changelog: per-customer
+    // order-status history with change compression; lag-filter and
+    // lead-close stack on ONE exchange + ONE sort ────────────────────────
+    QuerySpec("scd2_history",
+      // o_orderdate is TIMESTAMP_NTZ; NTZ→timestamp (UTC session) →long
+      // gives the same floored epoch seconds as DuckDB's epoch_us//1e6
+      (s, d) => Analytics.scd2(
+          orders(s, d).withColumn("__ots",
+            col("o_orderdate").cast("timestamp").cast("long")),
+          Seq("o_custkey"), "__ots", "o_orderkey", Seq("o_orderstatus"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"),
+          coalesce(col("valid_to"), lit(Long.MaxValue))),
+      Some("""WITH b AS (
+             |  SELECT o_custkey, epoch_us(o_orderdate)//1000000 AS valid_from,
+             |         o_orderkey, o_orderstatus
+             |  FROM orders),
+             |c AS (
+             |  SELECT *,
+             |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |           ORDER BY valid_from, o_orderkey) AS prev,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY valid_from, o_orderkey) AS rn
+             |  FROM b),
+             |k AS (SELECT * FROM c
+             |      WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+             |f AS (
+             |  SELECT o_custkey, valid_from, o_orderstatus,
+             |         lead(valid_from) OVER (PARTITION BY o_custkey
+             |           ORDER BY valid_from, o_orderkey) AS valid_to
+             |  FROM k)
+             |SELECT o_custkey, valid_from, o_orderstatus, valid_to,
+             |       valid_to IS NULL AS is_current
+             |FROM f
+             |ORDER BY o_custkey, valid_from, o_orderstatus,
+             |         coalesce(valid_to, 9223372036854775807)""".stripMargin))
   )
 }

@@ -716,6 +716,27 @@ object ExtensionQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // ── intra-document segment dedup (boilerplate removal): first
+    // occurrence of each distinct segment kept in original order; doc-
+    // keyed shuffles only, no cross-document movement. Segment = token
+    // here (the synthetic text is single-line); lines in real corpora ────
+    QuerySpec("segment_dedup",
+      (s, d) => Extensions.dedupSegments(documents(s, d), "text", "doc_id",
+          sep = " ")
+        .orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         unnest(string_split(text, ' ')) AS seg,
+             |         generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, seg, min(pos) AS pos, count(*) AS cnt
+             |  FROM p GROUP BY 1, 2)
+             |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS dedup_text,
+             |       CAST(sum(cnt) AS BIGINT) AS n_segments,
+             |       CAST(count(*) AS BIGINT) AS n_unique
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

@@ -1156,4 +1156,39 @@ object Extensions {
       scores.map { case (l, s) => s.as(s"score_$l") } :+
       pred.as("pred_lang"): _*)
   }
+
+  /** Intra-document segment dedup: split `textCol` on the LITERAL
+    * separator `sep`, keep only the FIRST occurrence of each distinct
+    * segment (original order preserved), and re-join. The standard
+    * boilerplate-removal pass in LLM corpus curation — repeated lines /
+    * paragraphs (nav bars, footers, chorus lines) collapse to one —
+    * applied here at whatever granularity `sep` gives (lines for real
+    * corpora, tokens for the synthetic single-line testdata).
+    *
+    * Returns (idCol, dedup_text, n_segments, n_unique).
+    *
+    * Shuffle shape: two hash exchanges — (id, segment) to find first
+    * occurrences, then (id) to reassemble — both keyed BY document, so
+    * partition sizes are bounded by document length, never corpus size;
+    * the reassembly buffer (collect_list per doc) holds one document's
+    * unique segments, which must fit in memory anyway to have been one
+    * input row. No cross-document data movement at all → embarrassingly
+    * parallel at 100 TB.
+    */
+  def dedupSegments(docs: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val segs = docs.select(col(idCol),
+      posexplode(split(col(textCol), quoted)).as(Seq("__pos", "__seg")))
+    val firsts = segs.groupBy(col(idCol), col("__seg"))
+      .agg(min("__pos").as("__pos"), count(lit(1)).as("__cnt"))
+    firsts.groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          x => x.getField("__seg")), sep).as("dedup_text"),
+        sum("__cnt").as("n_segments"),
+        count(lit(1)).as("n_unique"))
+  }
 }

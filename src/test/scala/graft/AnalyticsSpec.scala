@@ -169,4 +169,66 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pr == again)
   }
+
+  test("groupTopK: largest-ord rows per group, rank order, id tiebreak, " +
+      "null ord skipped, k larger than group tolerated") {
+    val df = Seq(
+      (1L, 10L, Some(5.0)), (1L, 11L, Some(9.0)), (1L, 12L, Some(9.0)),
+      (1L, 13L, Some(1.0)), (1L, 14L, None),
+      (2L, 20L, Some(3.0))
+    ).toDF("g", "id", "v")
+    val out = Analytics.groupTopK(df, Seq("g"), "v", "id", k = 2)
+      .orderBy("g", "rk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      // ties on v=9.0 break toward the smaller id; null v never ranks
+      (1L, 1, 11L, 9.0), (1L, 2, 12L, 9.0),
+      (2L, 1, 20L, 3.0)))
+  }
+
+  test("groupTopK matches the row_number window form on skewed random " +
+      "data regardless of partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 2000L).map(i =>
+      (rnd.nextInt(5).toLong, i, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("g", "id", "v").repartition(13)
+    val topk = Analytics.groupTopK(df, Seq("g"), "v", "id", k = 7)
+      .orderBy("g", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(7).map(r => (g, r._2))
+    }
+    assert(topk == expected)
+  }
+
+  test("scd2: change compression keeps only genuine transitions; " +
+      "intervals chain; exactly one open current version per key") {
+    val log = Seq(
+      // key 1: A at 100, A again at 200 (collapsed), B at 300, B at 400
+      (1L, 100L, 10L, "A"), (1L, 200L, 11L, "A"),
+      (1L, 300L, 12L, "B"), (1L, 400L, 13L, "B"),
+      // key 2: single version
+      (2L, 150L, 20L, "X"),
+      // key 3: same-ts tie broken by id — A(id 30) then B(id 31)
+      (3L, 500L, 30L, "A"), (3L, 500L, 31L, "B")
+    ).toDF("k", "ts", "id", "attr")
+    val out = Analytics.scd2(log, Seq("k"), "ts", "id", Seq("attr"))
+      .orderBy(col("k"), col("valid_from"), col("attr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, "A", Some(300L), false),
+      (1L, 300L, "B", None, true),
+      (2L, 150L, "X", None, true),
+      (3L, 500L, "A", Some(500L), false),
+      (3L, 500L, "B", None, true)))
+    // uncompressed keeps every changelog row
+    val raw = Analytics.scd2(log, Seq("k"), "ts", "id", Seq("attr"),
+      compressUnchanged = false)
+    assert(raw.count() == 7)
+    assert(raw.filter(col("is_current")).count() == 3)
+  }
 }

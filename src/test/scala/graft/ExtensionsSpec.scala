@@ -511,4 +511,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.size == 3)
   }
+
+  test("dedupSegments keeps the FIRST occurrence of each segment in " +
+      "original order; counts are original vs unique") {
+    val docs = Seq(
+      (1L, "a b a c b a"),   // dups scattered — order of firsts: a b c
+      (2L, "x"),             // single segment
+      (3L, "")               // empty text = one empty segment
+    ).toDF("doc_id", "text")
+    val out = Extensions.dedupSegments(docs, "text", "doc_id", " ")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c", 6L, 3L),
+      (2L, "x", 1L, 1L),
+      (3L, "", 1L, 1L)))
+  }
+
+  test("dedupSegments treats regex-metacharacter separators literally") {
+    val docs = Seq((1L, "ab||cd||ab||ef")).toDF("doc_id", "text")
+    val out = Extensions.dedupSegments(docs, "text", "doc_id", "||")
+      .orderBy("doc_id").collect().head
+    assert(out.getString(1) == "ab||cd||ef")
+    assert(out.getLong(2) == 4L && out.getLong(3) == 3L)
+  }
 }

@@ -281,4 +281,32 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("groupTopK pre-reduces map-side: partial+final aggregate, " +
+      "no window, no partition-wide sort") {
+    val df = graft.engine.Analytics.groupTopK(
+      graft.engine.Tables.orders(spark, sf), Seq("o_custkey"),
+      "o_totalprice", "o_orderkey", k = 3)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Window"), s"plan was:\n$plan")
+    assert(!plan.contains(" Sort "), s"plan was:\n$plan")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // (map-side) instance is what bounds the shuffle to k rows per group
+    val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+
+  test("scd2 stacks its change-filter and interval-close windows on ONE " +
+      "key exchange") {
+    val df = graft.engine.Analytics.scd2(
+      graft.engine.Tables.orders(spark, sf).withColumn("__ots",
+        org.apache.spark.sql.functions.col("o_orderdate")
+          .cast("timestamp").cast("long")),
+      Seq("o_custkey"), "__ots", "o_orderkey", Seq("o_orderstatus"))
+    val plan = executedPlan(df)
+    val keyExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(o_custkey"))
+    assert(keyExchanges == 1,
+      s"expected 1 o_custkey exchange, got $keyExchanges:\n$plan")
+  }
 }
