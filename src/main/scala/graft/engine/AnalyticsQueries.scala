@@ -238,6 +238,52 @@ object AnalyticsQueries {
              |       valid_to IS NULL AS is_current
              |FROM f
              |ORDER BY o_custkey, valid_from, o_orderstatus,
-             |         coalesce(valid_to, 9223372036854775807)""".stripMargin))
+             |         coalesce(valid_to, 9223372036854775807)""".stripMargin)),
+
+    // ── data-quality constraint suite (Deequ-shaped): all scalar rules
+    // fold into ONE aggregation pass; uniqueness adds one exchange, the
+    // FK rule one anti-join. Report is one row per rule ────────────────
+    QuerySpec("quality_checks",
+      (s, d) => Quality.check(orders(s, d), Seq(
+        Quality.Complete("o_custkey", 1.0),
+        Quality.InRange("o_totalprice", 0.0, 100000.0, minRatio = 0.5),
+        Quality.InSet("o_orderstatus", Seq("F", "O", "P"), minRatio = 1.0),
+        Quality.RowCountBetween(1L, Long.MaxValue),
+        Quality.Unique(Seq("o_orderkey"), 1.0),
+        Quality.ForeignKey("o_custkey", customer(s, d), "c_custkey", 1.0))),
+      Some("""WITH s AS (
+             |  SELECT count(*)::DOUBLE AS n,
+             |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE AS c0,
+             |    sum(CASE WHEN o_totalprice IS NOT NULL
+             |        AND o_totalprice BETWEEN 0.0 AND 100000.0
+             |        THEN 1 ELSE 0 END)::DOUBLE AS r1n,
+             |    sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE AS r1d,
+             |    sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END)::DOUBLE AS i2n,
+             |    sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE AS i2d,
+             |    count(DISTINCT o_orderkey)::DOUBLE AS u4
+             |  FROM orders),
+             |fk AS (
+             |  SELECT count(*)::DOUBLE AS total,
+             |         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE AS orphans
+             |  FROM orders o
+             |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |    ON o.o_custkey = c.c_custkey
+             |  WHERE o.o_custkey IS NOT NULL)
+             |SELECT * FROM (
+             |  SELECT 0 AS rule_id, 'complete(o_custkey)' AS rule,
+             |         round(c0/n, 9) AS metric, 1.0::DOUBLE AS threshold,
+             |         c0/n >= 1.0 AS passed FROM s
+             |  UNION ALL SELECT 1, 'in_range(o_totalprice)',
+             |         round(r1n/r1d, 9), 0.5::DOUBLE, r1n/r1d >= 0.5 FROM s
+             |  UNION ALL SELECT 2, 'in_set(o_orderstatus)',
+             |         round(i2n/i2d, 9), 1.0::DOUBLE, i2n/i2d >= 1.0 FROM s
+             |  UNION ALL SELECT 3, 'row_count', round(n, 9), 1.0::DOUBLE,
+             |         n >= 1 FROM s
+             |  UNION ALL SELECT 4, 'unique(o_orderkey)', round(u4/n, 9),
+             |         1.0::DOUBLE, u4/n >= 1.0 FROM s
+             |  UNION ALL SELECT 5, 'foreign_key(o_custkey)',
+             |         round((total - orphans)/total, 9), 1.0::DOUBLE,
+             |         (total - orphans)/total >= 1.0 FROM fk)
+             |ORDER BY rule_id""".stripMargin))
   )
 }

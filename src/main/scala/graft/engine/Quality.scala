@@ -1,0 +1,164 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (the Deequ-shaped surface a
+  * production ingest pipeline runs before publishing a table): each rule
+  * computes one metric over the dataset and compares it to a threshold,
+  * yielding one report row per rule — (rule_id, rule, target, metric,
+  * threshold, passed).
+  *
+  * Scale shape: every scalar rule (completeness, range conformance,
+  * set conformance, row count) is a conditional aggregate folded into
+  * ONE global aggregation — a single partial-agg pass over the data, no
+  * shuffle beyond the 1-row combine, no matter how many rules. The two
+  * rules that genuinely need more are explicit about it: uniqueness
+  * adds one count_distinct (one exchange on the value hash), and each
+  * foreign-key rule adds one left-anti join against the (broadcast when
+  * small) reference side. Rules never scan the table separately — at
+  * 100 TB the suite costs one pass plus the declared extras.
+  */
+object Quality {
+
+  sealed trait Rule {
+    /** Stable id used in the report's rule_id column (evaluation order). */
+    def describe: String
+  }
+
+  /** Fraction of non-null values in `col` must be >= `minRatio`. */
+  final case class Complete(col: String, minRatio: Double) extends Rule {
+    def describe = s"complete($col)"
+  }
+
+  /** Fraction of non-null values of `col` inside [lo, hi] must be >=
+    * `minRatio` (nulls are ignored — pair with [[Complete]] to bound
+    * them).
+    */
+  final case class InRange(col: String, lo: Double, hi: Double,
+      minRatio: Double = 1.0) extends Rule {
+    def describe = s"in_range($col)"
+  }
+
+  /** Fraction of non-null values of `col` in `allowed` must be >=
+    * `minRatio`.
+    */
+  final case class InSet(col: String, allowed: Seq[String],
+      minRatio: Double = 1.0) extends Rule {
+    def describe = s"in_set($col)"
+  }
+
+  /** Total row count must lie in [lo, hi] (hi = Long.MaxValue for
+    * open-ended).
+    */
+  final case class RowCountBetween(lo: Long, hi: Long) extends Rule {
+    def describe = "row_count"
+  }
+
+  /** distinct(cols) / count(*) must be >= `minRatio` (1.0 = the columns
+    * form a key). Costs one extra exchange (count_distinct).
+    */
+  final case class Unique(cols: Seq[String], minRatio: Double = 1.0)
+    extends Rule {
+    def describe = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Fraction of rows whose `col` value exists in `refCol` of `ref`
+    * must be >= `minRatio` (referential integrity). Costs one left-anti
+    * join; Spark broadcasts the reference side when it is small.
+    */
+  final case class ForeignKey(col: String, ref: DataFrame, refCol: String,
+      minRatio: Double = 1.0) extends Rule {
+    def describe = s"foreign_key($col)"
+  }
+
+  /** Run the suite; returns the report DataFrame ordered by rule_id.
+    * `metric` is rounded to 9 dp (ratio metrics are exact multiples of
+    * 1/count, but partial-agg double summation is order-sensitive in the
+    * last ulps).
+    *
+    * The single global aggregation is collected ONCE as a 1-row result
+    * (same convention as the broadcast-1-row global stats in
+    * [[Features]]) and the |rules|-row report is assembled driver-side
+    * from those scalars — the alternative (a union of per-rule selects
+    * over the agg) re-scans the table once per rule unless Catalyst
+    * happens to reuse the exchange. Data volume touched: one pass +
+    * one count_distinct exchange per [[Unique]] + one anti-join per
+    * [[ForeignKey]].
+    *
+    * Null semantics: [[InRange]]/[[InSet]] ratios are over NON-NULL
+    * values (pair with [[Complete]] to bound nulls; a column with zero
+    * non-null values passes vacuously); [[Unique]] follows SQL
+    * COUNT(DISTINCT ...) — rows with a null in any key column are
+    * excluded from the distinct count, so null-keyed rows depress the
+    * ratio.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "quality suite needs at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // all single-pass metrics fold into one global aggregation; each
+    // rule contributes a (numerator, denominator) pair and the division
+    // happens driver-side (ANSI mode would throw on a 0 denominator —
+    // which here means "no values to check", a vacuous pass)
+    val nonNull = (c: String) => sum(when(col(c).isNotNull, 1L).otherwise(0L))
+    val scalarAggs: Seq[Column] =
+      count(lit(1)).cast("double").as("__n") +:
+        rules.zipWithIndex.flatMap {
+          case (Complete(c, _), i) => Seq(nonNull(c).as(s"n$i"))
+          case (InRange(c, lo, hi, _), i) => Seq(
+            sum(when(col(c).isNotNull &&
+              col(c).cast("double").between(lo, hi), 1L).otherwise(0L))
+              .as(s"n$i"),
+            nonNull(c).as(s"d$i"))
+          case (InSet(c, allowed, _), i) => Seq(
+            sum(when(col(c).isin(allowed: _*), 1L).otherwise(0L)).as(s"n$i"),
+            nonNull(c).as(s"d$i"))
+          case (RowCountBetween(_, _), _) => Nil
+          case (Unique(cols, _), i) =>
+            Seq(countDistinct(cols.head, cols.tail: _*).as(s"n$i"))
+          case (ForeignKey(_, _, _, _), _) => Nil
+        }
+    val scalarRow = df.agg(scalarAggs.head, scalarAggs.tail: _*)
+      .collect().head
+    val total = scalarRow.getDouble(scalarRow.fieldIndex("__n"))
+    def field(name: String): Double =
+      scalarRow.getLong(scalarRow.fieldIndex(name)).toDouble
+    def ratio(num: Double, den: Double): Double =
+      if (den == 0) 1.0 else num / den
+
+    // FK rules: one anti-join each (reference side broadcast when small)
+    val fkMetrics: Map[Int, Double] = rules.zipWithIndex.collect {
+      case (ForeignKey(c, ref, rc, _), i) =>
+        val keyed = df.filter(col(c).isNotNull).count()
+        val orphans = df.filter(col(c).isNotNull)
+          .join(ref.select(col(rc).as(c)).distinct(), Seq(c), "left_anti")
+          .count()
+        i -> ratio((keyed - orphans).toDouble, keyed.toDouble)
+    }.toMap
+
+    val report = rules.zipWithIndex.map { case (r, i) =>
+      val metric = r match {
+        case _: ForeignKey           => fkMetrics(i)
+        case _: Complete             => ratio(field(s"n$i"), total)
+        case _: InRange | _: InSet   => ratio(field(s"n$i"), field(s"d$i"))
+        case _: RowCountBetween      => total
+        case _: Unique               => ratio(field(s"n$i"), total)
+      }
+      val (threshold, passed) = r match {
+        case Complete(_, t)       => (t, metric >= t)
+        case InRange(_, _, _, t)  => (t, metric >= t)
+        case InSet(_, _, t)       => (t, metric >= t)
+        case RowCountBetween(lo, hi) =>
+          (lo.toDouble, metric >= lo && metric <= hi)
+        case Unique(_, t)         => (t, metric >= t)
+        case ForeignKey(_, _, _, t) => (t, metric >= t)
+      }
+      (i, r.describe, BigDecimal(metric).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, threshold, passed)
+    }
+    report.toDF("rule_id", "rule", "metric", "threshold", "passed")
+      .orderBy("rule_id")
+  }
+}

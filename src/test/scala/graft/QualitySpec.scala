@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Quality
+import graft.engine.Quality._
+
+/** Rule-by-rule semantics of the data-quality suite: ratio math, null
+  * conventions (non-null denominators, vacuous pass on empty, SQL
+  * COUNT DISTINCT), FK orphan counting, threshold edges.
+  */
+class QualitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def report(rows: Seq[(Int, String, Double, Double, Boolean)]) =
+    rows.map(r => r._2 -> r).toMap
+
+  test("completeness, range, set, row-count, uniqueness on a mixed table") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 99.0, "B"),
+      (null, 5.0, "C"), (5L, null, null)
+    ).toDF("id", "v", "cat")
+    val out = Quality.check(df, Seq(
+        Complete("id", 0.8),           // 4/5 = 0.8 → pass (>=)
+        InRange("v", 0.0, 50.0, 0.8),  // 3 of 4 non-null in range → fail
+        InSet("cat", Seq("A", "B"), 0.7), // 3 of 4 non-null allowed → pass
+        RowCountBetween(5L, 5L),       // exactly 5 → pass
+        Unique(Seq("id"), 1.0)))       // null row excluded: 4 distinct / 5
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val m = report(out.toSeq)
+    assert(m("complete(id)")._3 == 0.8 && m("complete(id)")._5)
+    assert(m("in_range(v)")._3 == 0.75 && !m("in_range(v)")._5)
+    assert(m("in_set(cat)")._3 == 0.75 && m("in_set(cat)")._5)
+    assert(m("row_count")._3 == 5.0 && m("row_count")._5)
+    assert(m("unique(id)")._3 == 0.8 && !m("unique(id)")._5)
+    // rule_id preserves declaration order
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("foreign key counts orphans over non-null keys only") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (2L, "y"), (7L, "z"), (null, "w")
+    ).toDF("fk", "payload")
+    val ref = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.check(df, Seq(ForeignKey("fk", ref, "pk", 0.5)))
+      .collect().head
+    // 2 of 3 non-null keys resolve; null key is not an orphan
+    assert(out.getDouble(2) == BigDecimal(2.0 / 3).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getBoolean(4))
+  }
+
+  test("all-null column passes range/set vacuously; perfect key passes " +
+      "uniqueness at 1.0") {
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, null))
+      .toDF("id", "v")
+    val out = Quality.check(df, Seq(
+        InRange("v", 0.0, 1.0, 1.0),
+        InSet("id", Seq("1", "2"), 1.0), // ints coerce to match isin strings
+        Unique(Seq("id"), 1.0)))
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getBoolean(4)))
+    assert(out(0) == ("in_range(v)", 1.0, true))
+    assert(out(2) == ("unique(id)", 1.0, true))
+  }
+}
