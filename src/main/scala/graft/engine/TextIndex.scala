@@ -1,0 +1,140 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Build-once / query-many inverted text index — the persisted form of
+  * [[Extensions.bm25TopK]], the way [[IvfIndex]] is the persisted form
+  * of [[Extensions.annIvf]].
+  *
+  * The ad-hoc operator re-derives term frequencies, document lengths,
+  * and document frequencies from the raw corpus on every call — fine
+  * for one query batch, wasteful for a serving path. This index pays
+  * that cost ONCE:
+  *
+  *   - '''build''': one corpus pass → posting lists
+  *     (term, doc, tf, dl, df) with df/dl denormalized onto each
+  *     posting (one extra long each buys join-free scoring at query
+  *     time);
+  *   - '''save''': postings parquet-partitioned by a term-hash bucket
+  *     (`pmod(xxhash64(term), nBuckets)`), global stats beside them;
+  *   - '''query''': the query vocabulary is tiny (distinct terms of
+  *     the query batch), so its bucket ids are materialized as
+  *     LITERALS — on the saved layout the scan prunes to the matching
+  *     bucket directories at the FILE level, then `term IN (...)`
+  *     pushes into the parquet row groups. A 100 TB posting store
+  *     queried with 20 terms over 256 buckets touches at most 20
+  *     bucket directories, not the whole store.
+  *
+  * Only query-derived term strings and bucket ids ever reach the
+  * driver; postings stay on the executors. BM25 contributions are
+  * accumulated in integer micro-units exactly like
+  * [[Extensions.bm25TopK]], so the two paths return bit-identical
+  * scores (TextIndexSpec pins that equivalence).
+  */
+final class TextIndex private[engine] (
+    val nDocs: Long,
+    val sumDl: Long,
+    postings: DataFrame,
+    val idCol: String,
+    val nBuckets: Int) {
+
+  /** BM25 top-k per query; `queries` carries (queryIdCol, queryTextCol).
+    * Output matches [[Extensions.bm25TopK]]:
+    * (queryIdCol, idCol, bm25, rank).
+    */
+  def query(queries: DataFrame, queryTextCol: String, queryIdCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col(queryIdCol),
+        explode(Extensions.tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    // the query vocabulary is small by construction; its bucket ids
+    // must become literals for the saved layout to prune partitions —
+    // a join key can't prune files
+    val buckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")
+        .as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val fTf = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        (lit(0.75) * col("dl")) / lit(sumDl.toDouble / nDocs)))
+    postings
+      .filter(col("__bucket").isin(buckets.map(Integer.valueOf): _*))
+      .join(broadcast(qterms), "term")
+      .withColumn("__contrib",
+        round(idf * fTf * lit(1000000.0)).cast("long"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("__contrib").as("__score_int"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(desc("__score_int"), asc(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
+  }
+
+  /** Persist: postings partitioned by term-hash bucket + 1-row stats.
+    * [[TextIndex.load]] reads it back with the layout intact.
+    */
+  def save(path: String): Unit = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/postings")
+    Seq((nDocs, sumDl, nBuckets, idCol)).toDF(
+        "n_docs", "sum_dl", "n_buckets", "id_col")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+}
+
+object TextIndex {
+
+  /** One pass over the corpus: tokenize, per-doc term frequencies,
+    * document lengths and frequencies denormalized onto each posting,
+    * bucket by term hash. Global stats (corpus size, total length) are
+    * the only values collected to the driver.
+    */
+  def build(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 64): TextIndex = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val clash = docs.columns.toSet
+      .intersect(Set("term", "tf", "dl", "df", "__bucket", "__contrib",
+        "__score_int"))
+    require(clash.isEmpty,
+      s"input uses reserved internal column names: ${clash.mkString(", ")}")
+    val tf = docs
+      .select(col(idCol), explode(Extensions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = tf.join(dl, idCol).join(dfreq, "term")
+      .withColumn("__bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("s"))
+      .collect().head
+    new TextIndex(stats.getLong(0), stats.getLong(1), postings, idCol,
+      nBuckets)
+  }
+
+  /** Open a saved index; queries prune its bucket partitions at the
+    * file level.
+    */
+  def load(spark: SparkSession, path: String): TextIndex = {
+    val st = spark.read.parquet(s"$path/stats").collect().head
+    new TextIndex(
+      st.getLong(st.fieldIndex("n_docs")),
+      st.getLong(st.fieldIndex("sum_dl")),
+      spark.read.parquet(s"$path/postings"),
+      st.getString(st.fieldIndex("id_col")),
+      st.getInt(st.fieldIndex("n_buckets")))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Extensions, Tables, TextIndex}
+
+/** The persisted inverted index must answer exactly like the ad-hoc
+  * bm25TopK operator, survive save/load, and — the point of the
+  * layout — prune its term-hash bucket partitions at query time.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def queries: DataFrame = Seq(
+    (1L, "spark window join"),
+    (2L, "merge sort batch stream")
+  ).toDF("query_id", "qtext")
+
+  private def resultSet(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  test("index query is bit-identical to the ad-hoc bm25TopK operator") {
+    val docs = Tables.documents(spark, sf)
+    val adhoc = Extensions.bm25TopK(docs, "text", "doc_id",
+      queries, "qtext", "query_id", k = 10)
+    val idx = TextIndex.build(docs, "text", "doc_id", nBuckets = 16)
+    val viaIndex = idx.query(queries, "qtext", "query_id", k = 10)
+    assert(resultSet(viaIndex) == resultSet(adhoc))
+    assert(resultSet(viaIndex).nonEmpty)
+  }
+
+  test("save/load round-trips the index and its answers") {
+    val docs = Tables.documents(spark, sf)
+    val idx = TextIndex.build(docs, "text", "doc_id", nBuckets = 16)
+    val before = resultSet(idx.query(queries, "qtext", "query_id", k = 5))
+    val dir = Files.createTempDirectory("graft-tidx").toString
+    idx.save(dir)
+    val loaded = TextIndex.load(spark, dir)
+    assert(loaded.nDocs == idx.nDocs && loaded.sumDl == idx.sumDl &&
+      loaded.nBuckets == 16 && loaded.idCol == "doc_id")
+    assert(resultSet(loaded.query(queries, "qtext", "query_id", k = 5))
+      == before)
+  }
+
+  test("queries on the saved layout prune bucket partitions in the scan") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-tidx-prune").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(dir)
+    val loaded = TextIndex.load(spark, dir)
+    val out = loaded.query(Seq((1L, "spark")).toDF("query_id", "qtext"),
+      "qtext", "query_id", k = 5)
+    out.collect()
+    val executed = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val plan = executed.toString
+    // the query-term bucket ids must surface as a partition filter on
+    // the postings scan — file-level pruning, the point of the layout
+    val postingScan = plan.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+    assert(postingScan.isDefined,
+      s"no partition-filtered postings scan in:\n$plan")
+    assert(postingScan.get.contains("__bucket"),
+      s"no __bucket filter in:\n$plan")
+    // one query term → exactly one of the 16 bucket partitions READ
+    // (the scan's own metric — inputFiles would list the pre-pruning
+    // set, and AQE hides scans behind QueryStageExec leaves)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] =
+      p.collectLeaves().flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+    val scan = scans(executed).find(
+      _.metadata.get("Location").exists(_.contains("postings")))
+    assert(scan.isDefined, s"no postings file scan in:\n$plan")
+    assert(scan.get.metrics("numPartitions").value == 1L,
+      s"expected 1 bucket partition read, got " +
+        s"${scan.get.metrics("numPartitions").value}")
+  }
+
+  test("build rejects reserved internal column names") {
+    val bad = Tables.documents(spark, sf)
+      .withColumn("tf", org.apache.spark.sql.functions.lit(1))
+    assertThrows[IllegalArgumentException] {
+      TextIndex.build(bad, "text", "doc_id")
+    }
+  }
+}
