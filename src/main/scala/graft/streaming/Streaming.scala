@@ -1,7 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.engine.Analytics
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
@@ -165,4 +168,77 @@ object Streaming {
     q.processAllAvailable()
     q
   }
+
+  /** CDC apply stream: each micro-batch is collapsed to its LATEST
+    * change per key (by `seqCol`, ties broken toward the higher change)
+    * and merged into a parquet target with [[Analytics.mergeUpsert]]
+    * semantics (update wins, insert appears, `deleteCol=true` removes).
+    *
+    * The target is maintained as ping-pong generation directories under
+    * `path` (`gen-<epochId>`) with a `_CURRENT` pointer file written
+    * AFTER the new generation commits — plain parquet has no
+    * transaction log, so the pointer swap is the commit point: a crash
+    * mid-write leaves the previous generation intact and the restarted
+    * query (same checkpoint) replays the batch onto it. Replaying a
+    * batch is idempotent: merging the same latest-per-key changes twice
+    * yields the same state.
+    *
+    * Scale shape per batch: one window over the batch (tiny), one
+    * full-outer merge join target×batch — the same single-exchange
+    * plan as [[Analytics.mergeUpsert]]; the target is rewritten per
+    * batch, which is the honest cost of CDC-on-plain-parquet (a real
+    * deployment points this at a table format with row-level merge).
+    */
+  def mergeSink(updates: DataFrame, keyCols: Seq[String], seqCol: String,
+      deleteCol: Option[String], path: String,
+      checkpointDir: String): StreamingQuery = {
+    require(keyCols.nonEmpty, "mergeSink needs at least one key column")
+    val spark = updates.sparkSession
+    val fs = new java.io.File(path)
+    fs.mkdirs()
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val latest = batch
+          .withColumn("__ms_rn", row_number().over(
+            Window.partitionBy(keyCols.map(col): _*)
+              .orderBy(desc(seqCol))))
+          .filter(col("__ms_rn") === 1)
+          .drop("__ms_rn", seqCol)
+        val marker = new java.io.File(fs, "_CURRENT")
+        val target: DataFrame =
+          if (marker.exists()) {
+            val gen = new String(java.nio.file.Files.readAllBytes(
+              marker.toPath), "UTF-8").trim
+            spark.read.parquet(s"$path/$gen")
+          } else {
+            // first batch: empty target with the post-merge schema
+            val cols = latest.columns
+              .filterNot(c => deleteCol.contains(c)).map(col)
+            latest.select(cols: _*).limit(0)
+          }
+        val merged = Analytics.mergeUpsert(target, latest, keyCols,
+          deleteCol)
+        val genDir = s"gen-$epochId"
+        merged.write.mode("overwrite").parquet(s"$path/$genDir")
+        // commit point: the pointer names the new generation only after
+        // its parquet write completed
+        java.nio.file.Files.write(marker.toPath,
+          genDir.getBytes("UTF-8"))
+        ()
+      }
+      .start()
+  }
+
+  /** Read the current state of a [[mergeSink]] target (the generation
+    * named by the `_CURRENT` pointer).
+    */
+  def readMergeTarget(spark: SparkSession, path: String): DataFrame = {
+    val marker = new java.io.File(path, "_CURRENT")
+    require(marker.exists(), s"no _CURRENT pointer under $path")
+    val gen = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      "UTF-8").trim
+    spark.read.parquet(s"$path/$gen")
+  }
 }
+

@@ -229,4 +229,39 @@ class StreamingSpec extends AnyFunSuite {
     val total = batch.agg(sum("n_events")).head().getLong(0)
     assert(total == 1000L) // sf0.001 events row count
   }
+
+
+  test("mergeSink applies CDC micro-batches: last-write-wins per key, " +
+      "delete removes, state survives across batches, replay-safe layout") {
+    import TestSpark.spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Boolean)](spark)
+    val target = Files.createTempDirectory("graft-merge-target").toString
+    val ckpt = Files.createTempDirectory("graft-merge-ckpt").toString
+    val q = Streaming.mergeSink(
+      input.toDF().toDF("k", "v", "seq", "del"),
+      Seq("k"), "seq", Some("del"), target, ckpt)
+    try {
+      // batch 1: two inserts + an in-batch overwrite of key 1
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false),
+        (1L, "a2", 2L, false))
+      q.processAllAvailable()
+      val s1 = Streaming.readMergeTarget(spark, target)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s1 == Map(1L -> "a2", 2L -> "b"))
+      // batch 2: update key 2, delete key 1, insert key 3
+      input.addData((2L, "b2", 3L, false), (1L, "gone", 4L, true),
+        (3L, "c", 5L, false))
+      q.processAllAvailable()
+      val s2 = Streaming.readMergeTarget(spark, target)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s2 == Map(2L -> "b2", 3L -> "c"))
+      // the previous generation is still on disk (crash safety: the
+      // _CURRENT pointer is the commit point, not the directory write)
+      val gens = new java.io.File(target).listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+      assert(gens.length >= 2, s"expected ≥2 generations, got: ${gens.toSeq}")
+    } finally q.stop()
+  }
 }
+
