@@ -1133,13 +1133,23 @@ object Extensions {
         slice(col("__t"), lit(1), greatest(lit(0), size(col("__t")) - 1)),
         slice(col("__t"), lit(2), greatest(lit(0), size(col("__t")) - 1)),
         (a, b) => concat(a, lit(" "), b))).as("bigram"))
-    val freq = bg.groupBy("bigram").agg(count(lit(1)).as("__n"))
-    bg.join(freq, "bigram")
+    // pre-aggregate to (doc, bigram, count) BEFORE the global-frequency
+    // join: the join then moves one row per distinct (doc, bigram) pair
+    // instead of one per occurrence — on a repetitive web corpus that is
+    // the difference between shuffling the token stream and shuffling
+    // its (much smaller) per-doc vocabulary. Occurrence-weighted sums
+    // reconstruct the exact same integer totals, so results are
+    // bit-identical to the per-occurrence form.
+    val bgc = bg.groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val freq = bgc.groupBy("bigram").agg(sum("__cnt").as("__n"))
+    bgc.join(freq, "bigram")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bigram")).as("n_distinct"),
-        (sum("__n") / count(lit(1))).as("avg_bigram_freq"),
-        sum(when(col("__n") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum("__cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("__cnt") * col("__n")) / sum("__cnt")).as("avg_bigram_freq"),
+        sum(when(col("__n") < rareBelow, col("__cnt")).otherwise(0L))
+          .as("n_rare"))
   }
 
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.clustering.{BisectingKMeans, GaussianMixture, KMeans}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, ClusteringEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
-import org.apache.spark.ml.feature.{Bucketizer, Interaction, OneHotEncoder, SQLTransformer, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.feature.{Binarizer, Bucketizer, Interaction, MaxAbsScaler, MinMaxScaler, Normalizer, OneHotEncoder, SQLTransformer, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressor, GeneralizedLinearRegression, LinearRegression, RandomForestRegressor}
 import org.apache.spark.ml.feature.Imputer
 import org.apache.spark.ml.recommendation.ALS
@@ -105,6 +105,28 @@ object MLPipe {
 
   def sqlTransformerStage(statement: String): SQLTransformer =
     new SQLTransformer().setStatement(statement)
+
+  /** The remaining standard scaler/normalizer stages, completing the
+    * MLlib feature-scaling family alongside [[StandardScaler]] (used in
+    * buildFeaturePipeline): min-max to [0,1], max-abs (sign-preserving),
+    * per-row Lp normalization, and strict-greater-than binarization.
+    * Each has an oracle-exact catalog twin in [[MLQueries]].
+    */
+  def minMaxStage(inputCol: String, outputCol: String): MinMaxScaler =
+    new MinMaxScaler().setInputCol(inputCol).setOutputCol(outputCol)
+      .setMin(0.0).setMax(1.0)
+
+  def maxAbsStage(inputCol: String, outputCol: String): MaxAbsScaler =
+    new MaxAbsScaler().setInputCol(inputCol).setOutputCol(outputCol)
+
+  def normalizerStage(inputCol: String, outputCol: String,
+      p: Double = 2.0): Normalizer =
+    new Normalizer().setInputCol(inputCol).setOutputCol(outputCol).setP(p)
+
+  def binarizerStage(inputCol: String, outputCol: String,
+      threshold: Double): Binarizer =
+    new Binarizer().setInputCol(inputCol).setOutputCol(outputCol)
+      .setThreshold(threshold)
 
   case class TrainResult(model: PipelineModel, metrics: Map[String, Double])
 

@@ -214,6 +214,103 @@ object MLQueries {
             round(arr(2), 6).as("pca_3"), round(arr(3), 6).as("pca_4"))
           .orderBy("vec_id")
       },
-      None)
+      None),
+
+
+    // ── MinMaxScaler to [0,1]: fit is a global min/max agg, transform a
+    // broadcast projection — oracle replays it as a CROSS JOIN with the
+    // 1-row extremes ─────────────────────────────────────────────────────
+    QuerySpec("minmax_scaler",
+      (s, d) => {
+        val df = lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        val va = new VectorAssembler()
+          .setInputCols(Array("l_quantity", "l_extendedprice"))
+          .setOutputCol("__raw")
+        val st = MLPipe.minMaxStage("__raw", "__scaled")
+        val assembled = va.transform(df)
+        st.fit(assembled).transform(assembled)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            round(vector_to_array(col("__scaled"))(0), 6).as("q_scaled"),
+            round(vector_to_array(col("__scaled"))(1), 6).as("p_scaled"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""WITH s AS (
+             |  SELECT min(l_quantity) AS qlo, max(l_quantity) AS qhi,
+             |         min(l_extendedprice) AS plo, max(l_extendedprice) AS phi
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       round((l_quantity - qlo) / (qhi - qlo), 6) AS q_scaled,
+             |       round((l_extendedprice - plo) / (phi - plo), 6) AS p_scaled
+             |FROM lineitem CROSS JOIN s
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── MaxAbsScaler: divide by max |x| per column (no shift) ────────────
+    QuerySpec("maxabs_scaler",
+      (s, d) => {
+        val df = lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        val va = new VectorAssembler()
+          .setInputCols(Array("l_quantity", "l_extendedprice"))
+          .setOutputCol("__raw")
+        val st = MLPipe.maxAbsStage("__raw", "__scaled")
+        val assembled = va.transform(df)
+        st.fit(assembled).transform(assembled)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            round(vector_to_array(col("__scaled"))(0), 6).as("q_scaled"),
+            round(vector_to_array(col("__scaled"))(1), 6).as("p_scaled"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""WITH s AS (
+             |  SELECT max(abs(l_quantity)) AS qa, max(abs(l_extendedprice)) AS pa
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       round(l_quantity / qa, 6) AS q_scaled,
+             |       round(l_extendedprice / pa, 6) AS p_scaled
+             |FROM lineitem CROSS JOIN s
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── Normalizer(p=2): pure per-row projection, no fit, no exchange ────
+    QuerySpec("l2_normalizer",
+      (s, d) => {
+        val df = lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        val va = new VectorAssembler()
+          .setInputCols(Array("l_quantity", "l_extendedprice"))
+          .setOutputCol("__raw")
+        val st = MLPipe.normalizerStage("__raw", "__norm")
+        st.transform(va.transform(df))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            round(vector_to_array(col("__norm"))(0), 6).as("q_unit"),
+            round(vector_to_array(col("__norm"))(1), 6).as("p_unit"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  round(l_quantity /
+             |    sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice), 6) AS q_unit,
+             |  round(l_extendedprice /
+             |    sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice), 6) AS p_unit
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── Binarizer: STRICT > threshold → 1.0 (MLlib edge semantics) ───────
+    QuerySpec("binarizer_flag",
+      (s, d) => {
+        val df = lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_quantity")
+        val st = MLPipe.binarizerStage("l_quantity", "q_flag",
+          threshold = 25.0)
+        st.transform(df)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("q_flag"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       CASE WHEN l_quantity > 25.0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS q_flag
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin))
   )
 }
