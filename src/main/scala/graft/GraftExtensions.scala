@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BottomK, DotF32, MinHashSig, SimHash64}
+import graft.functions.{BottomK, DotF32, MinHashSig, SimHash64, TopKPairs}
 
 /** SparkSessionExtensions entry point — the production route to the
   * library's custom Catalyst functions. Users add
@@ -55,5 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
       // arity + foldable-integral-k validation lives in BottomK.fromExprs
       (exprs: Exprs) => BottomK.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      // arity + foldable-integral-k validation lives in fromExprs
+      (exprs: Exprs) => TopKPairs.fromExprs(exprs)))
   }
 }

@@ -315,6 +315,54 @@ object Analytics {
         col("__p.ord").as(ordCol)): _*)
   }
 
+  /** Time-series resample onto a regular grid with forward fill: for
+    * each key, emit one row per `stepSeconds` from its first to its
+    * last observation, carrying the latest observed value at or before
+    * each grid instant — the gap-filling step before any
+    * fixed-frequency feature (lag/rolling on wall-clock steps) or
+    * join against calendar dimensions.
+    *
+    * Same-timestamp duplicates are collapsed with max() first so the
+    * fill is deterministic. `tsCol` must cast to a numeric epoch
+    * (library convention: epoch seconds). Output:
+    * (keyCol, grid_ts, valueCol).
+    *
+    * Shuffle shape: everything is keyed BY `keyCol` — the dedup/bounds
+    * aggregations and the fill window hash-exchange on the key and the
+    * spine is generated per key with `sequence()` (no driver-side range
+    * materialization, no cross-key data movement). Grid density is the
+    * caller's lever: rows out = span/step per key, generated
+    * executor-side.
+    */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    requireNoReserved(df, Seq("__t", "__v", "__lo", "__hi", "__is_grid",
+      "__f"))
+    val obs = df.select(col(keyCol), col(tsCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy(col(keyCol), col("__t")).agg(max("__v").as("__v"))
+    val spine = obs.groupBy(keyCol)
+      .agg(min("__t").as("__lo"), max("__t").as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds)))
+          .as("__t"))
+    val unioned = obs.withColumn("__is_grid", lit(false))
+      .unionByName(spine
+        .withColumn("__v", lit(null).cast("double"))
+        .withColumn("__is_grid", lit(true)))
+    // observations sort BEFORE the grid row at the same instant
+    // (false < true), so an exactly-aligned observation lands in its
+    // own grid point
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__t"), col("__is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_grid"))
+      .select(col(keyCol), col("__t").as("grid_ts"),
+        col("__f").as(valueCol))
+  }
+
   /** Build a type-2 slowly-changing dimension from a changelog: one
     * output row per retained version with `valid_from` / `valid_to`
     * epoch-second bounds (`valid_to` NULL on the open current version)

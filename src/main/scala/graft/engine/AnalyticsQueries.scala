@@ -240,6 +240,33 @@ object AnalyticsQueries {
              |ORDER BY o_custkey, valid_from, o_orderstatus,
              |         coalesce(valid_to, 9223372036854775807)""".stripMargin)),
 
+    // ── daily-grid resample + forward fill of each user's purchase
+    // value stream: per-key sequence() spine, one fill window — all
+    // keyed by user, no cross-key movement ───────────────────────────────
+    QuerySpec("resample_ffill",
+      (s, d) => Analytics.resampleFill(
+          events(s, d).filter(col("event_type") === "purchase")
+            .withColumn("__es", col("ts").cast("long")),
+          "user_id", "__es", "value", stepSeconds = 86400L)
+        .orderBy("user_id", "grid_ts"),
+      Some(s"""WITH o AS (
+             |  SELECT user_id, $EpochS AS t, max(value) AS v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |b AS (SELECT user_id, min(t) AS lo, max(t) AS hi
+             |      FROM o GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS t
+             |      FROM b),
+             |u AS (SELECT user_id, t, v, 0 AS is_grid FROM o
+             |      UNION ALL SELECT user_id, t, NULL, 1 FROM g),
+             |f AS (SELECT user_id, t, is_grid,
+             |        last_value(v IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY t, is_grid
+             |          ROWS UNBOUNDED PRECEDING) AS fv
+             |      FROM u)
+             |SELECT user_id, t AS grid_ts, fv AS value
+             |FROM f WHERE is_grid = 1
+             |ORDER BY user_id, grid_ts""".stripMargin)),
+
     // ── data-quality constraint suite (Deequ-shaped): all scalar rules
     // fold into ONE aggregation pass; uniqueness adds one exchange, the
     // FK rule one anti-join. Report is one row per rule ────────────────

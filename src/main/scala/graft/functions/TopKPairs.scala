@@ -5,7 +5,7 @@ import java.util.Comparator
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -36,9 +36,15 @@ case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // SQL-surface robustness: integral ord / narrower id coerce instead of
+  // class-casting at eval time (result type inferred — AbstractDataType
+  // itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(ord, id)
   override def nullable: Boolean = false
@@ -115,6 +121,32 @@ case class TopKPairs(
 }
 
 object TopKPairs {
+
+  /** Validated SQL builder (same contract as [[BottomK.fromExprs]]):
+    * `top_k_pairs(ord, id, k)` with k a foldable integral literal.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"top_k_pairs expects 3 arguments, got ${exprs.length}")
+    if (!exprs(2).foldable)
+      throw new IllegalArgumentException(
+        "top_k_pairs: k must be a literal, not a column")
+    val k = exprs(2).eval(InternalRow.empty) match {
+      case i: Int                  => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short                => s.toInt
+      case b: Byte                 => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"top_k_pairs: k must be an integral literal, got $other")
+    }
+    TopKPairs(exprs.head, exprs(1), k).toAggregateExpression()
+  }
+
+  /** Register `top_k_pairs(ord, id, k)` in the session's registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_pairs", fromExprs, "scala_udf")
 
   /** Rank order: larger ord first, then smaller id. A named serializable
     * object (not an anonymous class) because the aggregate expression —

@@ -231,4 +231,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.count() == 7)
     assert(raw.filter(col("is_current")).count() == 3)
   }
+
+  test("resampleFill: grid spans first..last per key, forward-fills " +
+      "gaps, aligned observation wins its grid point, same-ts dups " +
+      "collapse deterministically") {
+    val obs = Seq(
+      // key 1: obs at 0 and 250; grid step 100 → points 0,100,200
+      (1L, 0L, 10.0), (1L, 250L, 99.0),
+      // key 2: duplicate ts 50 → max wins; single grid point 50
+      (2L, 50L, 1.0), (2L, 50L, 7.0)
+    ).toDF("k", "t", "v")
+    val out = Analytics.resampleFill(obs, "k", "t", "v", stepSeconds = 100L)
+      .orderBy("k", "grid_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      // obs at 250 is between grid points: 200 still sees value at 0
+      (1L, 0L, 10.0), (1L, 100L, 10.0), (1L, 200L, 10.0),
+      (2L, 50L, 7.0)))
+  }
 }

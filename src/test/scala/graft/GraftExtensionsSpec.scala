@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SparkSessionExtensions wiring must make simhash64 / dot_f32 /
-  * minhash_sig / bottom_k available in SQL on a session built with the
-  * extension — no per-session register() calls.
+  * minhash_sig / bottom_k / top_k_pairs available in SQL on a session
+  * built with the extension — no per-session register() calls.
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions injects the four custom functions") {
+  test("GraftExtensions injects the five custom functions") {
     val base = TestSpark.spark
     // expected simhash from the explicitly-registered path
     graft.functions.SimHash64.register(base)
@@ -39,6 +39,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val mh = s2.sql("SELECT minhash_sig(array('a', 'b'), 4, 42) AS s")
         .head().getSeq[Long](0)
       assert(mh.length == 4)
+      // top_k_pairs: int ord/id coerce via ImplicitCastInputTypes;
+      // ties (9) break toward the smaller id
+      val tk = s2.sql(
+        """SELECT top_k_pairs(v, id, 2) FROM
+          |VALUES (9, 1), (9, 2), (5, 3) t(v, id)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.map(r => (r.getDouble(0), r.getLong(1)))
+        == Seq((9.0, 1L), (9.0, 2L)))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
