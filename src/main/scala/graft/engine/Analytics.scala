@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -361,6 +361,51 @@ object Analytics {
       .filter(col("__is_grid"))
       .select(col(keyCol), col("__t").as("grid_ts"),
         col("__f").as(valueCol))
+  }
+
+  /** Calendar dimension generator: one row per day in [start, end]
+    * (inclusive, ISO `yyyy-MM-dd` literals) with the standard derived
+    * attributes — the join-side table every warehouse keeps beside its
+    * facts. Generated executor-side from one `sequence()` (no driver
+    * loop, no data read); deterministic, so two clusters generating the
+    * same range get identical tables.
+    *
+    * `day_of_week` is 1=Sunday..7=Saturday (Spark `dayofweek`);
+    * `week_of_year` is the ISO week number.
+    */
+  def calendarDim(spark: SparkSession, start: String, end: String): DataFrame = {
+    val base = spark.range(1).select(
+      explode(sequence(to_date(lit(start)), to_date(lit(end)))).as("date"))
+    base.select(col("date"),
+      year(col("date")).as("year"),
+      quarter(col("date")).as("quarter"),
+      month(col("date")).as("month"),
+      dayofmonth(col("date")).as("day_of_month"),
+      weekofyear(col("date")).as("week_of_year"),
+      dayofweek(col("date")).as("day_of_week"),
+      dayofweek(col("date")).isin(1, 7).as("is_weekend"))
+  }
+
+  /** Key-skew diagnostic: the `topK` heaviest values of `keyCol` with
+    * their share of all rows and their ratio to the mean per-key count
+    * — the number that says whether a shuffle on this key needs salting
+    * ([[Scale.saltedJoin]]) before it hits a 100 TB join. One count
+    * aggregation + a broadcast 1-row stats row + a TakeOrdered top-k;
+    * never a global sort.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    requireNoReserved(df, Seq("__n", "__rows", "__keys"))
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val stats = counts.agg(sum("__n").as("__rows"),
+      count(lit(1)).as("__keys"))
+    counts.orderBy(desc("__n"), col(keyCol)).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol),
+        col("__n").as("n_rows"),
+        round(col("__n") / col("__rows"), 6).as("share"),
+        round(col("__n") * col("__keys") / col("__rows"), 6)
+          .as("ratio_to_avg"))
   }
 
   /** Build a type-2 slowly-changing dimension from a changelog: one

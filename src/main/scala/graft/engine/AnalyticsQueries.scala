@@ -240,6 +240,34 @@ object AnalyticsQueries {
              |ORDER BY o_custkey, valid_from, o_orderstatus,
              |         coalesce(valid_to, 9223372036854775807)""".stripMargin)),
 
+    // ── calendar dimension: pure sequence() generation, zero input ──────
+    QuerySpec("calendar_dim",
+      (s, _) => Analytics.calendarDim(s, "2024-01-01", "2024-12-31")
+        .orderBy("date"),
+      Some("""SELECT d::DATE AS date,
+             |       year(d)::INT AS year, quarter(d)::INT AS quarter,
+             |       month(d)::INT AS month, day(d)::INT AS day_of_month,
+             |       week(d)::INT AS week_of_year,
+             |       (dayofweek(d) + 1)::INT AS day_of_week,
+             |       dayofweek(d) IN (0, 6) AS is_weekend
+             |FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+             |                     INTERVAL 1 DAY) t(d)
+             |ORDER BY date""".stripMargin)),
+
+    // ── skew diagnostic over the lineitem supplier key ──────────────────
+    QuerySpec("skew_report",
+      (s, d) => Analytics.skewReport(lineitem(s, d), "l_suppkey", topK = 10)
+        .orderBy(desc("n_rows"), col("l_suppkey")),
+      Some("""WITH c AS (
+             |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+             |s AS (SELECT sum(n) AS rows_, count(*) AS keys_ FROM c)
+             |SELECT l_suppkey, n AS n_rows,
+             |       round(n / rows_, 6) AS share,
+             |       round(n * keys_ / rows_, 6) AS ratio_to_avg
+             |FROM (SELECT * FROM c ORDER BY n DESC, l_suppkey LIMIT 10)
+             |CROSS JOIN s
+             |ORDER BY n_rows DESC, l_suppkey""".stripMargin)),
+
     // ── daily-grid resample + forward fill of each user's purchase
     // value stream: per-key sequence() spine, one fill window — all
     // keyed by user, no cross-key movement ───────────────────────────────

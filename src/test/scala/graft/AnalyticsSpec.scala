@@ -232,6 +232,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.filter(col("is_current")).count() == 3)
   }
 
+  test("calendarDim: inclusive bounds, weekend flags, ISO weeks, " +
+      "leap-day present") {
+    val cal = Analytics.calendarDim(TestSpark.spark,
+      "2024-02-28", "2024-03-03").collect()
+    assert(cal.length == 5) // inclusive both ends, leap day included
+    val byDate = cal.map(r => r.getDate(0).toString ->
+      (r.getInt(6), r.getBoolean(7))).toMap
+    assert(byDate.contains("2024-02-29"))
+    // 2024-03-02 was a Saturday (dow 7), 03-03 a Sunday (dow 1)
+    assert(byDate("2024-03-02") == ((7, true)))
+    assert(byDate("2024-03-03") == ((1, true)))
+    assert(byDate("2024-02-28") == ((4, false))) // Wednesday
+  }
+
+  test("skewReport: heaviest keys first, share sums under 1, " +
+      "ratio_to_avg reflects the hot key") {
+    // key 1: 8 rows; keys 2..5: 1 row each → avg 2.4, hot ratio 8/2.4
+    val df = (Seq.fill(8)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("k")
+    val out = Analytics.skewReport(df, "k", topK = 3)
+      .orderBy(desc("n_rows"), col("k")).collect()
+    assert(out.length == 3)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 8L)
+    assert(out.head.getDouble(2) == math.rint(8.0 / 12 * 1e6) / 1e6)
+    assert(out.head.getDouble(3) == math.rint(8.0 * 5 / 12 * 1e6) / 1e6)
+  }
+
   test("resampleFill: grid spans first..last per key, forward-fills " +
       "gaps, aligned observation wins its grid point, same-ts dups " +
       "collapse deterministically") {
