@@ -315,6 +315,38 @@ object Analytics {
         col("__p.ord").as(ordCol)): _*)
   }
 
+  /** Last-touch conversion attribution: for each `convType` event,
+    * credit the most recent NON-conversion event of the same user
+    * within `windowSeconds` at or before the conversion instant
+    * (ties at the same timestamp break toward the larger `idCol` —
+    * the latest-arriving touch). Returns one row per attributed
+    * channel: (channel, conversions), with unattributed conversions
+    * under channel 'direct'.
+    *
+    * Shuffle shape: ONE hash exchange on `userCol` — the credit
+    * assignment is a max_by aggregate over a RANGE window on the same
+    * partitioning (per-user, time-bounded state), then a tiny rollup
+    * on the channel. No self-join of the event stream.
+    */
+  def lastTouchAttribution(ev: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    requireNoReserved(ev, Seq("__t", "__ch"))
+    val e = ev.select(col(userCol), col(typeCol), col(idCol),
+      col(tsCol).cast("long").as("__t"))
+    val w = Window.partitionBy(userCol).orderBy(col("__t"))
+      .rangeBetween(-windowSeconds, 0)
+    val touch = when(col(typeCol) =!= lit(convType),
+      struct(col("__t"), col(idCol)))
+    e.withColumn("__ch",
+        max_by(when(col(typeCol) =!= lit(convType), col(typeCol)), touch)
+          .over(w))
+      .filter(col(typeCol) === lit(convType))
+      .groupBy(coalesce(col("__ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("conversions"))
+  }
+
   /** Time-series resample onto a regular grid with forward fill: for
     * each key, emit one row per `stepSeconds` from its first to its
     * last observation, carrying the latest observed value at or before

@@ -295,6 +295,58 @@ object AnalyticsQueries {
              |FROM f WHERE is_grid = 1
              |ORDER BY user_id, grid_ts""".stripMargin)),
 
+    // ── PSI drift between the price distribution and a +5% shifted
+    // snapshot: fixed equi-width bins, Laplace smoothing, per-bin
+    // contributions (sum = headline PSI) ─────────────────────────────────
+    QuerySpec("psi_drift",
+      (s, d) => Quality.psiReport(
+          orders(s, d),
+          orders(s, d).withColumn("o_totalprice",
+            col("o_totalprice") * 1.05),
+          "o_totalprice", bins = 10, lo = 0.0, hi = 500000.0)
+        .orderBy("bin"),
+      Some("""WITH b AS (
+             |  SELECT least(greatest(floor(o_totalprice / 50000.0), 0), 9)::INT AS bin,
+             |         count(*) AS n
+             |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+             |c AS (
+             |  SELECT least(greatest(floor(o_totalprice * 1.05 / 50000.0), 0), 9)::INT AS bin,
+             |         count(*) AS n
+             |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+             |s AS (SELECT unnest(generate_series(0, 9))::INT AS bin),
+             |bb AS (SELECT s.bin, coalesce(b.n, 0) AS base_n,
+             |         (coalesce(b.n, 0) + 1.0) / ((SELECT sum(n) FROM b) + 10.0) AS p
+             |       FROM s LEFT JOIN b USING (bin)),
+             |cc AS (SELECT s.bin, coalesce(c.n, 0) AS cur_n,
+             |         (coalesce(c.n, 0) + 1.0) / ((SELECT sum(n) FROM c) + 10.0) AS q
+             |       FROM s LEFT JOIN c USING (bin))
+             |SELECT bb.bin, base_n, cur_n,
+             |       round((p - q) * ln(p / q), 9) AS psi_contrib
+             |FROM bb JOIN cc ON bb.bin = cc.bin
+             |ORDER BY bb.bin""".stripMargin)),
+
+    // ── last-touch attribution: per-user RANGE window (2h lookback),
+    // max_by credit assignment, tiny channel rollup ─────────────────────
+    QuerySpec("attribution",
+      (s, d) => Analytics.lastTouchAttribution(events(s, d), "user_id",
+          "event_type", "ts", "event_id", convType = "purchase",
+          windowSeconds = 7200L)
+        .orderBy("channel"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, event_id, $EpochS AS t
+             |  FROM events),
+             |conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+             |att AS (
+             |  SELECT c.event_id,
+             |    (SELECT x.event_type FROM e x
+             |     WHERE x.user_id = c.user_id AND x.event_type <> 'purchase'
+             |       AND x.t <= c.t AND x.t >= c.t - 7200
+             |     ORDER BY x.t DESC, x.event_id DESC LIMIT 1) AS ch
+             |  FROM conv c)
+             |SELECT coalesce(ch, 'direct') AS channel,
+             |       count(*)::BIGINT AS conversions
+             |FROM att GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     // ── data-quality constraint suite (Deequ-shaped): all scalar rules
     // fold into ONE aggregation pass; uniqueness adds one exchange, the
     // FK rule one anti-join. Report is one row per rule ────────────────

@@ -716,6 +716,29 @@ object ExtensionQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // ── blocked fuzzy match of distinct part names against a
+    // deterministically-corrupted copy (3rd char dropped): 2-char prefix
+    // blocks, levenshtein ≤ 1 rescoring — per-block pairs, never n² ─────
+    QuerySpec("fuzzy_match",
+      (s, d) => {
+        val names = part(s, d).select(col("p_name")).distinct()
+        val corrupted = names.select(
+          concat(substring(col("p_name"), 1, 2),
+            substring(col("p_name"), 4, 1000)).as("r_name")).distinct()
+        Extensions.fuzzyJoin(names, corrupted, "p_name", "r_name",
+            "p_name", "r_name", maxDist = 1, blockLen = 2)
+          .orderBy("p_name", "r_name")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+             |c AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS r_name
+             |      FROM n)
+             |SELECT n.p_name, c.r_name,
+             |       levenshtein(n.p_name, c.r_name)::INT AS dist
+             |FROM n JOIN c
+             |  ON lower(substr(n.p_name, 1, 2)) = lower(substr(c.r_name, 1, 2))
+             |WHERE levenshtein(n.p_name, c.r_name) <= 1
+             |ORDER BY p_name, r_name""".stripMargin)),
+
     // ── intra-document segment dedup (boilerplate removal): first
     // occurrence of each distinct segment kept in original order; doc-
     // keyed shuffles only, no cross-document movement. Segment = token

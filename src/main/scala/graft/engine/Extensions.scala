@@ -1167,6 +1167,37 @@ object Extensions {
       pred.as("pred_lang"): _*)
   }
 
+  /** Blocked fuzzy equi-join (entity resolution): candidate pairs share
+    * a lowercased `blockLen`-character prefix block, and survive iff
+    * `levenshtein(left, right) <= maxDist`. Blocking is the standard
+    * record-linkage trade: edit-distance against every pair is O(n²)
+    * corpus-wide, but typo'd duplicates almost always agree on a short
+    * prefix — so the join runs per block, never all-pairs. Returns
+    * (leftIdCol, rightIdCol, dist).
+    *
+    * Shuffle shape: one hash exchange per side on the block key; the
+    * per-block pair count is the quadratic term, so keep blocks small
+    * (raise `blockLen`) on heavy-hitter prefixes — the same skew lever
+    * as every LSH band in this file. Recall caveat (documented, not
+    * hidden): an edit inside the first `blockLen` characters moves the
+    * row to another block and the pair is missed; prefix blocking is a
+    * candidate generator, not an exact algorithm.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, leftIdCol: String,
+      rightIdCol: String, maxDist: Int, blockLen: Int = 2): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(blockLen > 0, "blockLen must be positive")
+    val l = left.select(col(leftIdCol), col(leftCol).as("__ltext"),
+      lower(substring(col(leftCol), 1, blockLen)).as("__blk"))
+    val r = right.select(col(rightIdCol), col(rightCol).as("__rtext"),
+      lower(substring(col(rightCol), 1, blockLen)).as("__blk"))
+    l.join(r, "__blk")
+      .withColumn("dist", levenshtein(col("__ltext"), col("__rtext")))
+      .filter(col("dist") <= maxDist)
+      .select(col(leftIdCol), col(rightIdCol), col("dist"))
+  }
+
   /** Intra-document segment dedup: split `textCol` on the LITERAL
     * separator `sep`, keep only the FIRST occurrence of each distinct
     * segment (original order preserved), and re-join. The standard

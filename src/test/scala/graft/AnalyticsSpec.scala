@@ -232,6 +232,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.filter(col("is_current")).count() == 3)
   }
 
+  test("lastTouchAttribution: latest in-window touch wins, same-ts " +
+      "touch counts, out-of-window and touchless convert to direct") {
+    val ev = Seq(
+      // u1: ad at 100, email at 200, purchase at 250 → email
+      (1L, "ad", 100L, 1L), (1L, "email", 200L, 2L),
+      (1L, "purchase", 250L, 3L),
+      // u2: ad at 10, purchase at 500 (window 100) → too old → direct
+      (2L, "ad", 10L, 4L), (2L, "purchase", 500L, 5L),
+      // u3: touch at the SAME instant as the purchase → counts
+      (3L, "ad", 700L, 6L), (3L, "purchase", 700L, 7L),
+      // u4: purchase with no touches at all → direct
+      (4L, "purchase", 900L, 8L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+    val out = Analytics.lastTouchAttribution(ev, "user_id", "event_type",
+        "t", "event_id", "purchase", windowSeconds = 100L)
+      .orderBy("channel")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("email" -> 1L, "ad" -> 1L, "direct" -> 2L))
+  }
+
   test("calendarDim: inclusive bounds, weekend flags, ISO weeks, " +
       "leap-day present") {
     val cal = Analytics.calendarDim(TestSpark.spark,

@@ -512,6 +512,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.size == 3)
   }
 
+  test("fuzzyJoin: blocked candidates rescored by edit distance; " +
+      "edits past the block prefix match, edits inside it are missed " +
+      "(documented recall trade)") {
+    val l = Seq((1L, "widget"), (2L, "gadget"), (3L, "bolt"))
+      .toDF("lid", "lname")
+    val r = Seq((10L, "widgit"),  // 1 edit at pos 5 → same "wi" block
+      (20L, "aadget"),            // 1 edit at pos 1 → DIFFERENT block
+      (30L, "bolts"))             // 1 insertion → same "bo" block
+      .toDF("rid", "rname")
+    val out = Extensions.fuzzyJoin(l, r, "lname", "rname", "lid", "rid",
+        maxDist = 1, blockLen = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(out == Set((1L, 10L, 1), (3L, 30L, 1)))
+  }
+
   test("dedupSegments keeps the FIRST occurrence of each segment in " +
       "original order; counts are original vs unique") {
     val docs = Seq(

@@ -66,4 +66,27 @@ class QualitySpec extends AnyFunSuite {
     assert(out(0) == ("in_range(v)", 1.0, true))
     assert(out(2) == ("unique(id)", 1.0, true))
   }
+
+  test("psiReport: identical distributions give zero PSI; a shifted " +
+      "distribution gives positive contributions; outliers clamp to " +
+      "edge bins; empty bins stay finite via smoothing") {
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Quality.psiReport(base, base, "v", bins = 5,
+      lo = 0.0, hi = 100.0).collect()
+    assert(same.length == 5)
+    assert(same.forall(_.getDouble(3) == 0.0))
+    // shift everything up 40: mass leaves low bins, enters high ones
+    val shifted = base.select((org.apache.spark.sql.functions.col("v")
+      + 40.0).as("v"))
+    val drift = Quality.psiReport(base, shifted, "v", bins = 5,
+      lo = 0.0, hi = 100.0).collect()
+    val psi = drift.map(_.getDouble(3)).sum
+    assert(psi > 0.25, s"expected strong drift, psi=$psi")
+    // values above hi (101..140 after shift) land in the top bin, and
+    // the now-empty base-side low bin still yields a finite contribution
+    assert(drift.forall(r => !r.getDouble(3).isNaN &&
+      !r.getDouble(3).isInfinite))
+    val top = drift.find(_.getInt(0) == 4).get
+    assert(top.getLong(2) > top.getLong(1)) // cur_n swelled by clamping
+  }
 }
