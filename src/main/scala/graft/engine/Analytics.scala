@@ -315,6 +315,74 @@ object Analytics {
         col("__p.ord").as(ordCol)): _*)
   }
 
+  /** Two-sample A/B comparison of `metricCol` between every variant in
+    * `groupCol` and the named `control`: per-variant n/mean/stddev plus
+    * the Welch z-score of the mean difference vs control
+    * (z = (m_v − m_c) / sqrt(s_v²/n_v + s_c²/n_c)). The z-score IS the
+    * decision statistic — map it to a p-value with the normal CDF of
+    * your stats library; no distribution tables live in the engine.
+    *
+    * Scale shape: ONE aggregation pass over the data (partial-agg
+    * n/sum/sumsq per variant), then O(variants) arithmetic against the
+    * broadcast control row. Moment sums are order-sensitive in the
+    * last ulps, so mean/std/z are rounded to 6 dp (the library's
+    * aggregate convention).
+    */
+  def abTest(df: DataFrame, groupCol: String, metricCol: String,
+      control: String): DataFrame = {
+    requireNoReserved(df, Seq("__n", "__m", "__s", "__cn", "__cm", "__cs"))
+    val stats = df.filter(col(metricCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        avg(col(metricCol)).as("__m"),
+        stddev_samp(col(metricCol)).as("__s"))
+    val ctrl = stats.filter(col(groupCol) === lit(control))
+      .select(col("__n").as("__cn"), col("__m").as("__cm"),
+        col("__s").as("__cs"))
+    stats.filter(col(groupCol) =!= lit(control))
+      .crossJoin(broadcast(ctrl))
+      .select(col(groupCol).as("variant"),
+        col("__n").as("n"),
+        round(col("__m"), 6).as("mean"),
+        round(col("__s"), 6).as("stddev"),
+        round((col("__m") - col("__cm")) /
+          sqrt(col("__s") * col("__s") / col("__n") +
+            col("__cs") * col("__cs") / col("__cn")), 6).as("z_score"))
+  }
+
+  /** Per-key rolling z-score outlier flags: each row is scored against
+    * the mean/stddev of the PRECEDING `lookback` rows (the row itself
+    * excluded, so a spike can't mask itself), ordered by `tsCol` with
+    * `tieCol` making the frame total. Rows with fewer than `minPrior`
+    * prior observations or zero prior variance emit a null score.
+    * Returns the input keys plus (z_score, is_outlier).
+    *
+    * Shuffle shape: ONE hash exchange on `keyCol` — both window
+    * aggregates share the partitioning and frame. The frame is ROWS
+    * (count-bounded), so state per key is O(lookback) regardless of
+    * time density.
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, lookback: Int,
+      threshold: Double = 3.0, minPrior: Int = 2): DataFrame = {
+    require(lookback >= 2, "lookback must be at least 2")
+    requireNoReserved(df, Seq("__rm", "__rs", "__rn", "__z"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).cast("long"), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val scored = df
+      .withColumn("__rm", avg(col(valueCol)).over(w))
+      .withColumn("__rs", stddev_samp(col(valueCol)).over(w))
+      .withColumn("__rn", count(col(valueCol)).over(w))
+    scored.withColumn("__z",
+        when(col("__rn") >= minPrior && col("__rs") > 0,
+          round((col(valueCol) - col("__rm")) / col("__rs"), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("__z")) > threshold, lit(false)))
+      .drop("__rm", "__rs", "__rn")
+      .withColumnRenamed("__z", "z_score")
+  }
+
   /** Last-touch conversion attribution: for each `convType` event,
     * credit the most recent NON-conversion event of the same user
     * within `windowSeconds` at or before the conversion instant

