@@ -716,6 +716,24 @@ object ExtensionQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // ── sliding context windows (512 chars, stride 384) per document:
+    // pure projection + sequence() explode, zero shuffles ────────────────
+    QuerySpec("overlap_chunking",
+      (s, d) => Extensions.overlapChunks(documents(s, d), "doc_id",
+          "n_chars", ctxLen = 512, stride = 384)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, n_chars,
+             |         CASE WHEN n_chars <= 512 THEN CAST(1 AS BIGINT)
+             |              ELSE (n_chars - 512 + 383) // 384 + 1 END AS k
+             |  FROM documents WHERE n_chars > 0),
+             |u AS (SELECT doc_id, n_chars,
+             |             unnest(generate_series(0, k - 1)) AS i
+             |      FROM s)
+             |SELECT doc_id, i::INT AS chunk_idx, i * 384 AS tok_start,
+             |       least(i * 384 + 512, n_chars) AS tok_end
+             |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ── blocked fuzzy match of distinct part names against a
     // deterministically-corrupted copy (3rd char dropped): 2-char prefix
     // blocks, levenshtein ≤ 1 rescoring — per-block pairs, never n² ─────

@@ -1167,6 +1167,38 @@ object Extensions {
       pred.as("pred_lang"): _*)
   }
 
+  /** Sliding-window chunk index for LLM training: each document yields
+    * windows of `ctxLen` tokens at `stride` offsets (stride < ctxLen ⇒
+    * overlapping context windows, the standard long-document training
+    * trick), the last window truncated at the document end. Returns one
+    * row per (doc, window): (idCol, chunk_idx, tok_start, tok_end —
+    * exclusive).
+    *
+    * Pure per-row arithmetic + an executor-side `sequence()` explode:
+    * ZERO shuffles at any corpus size — the chunk table is generated
+    * where the document row already lives. Contrast
+    * [[chunkForTraining]], which packs documents into a single global
+    * token stream (cross-doc offsets, needs its prefix-sum machinery);
+    * this operator windows WITHIN each document.
+    */
+  def overlapChunks(df: DataFrame, idCol: String, nTokensCol: String,
+      ctxLen: Int, stride: Int): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    require(stride > 0 && stride <= ctxLen,
+      "stride must be in [1, ctxLen] — a larger stride would skip tokens")
+    requireNoReserved(df, Seq("__n", "__k", "__i"))
+    df.select(col(idCol), col(nTokensCol).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__k", when(col("__n") <= ctxLen, lit(1L))
+        .otherwise(expr(s"(__n - $ctxLen + ${stride - 1}) DIV $stride + 1")))
+      .select(col(idCol), col("__n"),
+        explode(sequence(lit(0L), col("__k") - 1)).as("__i"))
+      .select(col(idCol),
+        col("__i").cast("int").as("chunk_idx"),
+        (col("__i") * stride).as("tok_start"),
+        least(col("__i") * stride + ctxLen, col("__n")).as("tok_end"))
+  }
+
   /** Blocked fuzzy equi-join (entity resolution): candidate pairs share
     * a lowercased `blockLen`-character prefix block, and survive iff
     * `levenshtein(left, right) <= maxDist`. Blocking is the standard

@@ -230,6 +230,26 @@ object Streaming {
       .start()
   }
 
+  /** Continuous data-quality monitoring: run the [[graft.engine.Quality]]
+    * constraint suite on every micro-batch and append the per-rule
+    * report (stamped with the epoch id) to a parquet log — the
+    * streaming twin of the batch `Quality.check` gate, giving an
+    * always-current pass/fail time series per rule. Alert wiring is the
+    * caller's: read the log, filter `passed = false`.
+    */
+  def qualityMonitorSink(updates: DataFrame,
+      rules: Seq[graft.engine.Quality.Rule], reportPath: String,
+      checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.engine.Quality.check(batch, rules)
+          .withColumn("batch_id", lit(epochId))
+          .write.mode("append").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Read the current state of a [[mergeSink]] target (the generation
     * named by the `_CURRENT` pointer).
     */

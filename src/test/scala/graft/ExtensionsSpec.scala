@@ -512,6 +512,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.size == 3)
   }
 
+  test("overlapChunks: stride windows cover every token, overlap by " +
+      "ctxLen-stride, short and exact-fit docs yield one window, " +
+      "empty docs vanish") {
+    val docs = Seq((1L, 10L), (2L, 3L), (3L, 4L), (4L, 0L), (5L, 9L))
+      .toDF("doc_id", "n_tok")
+    val out = Extensions.overlapChunks(docs, "doc_id", "n_tok",
+        ctxLen = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      // doc 1 (10 tokens): starts 0,3,6 — window 6 truncates? (6+4=10)
+      (1L, 0, 0L, 4L), (1L, 1, 3L, 7L), (1L, 2, 6L, 10L),
+      (2L, 0, 0L, 3L),            // shorter than ctx → one short window
+      (3L, 0, 0L, 4L),            // exact fit → one window
+      (5L, 0, 0L, 4L), (5L, 1, 3L, 7L), (5L, 2, 6L, 9L)))
+    // coverage: every token index of doc 1 falls in ≥1 window
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until c._4).toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
   test("fuzzyJoin: blocked candidates rescored by edit distance; " +
       "edits past the block prefix match, edits inside it are missed " +
       "(documented recall trade)") {

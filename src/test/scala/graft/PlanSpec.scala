@@ -296,6 +296,42 @@ class PlanSpec extends AnyFunSuite {
     assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
   }
 
+  test("lastTouchAttribution exchanges on the user exactly once " +
+      "(+ the tiny channel rollup)") {
+    val df = graft.engine.Analytics.lastTouchAttribution(
+      graft.engine.Tables.events(spark, sf), "user_id", "event_type",
+      "ts", "event_id", "purchase", 7200L)
+    val plan = executedPlan(df)
+    val userExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"expected 1 user_id exchange, got $userExchanges:\n$plan")
+  }
+
+  test("overlapChunks is projection-only: no exchange at any scale") {
+    val df = graft.engine.Extensions.overlapChunks(
+      graft.engine.Tables.documents(spark, sf), "doc_id", "n_chars",
+      512, 384)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"), s"plan was:\n$plan")
+  }
+
+  test("rollingZScore stacks all three window aggregates on ONE key " +
+      "exchange") {
+    val df = graft.engine.Analytics.rollingZScore(
+      graft.engine.Tables.events(spark, sf)
+        .withColumn("__es",
+          org.apache.spark.sql.functions.col("ts").cast("long")),
+      "user_id", "__es", "event_id", "value", 30, 2.0)
+    val plan = executedPlan(df)
+    val keyExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges == 1,
+      s"expected 1 user_id exchange, got $keyExchanges:\n$plan")
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"windows did not stack:\n$plan")
+  }
+
   test("scd2 stacks its change-filter and interval-close windows on ONE " +
       "key exchange") {
     val df = graft.engine.Analytics.scd2(

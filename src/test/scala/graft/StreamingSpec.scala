@@ -263,5 +263,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(gens.length >= 2, s"expected ≥2 generations, got: ${gens.toSeq}")
     } finally q.stop()
   }
+
+  test("qualityMonitorSink appends a per-rule report per micro-batch; " +
+      "a failing batch shows up as passed=false for its epoch") {
+    import TestSpark.spark.implicits._
+    import graft.engine.Quality
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](spark)
+    val report = Files.createTempDirectory("graft-qmon-report").toString
+    val ckpt = Files.createTempDirectory("graft-qmon-ckpt").toString
+    val q = Streaming.qualityMonitorSink(
+      input.toDF().toDF("id", "v"),
+      Seq(Quality.InRange("v", 0.0, 100.0, minRatio = 1.0)),
+      report, ckpt)
+    try {
+      input.addData((1L, 5.0), (2L, 50.0))     // batch 0: all in range
+      q.processAllAvailable()
+      input.addData((3L, 500.0), (4L, 10.0))   // batch 1: violation
+      q.processAllAvailable()
+      val rows = spark.read.parquet(report)
+        .select("batch_id", "rule", "passed")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .toSet
+      assert(rows == Set(
+        (0L, "in_range(v)", true),
+        (1L, "in_range(v)", false)))
+    } finally q.stop()
+  }
 }
 
