@@ -227,6 +227,36 @@ object ExtensionQueries {
              |WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.0
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── asymmetric containment |A∩B|/|A|: catches short-doc-quoted-in-
+    // long-doc pairs that Jaccard under-scores; same inverted-index
+    // join shape as ngram_jaccard ────────────────────────────────────────
+    QuerySpec("ngram_containment",
+      (s, d) => Extensions.ngramContainmentPairs(
+          documents(s, d).filter(col("doc_id") < 300), "text", "doc_id",
+          n = 3, minContainment = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+2], ' ') AS shingle
+             |  FROM t, range(1, 100000) i
+             |  WHERE i.range <= len(toks) - 2),
+             |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM sh a JOIN sh b USING (shingle)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       n_inter / ca.n_sh AS containment_a,
+             |       n_inter / cb.n_sh AS containment_b
+             |FROM inter
+             |JOIN c ca ON ca.doc_id = id_a
+             |JOIN c cb ON cb.doc_id = id_b
+             |WHERE greatest(n_inter / ca.n_sh, n_inter / cb.n_sh) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── generator/explode surface: tokens with positions (posexplode;
     // oracle via 1-based list indexing) ──────────────────────────────────
     QuerySpec("explode_tokens",

@@ -307,6 +307,36 @@ object Extensions {
     jaccardOverShingles(docShingles(docs, textCol, idCol, n), idCol,
       minJaccard)
 
+  /** Asymmetric shingle containment |A∩B|/|A| (and /|B|) per candidate
+    * pair — the dedup refinement Jaccard misses: a short document
+    * quoted wholesale inside a long one has LOW Jaccard (the union is
+    * big) but containment ≈ 1 on the short side. Returns ordered pairs
+    * (id_a < id_b) with both directions and the filter on the max:
+    * (id_a, id_b, containment_a, containment_b).
+    *
+    * Same shuffle shape as [[ngramJaccardPairs]]: shingle inverted-index
+    * self-join (never all-pairs), per-doc shingle counts joined back.
+    */
+  def ngramContainmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minContainment: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs, textCol, idCol, n)
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("__na")),
+        "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("__nb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / col("__na")).as("containment_a"),
+        (col("n_inter") / col("__nb")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+  }
+
   /** Distinct word-n-gram shingles per document: (idCol, shingle). */
   private def docShingles(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {

@@ -150,6 +150,40 @@ object MLPipe {
     TrainResult(model, metrics)
   }
 
+  /** Per-feature importance/weight of a trained pipeline's model stage
+    * as a DataFrame (feature, importance), descending: tree ensembles
+    * expose Gini/variance importances, linear models absolute
+    * coefficients. `featureNames` must be the assembler's input order
+    * (what [[train]] was given). Throws on model families with no
+    * per-feature attribution (KMeans, NaiveBayes, ...) rather than
+    * inventing one.
+    */
+  def featureImportances(model: PipelineModel,
+      featureNames: Seq[String]): DataFrame = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, LogisticRegressionModel, RandomForestClassificationModel}
+    import org.apache.spark.ml.regression.{GBTRegressionModel, LinearRegressionModel, RandomForestRegressionModel}
+    val weights: Array[Double] = model.stages.last match {
+      case m: RandomForestClassificationModel => m.featureImportances.toArray
+      case m: RandomForestRegressionModel    => m.featureImportances.toArray
+      case m: GBTClassificationModel         => m.featureImportances.toArray
+      case m: GBTRegressionModel             => m.featureImportances.toArray
+      case m: LogisticRegressionModel        =>
+        m.coefficients.toArray.map(math.abs)
+      case m: LinearRegressionModel          =>
+        m.coefficients.toArray.map(math.abs)
+      case other => throw new IllegalArgumentException(
+        s"no per-feature attribution for ${other.getClass.getSimpleName}")
+    }
+    require(weights.length == featureNames.length,
+      s"model has ${weights.length} features, ${featureNames.length} names " +
+        "given — pass the assembler input columns in order")
+    val session = org.apache.spark.sql.SparkSession.active
+    import session.implicits._
+    featureNames.zip(weights).toDF("feature", "importance")
+      .orderBy(org.apache.spark.sql.functions.desc("importance"),
+        org.apache.spark.sql.functions.col("feature"))
+  }
+
   /** 6 classification metrics (reference: src/ml_pipeline.py:223-242). */
   def evaluateClassification(predictions: DataFrame): Map[String, Double] = {
     val bin = new BinaryClassificationEvaluator().setLabelCol("label")

@@ -93,6 +93,27 @@ class MLPipeSpec extends AnyFunSuite {
       assert(MLPipe.predict(r.model, df).count() == 40)
     }
 
+  test("featureImportances: tree importances sum to 1 over the named " +
+      "features, linear models give |coefficients|, clustering raises") {
+    // make feature_1 decisive: label = feature_1 > 4
+    val df = (1 to 80).map(i => (i % 9 + 1.0, (i * 7 % 5).toDouble,
+        (i * 3 % 4).toDouble, if (i % 9 + 1.0 > 4) 1 else 0))
+      .toDF("feature_1", "feature_2", "feature_3", "label")
+    val rf = MLPipe.train(df, features, "random_forest", "classification")
+    val imp = MLPipe.featureImportances(rf.model, features).collect()
+    assert(imp.map(_.getString(0)).toSet == features.toSet)
+    assert(math.abs(imp.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(imp.head.getString(0) == "feature_1") // the decisive one
+    val lr = MLPipe.train(df, features, "logistic_regression",
+      "classification")
+    val limp = MLPipe.featureImportances(lr.model, features).collect()
+    assert(limp.forall(_.getDouble(1) >= 0.0))
+    val km = MLPipe.train(df, features, "kmeans", "clustering")
+    assertThrows[IllegalArgumentException] {
+      MLPipe.featureImportances(km.model, features)
+    }
+  }
+
   test("unknown algorithm raises (ref get_model dispatch)") {
     intercept[IllegalArgumentException] {
       MLPipe.getModel("nope", "classification")
