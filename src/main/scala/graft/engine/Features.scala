@@ -187,6 +187,44 @@ object Features {
   /** Drop-nulls strategy (reference: src/feature_engineering.py:151-152). */
   def dropMissing(df: DataFrame): DataFrame = df.na.drop()
 
+  /** Winsorization: clip `valueCol` into its [loP, hiP] exact
+    * interpolated percentiles, appended as `<col>_wins` — the
+    * outlier-taming transform that keeps rows (unlike a filter) and
+    * bounds leverage (unlike z-scoring). One percentile aggregation
+    * (1-row broadcast back) + a projection; same shape as
+    * [[Relational]]'s ntile cutpoints, no single-partition window.
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+      loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP < hiP, "need 0 <= loP < hiP <= 1")
+    val cuts = df.agg(
+      percentile(col(valueCol), lit(loP)).as("__lo"),
+      percentile(col(valueCol), lit(hiP)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Robust scaling (x − median) / IQR, appended as `<col>_robust` —
+    * the outlier-insensitive alternative to StandardScaler. EXACT
+    * interpolated percentiles (one agg + broadcast back), unlike
+    * MLlib's RobustScaler whose approxQuantile makes results
+    * sketch-dependent; exactness is what lets the DuckDB twin
+    * (quantile_cont) hash-match.
+    */
+  def robustScale(df: DataFrame, valueCol: String): DataFrame = {
+    val cuts = df.agg(
+      percentile(col(valueCol), lit(0.5)).as("__med"),
+      (percentile(col(valueCol), lit(0.75)) -
+        percentile(col(valueCol), lit(0.25))).as("__iqr"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_robust",
+        when(col("__iqr") =!= 0.0,
+          (col(valueCol) - col("__med")) / col("__iqr")))
+      .drop("__med", "__iqr")
+  }
+
   /** Quantile binning `{c}_binned` per numeric col, fit+transform loop
     * (reference: src/feature_engineering.py:87-101). Approximate
     * (Greenwald-Khanna) by design — the exact twin is the catalog's

@@ -162,6 +162,29 @@ object Quality {
       .orderBy("rule_id")
   }
 
+  /** Schema drift between two snapshots: one row per changed column —
+    * `added` (in current only), `removed` (in base only), or
+    * `type_changed` — with the from/to type strings. Pure metadata
+    * (no data read, no jobs); the contract check an ingest pipeline
+    * runs before [[psiReport]] ever looks at values.
+    */
+  def schemaDiff(base: DataFrame, current: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val a = base.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val b = current.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.map(c =>
+        (c, "added", Option.empty[String], Option(b(c)))) ++
+      (a.keySet -- b.keySet).toSeq.map(c =>
+        (c, "removed", Option(a(c)), Option.empty[String])) ++
+      a.keySet.intersect(b.keySet).toSeq
+        .filter(c => a(c) != b(c))
+        .map(c => (c, "type_changed", Option(a(c)), Option(b(c))))
+    rows.toDF("column", "change", "from_type", "to_type")
+      .orderBy("column", "change")
+  }
+
   /** Population-stability-index drift report between a baseline and a
     * current snapshot of a numeric column: equi-width bins over
     * [lo, hi] (outliers clamp into the edge bins), Laplace-smoothed

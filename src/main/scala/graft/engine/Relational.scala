@@ -988,6 +988,67 @@ object Relational {
              |         row_number() OVER (PARTITION BY o_custkey
              |           ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
              |  FROM orders) t
-             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ── winsorization at exact P05/P95 (broadcast cutpoints, no
+    // single-partition window — same machinery as ntile_binning) ────────
+    QuerySpec("winsorize",
+      (s, d) => Features.winsorize(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_extendedprice"),
+          "l_extendedprice", loP = 0.05, hiP = 0.95)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""WITH c AS (
+             |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+             |         quantile_cont(l_extendedprice, 0.95) AS hi
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_extendedprice,
+             |       least(greatest(l_extendedprice, lo), hi)
+             |         AS l_extendedprice_wins
+             |FROM lineitem CROSS JOIN c
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── robust scaling (x − median)/IQR with EXACT percentiles (MLlib's
+    // RobustScaler is approxQuantile-dependent; this one oracles) ───────
+    QuerySpec("robust_scaler",
+      (s, d) => {
+        val scaled = Features.robustScale(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_extendedprice"),
+          "l_extendedprice")
+        scaled.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice_robust"), 6)
+              .as("l_extendedprice_robust"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT quantile_cont(l_extendedprice, 0.5) AS med,
+             |         quantile_cont(l_extendedprice, 0.75) -
+             |           quantile_cont(l_extendedprice, 0.25) AS iqr
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       CASE WHEN iqr <> 0
+             |            THEN round((l_extendedprice - med) / iqr, 6) END
+             |         AS l_extendedprice_robust
+             |FROM lineitem CROSS JOIN c
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── schema drift contract check: pure metadata, zero jobs over the
+    // data; oracle is the expected literal diff ─────────────────────────
+    QuerySpec("schema_diff",
+      (s, d) => Quality.schemaDiff(
+        orders(s, d),
+        orders(s, d)
+          .withColumn("o_totalprice", col("o_totalprice").cast("float"))
+          .drop("o_orderpriority")
+          .withColumn("o_flag", lit(1))),
+      Some("""SELECT * FROM (VALUES
+             |  ('o_flag', 'added', NULL, 'int'),
+             |  ('o_orderpriority', 'removed', 'string', NULL),
+             |  ('o_totalprice', 'type_changed', 'double', 'float'))
+             |  t("column", change, from_type, to_type)
+             |ORDER BY "column", change""".stripMargin))
   )
 }

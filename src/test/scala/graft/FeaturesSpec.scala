@@ -179,4 +179,32 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out.columns.contains("num_to_den_ratio"))
     assert(out.count() == 2)
   }
+
+  test("winsorize clips into exact percentile bounds; interior values " +
+      "untouched; row count preserved") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Features.winsorize(df, "v", loP = 0.1, hiP = 0.9)
+      .select("v", "v_wins").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // P10 of 1..100 (linear interp) = 10.9; P90 = 90.1
+    assert(math.abs(out(1.0) - 10.9) < 1e-9 &&
+      math.abs(out(5.0) - 10.9) < 1e-9)
+    assert(math.abs(out(100.0) - 90.1) < 1e-9 &&
+      math.abs(out(95.0) - 90.1) < 1e-9)
+    assert(out(50.0) == 50.0)
+    assert(out.size == 100)
+  }
+
+  test("robustScale centers the median at zero and spans IQR=1; " +
+      "constant column yields null (zero IQR guard)") {
+    val df = (1 to 101).map(_.toDouble).toDF("v")
+    val out = Features.robustScale(df, "v")
+      .select("v", "v_robust").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(51.0) == 0.0)          // median
+    assert(out(76.0) == 0.5 && out(26.0) == -0.5) // quartiles, IQR 50
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val c = Features.robustScale(const, "v").select("v_robust").collect()
+    assert(c.forall(_.isNullAt(0)))
+  }
 }

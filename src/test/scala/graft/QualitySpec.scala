@@ -67,6 +67,22 @@ class QualitySpec extends AnyFunSuite {
     assert(out(2) == ("unique(id)", 1.0, true))
   }
 
+  test("schemaDiff: identical schemas diff empty; add/remove/retype " +
+      "each classified with from/to types") {
+    val base = Seq((1L, "x", 1.5)).toDF("id", "name", "score")
+    assert(Quality.schemaDiff(base, base).count() == 0)
+    val cur = Seq((1L, 1, 2.0f)).toDF("id", "name", "extra")
+      .withColumnRenamed("extra", "added_col")
+    // name: string → int (retype); score removed; added_col added
+    val diff = Quality.schemaDiff(base, cur).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(diff == Set(
+      ("added_col", "added", None, Some("float")),
+      ("score", "removed", Some("double"), None),
+      ("name", "type_changed", Some("string"), Some("int"))))
+  }
+
   test("psiReport: identical distributions give zero PSI; a shifted " +
       "distribution gives positive contributions; outliers clamp to " +
       "edge bins; empty bins stay finite via smoothing") {
