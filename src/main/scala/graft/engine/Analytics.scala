@@ -383,6 +383,91 @@ object Analytics {
       .withColumnRenamed("__z", "z_score")
   }
 
+  /** RFM customer segmentation: per-user Recency (days since last
+    * event, vs the corpus max timestamp), Frequency (event count) and
+    * Monetary (value sum), each scored 1–5 by EXACT quintile cutpoints
+    * over the user-level aggregates (score 5 = most recent / most
+    * frequent / highest value). Returns
+    * (userCol, r_days, frequency, monetary, r_score, f_score, m_score).
+    *
+    * Scale shape: one aggregation pass to user level (hash exchange on
+    * the user), ONE 1-row percentile aggregate over that (broadcast
+    * back) — no global sort, no ntile window funnel; the same
+    * broadcast-cutpoint machinery as ntile_binning/winsorize, which is
+    * what survives a billion users where `ntile(5) OVER (ORDER BY …)`
+    * single-partitions.
+    */
+  def rfmScores(ev: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(ev, Seq("__t", "__maxt", "r_days", "frequency",
+      "monetary"))
+    val base = ev.select(col(userCol), col(tsCol).cast("long").as("__t"),
+      col(valueCol))
+    val maxT = base.agg(max("__t").as("__maxt"))
+    val users = base.crossJoin(broadcast(maxT))
+      .groupBy(col(userCol))
+      .agg((((first("__maxt") - max("__t")) / lit(86400.0))).as("r_days"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol)).as("monetary"))
+    def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+      case (p, i) => percentile(col(c), lit(p)).as(s"__${c}_c$i")
+    }
+    val cutRow = users.agg((cuts("r_days") ++ cuts("frequency") ++
+      cuts("monetary")).head,
+      (cuts("r_days") ++ cuts("frequency") ++ cuts("monetary")).tail: _*)
+    def scoreAsc(c: String) = (0 to 3)
+      .map(i => (col(c) > col(s"__${c}_c$i")).cast("int"))
+      .reduce(_ + _) + 1
+    users.crossJoin(broadcast(cutRow))
+      .select(col(userCol),
+        round(col("r_days"), 6).as("r_days"),
+        col("frequency"),
+        round(col("monetary"), 4).as("monetary"),
+        // recency: smaller is better → invert the ascending score
+        (lit(6) - scoreAsc("r_days")).as("r_score"),
+        scoreAsc("frequency").as("f_score"),
+        scoreAsc("monetary").as("m_score"))
+  }
+
+  /** Market-basket pair affinity: for item pairs co-occurring in at
+    * least `minSupport` baskets, support / confidence(a→b) / lift.
+    * Items are de-duplicated within a basket; pairs are ordered
+    * (item_a < item_b) and lift is symmetric. Returns the `topK` pairs
+    * by lift (ties broken by the pair key) — use the DataFrame before
+    * the limit for the full table.
+    *
+    * Scale shape: basket-keyed self-join builds pairs (quadratic ONLY
+    * within a basket — bounded by basket size, never corpus size),
+    * then counts hash-exchange on the pair. TakeOrdered top-k, no
+    * global sort.
+    */
+  def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, topK: Int = 20): DataFrame = {
+    require(minSupport >= 1, "minSupport must be at least 1")
+    requireNoReserved(df, Seq("item_a", "item_b", "__n", "__na", "__nb"))
+    val items = df.select(col(basketCol), col(itemCol)).distinct()
+    val nBaskets = items.select(basketCol).distinct().count().toDouble
+    val itemCounts = items.groupBy(itemCol).agg(count(lit(1)).as("__n"))
+    val a = items.select(col(basketCol), col(itemCol).as("item_a"))
+    val b = items.select(col(basketCol), col(itemCol).as("item_b"))
+    val pairs = a.join(b, basketCol).filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minSupport)
+    pairs
+      .join(itemCounts.select(col(itemCol).as("item_a"),
+        col("__n").as("__na")), "item_a")
+      .join(itemCounts.select(col(itemCol).as("item_b"),
+        col("__n").as("__nb")), "item_b")
+      .select(col("item_a"), col("item_b"),
+        col("__np").as("pair_baskets"),
+        round(col("__np") / lit(nBaskets), 6).as("support"),
+        round(col("__np") / col("__na"), 6).as("confidence_a_to_b"),
+        round(col("__np") * lit(nBaskets) / (col("__na") * col("__nb")), 6)
+          .as("lift"))
+      .orderBy(desc("lift"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
   /** Last-touch conversion attribution: for each `convType` event,
     * credit the most recent NON-conversion event of the same user
     * within `windowSeconds` at or before the conversion instant

