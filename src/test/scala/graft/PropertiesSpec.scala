@@ -236,4 +236,65 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  val tokenDocs: Gen[List[String]] = Gen.listOfN(4,
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+
+  test("dedupSegments is idempotent: deduping a deduped text is the " +
+      "identity") {
+    forAll(tokenDocs) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val once = Extensions.dedupSegments(df, "text", "doc_id", " ")
+          .select(col("doc_id"), col("dedup_text").as("text"))
+        val twice = Extensions.dedupSegments(once, "text", "doc_id", " ")
+          .select("doc_id", "dedup_text")
+        val o = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+        val t2 = twice.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+        assert(o == t2)
+      }
+    }
+  }
+
+  val groupedVals: Gen[List[(Long, Long, Double)]] = Gen.listOfN(30,
+    Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(-50.0, 50.0)))
+
+  test("groupTopK returns a subset of input rows with contiguous ranks " +
+      "1..min(k, group size), regardless of partitioning") {
+    forAll(groupedVals) { rows =>
+      whenever(rows.nonEmpty) {
+        // unique ids required by the contract
+        val uniq = rows.zipWithIndex.map { case ((g, _, v), i) =>
+          (g, i.toLong, v) }
+        val df = uniq.toDF("g", "id", "v").repartition(7)
+        val out = graft.engine.Analytics
+          .groupTopK(df, Seq("g"), "v", "id", k = 3)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        val inputIds = uniq.map(x => (x._1, x._2)).toSet
+        assert(out.forall(x => inputIds.contains((x._1, x._3))))
+        out.groupBy(_._1).foreach { case (g, rs) =>
+          val expected = math.min(3, uniq.count(_._1 == g))
+          assert(rs.map(_._2).sorted.toSeq == (1 to expected))
+        }
+      }
+    }
+  }
+
+  test("winsorize output is always within [P(lo), P(hi)] and preserves " +
+      "row count") {
+    forAll(groupedVals) { rows =>
+      whenever(rows.size >= 3) {
+        val df = rows.map(_._3).toDF("v")
+        val out = Features.winsorize(df, "v", 0.2, 0.8)
+          .select("v_wins").as[Double].collect()
+        assert(out.length == rows.size)
+        val sorted = rows.map(_._3).sorted
+        assert(out.forall(w => w >= sorted.head && w <= sorted.last))
+        // clipped range is no wider than the raw range and respects order
+        assert(out.max <= sorted.last && out.min >= sorted.head)
+      }
+    }
+  }
 }
