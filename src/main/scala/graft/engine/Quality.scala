@@ -72,6 +72,32 @@ object Quality {
     def describe = s"foreign_key($col)"
   }
 
+  /** Mean of non-null `col` must lie in [lo, hi] (vacuous pass when the
+    * column is all-null). Folds into the single aggregation pass.
+    */
+  final case class MeanBetween(col: String, lo: Double, hi: Double)
+    extends Rule {
+    def describe = s"mean($col)"
+  }
+
+  /** Sample standard deviation of `col` must lie in [lo, hi] — the
+    * "did this feed flatline / explode" check (a stuck sensor passes
+    * every range rule; it fails this one). Vacuous pass below 2 values.
+    */
+  final case class StddevBetween(col: String, lo: Double, hi: Double)
+    extends Rule {
+    def describe = s"stddev($col)"
+  }
+
+  /** Fraction of non-null values of `col` matching the (Java) regex
+    * must be >= `minRatio` — format conformance (ids, emails, ISO
+    * dates) without enumerating a value set.
+    */
+  final case class MatchesRegex(col: String, pattern: String,
+      minRatio: Double = 1.0) extends Rule {
+    def describe = s"matches_regex($col)"
+  }
+
   /** Run the suite; returns the report DataFrame ordered by rule_id.
     * `metric` is rounded to 9 dp (ratio metrics are exact multiples of
     * 1/count, but partial-agg double summation is order-sensitive in the
@@ -86,12 +112,15 @@ object Quality {
     * one count_distinct exchange per [[Unique]] + one anti-join per
     * [[ForeignKey]].
     *
-    * Null semantics: [[InRange]]/[[InSet]] ratios are over NON-NULL
-    * values (pair with [[Complete]] to bound nulls; a column with zero
-    * non-null values passes vacuously); [[Unique]] follows SQL
-    * COUNT(DISTINCT ...) — rows with a null in any key column are
-    * excluded from the distinct count, so null-keyed rows depress the
-    * ratio.
+    * Null semantics: [[InRange]]/[[InSet]]/[[MatchesRegex]] ratios are
+    * over NON-NULL values (pair with [[Complete]] to bound nulls; a
+    * column with zero non-null values passes vacuously); [[Unique]]
+    * follows SQL COUNT(DISTINCT ...) — rows with a null in any key
+    * column are excluded from the distinct count, so null-keyed rows
+    * depress the ratio. For [[MeanBetween]]/[[StddevBetween]] the
+    * report's `metric` is the statistic itself (null on an all-null /
+    * single-value column — vacuous pass) and `threshold` carries `lo`;
+    * `hi` lives in the rule.
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "quality suite needs at least one rule")
@@ -119,6 +148,13 @@ object Quality {
           case (Unique(cols, _), i) =>
             Seq(countDistinct(cols.head, cols.tail: _*).as(s"n$i"))
           case (ForeignKey(_, _, _, _), _) => Nil
+          case (MeanBetween(c, _, _), i) =>
+            Seq(avg(col(c).cast("double")).as(s"f$i"))
+          case (StddevBetween(c, _, _), i) =>
+            Seq(stddev_samp(col(c).cast("double")).as(s"f$i"))
+          case (MatchesRegex(c, p, _), i) => Seq(
+            sum(when(col(c).rlike(p), 1L).otherwise(0L)).as(s"n$i"),
+            nonNull(c).as(s"d$i"))
         }
     val scalarRow = df.agg(scalarAggs.head, scalarAggs.tail: _*)
       .collect().head
@@ -138,25 +174,46 @@ object Quality {
         i -> ratio((keyed - orphans).toDouble, keyed.toDouble)
     }.toMap
 
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val report = rules.zipWithIndex.map { case (r, i) =>
-      val metric = r match {
-        case _: ForeignKey           => fkMetrics(i)
-        case _: Complete             => ratio(field(s"n$i"), total)
-        case _: InRange | _: InSet   => ratio(field(s"n$i"), field(s"d$i"))
-        case _: RowCountBetween      => total
-        case _: Unique               => ratio(field(s"n$i"), total)
+      // nullable statistic for the distribution rules (all-null column /
+      // <2 values): metric stays null and the rule passes vacuously
+      def statOpt: Option[Double] = {
+        val idx = scalarRow.fieldIndex(s"f$i")
+        if (scalarRow.isNullAt(idx)) None else
+          Some(scalarRow.get(idx).asInstanceOf[Number].doubleValue())
       }
-      val (threshold, passed) = r match {
-        case Complete(_, t)       => (t, metric >= t)
-        case InRange(_, _, _, t)  => (t, metric >= t)
-        case InSet(_, _, t)       => (t, metric >= t)
-        case RowCountBetween(lo, hi) =>
-          (lo.toDouble, metric >= lo && metric <= hi)
-        case Unique(_, t)         => (t, metric >= t)
-        case ForeignKey(_, _, _, t) => (t, metric >= t)
+      r match {
+        case MeanBetween(_, lo, hi) =>
+          (i, r.describe, statOpt.map(round9), lo,
+            statOpt.forall(s => s >= lo && s <= hi))
+        case StddevBetween(_, lo, hi) =>
+          (i, r.describe, statOpt.map(round9), lo,
+            statOpt.forall(s => s >= lo && s <= hi))
+        case _ =>
+          val metric = r match {
+            case _: ForeignKey         => fkMetrics(i)
+            case _: Complete           => ratio(field(s"n$i"), total)
+            case _: InRange | _: InSet | _: MatchesRegex =>
+              ratio(field(s"n$i"), field(s"d$i"))
+            case _: RowCountBetween    => total
+            case _: Unique             => ratio(field(s"n$i"), total)
+            case _ => throw new MatchError(r) // unreachable
+          }
+          val (threshold, passed) = r match {
+            case Complete(_, t)       => (t, metric >= t)
+            case InRange(_, _, _, t)  => (t, metric >= t)
+            case InSet(_, _, t)       => (t, metric >= t)
+            case MatchesRegex(_, _, t) => (t, metric >= t)
+            case RowCountBetween(lo, hi) =>
+              (lo.toDouble, metric >= lo && metric <= hi)
+            case Unique(_, t)         => (t, metric >= t)
+            case ForeignKey(_, _, _, t) => (t, metric >= t)
+            case _ => throw new MatchError(r) // unreachable
+          }
+          (i, r.describe, Some(round9(metric)), threshold, passed)
       }
-      (i, r.describe, BigDecimal(metric).setScale(9,
-        BigDecimal.RoundingMode.HALF_UP).toDouble, threshold, passed)
     }
     report.toDF("rule_id", "rule", "metric", "threshold", "passed")
       .orderBy("rule_id")

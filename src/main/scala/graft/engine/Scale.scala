@@ -38,4 +38,37 @@ object Scale {
   /** Read a bucketed table back from the catalog. */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write `df` as parquet with files sized toward `targetBytes`: a
+    * bounded sample is written first to measure real on-disk bytes/row
+    * (post-encoding, post-compression — a serialized-row estimate would
+    * be off by the compression ratio), then the full write caps
+    * `maxRecordsPerFile` accordingly. The small-files problem and the
+    * giant-files problem are both partition-layout failures at 100 TB;
+    * this is the standard calibrate-then-write answer on plain parquet.
+    * Returns the records-per-file cap used.
+    *
+    * The sample write is one extra tiny job; the main write is
+    * unchanged beyond the cap. Files can still be SMALLER than the
+    * target where a task's partition holds fewer rows — pair with
+    * `repartition(n)` upstream if strict sizing matters.
+    */
+  def writeSized(df: DataFrame, path: String, targetBytes: Long,
+      sampleRows: Int = 10000): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    val probe = new java.io.File(path + "__probe")
+    val sample = df.limit(sampleRows).coalesce(1)
+    sample.write.mode("overwrite").parquet(probe.toString)
+    val sampled = spark.read.parquet(probe.toString).count()
+    val bytes = probe.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val perRow = math.max(1L, if (sampled == 0) 1L else bytes / sampled)
+    val cap = math.max(1L, targetBytes / perRow)
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", cap)
+      .parquet(path)
+    probe.listFiles().foreach(_.delete()); probe.delete()
+    cap
+  }
 }

@@ -67,6 +67,31 @@ class QualitySpec extends AnyFunSuite {
     assert(out(2) == ("unique(id)", 1.0, true))
   }
 
+  test("distribution rules: mean/stddev bounds pass and fail on the " +
+      "statistic; flatlined column fails stddev; all-null passes " +
+      "vacuously with null metric; regex rule counts matches") {
+    val df = Seq[(java.lang.Double, java.lang.Double, String)](
+      (10.0, 5.0, "A-1"), (20.0, 5.0, "B-2"), (30.0, 5.0, "c3")
+    ).toDF("v", "flat", "code")
+    val out = Quality.check(df, Seq(
+        MeanBetween("v", 15.0, 25.0),      // mean 20 → pass
+        MeanBetween("v", 0.0, 5.0),        // → fail
+        StddevBetween("flat", 0.1, 100.0), // stuck sensor: stddev 0 → fail
+        MatchesRegex("code", "^[A-Z]-\\d$", 0.6))) // 2 of 3 → pass
+      .collect()
+      .map(r => (r.getString(1), Option(r.get(2)), r.getBoolean(4)))
+    assert(out(0) == (("mean(v)", Some(20.0), true)))
+    assert(out(1)._3 == false)
+    assert(out(2) == (("stddev(flat)", Some(0.0), false)))
+    assert(out(3)._1 == "matches_regex(code)" && out(3)._3)
+    // all-null column: vacuous pass, metric null
+    val nulls = Seq[(java.lang.Double, Long)]((null, 1L), (null, 2L))
+      .toDF("v", "id")
+    val vac = Quality.check(nulls, Seq(MeanBetween("v", 0.0, 1.0),
+        StddevBetween("v", 0.0, 1.0))).collect()
+    assert(vac.forall(r => r.isNullAt(2) && r.getBoolean(4)))
+  }
+
   test("schemaDiff: identical schemas diff empty; add/remove/retype " +
       "each classified with from/to types") {
     val base = Seq((1L, "x", 1.5)).toDF("id", "name", "score")

