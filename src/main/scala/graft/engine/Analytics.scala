@@ -383,6 +383,64 @@ object Analytics {
       .withColumnRenamed("__z", "z_score")
   }
 
+  /** Chi-square contingency decomposition for two categoricals: one
+    * row per observed (a, b) cell with observed count, expected count
+    * under independence (row·col/n), and the cell's χ² contribution —
+    * sum `chi2_contrib` for the test statistic (df =
+    * (|A|−1)(|B|−1); map to a p-value in your stats library).
+    *
+    * Scale shape: one (a, b) count aggregation, two marginal
+    * re-aggregations of THAT (already tiny) table, broadcast joins
+    * back — the raw data is read once.
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    requireNoReserved(df, Seq("observed", "__ra", "__cb", "__n"))
+    val obs = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB)).agg(count(lit(1)).as("observed"))
+    val ra = obs.groupBy(colA).agg(sum("observed").as("__ra"))
+    val cb = obs.groupBy(colB).agg(sum("observed").as("__cb"))
+    val n = obs.agg(sum("observed").as("__n"))
+    // the FULL marginal grid, not just observed cells: a zero cell
+    // under a non-zero expectation contributes (0−e)²/e, and dropping
+    // those understates the statistic exactly where association is
+    // strongest
+    val grid = broadcast(ra).crossJoin(broadcast(cb))
+    val expected = col("__ra") * col("__cb") / col("__n")
+    grid.join(obs, Seq(colA, colB), "left")
+      .crossJoin(broadcast(n))
+      .select(col(colA), col(colB),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        round(expected, 6).as("expected"),
+        round(pow(coalesce(col("observed"), lit(0L)) - expected, 2) /
+          expected, 6).as("chi2_contrib"))
+  }
+
+  /** Market-concentration report: per market, the number of players,
+    * the Herfindahl–Hirschman index (Σ share², 1/n = perfect
+    * competition … 1 = monopoly) and the top player's share, over
+    * integer-cent revenue units (exact longs — double-sum ulps can't
+    * flip shares). Returns (marketCol, n_players, hhi, top_share).
+    *
+    * Scale shape: one (market, player) revenue aggregation, then a
+    * per-market re-aggregation of that (players ≪ rows) table — raw
+    * data read once, no windows.
+    */
+  def marketConcentration(df: DataFrame, marketCol: String,
+      playerCol: String, valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__rev", "__tot"))
+    val rev = df.groupBy(col(marketCol), col(playerCol))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__rev"))
+    // squares leave long range (1e10 cents² ≫ 2⁶³) → double powers;
+    // the ratio's last-ulp order sensitivity is ~1e-16, safely under
+    // the 6 dp rounding
+    rev.groupBy(marketCol)
+      .agg(count(lit(1)).as("n_players"),
+        round(sum(pow(col("__rev").cast("double"), 2)) /
+          pow(sum("__rev").cast("double"), 2), 6).as("hhi"),
+        round(max("__rev") / sum("__rev").cast("double"), 6)
+          .as("top_share"))
+  }
+
   /** RFM customer segmentation: per-user Recency (days since last
     * event, vs the corpus max timestamp), Frequency (event count) and
     * Monetary (value sum), each scored 1–5 by EXACT quintile cutpoints

@@ -295,6 +295,50 @@ object AnalyticsQueries {
              |FROM f WHERE is_grid = 1
              |ORDER BY user_id, grid_ts""".stripMargin)),
 
+    // ── chi-square contingency: order status × priority — counts once,
+    // marginals re-aggregated from the tiny cell table ──────────────────
+    QuerySpec("chi_square",
+      (s, d) => Analytics.chiSquare(orders(s, d), "o_orderstatus",
+          "o_orderpriority")
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""WITH obs AS (
+             |  SELECT o_orderstatus, o_orderpriority, count(*) AS observed
+             |  FROM orders
+             |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+             |  GROUP BY 1, 2),
+             |ra AS (SELECT o_orderstatus, sum(observed) AS r FROM obs GROUP BY 1),
+             |cb AS (SELECT o_orderpriority, sum(observed) AS c FROM obs GROUP BY 1),
+             |n AS (SELECT sum(observed) AS n FROM obs),
+             |grid AS (SELECT * FROM ra CROSS JOIN cb)
+             |SELECT grid.o_orderstatus, grid.o_orderpriority,
+             |       coalesce(observed, 0) AS observed,
+             |       round(r * c / n, 6) AS expected,
+             |       round(power(coalesce(observed, 0) - r * c / n, 2)
+             |             / (r * c / n), 6) AS chi2_contrib
+             |FROM grid
+             |LEFT JOIN obs USING (o_orderstatus, o_orderpriority)
+             |CROSS JOIN n
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ── supplier revenue concentration per nation (HHI + top share)
+    // over exact integer-cent units ─────────────────────────────────────
+    QuerySpec("market_concentration",
+      (s, d) => Analytics.marketConcentration(
+          lineitem(s, d).join(supplier(s, d),
+            col("l_suppkey") === col("s_suppkey")),
+          "s_nationkey", "l_suppkey", "l_extendedprice")
+        .orderBy("s_nationkey"),
+      Some("""WITH rev AS (
+             |  SELECT s.s_nationkey, l.l_suppkey,
+             |         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS r
+             |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  GROUP BY 1, 2)
+             |SELECT s_nationkey, count(*) AS n_players,
+             |       round(sum(power(r::DOUBLE, 2)) /
+             |             power(sum(r)::DOUBLE, 2), 6) AS hhi,
+             |       round(max(r) / sum(r)::DOUBLE, 6) AS top_share
+             |FROM rev GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
+
     // ── RFM segmentation: user-level aggregates + EXACT quintile
     // cutpoints broadcast back (no ntile-over-everything funnel) ────────
     QuerySpec("rfm_scores",

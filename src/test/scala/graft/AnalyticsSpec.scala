@@ -232,6 +232,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.filter(col("is_current")).count() == 3)
   }
 
+  test("chiSquare: independent columns give ~zero contributions; " +
+      "expected counts reproduce marginal products; perfectly " +
+      "dependent columns give large chi2") {
+    // independent: every (a,b) combination equally often
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val iOut = Analytics.chiSquare(ind, "a", "b").collect()
+    assert(iOut.length == 4)
+    iOut.foreach { r =>
+      assert(r.getDouble(3) == 5.0)       // expected = 10*10/20
+      assert(r.getDouble(4) == 0.0)       // observed == expected
+    }
+    // dependent: a determines b
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val chi2 = Analytics.chiSquare(dep, "a", "b")
+      .agg(sum("chi2_contrib")).head().getDouble(0)
+    assert(chi2 == 20.0) // n * 1 for a perfect 2x2 association
+  }
+
+  test("marketConcentration: monopoly gives hhi=1, equal split gives " +
+      "1/n, top_share tracks the leader") {
+    val df = Seq(
+      // market 1: monopoly
+      (1L, 10L, 50.0), (1L, 10L, 25.0),
+      // market 2: two equal players
+      (2L, 20L, 30.0), (2L, 21L, 30.0),
+      // market 3: 75/25 split
+      (3L, 30L, 75.0), (3L, 31L, 25.0)
+    ).toDF("m", "p", "v")
+    val out = Analytics.marketConcentration(df, "m", "p", "v")
+      .orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out(0) == ((1L, 1L, 1.0, 1.0)))
+    assert(out(1) == ((2L, 2L, 0.5, 0.5)))
+    assert(out(2) == ((3L, 2L, 0.625, 0.75))) // 0.75² + 0.25²
+  }
+
   test("rfmScores: score 5 = most recent / most frequent / highest " +
       "value; recency inverts; scores bounded 1..5") {
     // 10 users, user i: last event at day i, i events of value 10*i
