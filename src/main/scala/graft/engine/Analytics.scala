@@ -383,6 +383,61 @@ object Analytics {
       .withColumnRenamed("__z", "z_score")
   }
 
+  /** Per-group Tukey-fence outlier flags: a row is an outlier when its
+    * value falls outside [Q1 − k·IQR, Q3 + k·IQR] of ITS GROUP's exact
+    * interpolated quartiles (k = 1.5 is Tukey's convention; 3.0 for
+    * "far out"). The group-relative complement to the global two-pass
+    * z-score flags in [[Features]] — a value normal for one segment
+    * can be wild for another.
+    *
+    * Scale shape: one percentile aggregation per group (exact
+    * `percentile` is a partial-aggregating sketchless agg), joined
+    * back on the group key — broadcast when groups are few, hash
+    * otherwise. No windows, no global sort.
+    */
+  def tukeyOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireNoReserved(df, Seq("__q1", "__q3", "fence_lo", "fence_hi"))
+    val cuts = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+    df.join(cuts, groupCol)
+      .withColumn("fence_lo", col("__q1") - (col("__q3") - col("__q1")) * k)
+      .withColumn("fence_hi", col("__q3") + (col("__q3") - col("__q1")) * k)
+      .withColumn("is_outlier",
+        col(valueCol) < col("fence_lo") || col(valueCol) > col("fence_hi"))
+      .drop("__q1", "__q3")
+  }
+
+  /** Conversion-lag histogram: for each user whose first `toType`
+    * event lands at or after their first `fromType` event, bucket the
+    * elapsed time and count users per bucket. The "how long does
+    * signup→purchase take" distribution, as one pass.
+    *
+    * Shuffle shape: ONE hash exchange on the user (both conditional
+    * mins stack as windows on the same partitioning, the per-user
+    * collapse reuses it), then a tiny bucket rollup.
+    */
+  def conversionLag(ev: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    requireNoReserved(ev, Seq("__t", "__t0", "__t1"))
+    val w = Window.partitionBy(userCol)
+    ev.select(col(userCol), col(typeCol), col(tsCol).cast("long").as("__t"))
+      .withColumn("__t0",
+        min(when(col(typeCol) === lit(fromType), col("__t"))).over(w))
+      .withColumn("__t1",
+        min(when(col(typeCol) === lit(toType) && col("__t") >= col("__t0"),
+          col("__t"))).over(w))
+      .groupBy(userCol).agg(max("__t0").as("__t0"), max("__t1").as("__t1"))
+      .filter(col("__t0").isNotNull && col("__t1").isNotNull)
+      .select((((col("__t1") - col("__t0")) / bucketSeconds).cast("long"))
+        .as("lag_bucket"))
+      .groupBy("lag_bucket").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Chi-square contingency decomposition for two categoricals: one
     * row per observed (a, b) cell with observed count, expected count
     * under independence (row·col/n), and the cell's χ² contribution —

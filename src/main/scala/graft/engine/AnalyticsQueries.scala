@@ -295,6 +295,53 @@ object AnalyticsQueries {
              |FROM f WHERE is_grid = 1
              |ORDER BY user_id, grid_ts""".stripMargin)),
 
+    // ── per-group Tukey fences on exact quartiles (group-relative
+    // outliers; no windows, cuts joined back) ───────────────────────────
+    QuerySpec("group_outliers",
+      (s, d) => Analytics.tukeyOutliers(
+          lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey", "l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", k = 1.5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"),
+          round(col("fence_lo"), 6).as("fence_lo"),
+          round(col("fence_hi"), 6).as("fence_hi"), col("is_outlier"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |         quantile_cont(l_extendedprice, 0.25) AS q1,
+             |         quantile_cont(l_extendedprice, 0.75) AS q3
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l.l_returnflag,
+             |       round(q1 - (q3 - q1) * 1.5, 6) AS fence_lo,
+             |       round(q3 + (q3 - q1) * 1.5, 6) AS fence_hi,
+             |       (l_extendedprice < q1 - (q3 - q1) * 1.5 OR
+             |        l_extendedprice > q3 + (q3 - q1) * 1.5) AS is_outlier
+             |FROM lineitem l JOIN c USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // ── signup→purchase conversion-lag histogram (day buckets): two
+    // stacked conditional-min windows on one user exchange ──────────────
+    QuerySpec("conversion_lag",
+      (s, d) => Analytics.conversionLag(events(s, d), "user_id",
+          "event_type", "ts", fromType = "signup", toType = "purchase",
+          bucketSeconds = 86400L)
+        .orderBy("lag_bucket"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, $EpochS AS t FROM events),
+             |w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+             |         OVER (PARTITION BY user_id) AS t0 FROM e),
+             |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+             |           AND t >= t0 THEN t END)
+             |         OVER (PARTITION BY user_id) AS t1 FROM w1),
+             |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1
+             |      FROM w2 GROUP BY 1)
+             |SELECT (t1 - t0) // 86400 AS lag_bucket,
+             |       count(*)::BIGINT AS n_users
+             |FROM u WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+             |GROUP BY 1 ORDER BY lag_bucket""".stripMargin)),
+
     // ── chi-square contingency: order status × priority — counts once,
     // marginals re-aggregated from the tiny cell table ──────────────────
     QuerySpec("chi_square",

@@ -232,6 +232,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(raw.filter(col("is_current")).count() == 3)
   }
 
+  test("tukeyOutliers: fences are group-relative — a value normal in " +
+      "one group flags in another; tight k widens the net") {
+    val df = (
+      // group A around 100 (±5), one wild value
+      (1 to 20).map(i => ("A", 100.0 + (i % 11) - 5)) ++ Seq(("A", 500.0)) ++
+      // group B around 500 — 500 is NORMAL here
+      (1 to 20).map(i => ("B", 500.0 + (i % 11) - 5))
+    ).toDF("g", "v")
+    val out = Analytics.tukeyOutliers(df, "g", "v")
+      .select("g", "v", "is_outlier").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.contains(("A", 500.0, true)))
+    assert(out.filter(_._1 == "B").forall(!_._3))
+    assert(out.count(_._3) == 1)
+  }
+
+  test("conversionLag: inclusive same-instant conversion, pre-signup " +
+      "purchases ignored, non-converters and never-signed-up excluded") {
+    val ev = Seq(
+      (1L, "signup", 100L), (1L, "purchase", 100L + 86400L),   // bucket 1
+      (2L, "purchase", 50L), (2L, "signup", 200L),             // pre-signup
+      (2L, "purchase", 200L),                                  // same instant
+      (3L, "signup", 300L),                                    // never buys
+      (4L, "purchase", 400L)                                   // never signs
+    ).toDF("user_id", "event_type", "t")
+    val out = Analytics.conversionLag(ev, "user_id", "event_type", "t",
+        "signup", "purchase", bucketSeconds = 86400L)
+      .orderBy("lag_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (1L, 1L)))
+  }
+
   test("chiSquare: independent columns give ~zero contributions; " +
       "expected counts reproduce marginal products; perfectly " +
       "dependent columns give large chi2") {
