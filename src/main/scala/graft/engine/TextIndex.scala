@@ -93,7 +93,120 @@ final class TextIndex private[engine] (
   }
 }
 
+/** Segmented (incremental) variant of [[TextIndex]], Lucene-style: each
+  * corpus snapshot is appended as an immutable SEGMENT — its postings
+  * carry only segment-local facts (tf, dl), never global ones — and
+  * query time derives the global document frequencies from the probed
+  * postings themselves. That works because a term's ENTIRE posting
+  * list lives in one hash bucket (the bucket function is deterministic
+  * in the term), so bucket-pruned reading still sees every posting of
+  * every probed term, across all segments.
+  *
+  * Trade vs [[TextIndex]]: no rebuild on append (the point), one extra
+  * per-term aggregation at query time (over the already-pruned
+  * postings — small). Scores are IDENTICAL to a fresh full build
+  * (TextIndexSpec pins it).
+  */
+final class SegmentedTextIndex private[engine] (
+    val nDocs: Long,
+    val sumDl: Long,
+    postings: DataFrame,
+    val idCol: String,
+    val nBuckets: Int) {
+
+  /** BM25 top-k; same output as [[TextIndex.query]]. */
+  def query(queries: DataFrame, queryTextCol: String, queryIdCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col(queryIdCol),
+        explode(Extensions.tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val buckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")
+        .as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val probed = postings
+      .filter(col("__bucket").isin(buckets.map(Integer.valueOf): _*))
+      .join(broadcast(qterms), "term")
+    // global df reconstructed from the pruned postings: complete per
+    // probed term because term→bucket is a pure function
+    val dfreq = probed.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val fTf = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        (lit(0.75) * col("dl")) / lit(sumDl.toDouble / nDocs)))
+    probed.join(broadcast(dfreq), "term")
+      .withColumn("__contrib",
+        round(idf * fTf * lit(1000000.0)).cast("long"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("__contrib").as("__score_int"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(desc("__score_int"), asc(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
+  }
+}
+
 object TextIndex {
+
+  /** Append one corpus snapshot as a new immutable segment under
+    * `path/segments/<segmentName>`. Documents must be NEW ids (segments
+    * never overwrite; dedup upstream — see the incremental dedup ops).
+    * `nBuckets` must match across segments (validated on load).
+    */
+  def appendSegment(docs: DataFrame, textCol: String, idCol: String,
+      path: String, segmentName: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col(idCol), explode(Extensions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val postings = tf.join(dl, idCol)
+      .withColumn("__bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = s"$path/segments/$segmentName"
+    postings.write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(s"$seg/postings")
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("s"))
+      .collect().head
+    Seq((stats.getLong(0), stats.getLong(1), nBuckets, idCol)).toDF(
+        "n_docs", "sum_dl", "n_buckets", "id_col")
+      .write.mode("errorifexists").parquet(s"$seg/stats")
+    postings.unpersist()
+  }
+
+  /** Open all segments under `path` as one queryable index; global
+    * corpus stats are the sums of the per-segment stats (exact — doc
+    * sets are disjoint by the append contract).
+    */
+  def loadSegments(spark: SparkSession, path: String): SegmentedTextIndex = {
+    val segDirs = new java.io.File(s"$path/segments").listFiles()
+    require(segDirs != null && segDirs.nonEmpty, s"no segments under $path")
+    val stats = segDirs.sorted.map(d =>
+      spark.read.parquet(s"$d/stats").collect().head)
+    val buckets = stats.map(_.getInt(2)).distinct
+    require(buckets.length == 1,
+      s"segments disagree on n_buckets: ${buckets.mkString(", ")}")
+    val idCols = stats.map(_.getString(3)).distinct
+    require(idCols.length == 1,
+      s"segments disagree on id column: ${idCols.mkString(", ")}")
+    val postings = segDirs.sorted.map(d =>
+      spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+    new SegmentedTextIndex(
+      stats.map(_.getLong(0)).sum, stats.map(_.getLong(1)).sum,
+      postings, idCols.head, buckets.head)
+  }
 
   /** One pass over the corpus: tokenize, per-doc term frequencies,
     * document lengths and frequencies denormalized onto each posting,

@@ -92,6 +92,37 @@ class TextIndexSpec extends AnyFunSuite {
         s"${scan.get.metrics("numPartitions").value}")
   }
 
+  test("segmented index: two appended segments answer bit-identically " +
+      "to one fresh build over the union; mismatched buckets rejected; " +
+      "segment overwrite rejected") {
+    val docs = Tables.documents(spark, sf)
+    val half1 = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 2 === 0)
+    val half2 = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-tidx-seg").toString
+    graft.engine.TextIndex.appendSegment(half1, "text", "doc_id", dir,
+      "snap-001", nBuckets = 16)
+    graft.engine.TextIndex.appendSegment(half2, "text", "doc_id", dir,
+      "snap-002", nBuckets = 16)
+    val seg = graft.engine.TextIndex.loadSegments(spark, dir)
+    val fresh = TextIndex.build(docs, "text", "doc_id", nBuckets = 16)
+    assert(seg.nDocs == fresh.nDocs && seg.sumDl == fresh.sumDl)
+    assert(resultSet(seg.query(queries, "qtext", "query_id", k = 10))
+      == resultSet(fresh.query(queries, "qtext", "query_id", k = 10)))
+    // appending an existing segment name must fail, not overwrite
+    assertThrows[Exception] {
+      graft.engine.TextIndex.appendSegment(half1, "text", "doc_id", dir,
+        "snap-001", nBuckets = 16)
+    }
+    // a segment with a different bucket count is rejected at load
+    graft.engine.TextIndex.appendSegment(half1.limit(5), "text", "doc_id",
+      dir, "snap-003", nBuckets = 8)
+    assertThrows[IllegalArgumentException] {
+      graft.engine.TextIndex.loadSegments(spark, dir)
+    }
+  }
+
   test("build rejects reserved internal column names") {
     val bad = Tables.documents(spark, sf)
       .withColumn("tf", org.apache.spark.sql.functions.lit(1))
