@@ -121,6 +121,41 @@ object IvfIndex {
     new IvfIndex(cents, corpus, idCol, embCol)
   }
 
+  /** Append new vectors to a SAVED index under its frozen quantizer:
+    * each vector is assigned to its nearest existing centroid (squared
+    * euclidean, ties to the lower cell id — KMeans' own rule) and the
+    * rows land as new files inside the matching cell partitions. The
+    * standard IVF growth pattern — posting lists grow daily, the
+    * quantizer retrains on a slower cadence (rebuild when drift makes
+    * cells lopsided; [[Analytics.skewReport]] on `__cell` is the
+    * check). Queries on the saved layout keep pruning exactly as
+    * before; new ids must be disjoint from stored ones (dedup
+    * upstream).
+    */
+  def appendToSaved(spark: SparkSession, path: String, emb: DataFrame,
+      embCol: String, idCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val centDf = broadcast(spark.createDataFrame(cents)
+      .toDF("__cell", "__centroid"))
+    val dist2 = aggregate(
+      zip_with(col(embCol), col("__centroid"),
+        (x, c) => (x.cast("double") - c.cast("double")) *
+          (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wNearest = Window.partitionBy(idCol)
+      .orderBy(asc("__d2"), asc("__cell"))
+    val assigned = emb.select(col(idCol), col(embCol))
+      .crossJoin(centDf)
+      .withColumn("__d2", dist2)
+      .withColumn("__rk", row_number().over(wNearest))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(embCol), col("__cell"))
+    assigned.write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/cells")
+  }
+
   /** Open a saved index. Queries against it prune the cell partitions
     * of the saved layout at the file level.
     */

@@ -66,6 +66,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(pruned == 8L) // sanity: all 8 cells exist in the layout
   }
 
+  test("appendToSaved grows the saved layout under the frozen " +
+      "quantizer: appended vectors are queryable, counts add up, " +
+      "pruning layout intact") {
+    val emb = Tables.embeddings(spark, sf)
+    val half1 = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 2 === 0)
+    val half2 = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.build(half1, "embedding", "vec_id", nCells = 8).save(dir)
+    IvfIndex.appendToSaved(spark, dir, half2, "embedding", "vec_id")
+    val total = spark.read.parquet(s"$dir/cells").count()
+    assert(total == emb.count())
+    // appended rows live inside the same cell-partition layout
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select("__cell").distinct().count()
+    assert(cells <= 8)
+    // a query from an APPENDED id finds neighbors across both halves
+    val loaded = IvfIndex.load(spark, dir, "vec_id", "embedding")
+    val odd = half2.select("vec_id").limit(1)
+      .collect().head.getLong(0)
+    val res = loaded.queryByIds(Seq(odd), k = 8, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(res.nonEmpty)
+    assert(res.exists(_ % 2 == 0) || res.exists(_ % 2 == 1))
+    assert(res.length == 8)
+  }
+
   test("build rejects reserved internal column names") {
     val bad = Tables.embeddings(spark, sf).withColumn("__cell", lit(1))
     intercept[IllegalArgumentException] {
