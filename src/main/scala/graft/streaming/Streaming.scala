@@ -250,6 +250,39 @@ object Streaming {
       }
       .start()
 
+  /** Streaming text-index ingest: every micro-batch of documents is
+    * appended to a [[graft.engine.TextIndex]] segment store as one
+    * immutable epoch-named segment — the search index trails the
+    * document stream by one micro-batch, with no rebuild ever.
+    * Query side: `TextIndex.loadSegments(spark, indexPath)` at any
+    * time. Segment names embed the epoch id, so checkpoint replay of a
+    * batch hits the existing segment and is refused (errorifexists)
+    * instead of double-indexing — the caller skips and continues.
+    */
+  def indexIngestSink(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, checkpointDir: String,
+      nBuckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val segName = f"epoch-$epochId%09d"
+          try graft.engine.TextIndex.appendSegment(batch, textCol, idCol,
+            indexPath, segName, nBuckets)
+          catch {
+            // replayed batch after checkpoint recovery: segment already
+            // fully written (stats lands last) → idempotent skip; a
+            // HALF-written segment (postings without stats) rethrows —
+            // delete the partial segment dir and restart
+            case _: org.apache.spark.sql.AnalysisException
+              if new java.io.File(
+                s"$indexPath/segments/$segName/stats").exists() => ()
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Read the current state of a [[mergeSink]] target (the generation
     * named by the `_CURRENT` pointer).
     */

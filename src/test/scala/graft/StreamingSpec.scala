@@ -264,6 +264,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexIngestSink: each micro-batch becomes a segment; the " +
+      "segmented index answers over all batches seen so far") {
+    import TestSpark.spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val idx = Files.createTempDirectory("graft-sidx").toString
+    val ckpt = Files.createTempDirectory("graft-sidx-ckpt").toString
+    val q = Streaming.indexIngestSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, ckpt,
+      nBuckets = 8)
+    try {
+      input.addData((1L, "spark window join"), (2L, "merge sort run"))
+      q.processAllAvailable()
+      input.addData((3L, "spark merge stream"))
+      q.processAllAvailable()
+      val segs = new java.io.File(s"$idx/segments").listFiles().map(_.getName)
+      assert(segs.length == 2, s"expected 2 segments, got ${segs.toSeq}")
+      val loaded = graft.engine.TextIndex.loadSegments(spark, idx)
+      assert(loaded.nDocs == 3)
+      val hits = loaded.query(
+          Seq((1L, "spark")).toDF("query_id", "qtext"),
+          "qtext", "query_id", k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(1L, 3L)) // both spark docs, across batches
+    } finally q.stop()
+  }
+
   test("qualityMonitorSink appends a per-rule report per micro-batch; " +
       "a failing batch shows up as passed=false for its epoch") {
     import TestSpark.spark.implicits._
