@@ -250,6 +250,43 @@ object Streaming {
       }
       .start()
 
+  /** Streaming cardinality tracking: each micro-batch is sketched
+    * ([[graft.engine.DistinctStore]]) and UNIONed into the persisted
+    * per-group HLL store — "distinct users per segment, all time,
+    * updated every batch" at kilobytes of state per group, no
+    * re-reading history. Same generation-swap commit protocol as
+    * [[mergeSink]] (`_CURRENT` pointer written after the merged store
+    * lands). Read the live estimates with
+    * `DistinctStore.estimates(DistinctStore.load(spark, readCurrent(path)))`
+    * or [[readMergeTarget]].
+    */
+  def distinctCountSink(updates: DataFrame, groupCol: String,
+      valueCol: String, path: String, checkpointDir: String,
+      lgK: Int = 12): StreamingQuery = {
+    val spark = updates.sparkSession
+    val fs = new java.io.File(path)
+    fs.mkdirs()
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val snap = graft.engine.DistinctStore.build(batch, groupCol,
+          valueCol, lgK)
+        val marker = new java.io.File(fs, "_CURRENT")
+        val merged =
+          if (marker.exists()) {
+            val gen = new String(java.nio.file.Files.readAllBytes(
+              marker.toPath), "UTF-8").trim
+            graft.engine.DistinctStore.merge(Seq(
+              graft.engine.DistinctStore.load(spark, s"$path/$gen"), snap))
+          } else snap
+        val genDir = s"gen-$epochId"
+        graft.engine.DistinctStore.save(merged, s"$path/$genDir")
+        java.nio.file.Files.write(marker.toPath, genDir.getBytes("UTF-8"))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming text-index ingest: every micro-batch of documents is
     * appended to a [[graft.engine.TextIndex]] segment store as one
     * immutable epoch-named segment — the search index trails the

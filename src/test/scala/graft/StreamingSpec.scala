@@ -264,6 +264,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("distinctCountSink: sketches fold across batches — repeated " +
+      "values never double-count, new values register") {
+    import TestSpark.spark.implicits._
+    import graft.engine.DistinctStore
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)](spark)
+    val store = Files.createTempDirectory("graft-dcs").toString
+    val ckpt = Files.createTempDirectory("graft-dcs-ckpt").toString
+    val q = Streaming.distinctCountSink(
+      input.toDF().toDF("seg", "uid"), "seg", "uid", store, ckpt)
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("a", 2L), ("a", 3L), ("b", 1L)) // 2 and b/1 repeat
+      q.processAllAvailable()
+      val est = DistinctStore.estimates(
+          Streaming.readMergeTarget(spark, store))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+
   test("indexIngestSink: each micro-batch becomes a segment; the " +
       "segmented index answers over all batches seen so far") {
     import TestSpark.spark.implicits._
