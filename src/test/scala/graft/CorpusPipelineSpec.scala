@@ -55,4 +55,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
       maxHamming = 3).count()
     assert(remaining == 0)
   }
+
+  test("raw corpus to searchable index: segment dedup → quality gate → " +
+      "indexed retrieval, end to end") {
+    val docs = Tables.documents(spark, sf)
+    // 1. intra-doc boilerplate removal (token-level on this corpus)
+    val clean = Extensions.dedupSegments(docs, "text", "doc_id", " ")
+      .select(col("doc_id"), col("dedup_text").as("text"))
+    // 2. quality contract before indexing — the suite passes or we stop
+    val gate = graft.engine.Quality.check(clean, Seq(
+      graft.engine.Quality.Complete("text", 1.0),
+      graft.engine.Quality.Unique(Seq("doc_id"), 1.0)))
+    assert(gate.collect().forall(_.getBoolean(4)), "quality gate failed")
+    // 3. index and retrieve — hits must come from the cleaned corpus
+    val idx = graft.engine.TextIndex.build(clean, "text", "doc_id",
+      nBuckets = 16)
+    val hits = idx.query(
+        Seq((1L, "spark window join")).toDF("query_id", "qtext"),
+        "qtext", "query_id", k = 5)
+      .collect()
+    assert(hits.nonEmpty && hits.length <= 5)
+    val ids = clean.select("doc_id").as[Long].collect().toSet
+    assert(hits.forall(h => ids.contains(h.getLong(1))))
+    // ranks contiguous from 1
+    assert(hits.map(_.getInt(3)).sorted.toSeq == (1 to hits.length))
+  }
 }
