@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
-import graft.engine.{Jobs, Scoring, Tables}
+import graft.engine.{Jobs, Quality, Scoring, Tables}
 
 /** HTTP serving layer over the library ops surface — endpoint-for-
   * endpoint parity with the reference FastAPI service
@@ -24,6 +24,12 @@ import graft.engine.{Jobs, Scoring, Tables}
   *   - GET  /models                completed models + run log (api/api.py:244-267)
   *   - GET  /metrics               job counters (api/api.py:270-279)
   *   - DELETE /models/{path}       guarded real delete (api/api.py:282-293)
+  *   - POST /quality               run a data-quality contract on a path
+  *   - GET  /schema?path=…         schema of a parquet/csv/json path
+  *
+  * /quality and /schema have no reference counterpart — they expose the
+  * [[graft.engine.Quality]] gate over HTTP so an external scheduler can
+  * contract-check a drop before triggering /train on it.
   *
   * The compute behind every endpoint is the already-tested library
   * surface ([[graft.engine.Jobs]], [[graft.engine.Scoring]]) — this
@@ -62,6 +68,8 @@ final class ApiServer(spark: SparkSession, modelDir: String,
             "status" -> "healthy",
             "pipeline_initialized" -> (spark != null)))
         case ("POST", "/train")         => train(ex)
+        case ("POST", "/quality")       => quality(ex)
+        case ("GET", "/schema")         => schema(ex)
         case ("POST", "/predict")       => predict(ex)
         case ("POST", "/predict/batch") => predictBatch(ex)
         case ("GET", "/jobs") =>
@@ -129,6 +137,58 @@ final class ApiServer(spark: SparkSession, modelDir: String,
       .getOrElse(features.head.indices.map(i => s"feature_$i"))
     val preds = Scoring.predictRows(spark, modelPath, names, features)
     reply(ex, 200, jmap("predictions" -> preds, "count" -> preds.size))
+  }
+
+  private def quality(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val req = readJson(ex)
+    val df = Tables.loadPath(spark, str(req, "data_path"))
+    val required = Option(req.get("required"))
+      .map(_ => strList(req, "required")).getOrElse(Seq.empty)
+    val unique = Option(req.get("unique"))
+      .map(_ => strList(req, "unique")).getOrElse(Seq.empty)
+    val ranges: Seq[(String, Double, Double)] =
+      Option(req.get("ranges")) match {
+        case Some(m: java.util.Map[_, _]) => m.asScala.toSeq.map {
+          case (k, v: java.util.List[_]) =>
+            (k.toString,
+              v.get(0).asInstanceOf[Number].doubleValue(),
+              v.get(1).asInstanceOf[Number].doubleValue())
+          case (k, _) => throw new IllegalArgumentException(
+            s"ranges.$k must be [lo, hi]")
+        }
+        case _ => Seq.empty
+      }
+    val rules: Seq[Quality.Rule] =
+      required.map(c => Quality.Complete(c, 1.0)) ++
+      (if (unique.nonEmpty) Seq(Quality.Unique(unique, 1.0)) else Nil) ++
+      ranges.map { case (c, lo, hi) => Quality.InRange(c, lo, hi, 1.0) }
+    if (rules.isEmpty)
+      throw new IllegalArgumentException(
+        "no rules: give required / unique / ranges")
+    val report = Quality.check(df, rules).collect()
+    reply(ex, 200, jmap(
+      "passed" -> report.forall(_.getBoolean(4)),
+      "rules" -> report.toSeq.map(r => jmap(
+        "rule" -> r.getString(1),
+        "metric" -> (if (r.isNullAt(2)) null else r.getDouble(2)),
+        "threshold" -> r.getDouble(3),
+        "passed" -> r.getBoolean(4)))))
+  }
+
+  private def schema(ex: HttpExchange): Unit = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val path = q.split("&").collectFirst {
+      case kv if kv.startsWith("path=") =>
+        URLDecoder.decode(kv.substring(5), StandardCharsets.UTF_8)
+    }.getOrElse(throw new IllegalArgumentException("missing query: path"))
+    val df = Tables.loadPath(spark, path)
+    reply(ex, 200, jmap(
+      "path" -> path,
+      "columns" -> df.schema.map(f => jmap(
+        "name" -> f.name,
+        "type" -> f.dataType.simpleString,
+        "nullable" -> f.nullable)).toSeq))
   }
 
   private def predictBatch(ex: HttpExchange): Unit = {

@@ -168,4 +168,35 @@ class ApiServerSpec extends AnyFunSuite {
     val (jc, job) = get(s"/jobs/$jobId")
     assert(jc == 200 && job.get("status") == "failed")
   }
+
+  test("/quality runs the contract over a path; /schema describes it") {
+    val ordersPath = "/root/testdata/sf0.001/orders.parquet"
+    val (qc, q) = post("/quality",
+      """{"data_path": "%s",
+        |  "required": ["o_orderkey", "o_custkey"],
+        |  "unique": ["o_orderkey"],
+        |  "ranges": {"o_totalprice": [0, 100000]}}""".stripMargin
+        .format(ordersPath))
+    assert(qc == 200)
+    val rules = q.get("rules").asInstanceOf[java.util.List[_]]
+    assert(rules.size() == 4)
+    // completeness + uniqueness hold on this table; the tight range fails
+    assert(q.get("passed") == java.lang.Boolean.FALSE)
+    val names = (0 until rules.size()).map(i =>
+      rules.get(i).asInstanceOf[java.util.Map[_, _]].get("rule").toString)
+    assert(names.contains("unique(o_orderkey)") &&
+      names.contains("in_range(o_totalprice)"))
+    // empty contract → 4xx/5xx with detail, not a silent pass
+    val (bad, badBody) = post("/quality",
+      s"""{"data_path": "$ordersPath"}""")
+    assert(bad >= 400 && badBody.get("detail") != null)
+    val (sc, sch) = get("/schema?path=" +
+      java.net.URLEncoder.encode(ordersPath, "UTF-8"))
+    assert(sc == 200)
+    val cols = sch.get("columns").asInstanceOf[java.util.List[_]]
+    val colNames = (0 until cols.size()).map(i =>
+      cols.get(i).asInstanceOf[java.util.Map[_, _]].get("name").toString)
+    assert(colNames.contains("o_orderkey") &&
+      colNames.contains("o_totalprice"))
+  }
 }
