@@ -219,6 +219,77 @@ object Quality {
       .orderBy("rule_id")
   }
 
+  /** Per-group quality report: the ratio rules ([[Complete]],
+    * [[InRange]], [[InSet]], [[MatchesRegex]]) evaluated WITHIN each
+    * value of `groupCol` — the "which source / partition / day is
+    * broken" view that the whole-table [[check]] aggregates away.
+    * Returns (groupCol, rule, metric, threshold, passed), one row per
+    * (group, rule); metric is null (vacuous pass) where a group has no
+    * values to check.
+    *
+    * Fully plan-side, unlike [[check]]'s driver-side assembly: ONE
+    * aggregation pass keyed by the group computes every rule's
+    * numerator/denominator, and `stack` unpivots to rule rows — group
+    * cardinality never touches the driver, so a million sources cost
+    * the same plan as ten.
+    */
+  def checkByGroup(df: DataFrame, groupCol: String,
+      rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "quality suite needs at least one rule")
+    val unsupported = rules.filterNot {
+      case _: Complete | _: InRange | _: InSet | _: MatchesRegex => true
+      case _ => false
+    }
+    require(unsupported.isEmpty,
+      "checkByGroup supports ratio rules only (Complete/InRange/InSet/" +
+        s"MatchesRegex); got: ${unsupported.map(_.describe).mkString(", ")}")
+    require(rules.map(_.describe).distinct.length == rules.length,
+      "duplicate rule labels — checkByGroup keys thresholds by " +
+        "rule.describe, one rule per (type, column)")
+    val nonNull = (c: String) => sum(when(col(c).isNotNull, 1L).otherwise(0L))
+    val aggs: Seq[Column] = rules.zipWithIndex.flatMap {
+      case (Complete(c, _), i) => Seq(nonNull(c).as(s"n$i"),
+        count(lit(1)).as(s"d$i"))
+      case (InRange(c, lo, hi, _), i) => Seq(
+        sum(when(col(c).isNotNull &&
+          col(c).cast("double").between(lo, hi), 1L).otherwise(0L))
+          .as(s"n$i"),
+        nonNull(c).as(s"d$i"))
+      case (InSet(c, allowed, _), i) => Seq(
+        sum(when(col(c).isin(allowed: _*), 1L).otherwise(0L)).as(s"n$i"),
+        nonNull(c).as(s"d$i"))
+      case (MatchesRegex(c, p, _), i) => Seq(
+        sum(when(col(c).rlike(p), 1L).otherwise(0L)).as(s"n$i"),
+        nonNull(c).as(s"d$i"))
+      case (r, _) => throw new MatchError(r) // unreachable (validated)
+    }
+    val thresholds = rules.map {
+      case Complete(_, t)        => t
+      case InRange(_, _, _, t)   => t
+      case InSet(_, _, t)        => t
+      case MatchesRegex(_, _, t) => t
+      case r => throw new MatchError(r) // unreachable (validated)
+    }
+    val grouped = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // unpivot to (rule, num, den) rows — stack keeps this one plan
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.describe.replace("'", "")}', n$i, d$i"
+    }.mkString(", ")
+    val thrMap = rules.zipWithIndex
+      .map { case (r, i) => r.describe.replace("'", "") -> thresholds(i) }
+    val thrExpr = thrMap.foldRight(lit(Double.NaN): Column) {
+      case ((name, t), acc) => when(col("rule") === name, lit(t)).otherwise(acc)
+    }
+    grouped.select(col(groupCol),
+        expr(s"stack(${rules.length}, $stackArgs) AS (rule, __n, __d)"))
+      .withColumn("metric",
+        when(col("__d") > 0, round(col("__n") / col("__d"), 9)))
+      .withColumn("threshold", thrExpr)
+      .withColumn("passed",
+        col("metric").isNull || col("metric") >= col("threshold"))
+      .drop("__n", "__d")
+  }
+
   /** Schema drift between two snapshots: one row per changed column —
     * `added` (in current only), `removed` (in base only), or
     * `type_changed` — with the from/to type strings. Pure metadata

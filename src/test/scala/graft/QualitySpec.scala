@@ -67,6 +67,36 @@ class QualitySpec extends AnyFunSuite {
     assert(out(2) == ("unique(id)", 1.0, true))
   }
 
+  test("checkByGroup isolates the broken source: per-group ratios, " +
+      "vacuous pass on empty groups, unsupported rules rejected") {
+    val df = Seq[(String, java.lang.Double, String)](
+      // source A: clean
+      ("A", 1.0, "x"), ("A", 2.0, "y"),
+      // source B: half the values null
+      ("B", null, "x"), ("B", 3.0, "y"),
+      // source C: no values at all for v (vacuous range pass)
+      ("C", null, "x")
+    ).toDF("src", "v", "tag")
+    val out = Quality.checkByGroup(df, "src", Seq(
+        Complete("v", 0.9), InRange("v", 0.0, 10.0, 1.0)))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(4))))
+      .toMap
+    assert(out(("A", "complete(v)")) == ((Some(1.0), true)))
+    assert(out(("B", "complete(v)")) == ((Some(0.5), false)))
+    assert(out(("C", "complete(v)")) == ((Some(0.0), false)))
+    assert(out(("C", "in_range(v)")) == ((None, true))) // nothing to check
+    assert(out.size == 6)
+    assertThrows[IllegalArgumentException] {
+      Quality.checkByGroup(df, "src", Seq(Unique(Seq("v"), 1.0)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Quality.checkByGroup(df, "src",
+        Seq(InRange("v", 0.0, 1.0, 1.0), InRange("v", 0.0, 2.0, 1.0)))
+    }
+  }
+
   test("distribution rules: mean/stddev bounds pass and fail on the " +
       "statistic; flatlined column fails stddev; all-null passes " +
       "vacuously with null metric; regex rule counts matches") {
