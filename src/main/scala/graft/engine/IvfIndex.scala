@@ -64,7 +64,7 @@ final class IvfIndex private (
     // partitions — a join key can't prune files
     val cells = probed.select("__cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    corpus.filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
+    corpus.filter(col("__cell").isin(cells.toSeq.map(Integer.valueOf): _*))
       .select(col(idCol).as("neighbor_id"), col(embCol).as("__e"),
         col("__cell"))
       .join(broadcast(probed), Seq("__cell"))

@@ -65,7 +65,7 @@ final class TextIndex private[engine] (
       (col("tf") + lit(1.2) * (lit(0.25) +
         (lit(0.75) * col("dl")) / lit(sumDl.toDouble / nDocs)))
     postings
-      .filter(col("__bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("__bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
       .join(broadcast(qterms), "term")
       .withColumn("__contrib",
         round(idf * fTf * lit(1000000.0)).cast("long"))
@@ -128,7 +128,7 @@ final class SegmentedTextIndex private[engine] (
         .as("__bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
     val probed = postings
-      .filter(col("__bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("__bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
       .join(broadcast(qterms), "term")
     // global df reconstructed from the pruned postings: complete per
     // probed term because term→bucket is a pure function

@@ -42,7 +42,7 @@ object ConnectedComponents {
     // replaces a join-based changed-count: one fewer shuffle per round.
     // decimal(38,0) keeps the sum exact (no long overflow at any n).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var converged = labels.isEmpty
     var prevSum = if (converged) null else labelSum(labels)
     var iter = 0

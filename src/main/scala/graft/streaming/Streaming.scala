@@ -215,7 +215,7 @@ object Streaming {
             // first batch: empty target with the post-merge schema
             val cols = latest.columns
               .filterNot(c => deleteCol.contains(c)).map(col)
-            latest.select(cols: _*).limit(0)
+            latest.select(cols.toSeq: _*).limit(0)
           }
         val merged = Analytics.mergeUpsert(target, latest, keyCols,
           deleteCol)
