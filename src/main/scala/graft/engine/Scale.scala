@@ -39,6 +39,47 @@ object Scale {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Write-Audit-Publish on plain parquet: stage the data to a
+    * version directory, run the [[Quality]] contract ON THE WRITTEN
+    * FILES (auditing the df would miss write corruption), and flip the
+    * `_CURRENT` pointer only when every rule passes. Readers
+    * ([[readPublished]]) never see an unaudited or half-written
+    * version; a failed audit leaves the staged directory in place for
+    * debugging and the previous version still published. Returns true
+    * iff published.
+    *
+    * The pointer flip is the commit point — the same protocol as the
+    * streaming merge sink's generations; WAP is its batch-ingest twin.
+    */
+  def writeAuditPublish(df: DataFrame, path: String, version: String,
+      rules: Seq[Quality.Rule]): Boolean = {
+    require(version.nonEmpty && !version.contains("/"),
+      "version must be a plain directory name")
+    val spark = df.sparkSession
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val staged = s"$path/$version"
+    df.write.mode("errorifexists").parquet(staged)
+    val report = Quality.check(spark.read.parquet(staged), rules).collect()
+    val ok = report.forall(_.getBoolean(4))
+    if (ok)
+      java.nio.file.Files.write(
+        new java.io.File(dir, "_CURRENT").toPath,
+        version.getBytes("UTF-8"))
+    ok
+  }
+
+  /** Read the currently-published version of a [[writeAuditPublish]]
+    * target.
+    */
+  def readPublished(spark: SparkSession, path: String): DataFrame = {
+    val marker = new java.io.File(path, "_CURRENT")
+    require(marker.exists(), s"nothing published under $path")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      "UTF-8").trim
+    spark.read.parquet(s"$path/$v")
+  }
+
   /** Write `df` as parquet with files sized toward `targetBytes`: a
     * bounded sample is written first to measure real on-disk bytes/row
     * (post-encoding, post-compression — a serialized-row estimate would

@@ -59,6 +59,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
   }
 
+  test("write-audit-publish: clean data publishes; a violating drop " +
+      "stays quarantined and readers keep the previous version") {
+    import TestSpark.spark.implicits._
+    import graft.engine.Quality
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-wap").toString + "/table"
+    val rules = Seq(Quality.Complete("v", 1.0),
+      Quality.InRange("v", 0.0, 100.0, 1.0))
+    // v1: clean → published
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    assert(Scale.writeAuditPublish(v1, base, "v1", rules))
+    assert(Scale.readPublished(spark, base).count() == 2)
+    // v2: out-of-range value → audit fails, pointer untouched
+    val v2 = Seq((3L, 10.0), (4L, 500.0)).toDF("id", "v")
+    assert(!Scale.writeAuditPublish(v2, base, "v2", rules))
+    val served = Scale.readPublished(spark, base)
+      .select("id").as[Long].collect().toSet
+    assert(served == Set(1L, 2L)) // still v1
+    // the quarantined stage remains for debugging
+    assert(new java.io.File(s"$base/v2").exists())
+    // same version name refuses to overwrite the quarantined data
+    assertThrows[Exception] {
+      Scale.writeAuditPublish(v1, base, "v2", rules)
+    }
+    // v3: clean again → supersedes v1
+    val v3 = Seq((5L, 30.0)).toDF("id", "v")
+    assert(Scale.writeAuditPublish(v3, base, "v3", rules))
+    assert(Scale.readPublished(spark, base)
+      .select("id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("writeSized calibrates records-per-file from measured bytes and " +
       "splits output accordingly; data round-trips") {
     val df = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
