@@ -69,6 +69,35 @@ object Scale {
     ok
   }
 
+  /** Small-files maintenance: rewrite the PUBLISHED version of a WAP
+    * table into `newVersion` with files sized toward `targetBytes`
+    * ([[writeSized]] calibration), re-audited and atomically republished
+    * — the compaction job every parquet lake schedules, expressed as
+    * read-published → sized-write → audit → pointer flip. Returns true
+    * iff the compacted version passed its audit and was published;
+    * on false the previous version stays live (compaction must never
+    * lose data to win file counts — the audit enforces it).
+    */
+  def compactPublished(spark: SparkSession, path: String,
+      newVersion: String, targetBytes: Long,
+      rules: Seq[Quality.Rule]): Boolean = {
+    require(newVersion.nonEmpty && !newVersion.contains("/"),
+      "version must be a plain directory name")
+    val current = readPublished(spark, path)
+    val staged = s"$path/$newVersion"
+    require(!new java.io.File(staged).exists(),
+      s"version $newVersion already exists under $path")
+    val cap = writeSized(current, staged, targetBytes)
+    require(cap >= 1L)
+    val report = Quality.check(spark.read.parquet(staged), rules).collect()
+    val ok = report.forall(_.getBoolean(4))
+    if (ok)
+      java.nio.file.Files.write(
+        new java.io.File(path, "_CURRENT").toPath,
+        newVersion.getBytes("UTF-8"))
+    ok
+  }
+
   /** Read the currently-published version of a [[writeAuditPublish]]
     * target.
     */

@@ -90,6 +90,35 @@ class ScaleSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(5L))
   }
 
+  test("compactPublished: republishes the same rows in sized files; " +
+      "a row-count contract makes silent data loss impossible") {
+    import TestSpark.spark.implicits._
+    import graft.engine.Quality
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/table"
+    val df = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+    val n = df.count()
+    assert(Scale.writeAuditPublish(df.repartition(8), base, "v1",
+      Seq(Quality.RowCountBetween(n, n))))
+    val filesBefore = new java.io.File(s"$base/v1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore == 8)
+    // compact toward large files → fewer of them, same rows, republished
+    assert(Scale.compactPublished(spark, base, "v2",
+      targetBytes = 64L * 1024 * 1024,
+      rules = Seq(Quality.RowCountBetween(n, n))))
+    val served = Scale.readPublished(spark, base)
+    assert(served.count() == n)
+    val filesAfter = new java.io.File(s"$base/v2").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    // existing version name is refused
+    assertThrows[IllegalArgumentException] {
+      Scale.compactPublished(spark, base, "v2", 1024L,
+        Seq(Quality.RowCountBetween(n, n)))
+    }
+  }
+
   test("writeSized calibrates records-per-file from measured bytes and " +
       "splits output accordingly; data round-trips") {
     val df = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
