@@ -62,6 +62,36 @@ object Jobs {
     jobId
   }
 
+  /** Run a [[Quality]] contract as a registered job: per-rule metrics
+    * land in the job's metrics map (`rule describe` → metric; null
+    * vacuous-pass metrics are omitted), status is `completed` when
+    * every rule passed and `failed` (with the failing rules in the
+    * error) otherwise — so the same /jobs surface that tracks training
+    * tracks data contracts, and a scheduler polls one registry.
+    */
+  def submitQuality(df: DataFrame, rules: Seq[Quality.Rule]): String = {
+    val jobId = s"quality_${counter.incrementAndGet()}"
+    try {
+      val report = Quality.check(df, rules).collect()
+      val metrics = report.flatMap(r =>
+        if (r.isNullAt(2)) None
+        else Some(r.getString(1) -> r.getDouble(2))).toMap
+      val failing = report.filterNot(_.getBoolean(4)).map(_.getString(1))
+      if (failing.isEmpty)
+        registry.put(jobId, Job(jobId, "completed", "quality_check",
+          "quality", None, metrics, None))
+      else
+        registry.put(jobId, Job(jobId, "failed", "quality_check",
+          "quality", None, metrics,
+          Some(s"rules failed: ${failing.mkString(", ")}")))
+    } catch {
+      case e: Exception =>
+        registry.put(jobId, Job(jobId, "failed", "quality_check",
+          "quality", None, Map.empty, Some(e.toString)))
+    }
+    jobId
+  }
+
   def jobStatus(jobId: String): Option[Job] = Option(registry.get(jobId))
 
   def listJobs(): Seq[Job] =

@@ -73,4 +73,25 @@ class JobsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Jobs.deleteModel(plain) }
     assert(new java.io.File(plain).exists(), "refused dir must survive")
   }
+
+  test("quality contracts run as registered jobs: pass completes with " +
+      "per-rule metrics, violation fails naming the rule") {
+    import graft.engine.Quality
+    Jobs.reset()
+    val clean = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "v")
+    val ok = Jobs.submitQuality(clean, Seq(
+      Quality.Complete("v", 1.0), Quality.InRange("v", 0.0, 10.0, 1.0)))
+    val okJob = Jobs.jobStatus(ok).get
+    assert(okJob.status == "completed" && okJob.taskType == "quality")
+    assert(okJob.metrics("complete(v)") == 1.0)
+    val dirty = Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v")
+    val bad = Jobs.submitQuality(dirty, Seq(
+      Quality.InRange("v", 0.0, 10.0, 1.0)))
+    val badJob = Jobs.jobStatus(bad).get
+    assert(badJob.status == "failed")
+    assert(badJob.error.get.contains("in_range(v)"))
+    assert(badJob.metrics("in_range(v)") == 0.5)
+    // both show up in the shared registry + counters
+    assert(Jobs.metrics()("failed_jobs") >= 1L)
+  }
 }
