@@ -282,6 +282,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleFill grid law: per key, exactly (span div step)+1 rows, " +
+      "first grid value is the first observation, filled values are " +
+      "always some observed value at-or-before the grid instant") {
+    forAll(groupedVals) { rows =>
+      whenever(rows.nonEmpty) {
+        val obs = rows.zipWithIndex.map { case ((g, t, v), i) =>
+          (g % 2, (t % 500) + i, v) } // unique-ish ts per key
+        val df = obs.toDF("k", "t", "v")
+        val out = graft.engine.Analytics
+          .resampleFill(df, "k", "t", "v", stepSeconds = 50L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val byKey = obs.groupBy(_._1)
+        byKey.foreach { case (k, os) =>
+          val lo = os.map(_._2).min; val hi = os.map(_._2).max
+          val expected = (hi - lo) / 50 + 1
+          val got = out.filter(_._1 == k)
+          assert(got.length == expected,
+            s"key $k: ${got.length} grid rows, expected $expected")
+          // first grid point carries the earliest observation's value
+          // (max over duplicates at that instant, per the dedup rule)
+          val firstVal = os.filter(_._2 == lo).map(_._3).max
+          assert(got.minBy(_._2)._3 == firstVal)
+          // every filled value was actually observed at or before
+          got.foreach { case (_, gt, gv) =>
+            assert(os.exists(o => o._2 <= gt && o._3 == gv),
+              s"key $k grid $gt value $gv not in history")
+          }
+        }
+      }
+    }
+  }
+
   test("winsorize output is always within [P(lo), P(hi)] and preserves " +
       "row count") {
     forAll(groupedVals) { rows =>
