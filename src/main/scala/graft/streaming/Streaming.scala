@@ -250,6 +250,32 @@ object Streaming {
       }
       .start()
 
+  /** Streaming drift monitor: every micro-batch's distribution of
+    * `column` is PSI-compared ([[graft.engine.Quality.psiReport]])
+    * against a STATIC baseline snapshot (the training distribution),
+    * and the per-bin report — plus the summed headline PSI on every
+    * row — is appended with the epoch id. The standard
+    * "is production input still what we trained on" feed; alerting is
+    * a filter on `psi_total` over the log (rule of thumb: > 0.25 =
+    * shifted).
+    */
+  def driftMonitorSink(updates: DataFrame, baseline: DataFrame,
+      column: String, bins: Int, lo: Double, hi: Double,
+      reportPath: String, checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val report = graft.engine.Quality
+          .psiReport(baseline, batch, column, bins, lo, hi)
+        val total = report.agg(sum("psi_contrib")).head().getDouble(0)
+        report
+          .withColumn("psi_total", lit(total))
+          .withColumn("batch_id", lit(epochId))
+          .write.mode("append").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** Streaming cardinality tracking: each micro-batch is sketched
     * ([[graft.engine.DistinctStore]]) and UNIONed into the persisted
     * per-group HLL store — "distinct users per segment, all time,

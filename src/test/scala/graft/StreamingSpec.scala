@@ -264,6 +264,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftMonitorSink: an in-distribution batch logs near-zero PSI, " +
+      "a shifted batch logs high PSI, per epoch") {
+    import TestSpark.spark.implicits._
+    val baseline = (1 to 200).map(i => (i % 100).toDouble).toDF("v")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Double](spark)
+    val report = Files.createTempDirectory("graft-drift").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val q = Streaming.driftMonitorSink(input.toDF().toDF("v"), baseline,
+      "v", bins = 5, lo = 0.0, hi = 100.0, report, ckpt)
+    try {
+      input.addData((1 to 100).map(i => (i % 100).toDouble): _*) // same dist
+      q.processAllAvailable()
+      input.addData((1 to 100).map(_ => 99.0): _*) // collapsed to top bin
+      q.processAllAvailable()
+      val totals = spark.read.parquet(report)
+        .select("batch_id", "psi_total").distinct()
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(totals.size == 2)
+      assert(totals(0L) < 0.1, s"in-dist batch drifted: ${totals(0L)}")
+      assert(totals(1L) > 0.25, s"shifted batch not flagged: ${totals(1L)}")
+      // per-bin rows: 5 bins per epoch
+      assert(spark.read.parquet(report).count() == 10)
+    } finally q.stop()
+  }
+
   test("distinctCountSink: sketches fold across batches — repeated " +
       "values never double-count, new values register") {
     import TestSpark.spark.implicits._
