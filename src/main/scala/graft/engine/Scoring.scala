@@ -46,4 +46,35 @@ object Scoring {
     val in = Tables.loadPath(spark, inputPath)
     MLPipe.batchScore(model(modelPath), in, outputPath)
   }
+
+  /** Outcome of a [[batchPredictGuarded]] run: the headline PSI of the
+    * guarded column, whether scoring went ahead, and the rows written
+    * (0 when refused).
+    */
+  final case class GuardedResult(psi: Double, scored: Boolean, rows: Long)
+
+  /** Batch scoring behind an input-drift guard: the scoring input's
+    * `guardCol` distribution is PSI-compared against the TRAINING
+    * baseline first, and when the headline PSI exceeds `maxPsi`
+    * (0.25 = the standard "shifted" threshold) the batch is REFUSED —
+    * a model asked to extrapolate onto a distribution it never saw
+    * produces confidently wrong scores, and the honest failure mode is
+    * a loud refusal, not silent garbage predictions.
+    *
+    * Cost: one [[Quality.psiReport]] pass over the input (plus the
+    * baseline's, typically cached/small) before the scoring pass.
+    */
+  def batchPredictGuarded(spark: SparkSession, modelPath: String,
+      inputPath: String, outputPath: String, baseline: DataFrame,
+      guardCol: String, bins: Int, lo: Double, hi: Double,
+      maxPsi: Double = 0.25): GuardedResult = {
+    require(maxPsi > 0, "maxPsi must be positive")
+    val in = Tables.loadPath(spark, inputPath)
+    val psi = Quality.psiReport(baseline, in, guardCol, bins, lo, hi)
+      .agg(org.apache.spark.sql.functions.sum("psi_contrib"))
+      .head().getDouble(0)
+    if (psi > maxPsi) GuardedResult(psi, scored = false, rows = 0L)
+    else GuardedResult(psi, scored = true,
+      rows = MLPipe.batchScore(model(modelPath), in, outputPath))
+  }
 }

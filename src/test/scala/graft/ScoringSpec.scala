@@ -74,4 +74,25 @@ class ScoringSpec extends AnyFunSuite {
     val preds = MLPipe.predict(r.model, flat)
     assert(preds.select("prediction").distinct().count() >= 1)
   }
+
+  test("batchPredictGuarded scores in-distribution input and refuses " +
+      "a shifted batch loudly (no silent garbage predictions)") {
+    val inDir = Files.createTempDirectory("graft-guard-in").toString + "/d.parquet"
+    val outDir = Files.createTempDirectory("graft-guard-out").toString + "/o"
+    sample.write.parquet(inDir)
+    // baseline = the training frame itself → near-zero PSI → scored
+    val ok = Scoring.batchPredictGuarded(spark, modelPath, inDir, outDir,
+      sample, "feature_1", bins = 4, lo = 0.0, hi = 10.0)
+    assert(ok.scored && ok.rows == 8L && ok.psi < 0.1)
+    assert(spark.read.parquet(outDir).count() == 8L)
+    // shifted input (all mass at the top edge) → refused, nothing written
+    val shifted = Files.createTempDirectory("graft-guard-shift")
+      .toString + "/d.parquet"
+    sample.withColumn("feature_1", lit(9.9)).write.parquet(shifted)
+    val out2 = Files.createTempDirectory("graft-guard-out2").toString + "/o"
+    val bad = Scoring.batchPredictGuarded(spark, modelPath, shifted, out2,
+      sample, "feature_1", bins = 4, lo = 0.0, hi = 10.0)
+    assert(!bad.scored && bad.rows == 0L && bad.psi > 0.25)
+    assert(!new java.io.File(out2).exists())
+  }
 }
