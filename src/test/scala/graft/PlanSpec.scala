@@ -282,6 +282,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("checkByGroup: every rule folds into ONE scan and ONE group " +
+      "exchange — rules never re-read the table") {
+    val df = graft.engine.Tables.orders(spark, sf)
+    val plan = executedPlan(graft.engine.Quality.checkByGroup(df,
+      "o_orderstatus", Seq(
+        graft.engine.Quality.Complete("o_custkey", 1.0),
+        graft.engine.Quality.InRange("o_totalprice", 0.0, 1e6, 1.0),
+        graft.engine.Quality.InSet("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH"), 0.1))))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(o_orderstatus"))
+    assert(exchanges == 1, s"expected 1 group exchange, got $exchanges:\n$plan")
+  }
+
   test("groupTopK pre-reduces map-side: partial+final aggregate, " +
       "no window, no partition-wide sort") {
     val df = graft.engine.Analytics.groupTopK(
