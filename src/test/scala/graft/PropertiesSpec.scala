@@ -282,6 +282,48 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("basketAffinity invariants: support in (0,1], confidence in " +
+      "(0,1], pair count never exceeds either item's count, ordered " +
+      "pairs only") {
+    forAll(groupedVals) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.map { case (g, t, _) => (g % 5, t % 7) }
+          .toDF("basket", "item")
+        val out = graft.engine.Analytics
+          .basketAffinity(df, "basket", "item", minSupport = 1L,
+            topK = 100)
+          .collect()
+        val itemCounts = rows.map { case (g, t, _) => (g % 5, t % 7) }
+          .distinct.groupBy(_._2).view.mapValues(_.size).toMap
+        out.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val np = r.getLong(2)
+          assert(a < b, s"unordered pair ($a, $b)")
+          assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0) // support
+          assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0) // confidence
+          assert(np <= itemCounts(a) && np <= itemCounts(b))
+        }
+      }
+    }
+  }
+
+  test("tukeyOutliers never flags values inside the fences and flags " +
+      "every value outside them, per group") {
+    forAll(groupedVals) { rows =>
+      whenever(rows.size >= 8) {
+        val df = rows.map { case (g, _, v) => (g % 2, v) }.toDF("g", "v")
+        val out = graft.engine.Analytics.tukeyOutliers(df, "g", "v")
+          .select("g", "v", "fence_lo", "fence_hi", "is_outlier")
+          .collect()
+        out.foreach { r =>
+          val (v, lo, hi, flag) =
+            (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+          assert(flag == (v < lo || v > hi))
+        }
+      }
+    }
+  }
+
   test("resampleFill grid law: per key, exactly (span div step)+1 rows, " +
       "first grid value is the first observation, filled values are " +
       "always some observed value at-or-before the grid instant") {
