@@ -127,13 +127,17 @@ final class SegmentedTextIndex private[engine] (
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")
         .as("__bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val probed = postings
+    val matched = postings
       .filter(col("__bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
-      .join(broadcast(qterms), "term")
+      .join(broadcast(qterms.select("term").distinct()), "term")
     // global df reconstructed from the pruned postings: complete per
-    // probed term because term→bucket is a pure function
-    val dfreq = probed.groupBy("term")
+    // probed term because term→bucket is a pure function. Computed
+    // BEFORE query ids are attached — joining (queryId, term) pairs
+    // first would duplicate each posting once per query sharing the
+    // term and inflate df
+    val dfreq = matched.groupBy("term")
       .agg(count(lit(1)).as("df"))
+    val probed = matched.join(broadcast(qterms), "term")
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val fTf = (col("tf") * lit(2.2)) /

@@ -123,6 +123,33 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented index: queries SHARING a term score identically to a " +
+      "fresh full build (df must not be inflated per sharing query)") {
+    val docs = Tables.documents(spark, sf)
+    val half1 = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 2 === 0)
+    val half2 = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-tidx-shared").toString
+    graft.engine.TextIndex.appendSegment(half1, "text", "doc_id", dir,
+      "snap-001", nBuckets = 16)
+    graft.engine.TextIndex.appendSegment(half2, "text", "doc_id", dir,
+      "snap-002", nBuckets = 16)
+    val seg = graft.engine.TextIndex.loadSegments(spark, dir)
+    val fresh = TextIndex.build(docs, "text", "doc_id", nBuckets = 16)
+    // all three queries share "spark"; 2 and 3 also share "stream" —
+    // df derived from (queryId, term)-joined postings would triple-count
+    val shared = Seq(
+      (1L, "spark window join"),
+      (2L, "spark stream merge"),
+      (3L, "spark stream sort")
+    ).toDF("query_id", "qtext")
+    val viaSeg = seg.query(shared, "qtext", "query_id", k = 10)
+    val viaFresh = fresh.query(shared, "qtext", "query_id", k = 10)
+    assert(resultSet(viaSeg) == resultSet(viaFresh))
+    assert(resultSet(viaSeg).nonEmpty)
+  }
+
   test("build rejects reserved internal column names") {
     val bad = Tables.documents(spark, sf)
       .withColumn("tf", org.apache.spark.sql.functions.lit(1))
