@@ -98,6 +98,19 @@ object Scale {
     ok
   }
 
+  /** Version retention for a [[writeAuditPublish]] / [[compactPublished]]
+    * target: delete superseded version directories, keeping the `keep`
+    * most recent plus — always — the one `_CURRENT` names. Without a
+    * sweep every publish and every compaction leaves its predecessor
+    * on disk forever; with it the audit-then-flip protocol runs
+    * unbounded. Failed-audit stages age out with the rest (debug them
+    * within `keep` publishes). Returns the deleted version names.
+    * Same sweeper as the streaming sinks' `retainGenerations` —
+    * [[Generations.retain]].
+    */
+  def retainVersions(path: String, keep: Int): Seq[String] =
+    Generations.retain(path, keep)
+
   /** Read the currently-published version of a [[writeAuditPublish]]
     * target.
     */

@@ -174,60 +174,123 @@ object Streaming {
     * and merged into a parquet target with [[Analytics.mergeUpsert]]
     * semantics (update wins, insert appears, `deleteCol=true` removes).
     *
-    * The target is maintained as ping-pong generation directories under
-    * `path` (`gen-<epochId>`) with a `_CURRENT` pointer file written
-    * AFTER the new generation commits — plain parquet has no
-    * transaction log, so the pointer swap is the commit point: a crash
-    * mid-write leaves the previous generation intact and the restarted
-    * query (same checkpoint) replays the batch onto it. Replaying a
-    * batch is idempotent: merging the same latest-per-key changes twice
-    * yields the same state.
+    * The target is maintained as generation directories under `path`
+    * (`gen-<epochId>`) with a `_CURRENT` pointer file written AFTER the
+    * new generation commits ([[graft.engine.Generations]] protocol) —
+    * plain parquet has no transaction log, so the pointer swap is the
+    * commit point: a crash mid-write leaves the previous generation
+    * intact and the restarted query (same checkpoint) replays the
+    * batch onto it. A crash AFTER the swap but before the checkpoint
+    * commit replays the same epoch too — that case is detected
+    * (`_CURRENT` already names `gen-<epochId>`) and skipped, so replay
+    * is a no-op rather than a read-while-overwriting failure.
     *
-    * Scale shape per batch: one window over the batch (tiny), one
-    * full-outer merge join target×batch — the same single-exchange
-    * plan as [[Analytics.mergeUpsert]]; the target is rewritten per
-    * batch, which is the honest cost of CDC-on-plain-parquet (a real
-    * deployment points this at a table format with row-level merge).
+    * Scale shape per batch — this is NOT a full-table rewrite. The
+    * target is laid out as `nBuckets` key-hash partitions
+    * (`__bucket = pmod(xxhash64(keys), nBuckets)`), and a batch only
+    * merges and rewrites the buckets its keys actually touch: the
+    * bucket ids of the (tiny) batch become partition-filter literals
+    * on the target scan, the [[Analytics.mergeUpsert]] full-outer join
+    * runs over that pruned slice, and every untouched bucket is
+    * carried into the new generation by HARD LINK — same inode, zero
+    * bytes rewritten. A trickle CDC stream against a 100 TB target
+    * rewrites O(batch keys / nBuckets share) per epoch, not O(table).
+    * Superseded generations are swept after each commit
+    * ([[graft.engine.Generations.retain]], `retainGenerations` deep);
+    * hard links make the sweep safe — carried files survive in newer
+    * generations.
     */
   def mergeSink(updates: DataFrame, keyCols: Seq[String], seqCol: String,
-      deleteCol: Option[String], path: String,
-      checkpointDir: String): StreamingQuery = {
+      deleteCol: Option[String], path: String, checkpointDir: String,
+      nBuckets: Int = 64, retainGenerations: Int = 2): StreamingQuery = {
     require(keyCols.nonEmpty, "mergeSink needs at least one key column")
-    val spark = updates.sparkSession
-    val fs = new java.io.File(path)
-    fs.mkdirs()
+    require(nBuckets > 0, "mergeSink needs nBuckets > 0")
+    require(retainGenerations > 0, "mergeSink needs retainGenerations > 0")
+    new java.io.File(path).mkdirs()
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val latest = batch
-          .withColumn("__ms_rn", row_number().over(
-            Window.partitionBy(keyCols.map(col): _*)
-              .orderBy(desc(seqCol))))
-          .filter(col("__ms_rn") === 1)
-          .drop("__ms_rn", seqCol)
-        val marker = new java.io.File(fs, "_CURRENT")
-        val target: DataFrame =
-          if (marker.exists()) {
-            val gen = new String(java.nio.file.Files.readAllBytes(
-              marker.toPath), "UTF-8").trim
-            spark.read.parquet(s"$path/$gen")
-          } else {
-            // first batch: empty target with the post-merge schema
-            val cols = latest.columns
-              .filterNot(c => deleteCol.contains(c)).map(col)
-            latest.select(cols.toSeq: _*).limit(0)
-          }
-        val merged = Analytics.mergeUpsert(target, latest, keyCols,
-          deleteCol)
-        val genDir = s"gen-$epochId"
-        merged.write.mode("overwrite").parquet(s"$path/$genDir")
-        // commit point: the pointer names the new generation only after
-        // its parquet write completed
-        java.nio.file.Files.write(marker.toPath,
-          genDir.getBytes("UTF-8"))
-        ()
+        mergeBatch(batch, epochId, keyCols, seqCol, deleteCol, path,
+          nBuckets, retainGenerations)
       }
       .start()
+  }
+
+  /** One [[mergeSink]] epoch, exposed so crash-replay can be exercised
+    * directly: apply `batch` as generation `gen-<epochId>` under
+    * `path`. Idempotent per epoch — if `_CURRENT` already names this
+    * generation the call is a no-op (checkpoint replay after a crash
+    * between pointer flip and offset commit).
+    */
+  def mergeBatch(batch: DataFrame, epochId: Long, keyCols: Seq[String],
+      seqCol: String, deleteCol: Option[String], path: String,
+      nBuckets: Int = 64, retainGenerations: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val clash = batch.columns.toSet.intersect(Set("__bucket", "__ms_rn"))
+    require(clash.isEmpty,
+      s"input uses reserved internal column names: ${clash.mkString(", ")}")
+    val root = new java.io.File(path)
+    root.mkdirs()
+    val genDir = s"gen-$epochId"
+    val cur = graft.engine.Generations.currentName(path)
+    if (cur.contains(genDir) || batch.isEmpty) return
+    val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
+      .cast("int")
+    val latest = batch
+      .withColumn("__ms_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(desc(seqCol))))
+      .filter(col("__ms_rn") === 1)
+      .drop("__ms_rn", seqCol)
+      .persist()
+    try {
+      // the batch's bucket ids as literals: on the partitioned target
+      // layout they prune the scan to touched bucket DIRECTORIES at
+      // the file level (a join key can't prune files)
+      val touched = latest.select(bucketOf.as("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val target: DataFrame = cur match {
+        case Some(gen) =>
+          spark.read.parquet(s"$path/$gen")
+            .filter(col("__bucket")
+              .isin(touched.toSeq.sorted.map(Integer.valueOf): _*))
+            .drop("__bucket")
+        case None =>
+          // first batch: empty target with the post-merge schema
+          val cols = latest.columns
+            .filterNot(c => deleteCol.contains(c)).map(col)
+          latest.select(cols.toSeq: _*).limit(0)
+      }
+      val merged = Analytics.mergeUpsert(target, latest, keyCols, deleteCol)
+      val newGen = new java.io.File(root, genDir)
+      // overwrite also clears a half-written generation left by a
+      // crash BEFORE the pointer flip
+      merged.withColumn("__bucket", bucketOf)
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(newGen.toString)
+      // carry every untouched bucket forward by hard link — the data
+      // files keep their inode, provably un-rewritten
+      cur.foreach { gen =>
+        new java.io.File(root, gen).listFiles()
+          .filter(d => d.isDirectory && d.getName.startsWith("__bucket="))
+          .filterNot(d =>
+            touched.contains(d.getName.stripPrefix("__bucket=").toInt))
+          .foreach { d =>
+            graft.engine.Generations.linkOrCopyInto(d,
+              new java.io.File(newGen, d.getName))
+          }
+      }
+      // an all-delete merge can leave zero bucket dirs; stamp the
+      // schema so the generation stays readable as an empty target
+      if (!newGen.listFiles().exists(_.getName.startsWith("__bucket=")))
+        merged.limit(0).withColumn("__bucket", lit(0).cast("int"))
+          .coalesce(1).write.mode("append").parquet(newGen.toString)
+      // commit point: the pointer names the new generation only after
+      // its files (written + linked) are all in place
+      graft.engine.Generations.publish(path, genDir)
+      graft.engine.Generations.retain(path, retainGenerations)
+      ()
+    } finally latest.unpersist()
   }
 
   /** Continuous data-quality monitoring: run the [[graft.engine.Quality]]
@@ -288,26 +351,32 @@ object Streaming {
     */
   def distinctCountSink(updates: DataFrame, groupCol: String,
       valueCol: String, path: String, checkpointDir: String,
-      lgK: Int = 12): StreamingQuery = {
+      lgK: Int = 12, retainGenerations: Int = 2): StreamingQuery = {
+    require(retainGenerations > 0,
+      "distinctCountSink needs retainGenerations > 0")
     val spark = updates.sparkSession
-    val fs = new java.io.File(path)
-    fs.mkdirs()
+    new java.io.File(path).mkdirs()
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val snap = graft.engine.DistinctStore.build(batch, groupCol,
-          valueCol, lgK)
-        val marker = new java.io.File(fs, "_CURRENT")
-        val merged =
-          if (marker.exists()) {
-            val gen = new String(java.nio.file.Files.readAllBytes(
-              marker.toPath), "UTF-8").trim
-            graft.engine.DistinctStore.merge(Seq(
-              graft.engine.DistinctStore.load(spark, s"$path/$gen"), snap))
-          } else snap
         val genDir = s"gen-$epochId"
-        graft.engine.DistinctStore.save(merged, s"$path/$genDir")
-        java.nio.file.Files.write(marker.toPath, genDir.getBytes("UTF-8"))
+        val cur = graft.engine.Generations.currentName(path)
+        // checkpoint replay after a crash between pointer flip and
+        // offset commit: the fold already happened — folding the same
+        // batch twice WOULD be idempotent for HLL, but reading gen-N
+        // while overwriting gen-N is not expressible; skip instead
+        if (!cur.contains(genDir)) {
+          val snap = graft.engine.DistinctStore.build(batch, groupCol,
+            valueCol, lgK)
+          val merged = cur match {
+            case Some(gen) => graft.engine.DistinctStore.merge(Seq(
+              graft.engine.DistinctStore.load(spark, s"$path/$gen"), snap))
+            case None => snap
+          }
+          graft.engine.DistinctStore.save(merged, s"$path/$genDir")
+          graft.engine.Generations.publish(path, genDir)
+          graft.engine.Generations.retain(path, retainGenerations)
+        }
         ()
       }
       .start()
@@ -350,11 +419,11 @@ object Streaming {
     * named by the `_CURRENT` pointer).
     */
   def readMergeTarget(spark: SparkSession, path: String): DataFrame = {
-    val marker = new java.io.File(path, "_CURRENT")
-    require(marker.exists(), s"no _CURRENT pointer under $path")
-    val gen = new String(java.nio.file.Files.readAllBytes(marker.toPath),
-      "UTF-8").trim
-    spark.read.parquet(s"$path/$gen")
+    val gen = graft.engine.Generations.currentName(path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no _CURRENT pointer under $path"))
+    // the key-hash layout column is an internal of the merge protocol
+    spark.read.parquet(s"$path/$gen").drop("__bucket")
   }
 }
 

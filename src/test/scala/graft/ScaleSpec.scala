@@ -90,6 +90,33 @@ class ScaleSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(5L))
   }
 
+  test("retainVersions sweeps superseded and quarantined versions, " +
+      "never the published one; _CURRENT survives a partial sweep") {
+    import TestSpark.spark.implicits._
+    import graft.engine.Quality
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-wap-gc").toString + "/table"
+    val rules = Seq(Quality.Complete("v", 1.0))
+    assert(Scale.writeAuditPublish(
+      Seq((1L, 1.0)).toDF("id", "v"), base, "v1", rules))
+    assert(!Scale.writeAuditPublish( // quarantined failed audit
+      Seq((2L, Double.NaN)).toDF("id", "v"), base, "v2",
+      Seq(Quality.InRange("v", 0.0, 1.0, 1.0))))
+    assert(Scale.writeAuditPublish(
+      Seq((3L, 3.0)).toDF("id", "v"), base, "v3", rules))
+    val deleted = Scale.retainVersions(base, keep = 1)
+    assert(deleted.toSet == Set("v1", "v2"), s"deleted: $deleted")
+    val left = new java.io.File(base).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(left == Set("v3"))
+    assert(Scale.readPublished(spark, base)
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // a sweep that finds nothing to do is a no-op, and the published
+    // version is NEVER collected even when older than the keep window
+    assert(Scale.retainVersions(base, keep = 1).isEmpty)
+    assert(Scale.readPublished(spark, base).count() == 1)
+  }
+
   test("compactPublished: republishes the same rows in sized files; " +
       "a row-count contract makes silent data loss impossible") {
     import TestSpark.spark.implicits._

@@ -264,6 +264,109 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergeBatch is partition-scoped: untouched buckets carry forward " +
+      "by hard link (same inode, not rewritten); touched bucket is new") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val target = Files.createTempDirectory("graft-mb").toString
+    val b1 = (1L to 64L).map(k => (k, s"v$k", 1L, false))
+      .toDF("k", "v", "seq", "del")
+    Streaming.mergeBatch(b1, 0L, Seq("k"), "seq", Some("del"), target,
+      nBuckets = 8, retainGenerations = 10)
+    // batch 2 touches ONLY key 1 → exactly one bucket rewritten
+    val b2 = Seq((1L, "v1b", 2L, false)).toDF("k", "v", "seq", "del")
+    Streaming.mergeBatch(b2, 1L, Seq("k"), "seq", Some("del"), target,
+      nBuckets = 8, retainGenerations = 10)
+    val touched = Seq(1L).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8)).cast("int"))
+      .head().getInt(0)
+    val oldGen = new java.io.File(target, "gen-0")
+    val newGen = new java.io.File(target, "gen-1")
+    val bucketDirs = newGen.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__bucket="))
+    assert(bucketDirs.length == 8, "64 keys over 8 buckets fill all 8")
+    bucketDirs.foreach { d =>
+      val b = d.getName.stripPrefix("__bucket=").toInt
+      val olds = new java.io.File(oldGen, d.getName).listFiles()
+        .filter(_.isFile).map(f => f.getName -> f).toMap
+      val news = d.listFiles().filter(_.isFile)
+      if (b == touched) {
+        // rewritten: no file of the new bucket dir is the old inode
+        assert(news.forall(f => !olds.get(f.getName).exists(o =>
+          java.nio.file.Files.isSameFile(o.toPath, f.toPath))),
+          s"touched bucket $b carried an old file")
+      } else {
+        // carried: every file IS the old file (hard link, same inode)
+        assert(news.nonEmpty && news.forall(f =>
+          olds.get(f.getName).exists(o =>
+            java.nio.file.Files.isSameFile(o.toPath, f.toPath))),
+          s"untouched bucket $b was rewritten instead of linked")
+      }
+    }
+    val state = Streaming.readMergeTarget(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.size == 64 && state(1L) == "v1b" && state(2L) == "v2")
+  }
+
+  test("mergeBatch replay of a committed epoch is a no-op (crash between " +
+      "pointer flip and checkpoint commit recovers)") {
+    import TestSpark.spark.implicits._
+    val target = Files.createTempDirectory("graft-mb-replay").toString
+    val b1 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "v", "seq", "del")
+    Streaming.mergeBatch(b1, 0L, Seq("k"), "seq", Some("del"), target)
+    val b2 = Seq((2L, "b2", 2L, false)).toDF("k", "v", "seq", "del")
+    Streaming.mergeBatch(b2, 1L, Seq("k"), "seq", Some("del"), target)
+    val before = Streaming.readMergeTarget(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val files = new java.io.File(target, "gen-1").listFiles().map(_.getName)
+    // the replay: same epoch again — previously this threw
+    // "Cannot overwrite a path that is also being read from"
+    Streaming.mergeBatch(b2, 1L, Seq("k"), "seq", Some("del"), target)
+    assert(graft.engine.Generations.currentName(target) == Some("gen-1"))
+    assert(new java.io.File(target, "gen-1").listFiles().map(_.getName)
+      .toSet == files.toSet)
+    assert(Streaming.readMergeTarget(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before)
+  }
+
+  test("mergeBatch retention sweeps superseded generations; the current " +
+      "target stays fully readable because carried files are hard links; " +
+      "an all-delete batch leaves a readable empty target") {
+    import TestSpark.spark.implicits._
+    val target = Files.createTempDirectory("graft-mb-gc").toString
+    def batch(rows: Seq[(Long, String, Long, Boolean)], epoch: Long): Unit =
+      Streaming.mergeBatch(rows.toDF("k", "v", "seq", "del"), epoch,
+        Seq("k"), "seq", Some("del"), target, nBuckets = 8,
+        retainGenerations = 2)
+    batch((1L to 64L).map(k => (k, s"v$k", 1L, false)), 0L)
+    batch(Seq((1L, "v1b", 2L, false)), 1L)
+    batch(Seq((2L, "v2b", 3L, false)), 2L)
+    batch(Seq((3L, "v3b", 4L, false)), 3L)
+    val gens = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+    assert(gens.toSeq == Seq("gen-2", "gen-3"),
+      s"retention 2 should keep the newest two, got: ${gens.toSeq}")
+    // gen-0 (the origin of most hard-linked bucket files) is GONE, yet
+    // every key must still read — links keep the data alive
+    val state = Streaming.readMergeTarget(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.size == 64 && state(1L) == "v1b" && state(2L) == "v2b" &&
+      state(3L) == "v3b" && state(64L) == "v64")
+    // crash-mid-gc analogue: a superseded dir half-deleted by hand, the
+    // next sweep finishes it and _CURRENT never flinches
+    val doomed = new java.io.File(target, "gen-2")
+    doomed.listFiles().filter(_.isFile).foreach(_.delete())
+    batch(Seq((4L, "v4b", 5L, false)), 4L)
+    assert(graft.engine.Generations.currentName(target) == Some("gen-4"))
+    assert(Streaming.readMergeTarget(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .apply(4L) == "v4b")
+    // delete every key: the target must stay readable (and empty)
+    batch((1L to 64L).map(k => (k, "x", 6L, true)), 5L)
+    assert(Streaming.readMergeTarget(spark, target).count() == 0L)
+  }
+
   test("driftMonitorSink: an in-distribution batch logs near-zero PSI, " +
       "a shifted batch logs high PSI, per epoch") {
     import TestSpark.spark.implicits._
