@@ -159,8 +159,13 @@ object Quality {
     val scalarRow = df.agg(scalarAggs.head, scalarAggs.tail: _*)
       .collect().head
     val total = scalarRow.getDouble(scalarRow.fieldIndex("__n"))
-    def field(name: String): Double =
-      scalarRow.getLong(scalarRow.fieldIndex(name)).toDouble
+    // sum() over ZERO rows is null, not 0 — an empty drop is a primary
+    // quality-failure input and must yield a report (row_count fails,
+    // ratio rules pass vacuously), not a NullPointerException
+    def field(name: String): Double = {
+      val idx = scalarRow.fieldIndex(name)
+      if (scalarRow.isNullAt(idx)) 0.0 else scalarRow.getLong(idx).toDouble
+    }
     def ratio(num: Double, den: Double): Double =
       if (den == 0) 1.0 else num / den
 
@@ -271,17 +276,23 @@ object Quality {
       case r => throw new MatchError(r) // unreachable (validated)
     }
     val grouped = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    // unpivot to (rule, num, den) rows — stack keeps this one plan
-    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
-      s"'${r.describe.replace("'", "")}', n$i, d$i"
-    }.mkString(", ")
-    val thrMap = rules.zipWithIndex
-      .map { case (r, i) => r.describe.replace("'", "") -> thresholds(i) }
-    val thrExpr = thrMap.foldRight(lit(Double.NaN): Column) {
-      case ((name, t), acc) => when(col("rule") === name, lit(t)).otherwise(acc)
+    // unpivot to (rule, num, den) rows with typed Columns — labels are
+    // lit()s, never interpolated into SQL text, so a column name with
+    // quotes, commas, parens, or backslashes stays a label verbatim;
+    // explode-of-struct-array keeps the single-plan shape stack had
+    val ruleRows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.describe).as("rule"),
+        col(s"n$i").as("__n"), col(s"d$i").as("__d"))
     }
+    val thrExpr = rules.zipWithIndex
+      .foldRight(lit(Double.NaN): Column) { case ((r, i), acc) =>
+        when(col("rule") === lit(r.describe), lit(thresholds(i)))
+          .otherwise(acc)
+      }
     grouped.select(col(groupCol),
-        expr(s"stack(${rules.length}, $stackArgs) AS (rule, __n, __d)"))
+        explode(array(ruleRows: _*)).as("__rule_row"))
+      .select(col(groupCol), col("__rule_row.rule").as("rule"),
+        col("__rule_row.__n").as("__n"), col("__rule_row.__d").as("__d"))
       .withColumn("metric",
         when(col("__d") > 0, round(col("__n") / col("__d"), 9)))
       .withColumn("threshold", thrExpr)

@@ -160,4 +160,37 @@ class QualitySpec extends AnyFunSuite {
     val top = drift.find(_.getInt(0) == 4).get
     assert(top.getLong(2) > top.getLong(1)) // cur_n swelled by clamping
   }
+
+  test("an EMPTY input yields a report, not a crash: row_count fails, " +
+      "ratio and distribution rules pass vacuously") {
+    val empty = Seq.empty[(java.lang.Long, java.lang.Double, String)]
+      .toDF("id", "v", "cat")
+    val out = Quality.check(empty, Seq(
+        Complete("v", 1.0),
+        InRange("v", 0.0, 1.0, 1.0),
+        InSet("cat", Seq("A"), 1.0),
+        MatchesRegex("cat", "^A$", 1.0),
+        RowCountBetween(1L, Long.MaxValue),
+        Unique(Seq("id"), 1.0),
+        MeanBetween("v", 0.0, 1.0),
+        ForeignKey("id", Seq((1L, "x")).toDF("k", "x"), "k", 1.0)))
+      .collect()
+      .map(r => r.getString(1) -> r.getBoolean(4)).toMap
+    assert(out("row_count") == false) // the one real signal of an empty drop
+    assert(out.removed("row_count").values.forall(identity),
+      s"non-row_count rules must pass vacuously on empty input: $out")
+  }
+
+  test("checkByGroup labels survive hostile column names (quotes, " +
+      "commas, parens, backslashes)") {
+    val df = Seq(("A", 1.0), ("B", 2.0))
+      .toDF("src", """w"eird, (col)\name""")
+    val out = Quality.checkByGroup(df, "src",
+        Seq(Complete("""w"eird, (col)\name""", 1.0)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(4)))
+    assert(out.toSet == Set(
+      ("A", """complete(w"eird, (col)\name)""", true),
+      ("B", """complete(w"eird, (col)\name)""", true)))
+  }
 }
