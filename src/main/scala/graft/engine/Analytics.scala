@@ -552,17 +552,40 @@ object Analytics {
     * Scale shape: basket-keyed self-join builds pairs (quadratic ONLY
     * within a basket — bounded by basket size, never corpus size),
     * then counts hash-exchange on the pair. TakeOrdered top-k, no
-    * global sort.
+    * global sort. The basket count folds into the plan as a broadcast
+    * 1-row aggregate (no separate driver action/scan).
+    *
+    * `maxItemsPerBasket` (0 = off) is the skew guard: a single whale
+    * basket of m items emits m² pairs into one task, so baskets larger
+    * than the cap are dropped from the PAIR space — but kept in the
+    * per-item and basket totals, so support/confidence/lift stay
+    * ratios over the full corpus. The bias is one-sided and explicit:
+    * co-occurrences observed only inside whale baskets (bot sessions,
+    * catalog scrapes — the baskets that least signal affinity) are
+    * not counted, so capped pair support is a lower bound of the
+    * uncapped value.
     */
   def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 2L, topK: Int = 20): DataFrame = {
+      minSupport: Long = 2L, topK: Int = 20,
+      maxItemsPerBasket: Int = 0): DataFrame = {
     require(minSupport >= 1, "minSupport must be at least 1")
-    requireNoReserved(df, Seq("item_a", "item_b", "__n", "__na", "__nb"))
+    require(maxItemsPerBasket == 0 || maxItemsPerBasket >= 2,
+      "maxItemsPerBasket must be 0 (off) or at least 2")
+    requireNoReserved(df, Seq("item_a", "item_b", "__n", "__na", "__nb",
+      "__np", "__nbaskets", "__bsz"))
     val items = df.select(col(basketCol), col(itemCol)).distinct()
-    val nBaskets = items.select(basketCol).distinct().count().toDouble
+    val nBaskets = items
+      .agg(countDistinct(col(basketCol)).cast("double").as("__nbaskets"))
     val itemCounts = items.groupBy(itemCol).agg(count(lit(1)).as("__n"))
-    val a = items.select(col(basketCol), col(itemCol).as("item_a"))
-    val b = items.select(col(basketCol), col(itemCol).as("item_b"))
+    val pairItems =
+      if (maxItemsPerBasket <= 0) items
+      else items.join(
+        items.groupBy(basketCol).agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxItemsPerBasket)
+          .select(basketCol),
+        Seq(basketCol), "left_semi")
+    val a = pairItems.select(col(basketCol), col(itemCol).as("item_a"))
+    val b = pairItems.select(col(basketCol), col(itemCol).as("item_b"))
     val pairs = a.join(b, basketCol).filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("__np"))
       .filter(col("__np") >= minSupport)
@@ -571,12 +594,13 @@ object Analytics {
         col("__n").as("__na")), "item_a")
       .join(itemCounts.select(col(itemCol).as("item_b"),
         col("__n").as("__nb")), "item_b")
+      .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"),
         col("__np").as("pair_baskets"),
-        round(col("__np") / lit(nBaskets), 6).as("support"),
+        round(col("__np") / col("__nbaskets"), 6).as("support"),
         round(col("__np") / col("__na"), 6).as("confidence_a_to_b"),
-        round(col("__np") * lit(nBaskets) / (col("__na") * col("__nb")), 6)
-          .as("lift"))
+        round(col("__np") * col("__nbaskets") /
+          (col("__na") * col("__nb")), 6).as("lift"))
       .orderBy(desc("lift"), col("item_a"), col("item_b"))
       .limit(topK)
   }

@@ -342,6 +342,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("basketAffinity maxItemsPerBasket drops whale-basket pairs but " +
+      "keeps whales in the corpus totals") {
+    // two tight 2-item baskets + one 5-item whale
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)) ++
+      (1L to 5L).map(i => (3L, i))
+    val df = rows.toDF("basket", "item")
+    val capped = Analytics.basketAffinity(df, "basket", "item",
+        minSupport = 1L, topK = 100, maxItemsPerBasket = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // only the (1,2) pair survives — whale-only pairs (3,4) etc. gone
+    assert(capped.keySet == Set((1L, 2L)))
+    // totals still corpus-wide: 3 baskets, item 1 in 3 baskets
+    // np=2, support=2/3, conf=2/3, lift=2*3/(3*3)
+    val (np, s, c, l) = capped((1L, 2L))
+    assert(np == 2L && s == 0.666667 && c == 0.666667 && l == 0.666667)
+    // cap off: whale pairs present
+    val full = Analytics.basketAffinity(df, "basket", "item",
+        minSupport = 1L, topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((3L, 4L)) && full.contains((4L, 5L)))
+  }
+
   test("abTest: zero z for identical variants, sign tracks the mean " +
       "difference, control excluded from output") {
     val df = (Seq.fill(50)(("control", 10.0)) ++

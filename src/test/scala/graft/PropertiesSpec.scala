@@ -307,6 +307,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("basketAffinity cap law: cap ≥ largest basket is identity; any " +
+      "cap equals the oracle that drops whale baskets from pairs only") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def oracle(uniq: Seq[(Long, Long)], cap: Int)
+        : Map[(Long, Long), (Long, Double, Double, Double)] = {
+      val nB = uniq.map(_._1).distinct.size.toDouble
+      val ic = uniq.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val pairRows = uniq.groupBy(_._1).values
+        .map(_.map(_._2))
+        .filter(items => cap <= 0 || items.size <= cap)
+        .flatMap(items => for { a <- items; b <- items if a < b }
+          yield (a, b))
+      pairRows.groupBy(identity).map { case (p, occ) =>
+        val np = occ.size.toLong
+        p -> (np, round6(np / nB), round6(np / ic(p._1)),
+          round6(np * nB / (ic(p._1) * ic(p._2))))
+      }
+    }
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      graft.engine.Analytics
+        .basketAffinity(df, "basket", "item", minSupport = 1L,
+          topK = 10000, maxItemsPerBasket = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+    forAll(groupedVals) { rows =>
+      whenever(rows.nonEmpty) {
+        val uniq = rows.map { case (g, t, _) => (g % 5, t % 7) }.distinct
+        val df = uniq.toDF("basket", "item")
+        val maxSize = uniq.groupBy(_._1).map(_._2.size).max
+        assert(run(df, math.max(2, maxSize)) == run(df, 0))
+        assert(run(df, 2) == oracle(uniq, 2))
+        assert(run(df, 0) == oracle(uniq, 0))
+      }
+    }
+  }
+
   test("tukeyOutliers never flags values inside the fences and flags " +
       "every value outside them, per group") {
     forAll(groupedVals) { rows =>
