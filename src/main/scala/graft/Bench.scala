@@ -41,14 +41,21 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c times a subset (local iteration only — the
     // driver and BASELINE.md always run the full catalog).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_REPEAT=n times each query n times and records the MIN —
+    // strips JVM/host noise when iterating on one query's plan (local
+    // only; the driver and BASELINE.md use the default single cold run).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) secs else -1.0, ok)
+      val runs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = runs.forall(_._2)
+      (name, if (ok) runs.map(_._1).min else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

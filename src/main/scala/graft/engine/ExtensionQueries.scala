@@ -720,6 +720,51 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
+    // ── connected components PROVEN against SQL: edges from the
+    // deterministic oracle-expressible ngram-Jaccard scorer (≥ 0.5), the
+    // iterative min-label/pointer-jump closure on the Spark side, a
+    // WITH RECURSIVE reachability fixpoint (component = min reachable
+    // id) on the DuckDB side — the transitive-closure core of
+    // dedup_clusters, oracle-checked end to end ─────────────────────────
+    QuerySpec("cc_components",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 300)
+        graft.operators.ConnectedComponents.components(
+            docs.select(col("doc_id")),
+            Extensions.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+              minJaccard = 0.5),
+            "doc_id", "id_a", "id_b")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+2], ' ') AS shingle
+             |  FROM t, range(1, 100000) i
+             |  WHERE i.range <= len(toks) - 2),
+             |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM sh a JOIN sh b USING (shingle)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN c ca ON ca.doc_id = id_a
+             |  JOIN c cb ON cb.doc_id = id_b
+             |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.5),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM t
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+             |SELECT id AS doc_id, min(r) AS component
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // ── multimodal: REAL media bytes (BufferedImage→PNG, PCM sine→WAV,
     // concat-PNG video) decoded with the JDK's own codecs (javax.imageio,
     // javax.sound.sampled) in the mapPartitions batch shape. Synthesis

@@ -24,8 +24,14 @@ object ConnectedComponents {
     */
   def components(nodes: DataFrame, edges: DataFrame, idCol: String,
       srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // symmetrize by exploding each edge into both directions — ONE
+    // evaluation of the (often expensive: near-dup scoring) edge plan,
+    // where a union of two selects would execute it twice
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .cache()
     // iterate ONLY over nodes that appear in edges — isolated nodes are
@@ -57,17 +63,28 @@ object ConnectedComponents {
         .unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      // (2) pointer jump: comp := label(comp) — labels only decrease, so
-      // this path-halving squares the propagation rate (O(log diameter)
-      // rounds instead of O(diameter))
-      val compMap = next.select(col("id").as("__mid"), col("comp").as("__mcomp"))
-      val jumped = next.join(compMap, next("comp") === compMap("__mid"), "left")
-        .select(col("id"), coalesce(col("__mcomp"), col("comp")).as("comp"))
-        .localCheckpoint(true) // truncate lineage each round
-      val curSum = labelSum(jumped)
-      labels = jumped
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+      val nextSum = labelSum(next)
+      if (nextSum.compareTo(prevSum) == 0) {
+        // neighbor-min is at its fixpoint: every edge already connects
+        // equal labels, so the pointer jump would be the identity —
+        // the certificate rides the round's own aggregate and the
+        // final jump join + checkpoint never runs
+        labels = next
+        converged = true
+      } else {
+        // (2) pointer jump: comp := label(comp) — labels only decrease,
+        // so this path-halving squares the propagation rate
+        // (O(log diameter) rounds instead of O(diameter))
+        val compMap = next.select(col("id").as("__mid"),
+          col("comp").as("__mcomp"))
+        val jumped = next.join(compMap, next("comp") === compMap("__mid"),
+            "left")
+          .select(col("id"),
+            coalesce(col("__mcomp"), col("comp")).as("comp"))
+          .localCheckpoint(true) // truncate lineage each round
+        prevSum = labelSum(jumped)
+        labels = jumped
+      }
       iter += 1
     }
     sym.unpersist()
