@@ -303,6 +303,16 @@ object Analytics {
   def groupTopK(df: DataFrame, groupCols: Seq[String], ordCol: String,
       idCol: String, k: Int): DataFrame = {
     require(groupCols.nonEmpty, "groupTopK needs at least one group column")
+    // the heap carries ids as longs; a silent cast("long") would null
+    // out string/UUID ids (rows vanish) and round doubles — reject
+    // non-integral id columns instead
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"groupTopK needs an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — hash or dense-rank it to a long first")
     requireNoReserved(df, Seq("__tk", "__p", "__rk0"))
     val gs = groupCols.map(col)
     df.groupBy(gs: _*)

@@ -159,9 +159,16 @@ final class SegmentedTextIndex private[engine] (
 
 object TextIndex {
 
-  /** Append one corpus snapshot as a new immutable segment under
-    * `path/segments/<segmentName>`. Documents must be NEW ids (segments
-    * never overwrite; dedup upstream — see the incremental dedup ops).
+  /** Directory (relative to the index path) holding the LIVE segment
+    * set: the [[Generations]] pointer target once [[compactSegments]]
+    * has run, the original `segments` layout before.
+    */
+  private def segmentsRoot(path: String): String =
+    Generations.currentName(path).getOrElse("segments")
+
+  /** Append one corpus snapshot as a new immutable segment under the
+    * live segment root. Documents must be NEW ids (segments never
+    * overwrite; dedup upstream — see the incremental dedup ops).
     * `nBuckets` must match across segments (validated on load).
     */
   def appendSegment(docs: DataFrame, textCol: String, idCol: String,
@@ -179,7 +186,7 @@ object TextIndex {
       .withColumn("__bucket",
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seg = s"$path/segments/$segmentName"
+    val seg = s"$path/${segmentsRoot(path)}/$segmentName"
     postings.write.mode("errorifexists").partitionBy("__bucket")
       .parquet(s"$seg/postings")
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("s"))
@@ -190,14 +197,19 @@ object TextIndex {
     postings.unpersist()
   }
 
+  private def segmentDirs(path: String): Array[java.io.File] = {
+    val dirs = new java.io.File(s"$path/${segmentsRoot(path)}").listFiles()
+    require(dirs != null && dirs.nonEmpty, s"no segments under $path")
+    dirs.sorted
+  }
+
   /** Open all segments under `path` as one queryable index; global
     * corpus stats are the sums of the per-segment stats (exact — doc
     * sets are disjoint by the append contract).
     */
   def loadSegments(spark: SparkSession, path: String): SegmentedTextIndex = {
-    val segDirs = new java.io.File(s"$path/segments").listFiles()
-    require(segDirs != null && segDirs.nonEmpty, s"no segments under $path")
-    val stats = segDirs.sorted.map(d =>
+    val segDirs = segmentDirs(path)
+    val stats = segDirs.map(d =>
       spark.read.parquet(s"$d/stats").collect().head)
     val buckets = stats.map(_.getInt(2)).distinct
     require(buckets.length == 1,
@@ -205,11 +217,55 @@ object TextIndex {
     val idCols = stats.map(_.getString(3)).distinct
     require(idCols.length == 1,
       s"segments disagree on id column: ${idCols.mkString(", ")}")
-    val postings = segDirs.sorted.map(d =>
+    val postings = segDirs.map(d =>
       spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
     new SegmentedTextIndex(
       stats.map(_.getLong(0)).sum, stats.map(_.getLong(1)).sum,
       postings, idCols.head, buckets.head)
+  }
+
+  /** Merge every live segment into ONE — the maintenance job a
+    * per-micro-batch append stream needs, or small segments accumulate
+    * forever (a query probes one bucket directory PER SEGMENT).
+    * Query results are bit-identical across compaction: postings carry
+    * only per-document facts (tf, dl) whose union is layout-free, and
+    * the summed global stats are unchanged.
+    *
+    * Protocol is audit-then-flip on a segment-ROOT generation: the
+    * merged segment stages under a fresh `segments-<n>` root, is
+    * audited against the live posting count, and the [[Generations]]
+    * pointer flip is the commit — readers resolve the pointer and never
+    * see a half-compacted set. Superseded roots are swept
+    * ([[Generations.retain]]); single-maintenance-writer contract
+    * (appends racing a compaction can land in the superseded root).
+    * Returns true when a merge happened (false = already compact).
+    */
+  def compactSegments(spark: SparkSession, path: String): Boolean = {
+    val segDirs = segmentDirs(path)
+    if (segDirs.length == 1) return false
+    val idx = loadSegments(spark, path) // validates buckets + id column
+    val postings = segDirs.map(d =>
+      spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+    val liveCount = postings.count()
+    val oldRoot = segmentsRoot(path)
+    val nextGen = if (oldRoot == "segments") 1
+      else oldRoot.stripPrefix("segments-").toInt + 1
+    val newRoot = s"segments-$nextGen"
+    val seg = s"$path/$newRoot/compact-${"%06d".format(nextGen)}"
+    postings.write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(s"$seg/postings")
+    import spark.implicits._
+    Seq((idx.nDocs, idx.sumDl, idx.nBuckets, idx.idCol)).toDF(
+        "n_docs", "sum_dl", "n_buckets", "id_col")
+      .write.mode("errorifexists").parquet(s"$seg/stats")
+    // audit ON THE WRITTEN FILES before the flip (write corruption
+    // would survive a df-side check)
+    val written = spark.read.parquet(s"$seg/postings").count()
+    require(written == liveCount,
+      s"compaction audit failed: wrote $written postings, live $liveCount")
+    Generations.publish(path, newRoot)
+    Generations.retain(path, keep = 1)
+    true
   }
 
   /** One pass over the corpus: tokenize, per-doc term frequencies,

@@ -43,13 +43,25 @@ final class ApiServer(spark: SparkSession, modelDir: String,
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => route(ex))
-  server.setExecutor(null) // serve on the dispatch thread; Spark fans out
+  // thread-per-request (what the reference gets for free from uvicorn):
+  // a long /train must not block /health or any other probe — the
+  // dispatch thread only accepts, the pool serves
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-api-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+  server.setExecutor(pool)
 
   /** The actually-bound port (pass port = 0 for an ephemeral one). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ── routing ──────────────────────────────────────────────────────────
 

@@ -187,6 +187,15 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 1, 20L, 3.0)))
   }
 
+  test("groupTopK rejects non-integral id columns instead of silently " +
+      "nulling them to empty results") {
+    val df = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.groupTopK(df, Seq("g"), "v", "id", k = 1)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("groupTopK matches the row_number window form on skewed random " +
       "data regardless of partitioning") {
     val rnd = new scala.util.Random(7)

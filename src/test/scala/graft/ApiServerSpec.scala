@@ -199,4 +199,31 @@ class ApiServerSpec extends AnyFunSuite {
     assert(colNames.contains("o_orderkey") &&
       colNames.contains("o_totalprice"))
   }
+
+  test("/health answers while a slow /train (cross-validation) is in " +
+      "flight — requests are served off the dispatch thread") {
+    val trainBody =
+      s"""{"data_path": "$dataPath",
+         |  "algorithm": "random_forest",
+         |  "task_type": "classification",
+         |  "hyperparameter_tuning": true,
+         |  "feature_cols": ["feature_1", "feature_2", "feature_3"]}"""
+        .stripMargin
+    val slowTrain = client.sendAsync(
+      HttpRequest.newBuilder(URI.create(url("/train")))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(trainBody)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    Thread.sleep(300) // let the train request reach its handler
+    assert(!slowTrain.isDone, "fixture too fast to demonstrate blocking")
+    val t0 = System.nanoTime()
+    val (hc, health) = get("/health") // blocked forever on a null executor
+    val healthSecs = (System.nanoTime() - t0) / 1e9
+    assert(hc == 200 && health.get("status") == "healthy")
+    assert(!slowTrain.isDone,
+      s"train finished in <${healthSecs}s — concurrency not demonstrated")
+    assert(healthSecs < 5.0, s"/health took ${healthSecs}s during /train")
+    val trained = slowTrain.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(trained.statusCode() == 200)
+  }
 }

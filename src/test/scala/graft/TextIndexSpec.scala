@@ -150,6 +150,47 @@ class TextIndexSpec extends AnyFunSuite {
     assert(resultSet(viaSeg).nonEmpty)
   }
 
+  test("compactSegments merges the live set into one segment with " +
+      "bit-identical answers; appends keep working after the flip; " +
+      "the superseded root is swept") {
+    val docs = Tables.documents(spark, sf)
+    val third = (i: Int) => docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 3 === i)
+    val dir = Files.createTempDirectory("graft-tidx-compact").toString
+    (0 to 2).foreach(i => graft.engine.TextIndex.appendSegment(
+      third(i), "text", "doc_id", dir, f"snap-$i%03d", nBuckets = 16))
+    val before = graft.engine.TextIndex.loadSegments(spark, dir)
+    val answersBefore = resultSet(
+      before.query(queries, "qtext", "query_id", k = 10))
+    assert(answersBefore.nonEmpty)
+    assert(graft.engine.TextIndex.compactSegments(spark, dir))
+    val after = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(after.nDocs == before.nDocs && after.sumDl == before.sumDl)
+    assert(resultSet(after.query(queries, "qtext", "query_id", k = 10))
+      == answersBefore)
+    // one live segment, old root gone, pointer names the new root
+    assert(new java.io.File(dir, "segments-1").listFiles()
+      .count(_.isDirectory) == 1)
+    assert(!new java.io.File(dir, "segments").exists())
+    // already-compact: no-op
+    assert(!graft.engine.TextIndex.compactSegments(spark, dir))
+    // appends land in the live root and are queryable
+    import spark.implicits._
+    graft.engine.TextIndex.appendSegment(
+      Seq((900001L, "zebrafish zebrafish spark")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, "snap-new", nBuckets = 16)
+    val grown = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(grown.nDocs == before.nDocs + 1)
+    val hit = grown.query(Seq((9L, "zebrafish")).toDF("query_id", "qtext"),
+        "qtext", "query_id", k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(900001L))
+    // and a second compaction folds the append in
+    assert(graft.engine.TextIndex.compactSegments(spark, dir))
+    assert(graft.engine.TextIndex.loadSegments(spark, dir).nDocs
+      == before.nDocs + 1)
+  }
+
   test("build rejects reserved internal column names") {
     val bad = Tables.documents(spark, sf)
       .withColumn("tf", org.apache.spark.sql.functions.lit(1))
