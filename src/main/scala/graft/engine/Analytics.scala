@@ -584,14 +584,19 @@ object Analytics {
     requireNoReserved(df, Seq("item_a", "item_b", "__n", "__na", "__nb",
       "__np", "__nbaskets", "__bsz"))
     val items = df.select(col(basketCol), col(itemCol)).distinct()
-    val nBaskets = items
-      .agg(countDistinct(col(basketCol)).cast("double").as("__nbaskets"))
+    // basket sizes serve twice: the whale cap AND the basket count —
+    // count(basketCol) over the per-basket rollup equals
+    // countDistinct(basketCol) (nulls excluded both ways) without the
+    // extra scan + single-partition distinct exchange that a separate
+    // countDistinct branch plans
+    val sizes = items.groupBy(basketCol).agg(count(lit(1)).as("__bsz"))
+    val nBaskets = sizes
+      .agg(count(col(basketCol)).cast("double").as("__nbaskets"))
     val itemCounts = items.groupBy(itemCol).agg(count(lit(1)).as("__n"))
     val pairItems =
       if (maxItemsPerBasket <= 0) items
       else items.join(
-        items.groupBy(basketCol).agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxItemsPerBasket)
+        sizes.filter(col("__bsz") <= maxItemsPerBasket)
           .select(basketCol),
         Seq(basketCol), "left_semi")
     val a = pairItems.select(col(basketCol), col(itemCol).as("item_a"))

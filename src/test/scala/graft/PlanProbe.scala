@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Dev-loop plan inspector (test scope, never shipped): print the
+  * executed-plan skeleton of one catalog query so exchange/scan waste
+  * is visible without the Spark UI.
+  *
+  *   sbt "Test/runMain graft.PlanProbe <query> [sfDir]"
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("basket_affinity")
+    val sf = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = TestSpark.spark
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val s = executed.toString
+    println(s"[probe] query=$name")
+    println(s"[probe] scans=" +
+      s.linesIterator.count(_.contains("Scan parquet")))
+    println(s"[probe] exchanges=" +
+      s.linesIterator.count(_.contains("Exchange hashpartitioning")))
+    println(s"[probe] reused=" +
+      s.linesIterator.count(_.contains("ReusedExchange")))
+    s.linesIterator
+      .filter(l => l.contains("Scan") || l.contains("Exchange") ||
+        l.contains("Join") || l.contains("Aggregate") ||
+        l.contains("Window") || l.contains("Sort"))
+      .foreach(l => println("[probe] " + l.take(160)))
+  }
+}
