@@ -1069,8 +1069,16 @@ object Extensions {
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(count_distinct(col(idCol)).as("__n_docs"))
+    // both derived branches consume tf's aggregate via the tf > 0
+    // predicate (always true — tf is a count) so they plan the SAME
+    // subtree as the main join input and reuse its exchange; with
+    // count(lit(1)) / a bare count_distinct Catalyst prunes tf's count
+    // from each branch and every one re-scans + re-tokenizes the corpus
+    // (see Extensions.bm25TopK)
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") > 0, 1)).as("df"))
+    val nDocs = tf.agg(count_distinct(
+      when(col("tf") > 0, col(idCol))).as("__n_docs"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
@@ -1112,7 +1120,15 @@ object Extensions {
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // count(when(tf > 0, 1)), not count(lit(1)): same value (tf is a
+    // count, always ≥ 1), but the predicate genuinely CONSUMES tf's
+    // aggregate so this branch plans the identical subtree dl reuses —
+    // with count(lit(1)) (or anything Catalyst can fold away, e.g.
+    // count(tf) on the non-nullable column) tf's count is pruned, the
+    // exchange subtrees stop matching, and the df branch re-scans and
+    // re-tokenizes the whole corpus instead of reusing tf's shuffle
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") > 0, 1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val qterms = queries
       .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))

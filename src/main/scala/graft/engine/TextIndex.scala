@@ -287,7 +287,10 @@ object TextIndex {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // count(when(tf > 0, 1)) keeps this branch reusing tf's exchange —
+    // see Extensions.bm25TopK for why count(lit(1)) forces a re-scan
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") > 0, 1)).as("df"))
     val postings = tf.join(dl, idCol).join(dfreq, "term")
       .withColumn("__bucket",
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))

@@ -349,6 +349,25 @@ class PlanSpec extends AnyFunSuite {
     assert(windows <= 1, s"windows did not stack:\n$plan")
   }
 
+  test("tfidf_top_terms derives df and N from the tf aggregate's own " +
+      "exchange — ONE corpus scan, no re-tokenization per branch") {
+    val plan = executedPlan(SparkEntry.queries("tfidf_top_terms")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    // with count(lit(1)) in the df/N branches Catalyst prunes tf's
+    // count, the subtrees stop matching tf's exchange, and every branch
+    // re-scans + re-tokenizes the corpus (was 3 scans)
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
+  }
+
+  test("bm25_topk reuses the tf exchange for df and dl — at most the " +
+      "corpus scan plus one derived-stats scan, never one per branch") {
+    val plan = executedPlan(SparkEntry.queries("bm25_topk")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <=2 corpus scans, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
+  }
+
   test("scd2 stacks its change-filter and interval-close windows on ONE " +
       "key exchange") {
     val df = graft.engine.Analytics.scd2(
