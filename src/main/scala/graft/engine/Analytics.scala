@@ -273,7 +273,7 @@ object Analytics {
     val nCount = nodes.agg(count(lit(1)).cast("double").as("__n"))
     var pr = nodes.crossJoin(broadcast(nCount))
       .select(col("id"), (lit(1.0) / col("__n")).as("pagerank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = pr.join(eDeg, pr("id") === eDeg("__src"))
         .select(col("__dst").as("id"),
           (col("pagerank") / col("__deg")).as("__c"))
@@ -283,6 +283,14 @@ object Analytics {
         .select(col("id"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("__sum"), lit(0.0))).as("pagerank"))
+      // truncate lineage periodically: the rank frame's plan otherwise
+      // nests every prior iteration, and analyzer/optimizer cost (and
+      // plan text) grow quadratically with iters — the iterative-plan
+      // failure mode ConnectedComponents already guards against.
+      // Values are unchanged; short runs (like the catalog's 3-iter
+      // query) never hit a checkpoint.
+      if (i % 4 == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr
   }

@@ -170,6 +170,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr == again)
   }
 
+  test("pageRank deep runs keep a bounded plan: lineage truncates every " +
+      "few iterations, mass stays conserved at 12 iterations") {
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val pr = Analytics.pageRank(edges, "src", "dst", iters = 12)
+    val ranks = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks(0L) > ranks(1L))
+    // the plan must start from the LAST checkpoint, so its size is a
+    // function of iterations-since-checkpoint, not total iterations —
+    // 12 and 16 both sit 4 rounds after one (checkpoints at 4,8 / at
+    // 4,8,12) and must plan identically; un-truncated, every extra
+    // iteration permanently deepens the plan
+    def planLines(iters: Int): Int =
+      Analytics.pageRank(edges, "src", "dst", iters = iters)
+        .queryExecution.executedPlan.toString.linesIterator.size
+    val l12 = planLines(12)
+    val l16 = planLines(16)
+    assert(math.abs(l16 - l12) <= 2,
+      s"plan grew with total iterations: $l12 lines @12 vs $l16 @16")
+  }
+
   test("groupTopK: largest-ord rows per group, rank order, id tiebreak, " +
       "null ord skipped, k larger than group tolerated") {
     val df = Seq(
