@@ -264,6 +264,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexIngestSink keeps ingesting across a segment compaction: " +
+      "appends follow the flipped root, queries see every batch") {
+    import TestSpark.spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val idx = Files.createTempDirectory("graft-sidx-compact").toString
+    val ckpt = Files.createTempDirectory("graft-sidx-compact-ck").toString
+    val q = Streaming.indexIngestSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, ckpt,
+      nBuckets = 8)
+    try {
+      input.addData((1L, "spark window join"), (2L, "merge sort run"))
+      q.processAllAvailable()
+      input.addData((3L, "spark merge stream"))
+      q.processAllAvailable()
+      assert(graft.engine.TextIndex.compactSegments(spark, idx))
+      // ingestion continues into the compacted root
+      input.addData((4L, "spark rides on"))
+      q.processAllAvailable()
+      val loaded = graft.engine.TextIndex.loadSegments(spark, idx)
+      assert(loaded.nDocs == 4)
+      val hits = loaded.query(
+          Seq((1L, "spark")).toDF("query_id", "qtext"),
+          "qtext", "query_id", k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(1L, 3L, 4L)) // pre- and post-compaction docs
+      // live root has the compacted segment + the post-compaction epoch
+      val root = graft.engine.Generations.currentName(idx).get
+      assert(new java.io.File(s"$idx/$root").listFiles()
+        .count(_.isDirectory) == 2)
+    } finally q.stop()
+  }
+
   test("mergeBatch is partition-scoped: untouched buckets carry forward " +
       "by hard link (same inode, not rewritten); touched bucket is new") {
     import TestSpark.spark.implicits._
