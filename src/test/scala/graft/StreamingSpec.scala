@@ -400,6 +400,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streaming.readMergeTarget(spark, target).count() == 0L)
   }
 
+  test("mergeBatch composite keys: bucket hash spans all key columns; " +
+      "a 25-epoch trickle stream stays at the retention bound with " +
+      "correct final state") {
+    import TestSpark.spark.implicits._
+    val target = Files.createTempDirectory("graft-mb-long").toString
+    // seed: 40 (region, id) composite keys
+    val seed = (for (r <- 0L until 4L; i <- 0L until 10L)
+      yield (r, i, s"v$r-$i", 0L, false)).toSeq
+    Streaming.mergeBatch(seed.toDF("r", "i", "v", "seq", "del"), 0L,
+      Seq("r", "i"), "seq", Some("del"), target, nBuckets = 8,
+      retainGenerations = 2)
+    // 25 single-key trickle updates — the long-running CDC shape
+    (1L to 25L).foreach { e =>
+      Streaming.mergeBatch(
+        Seq((e % 4, e % 10, s"u$e", e, false)).toDF("r", "i", "v", "seq",
+          "del"), e, Seq("r", "i"), "seq", Some("del"), target,
+        nBuckets = 8, retainGenerations = 2)
+    }
+    // storage stays bounded: exactly the retention window survives
+    val gens = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+    assert(gens.toSeq == Seq("gen-24", "gen-25"), s"gens: ${gens.toSeq}")
+    // final state: every key present, last writer won per composite key
+    val state = Streaming.readMergeTarget(spark, target)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert(state.size == 40)
+    assert(state((25L % 4, 25L % 10)) == "u25")
+    assert(state((0L, 0L)) == "u20") // epoch 20 hit (0,0); nothing later
+    // (2,1) is unreachable by e%4/e%10 for e ≤ 25: seed value intact
+    assert(state((2L, 1L)) == "v2-1")
+  }
+
   test("driftMonitorSink: an in-distribution batch logs near-zero PSI, " +
       "a shifted batch logs high PSI, per epoch") {
     import TestSpark.spark.implicits._
