@@ -567,21 +567,27 @@ object Analytics {
     * by lift (ties broken by the pair key) — use the DataFrame before
     * the limit for the full table.
     *
-    * Scale shape: basket-keyed self-join builds pairs (quadratic ONLY
-    * within a basket — bounded by basket size, never corpus size),
-    * then counts hash-exchange on the pair. TakeOrdered top-k, no
-    * global sort. The basket count folds into the plan as a broadcast
-    * 1-row aggregate (no separate driver action/scan).
+    * Scale shape: ONE rollup per basket collects the (distinct, sorted)
+    * item array, and the ordered pairs are generated IN PLACE from that
+    * array with slice/transform HOFs — no basket-keyed self-join, so no
+    * second shuffle of the item stream and no sort-merge sorts. The
+    * pair space stays quadratic ONLY within a basket (bounded by basket
+    * size, never corpus size) and the counts hash-exchange on the pair.
+    * TakeOrdered top-k, no global sort. The basket count folds into the
+    * plan as a broadcast 1-row aggregate (no separate driver
+    * action/scan).
     *
     * `maxItemsPerBasket` (0 = off) is the skew guard: a single whale
     * basket of m items emits m² pairs into one task, so baskets larger
     * than the cap are dropped from the PAIR space — but kept in the
     * per-item and basket totals, so support/confidence/lift stay
-    * ratios over the full corpus. The bias is one-sided and explicit:
-    * co-occurrences observed only inside whale baskets (bot sessions,
-    * catalog scrapes — the baskets that least signal affinity) are
-    * not counted, so capped pair support is a lower bound of the
-    * uncapped value.
+    * ratios over the full corpus. With the cap on, whale baskets are
+    * semi-joined away BEFORE the array rollup, so no aggregation
+    * buffer ever holds more than `maxItemsPerBasket` items. The bias
+    * is one-sided and explicit: co-occurrences observed only inside
+    * whale baskets (bot sessions, catalog scrapes — the baskets that
+    * least signal affinity) are not counted, so capped pair support is
+    * a lower bound of the uncapped value.
     */
   def basketAffinity(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, topK: Int = 20,
@@ -590,26 +596,41 @@ object Analytics {
     require(maxItemsPerBasket == 0 || maxItemsPerBasket >= 2,
       "maxItemsPerBasket must be 0 (off) or at least 2")
     requireNoReserved(df, Seq("item_a", "item_b", "__n", "__na", "__nb",
-      "__np", "__nbaskets", "__bsz"))
+      "__np", "__nbaskets", "__bsz", "__items", "__p"))
     val items = df.select(col(basketCol), col(itemCol)).distinct()
-    // basket sizes serve twice: the whale cap AND the basket count —
-    // count(basketCol) over the per-basket rollup equals
-    // countDistinct(basketCol) (nulls excluded both ways) without the
-    // extra scan + single-partition distinct exchange that a separate
-    // countDistinct branch plans
-    val sizes = items.groupBy(basketCol).agg(count(lit(1)).as("__bsz"))
-    val nBaskets = sizes
-      .agg(count(col(basketCol)).cast("double").as("__nbaskets"))
     val itemCounts = items.groupBy(itemCol).agg(count(lit(1)).as("__n"))
-    val pairItems =
-      if (maxItemsPerBasket <= 0) items
-      else items.join(
-        sizes.filter(col("__bsz") <= maxItemsPerBasket)
-          .select(basketCol),
-        Seq(basketCol), "left_semi")
-    val a = pairItems.select(col(basketCol), col(itemCol).as("item_a"))
-    val b = pairItems.select(col(basketCol), col(itemCol).as("item_b"))
-    val pairs = a.join(b, basketCol).filter(col("item_a") < col("item_b"))
+    // the sorted-array rollup serves three ways: its rows are the
+    // basket count (equal to countDistinct(basketCol) — null baskets
+    // filtered here exactly as the old join-on-basket pair build
+    // dropped them), its array sizes are the whale cap, and the array
+    // itself yields the ordered pairs without ever re-shuffling items
+    val baskets =
+      if (maxItemsPerBasket <= 0)
+        items.filter(col(basketCol).isNotNull).groupBy(basketCol)
+          .agg(sort_array(collect_list(col(itemCol))).as("__items"))
+      else {
+        // cap on: size first, semi-join whales away, THEN collect —
+        // the array buffer is bounded by the cap, not the whale
+        val sizes = items.groupBy(basketCol)
+          .agg(count(lit(1)).as("__bsz"))
+        items.join(
+            sizes.filter(col(basketCol).isNotNull &&
+              col("__bsz") <= maxItemsPerBasket).select(basketCol),
+            Seq(basketCol), "left_semi")
+          .groupBy(basketCol)
+          .agg(sort_array(collect_list(col(itemCol))).as("__items"))
+      }
+    val nBaskets =
+      if (maxItemsPerBasket <= 0)
+        baskets.agg(count(lit(1)).cast("double").as("__nbaskets"))
+      else items.groupBy(basketCol).agg(count(lit(1)).as("__bsz"))
+        .agg(count(col(basketCol)).cast("double").as("__nbaskets"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("__items"), (a, i) =>
+        transform(
+          slice(col("__items"), i + lit(2), size(col("__items"))),
+          b => struct(a.as("item_a"), b.as("item_b")))))).as("__p"))
+      .select(col("__p.item_a"), col("__p.item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("__np"))
       .filter(col("__np") >= minSupport)
     pairs

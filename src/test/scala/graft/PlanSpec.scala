@@ -368,6 +368,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
   }
 
+  test("basket_affinity builds pairs in-array from the basket rollup — " +
+      "no self-join, so the only joins are the two item-count attaches " +
+      "and the 1-row basket-count broadcast") {
+    val plan = executedPlan(SparkEntry.queries("basket_affinity")(spark, sf))
+    assert(plan.contains("Generate explode"), s"no in-array pair build:\n$plan")
+    val joins = plan.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("NestedLoopJoin"))
+    assert(joins <= 3, s"expected <=3 join nodes (was 4 with the " +
+      s"basket-keyed self-join), got $joins:\n$plan")
+  }
+
   test("scd2 stacks its change-filter and interval-close windows on ONE " +
       "key exchange") {
     val df = graft.engine.Analytics.scd2(
