@@ -295,6 +295,65 @@ object Analytics {
     pr
   }
 
+  /** Per-node triangle participation counts over an undirected edge
+    * list: how many triangles each node is a corner of — the local
+    * clustering signal behind near-dup clique detection, spam-farm and
+    * bot-ring analysis. Returns (`outCol`, triangles) for every node
+    * that is in at least one triangle.
+    *
+    * Scale shape: the classic degree-orientation algorithm. Every
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one, which caps any node's oriented out-degree at
+    * O(√m) on ANY graph — so the wedge self-join's per-node fanout is
+    * bounded even on a hub node, where a naive adjacency self-join
+    * would emit degree² pairs. Wedges (u→v, u→w) are closed by one
+    * hash join back against the oriented edge set; each triangle is
+    * found exactly once, at its minimum-degree corner. Hash exchanges
+    * only (degree attach, wedge build, closure probe) — never
+    * all-pairs, no sorts.
+    */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String,
+      outCol: String = "id"): DataFrame = {
+    requireNoReserved(edges, Seq("__a", "__b", "__da", "__db", "__u",
+      "__v", "__w", "__cu", "__cv"))
+    // canonical undirected edges: a < b, self-loops and nulls dropped
+    val und = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+    val deg = und.select(col("__a").as("__id"))
+      .unionAll(und.select(col("__b").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("__deg"))
+    val withDeg = und
+      .join(deg.select(col("__id").as("__a"), col("__deg").as("__da")),
+        "__a")
+      .join(deg.select(col("__id").as("__b"), col("__deg").as("__db")),
+        "__b")
+    // total orientation order: (degree, id) — ties on degree break by id
+    val aFirst = (col("__da") < col("__db")) ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    // dst keeps its (degree, id) key so wedge endpoints order the same
+    // way edges orient — the closing edge, if present, is exactly v→w
+    val oriented = withDeg.select(
+      when(aFirst, col("__a")).otherwise(col("__b")).as("__u"),
+      when(aFirst, struct(col("__db").as("d"), col("__b").as("i")))
+        .otherwise(struct(col("__da").as("d"), col("__a").as("i")))
+        .as("__v"))
+    val wedges = oriented
+      .join(oriented.select(col("__u"), col("__v").as("__w")), "__u")
+      .filter(col("__v") < col("__w"))
+    val tris = wedges.join(
+        oriented.select(col("__u").as("__cu"), col("__v").as("__cv")),
+        col("__v.i") === col("__cu") && col("__w") === col("__cv"))
+      .select(col("__u"), col("__v.i").as("__vi"), col("__w.i").as("__wi"))
+    tris
+      .select(explode(array(col("__u"), col("__vi"), col("__wi")))
+        .as(outCol))
+      .groupBy(outCol).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Grouped top-k rows — largest `ordCol` per group, ties broken by
     * smallest `idCol` — via the bounded-heap aggregate
     * [[graft.functions.TopKPairs]]. Returns one row per kept item:

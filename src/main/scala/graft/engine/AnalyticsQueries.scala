@@ -184,6 +184,45 @@ object AnalyticsQueries {
              |SELECT id AS node_id, round(pr, 9) AS pagerank FROM it3
              |ORDER BY node_id""".stripMargin)),
 
+    // ── per-node triangle counts over the part co-purchase graph (part
+    // pairs sharing ≥2 orders): degree-oriented wedge join — oriented
+    // out-degree capped at O(√m) per node on any graph, each triangle
+    // found exactly once at its minimum-degree corner; the oracle is
+    // the canonical x<y<z three-edge enumeration ─────────────────────────
+    QuerySpec("triangle_count",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = li
+          .join(li.select(col("l_orderkey"),
+            col("l_partkey").as("part_b")), "l_orderkey")
+          .filter(col("l_partkey") < col("part_b"))
+          .groupBy(col("l_partkey"), col("part_b"))
+          .agg(count(lit(1)).as("__co"))
+          .filter(col("__co") >= 2)
+        Analytics.triangleCount(edges, "l_partkey", "part_b",
+            outCol = "part_id")
+          .orderBy("part_id")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1
+             |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |n AS (
+             |  SELECT x AS part_id FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri)
+             |SELECT part_id, count(*)::BIGINT AS triangles
+             |FROM n GROUP BY 1 ORDER BY part_id""".stripMargin)),
+
     // ── grouped top-k via the bounded-heap TopKPairs aggregate: map-side
     // partial top-k (≤k rows per group per partition shuffle) instead of
     // the row_number window's full-table shuffle+sort. Oracle is the

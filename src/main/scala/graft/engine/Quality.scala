@@ -324,6 +324,57 @@ object Quality {
       .orderBy("column", "change")
   }
 
+  /** Row-level reconciliation between two snapshots of a keyed table:
+    * one row per key whose row was `added` (right only), `removed`
+    * (left only), or `changed` (both present, at least one compare
+    * column differs null-safely) — with `changed_cols` naming the
+    * differing columns in `compareCols` order (empty string for
+    * added/removed). Unchanged keys are not emitted. The data-level
+    * complement of [[schemaDiff]]: the check a CDC replica, backfill,
+    * or migration runs to prove target == source.
+    *
+    * Scale shape: a diff is an AGGREGATION, not a join — each side is
+    * tagged and unioned, then ONE hash exchange on the key collects
+    * both sides' compare-structs per key. A full-outer sort-merge join
+    * would shuffle both tables AND sort both sides; this form shuffles
+    * the same bytes once and never sorts. Keys must be unique per side
+    * (the usual snapshot contract; the struct max picks one row per
+    * side otherwise), and compare columns must be orderable types.
+    */
+  def rowDiff(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rowDiff needs at least one key column")
+    require(compareCols.nonEmpty,
+      "rowDiff needs at least one compare column")
+    val reserved = Seq("__v", "__side", "__l", "__r", "diff_status",
+      "changed_cols")
+    val bad = left.columns.toSet ++ right.columns.toSet
+    reserved.filter(bad.contains).foreach(c =>
+      throw new IllegalArgumentException(s"rowDiff reserves column $c"))
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(keyCols.map(col) :+
+        struct(compareCols.map(col): _*).as("__v") :+
+        lit(tag).as("__side"): _*)
+    val merged = side(left, 0).unionByName(side(right, 1))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("__side") === 0, col("__v"))).as("__l"),
+        max(when(col("__side") === 1, col("__v"))).as("__r"))
+    val changedList = concat_ws(",", compareCols.map(c =>
+      when(!(col(s"__l.$c") <=> col(s"__r.$c")), lit(c))): _*)
+    merged
+      .withColumn("diff_status",
+        when(col("__l").isNull, lit("added"))
+          .when(col("__r").isNull, lit("removed"))
+          .when(col("__l") <=> col("__r"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .filter(col("diff_status") =!= "unchanged")
+      .withColumn("changed_cols",
+        when(col("diff_status") === "changed", changedList)
+          .otherwise(lit("")))
+      .select(keyCols.map(col) :+ col("diff_status") :+
+        col("changed_cols"): _*)
+  }
+
   /** Population-stability-index drift report between a baseline and a
     * current snapshot of a numeric column: equi-width bins over
     * [lo, hi] (outliers clamp into the edge bins), Laplace-smoothed

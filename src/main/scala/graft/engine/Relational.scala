@@ -1049,6 +1049,87 @@ object Relational {
              |  ('o_orderpriority', 'removed', 'string', NULL),
              |  ('o_totalprice', 'type_changed', 'double', 'float'))
              |  t("column", change, from_type, to_type)
-             |ORDER BY "column", change""".stripMargin))
+             |ORDER BY "column", change""".stripMargin)),
+
+    // ── row-level reconciliation: a synthetic right snapshot with
+    // deterministic deletes / inserts / updates; the diff is ONE
+    // union+aggregate exchange (no full-outer join), the oracle is the
+    // FULL OUTER JOIN form — same rows, different physics ───────────────
+    QuerySpec("table_diff",
+      (s, d) => {
+        val base = orders(s, d).select("o_orderkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        val left = base.filter(col("o_orderkey") % 93 =!= 0)
+        val right = base.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 83 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 10)
+              .otherwise(col("o_totalprice")))
+        Quality.rowDiff(left, right, Seq("o_orderkey"),
+            Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH l AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         o_orderpriority
+             |  FROM orders WHERE o_orderkey % 93 <> 0),
+             |r AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+             |              ELSE o_orderstatus END AS o_orderstatus,
+             |         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10
+             |              ELSE o_totalprice END AS o_totalprice,
+             |         o_orderpriority
+             |  FROM orders WHERE o_orderkey % 97 <> 0),
+             |j AS (
+             |  SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             |         l.o_orderkey IS NULL AS lnull,
+             |         r.o_orderkey IS NULL AS rnull,
+             |         l.o_orderstatus AS ls, r.o_orderstatus AS rs,
+             |         l.o_totalprice AS lt, r.o_totalprice AS rt,
+             |         l.o_orderpriority AS lp, r.o_orderpriority AS rp
+             |  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+             |SELECT o_orderkey,
+             |       CASE WHEN lnull THEN 'added'
+             |            WHEN rnull THEN 'removed'
+             |            ELSE 'changed' END AS diff_status,
+             |       CASE WHEN lnull OR rnull THEN ''
+             |            ELSE concat_ws(',',
+             |              CASE WHEN ls IS DISTINCT FROM rs
+             |                   THEN 'o_orderstatus' END,
+             |              CASE WHEN lt IS DISTINCT FROM rt
+             |                   THEN 'o_totalprice' END,
+             |              CASE WHEN lp IS DISTINCT FROM rp
+             |                   THEN 'o_orderpriority' END) END AS changed_cols
+             |FROM j
+             |WHERE lnull OR rnull OR ls IS DISTINCT FROM rs
+             |   OR lt IS DISTINCT FROM rt OR lp IS DISTINCT FROM rp
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── incremental aggregate maintenance: state over ~80% of events +
+    // aggregated delta over the rest, merged — proven EQUAL to the full
+    // recompute (micro-unit long sums are associative, so merge order
+    // cannot drift the totals) ──────────────────────────────────────────
+    QuerySpec("incremental_agg",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_id"),
+          round(col("value") * 1000000).cast("long").as("v"))
+        val state = Scale.aggState(
+          ev.filter(col("event_id") % 10 < 8).drop("event_id"),
+          Seq("user_id"), "v")
+        val delta = Scale.aggState(
+          ev.filter(col("event_id") % 10 >= 8).drop("event_id"),
+          Seq("user_id"), "v")
+        Scale.mergeAggState(state, delta, Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*)::BIGINT AS n_rows,
+             |       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+             |            AS BIGINT) AS sum_v,
+             |       min(CAST(round(value * 1000000) AS BIGINT)) AS min_v,
+             |       max(CAST(round(value * 1000000) AS BIGINT)) AS max_v
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

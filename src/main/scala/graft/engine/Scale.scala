@@ -39,6 +39,49 @@ object Scale {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Per-key mergeable aggregate state over a LONG value column:
+    * (keyCols*, n_rows, sum_v, min_v, max_v). The four fields form a
+    * commutative monoid under [[mergeAggState]], so partial states
+    * computed over disjoint slices of the data merge into exactly the
+    * state of the union — the algebra behind incremental aggregate
+    * maintenance: keep yesterday's state, aggregate ONLY today's delta,
+    * merge. Use integer units (cents/micros) for money — long sums are
+    * associative, so merged totals are bit-identical to a full
+    * recompute, not merely close. Count is of rows (null values count
+    * in n_rows but not the sum/min/max, matching SQL COUNT(*)).
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "aggState needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+  }
+
+  /** Merge two [[aggState]] frames (same keys) into the state of the
+    * combined data: counts and sums add, min/max fold. Keys present in
+    * only one side pass through unchanged.
+    *
+    * Scale shape: union + ONE hash exchange on the key — the exchange
+    * moves |state| + |delta-keys| rows, never the raw delta, and if the
+    * state lives bucketed on the key ([[writeBucketed]]) the state side
+    * needs no shuffle at all. At 100 TB this is the difference between
+    * re-aggregating the full history per day and touching only the
+    * day's keys.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeAggState needs at least one key column")
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
   /** Write-Audit-Publish on plain parquet: stage the data to a
     * version directory, run the [[Quality]] contract ON THE WRITTEN
     * FILES (auditing the df would miss write corruption), and flip the

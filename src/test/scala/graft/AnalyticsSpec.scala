@@ -501,4 +501,36 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 0L, 10.0), (1L, 100L, 10.0), (1L, 200L, 10.0),
       (2L, 50L, 7.0)))
   }
+
+  test("triangleCount: K4 gives 3 per node, a pendant edge adds nothing, " +
+      "a path has no triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L) /* pendant */).toDF("a", "b")
+    val out = Analytics.triangleCount(k4, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Analytics.triangleCount(path, "a", "b").count() == 0)
+  }
+
+  test("triangleCount normalizes duplicates, reversed edges and self " +
+      "loops, and matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 140)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val noisy = edges ++ edges.map(e => (e._2, e._1)) ++ Seq((5L, 5L))
+    val got = Analytics.triangleCount(noisy.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var exp = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      comb <- nodes.combinations(3)
+      Seq(x, y, z) = comb
+      if und((x, y)) && und((x, z)) && und((y, z))
+    } exp = exp.updated(x, exp(x) + 1).updated(y, exp(y) + 1)
+      .updated(z, exp(z) + 1)
+    assert(got == exp.filter(_._2 > 0L))
+  }
 }

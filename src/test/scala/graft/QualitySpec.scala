@@ -193,4 +193,34 @@ class QualitySpec extends AnyFunSuite {
       ("A", """complete(w"eird, (col)\name)""", true),
       ("B", """complete(w"eird, (col)\name)""", true)))
   }
+
+  test("rowDiff: added/removed/changed with null-safe compares, " +
+      "unchanged keys not emitted, changed_cols in declared order, " +
+      "reserved names rejected") {
+    val left = Seq[(Long, Option[String], Option[Double])](
+      (1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // removed
+      (3L, Some("c"), Some(3.0)), // changed: both columns
+      (4L, None, Some(4.0)),      // changed: null -> value on s only
+      (5L, Some("e"), None)       // unchanged (null <=> null)
+    ).toDF("k", "s", "v")
+    val right = Seq[(Long, Option[String], Option[Double])](
+      (1L, Some("a"), Some(1.0)),
+      (3L, Some("C"), Some(30.0)),
+      (4L, Some("d"), Some(4.0)),
+      (5L, Some("e"), None),
+      (6L, Some("f"), Some(6.0))  // added
+    ).toDF("k", "s", "v")
+    val out = Quality.rowDiff(left, right, Seq("k"), Seq("s", "v"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (2L, "removed", ""),
+      (3L, "changed", "s,v"),
+      (4L, "changed", "s"),
+      (6L, "added", "")))
+    assertThrows[IllegalArgumentException] {
+      Quality.rowDiff(left.withColumnRenamed("s", "__l"), right,
+        Seq("k"), Seq("v"))
+    }
+  }
 }

@@ -164,4 +164,30 @@ class ScaleSpec extends AnyFunSuite {
     // no probe directory left behind
     assert(!new java.io.File(dir + "__probe").exists())
   }
+
+  test("aggState/mergeAggState: a two-step merge of three slices equals " +
+      "the full recompute bit-for-bit; an empty delta is the identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(20).toLong,
+        if (i % 17 == 0) None
+        else Some(rnd.nextInt(100000).toLong - 50000L))
+    }
+    def states(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k")
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toSeq
+    val full = Scale.aggState(rows.toDF("k", "v"), Seq("k"), "v")
+    val (a, bc) = rows.splitAt(200)
+    val (b, c) = bc.splitAt(150)
+    def st(s: Seq[(Long, Option[Long])]) =
+      Scale.aggState(s.toDF("k", "v"), Seq("k"), "v")
+    val merged = Scale.mergeAggState(
+      Scale.mergeAggState(st(a), st(b), Seq("k")), st(c), Seq("k"))
+    assert(states(merged) == states(full))
+    // identity: merging an empty state changes nothing
+    val withEmpty = Scale.mergeAggState(full, full.limit(0), Seq("k"))
+    assert(states(withEmpty) == states(full))
+  }
 }
