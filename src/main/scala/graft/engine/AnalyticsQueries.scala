@@ -191,16 +191,23 @@ object AnalyticsQueries {
     // the canonical x<y<z three-edge enumeration ─────────────────────────
     QuerySpec("triangle_count",
       (s, d) => {
-        val li = lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = li
-          .join(li.select(col("l_orderkey"),
-            col("l_partkey").as("part_b")), "l_orderkey")
-          .filter(col("l_partkey") < col("part_b"))
-          .groupBy(col("l_partkey"), col("part_b"))
-          .agg(count(lit(1)).as("__co"))
+        // edge build uses the same in-array pair form as basketAffinity:
+        // one rollup per order, ordered pairs generated inside the sorted
+        // part array — no orderkey self-join, no second shuffle of the
+        // item stream; collect_set dedups in-aggregate, so the scan
+        // needs no separate distinct exchange at all
+        val edges = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          .select(explode(flatten(transform(col("__items"), (a, i) =>
+            transform(
+              slice(col("__items"), i + lit(2), size(col("__items"))),
+              b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
+          .select(col("__p.part_a"), col("__p.part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("__co"))
           .filter(col("__co") >= 2)
-        Analytics.triangleCount(edges, "l_partkey", "part_b",
+        Analytics.triangleCount(edges, "part_a", "part_b",
             outCol = "part_id")
           .orderBy("part_id")
       },
