@@ -354,6 +354,73 @@ object Analytics {
       .groupBy(outCol).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-edge common-neighbor similarity (the Jaccard link-prediction
+    * score): for every undirected edge (a, b), the number of shared
+    * neighbors |N(a)∩N(b)|, both degrees, and
+    * jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| = c / (deg_a + deg_b − c).
+    * Neighborhoods are used as-is (b ∈ N(a) and a ∈ N(b) stay in the
+    * union; endpoints can never be in the intersection absent
+    * self-loops), the standard link-prediction convention. Edges are
+    * normalized like [[triangleCount]]: canonical a < b, duplicates /
+    * reversals / self-loops collapsed.
+    *
+    * Scale shape: adjacency is ONE collect_set aggregation into
+    * per-node sorted neighbor arrays (bounded by max degree), then
+    * each edge hash-joins its two endpoint arrays and intersects
+    * in-array — common-neighbor counting never enumerates wedges, so
+    * the work is O(edges · max_degree), not O(Σ deg²). `maxDegree`
+    * (0 = off) drops hub nodes AND their incident edges before the
+    * collect, bounding agg buffers and join fan-out exactly like
+    * `basketAffinity.maxItemsPerBasket`: the capped result equals the
+    * uncapped result on the hub-free subgraph (a hub's similarity to
+    * everything is ~0 in link prediction — dropping it is the
+    * standard guard, asserted as a law in the spec).
+    */
+  def edgeJaccard(edges: DataFrame, aCol: String, bCol: String,
+      maxDegree: Int = 0): DataFrame = {
+    requireNoReserved(edges, Seq("__a", "__b", "__n", "__m", "__nbrs",
+      "__deg", "__nba", "__nbb", "common_cnt", "deg_a", "deg_b",
+      "jaccard"))
+    val und = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+    // symmetrize from ONE evaluation of the canonical edge set
+    val sym = und
+      .select(explode(array(
+        struct(col("__a").as("n"), col("__b").as("m")),
+        struct(col("__b").as("n"), col("__a").as("m")))).as("__e"))
+      .select(col("__e.n").as("__n"), col("__e.m").as("__m"))
+    // hub cap BEFORE the collect: degree rollup first (counts only),
+    // then keep edges whose BOTH endpoints are under the cap — agg
+    // buffers and per-edge intersect work are bounded by the cap
+    val kept =
+      if (maxDegree <= 0) sym
+      else {
+        val ok = sym.groupBy("__n").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") <= maxDegree).select("__n")
+        sym.join(ok, Seq("__n"), "left_semi")
+          .join(ok.select(col("__n").as("__m")), Seq("__m"), "left_semi")
+      }
+    val adj = kept.groupBy("__n")
+      .agg(sort_array(collect_set(col("__m"))).as("__nbrs"))
+    kept.filter(col("__n") < col("__m"))
+      .join(adj.select(col("__n"), col("__nbrs").as("__nba")), "__n")
+      .join(adj.select(col("__n").as("__m"), col("__nbrs").as("__nbb")),
+        "__m")
+      .select(col("__n").as(aCol), col("__m").as(bCol),
+        size(array_intersect(col("__nba"), col("__nbb"))).cast("long")
+          .as("common_cnt"),
+        size(col("__nba")).cast("long").as("deg_a"),
+        size(col("__nbb")).cast("long").as("deg_b"))
+      .withColumn("jaccard",
+        round(col("common_cnt").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_cnt"))
+            .cast("double"), 6))
+  }
+
   /** Grouped top-k rows — largest `ordCol` per group, ties broken by
     * smallest `idCol` — via the bounded-heap aggregate
     * [[graft.functions.TopKPairs]]. Returns one row per kept item:
@@ -545,6 +612,37 @@ object Analytics {
         round(expected, 6).as("expected"),
         round(pow(coalesce(col("observed"), lit(0L)) - expected, 2) /
           expected, 6).as("chi2_contrib"))
+  }
+
+  /** Mutual-information decomposition for two categoricals — the
+    * feature-selection companion to [[chiSquare]]: one row per
+    * OBSERVED (a, b) cell with its count, pointwise mutual
+    * information ln(p(a,b)/(p(a)p(b))) and the cell's MI contribution
+    * p(a,b)·pmi — sum `mi_contrib` for I(A;B) in nats. Unlike χ²,
+    * empty cells contribute exactly 0 (lim p→0 of p·ln p), so the
+    * observed-cell set IS the full decomposition.
+    *
+    * Scale shape: one (a, b) count aggregation, marginals
+    * re-aggregated from THAT (already tiny) cell table and broadcast
+    * back — the raw data is read once. All ratios are computed as
+    * double products of exact integer counts (n·N / n_a·n_b), never
+    * chained divisions, so the oracle can reproduce them bit-for-bit.
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    requireNoReserved(df, Seq("n_xy", "__na", "__nb", "__n"))
+    val cell = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB)).agg(count(lit(1)).as("n_xy"))
+    val ma = cell.groupBy(colA).agg(sum("n_xy").as("__na"))
+    val mb = cell.groupBy(colB).agg(sum("n_xy").as("__nb"))
+    val n = cell.agg(sum("n_xy").as("__n"))
+    val pmi = log(col("n_xy").cast("double") * col("__n").cast("double") /
+      (col("__na").cast("double") * col("__nb").cast("double")))
+    cell.join(broadcast(ma), colA).join(broadcast(mb), colB)
+      .crossJoin(broadcast(n))
+      .select(col(colA), col(colB), col("n_xy"),
+        round(pmi, 6).as("pmi"),
+        round(col("n_xy").cast("double") / col("__n").cast("double") * pmi,
+          6).as("mi_contrib"))
   }
 
   /** Market-concentration report: per market, the number of players,

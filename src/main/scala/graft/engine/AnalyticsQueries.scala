@@ -630,6 +630,90 @@ object AnalyticsQueries {
              |  UNION ALL SELECT 5, 'foreign_key(o_custkey)',
              |         round((total - orphans)/total, 9), 1.0::DOUBLE,
              |         (total - orphans)/total >= 1.0 FROM fk)
-             |ORDER BY rule_id""".stripMargin))
+             |ORDER BY rule_id""".stripMargin)),
+
+    // ── mutual information of market segment × order priority across
+    // the customer⋈orders join — chi_square's feature-selection
+    // companion; marginals re-aggregate the tiny cell table, raw rows
+    // read once ─────────────────────────────────────────────────────────
+    QuerySpec("mutual_info",
+      (s, d) => Analytics.mutualInfo(
+          customer(s, d).join(orders(s, d),
+            col("c_custkey") === col("o_custkey")),
+          "c_mktsegment", "o_orderpriority")
+        .orderBy("c_mktsegment", "o_orderpriority"),
+      Some("""WITH j AS (
+             |  SELECT c_mktsegment, o_orderpriority
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL),
+             |cell AS (
+             |  SELECT c_mktsegment, o_orderpriority, count(*) AS n_xy
+             |  FROM j GROUP BY 1, 2),
+             |ma AS (SELECT c_mktsegment, sum(n_xy) AS na FROM cell GROUP BY 1),
+             |mb AS (SELECT o_orderpriority, sum(n_xy) AS nb FROM cell GROUP BY 1),
+             |tot AS (SELECT sum(n_xy) AS n FROM cell)
+             |SELECT cell.c_mktsegment, cell.o_orderpriority,
+             |       n_xy::BIGINT AS n_xy,
+             |       round(ln((n_xy::DOUBLE * n::DOUBLE)
+             |             / (na::DOUBLE * nb::DOUBLE)), 6) AS pmi,
+             |       round((n_xy::DOUBLE / n::DOUBLE)
+             |             * ln((n_xy::DOUBLE * n::DOUBLE)
+             |                  / (na::DOUBLE * nb::DOUBLE)), 6) AS mi_contrib
+             |FROM cell
+             |JOIN ma USING (c_mktsegment)
+             |JOIN mb USING (o_orderpriority)
+             |CROSS JOIN tot
+             |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
+
+    // ── common-neighbor (Jaccard) link-prediction scores over the part
+    // co-purchase graph (any shared order): adjacency arrays + in-array
+    // intersect — never a wedge enumeration; top 100 by score with a
+    // deterministic (jaccard, a, b) tiebreak ────────────────────────────
+    QuerySpec("edge_jaccard",
+      (s, d) => {
+        // same in-array pair form as triangle_count's edge build; no
+        // ≥2 filter (the ≥1 graph is non-degenerate at sf0.01 AND
+        // sf0.1) and no pair-count rollup — edgeJaccard's canonical
+        // distinct absorbs cross-order duplicates
+        val edges = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          .select(explode(flatten(transform(col("__items"), (a, i) =>
+            transform(
+              slice(col("__items"), i + lit(2), size(col("__items"))),
+              b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
+          .select(col("__p.part_a"), col("__p.part_b"))
+        Analytics.edgeJaccard(edges, "part_a", "part_b")
+          .orderBy(desc("jaccard"), col("part_a"), col("part_b"))
+          .limit(100)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey < b.l_partkey),
+             |nb AS (SELECT pa AS n, pb AS m FROM e
+             |       UNION ALL SELECT pb, pa FROM e),
+             |deg AS (SELECT n, count(*) AS d FROM nb GROUP BY 1),
+             |cm AS (
+             |  SELECT e.pa, e.pb, count(*) AS c
+             |  FROM e
+             |  JOIN nb x ON x.n = e.pa
+             |  JOIN nb y ON y.n = e.pb AND y.m = x.m
+             |  GROUP BY 1, 2)
+             |SELECT e.pa AS part_a, e.pb AS part_b,
+             |       coalesce(c, 0)::BIGINT AS common_cnt,
+             |       da.d::BIGINT AS deg_a, db.d::BIGINT AS deg_b,
+             |       round(coalesce(c, 0)::DOUBLE
+             |             / (da.d + db.d - coalesce(c, 0))::DOUBLE, 6)
+             |         AS jaccard
+             |FROM e
+             |JOIN deg da ON da.n = e.pa
+             |JOIN deg db ON db.n = e.pb
+             |LEFT JOIN cm ON cm.pa = e.pa AND cm.pb = e.pb
+             |ORDER BY jaccard DESC, part_a, part_b
+             |LIMIT 100""".stripMargin))
   )
 }

@@ -533,4 +533,84 @@ class AnalyticsSpec extends AnyFunSuite {
       .updated(z, exp(z) + 1)
     assert(got == exp.filter(_._2 > 0L))
   }
+
+  test("mutualInfo: independent columns give exactly zero pmi; " +
+      "identical columns give I(A;B) = H(A)") {
+    // independent: every (a,b) combination equally often → every cell's
+    // ratio is exactly 1 and ln(1) = 0 with no rounding involved
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val iOut = Analytics.mutualInfo(ind, "a", "b").collect()
+    assert(iOut.length == 4)
+    iOut.foreach { r =>
+      assert(r.getLong(2) == 5L)
+      assert(r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) == 0.0)
+    }
+    // a determines b with a 50/50 split: each observed cell has
+    // pmi = ln 2 and contributes 0.5·ln 2, so ΣI = ln 2 = H(A)
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val mi = Analytics.mutualInfo(dep, "a", "b")
+      .agg(sum("mi_contrib")).head().getDouble(0)
+    assert(math.abs(mi - math.log(2)) < 2e-6) // two cells rounded at 6dp
+  }
+
+  test("edgeJaccard: K4 edges score 1/2, path edges 0; duplicates, " +
+      "reversals and self loops normalize away") {
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (2L, 2L) /* self loop */)
+      .toDF("a", "b")
+    val out = Analytics.edgeJaccard(k4, "a", "b")
+      .orderBy("a", "b")
+      .select("a", "b", "common_cnt", "deg_a", "deg_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 6)
+    // every K4 edge: 2 common neighbors, both degrees 3 → 2/(3+3−2)
+    out.foreach { case (_, _, c, da, db, j) =>
+      assert(c == 2L && da == 3L && db == 3L && j == 0.5)
+    }
+    val path = Analytics.edgeJaccard(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .orderBy("a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(path.toSeq == Seq((1L, 2L, 0L, 1L, 2L, 0.0),
+      (2L, 3L, 0L, 2L, 1L, 0.0)))
+  }
+
+  test("edgeJaccard matches brute force on a seeded random graph, and " +
+      "the hub cap equals the uncapped result on the hub-free subgraph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 160)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .toSet
+    val nbrs = und.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = und.toSeq.sorted.map { case (a, b) =>
+      val c = (nbrs(a) & nbrs(b)).size.toLong
+      val (da, db) = (nbrs(a).size.toLong, nbrs(b).size.toLong)
+      (a, b, c, da, db,
+        math.rint(c.toDouble / (da + db - c) * 1e6) / 1e6)
+    }
+    val got = Analytics.edgeJaccard(edges.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == exp)
+    // cap law: capping at degree d ≡ deleting every hub (deg > d) and
+    // its incident edges, then running uncapped
+    val cap = 8
+    val hubs = nbrs.filter(_._2.size > cap).keySet
+    val sub = edges.filter(e => !hubs(e._1) && !hubs(e._2))
+    val capped = Analytics.edgeJaccard(edges.toDF("a", "b"), "a", "b",
+        maxDegree = cap)
+      .orderBy("a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val uncappedSub = Analytics.edgeJaccard(sub.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(capped == uncappedSub)
+    assert(hubs.nonEmpty, "fixture must actually exercise the cap")
+  }
 }
