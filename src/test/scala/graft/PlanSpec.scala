@@ -393,4 +393,30 @@ class PlanSpec extends AnyFunSuite {
     assert(keyExchanges == 1,
       s"expected 1 o_custkey exchange, got $keyExchanges:\n$plan")
   }
+
+  test("mutual_info reads each input once: marginals and the total ride " +
+      "the cell aggregate's own exchange, never a re-scan") {
+    val plan = executedPlan(SparkEntry.queries("mutual_info")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <=2 scans (customer+orders once each), " +
+      s"got $scans:\n$plan")
+    val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 3, s"expected the cell exchange reused for both " +
+      s"marginals and the total, got $reused reuses:\n$plan")
+  }
+
+  test("edge_jaccard scans lineitem once and intersects adjacency " +
+      "in-array — no wedge enumeration (at most the two endpoint " +
+      "adjacency attaches)") {
+    val plan = executedPlan(SparkEntry.queries("edge_jaccard")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    assert(plan.contains("array_intersect"),
+      s"no in-array intersection:\n$plan")
+    val joins = plan.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("NestedLoopJoin"))
+    assert(joins <= 2, s"expected <=2 join nodes (a wedge enumeration " +
+      s"needs a third, neighbor-to-neighbor join), got $joins:\n$plan")
+  }
 }
