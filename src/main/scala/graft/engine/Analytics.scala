@@ -582,6 +582,42 @@ object Analytics {
       .groupBy("lag_bucket").agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every observed (from_type, to_type) adjacency in a
+    * user's time-ordered event stream, the transition count and the
+    * row-conditional probability p(to | from) = n(from→to) / n(from→*).
+    * The event-stream analogue of token bigram stats — the input to
+    * next-action prediction, anomaly scoring (improbable transitions)
+    * and session simulation. `idCol` breaks same-timestamp ties so the
+    * sequence — and therefore the matrix — is deterministic.
+    *
+    * Scale shape: ONE user-key exchange+sort for the adjacency window
+    * (the unavoidable sequence reconstruction), then a count
+    * aggregation down to at most |types|² rows; the from-marginal
+    * re-aggregates THAT tiny table and broadcasts back, so raw events
+    * are read once.
+    */
+  def markovTransitions(ev: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    requireNoReserved(ev, Seq("__t", "__next", "n_trans", "__from_n"))
+    val w = Window.partitionBy(userCol)
+      .orderBy(col("__t"), col(idCol))
+    val adj = ev.filter(col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol),
+        col(tsCol).cast("long").as("__t"), col(idCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+    val trans = adj
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromN = trans.groupBy("from_type")
+      .agg(sum("n_trans").as("__from_n"))
+    trans.join(broadcast(fromN), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast("double") /
+          col("__from_n").cast("double"), 6).as("p"))
+  }
+
   /** Chi-square contingency decomposition for two categoricals: one
     * row per observed (a, b) cell with observed count, expected count
     * under independence (row·col/n), and the cell's χ² contribution —

@@ -632,6 +632,31 @@ object AnalyticsQueries {
              |         (total - orphans)/total >= 1.0 FROM fk)
              |ORDER BY rule_id""".stripMargin)),
 
+    // ── first-order Markov transition matrix over per-user event
+    // sequences (event_id breaks same-second ties): one user
+    // exchange+sort, then a |types|² rollup with the from-marginal
+    // broadcast back ────────────────────────────────────────────────────
+    QuerySpec("markov_transitions",
+      (s, d) => Analytics.markovTransitions(events(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, $EpochS AS t, event_id
+             |  FROM events WHERE event_type IS NOT NULL),
+             |s AS (
+             |  SELECT event_type AS f,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY t, event_id) AS nx
+             |  FROM e),
+             |tr AS (
+             |  SELECT f AS from_type, nx AS to_type, count(*) AS n_trans
+             |  FROM s WHERE nx IS NOT NULL GROUP BY 1, 2),
+             |m AS (SELECT from_type, sum(n_trans) AS fn FROM tr GROUP BY 1)
+             |SELECT tr.from_type, tr.to_type, n_trans::BIGINT AS n_trans,
+             |       round(n_trans::DOUBLE / fn::DOUBLE, 6) AS p
+             |FROM tr JOIN m USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     // ── mutual information of market segment × order priority across
     // the customer⋈orders join — chi_square's feature-selection
     // companion; marginals re-aggregate the tiny cell table, raw rows

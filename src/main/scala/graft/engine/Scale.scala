@@ -179,6 +179,31 @@ object Scale {
     * target where a task's partition holds fewer rows — pair with
     * `repartition(n)` upstream if strict sizing matters.
     */
+  /** Cluster-by-key parquet layout: range-partition on `keyCol`, sort
+    * within each partition, write one file per range. The result is a
+    * layout whose per-file [min, max] key ranges are PAIRWISE DISJOINT
+    * — a key-equality or key-range scan only has data in the files
+    * whose range overlaps the predicate, which is what lets min/max
+    * statistics (parquet row-group stats here; file-skipping indexes
+    * in table formats) prune I/O instead of reading the whole table.
+    * The data-locality complement of [[writeSized]] (which bounds file
+    * SIZE but says nothing about file CONTENT): at 100 TB, an
+    * unclustered table answers `key BETWEEN a AND b` by touching every
+    * file; a clustered one touches ~selectivity·n of them. Disjointness
+    * is asserted by `ScaleSpec` from the written footers, not assumed.
+    *
+    * One range exchange (with Spark's sampling pass to pick bounds) +
+    * an in-partition sort — the standard one-shot clustering cost,
+    * amortized over every subsequent selective read.
+    */
+  def clusteredWrite(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   def writeSized(df: DataFrame, path: String, targetBytes: Long,
       sampleRows: Int = 10000): Long = {
     require(targetBytes > 0, "targetBytes must be positive")

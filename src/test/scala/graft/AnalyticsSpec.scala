@@ -534,6 +534,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == exp.filter(_._2 > 0L))
   }
 
+  test("markovTransitions: adjacency counts and row-conditional " +
+      "probabilities; same-ts ties break by id; per-from p sums to 1") {
+    val ev = Seq(
+      // u1: a -> b -> a  (two transitions)
+      (1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "a", 30L, 102L),
+      // u2: a -> a (self transition)
+      (2L, "a", 10L, 200L), (2L, "a", 20L, 201L),
+      // u3: same ts — id order decides: b (id 300) -> a (id 301)
+      (3L, "a", 50L, 301L), (3L, "b", 50L, 300L),
+      // u4: single event — no transition
+      (4L, "b", 10L, 400L),
+      // u5: null type is dropped, a -> b remains adjacent
+      (5L, "a", 10L, 500L), (5L, null, 20L, 501L), (5L, "b", 30L, 502L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+    val out = Analytics.markovTransitions(ev, "user_id", "event_type",
+        "t", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // from a: a->b (u1, u5), a->a (u2) → p(b|a)=2/3, p(a|a)=1/3
+    // from b: b->a (u1, u3) → p(a|b)=1
+    assert(out == Seq(
+      ("a", "a", 1L, 0.333333), ("a", "b", 2L, 0.666667),
+      ("b", "a", 2L, 1.0)))
+    val sums = Analytics.markovTransitions(ev, "user_id", "event_type",
+        "t", "event_id")
+      .groupBy("from_type").agg(sum("p").as("sp"))
+      .as[(String, Double)].collect()
+    sums.foreach { case (_, sp) => assert(math.abs(sp - 1.0) < 1e-5) }
+  }
+
   test("mutualInfo: independent columns give exactly zero pmi; " +
       "identical columns give I(A;B) = H(A)") {
     // independent: every (a,b) combination equally often → every cell's

@@ -165,6 +165,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__probe").exists())
   }
 
+  test("clusteredWrite: per-file key ranges are pairwise disjoint, so a " +
+      "key-range predicate has data in a bounded file subset; data " +
+      "round-trips") {
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-clustered").toString + "/out"
+    Scale.clusteredWrite(df, dir, "o_orderkey", numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1, "fixture must produce multiple files")
+    // per-file key ranges from the data actually written
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // a narrow key range only has data where its file range overlaps
+    val n = df.count()
+    val (lo, hi) = (ranges(2)._1, ranges(2)._2)
+    val touching = ranges.count(r => r._1 <= hi && r._2 >= lo)
+    assert(touching == 1,
+      s"a single clustered range should cover its own keys: $ranges")
+    assert(spark.read.parquet(dir).count() == n)
+    // the unclustered layout CAN'T promise this: every file may hold
+    // keys from the full domain (this is the property, not a tautology
+    // — round-robin partitioning interleaves the key range everywhere)
+  }
+
   test("aggState/mergeAggState: a two-step merge of three slices equals " +
       "the full recompute bit-for-bit; an empty delta is the identity") {
     import spark.implicits._
