@@ -354,6 +354,67 @@ object Analytics {
       .groupBy(outCol).agg(count(lit(1)).as("triangles"))
   }
 
+  /** k-core decomposition (iterative peel): repeatedly delete nodes
+    * with fewer than k surviving neighbors until none remain; returns
+    * the nodes of the k-core with their within-core degree. The
+    * standard graph-cleaning step before community/cluster analysis —
+    * on a near-dup graph it strips weakly-attached accidental matches
+    * while keeping genuinely dense duplicate groups; pairs with
+    * [[graft.operators.ConnectedComponents]] (closure),
+    * [[triangleCount]] (density) and [[edgeJaccard]] (edge strength).
+    * Deterministic: the peel's fixpoint is order-independent (deleting
+    * any sub-k node never makes another node eligible to survive).
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * of the surviving symmetric edge list — no windows, no all-pairs.
+    * Rounds are bounded by the peel depth (≤ graph degeneracy, shallow
+    * in practice); lineage truncates per round via localCheckpoint, the
+    * same iterative-algorithm hygiene as ConnectedComponents/pageRank.
+    * The only driver-side values are 1-row round counts (the accepted
+    * broadcast-1-row idiom).
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int = 30, outCol: String = "id"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    requireNoReserved(edges, Seq("__a", "__b", "__n", "__m", "__deg"))
+    val und = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+    var sym = und
+      .select(explode(array(
+        struct(col("__a").as("n"), col("__b").as("m")),
+        struct(col("__b").as("n"), col("__a").as("m")))).as("__e"))
+      .select(col("__e.n").as("__n"), col("__e.m").as("__m"))
+      .localCheckpoint(true)
+    var nAlive = -1L
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val deg = sym.groupBy("__n").agg(count(lit(1)).as("__deg"))
+      val keep = deg.filter(col("__deg") >= k).select("__n")
+        .localCheckpoint(true)
+      val nKeep = keep.count()
+      if (nKeep == nAlive) done = true // no node fell below k: fixpoint
+      else {
+        nAlive = nKeep
+        sym = sym.join(keep, Seq("__n"), "left_semi")
+          .join(keep.select(col("__n").as("__m")), Seq("__m"),
+            "left_semi")
+          .select("__n", "__m")
+          .localCheckpoint(true)
+        if (nKeep == 0L) done = true // empty core (sym is now empty too)
+      }
+      iter += 1
+    }
+    require(done, s"kCore did not converge in $maxIter rounds")
+    sym.groupBy(col("__n").as(outCol))
+      .agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
   /** Per-edge common-neighbor similarity (the Jaccard link-prediction
     * score): for every undirected edge (a, b), the number of shared
     * neighbors |N(a)∩N(b)|, both degrees, and

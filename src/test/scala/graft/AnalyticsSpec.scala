@@ -564,6 +564,50 @@ class AnalyticsSpec extends AnyFunSuite {
     sums.foreach { case (_, sp) => assert(math.abs(sp - 1.0) < 1e-5) }
   }
 
+  test("kCore: a triangle with a tail keeps only the triangle at k=2, " +
+      "K4 survives k=3, a path has an empty 2-core, and peeling " +
+      "cascades (removing a leaf can unravel a chain)") {
+    // triangle 1-2-3 with tail 3-4-5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core2 = Analytics.kCore(g, "a", "b", k = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // the tail unravels in cascade: 5 falls first, then 4
+    assert(core2 == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    assert(Analytics.kCore(k4, "a", "b", k = 3).count() == 4)
+    assert(Analytics.kCore(k4, "a", "b", k = 4).count() == 0)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Analytics.kCore(path, "a", "b", k = 2).count() == 0)
+  }
+
+  test("kCore matches a brute-force peel on a seeded random graph and " +
+      "normalizes duplicates, reversals and self loops") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120)
+      .map(_ => (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    val noisy = edges ++ edges.map(_.swap) ++ Seq((3L, 3L))
+    for (k <- Seq(2, 3, 4)) {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      var nbrs = und.toSeq.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var alive = nbrs.keySet
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(n => (nbrs(n) & alive).size < k)
+        changed = drop.nonEmpty
+        alive = alive -- drop
+      }
+      val exp = alive.toSeq.sorted
+        .map(n => (n, (nbrs(n) & alive).size.toLong))
+      val got = Analytics.kCore(noisy.toDF("a", "b"), "a", "b", k)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got == exp, s"k=$k")
+    }
+  }
+
   test("mutualInfo: independent columns give exactly zero pmi; " +
       "identical columns give I(A;B) = H(A)") {
     // independent: every (a,b) combination equally often → every cell's
