@@ -426,10 +426,14 @@ object Analytics {
     * reversals / self-loops collapsed.
     *
     * Scale shape: adjacency is ONE collect_set aggregation into
-    * per-node sorted neighbor arrays (bounded by max degree), then
-    * each edge hash-joins its two endpoint arrays and intersects
-    * in-array — common-neighbor counting never enumerates wedges, so
-    * the work is O(edges · max_degree), not O(Σ deg²). `maxDegree`
+    * per-node sorted neighbor arrays (bounded by max degree) that also
+    * absorbs input dedup — no separate distinct exchange. The
+    * canonical edge list then falls out of the adjacency rows
+    * themselves (explode each node's m > n neighbors), carrying the
+    * n-side array for free, so only the m-side array is joined at
+    * all; each edge intersects its two endpoint arrays in-array —
+    * common-neighbor counting never enumerates wedges, so the work is
+    * O(edges · max_degree), not O(Σ deg²). `maxDegree`
     * (0 = off) drops hub nodes AND their incident edges before the
     * collect, bounding agg buffers and join fan-out exactly like
     * `basketAffinity.maxItemsPerBasket`: the capped result equals the
@@ -442,33 +446,38 @@ object Analytics {
     requireNoReserved(edges, Seq("__a", "__b", "__n", "__m", "__nbrs",
       "__deg", "__nba", "__nbb", "common_cnt", "deg_a", "deg_b",
       "jaccard"))
-    val und = edges
+    // symmetrize from ONE evaluation of the raw edge plan; duplicate
+    // and reversed input edges need no distinct exchange of their own —
+    // the adjacency collect_set below dedups them in-aggregate
+    val sym = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
         col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("__a"),
-        greatest(col(aCol), col(bCol)).as("__b"))
-      .distinct()
-    // symmetrize from ONE evaluation of the canonical edge set
-    val sym = und
       .select(explode(array(
-        struct(col("__a").as("n"), col("__b").as("m")),
-        struct(col("__b").as("n"), col("__a").as("m")))).as("__e"))
+        struct(col(aCol).as("n"), col(bCol).as("m")),
+        struct(col(bCol).as("n"), col(aCol).as("m")))).as("__e"))
       .select(col("__e.n").as("__n"), col("__e.m").as("__m"))
-    // hub cap BEFORE the collect: degree rollup first (counts only),
-    // then keep edges whose BOTH endpoints are under the cap — agg
-    // buffers and per-edge intersect work are bounded by the cap
+    // hub cap BEFORE the collect: exact degree rollup (distinct only
+    // here — the cap path pays for exactness), then keep pairs whose
+    // BOTH endpoints are under the cap — agg buffers and per-edge
+    // intersect work are bounded by the cap
     val kept =
       if (maxDegree <= 0) sym
       else {
-        val ok = sym.groupBy("__n").agg(count(lit(1)).as("__deg"))
+        val ok = sym.distinct().groupBy("__n")
+          .agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") <= maxDegree).select("__n")
         sym.join(ok, Seq("__n"), "left_semi")
           .join(ok.select(col("__n").as("__m")), Seq("__m"), "left_semi")
       }
     val adj = kept.groupBy("__n")
       .agg(sort_array(collect_set(col("__m"))).as("__nbrs"))
-    kept.filter(col("__n") < col("__m"))
-      .join(adj.select(col("__n"), col("__nbrs").as("__nba")), "__n")
+    // canonical edges fall out of the adjacency rows themselves:
+    // exploding n's own (sorted, deduped) array to its m > n neighbors
+    // yields each undirected edge exactly once WITH n's array already
+    // on the row — only the m-side array needs a join at all
+    adj
+      .select(col("__n"), col("__nbrs").as("__nba"),
+        explode(filter(col("__nbrs"), m => m > col("__n"))).as("__m"))
       .join(adj.select(col("__n").as("__m"), col("__nbrs").as("__nbb")),
         "__m")
       .select(col("__n").as(aCol), col("__m").as(bCol),
