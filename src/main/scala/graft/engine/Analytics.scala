@@ -777,6 +777,46 @@ object Analytics {
           .as("top_share"))
   }
 
+  /** Per-group Gini coefficient over exact integer-cent values — the
+    * inequality companion to [[marketConcentration]]'s HHI: 0 = every
+    * player equal, →1 = one player holds everything. Uses the sorted
+    * rank form G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) (i = 1..n ascending); ties
+    * on value are rank-order invariant (equal x makes the tied block's
+    * coefficient sum independent of within-block order), so the
+    * id-tiebroken sort is deterministic AND the statistic is
+    * well-defined. Returns (groupCol, n_players, gini).
+    *
+    * Scale shape: one (group, player) exact-cent revenue rollup, one
+    * per-group window sort of THAT (players ≪ rows) table for ranks,
+    * one re-aggregation; the weighted sum accumulates in
+    * decimal(38,0), so no long overflow at any n. Raw rows read once.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, playerCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__rev", "__rk", "__s0", "__s1",
+      "n_players", "gini"))
+    val rev = df.groupBy(col(groupCol), col(playerCol))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__rev"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__rev"), col(playerCol))
+    // Σ(2i−n−1)x₍ᵢ₎ rearranged to 2·Σi·x − (n+1)·Σx so a single
+    // aggregation needs no per-row knowledge of n
+    rev.withColumn("__rk", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_players"),
+        sum(col("__rev").cast("decimal(38,0)")).as("__s0"),
+        sum(col("__rk").cast("decimal(38,0)") *
+          col("__rev").cast("decimal(38,0)")).as("__s1"))
+      .select(col(groupCol), col("n_players"),
+        round(
+          (lit(2).cast("decimal(38,0)") * col("__s1") -
+            (col("n_players") + lit(1)).cast("decimal(38,0)") *
+              col("__s0")).cast("double") /
+          (col("n_players").cast("decimal(38,0)") * col("__s0"))
+            .cast("double"),
+          6).as("gini"))
+  }
+
   /** RFM customer segmentation: per-user Recency (days since last
     * event, vs the corpus max timestamp), Frequency (event count) and
     * Monetary (value sum), each scored 1–5 by EXACT quintile cutpoints

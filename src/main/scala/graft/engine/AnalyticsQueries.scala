@@ -432,6 +432,30 @@ object AnalyticsQueries {
              |       round(max(r) / sum(r)::DOUBLE, 6) AS top_share
              |FROM rev GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
 
+    // ── per-nation supplier revenue Gini (inequality companion to the
+    // HHI query): exact-cent rollup, one per-nation rank window over
+    // the (already tiny) supplier table, decimal-exact weighted sum ─────
+    QuerySpec("gini_revenue",
+      (s, d) => Analytics.giniByGroup(
+          lineitem(s, d).join(supplier(s, d),
+            col("l_suppkey") === col("s_suppkey")),
+          "s_nationkey", "l_suppkey", "l_extendedprice")
+        .orderBy("s_nationkey"),
+      Some("""WITH rev AS (
+             |  SELECT s.s_nationkey, l.l_suppkey,
+             |         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS r
+             |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT s_nationkey, r,
+             |         row_number() OVER (PARTITION BY s_nationkey
+             |           ORDER BY r, l_suppkey) AS i
+             |  FROM rev)
+             |SELECT s_nationkey, count(*) AS n_players,
+             |       round((2 * sum(i * r) - (count(*) + 1) * sum(r))::DOUBLE
+             |             / (count(*) * sum(r))::DOUBLE, 6) AS gini
+             |FROM rk GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
+
     // ── RFM segmentation: user-level aggregates + EXACT quintile
     // cutpoints broadcast back (no ntile-over-everything funnel) ────────
     QuerySpec("rfm_scores",

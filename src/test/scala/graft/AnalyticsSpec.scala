@@ -334,6 +334,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 2L, 0.625, 0.75))) // 0.75² + 0.25²
   }
 
+  test("giniByGroup: equal split gives 0, near-monopoly approaches " +
+      "(n-1)/n, and the statistic is invariant to tie order") {
+    val df = Seq(
+      // group 1: four equal players → G = 0
+      (1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0), (1L, 4L, 10.0),
+      // group 2: one player holds ~everything of four → G → 3/4
+      (2L, 1L, 0.01), (2L, 2L, 0.01), (2L, 3L, 0.01), (2L, 4L, 9999.0),
+      // group 3: two equal + ties across ids — order of tied ids must
+      // not matter: G of (5,5,10) = Σ|xi−xj|/(2n²μ) = 0.166667
+      (3L, 9L, 5.0), (3L, 1L, 5.0), (3L, 4L, 10.0)
+    ).toDF("g", "p", "v")
+    val out = Analytics.giniByGroup(df, "g", "p", "v")
+      .orderBy("g").as[(Long, Long, Double)].collect().toSeq
+    assert(out(0) == ((1L, 4L, 0.0)))
+    assert(out(1)._2 == 4L && math.abs(out(1)._3 - 0.75) < 1e-4)
+    assert(out(2) == ((3L, 3L, 0.166667)))
+    // mean-absolute-difference cross-check on a seeded random group
+    val rnd = new scala.util.Random(5)
+    val xs = (1 to 40).map(i => (7L, i.toLong,
+      math.rint(rnd.nextDouble() * 10000) / 100))
+    val got = Analytics.giniByGroup(xs.toDF("g", "p", "v"), "g", "p", "v")
+      .as[(Long, Long, Double)].head()._3
+    val cents = xs.map(x => math.rint(x._3 * 100).toLong)
+    val n = cents.size
+    val mad = (for (a <- cents; b <- cents) yield math.abs(a - b)).sum
+    val exp = mad.toDouble / (2.0 * n * n * (cents.sum.toDouble / n))
+    assert(math.abs(got - exp) < 1e-6)
+  }
+
   test("rfmScores: score 5 = most recent / most frequent / highest " +
       "value; recency inverts; scores bounded 1..5") {
     // 10 users, user i: last event at day i, i events of value 10*i
