@@ -817,6 +817,215 @@ object Analytics {
           6).as("gini"))
   }
 
+  /** Per-group Shannon entropy (nats) of a categorical mix — how
+    * evenly a group spreads over the categories (0 = all one type,
+    * ln k = uniform over k types). Uses the re-aggregation identity
+    * H = ln n − (Σ c·ln c)/n so the per-cell counts fold straight
+    * into the group rollup — no window, no join, no per-row p_i.
+    * Returns (groupCol, n_types, n, entropy).
+    *
+    * Scale shape: one (group, type) count aggregation (partial
+    * map-side combine), one re-aggregation of that already-reduced
+    * cell table — raw rows read once, both exchanges keyed and
+    * parallel. The double-sum term adds ≤|types| terms per group, so
+    * parallel summation order cannot move the 6-decimal rounding.
+    */
+  def entropyByGroup(df: DataFrame, groupCol: String, typeCol: String)
+      : DataFrame = {
+    requireNoReserved(df, Seq("__c", "n_types", "n", "entropy"))
+    df.groupBy(col(groupCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_types"), sum("__c").as("n"),
+        round(log(sum("__c").cast("double")) -
+          sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+            sum("__c").cast("double"), 6).as("entropy"))
+  }
+
+  /** Per-group OLS trend slope of a daily value series, computed from
+    * EXACT integer sums — x = epoch day, y = the group's daily total
+    * in integer cents — via slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²).
+    * Per-row products x·y and x² fit comfortably in long (day ≈ 2·10⁴,
+    * daily cents < 4·10¹⁴ before overflow risk); the SUMS accumulate
+    * in decimal(38,0), so the statistic is bit-reproducible at any
+    * parallelism — the one double operation is the final division.
+    * Returns (groupCol, n_days, slope_per_day) with the slope in
+    * value units (not cents) per day.
+    *
+    * Scale shape: one (group, day) aggregation of the raw rows, one
+    * re-aggregation of the daily table (≤ calendar-days rows per
+    * group, independent of raw row count). No window over the series.
+    */
+  def trendSlope(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__x", "__y", "n_days", "__sx", "__sy",
+      "__sxy", "__sxx", "slope_per_day"))
+    val dec = "decimal(38,0)"
+    val daily = df
+      .select(col(groupCol),
+        (col(dateCol).cast("timestamp").cast("long") / 86400L)
+          .cast("long").as("__x"),
+        round(col(valueCol) * 100).cast("long").as("__y"))
+      .groupBy(col(groupCol), col("__x"))
+      .agg(sum("__y").as("__y"))
+    daily.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"))
+      .select(col(groupCol), col("n_days"),
+        round(
+          (col("n_days").cast(dec) * col("__sxy") -
+            col("__sx") * col("__sy")).cast("double") /
+          (col("n_days").cast(dec) * col("__sxx") -
+            col("__sx") * col("__sx")).cast("double") / 100.0,
+          6).as("slope_per_day"))
+  }
+
+  /** Per-key inter-arrival statistics over an event stream: gap count,
+    * mean gap (seconds) and the coefficient of variation of the gaps —
+    * the burstiness fingerprint that separates organic users (CV ≈ 1,
+    * memoryless) from bots and schedulers (CV ≪ 1, metronomic) and
+    * from scrapers (CV ≫ 1, batchy) in training-data hygiene. Gaps are
+    * exact microsecond longs; Σg and Σg² accumulate in decimal(38,0)
+    * (a year-long gap squared overflows long), variance is the exact
+    * n·Σg²−(Σg)² form over n(n−1), and only the final sqrt/divide is
+    * double. Keys with fewer than 2 gaps are dropped (CV undefined).
+    * Returns (keyCol, n_gaps, mean_gap_s, cv).
+    *
+    * Scale shape: ONE exchange on the key (the lag window), then the
+    * per-key rollup reuses that partitioning — no second shuffle.
+    */
+  def interArrivalStats(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    requireNoReserved(ev, Seq("__us", "__gap", "n_gaps", "mean_gap_s",
+      "__s1", "__s2", "cv"))
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(idCol))
+    val gaps = ev
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    gaps.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap").cast(dec)).as("__s1"),
+        sum(col("__gap").cast(dec) * col("__gap").cast(dec)).as("__s2"))
+      .filter(col("n_gaps") >= 2)
+      .select(col(keyCol), col("n_gaps"),
+        round(col("__s1").cast("double") / col("n_gaps") / 1e6, 3)
+          .as("mean_gap_s"),
+        round(
+          sqrt((col("n_gaps").cast(dec) * col("__s2") -
+              col("__s1") * col("__s1")).cast("double") /
+            (col("n_gaps") * (col("n_gaps") - 1))) /
+          (col("__s1").cast("double") / col("n_gaps")), 6).as("cv"))
+  }
+
+  /** Per-key time-weighted average of a value column — each reading
+    * weighted by how long it was "current" (until the key's next
+    * event): Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₁). The right mean for sampled
+    * gauges (price, queue depth, temperature) where the plain mean
+    * over-weights busy periods. Values are exact integer cents,
+    * durations exact microsecond longs, the weighted sum accumulates
+    * in decimal(38,0); each key's final reading has no successor and
+    * carries no weight. Keys with a single event are dropped (zero
+    * total duration). Returns (keyCol, twap).
+    *
+    * Scale shape: ONE exchange on the key (the lead window), rollup
+    * reuses the partitioning.
+    */
+  def timeWeightedAvg(ev: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    requireNoReserved(ev, Seq("__us", "__v", "__t2", "__wv", "__wt",
+      "twap"))
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(idCol))
+    val spans = ev
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        round(col(valueCol) * 100).cast("long").as("__v"), col(idCol))
+      .withColumn("__t2", lead(col("__us"), 1).over(w))
+      .filter(col("__t2").isNotNull)
+    spans.groupBy(keyCol)
+      .agg(sum(col("__v").cast(dec) * (col("__t2") - col("__us"))
+          .cast(dec)).as("__wv"),
+        sum((col("__t2") - col("__us")).cast(dec)).as("__wt"))
+      .select(col(keyCol),
+        round(col("__wv").cast("double") / col("__wt").cast("double")
+          / 100.0, 6).as("twap"))
+  }
+
+  /** CUSUM level-shift detection over each group's daily count series:
+    * for the cumulative sum Sₔ = Σ_{d'≤d} (cₔ' − μ) (μ = the group's
+    * mean daily count), report the day where |Sₔ| peaks — the
+    * classic changepoint locator (the peak of the CUSUM is the most
+    * likely shift point). Computed in EXACT integers by scaling
+    * through n: Sₔ·n = Σ (n·cₔ' − T) with n = #days, T = total count,
+    * so the running sum is a long and the argmax is exact; the
+    * reported peak is the scaled sum normalized by n·T ∈ [−1, 1]
+    * (fraction of total volume displaced), rounded at 6. Ties break to the
+    * earliest day. Returns (groupCol, shift_day, peak_cusum).
+    *
+    * Scale shape: the raw rows reduce to (group, day) cells once; the
+    * per-group marginals re-aggregate THAT table and broadcast back;
+    * the running-sum window partitions by group over ≤ calendar-days
+    * rows — never over raw events.
+    */
+  def cusumShift(df: DataFrame, groupCol: String, tsCol: String)
+      : DataFrame = {
+    requireNoReserved(df, Seq("__day", "__c", "__nd", "__tot", "__cu",
+      "__rk", "shift_day", "peak_cusum"))
+    val daily = df
+      .select(col(groupCol),
+        expr(s"unix_micros(`$tsCol`) div 86400000000").as("__day"))
+      .groupBy(col(groupCol), col("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val marg = daily.groupBy(groupCol)
+      .agg(count(lit(1)).as("__nd"), sum("__c").as("__tot"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPk = Window.partitionBy(groupCol)
+      .orderBy(abs(col("__cu")).desc, col("__day"))
+    daily.join(broadcast(marg), Seq(groupCol))
+      .withColumn("__cu",
+        sum(col("__nd") * col("__c") - col("__tot")).over(wCum))
+      .withColumn("__rk", row_number().over(wPk))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col("__day").as("shift_day"),
+        round(col("__cu").cast("double") /
+          (col("__nd").cast("double") * col("__tot").cast("double")),
+          6).as("peak_cusum"))
+  }
+
+  /** Top-k length-3 event-type paths (trigrams) across all keys'
+    * event sequences — the "what do users actually do" view that
+    * funnels (which presuppose an order) can't give. Sequences order
+    * by exact microseconds with the id column as the deterministic
+    * same-instant tiebreak. Returns (path, n) — the k most frequent,
+    * ties broken by path text.
+    *
+    * Scale shape: ONE exchange on the key for both lead windows
+    * (same frame), then a count aggregation whose cardinality is
+    * ≤ |types|³ after partial map-side combine, and a broadcast-size
+    * top-k sort over that.
+    */
+  def eventPaths(ev: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireNoReserved(ev, Seq("__us", "__e2", "__e3", "path", "n"))
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(idCol))
+    ev.select(col(keyCol), col(typeCol),
+        unix_micros(col(tsCol)).as("__us"), col(idCol))
+      .withColumn("__e2", lead(col(typeCol), 1).over(w))
+      .withColumn("__e3", lead(col(typeCol), 2).over(w))
+      .filter(col("__e3").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("__e2"), col("__e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** RFM customer segmentation: per-user Recency (days since last
     * event, vs the corpus max timestamp), Frequency (event count) and
     * Monetary (value sum), each scored 1–5 by EXACT quintile cutpoints

@@ -456,6 +456,126 @@ object AnalyticsQueries {
              |             / (count(*) * sum(r))::DOUBLE, 6) AS gini
              |FROM rk GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
 
+    // ── per-user Shannon entropy of the event-type mix: cells → one
+    // re-agg via H = ln n − Σc·ln c / n (no window, no join; ≤5 double
+    // terms per group so parallel sum order can't move the rounding) ────
+    QuerySpec("entropy_mix",
+      (s, d) => Analytics.entropyByGroup(events(s, d), "user_id",
+          "event_type")
+        .orderBy("user_id"),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_types, sum(c)::BIGINT AS n,
+             |       round(ln(sum(c)::DOUBLE)
+             |             - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE,
+             |             6) AS entropy
+             |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ── per-nation OLS slope of daily order revenue: exact integer
+    // sums (decimal38 / HUGEINT), double only at the final division ─────
+    QuerySpec("trend_slope",
+      (s, d) => Analytics.trendSlope(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderdate", "o_totalprice")
+        .orderBy("c_nationkey"),
+      Some("""WITH daily AS (
+             |  SELECT c.c_nationkey,
+             |         CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS x,
+             |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT c_nationkey, count(*) AS n_days,
+             |       round((count(*) * sum(x::HUGEINT * y)
+             |                - sum(x::HUGEINT) * sum(y::HUGEINT))::DOUBLE
+             |             / (count(*) * sum(x::HUGEINT * x)
+             |                - sum(x::HUGEINT) * sum(x::HUGEINT))::DOUBLE
+             |             / 100, 6) AS slope_per_day
+             |FROM daily GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // ── per-user inter-arrival burstiness (mean gap + CV): exact
+    // microsecond gaps, decimal/HUGEINT moment sums, the bot-detector ───
+    QuerySpec("inter_event_stats",
+      (s, d) => Analytics.interArrivalStats(events(s, d), "user_id",
+          "ts", "event_id")
+        .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |           PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS gap
+             |  FROM events)
+             |SELECT user_id, count(gap)::BIGINT AS n_gaps,
+             |       round(sum(gap)::DOUBLE / count(gap) / 1e6, 3)
+             |         AS mean_gap_s,
+             |       round(sqrt((count(gap) * sum(gap::HUGEINT * gap)
+             |                     - sum(gap::HUGEINT) * sum(gap::HUGEINT))::DOUBLE
+             |                  / (count(gap) * (count(gap) - 1)))
+             |             / (sum(gap)::DOUBLE / count(gap)), 6) AS cv
+             |FROM g WHERE gap IS NOT NULL
+             |GROUP BY 1 HAVING count(gap) >= 2
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── per-user time-weighted average event value: exact cents ×
+    // exact microsecond durations, decimal-accumulated ──────────────────
+    QuerySpec("twap_value",
+      (s, d) => Analytics.timeWeightedAvg(events(s, d), "user_id",
+          "ts", "value", "event_id")
+        .orderBy("user_id"),
+      Some("""WITH s AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+             |         epoch_us(ts) AS t,
+             |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS t2
+             |  FROM events)
+             |SELECT user_id,
+             |       round(sum(v::HUGEINT * (t2 - t))::DOUBLE
+             |             / sum(t2 - t)::DOUBLE / 100, 6) AS twap
+             |FROM s WHERE t2 IS NOT NULL GROUP BY 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── CUSUM changepoint per event type: integer-scaled running sum
+    // over the (type, day) cell table, exact argmax, earliest-day tie ───
+    QuerySpec("cusum_shift",
+      (s, d) => Analytics.cusumShift(events(s, d), "event_type", "ts")
+        .orderBy("event_type"),
+      Some("""WITH d AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             |         count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, count(*)::BIGINT AS nd,
+             |             sum(c)::BIGINT AS tot FROM d GROUP BY 1),
+             |s AS (
+             |  SELECT d.event_type, d.day, t.nd, t.tot,
+             |         sum(t.nd * d.c - t.tot) OVER (
+             |           PARTITION BY d.event_type ORDER BY d.day) AS cu
+             |  FROM d JOIN t USING (event_type)),
+             |m AS (SELECT event_type, day, cu, nd, tot,
+             |        row_number() OVER (PARTITION BY event_type
+             |          ORDER BY abs(cu) DESC, day) AS rk FROM s)
+             |SELECT event_type, day AS shift_day,
+             |       round(cu::DOUBLE / (nd::DOUBLE * tot::DOUBLE), 6)
+             |         AS peak_cusum
+             |FROM m WHERE rk = 1 ORDER BY event_type""".stripMargin)),
+
+    // ── top-20 event-type trigram paths: two leads on ONE user
+    // window, |types|³-bounded count table, broadcast-size top-k ────────
+    QuerySpec("session_paths",
+      (s, d) => Analytics.eventPaths(events(s, d), "user_id",
+          "event_type", "ts", "event_id", k = 20),
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type AS e1,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS e2,
+             |         lead(event_type, 2) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS e3
+             |  FROM events)
+             |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             |       count(*)::BIGINT AS n
+             |FROM s WHERE e3 IS NOT NULL GROUP BY 1
+             |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
     // ── RFM segmentation: user-level aggregates + EXACT quintile
     // cutpoints broadcast back (no ntile-over-everything funnel) ────────
     QuerySpec("rfm_scores",

@@ -363,6 +363,96 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got - exp) < 1e-6)
   }
 
+  test("entropyByGroup: uniform mix gives ln k, single type gives 0, " +
+      "and the re-agg identity matches -sum p ln p") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),       // uniform over 2
+      (2L, "a"), (2L, "a"), (2L, "a"),                  // degenerate
+      (3L, "a"), (3L, "b"), (3L, "c"), (3L, "d"),       // uniform over 4
+      (4L, "a"), (4L, "a"), (4L, "a"), (4L, "b")        // 3:1 split
+    ).toDF("g", "t")
+    val out = Analytics.entropyByGroup(df, "g", "t")
+      .orderBy("g").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out(0) == ((1L, 2L, 4L, 0.693147)))          // ln 2
+    assert(out(1) == ((2L, 1L, 3L, 0.0)))
+    assert(out(2) == ((3L, 4L, 4L, 1.386294)))          // ln 4
+    val p = Seq(0.75, 0.25)
+    val expected = math.rint(-p.map(x => x * math.log(x)).sum * 1e6) / 1e6
+    assert(out(3) == ((4L, 2L, 4L, expected)))
+  }
+
+  test("trendSlope: exact line recovers its slope, constant series " +
+      "gives 0, intercept does not matter") {
+    val rows = (0 until 10).flatMap { d =>
+      Seq((1L, (19000L + d) * 86400L, 100.0 + 5.0 * d),  // slope 5/day
+        (2L, (19000L + d) * 86400L, 42.0))               // flat
+    }
+    val out = Analytics.trendSlope(rows.toDF("g", "dt", "v"), "g", "dt", "v")
+      .orderBy("g").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10L, 5.0), (2L, 10L, 0.0)))
+  }
+
+  test("interArrivalStats: metronomic gaps give cv 0, known gaps give " +
+      "the exact sample-variance cv, single-event keys drop") {
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 1000000L, 11L), (1L, 2000000L, 12L),
+      (1L, 3000000L, 13L),                    // gaps 1s,1s,1s
+      (2L, 0L, 20L), (2L, 1000000L, 21L), (2L, 4000000L, 22L), // 1s,3s
+      (3L, 0L, 30L)                           // single event
+    ).toDF("k", "tu", "id").withColumn("ts", timestamp_micros(col("tu")))
+    val out = Analytics.interArrivalStats(df, "k", "ts", "id")
+      .orderBy("k").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.size == 2)
+    assert(out(0) == ((1L, 3L, 1.0, 0.0)))
+    // gaps {1e6, 3e6}: mean 2e6, sample sd sqrt(2)e6 -> cv 0.707107
+    assert(out(1) == ((2L, 2L, 2.0, 0.707107)))
+  }
+
+  test("timeWeightedAvg: values weight by their holding duration, the " +
+      "final reading carries none, single-event keys drop") {
+    val df = Seq(
+      (1L, 0L, 10.0, 1L), (1L, 3000000L, 20.0, 2L),
+      (1L, 4000000L, 99.0, 3L),               // 10 held 3s, 20 held 1s
+      (2L, 0L, 7.0, 4L)                       // single event
+    ).toDF("k", "tu", "v", "id")
+      .withColumn("ts", timestamp_micros(col("tu")))
+    val out = Analytics.timeWeightedAvg(df, "k", "ts", "v", "id")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 12.5)))            // (10*3 + 20*1) / 4
+  }
+
+  test("cusumShift: a mid-series level shift peaks at the last " +
+      "pre-shift day; a flat series ties to the earliest day at 0") {
+    // group a: 1 event/day on days 0-4, then 3/day on days 5-9
+    val a = (0 to 4).map(d => ("a", d.toLong)) ++
+      (5 to 9).flatMap(d => Seq.fill(3)(("a", d.toLong)))
+    // group b: 2/day on both days — cusum identically 0, tie -> day 0
+    val b = Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", 1L))
+    val df = (a ++ b).toDF("g", "day")
+      .withColumn("ts", timestamp_micros(col("day") * 86400000000L))
+    val out = Analytics.cusumShift(df, "g", "ts")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    // nd=10, tot=20; S_d*n bottoms at -50 on day 4 -> -50/(10*20)
+    assert(out == Seq(("a", 4L, -0.25), ("b", 0L, 0.0)))
+  }
+
+  test("eventPaths: counts trigrams per key in time order, breaks " +
+      "count ties by path text and same-instant ties by id") {
+    val df = Seq(
+      (1L, "a", 0L, 1L), (1L, "b", 1L, 2L), (1L, "c", 2L, 3L),
+      (1L, "d", 3L, 4L),                      // a>b>c, b>c>d
+      (2L, "a", 0L, 5L), (2L, "b", 1L, 6L), (2L, "c", 2L, 7L), // a>b>c
+      (3L, "x", 0L, 8L), (3L, "y", 1L, 9L), (3L, "z", 2L, 10L), // x>y>z
+      // same-instant: order is defined by id -> c, a, b
+      (4L, "b", 0L, 13L), (4L, "c", 0L, 11L), (4L, "a", 0L, 12L)
+    ).toDF("k", "t", "tu", "id")
+      .withColumn("ts", timestamp_micros(col("tu")))
+    val out = Analytics.eventPaths(df, "k", "t", "ts", "id", k = 4)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a>b>c", 2L), ("b>c>d", 1L), ("c>a>b", 1L),
+      ("x>y>z", 1L)))
+  }
+
   test("rfmScores: score 5 = most recent / most frequent / highest " +
       "value; recency inverts; scores bounded 1..5") {
     // 10 users, user i: last event at day i, i events of value 10*i
