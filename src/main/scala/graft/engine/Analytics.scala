@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Product-analytics and data-maintenance operators: conversion
@@ -1042,16 +1042,21 @@ object Analytics {
     */
   def rfmScores(ev: DataFrame, userCol: String, tsCol: String,
       valueCol: String): DataFrame = {
-    requireNoReserved(ev, Seq("__t", "__maxt", "r_days", "frequency",
-      "monetary"))
+    requireNoReserved(ev, Seq("__t", "__maxt", "__rsec", "r_days",
+      "frequency", "monetary"))
     val base = ev.select(col(userCol), col(tsCol).cast("long").as("__t"),
       col(valueCol))
     val maxT = base.agg(max("__t").as("__maxt"))
     val users = base.crossJoin(broadcast(maxT))
       .groupBy(col(userCol))
-      .agg((((first("__maxt") - max("__t")) / lit(86400.0))).as("r_days"),
+      .agg((first("__maxt") - max("__t")).as("__rsec"),
         count(lit(1)).as("frequency"),
         sum(col(valueCol)).as("monetary"))
+      // unrounded double only feeds the quantile scoring; the DISPLAYED
+      // r_days is rounded half-up in exact integer micro-days below —
+      // sec/86400 lands on exact .xxxxxx5 ties (e.g. 177201 s) where
+      // double round-to-6 is engine-dependent
+      .withColumn("r_days", col("__rsec") / lit(86400.0))
     def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
       case (p, i) => percentile(col(c), lit(p)).as(s"__${c}_c$i")
     }
@@ -1063,7 +1068,8 @@ object Analytics {
       .reduce(_ + _) + 1
     users.crossJoin(broadcast(cutRow))
       .select(col(userCol),
-        round(col("r_days"), 6).as("r_days"),
+        (floor((col("__rsec") * 1000000L + 43200L) / lit(86400L)) /
+          lit(1e6)).as("r_days"),
         col("frequency"),
         round(col("monetary"), 4).as("monetary"),
         // recency: smaller is better → invert the ascending score
@@ -1333,5 +1339,127 @@ object Analytics {
     kept.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tieCol)
+  }
+
+  /** 2-D Pareto frontier (skyline) under strict dominance: a row
+    * survives iff NO other row is strictly greater on BOTH `xCol` and
+    * `yCol` — "best trade-offs" queries (latest AND largest order,
+    * cheapest AND freshest supplier) without a quadratic self-join.
+    *
+    * Scale shape — the naive formulations both fail at 100 TB: the
+    * NOT EXISTS self-join is O(n²), and a single global sort-window
+    * funnels every row through one task. This uses the standard
+    * two-phase skyline: (1) a LOCAL pass — per input partition
+    * (`spark_partition_id`), sort by x desc and keep rows not
+    * dominated within the partition via a running strict-greater max
+    * of y (a dominated-anywhere row is dominated in its own partition,
+    * so pruning is lossless); random data leaves O(log n) survivors
+    * per partition; (2) the same running-max filter globally over the
+    * tiny survivor set. The only global ordering happens after ~all
+    * data is pruned. Ties: equal x (or equal y) never dominate —
+    * strict product order, so incomparable near-duplicates all
+    * survive. Returns the input row narrowed to (idCol, xCol, yCol).
+    */
+  def skyline2D(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__pid", "__mx"))
+    def undominated(in: DataFrame, w: WindowSpec): DataFrame =
+      in.withColumn("__mx",
+          max(col(yCol)).over(w.orderBy(col(xCol).desc)
+            .rangeBetween(Window.unboundedPreceding, -1)))
+        .filter(col("__mx").isNull || col(yCol) >= col("__mx"))
+        .drop("__mx")
+    val narrowed = df.select(col(idCol), col(xCol), col(yCol))
+    val local = undominated(
+      narrowed.withColumn("__pid", spark_partition_id()),
+      Window.partitionBy("__pid")).drop("__pid")
+    undominated(local, Window.partitionBy())
+  }
+
+  /** First-significant-digit distribution of a positive money column
+    * against Benford's law — the classic fabricated-data / synthetic-
+    * leak detector for data-quality auditing: organic multiplicative
+    * quantities follow P(d) = log10(1+1/d); uniform or hand-typed
+    * values don't. The digit is taken from the EXACT integer cents
+    * (string head of a long), never from float log10 of the raw value
+    * — so the binning is bit-deterministic. Returns one row per
+    * leading digit 1–9: (digit, n_values, share, benford_expected).
+    * Non-positive values are excluded (no leading digit).
+    *
+    * Scale shape: one map-side-combinable groupBy on a 9-value key;
+    * the share normalization runs over the 9-row AGGREGATED result
+    * (cardinality is 9 regardless of input size), so the unpartitioned
+    * window is constant work.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("digit", "n_values", "share",
+      "benford_expected"))
+    val cents = round(col(valueCol) * 100).cast("long")
+    val counts = df
+      .filter(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_values"))
+    counts
+      .withColumn("share",
+        round(col("n_values").cast("double") /
+          sum("n_values").over(Window.partitionBy()), 6))
+      .withColumn("benford_expected",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+  }
+
+  /** Per-group lag-k autocorrelation of the daily value series: Pearson
+    * correlation between day t's total and day t+k's total (row-ordered
+    * over the OBSERVED days, so calendar gaps contract rather than
+    * zero-fill — document-standard for irregular series). The
+    * mean-reversion / momentum fingerprint of a revenue stream, and
+    * the sanity check behind any lag-feature design: a series whose
+    * autocorrelation is ~0 gains nothing from lag features.
+    *
+    * Determinism/overflow posture as [[trendSlope]]: daily totals are
+    * exact long cents; every product is computed in decimal (cents²
+    * at warehouse scale overflows a long multiply), moment sums
+    * accumulate in decimal(38,0), and only the final correlation is
+    * double, rounded once. Returns (groupCol, n_pairs, autocorr);
+    * groups with < 3 observed days are dropped (undefined).
+    *
+    * Scale shape: map-side-combinable daily rollup, then ONE exchange
+    * on the group for the lead window, then the moment rollup reuses
+    * that partitioning.
+    */
+  def autocorrLag(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String, lagDays: Int = 1): DataFrame = {
+    require(lagDays >= 1, "lagDays must be >= 1")
+    requireNoReserved(df, Seq("__x", "__y", "__d", "n_pairs", "__sx",
+      "__sy", "__sxy", "__sxx", "__syy", "autocorr"))
+    val dec = "decimal(19,0)"
+    val daily = df
+      .select(col(groupCol),
+        (col(dateCol).cast("timestamp").cast("long") / 86400L)
+          .cast("long").as("__d"),
+        round(col(valueCol) * 100).cast("long").as("__x"))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(sum("__x").as("__x"))
+    val w = Window.partitionBy(groupCol).orderBy("__d")
+    val pairs = daily
+      .withColumn("__y", lead(col("__x"), lagDays).over(w))
+      .filter(col("__y").isNotNull)
+    pairs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+      .filter(col("n_pairs") >= 2)
+      .select(col(groupCol), col("n_pairs"),
+        round(
+          (col("n_pairs").cast(dec) * col("__sxy") -
+            col("__sx") * col("__sy")).cast("double") /
+          sqrt((col("n_pairs").cast(dec) * col("__sxx") -
+            col("__sx") * col("__sx")).cast("double")) /
+          sqrt((col("n_pairs").cast(dec) * col("__syy") -
+            col("__sy") * col("__sy")).cast("double")), 6)
+          .as("autocorr"))
   }
 }

@@ -588,7 +588,8 @@ object AnalyticsQueries {
              |  SELECT user_id, $EpochS AS t, value FROM events
              |  WHERE event_type = 'purchase'),
              |mt AS (SELECT max(t) AS maxt FROM base),
-             |u AS (SELECT user_id, (maxt - max(t)) / 86400.0 AS r_days,
+             |u AS (SELECT user_id, maxt - max(t) AS rsec,
+             |             (maxt - max(t)) / 86400.0 AS r_days,
              |             count(*) AS frequency, sum(value) AS monetary
              |      FROM base CROSS JOIN mt GROUP BY user_id, maxt),
              |c AS (SELECT
@@ -599,7 +600,9 @@ object AnalyticsQueries {
              |  quantile_cont(monetary, 0.2) AS m0, quantile_cont(monetary, 0.4) AS m1,
              |  quantile_cont(monetary, 0.6) AS m2, quantile_cont(monetary, 0.8) AS m3
              |  FROM u)
-             |SELECT user_id, round(r_days, 6) AS r_days, frequency,
+             |SELECT user_id,
+             |       (rsec * 1000000 + 43200) // 86400 / 1000000.0 AS r_days,
+             |       frequency,
              |       round(monetary, 4) AS monetary,
              |       6 - (1 + (r_days > r0)::INT + (r_days > r1)::INT +
              |            (r_days > r2)::INT + (r_days > r3)::INT) AS r_score,
@@ -883,6 +886,77 @@ object AnalyticsQueries {
              |JOIN deg db ON db.n = e.pb
              |LEFT JOIN cm ON cm.pa = e.pa AND cm.pb = e.pb
              |ORDER BY jaccard DESC, part_a, part_b
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // ── 2-D Pareto frontier of orders (latest day AND highest price):
+    // two-phase local-then-global skyline, never an O(n²) self-join;
+    // oracle uses the same strict-greater running-max window form ──────
+    QuerySpec("skyline_orders",
+      (s, d) => Analytics.skyline2D(
+          orders(s, d).select(col("o_orderkey"),
+            (col("o_orderdate").cast("timestamp").cast("long") / 86400L)
+              .cast("long").as("order_day"),
+            round(col("o_totalprice") * 100).cast("long")
+              .as("price_cents")),
+          "o_orderkey", "order_day", "price_cents")
+        .orderBy("order_day", "o_orderkey"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS order_day,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             |  FROM orders),
+             |w AS (SELECT *, max(price_cents) OVER (ORDER BY order_day DESC
+             |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+             |      FROM o)
+             |SELECT o_orderkey, order_day, price_cents FROM w
+             |WHERE mx IS NULL OR price_cents >= mx
+             |ORDER BY order_day, o_orderkey""".stripMargin)),
+
+    // ── Benford first-digit audit of lineitem prices: digit from the
+    // exact integer cents (string head), never float log10 binning ──────
+    QuerySpec("benford_digits",
+      (s, d) => Analytics.benfordDigits(lineitem(s, d), "l_extendedprice")
+        .orderBy("digit"),
+      Some("""WITH c AS (
+             |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+             |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM lineitem
+             |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0)
+             |SELECT digit, count(*)::BIGINT AS n_values,
+             |       round(count(*)::DOUBLE / (SELECT count(*) FROM c), 6)
+             |         AS share,
+             |       round(log10(1 + 1.0 / digit), 6) AS benford_expected
+             |FROM c GROUP BY digit ORDER BY digit""".stripMargin)),
+
+    // ── lag-1 autocorrelation of per-nation daily revenue: decimal
+    // moment sums (cents² overflows long at warehouse scale), one
+    // double round at the end — trendSlope's determinism posture ────────
+    QuerySpec("autocorr_lag",
+      (s, d) => Analytics.autocorrLag(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderdate", "o_totalprice")
+        .orderBy("c_nationkey"),
+      Some("""WITH daily AS (
+             |  SELECT c.c_nationkey,
+             |         CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS d,
+             |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2),
+             |p AS (SELECT c_nationkey, v AS x,
+             |             lead(v) OVER (PARTITION BY c_nationkey
+             |                           ORDER BY d) AS y
+             |      FROM daily)
+             |SELECT c_nationkey, count(*)::BIGINT AS n_pairs,
+             |       round((count(*) * sum(x::HUGEINT * y)
+             |                - sum(x::HUGEINT) * sum(y::HUGEINT))::DOUBLE
+             |             / sqrt((count(*) * sum(x::HUGEINT * x)
+             |                - sum(x::HUGEINT) * sum(x::HUGEINT))::DOUBLE)
+             |             / sqrt((count(*) * sum(y::HUGEINT * y)
+             |                - sum(y::HUGEINT) * sum(y::HUGEINT))::DOUBLE),
+             |             6) AS autocorr
+             |FROM p WHERE y IS NOT NULL
+             |GROUP BY 1 HAVING count(*) >= 2
+             |ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -806,4 +806,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(capped == uncappedSub)
     assert(hubs.nonEmpty, "fixture must actually exercise the cap")
   }
+
+  test("skyline2D matches the brute-force strict-dominance frontier on " +
+      "seeded points with ties, independent of input partitioning") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 500)
+      .map(i => (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    val exp = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) => qx > x && qy > y }
+    }.map(_._1).sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Analytics.skyline2D(
+          pts.toDF("id", "x", "y").repartition(parts), "id", "x", "y")
+        .orderBy("id").select("id").as[Long].collect().toSeq
+      assert(got == exp, s"parts=$parts")
+    }
+  }
+
+  test("benfordDigits: digits from exact cents, non-positive excluded, " +
+      "shares sum to one, expected column is Benford's law") {
+    val df = Seq(1.23, 12.0, 19.99, 0.45, 9.0, -5.0, 0.0).toDF("v")
+    val out = Analytics.benfordDigits(df, "v").orderBy("digit")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1, 3L), (4, 1L), (9, 1L)))
+    assert(out.map(_._3) == Seq(0.6, 0.2, 0.2))
+    assert(out.map(_._4) == Seq(0.30103, 0.09691, 0.045757))
+  }
+
+  test("autocorrLag: a linear ramp is +1, an alternating series is -1, " +
+      "groups with too few days are dropped") {
+    val rows =
+      (0 until 30).map(i => ("ramp", i, 100.0 + i)) ++
+      (0 until 30).map(i => ("alt", i, if (i % 2 == 0) 10.0 else 20.0)) ++
+      Seq(("tiny", 0, 5.0), ("tiny", 1, 6.0)) // 1 pair -> dropped
+    val df = rows.toDF("g", "i", "v")
+      .withColumn("day", expr("date_add(date '2024-01-01', i)"))
+    val out = Analytics.autocorrLag(df, "g", "day", "v")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("alt", "ramp"))
+    assert(out.map(_._2) == Seq(29L, 29L))
+    assert(out.find(_._1 == "ramp").get._3 == 1.0)
+    assert(out.find(_._1 == "alt").get._3 == -1.0)
+    // lag-2 of the alternating series compares same-phase values -> +1
+    val l2 = Analytics.autocorrLag(df.filter(col("g") === "alt"),
+        "g", "day", "v", lagDays = 2)
+      .as[(String, Long, Double)].head()
+    assert(l2._2 == 28L && l2._3 == 1.0)
+  }
 }

@@ -165,6 +165,59 @@ class ScaleSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__probe").exists())
   }
 
+  test("zorderWrite: a narrow range on EITHER clustered dimension " +
+      "overlaps a strict file subset, where the 1-D layout prunes " +
+      "nothing on its non-sorted dimension; data round-trips") {
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val zDir = base + "/z"
+    val linDir = base + "/lin"
+    Scale.zorderWrite(df, zDir, Seq("o_custkey", "o_totalprice"),
+      numFiles = 16)
+    Scale.clusteredWrite(df, linDir, "o_custkey", numFiles = 16)
+
+    def fileBoxes(dir: String): Array[(Double, Double, Double, Double)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString).agg(
+            min("o_custkey"), max("o_custkey"),
+            min("o_totalprice"), max("o_totalprice")).head()
+          (r.getLong(0).toDouble, r.getLong(1).toDouble,
+            r.getDouble(2), r.getDouble(3))
+        }
+    val zBoxes = fileBoxes(zDir)
+    val linBoxes = fileBoxes(linDir)
+    assert(zBoxes.length > 4, "fixture must produce multiple z files")
+
+    // a ~10% band in the middle of each dimension
+    val Array(ck10, ck45, ck55) =
+      df.stat.approxQuantile("o_custkey", Array(0.1, 0.45, 0.55), 0.0)
+    val Array(tp45, tp55) =
+      df.stat.approxQuantile("o_totalprice", Array(0.45, 0.55), 0.0)
+    def touchCk(bs: Array[(Double, Double, Double, Double)]) =
+      bs.count(b => b._1 <= ck55 && b._2 >= ck45)
+    def touchTp(bs: Array[(Double, Double, Double, Double)]) =
+      bs.count(b => b._3 <= tp55 && b._4 >= tp45)
+
+    // z-order prunes on both dimensions
+    assert(touchCk(zBoxes) < zBoxes.length,
+      s"custkey band should skip some z files: ${zBoxes.toSeq}")
+    assert(touchTp(zBoxes) < zBoxes.length,
+      s"totalprice band should skip some z files: ${zBoxes.toSeq}")
+    // the 1-D layout prunes custkey but NOT totalprice — every file
+    // spans essentially the full totalprice domain (this is the gap
+    // z-ordering closes, not a strawman)
+    assert(touchCk(linBoxes) < linBoxes.length)
+    assert(touchTp(linBoxes) == linBoxes.length,
+      s"1-D layout unexpectedly clustered totalprice: ${linBoxes.toSeq}")
+    assert(touchTp(zBoxes) < touchTp(linBoxes))
+    // round-trip: same rows, clustering is layout-only
+    assert(spark.read.parquet(zDir).count() == df.count())
+    assert(ck10 >= 0.0) // quantile sanity anchor
+  }
+
   test("clusteredWrite: per-file key ranges are pairwise disjoint, so a " +
       "key-range predicate has data in a bounded file subset; data " +
       "round-trips") {
