@@ -1341,6 +1341,116 @@ object Analytics {
       .drop(tieCol)
   }
 
+  /** Multi-source BFS distances: for every node reachable from any
+    * seed within `maxDepth` directed hops, the exact hop distance to
+    * the NEAREST seed. Landmark distances are the workhorse of
+    * graph-feature pipelines (distance-to-known-spam, degrees of
+    * separation from a trusted core) and of graph-partitioning
+    * heuristics. Pass a symmetrized edge list for undirected
+    * semantics.
+    *
+    * Level-synchronous frontier expansion (the Pregel shape): each
+    * round joins ONLY the newly-discovered frontier — never the full
+    * distance table — against the edge list, anti-joins out nodes
+    * already labeled (BFS invariant: first discovery IS the minimum
+    * distance, so no min-aggregation over paths and no re-visits),
+    * and stops early when the frontier empties. Lineage truncates per
+    * round via localCheckpoint (the [[kCore]]/[[pageRank]] posture);
+    * the edge list is persisted once and unpersisted before return.
+    * At 100 TB the cost is maxDepth hash joins keyed on the frontier,
+    * each a fraction of one full-graph shuffle.
+    *
+    * Returns (outCol, dist). Seeds themselves carry dist 0; nodes
+    * unreachable within maxDepth are absent.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int,
+      outCol: String = "id"): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    requireNoReserved(edges, Seq("__s", "__t", "__n", "dist"))
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).as("__n")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = dist
+    var d = 0
+    var drained = false
+    while (d < maxDepth && !drained) {
+      d += 1
+      val next = frontier.join(e, col("__n") === col("__s"))
+        .select(col("__t").as("__n")).distinct()
+        .join(dist, Seq("__n"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    dist.select(col("__n").as(outCol), col("dist"))
+  }
+
+  /** Per-group day-of-week revenue profile: exact cent totals and the
+    * within-group share per weekday — the first-order seasonality
+    * fingerprint behind staffing/capacity models and the sanity check
+    * for any day-of-week feature. The weekday index is computed
+    * ARITHMETICALLY from the epoch day ((day + 4) mod 7, 0 = Sunday)
+    * — pure integer math that every engine reproduces bit-for-bit,
+    * where calendar dayofweek() functions disagree on week-start
+    * conventions. Returns (groupCol, dow, revenue_cents, share).
+    *
+    * Scale shape: one map-side-combinable rollup on (group, dow); the
+    * share normalization windows over the AGGREGATED profile (≤ 7
+    * rows per group), never the raw data.
+    */
+  def dowProfile(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("dow", "revenue_cents", "share", "__c"))
+    val epochDay = (col(dateCol).cast("timestamp").cast("long") / 86400L)
+      .cast("long")
+    df.select(col(groupCol),
+        pmod(epochDay + 4, lit(7)).cast("int").as("dow"),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+      .groupBy(col(groupCol), col("dow"))
+      .agg(sum("__c").as("revenue_cents"))
+      .withColumn("share",
+        round(col("revenue_cents").cast("double") /
+          sum("revenue_cents").over(Window.partitionBy(groupCol)), 6))
+  }
+
+  /** Degree histogram of an undirected graph: how many nodes have
+    * each degree — the one-glance structure fingerprint (power law vs
+    * uniform, hub count, isolated-node check) read BEFORE running any
+    * per-edge algorithm, because it decides whether hub caps
+    * ([[edgeJaccard]], [[basketAffinity]]) are needed. Edges are
+    * canonicalized (self-loops dropped, duplicates and reversals
+    * collapsed) exactly as [[kCore]] does. Returns (degree, n_nodes).
+    *
+    * Scale shape: canonicalize → per-node count → per-degree count;
+    * three map-side-combinable exchanges, each strictly smaller than
+    * the last.
+    */
+  def degreeDistribution(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    requireNoReserved(edges, Seq("__a", "__b", "__n", "degree",
+      "n_nodes"))
+    edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+      .select(explode(array(col("__a"), col("__b"))).as("__n"))
+      .groupBy("__n").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** 2-D Pareto frontier (skyline) under strict dominance: a row
     * survives iff NO other row is strictly greater on BOTH `xCol` and
     * `yCol` — "best trade-offs" queries (latest AND largest order,

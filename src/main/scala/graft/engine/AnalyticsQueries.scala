@@ -957,6 +957,96 @@ object AnalyticsQueries {
              |             6) AS autocorr
              |FROM p WHERE y IS NOT NULL
              |GROUP BY 1 HAVING count(*) >= 2
-             |ORDER BY c_nationkey""".stripMargin))
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // ── multi-source BFS over the part co-purchase graph (landmarks =
+    // every 97th part): level-synchronous frontier expansion, maxDepth
+    // hash joins keyed on the frontier — vs a WITH RECURSIVE oracle ─────
+    QuerySpec("bfs_distances",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val canon = li
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          .select(explode(flatten(transform(col("__items"), (a, i) =>
+            transform(
+              slice(col("__items"), i + lit(2), size(col("__items"))),
+              b => struct(a.as("pa"), b.as("pb")))))).as("__p"))
+          .select(col("__p.pa"), col("__p.pb"))
+        val sym = canon.select(explode(array(
+            struct(col("pa").as("s"), col("pb").as("t")),
+            struct(col("pb").as("s"), col("pa").as("t")))).as("__e"))
+          .select(col("__e.s").as("s"), col("__e.t").as("t"))
+        val seeds = li.select(col("l_partkey"))
+          .filter(col("l_partkey") % 97 === 0)
+        Analytics.bfsDistances(sym, "s", "t", seeds, "l_partkey",
+            maxDepth = 3, outCol = "part")
+          .select(col("part"), col("dist").cast("int").as("dist"))
+          .orderBy("part")
+      },
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+             |      FROM li a JOIN li b USING (l_orderkey)
+             |      WHERE a.l_partkey <> b.l_partkey),
+             |paths AS (
+             |  SELECT DISTINCT l_partkey AS n, 0 AS d FROM li
+             |  WHERE l_partkey % 97 = 0
+             |  UNION
+             |  SELECT e.t AS n, p.d + 1 AS d FROM paths p
+             |  JOIN e ON e.s = p.n WHERE p.d < 3)
+             |SELECT n AS part, min(d)::INT AS dist FROM paths
+             |GROUP BY 1 ORDER BY part""".stripMargin)),
+
+    // ── per-nation day-of-week revenue profile: weekday from pure
+    // integer epoch-day arithmetic ((day+4) mod 7), engine-independent ──
+    QuerySpec("dow_profile",
+      (s, d) => Analytics.dowProfile(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderdate", "o_totalprice")
+        .orderBy("c_nationkey", "dow"),
+      Some("""WITH r AS (
+             |  SELECT c.c_nationkey,
+             |         ((CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 + 4)
+             |           % 7)::INT AS dow,
+             |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT c_nationkey, dow, v::BIGINT AS revenue_cents,
+             |       round(v::DOUBLE /
+             |             CAST(sum(v) OVER (PARTITION BY c_nationkey)
+             |                  AS DOUBLE), 6) AS share
+             |FROM r ORDER BY c_nationkey, dow""".stripMargin)),
+
+    // ── degree histogram of the co-purchase graph: the structure
+    // fingerprint read before any per-edge algorithm ─────────────────────
+    QuerySpec("degree_dist",
+      (s, d) => {
+        // same join-free in-array pair build as bfs_distances/
+        // triangle_count; degreeDistribution's canonical distinct
+        // absorbs cross-order duplicates
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          .select(explode(flatten(transform(col("__items"), (a, i) =>
+            transform(
+              slice(col("__items"), i + lit(2), size(col("__items"))),
+              b => struct(a.as("a"), b.as("b")))))).as("__p"))
+          .select(col("__p.a"), col("__p.b"))
+        Analytics.degreeDistribution(pairs, "a", "b")
+          .orderBy("degree")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+             |      FROM li a JOIN li b USING (l_orderkey)
+             |      WHERE a.l_partkey < b.l_partkey),
+             |nb AS (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e),
+             |deg AS (SELECT n, count(*) AS degree FROM nb GROUP BY 1)
+             |SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+             |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin))
   )
 }

@@ -807,6 +807,60 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hubs.nonEmpty, "fixture must actually exercise the cap")
   }
 
+  test("bfsDistances matches brute-force BFS on a seeded digraph; " +
+      "maxDepth truncates; unreachable nodes are absent") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2) ++ Seq((100L, 101L)) // island
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Seq(0L, 7L)
+    def bf(maxDepth: Int): Map[Long, Int] = {
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (d <- 1 to maxDepth) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      dist
+    }
+    for (depth <- Seq(0, 1, 2, 5)) {
+      val got = Analytics.bfsDistances(edges.toDF("s", "t"), "s", "t",
+          seeds.toDF("n"), "n", maxDepth = depth)
+        .orderBy("id").as[(Long, Int)].collect().toSeq
+      assert(got == bf(depth).toSeq.sortBy(_._1), s"depth=$depth")
+      assert(!got.exists(_._1 >= 100L), "island must stay unreachable")
+    }
+  }
+
+  test("dowProfile: weekday from integer epoch-day arithmetic " +
+      "(2024-01-07 is a Sunday -> 0), shares sum to one per group") {
+    val df = Seq(
+      ("g1", "2024-01-07", 10.00), // Sunday   -> dow 0
+      ("g1", "2024-01-08", 20.00), // Monday   -> dow 1
+      ("g1", "2024-01-14", 30.00), // Sunday   -> dow 0
+      ("g2", "2024-01-13", 5.00)   // Saturday -> dow 6
+    ).toDF("g", "ds", "v").withColumn("day", to_date(col("ds")))
+    val out = Analytics.dowProfile(df, "g", "day", "v")
+      .orderBy("g", "dow")
+      .select("g", "dow", "revenue_cents", "share")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out == Seq(("g1", 0, 4000L, 0.666667), ("g1", 1, 2000L,
+      0.333333), ("g2", 6, 500L, 1.0)))
+  }
+
+  test("degreeDistribution: K4 plus a pendant edge, with duplicate, " +
+      "reversed and self-loop noise normalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (3L, 3L)).toDF("a", "b")
+    val out = Analytics.degreeDistribution(edges, "a", "b")
+      .orderBy("degree").as[(Long, Long)].collect().toSeq
+    // degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1
+    assert(out == Seq((1L, 1L), (3L, 3L), (4L, 1L)))
+  }
+
   test("skyline2D matches the brute-force strict-dominance frontier on " +
       "seeded points with ties, independent of input partitioning") {
     val rnd = new scala.util.Random(11)
