@@ -1341,6 +1341,66 @@ object Analytics {
       .drop(tieCol)
   }
 
+  /** Per-group one-way ANOVA F-statistic of a money column across the
+    * levels of a categorical column — the feature-screening question
+    * "does this categorical explain the target?" answered per group
+    * (k_groups = observed levels, F = (SSB/(k−1))/(SSW/(n−k))).
+    *
+    * Exactness posture: the naive Σ S_g²/n_g form is catastrophic for
+    * cross-engine determinism (1e16-scale double cancellation whose
+    * result depends on float summation order), so means are fixed to
+    * EXACT half-up-rounded integer MICRO-CENTS ((2·10⁶·S + n) div 2n —
+    * pure integer arithmetic both engines reproduce bit-for-bit) and
+    * both sums of squares accumulate those integers in decimal(38,0)
+    * via the two-pass form: SSW = Σ(10⁶·x − m_g)², SSB =
+    * Σ n_g·(m_g − m)². Only the final F ratio is double, in a fixed
+    * operation order, rounded once. The micro-cent mean quantization
+    * perturbs F by O(10⁻⁶) relative — far below any analytical use —
+    * and buys bit-reproducibility.
+    *
+    * Scale shape: the classic two-pass — a (group, level) rollup, the
+    * per-group rollup of THAT, and one join of the raw rows back to
+    * the (group, level) means for SSW; all three key on subsets of
+    * (group, level), so the rollups are map-side combinable and the
+    * join reuses the first exchange.
+    */
+  def anovaF(df: DataFrame, groupCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__g", "__t", "__v", "__n_g", "__s_g",
+      "__m_g", "__n", "__k", "__s", "__m", "__d", "__ssw", "__ssb",
+      "n_rows", "k_groups", "f_stat"))
+    val dec = "decimal(38,0)"
+    val x = df.select(col(groupCol).as("__g"), col(treatCol).as("__t"),
+      round(col(valueCol) * 100).cast("long").as("__v"))
+    val gm = x.groupBy("__g", "__t")
+      .agg(count(lit(1)).as("__n_g"), sum("__v").as("__s_g"))
+      .withColumn("__m_g", expr(
+        "(cast(2000000 as decimal(38,0)) * __s_g + __n_g) div (2 * __n_g)"))
+    val tm = gm.groupBy("__g")
+      .agg(sum("__n_g").as("__n"), count(when(col("__n_g") > 0, 1))
+          .as("__k"),
+        sum(when(col("__n_g") > 0, col("__s_g"))).as("__s"))
+      .withColumn("__m", expr(
+        "(cast(2000000 as decimal(38,0)) * __s + __n) div (2 * __n)"))
+    val ssw = x.join(gm.select("__g", "__t", "__m_g"), Seq("__g", "__t"))
+      .select(col("__g"),
+        (lit(1000000L) * col("__v") - col("__m_g")).cast(dec).as("__d"))
+      .groupBy("__g")
+      .agg(sum(col("__d") * col("__d")).as("__ssw"))
+    val ssb = gm.join(tm.select("__g", "__m"), "__g")
+      .select(col("__g"), col("__n_g"),
+        (col("__m_g") - col("__m")).cast(dec).as("__d"))
+      .groupBy("__g")
+      .agg(sum(col("__n_g") * col("__d") * col("__d")).as("__ssb"))
+    tm.join(ssw, "__g").join(ssb, "__g")
+      .select(col("__g").as(groupCol), col("__n").as("n_rows"),
+        col("__k").cast("int").as("k_groups"),
+        round(
+          (col("__ssb").cast("double") / (col("__k") - 1)) /
+          (col("__ssw").cast("double") / (col("__n") - col("__k"))), 6)
+          .as("f_stat"))
+  }
+
   /** Multi-source BFS distances: for every node reachable from any
     * seed within `maxDepth` directed hops, the exact hop distance to
     * the NEAREST seed. Landmark distances are the workhorse of

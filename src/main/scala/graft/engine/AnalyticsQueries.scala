@@ -1020,6 +1020,46 @@ object AnalyticsQueries {
              |                  AS DOUBLE), 6) AS share
              |FROM r ORDER BY c_nationkey, dow""".stripMargin)),
 
+    // ── per-nation one-way ANOVA F of totalprice across order
+    // priorities: two-pass sums of squares on exact half-up integer
+    // micro-cent means — never the cancellation-prone ΣS²/n form ────────
+    QuerySpec("anova_f",
+      (s, d) => Analytics.anovaF(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderpriority", "o_totalprice")
+        .orderBy("c_nationkey"),
+      Some("""WITH x AS (
+             |  SELECT c.c_nationkey AS g, o.o_orderpriority AS t,
+             |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |gm AS (SELECT g, t, count(*)::BIGINT AS n_g,
+             |              CAST(sum(v) AS BIGINT) AS s_g,
+             |              (2000000 * CAST(sum(v) AS HUGEINT) + count(*))
+             |                // (2 * count(*)) AS m_g
+             |       FROM x GROUP BY 1, 2),
+             |tm AS (SELECT g, CAST(sum(n_g) AS BIGINT) AS n,
+             |              count(*)::BIGINT AS k,
+             |              (2000000 * CAST(sum(s_g) AS HUGEINT) + sum(n_g))
+             |                // (2 * sum(n_g)) AS m
+             |       FROM gm GROUP BY 1),
+             |ssw AS (SELECT x.g,
+             |          sum((1000000 * CAST(x.v AS HUGEINT) - gm.m_g)
+             |              * (1000000 * CAST(x.v AS HUGEINT) - gm.m_g))
+             |            AS ssw
+             |        FROM x JOIN gm ON x.g = gm.g AND x.t = gm.t
+             |        GROUP BY 1),
+             |ssb AS (SELECT gm.g,
+             |          sum(gm.n_g * (gm.m_g - tm.m) * (gm.m_g - tm.m))
+             |            AS ssb
+             |        FROM gm JOIN tm ON gm.g = tm.g GROUP BY 1)
+             |SELECT tm.g AS c_nationkey, tm.n AS n_rows,
+             |       tm.k::INT AS k_groups,
+             |       round((ssb.ssb::DOUBLE / (tm.k - 1))
+             |             / (ssw.ssw::DOUBLE / (tm.n - tm.k)), 6) AS f_stat
+             |FROM tm JOIN ssw ON ssw.g = tm.g JOIN ssb ON ssb.g = tm.g
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // ── degree histogram of the co-purchase graph: the structure
     // fingerprint read before any per-edge algorithm ─────────────────────
     QuerySpec("degree_dist",

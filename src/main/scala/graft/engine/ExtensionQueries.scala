@@ -257,6 +257,36 @@ object ExtensionQueries {
              |WHERE greatest(n_inter / ca.n_sh, n_inter / cb.n_sh) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── per-doc perplexity under the corpus add-one unigram LM: each
+    // distinct term's ln p rounded once to integer micro-nats, per-doc
+    // sums exact integer (bm25's determinism trick) — the statistical
+    // quality filter of training-data curation ───────────────────────────
+    QuerySpec("lm_perplexity",
+      (s, d) => Extensions.lmPerplexity(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+             |cw AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c
+             |       FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus,
+             |              count(*)::BIGINT AS v FROM cw),
+             |sc AS (SELECT tf.doc_id, tf.tf,
+             |              CAST(round(ln((cw.c + 1)::DOUBLE
+             |                   / (st.n_corpus + st.v))
+             |                   * 1000000.0) AS BIGINT) AS lp
+             |       FROM tf JOIN cw USING (term) CROSS JOIN st),
+             |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |               (2 * (-CAST(sum(tf * lp) AS BIGINT))
+             |                 + CAST(sum(tf) AS BIGINT))
+             |                 // (2 * CAST(sum(tf) AS BIGINT)) AS xi
+             |        FROM sc GROUP BY 1)
+             |SELECT doc_id, n_tokens, xi / 1000000.0 AS cross_entropy,
+             |       round(exp(xi / 1000000.0), 2) AS perplexity
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ── generator/explode surface: tokens with positions (posexplode;
     // oracle via 1-based list indexing) ──────────────────────────────────
     QuerySpec("explode_tokens",

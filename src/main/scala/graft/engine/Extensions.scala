@@ -1062,6 +1062,58 @@ object Extensions {
     * for the top-k window — never a driver-side vocabulary (the
     * CountVectorizer trap).
     */
+  /** Per-document perplexity under a corpus unigram language model
+    * with add-one smoothing — the classic statistical quality filter
+    * for training-data curation: documents whose token mix diverges
+    * from the corpus (boilerplate, gibberish, wrong-language,
+    * machine-mangled text) score high and get reviewed or dropped.
+    * p(w) = (c(w)+1)/(N+V); cross-entropy = −Σ tf·ln p(w) / n_tokens;
+    * perplexity = e^H. Returns (idCol, n_tokens, cross_entropy,
+    * perplexity).
+    *
+    * Cross-engine determinism — [[bm25TopK]]'s integer-accumulate
+    * trick: each DISTINCT term's ln p(w) is rounded once to integer
+    * MICRO-NATS, the per-document sum is exact integer arithmetic
+    * (tf · lp products and their sum), and only the final divide /
+    * exp are double, in a fixed operation order. Float-sum order
+    * nondeterminism never enters.
+    *
+    * Scale shape: one (doc, term) tf aggregate; corpus counts reuse
+    * tf's term exchange (the count/sum branches CONSUME tf's
+    * aggregate — see tfidfTopTerms' reuse note); (N, V) ride a
+    * broadcast 1-row aggregate; the scoring join is term-keyed on the
+    * exchange already paid.
+    */
+  def lmPerplexity(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cw = tf.groupBy("term")
+      .agg(sum(when(col("tf") > 0, col("tf"))).as("__c"))
+    val st = cw.agg(sum(when(col("__c") > 0, col("__c"))).as("__n_corpus"),
+      count(when(col("__c") > 0, 1)).as("__v"))
+    val scored = tf.join(cw, "term")
+      .crossJoin(broadcast(st))
+      .withColumn("__lp",
+        round(log((col("__c") + 1).cast("double") /
+          (col("__n_corpus") + col("__v"))) * 1000000.0).cast("long"))
+    scored.groupBy(idCol)
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("__lp")).as("__s"))
+      // the displayed 6-decimal entropy rounds half-up in EXACT integer
+      // arithmetic ((2·(−S)+n) div 2n — −S/n is already in micro-nat
+      // units): a double round-to-6 of the quotient flips on boundary
+      // values (seen at sf0.1), the rfmScores r_days lesson
+      .withColumn("__xi",
+        expr("(2 * (-__s) + n_tokens) div (2 * n_tokens)"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__xi") / lit(1000000.0)).as("cross_entropy"),
+        round(exp(col("__xi") / lit(1000000.0)), 2).as("perplexity"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
     val tf = docs

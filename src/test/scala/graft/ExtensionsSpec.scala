@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.Extensions
+import graft.engine.{Analytics, Extensions}
 
 /** Invariant tests for the non-oracle extension ops (SURVEY.md §5:
   * self-similarity, symmetry, determinism) plus exact-value checks for
@@ -563,6 +563,57 @@ class ExtensionsSpec extends AnyFunSuite {
       (1L, "a b c", 6L, 3L),
       (2L, "x", 1L, 1L),
       (3L, "", 1L, 1L)))
+  }
+
+  test("lmPerplexity: hand-computed add-one unigram model on a tiny " +
+      "corpus; exact half-up integer rounding of the entropy") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1; N=5 V=3 -> p(a)=p(b)=3/8, p(c)=2/8
+    val lpA = math.rint(math.log(3.0 / 8) * 1e6).toLong // = lp(b)
+    val lpC = math.rint(math.log(2.0 / 8) * 1e6).toLong
+    def xi(s: Long, n: Long) = (2 * -s + n) / (2 * n) // div truncates
+    val x1 = xi(3 * lpA, 3)
+    val x2 = xi(lpA + lpC, 2)
+    val out = Extensions.lmPerplexity(d, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, x1 / 1e6, math.rint(math.exp(x1 / 1e6) * 100) / 100),
+      (2L, 2L, x2 / 1e6, math.rint(math.exp(x2 / 1e6) * 100) / 100)))
+  }
+
+  test("anovaF: balanced two-level fixture gives F = 8 exactly; " +
+      "random fixture matches the BigInt brute force") {
+    val fx = Seq(("g", "t1", 1.00), ("g", "t1", 2.00),
+      ("g", "t2", 3.00), ("g", "t2", 4.00)).toDF("n", "t", "v")
+    val r = Analytics.anovaF(fx, "n", "t", "v")
+      .as[(String, Long, Int, Double)].head()
+    assert(r == (("g", 4L, 2, 8.0)))
+
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map { _ =>
+      ("g", s"t${rnd.nextInt(4)}", rnd.nextInt(100000) / 100.0)
+    }
+    def halfUp(s: BigInt, n: BigInt): BigInt = (2 * s + n) / (2 * n)
+    val cents = rows.map { case (_, t, v) =>
+      (t, BigInt(math.rint(v * 100).toLong)) }
+    val byT = cents.groupBy(_._1).view
+      .mapValues(vs => (BigInt(vs.size), vs.map(_._2).sum)).toMap
+    val mg = byT.map { case (t, (ng, sg)) =>
+      t -> halfUp(1000000 * sg, ng) }
+    val (n, k) = (BigInt(cents.size), BigInt(byT.size))
+    val m = halfUp(1000000 * byT.values.map(_._2).sum, n)
+    val ssw = cents.map { case (t, v) =>
+      val dd = 1000000 * v - mg(t); dd * dd }.sum
+    val ssb = byT.map { case (t, (ng, _)) =>
+      val dd = mg(t) - m; ng * dd * dd }.sum
+    val expF = math.rint(
+      (ssb.toDouble / (k.toDouble - 1)) /
+      (ssw.toDouble / (n.toDouble - k.toDouble)) * 1e6) / 1e6
+    val got = Analytics.anovaF(rows.toDF("n", "t", "v"), "n", "t", "v")
+      .as[(String, Long, Int, Double)].head()
+    assert(got._2 == 200L && got._3 == 4)
+    assert(got._4 == expF, s"got ${got._4} expected $expF")
   }
 
   test("dedupSegments treats regex-metacharacter separators literally") {
