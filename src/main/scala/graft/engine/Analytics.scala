@@ -624,6 +624,83 @@ object Analytics {
       .drop("__q1", "__q3")
   }
 
+  /** Per-group MAD (median-absolute-deviation) robust z-scores: each
+    * row gets `0.6745·|x − med|/MAD` against ITS GROUP's exact
+    * interpolated median, plus an outlier flag at `threshold` (3.5 is
+    * the Iglewicz–Hoaglin convention). The robust companion to
+    * [[tukeyOutliers]]: immune to the outliers it hunts, where
+    * mean/stddev z-scores are dragged by them. Appends (group_median,
+    * group_mad, robust_z, is_outlier).
+    *
+    * Scale shape: the classic two-pass doubled — a percentile
+    * aggregation per group, join back, a second percentile over the
+    * deviations, join back; both joins key on the group (broadcast
+    * when groups are few). Exact `percentile` holds a per-group
+    * sorted digest — at extreme per-group cardinality swap in
+    * `approx_percentile`, trading bit-exactness for a bounded-memory
+    * sketch.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    requireNoReserved(df, Seq("group_median", "group_mad", "__dev",
+      "robust_z", "is_outlier"))
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("group_median"))
+    val dev = df.join(med, groupCol)
+      .withColumn("__dev", abs(col(valueCol) - col("group_median")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("group_mad"))
+    dev.join(mad, groupCol)
+      .withColumn("robust_z", lit(0.6745) * col("__dev") / col("group_mad"))
+      .withColumn("is_outlier", col("robust_z") > threshold)
+      .drop("__dev")
+  }
+
+  /** Per-group two-sample Kolmogorov–Smirnov statistic between the
+    * rows flagged by `flagCol` (=1) and the rest: D = max over the
+    * merged value domain of |F̂₁(v) − F̂₂(v)|. The nonparametric
+    * drift detector — sensitive to ANY distribution change (location,
+    * scale, shape), no binning choices — beside the binned PSI in the
+    * catalog's `psi_drift`; the standard train-vs-serve and
+    * before-vs-after gate.
+    *
+    * Exactness: both empirical CDFs stay INTEGER cumulative counts,
+    * and D is maximized in cross-multiplied integer form
+    * max|c₁·n₂ − c₂·n₁| before ONE final division by n₁·n₂ — no
+    * float comparison ever decides the max, so the statistic is
+    * bit-deterministic (c·n ≤ n₁·n₂ ≈ 10¹⁶ at 10⁸ rows per side —
+    * long-safe). Returns (groupCol, n1, n2, ks_stat).
+    *
+    * Scale shape: a (group, value) rollup, a cumulative window
+    * PARTITIONED BY GROUP over that rollup (distinct values per
+    * group, not raw rows), and a per-group max — one exchange on the
+    * group key reused end-to-end after the rollup.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      flagCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__v", "__s1", "__c1", "__c2", "__f1",
+      "__f2", "__d", "n1", "n2", "ks_stat"))
+    val x = df.select(col(groupCol), col(valueCol).as("__v"),
+      when(col(flagCol).cast("int") === 1, 1L).otherwise(0L).as("__s1"))
+    val n = x.groupBy(col(groupCol))
+      .agg(sum("__s1").as("n1"), sum(lit(1L) - col("__s1")).as("n2"))
+    val pv = x.groupBy(col(groupCol), col("__v"))
+      .agg(sum("__s1").as("__c1"), sum(lit(1L) - col("__s1")).as("__c2"))
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+    val cum = pv
+      .withColumn("__f1", sum("__c1").over(w))
+      .withColumn("__f2", sum("__c2").over(w))
+    cum.join(n, groupCol)
+      .groupBy(col(groupCol))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max(abs(col("__f1") * col("n2") - col("__f2") * col("n1")))
+          .as("__d"))
+      .select(col(groupCol), col("n1"), col("n2"),
+        round(col("__d").cast("double") / (col("n1") * col("n2")), 6)
+          .as("ks_stat"))
+  }
+
   /** Conversion-lag histogram: for each user whose first `toType`
     * event lands at or after their first `fromType` event, bucket the
     * elapsed time and count users per bucket. The "how long does

@@ -1020,6 +1020,81 @@ object AnalyticsQueries {
              |                  AS DOUBLE), 6) AS share
              |FROM r ORDER BY c_nationkey, dow""".stripMargin)),
 
+    // ── per-nation two-sample KS drift (urgent vs rest of totalprice):
+    // integer cumulative counts, the max in cross-multiplied integer
+    // form |c1·n2 − c2·n1| — one final division, bit-deterministic ──────
+    QuerySpec("ks_drift",
+      (s, d) => Analytics.ksDrift(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+            .withColumn("cents",
+              round(col("o_totalprice") * 100).cast("long"))
+            .withColumn("urgent",
+              (col("o_orderpriority") === "1-URGENT").cast("int")),
+          "c_nationkey", "cents", "urgent")
+        .orderBy("c_nationkey"),
+      Some("""WITH x AS (
+             |  SELECT c.c_nationkey AS g,
+             |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+             |         CASE WHEN o.o_orderpriority = '1-URGENT'
+             |              THEN 1 ELSE 0 END AS s1
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |n AS (SELECT g, CAST(sum(s1) AS BIGINT) AS n1,
+             |             CAST(sum(1 - s1) AS BIGINT) AS n2
+             |      FROM x GROUP BY 1),
+             |pv AS (SELECT g, v, CAST(sum(s1) AS BIGINT) AS c1,
+             |              CAST(sum(1 - s1) AS BIGINT) AS c2
+             |       FROM x GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |          CAST(sum(c1) OVER (PARTITION BY g ORDER BY v)
+             |               AS BIGINT) AS f1,
+             |          CAST(sum(c2) OVER (PARTITION BY g ORDER BY v)
+             |               AS BIGINT) AS f2
+             |        FROM pv),
+             |d AS (SELECT cum.g,
+             |             CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT)
+             |               AS dmax
+             |      FROM cum JOIN n ON cum.g = n.g GROUP BY 1)
+             |SELECT n.g AS c_nationkey, n.n1, n.n2,
+             |       round(d.dmax::DOUBLE / (n.n1 * n.n2), 6) AS ks_stat
+             |FROM n JOIN d ON d.g = n.g
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // ── per-nation MAD robust-scale summary (exact interpolated
+    // median + MAD of cents, max robust z): the data is uniform, so
+    // flags at any classic threshold are vacuous — the spec exercises
+    // them on a heavy-tailed fixture; this pins the arithmetic ──────────
+    QuerySpec("mad_robust",
+      (s, d) => Analytics.madOutliers(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+            .withColumn("cents",
+              round(col("o_totalprice") * 100).cast("long")),
+          "c_nationkey", "cents")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          round(max("group_median"), 6).as("med_cents"),
+          round(max("group_mad"), 6).as("mad_cents"),
+          round(max("robust_z"), 6).as("max_robust_z"))
+        .orderBy("c_nationkey"),
+      Some("""WITH x AS (
+             |  SELECT c.c_nationkey AS g,
+             |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |med AS (SELECT g, quantile_cont(v, 0.5) AS med
+             |        FROM x GROUP BY 1),
+             |dev AS (SELECT x.g, x.v, abs(x.v - med.med) AS dv
+             |        FROM x JOIN med ON x.g = med.g),
+             |md AS (SELECT g, quantile_cont(dv, 0.5) AS mad
+             |       FROM dev GROUP BY 1)
+             |SELECT dev.g AS c_nationkey, count(*)::BIGINT AS n_rows,
+             |       round(max(med.med), 6) AS med_cents,
+             |       round(max(md.mad), 6) AS mad_cents,
+             |       round(max(0.6745 * dev.dv / md.mad), 6)
+             |         AS max_robust_z
+             |FROM dev JOIN med ON dev.g = med.g JOIN md ON dev.g = md.g
+             |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
     // ── per-nation one-way ANOVA F of totalprice across order
     // priorities: two-pass sums of squares on exact half-up integer
     // micro-cent means — never the cancellation-prone ΣS²/n form ────────

@@ -807,6 +807,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hubs.nonEmpty, "fixture must actually exercise the cap")
   }
 
+  test("madOutliers: heavy-tailed fixture — the spike is flagged at " +
+      "43x the MAD while the bulk stays under 1.2") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("g", _))
+      .toDF("g", "v")
+    val out = Analytics.madOutliers(df, "g", "v")
+      .orderBy("v")
+      .select("v", "group_median", "group_mad", "robust_z", "is_outlier")
+      .as[(Double, Double, Double, Double, Boolean)].collect().toSeq
+    // med = 3.5; devs sorted [.5,.5,1.5,1.5,2.5,96.5] -> mad = 1.5
+    assert(out.forall(r => r._2 == 3.5 && r._3 == 1.5))
+    assert(out.count(_._5) == 1 && out.last._5)
+    assert(math.abs(out.last._4 - 0.6745 * 96.5 / 1.5) < 1e-12)
+    assert(out.init.forall(_._4 < 1.2))
+  }
+
+  test("ksDrift: identical samples give 0, disjoint give 1, and a " +
+      "seeded random split matches the brute-force statistic") {
+    def ks(s1: Seq[Long], s2: Seq[Long]): Double = {
+      val vs = (s1 ++ s2).distinct.sorted
+      val dmax = vs.map(v => math.abs(
+        s1.count(_ <= v).toLong * s2.size - s2.count(_ <= v).toLong *
+          s1.size)).max
+      math.rint(dmax.toDouble / (s1.size.toLong * s2.size) * 1e6) / 1e6
+    }
+    def run(s1: Seq[Long], s2: Seq[Long]): (Long, Long, Double) = {
+      val df = (s1.map((_, 1)) ++ s2.map((_, 0))).toDF("v", "f")
+        .withColumn("g", lit("g"))
+      Analytics.ksDrift(df, "g", "v", "f")
+        .select("n1", "n2", "ks_stat")
+        .as[(Long, Long, Double)].head()
+    }
+    assert(run(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == ((3L, 3L, 0.0)))
+    assert(run(Seq(1L, 2L), Seq(10L, 20L)) == ((2L, 2L, 1.0)))
+    val rnd = new scala.util.Random(19)
+    val a = Seq.fill(400)(rnd.nextInt(50).toLong)
+    val b = Seq.fill(300)(rnd.nextInt(50).toLong + 5)
+    assert(run(a, b) == ((400L, 300L, ks(a, b))))
+  }
+
   test("bfsDistances matches brute-force BFS on a seeded digraph; " +
       "maxDepth truncates; unreachable nodes are absent") {
     val rnd = new scala.util.Random(13)
