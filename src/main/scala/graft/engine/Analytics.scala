@@ -632,26 +632,25 @@ object Analytics {
     * mean/stddev z-scores are dragged by them. Appends (group_median,
     * group_mad, robust_z, is_outlier).
     *
-    * Scale shape: the classic two-pass doubled — a percentile
-    * aggregation per group, join back, a second percentile over the
-    * deviations, join back; both joins key on the group (broadcast
-    * when groups are few). Exact `percentile` holds a per-group
-    * sorted digest — at extreme per-group cardinality swap in
-    * `approx_percentile`, trading bit-exactness for a bounded-memory
-    * sketch.
+    * Scale shape: BOTH percentile passes ride ONE hash exchange on
+    * the group as unbounded-frame window aggregates — zero joins,
+    * one scan (the agg+join-back formulation plans two scans of the
+    * input and a join whose build side Spark picks by guesswork —
+    * probed at sf0.01 it broadcast the RAW side). Exact `percentile`
+    * holds a per-group sorted digest — at extreme per-group
+    * cardinality swap in `approx_percentile`, trading bit-exactness
+    * for a bounded-memory sketch.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       threshold: Double = 3.5): DataFrame = {
     require(threshold > 0, "threshold must be positive")
     requireNoReserved(df, Seq("group_median", "group_mad", "__dev",
       "robust_z", "is_outlier"))
-    val med = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(0.5)).as("group_median"))
-    val dev = df.join(med, groupCol)
+    val w = Window.partitionBy(groupCol)
+    df.withColumn("group_median",
+        percentile(col(valueCol), lit(0.5)).over(w))
       .withColumn("__dev", abs(col(valueCol) - col("group_median")))
-    val mad = dev.groupBy(col(groupCol))
-      .agg(percentile(col("__dev"), lit(0.5)).as("group_mad"))
-    dev.join(mad, groupCol)
+      .withColumn("group_mad", percentile(col("__dev"), lit(0.5)).over(w))
       .withColumn("robust_z", lit(0.6745) * col("__dev") / col("group_mad"))
       .withColumn("is_outlier", col("robust_z") > threshold)
       .drop("__dev")
