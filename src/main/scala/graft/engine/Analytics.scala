@@ -700,6 +700,140 @@ object Analytics {
           .as("ks_stat"))
   }
 
+  /** Per-group Lorenz-curve points: cumulative value share at each
+    * of `buckets` equal-population quantile boundaries, members
+    * ranked ascending by value — the curve whose area deficit IS
+    * [[giniByGroup]]'s coefficient, kept as plottable points ("the
+    * bottom 50% of orders carry 19% of revenue"). Values are exact
+    * long cents; each share is one integer/integer division, rounded
+    * once. `ntile` follows the SQL-standard larger-buckets-first
+    * fill on the deterministic (value, tieCol) order. Returns
+    * (groupCol, bucket, cum_share).
+    *
+    * Scale shape: one exchange on the group (the ntile window), a
+    * (group, bucket) rollup that reuses it, and cumulative/total
+    * windows over the `buckets`-row-per-group AGGREGATE. Per-group
+    * parallelism is window-bounded, as in [[giniByGroup]].
+    */
+  def lorenzPoints(df: DataFrame, groupCol: String, tieCol: String,
+      valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    requireNoReserved(df, Seq("__v", "bucket", "__dv", "__cum", "__tot",
+      "cum_share"))
+    val x = df.select(col(groupCol), col(tieCol),
+      round(col(valueCol) * 100).cast("long").as("__v"))
+    val r = x.withColumn("bucket",
+      ntile(buckets).over(Window.partitionBy(groupCol)
+        .orderBy(col("__v"), col(tieCol))))
+    val s = r.groupBy(col(groupCol), col("bucket"))
+      .agg(sum("__v").as("__dv"))
+    s.withColumn("__cum", sum("__dv").over(
+        Window.partitionBy(groupCol).orderBy("bucket")))
+      .withColumn("__tot", sum("__dv").over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("bucket").cast("int").as("bucket"),
+        round(col("__cum").cast("double") / col("__tot"), 6)
+          .as("cum_share"))
+  }
+
+  /** Global chi-square independence test with Cramér's V effect size
+    * over two categorical columns — the one-row "are these related,
+    * and how strongly" summary above [[chiSquare]]'s per-cell
+    * decomposition (χ² grows with n; V ∈ [0,1] doesn't). Returns one
+    * row: (chi2, cramers_v, n_rows, dof).
+    *
+    * Determinism: χ² is a sum of per-cell doubles, and float addition
+    * order would make it engine-dependent — so the cell terms are
+    * collected into a SORTED array (by cell key) and folded in that
+    * fixed order; the per-term arithmetic is written in one fixed
+    * operation order. The array holds r·c cells — bounded by category
+    * cardinalities, never by data size.
+    *
+    * Scale shape: one (a,b) cell rollup; marginals and the total ride
+    * the cell aggregate (branches consume the cell count, as
+    * [[mutualInfo]]); the final fold runs over the tiny cell array.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__o", "__na", "__nb", "__n", "__r", "__c",
+      "__e", "__t", "chi2", "cramers_v", "n_rows", "dof"))
+    val cell = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("__o"))
+    val ma = cell.groupBy(aCol)
+      .agg(sum(when(col("__o") > 0, col("__o"))).as("__na"))
+    val mb = cell.groupBy(bCol)
+      .agg(sum(when(col("__o") > 0, col("__o"))).as("__nb"))
+    val tot = cell.agg(sum(when(col("__o") > 0, col("__o"))).as("__n"),
+      count_distinct(when(col("__o") > 0, col(aCol))).as("__r"),
+      count_distinct(when(col("__o") > 0, col(bCol))).as("__c"))
+    val terms = cell.join(ma, aCol).join(mb, bCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        col("__na").cast("double") * col("__nb") / col("__n"))
+      .withColumn("__t",
+        (col("__o").cast("double") - col("__e")) *
+        (col("__o").cast("double") - col("__e")) / col("__e"))
+    terms
+      .agg(aggregate(
+          sort_array(collect_list(struct(col(aCol), col(bCol),
+            col("__t")))),
+          lit(0.0), (acc, s) => acc + s.getField("__t")).as("chi2"),
+        max("__n").as("n_rows"), max("__r").as("__r"),
+        max("__c").as("__c"))
+      .select(round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n_rows") * (least(col("__r"), col("__c")) - 1))), 6)
+          .as("cramers_v"),
+        col("n_rows"),
+        ((col("__r") - 1) * (col("__c") - 1)).cast("int").as("dof"))
+  }
+
+  /** Per-group Wald–Wolfowitz runs test on the date-ordered daily
+    * value series: is the sequence of above/below-median days random,
+    * or does it cluster (momentum) / alternate (over-correction)?
+    * Days equal to the exact interpolated median are excluded (the
+    * standard convention). The run count and both sign counts are
+    * exact integers; only the final z normalization is double, in one
+    * fixed operation order. Returns (groupCol, n1, n2, runs, z).
+    *
+    * Scale shape: a daily rollup, then ONE exchange on the group —
+    * the median (window percentile), the lag comparison, and the
+    * final rollup all ride that same partitioning.
+    */
+  def runsTest(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__day", "__v", "__med", "__up", "__brk",
+      "n1", "n2", "runs", "z"))
+    val daily = df
+      .select(col(groupCol),
+        (col(dateCol).cast("timestamp").cast("long") / 86400L)
+          .cast("long").as("__day"),
+        round(col(valueCol) * 100).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__day"))
+      .agg(sum("__v").as("__v"))
+    val wg = Window.partitionBy(groupCol)
+    val wd = Window.partitionBy(groupCol).orderBy("__day")
+    val signed = daily
+      .withColumn("__med", percentile(col("__v"), lit(0.5)).over(wg))
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__up", (col("__v") > col("__med")).cast("long"))
+    val runs = signed
+      .withColumn("__brk",
+        when(lag(col("__up"), 1).over(wd).isNull ||
+          lag(col("__up"), 1).over(wd) =!= col("__up"), 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(sum("__up").as("n1"), sum(lit(1L) - col("__up")).as("n2"),
+        sum("__brk").as("runs"))
+    runs.select(col(groupCol), col("n1"), col("n2"), col("runs"),
+      round(
+        (col("runs").cast("double") -
+          (lit(2.0) * col("n1") * col("n2") / (col("n1") + col("n2"))
+            + 1)) /
+        sqrt(lit(2.0) * col("n1") * col("n2") *
+          (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2")) /
+          ((col("n1") + col("n2")).cast("double") *
+            (col("n1") + col("n2")) * (col("n1") + col("n2") - 1))), 6)
+        .as("z"))
+  }
+
   /** Conversion-lag histogram: for each user whose first `toType`
     * event lands at or after their first `fromType` event, bucket the
     * elapsed time and count users per bucket. The "how long does

@@ -1020,6 +1020,103 @@ object AnalyticsQueries {
              |                  AS DOUBLE), 6) AS share
              |FROM r ORDER BY c_nationkey, dow""".stripMargin)),
 
+    // ── per-nation Lorenz curve deciles (gini_revenue's plottable
+    // companion): exact cent sums, SQL-standard ntile on a unique order ─
+    QuerySpec("lorenz_points",
+      (s, d) => Analytics.lorenzPoints(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_nationkey", "bucket"),
+      Some("""WITH x AS (
+             |  SELECT c.c_nationkey AS g, o.o_orderkey,
+             |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |r AS (SELECT g, v, ntile(10) OVER (PARTITION BY g
+             |        ORDER BY v, o_orderkey) AS bucket FROM x),
+             |s AS (SELECT g, bucket, CAST(sum(v) AS BIGINT) AS dv
+             |      FROM r GROUP BY 1, 2),
+             |c AS (SELECT g, bucket,
+             |        CAST(sum(dv) OVER (PARTITION BY g ORDER BY bucket)
+             |             AS BIGINT) AS cum,
+             |        CAST(sum(dv) OVER (PARTITION BY g) AS BIGINT) AS tot
+             |      FROM s)
+             |SELECT g AS c_nationkey, bucket::INT AS bucket,
+             |       round(cum::DOUBLE / tot, 6) AS cum_share
+             |FROM c ORDER BY c_nationkey, bucket""".stripMargin)),
+
+    // ── one-row chi-square + Cramér's V (mktsegment × orderpriority):
+    // cell terms folded in sorted-cell order — float addition order
+    // never decides the statistic ───────────────────────────────────────
+    QuerySpec("cramers_v",
+      (s, d) => Analytics.cramersV(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_mktsegment", "o_orderpriority"),
+      Some("""WITH x AS (
+             |  SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |cell AS (SELECT a, b, count(*)::BIGINT AS o FROM x
+             |         GROUP BY 1, 2),
+             |ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cell
+             |       GROUP BY 1),
+             |mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cell
+             |       GROUP BY 1),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |               count(DISTINCT a)::BIGINT AS r,
+             |               count(DISTINCT b)::BIGINT AS c FROM cell),
+             |terms AS (SELECT cell.a, cell.b,
+             |            (cell.o::DOUBLE - ma.na::DOUBLE * mb.nb / tot.n)
+             |            * (cell.o::DOUBLE - ma.na::DOUBLE * mb.nb / tot.n)
+             |            / (ma.na::DOUBLE * mb.nb / tot.n) AS t
+             |          FROM cell JOIN ma USING (a) JOIN mb USING (b)
+             |          CROSS JOIN tot),
+             |o AS (SELECT list_aggregate(list(t ORDER BY a, b), 'sum')
+             |        AS chi2 FROM terms)
+             |SELECT round(chi2, 6) AS chi2,
+             |       round(sqrt(chi2 / (tot.n * (least(tot.r, tot.c) - 1))),
+             |             6) AS cramers_v,
+             |       tot.n AS n_rows,
+             |       ((tot.r - 1) * (tot.c - 1))::INT AS dof
+             |FROM o CROSS JOIN tot""".stripMargin)),
+
+    // ── per-nation runs test of daily revenue (random vs momentum vs
+    // alternation): integer run counts, one double z at the end ─────────
+    QuerySpec("runs_test",
+      (s, d) => Analytics.runsTest(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderdate", "o_totalprice")
+        .orderBy("c_nationkey"),
+      Some("""WITH d AS (
+             |  SELECT c.c_nationkey AS g,
+             |         CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS day,
+             |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             |              AS BIGINT) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2),
+             |m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM d
+             |      GROUP BY 1),
+             |s AS (SELECT d.g, d.day,
+             |             CASE WHEN d.v > m.med THEN 1 ELSE 0 END AS up
+             |      FROM d JOIN m ON d.g = m.g WHERE d.v <> m.med),
+             |r AS (SELECT g, day, up,
+             |        CASE WHEN lag(up) OVER (PARTITION BY g ORDER BY day)
+             |               IS NULL
+             |             OR lag(up) OVER (PARTITION BY g ORDER BY day)
+             |               <> up
+             |             THEN 1 ELSE 0 END AS brk FROM s),
+             |agg AS (SELECT g, CAST(sum(up) AS BIGINT) AS n1,
+             |               CAST(sum(1 - up) AS BIGINT) AS n2,
+             |               CAST(sum(brk) AS BIGINT) AS runs
+             |        FROM r GROUP BY 1)
+             |SELECT g AS c_nationkey, n1, n2, runs,
+             |       round((runs::DOUBLE - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             |             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+             |                    / ((n1 + n2)::DOUBLE * (n1 + n2)
+             |                       * (n1 + n2 - 1))), 6) AS z
+             |FROM agg ORDER BY c_nationkey""".stripMargin)),
+
     // ── per-nation two-sample KS drift (urgent vs rest of totalprice):
     // integer cumulative counts, the max in cross-multiplied integer
     // form |c1·n2 − c2·n1| — one final division, bit-deterministic ──────
