@@ -24,6 +24,14 @@ object Analytics {
       s"input uses reserved internal column name(s): ${clash.mkString(", ")}")
   }
 
+  /** Epoch day via pure integer division (`div`, truncation toward
+    * zero — bit-identical to DuckDB's `//`), never a double quotient:
+    * the daily-series operators promise bit-exact integer arithmetic
+    * end-to-end and a float intermediate would be the one exception.
+    */
+  private def epochDay(dateCol: String): Column =
+    expr(s"cast(cast(`$dateCol` as timestamp) as long) div 86400")
+
   /** Strict ordered conversion funnel: for each user, step i counts as
     * reached only by an event of `steps(i)` STRICTLY AFTER the user's
     * step-(i−1) completion time (and within `deadlineSeconds` of it,
@@ -804,8 +812,7 @@ object Analytics {
       "n1", "n2", "runs", "z"))
     val daily = df
       .select(col(groupCol),
-        (col(dateCol).cast("timestamp").cast("long") / 86400L)
-          .cast("long").as("__day"),
+        epochDay(dateCol).as("__day"),
         round(col(valueCol) * 100).cast("long").as("__v"))
       .groupBy(col(groupCol), col("__day"))
       .agg(sum("__v").as("__v"))
@@ -1073,8 +1080,7 @@ object Analytics {
     val dec = "decimal(38,0)"
     val daily = df
       .select(col(groupCol),
-        (col(dateCol).cast("timestamp").cast("long") / 86400L)
-          .cast("long").as("__x"),
+        epochDay(dateCol).as("__x"),
         round(col(valueCol) * 100).cast("long").as("__y"))
       .groupBy(col(groupCol), col("__x"))
       .agg(sum("__y").as("__y"))
@@ -1682,10 +1688,9 @@ object Analytics {
   def dowProfile(df: DataFrame, groupCol: String, dateCol: String,
       valueCol: String): DataFrame = {
     requireNoReserved(df, Seq("dow", "revenue_cents", "share", "__c"))
-    val epochDay = (col(dateCol).cast("timestamp").cast("long") / 86400L)
-      .cast("long")
+    val day = epochDay(dateCol)
     df.select(col(groupCol),
-        pmod(epochDay + 4, lit(7)).cast("int").as("dow"),
+        pmod(day + 4, lit(7)).cast("int").as("dow"),
         round(col(valueCol) * 100).cast("long").as("__c"))
       .groupBy(col(groupCol), col("dow"))
       .agg(sum("__c").as("revenue_cents"))
@@ -1815,8 +1820,7 @@ object Analytics {
     val dec = "decimal(19,0)"
     val daily = df
       .select(col(groupCol),
-        (col(dateCol).cast("timestamp").cast("long") / 86400L)
-          .cast("long").as("__d"),
+        epochDay(dateCol).as("__d"),
         round(col(valueCol) * 100).cast("long").as("__x"))
       .groupBy(col(groupCol), col("__d"))
       .agg(sum("__x").as("__x"))
