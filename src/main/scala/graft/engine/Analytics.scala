@@ -648,20 +648,35 @@ object Analytics {
     * holds a per-group sorted digest — at extreme per-group
     * cardinality swap in `approx_percentile`, trading bit-exactness
     * for a bounded-memory sketch.
+    *
+    * Degenerate groups (MAD = 0 — at least half the values equal the
+    * median, common for discrete/cent data) are well-defined, never a
+    * div-by-zero: the score falls back to the mean absolute deviation
+    * per Iglewicz–Hoaglin (`0.7979·|x − med|/meanAD`), and to 0 when
+    * even that is 0 (all values identical). Without the branch Spark
+    * yields null and IEEE-division engines yield Infinity — genuine
+    * outliers in such groups would go silently unflagged, and the
+    * statistic would diverge cross-engine.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       threshold: Double = 3.5): DataFrame = {
     require(threshold > 0, "threshold must be positive")
     requireNoReserved(df, Seq("group_median", "group_mad", "__dev",
-      "robust_z", "is_outlier"))
+      "__meanad", "robust_z", "is_outlier"))
     val w = Window.partitionBy(groupCol)
     df.withColumn("group_median",
         percentile(col(valueCol), lit(0.5)).over(w))
       .withColumn("__dev", abs(col(valueCol) - col("group_median")))
       .withColumn("group_mad", percentile(col("__dev"), lit(0.5)).over(w))
-      .withColumn("robust_z", lit(0.6745) * col("__dev") / col("group_mad"))
+      .withColumn("__meanad", avg(col("__dev")).over(w))
+      .withColumn("robust_z",
+        when(col("group_mad") > 0,
+          lit(0.6745) * col("__dev") / col("group_mad"))
+        .when(col("__meanad") > 0,
+          lit(0.7979) * col("__dev") / col("__meanad"))
+        .otherwise(lit(0.0)))
       .withColumn("is_outlier", col("robust_z") > threshold)
-      .drop("__dev")
+      .drop("__dev", "__meanad")
   }
 
   /** Per-group two-sample Kolmogorov–Smirnov statistic between the
@@ -1744,16 +1759,24 @@ object Analytics {
     * data is pruned. Ties: equal x (or equal y) never dominate —
     * strict product order, so incomparable near-duplicates all
     * survive. Returns the input row narrowed to (idCol, xCol, yCol).
+    *
+    * "Strictly greater x" is expressed as a range frame over the
+    * DENSE RANK of x (an integer by construction), never over x
+    * itself: an offset-by-one frame on a raw fractional x would put a
+    * dominator at 0 < x'−x < 1 outside the frame, so the operator is
+    * exact for ANY orderable x — double, decimal, date — not just
+    * integers. Both windows share one partitioning and sort order.
     */
   def skyline2D(df: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {
-    requireNoReserved(df, Seq("__pid", "__mx"))
+    requireNoReserved(df, Seq("__pid", "__xr", "__mx"))
     def undominated(in: DataFrame, w: WindowSpec): DataFrame =
-      in.withColumn("__mx",
-          max(col(yCol)).over(w.orderBy(col(xCol).desc)
+      in.withColumn("__xr", dense_rank().over(w.orderBy(col(xCol).desc)))
+        .withColumn("__mx",
+          max(col(yCol)).over(w.orderBy(col("__xr"))
             .rangeBetween(Window.unboundedPreceding, -1)))
         .filter(col("__mx").isNull || col(yCol) >= col("__mx"))
-        .drop("__mx")
+        .drop("__xr", "__mx")
     val narrowed = df.select(col(idCol), col(xCol), col(yCol))
     val local = undominated(
       narrowed.withColumn("__pid", spark_partition_id()),

@@ -1182,12 +1182,17 @@ object AnalyticsQueries {
              |        FROM x GROUP BY 1),
              |dev AS (SELECT x.g, x.v, abs(x.v - med.med) AS dv
              |        FROM x JOIN med ON x.g = med.g),
-             |md AS (SELECT g, quantile_cont(dv, 0.5) AS mad
+             |md AS (SELECT g, quantile_cont(dv, 0.5) AS mad,
+             |              avg(dv) AS meanad
              |       FROM dev GROUP BY 1)
              |SELECT dev.g AS c_nationkey, count(*)::BIGINT AS n_rows,
              |       round(max(med.med), 6) AS med_cents,
              |       round(max(md.mad), 6) AS mad_cents,
-             |       round(max(0.6745 * dev.dv / md.mad), 6)
+             |       round(max(CASE WHEN md.mad > 0
+             |                      THEN 0.6745 * dev.dv / md.mad
+             |                      WHEN md.meanad > 0
+             |                      THEN 0.7979 * dev.dv / md.meanad
+             |                      ELSE 0.0 END), 6)
              |         AS max_robust_z
              |FROM dev JOIN med ON dev.g = med.g JOIN md ON dev.g = md.g
              |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),

@@ -56,24 +56,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default. We read it via `spark.sql.legacy.parquet.nanosAsLong` (ts
-    * arrives as a LongType nanosecond count) and normalize: `ts_ns` keeps
-    * full precision, `ts` is a µs-truncated TimestampType for
-    * calendar/window functions. `cast(ts as long)` then yields
-    * floor-to-second epochs, matching DuckDB's `epoch_us(ts)//1000000`
-    * on the oracle side.
+  /** `events.ts` normalization — schema-adaptive, because the generator
+    * has shipped the column two ways across rounds:
+    *
+    *  - TIMESTAMP(NANOS) parquet, which Spark 4 rejects by default: read
+    *    via `spark.sql.legacy.parquet.nanosAsLong` (ts arrives as a
+    *    LongType nanosecond count), keep full precision in `ts_ns`, and
+    *    floor-divide to a µs TimestampType `ts`.
+    *  - TIMESTAMP(MICROS) parquet (isAdjustedToUTC=false → TimestampNTZ
+    *    in Spark 4): the wall-clock IS the value; sessions pin
+    *    `spark.sql.session.timeZone=UTC`, so casting to TimestampType is
+    *    value-preserving and `ts_ns` is the µs epoch ×1000.
+    *
+    * Either way the normalized contract downstream is identical:
+    * `ts_ns` LongType nanos, `ts` TimestampType µs, and
+    * `cast(ts as long)` yields floor-to-second epochs matching DuckDB's
+    * `epoch_us(ts)//1000000` on the oracle side (DuckDB reads both
+    * parquet encodings natively, so the oracle SQL never changes).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // session builders set this up front; the guarded fallback covers
     // externally-built sessions without re-mutating conf on every call
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").select(
-      col("event_id"),
-      col("ts").as("ts_ns"),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
-      col("user_id"), col("event_type"), col("value"), col("props"))
+    val raw = load(s, d, "events")
+    val tail = Seq(col("user_id"), col("event_type"), col("value"), col("props"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.select(Seq(
+          col("event_id"),
+          col("ts").as("ts_ns"),
+          timestamp_micros(expr("ts div 1000")).as("ts")) ++ tail: _*)
+      case _ => // TimestampType / TimestampNTZType, µs precision
+        raw.select(Seq(
+          col("event_id"),
+          (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts_ns"),
+          col("ts").cast("timestamp").as("ts")) ++ tail: _*)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -235,9 +235,13 @@ object TextIndex {
     * merged segment stages under a fresh `segments-<n>` root, is
     * audited against the live posting count, and the [[Generations]]
     * pointer flip is the commit — readers resolve the pointer and never
-    * see a half-compacted set. Superseded roots are swept
-    * ([[Generations.retain]]); single-maintenance-writer contract
-    * (appends racing a compaction can land in the superseded root).
+    * see a half-compacted set. The sweep keeps TWO roots (the same
+    * grace window mergeSink's `retainGenerations = 2` default gives):
+    * a reader that resolved the old root just before the flip finishes
+    * its query against intact files; the root it read is collected on
+    * the NEXT compaction, by which point the flip it straddled is long
+    * visible. Single-maintenance-writer contract (appends racing a
+    * compaction can land in the superseded root).
     * Returns true when a merge happened (false = already compact).
     */
   def compactSegments(spark: SparkSession, path: String): Boolean = {
@@ -264,7 +268,7 @@ object TextIndex {
     require(written == liveCount,
       s"compaction audit failed: wrote $written postings, live $liveCount")
     Generations.publish(path, newRoot)
-    Generations.retain(path, keep = 1)
+    Generations.retain(path, keep = 2)
     true
   }
 

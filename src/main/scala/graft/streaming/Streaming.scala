@@ -231,9 +231,28 @@ object Streaming {
       s"input uses reserved internal column names: ${clash.mkString(", ")}")
     val root = new java.io.File(path)
     root.mkdirs()
+    // the bucket layout is a property of the TARGET, not of a call:
+    // a later epoch with a different nBuckets would prune the wrong
+    // bucket directories and hard-link stale rows forward, silently
+    // resurrecting overwritten keys — so the first write stamps the
+    // layout in a meta file and every subsequent batch must match
+    // (the same cross-write validation loadSegments does for the
+    // text index's n_buckets)
+    val bucketMeta = new java.io.File(root, "_NBUCKETS")
+    if (bucketMeta.exists()) {
+      val stamped = new String(
+        java.nio.file.Files.readAllBytes(bucketMeta.toPath), "UTF-8")
+        .trim.toInt
+      require(stamped == nBuckets,
+        s"target $path was written with nBuckets=$stamped; " +
+          s"this batch was invoked with nBuckets=$nBuckets")
+    }
     val genDir = s"gen-$epochId"
     val cur = graft.engine.Generations.currentName(path)
     if (cur.contains(genDir) || batch.isEmpty) return
+    if (!bucketMeta.exists())
+      java.nio.file.Files.write(bucketMeta.toPath,
+        nBuckets.toString.getBytes("UTF-8"))
     val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
       .cast("int")
     val latest = batch
