@@ -679,6 +679,45 @@ object Analytics {
       .drop("__dev", "__meanad")
   }
 
+  /** [[madOutliers]] with `approx_percentile` medians — the documented
+    * 100 TB escape hatch made concrete: exact `percentile` holds every
+    * group value in a sorted digest, so a whale group's window state is
+    * O(group); the GK sketch is O(accuracy·log n) regardless of group
+    * size, at a bounded rank error of n/accuracy per percentile.
+    *
+    * Law vs the exact form (spec-pinned): for odd-sized groups with
+    * fewer rows than `accuracy`, the sketch is lossless and the exact
+    * odd-count median interpolates nothing — the twins agree
+    * BIT-FOR-BIT. Beyond that, the approx median is a real group value
+    * whose rank is within n/accuracy of the true median rank, so
+    * robust_z shifts by at most the local value gap over MAD — far-out
+    * outliers (the ones worth flagging at 3.5σ) flag identically.
+    */
+  def madOutliersApprox(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5, accuracy: Int = 10000): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    require(accuracy > 0, "accuracy must be positive")
+    requireNoReserved(df, Seq("group_median", "group_mad", "__dev",
+      "__meanad", "robust_z", "is_outlier"))
+    val w = Window.partitionBy(groupCol)
+    df.withColumn("group_median",
+        percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).over(w)
+          .cast("double"))
+      .withColumn("__dev", abs(col(valueCol) - col("group_median")))
+      .withColumn("group_mad",
+        percentile_approx(col("__dev"), lit(0.5), lit(accuracy)).over(w)
+          .cast("double"))
+      .withColumn("__meanad", avg(col("__dev")).over(w))
+      .withColumn("robust_z",
+        when(col("group_mad") > 0,
+          lit(0.6745) * col("__dev") / col("group_mad"))
+        .when(col("__meanad") > 0,
+          lit(0.7979) * col("__dev") / col("__meanad"))
+        .otherwise(lit(0.0)))
+      .withColumn("is_outlier", col("robust_z") > threshold)
+      .drop("__dev", "__meanad")
+  }
+
   /** Per-group two-sample Kolmogorov–Smirnov statistic between the
     * rows flagged by `flagCol` (=1) and the rest: D = max over the
     * merged value domain of |F̂₁(v) − F̂₂(v)|. The nonparametric
@@ -764,12 +803,21 @@ object Analytics {
     * decomposition (χ² grows with n; V ∈ [0,1] doesn't). Returns one
     * row: (chi2, cramers_v, n_rows, dof).
     *
+    * Zero cells (pairs that never co-occur) carry a real χ²
+    * contribution — (0−e)²/e = e — but never materialize in a
+    * groupBy over observed data, so the statistic is computed via the
+    * algebraic identity Σ_all (o−e)²/e = Σ_observed o²/e − n (the
+    * missing cells' Σe folds into the −n term because marginals sum
+    * to n): exact over the FULL r·c grid while only ever touching
+    * observed cells. A naive observed-only sum understates
+    * association — a perfect 2×2 diagonal would score V≈0.72, not 1.
+    *
     * Determinism: χ² is a sum of per-cell doubles, and float addition
     * order would make it engine-dependent — so the cell terms are
     * collected into a SORTED array (by cell key) and folded in that
     * fixed order; the per-term arithmetic is written in one fixed
-    * operation order. The array holds r·c cells — bounded by category
-    * cardinalities, never by data size.
+    * operation order. The array holds ≤ r·c cells — bounded by
+    * category cardinalities, never by data size.
     *
     * Scale shape: one (a,b) cell rollup; marginals and the total ride
     * the cell aggregate (branches consume the cell count, as
@@ -792,13 +840,13 @@ object Analytics {
       .withColumn("__e",
         col("__na").cast("double") * col("__nb") / col("__n"))
       .withColumn("__t",
-        (col("__o").cast("double") - col("__e")) *
-        (col("__o").cast("double") - col("__e")) / col("__e"))
+        col("__o").cast("double") * col("__o") / col("__e"))
     terms
-      .agg(aggregate(
+      .agg((aggregate(
           sort_array(collect_list(struct(col(aCol), col(bCol),
             col("__t")))),
-          lit(0.0), (acc, s) => acc + s.getField("__t")).as("chi2"),
+          lit(0.0), (acc, s) => acc + s.getField("__t"))
+          - max("__n")).as("chi2"),
         max("__n").as("n_rows"), max("__r").as("__r"),
         max("__c").as("__c"))
       .select(round(col("chi2"), 6).as("chi2"),
@@ -822,7 +870,28 @@ object Analytics {
     * final rollup all ride that same partitioning.
     */
   def runsTest(df: DataFrame, groupCol: String, dateCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String): DataFrame =
+    runsTestImpl(df, groupCol, dateCol, valueCol,
+      v => percentile(v, lit(0.5)))
+
+  /** [[runsTest]] with an `approx_percentile` median — the bounded-
+    * memory twin for extreme day-count groups (same trade as
+    * [[madOutliersApprox]]: GK sketch state O(accuracy·log n) instead
+    * of the exact window's per-group sorted digest). The approx median
+    * is a REAL daily value within n/accuracy ranks of the true median;
+    * day counts shift by at most that rank error, and for odd-sized
+    * groups under `accuracy` rows the twins agree bit-for-bit
+    * (spec-pinned law).
+    */
+  def runsTestApprox(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String, accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, "accuracy must be positive")
+    runsTestImpl(df, groupCol, dateCol, valueCol,
+      v => percentile_approx(v, lit(0.5), lit(accuracy)))
+  }
+
+  private def runsTestImpl(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String, median: Column => Column): DataFrame = {
     requireNoReserved(df, Seq("__day", "__v", "__med", "__up", "__brk",
       "n1", "n2", "runs", "z"))
     val daily = df
@@ -834,7 +903,10 @@ object Analytics {
     val wg = Window.partitionBy(groupCol)
     val wd = Window.partitionBy(groupCol).orderBy("__day")
     val signed = daily
-      .withColumn("__med", percentile(col("__v"), lit(0.5)).over(wg))
+      // cast AFTER .over — a cast wrapped around the aggregate would
+      // hide it from the window resolver (MISSING_GROUP_BY); for the
+      // exact percentile the cast is a no-op (already double)
+      .withColumn("__med", median(col("__v")).over(wg).cast("double"))
       .filter(col("__v") =!= col("__med"))
       .withColumn("__up", (col("__v") > col("__med")).cast("long"))
     val runs = signed

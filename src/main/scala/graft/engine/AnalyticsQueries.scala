@@ -1066,13 +1066,12 @@ object AnalyticsQueries {
              |               count(DISTINCT a)::BIGINT AS r,
              |               count(DISTINCT b)::BIGINT AS c FROM cell),
              |terms AS (SELECT cell.a, cell.b,
-             |            (cell.o::DOUBLE - ma.na::DOUBLE * mb.nb / tot.n)
-             |            * (cell.o::DOUBLE - ma.na::DOUBLE * mb.nb / tot.n)
+             |            cell.o::DOUBLE * cell.o
              |            / (ma.na::DOUBLE * mb.nb / tot.n) AS t
              |          FROM cell JOIN ma USING (a) JOIN mb USING (b)
              |          CROSS JOIN tot),
              |o AS (SELECT list_aggregate(list(t ORDER BY a, b), 'sum')
-             |        AS chi2 FROM terms)
+             |        - (SELECT n FROM tot) AS chi2 FROM terms)
              |SELECT round(chi2, 6) AS chi2,
              |       round(sqrt(chi2 / (tot.n * (least(tot.r, tot.c) - 1))),
              |             6) AS cramers_v,

@@ -347,6 +347,32 @@ object ExtensionQueries {
              |SELECT id_a, id_b, cosine_sim FROM p
              |WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── the SCALE PATH for embedding near-dup, oracle-checked against
+    // the same all-pairs SQL: angular KMeans blocking + triangle-
+    // inequality cell-pair pruning gives recall exactly 1 by
+    // construction (see cosineNearDupsBlocked scaladoc), so the plan
+    // that never materializes the global cross join must reproduce the
+    // exact answer bit-for-bit ─────────────────────────────────────────
+    QuerySpec("cosine_neardup_blocked",
+      (s, d) => Extensions.cosineNearDupsBlocked(
+          embeddings(s, d).filter(col("vec_id") < 500), "embedding",
+          "vec_id", minCosine = 0.35, nCells = 16)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+             |  WHERE vec_id < 500),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         round(CASE WHEN list_dot_product(a.emb, a.emb) = 0
+             |                      OR list_dot_product(b.emb, b.emb) = 0 THEN 0
+             |               ELSE list_dot_product(a.emb, b.emb)
+             |                    / (sqrt(list_dot_product(a.emb, a.emb))
+             |                     * sqrt(list_dot_product(b.emb, b.emb)))
+             |               END, 6) AS cosine_sim
+             |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cosine_sim FROM p
+             |WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+
     // ── bottom-k shingle-hash fingerprints (winnowing-style sketch;
     // xxhash64 is engine-internal → rows-only + ScalaTest; the array is
     // emitted concat_ws'd so the driver comparator can hash it) ──────────

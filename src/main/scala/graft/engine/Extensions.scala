@@ -468,6 +468,103 @@ object Extensions {
       .filter(col("cosine_sim") >= minCosine)
   }
 
+  /** Exact embedding-cosine near-duplicates with an angular-blocking
+    * plan — [[cosineNearDups]]'s all-pairs SEMANTICS without its
+    * all-pairs JOIN. Rows are clustered into `nCells` KMeans cells on
+    * the unit sphere; a cell pair survives only if the angle between
+    * its centroids minus both cell radii could still reach
+    * arccos(minCosine). Angular distance is a metric, so by the
+    * triangle inequality NO qualifying pair is ever pruned: recall is
+    * exactly 1 for ANY clustering, seed, or cell count — the params
+    * tune cost, never correctness, which is what lets the bucketed
+    * plan share the exact form's all-pairs oracle. The rescore reuses
+    * [[cosineNearDups]]'s expression verbatim (same operand order,
+    * same rounding) → bit-identical scores.
+    *
+    * Scale shape: the KMeans fit is sample-bounded (as [[annIvf]]);
+    * centroids/radii are nCells-bounded driver metadata; the member
+    * join shuffles on cell ids with the surviving-pair list broadcast.
+    * An angularly tight corpus against a low threshold degrades toward
+    * all-pairs WORK (never all-pairs memory per task — cells bound the
+    * build sides); at a production near-dup threshold (≥ 0.8, cells a
+    * few degrees wide) distant cell pairs prune in bulk. Zero-norm
+    * rows are dropped up front: their cosine is 0 by the exact form's
+    * convention, below any positive threshold — hence
+    * `minCosine > 0` is required.
+    */
+  def cosineNearDupsBlocked(emb: DataFrame, embCol: String, idCol: String,
+      minCosine: Double, nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    require(minCosine > 0 && minCosine < 1,
+      "minCosine must be in (0, 1) — at 0 the zero-norm convention " +
+        "differs from the exact form; use cosineNearDups")
+    require(nCells >= 2, "nCells must be >= 2")
+    requireNoReserved(emb, Seq("__n", "__u", "__vec", "__cell", "__cent",
+      "__ca", "__cb", "__r"))
+    val spark = emb.sparkSession
+    // unit-normalize for the FIT only (Euclidean k-means on the unit
+    // sphere groups by direction); scoring always uses the raw arrays
+    val vecs = emb.select(col(idCol), col(embCol),
+        sqrt(dot(col(embCol), col(embCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__vec", array_to_vector(
+        transform(col(embCol), x => x.cast("double") / col("__n"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    val fitSample =
+      if (sample.count() >= nCells.toLong * 4) sample else vecs
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .setK(nCells).setSeed(seed).setMaxIter(5).fit(fitSample)
+    val assigned = km.transform(vecs)
+      .select(col(idCol), col(embCol), col("__n"), col("__cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centDf = spark.createDataFrame(centroids).toDF("__cell", "__cent")
+    // per-cell angular radius: max angle(member, own centroid); cosine
+    // is scale-invariant so the raw embedding serves. The float→double
+    // chain can wobble in the last ulps — the SLACK below absorbs it
+    // (slack only admits extra candidate cell pairs, never drops one)
+    val radii = assigned.join(broadcast(centDf), "__cell")
+      .select(col("__cell"),
+        acos(least(greatest(cosine(col(embCol), col("__cent")),
+          lit(-1.0)), lit(1.0))).as("__r"))
+      .groupBy("__cell").agg(max("__r").as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val slack = 1e-4
+    val thetaMax = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val cents = km.clusterCenters.map(c => unit(c.toArray))
+    def centAngle(i: Int, j: Int): Double = {
+      val d = cents(i).zip(cents(j)).map { case (a, b) => a * b }.sum
+      math.acos(math.min(1.0, math.max(-1.0, d)))
+    }
+    // ordered survivors (both directions for i != j, (i,i) once): every
+    // unordered member pair then appears exactly once under id_a < id_b
+    val survivors = for {
+      i <- cents.indices; j <- cents.indices
+      if radii.contains(i) && radii.contains(j)
+      if centAngle(i, j) - radii(i) - radii(j) <= thetaMax + slack
+    } yield (i, j)
+    val survDf = spark.createDataFrame(survivors).toDF("__ca", "__cb")
+    val a = assigned.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      col("__n").as("__na"), col("__cell").as("__ca"))
+    val b = assigned.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      col("__n").as("__nb"), col("__cell").as("__cb"))
+    a.join(broadcast(survDf), Seq("__ca"))
+      .join(b, Seq("__cb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(col("__na") =!= 0 && col("__nb") =!= 0,
+          dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+          .otherwise(0.0), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+  }
+
   /** Bottom-k fingerprint per document: the k smallest shingle hashes
     * (a winnowing-style sketch — two docs' fingerprints overlap in
     * proportion to their shingle Jaccard). One narrow aggregation, no

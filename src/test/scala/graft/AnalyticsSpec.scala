@@ -807,6 +807,53 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hubs.nonEmpty, "fixture must actually exercise the cap")
   }
 
+  test("skew caps change the WORK BOUND under a power-law fixture, " +
+      "not just the answer: capped pair builds stay under the cap's " +
+      "combinatorial budget while uncapped builds blow past it") {
+    // power-law baskets: one 200-item whale + 30 small baskets (3-7)
+    val rnd = new scala.util.Random(41)
+    val whale = (0 until 200).map(i => (0L, i.toLong))
+    val smallSizes = (1 to 30).map(_ => 3 + rnd.nextInt(5))
+    val small = smallSizes.zipWithIndex.flatMap { case (sz, b) =>
+      (0 until sz).map(_ => ((b + 1).toLong, rnd.nextInt(40).toLong))
+    }
+    val df = (whale ++ small).toDF("basket", "item")
+    // at minSupport=1/topK=∞, sum(pair_baskets) IS the number of pair
+    // rows the build emitted into the rollup — the work observable
+    def pairWork(cap: Int): Long =
+      Analytics.basketAffinity(df, "basket", "item", minSupport = 1L,
+          topK = Int.MaxValue, maxItemsPerBasket = cap)
+        .agg(sum("pair_baskets")).as[Long].head()
+    val cap = 10
+    val uncapped = pairWork(0)
+    val cappedW = pairWork(cap)
+    // distinct (basket, item) sizes decide the pair counts
+    val smallPairBudget = small.distinct.groupBy(_._1)
+      .map { case (_, is) => val n = is.map(_._2).distinct.size.toLong
+        n * (n - 1) / 2 }.sum
+    assert(uncapped >= 200L * 199 / 2,
+      s"whale pairs must dominate the uncapped build: $uncapped")
+    assert(cappedW <= smallPairBudget && cappedW > 0,
+      s"capped build must fit the sub-cap baskets' budget: $cappedW")
+    // power-law graph: a degree-120 star + a sparse tail
+    val star = (1 to 120).map(i => (0L, i.toLong))
+    val tail = (0 until 150)
+      .map(_ => (1 + rnd.nextInt(120).toLong, 1 + rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val g = (star ++ tail).toDF("a", "b")
+    val dcap = 8
+    val un = Analytics.edgeJaccard(g, "a", "b")
+      .select("deg_a", "deg_b").as[(Long, Long)].collect()
+    val cp = Analytics.edgeJaccard(g, "a", "b", maxDegree = dcap)
+      .select("deg_a", "deg_b").as[(Long, Long)].collect()
+    // per-edge intersect work is O(deg_a + deg_b): the cap must bound
+    // EVERY surviving adjacency array, where uncapped carries the hub
+    assert(un.exists(r => r._1 >= 120 || r._2 >= 120),
+      "uncapped build must carry the star hub's full adjacency")
+    assert(cp.nonEmpty && cp.forall(r => r._1 <= dcap && r._2 <= dcap),
+      "capped adjacency arrays must never exceed the cap")
+  }
+
   test("madOutliers: heavy-tailed fixture — the spike is flagged at " +
       "43x the MAD while the bulk stays under 1.2") {
     val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("g", _))
@@ -844,6 +891,144 @@ class AnalyticsSpec extends AnyFunSuite {
     val a = Seq.fill(400)(rnd.nextInt(50).toLong)
     val b = Seq.fill(300)(rnd.nextInt(50).toLong + 5)
     assert(run(a, b) == ((400L, 300L, ks(a, b))))
+  }
+
+  test("lorenzPoints: cum_share is monotone with last bucket 1, equal " +
+      "values give the diagonal, and buckets=n reproduces giniByGroup") {
+    // group 1: four equal orders -> the diagonal (0.25, 0.5, 0.75, 1.0)
+    val eq = (1 to 4).map(i => (1L, i.toLong, 10.0))
+    // group 2: seeded skewed values, checked for shape laws + Gini tie-in
+    val rnd = new scala.util.Random(23)
+    val sk = (1 to 40).map(i => (2L, i.toLong,
+      math.rint(math.pow(rnd.nextDouble(), 3) * 10000) / 100 + 0.01))
+    val df = (eq ++ sk).toDF("g", "p", "v")
+    val out = Analytics.lorenzPoints(df, "g", "p", "v", buckets = 4)
+      .orderBy("g", "bucket").as[(Long, Int, Double)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3))
+      == Seq((1, 0.25), (2, 0.5), (3, 0.75), (4, 1.0)))
+    val shares = out.filter(_._1 == 2L).map(_._3)
+    assert(shares.size == 4 && shares.last == 1.0)
+    assert(shares.zip(shares.tail).forall { case (a2, b2) => a2 <= b2 },
+      "cum_share must be nondecreasing")
+    assert(shares.head > 0.0 && shares.head < 0.25,
+      "a skewed group's bottom bucket must fall below the diagonal")
+    // with buckets = n (one member per bucket) the discrete Lorenz
+    // points determine the Gini exactly: G = 1 - (2*sum(L_k) - 1)/n
+    val n = sk.size
+    val ls = Analytics.lorenzPoints(sk.toDF("g", "p", "v"), "g", "p", "v",
+        buckets = n)
+      .orderBy("bucket").as[(Long, Int, Double)].collect().map(_._3)
+    val gFromLorenz = 1.0 - (2.0 * ls.sum - 1.0) / n
+    val gini = Analytics.giniByGroup(sk.toDF("g", "p", "v"), "g", "p", "v")
+      .as[(Long, Long, Double)].head()._3
+    assert(math.abs(gFromLorenz - gini) < 1e-4)
+  }
+
+  test("cramersV: perfect association gives V=1 with chi2=n, an " +
+      "independent table gives 0, and a seeded fixture matches the " +
+      "brute force with dof (r-1)(c-1)") {
+    def run(rows: Seq[(String, String)]): (Double, Double, Long, Int) = {
+      Analytics.cramersV(rows.toDF("a", "b"), "a", "b")
+        .as[(Double, Double, Long, Int)].head()
+    }
+    // perfect 2x2 association: b == a
+    val perfect = Seq.fill(6)(("x", "x")) ++ Seq.fill(4)(("y", "y"))
+    assert(run(perfect) == ((10.0, 1.0, 10L, 1)))
+    // exact independence: count(a,b) = na*nb/n for every cell
+    val indep = for {
+      (av, ka) <- Seq(("x", 1), ("y", 3))
+      (bv, kb) <- Seq(("p", 2), ("q", 1), ("r", 1))
+      _ <- 1 to ka * kb
+    } yield (av, bv)
+    assert(run(indep) == ((0.0, 0.0, 16L, 2)))
+    // seeded random 3x4 table vs brute force (same op order per term)
+    val rnd = new scala.util.Random(31)
+    val as = Seq("a", "b", "c")
+    val bs = Seq("p", "q", "r", "s")
+    val rows = Seq.fill(500)(
+      (as(rnd.nextInt(3)), bs(rnd.nextInt(4))))
+    val (chi2, v, nRows, dof) = run(rows)
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val na = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nb = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = rows.size.toLong
+    // full-grid brute force — zero cells contribute (0-e)^2/e = e
+    val chiExp = (for (av <- as; bv <- bs) yield {
+      val o = cells.getOrElse((av, bv), 0L)
+      val e = na(av).toDouble * nb(bv) / nn
+      (o.toDouble - e) * (o.toDouble - e) / e
+    }).sum
+    assert(nRows == nn && dof == 6)
+    assert(math.abs(chi2 - chiExp) < 1e-6)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(math.abs(v - math.sqrt(chiExp / (nn * 2))) < 1e-6)
+  }
+
+  test("approx twins: madOutliersApprox and runsTestApprox agree " +
+      "bit-for-bit with the exact forms on odd groups under the " +
+      "accuracy bound; a low-accuracy sketch still lands within its " +
+      "rank-error bound and still flags the planted whale") {
+    // identity law — odd group sizes, n << accuracy: the GK sketch is
+    // lossless and odd-count exact medians interpolate nothing
+    val fx = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 7.0).map(("g", _)) ++
+      Seq(10.0, 20.0, 30.0).map(("h", _))).toDF("g", "v")
+    val exact = Analytics.madOutliers(fx, "g", "v").orderBy("g", "v")
+      .as[(String, Double, Double, Double, Double, Boolean)].collect().toSeq
+    val approx = Analytics.madOutliersApprox(fx, "g", "v").orderBy("g", "v")
+      .as[(String, Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(approx == exact)
+    val days = Seq(1.0, 1.0, 2.0, 3.0, 3.0).zipWithIndex
+      .map { case (v, d) => ("g", d.toLong, v) }.toDF("g", "day", "v")
+      .withColumn("ts", timestamp_micros(col("day") * 86400000000L))
+    assert(Analytics.runsTestApprox(days, "g", "ts", "v")
+        .as[(String, Long, Long, Long, Double)].head()
+      == Analytics.runsTest(days, "g", "ts", "v")
+        .as[(String, Long, Long, Long, Double)].head())
+    // tolerance law — 10001 distinct values + one whale, accuracy 100:
+    // the approx median must be a real group value within n/accuracy
+    // ranks of the true median, and the whale must still flag
+    val big = ((0 to 10000).map(i => ("g", i.toDouble)) :+ ("g", 1e6))
+      .toDF("g", "v")
+    val out = Analytics.madOutliersApprox(big, "g", "v", accuracy = 100)
+      .select("v", "group_median", "is_outlier")
+      .as[(Double, Double, Boolean)].collect()
+    val med = out.head._2
+    val n = 10002.0
+    assert(med == math.rint(med) && med >= 0 && med <= 10000,
+      "approx median must be an actual group value")
+    assert(math.abs(med - 5000.0) <= n / 100 + 1,
+      s"rank error beyond the GK bound: $med")
+    assert(out.filter(_._1 == 1e6).forall(_._3), "whale must flag")
+    assert(out.count(_._3) < 100, "the bulk must not flag")
+  }
+
+  test("runsTest: alternation inflates runs (z>0), clustering deflates " +
+      "(z<0), and exact-median days are excluded") {
+    def z(n1: Long, n2: Long, runs: Long): Double = {
+      val num = runs.toDouble -
+        (2.0 * n1 * n2 / (n1 + n2) + 1)
+      val den = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+        ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1)))
+      math.rint(num / den * 1e6) / 1e6
+    }
+    def run(vals: Seq[Double]): (Long, Long, Long, Double) = {
+      val df = vals.zipWithIndex
+        .map { case (v, d) => ("g", d.toLong, v) }.toDF("g", "day", "v")
+        .withColumn("ts", timestamp_micros(col("day") * 86400000000L))
+      Analytics.runsTest(df, "g", "ts", "v")
+        .select("n1", "n2", "runs", "z")
+        .as[(Long, Long, Long, Double)].head()
+    }
+    // perfectly alternating 10 days: median 2 (interpolated), 10 runs
+    val alt = run(Seq.tabulate(10)(d => if (d % 2 == 0) 1.0 else 3.0))
+    assert(alt == ((5L, 5L, 10L, z(5, 5, 10))) && alt._4 > 0)
+    // fully clustered 8 days: 2 runs
+    val clu = run(Seq.fill(4)(1.0) ++ Seq.fill(4)(3.0))
+    assert(clu == ((4L, 4L, 2L, z(4, 4, 2))) && clu._4 < 0)
+    // 5 days 1,1,2,3,3: the exact-median day (2) is excluded -> the
+    // remaining sequence 1,1,3,3 has n1=n2=2 and 2 runs
+    val med = run(Seq(1.0, 1.0, 2.0, 3.0, 3.0))
+    assert(med == ((2L, 2L, 2L, z(2, 2, 2))))
   }
 
   test("bfsDistances matches brute-force BFS on a seeded digraph; " +

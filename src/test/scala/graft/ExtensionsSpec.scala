@@ -298,6 +298,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("cosineNearDupsBlocked equals the exact all-pairs form on real " +
+      "embeddings at several thresholds and never cross-joins") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def exact(t: Double) = Extensions
+      .cosineNearDups(emb, "embedding", "vec_id", t)
+      .as[(Long, Long, Double)].collect().toSet
+    def blocked(t: Double, cells: Int, seed: Long) = Extensions
+      .cosineNearDupsBlocked(emb, "embedding", "vec_id", t, cells, seed)
+      .as[(Long, Long, Double)].collect().toSet
+    // recall-1 is a THEOREM (triangle inequality), not a tuning
+    // outcome: equality must hold across thresholds, cell counts, seeds
+    for (t <- Seq(0.3, 0.45)) assert(blocked(t, 16, 42L) == exact(t))
+    assert(blocked(0.3, 5, 7L) == exact(0.3))
+    // and the plan must block, not cross join (the exact form's shape)
+    val plan = Extensions
+      .cosineNearDupsBlocked(emb, "embedding", "vec_id", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "blocked plan must not contain a cartesian product")
+    // zero-norm rows never pair (the exact form's convention)
+    val withZero = Seq((900L, Array(0.0f, 0.0f)), (901L, Array(1.0f, 0.0f)),
+      (902L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Extensions.cosineNearDupsBlocked(withZero, "embedding", "vec_id",
+        0.5, nCells = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      == Set((901L, 902L)))
+  }
+
   test("fingerprints: identical docs identical, k-bounded, deterministic") {
     val fps = Extensions.fingerprintBottomK(docs, "text", "doc_id", 3, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
