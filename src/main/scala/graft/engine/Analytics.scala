@@ -486,8 +486,17 @@ object Analytics {
     adj
       .select(col("__n"), col("__nbrs").as("__nba"),
         explode(filter(col("__nbrs"), m => m > col("__n"))).as("__m"))
-      .join(adj.select(col("__n").as("__m"), col("__nbrs").as("__nbb")),
-        "__m")
+      // shuffle_hash, not sort-merge: the probe side is the exploded
+      // O(E) edge stream CARRYING the n-side adjacency array (~d̄·8
+      // bytes per row) — sort-merge would sort that array-weighted
+      // stream and its spill cost turns super-linear once the volume
+      // passes executor memory (measured: 2× data → 2.6× time at the
+      // ScaleProbe f10 point; shuffle_hash returns it to sub-linear).
+      // The build side is the adjacency table itself — one row per
+      // node, degree-bounded arrays (hub cap is the relief valve), the
+      // side that stays executor-sized at scale.
+      .join(adj.select(col("__n").as("__m"), col("__nbrs").as("__nbb"))
+        .hint("shuffle_hash"), "__m")
       .select(col("__n").as(aCol), col("__m").as(bCol),
         size(array_intersect(col("__nba"), col("__nbb"))).cast("long")
           .as("common_cnt"),

@@ -418,5 +418,11 @@ class PlanSpec extends AnyFunSuite {
         l.contains("NestedLoopJoin"))
     assert(joins <= 2, s"expected <=2 join nodes (a wedge enumeration " +
       s"needs a third, neighbor-to-neighbor join), got $joins:\n$plan")
+    // round-8 scaling fix: the adjacency attach must be a HASH join —
+    // sort-merge sorts the exploded O(E) stream with an adjacency
+    // array on every row, which the ScaleProbe measured going
+    // super-linear past executor memory (BASELINE.md §scaling)
+    assert(!plan.contains("SortMergeJoin"),
+      s"adjacency attach regressed to sort-merge:\n$plan")
   }
 }
