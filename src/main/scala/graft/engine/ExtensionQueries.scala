@@ -909,6 +909,42 @@ object ExtensionQueries {
              |       CAST(count(*) AS BIGINT) AS n_unique
              |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── ExactSubstr-style repeated-span regions: every 20-token window
+    // duplicated corpus-wide marks its range, overlapping marks merge —
+    // the substring-level dedup that catches boilerplate doc-level
+    // dedup misses. One span-key exchange + one doc-window exchange ────
+    QuerySpec("span_dedup",
+      (s, d) => Extensions.spanDedup(documents(s, d), "text", "doc_id",
+          n = 20, minDf = 2L)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, i.range::INT AS pos,
+             |         array_to_string(toks[i.range+1:i.range+20], ' ')
+             |           AS span
+             |  FROM t, range(0, 100000) i
+             |  WHERE i.range <= len(toks) - 20),
+             |hot AS (SELECT span FROM s GROUP BY 1 HAVING count(*) >= 2),
+             |m AS (SELECT doc_id, pos FROM s JOIN hot USING (span)),
+             |g AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (
+             |                PARTITION BY doc_id ORDER BY pos) <= 20
+             |              THEN 0 ELSE 1 END AS brk
+             |  FROM m),
+             |seg AS (
+             |  SELECT doc_id, pos,
+             |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS UNBOUNDED PRECEDING) AS seg
+             |  FROM g)
+             |SELECT doc_id, min(pos)::INT AS span_start,
+             |       (max(pos) + 20)::INT AS span_end,
+             |       count(*)::BIGINT AS n_windows
+             |FROM seg GROUP BY doc_id, seg
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

@@ -565,6 +565,58 @@ object Extensions {
       .filter(col("cosine_sim") >= minCosine)
   }
 
+  /** Exact repeated-span regions — ExactSubstr-style dedup (the
+    * substring-level companion to document-level near-dup: long spans
+    * duplicated ACROSS documents are boilerplate/licenses/templates
+    * that survive doc-level dedup and measurably hurt LM training).
+    * Every n-token window whose exact text occurs ≥ `minDf` times
+    * corpus-wide marks its token range; overlapping or touching marked
+    * windows (start gap ≤ n) merge into maximal duplicated regions.
+    * Returns (idCol, span_start, span_end, n_windows): token offsets
+    * [span_start, span_end) and how many flagged windows merged into
+    * the region — the rows a curation pass cuts out of each doc.
+    *
+    * Scale shape: NGram slides an O(tokens) iterator (the HOF
+    * slice-per-position alternative is O(tokens²) — docShingles note);
+    * ONE exchange on the span key for the df rollup (its ≥ minDf
+    * survivor set is aggregate-small and broadcasts back for the
+    * semi-join); ONE exchange on the doc for the merge window,
+    * partition-bounded by doc length. Span keys here are the raw
+    * n-token strings (oracle-comparable); at 100 TB swap the rollup
+    * and semi-join keys to `xxhash64(span)` — 8-byte shuffle keys,
+    * identical regions up to 64-bit collisions.
+    */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 20, minDf: Long = 2L): DataFrame = {
+    require(n >= 2, "span length n must be >= 2 tokens")
+    require(minDf >= 2, "minDf < 2 would flag every window")
+    requireNoReserved(docs, Seq("__toks", "__spans", "__span", "__pos",
+      "__brk", "__seg", "span_start", "span_end", "n_windows"))
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val ngram = new org.apache.spark.ml.feature.NGram()
+      .setN(n).setInputCol("__toks").setOutputCol("__spans")
+    val spans = ngram.transform(toks)
+      .select(col(idCol), posexplode(col("__spans"))
+        .as(Seq("__pos", "__span")))
+    val hot = spans.groupBy("__span").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__span")
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    spans.join(hot, Seq("__span"), "left_semi")
+      // windows at starts p, p' overlap/touch iff p' - p <= n: break a
+      // new region on a larger gap, then segment-id by running sum
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(w) <= n, 0L)
+          .otherwise(1L))
+      .withColumn("__seg", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__seg"))
+      .agg(min("__pos").cast("int").as("span_start"),
+        (max("__pos") + n).cast("int").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Bottom-k fingerprint per document: the k smallest shingle hashes
     * (a winnowing-style sketch — two docs' fingerprints overlap in
     * proportion to their shingle Jaccard). One narrow aggregation, no

@@ -326,6 +326,34 @@ class ExtensionsSpec extends AnyFunSuite {
       == Set((901L, 902L)))
   }
 
+  test("spanDedup: cross-doc repeated windows merge into maximal " +
+      "regions with exact offsets; an internally periodic doc flags " +
+      "end to end; unique docs emit nothing") {
+    val d = Seq(
+      (1L, "a b c d e f"),            // shares [a b c] [b c d] with doc 2
+      (2L, "x a b c d y"),
+      (3L, "p q r s p q r s p q r"),  // period-4: every window repeats
+      (4L, "u v w")                   // unique (and shorter than n)
+    ).toDF("doc_id", "text")
+    val out = Extensions.spanDedup(d, "text", "doc_id", n = 3, minDf = 2L)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 4, 2L),   // windows at 0,1 -> tokens [0,4)
+      (2L, 1, 5, 2L),   // windows at 1,2 -> tokens [1,5)
+      (3L, 0, 11, 9L))) // all 9 windows flag -> the whole 11-token doc
+    // regions farther apart than n stay separate: the shared phrase
+    // sits at both ends of a long unique middle
+    val far = Seq(
+      (5L, "k l m 1 2 3 4 5 6 7 8 9 k l m"),
+      (6L, "k l m z z")).toDF("doc_id", "text")
+    val gaps = Extensions.spanDedup(far, "text", "doc_id", n = 3,
+        minDf = 2L)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(gaps == Seq((5L, 0, 3, 1L), (5L, 12, 15, 1L), (6L, 0, 3, 1L)))
+  }
+
   test("fingerprints: identical docs identical, k-bounded, deterministic") {
     val fps = Extensions.fingerprintBottomK(docs, "text", "doc_id", 3, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
