@@ -578,30 +578,34 @@ object Extensions {
     *
     * Scale shape: NGram slides an O(tokens) iterator (the HOF
     * slice-per-position alternative is O(tokens²) — docShingles note);
-    * ONE exchange on the span key for the df rollup (its ≥ minDf
-    * survivor set is aggregate-small and broadcasts back for the
-    * semi-join); ONE exchange on the doc for the merge window,
-    * partition-bounded by doc length. Span keys here are the raw
-    * n-token strings (oracle-comparable); at 100 TB swap the rollup
-    * and semi-join keys to `xxhash64(span)` — 8-byte shuffle keys,
-    * identical regions up to 64-bit collisions.
+    * df attaches as a COUNT WINDOW over the span key — one exchange,
+    * and crucially ONE scan+tokenization of the corpus (the
+    * aggregate-then-semi-join form computes the span stream twice:
+    * scan→NGram→explode has no exchange for ReuseExchange to share,
+    * so both the rollup and the probe re-derive it — PlanSpec pins
+    * the 1-scan shape). Then ONE exchange on the doc for the merge
+    * window, partition-bounded by doc length. Span keys here are the
+    * raw n-token strings (oracle-comparable); at 100 TB swap the
+    * window key to `xxhash64(span)` — 8-byte shuffle keys, identical
+    * regions up to 64-bit collisions.
     */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 20, minDf: Long = 2L): DataFrame = {
     require(n >= 2, "span length n must be >= 2 tokens")
     require(minDf >= 2, "minDf < 2 would flag every window")
     requireNoReserved(docs, Seq("__toks", "__spans", "__span", "__pos",
-      "__brk", "__seg", "span_start", "span_end", "n_windows"))
+      "__df", "__brk", "__seg", "span_start", "span_end", "n_windows"))
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val ngram = new org.apache.spark.ml.feature.NGram()
       .setN(n).setInputCol("__toks").setOutputCol("__spans")
     val spans = ngram.transform(toks)
       .select(col(idCol), posexplode(col("__spans"))
         .as(Seq("__pos", "__span")))
-    val hot = spans.groupBy("__span").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf).select("__span")
     val w = Window.partitionBy(idCol).orderBy("__pos")
-    spans.join(hot, Seq("__span"), "left_semi")
+    spans
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy("__span")))
+      .filter(col("__df") >= minDf)
       // windows at starts p, p' overlap/touch iff p' - p <= n: break a
       // new region on a larger gap, then segment-id by running sum
       .withColumn("__brk",

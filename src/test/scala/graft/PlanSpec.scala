@@ -425,4 +425,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"adjacency attach regressed to sort-merge:\n$plan")
   }
+
+  test("span_dedup scans documents once, never cartesian-joins, and " +
+      "merges regions on a single doc-partitioned window sort") {
+    val plan = executedPlan(SparkEntry.queries("span_dedup")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span matching must go through the df rollup, not a product:\n$plan")
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, // lag + running sum share one sort
+      s"expected the lag+sum pair on one partitioning, got $windows:\n$plan")
+  }
+
+  test("cosine_neardup_blocked never cartesian-joins (the exact form's " +
+      "cross join is exactly what the blocking removes) and broadcasts " +
+      "the surviving cell-pair list") {
+    val plan = executedPlan(
+      SparkEntry.queries("cosine_neardup_blocked")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked plan must not contain a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"survivor cell-pair list should broadcast:\n$plan")
+  }
 }

@@ -123,4 +123,30 @@ class SourcesSpec extends AnyFunSuite {
     val d = Tables.customer(spark, "/root/testdata/sf0.001")
     assert(d.count() == 150 && d.columns.length == 5)
   }
+
+  test("Tables.events normalizes BOTH ts encodings (long nanos and µs " +
+      "timestamp) to the identical (ts_ns, ts) contract") {
+    // the same three instants, written the two ways the generator has
+    // shipped them across rounds
+    val micros = Seq(0L, 1500000L, 86400000000L)
+    def base(k: Int) = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, i.toLong * 10, "click", 1.0, "{}")
+    }
+    val nanoDir = Files.createTempDirectory("graft-ev-nanos").toString
+    base(0).map { case (id, us, u, t, v, p) => (id, us * 1000, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanoDir/events.parquet")
+    val usDir = Files.createTempDirectory("graft-ev-us").toString
+    base(0).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    def rows(dir: String) = Tables.events(spark, dir)
+      .select("event_id", "ts_ns", "ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq.sortBy(_._1)
+    val (fromNanos, fromMicros) = (rows(nanoDir), rows(usDir))
+    assert(fromNanos == fromMicros)
+    assert(fromNanos.map(_._2) == micros.map(_ * 1000),
+      "ts_ns must be the nano-precision epoch either way")
+  }
 }
