@@ -945,6 +945,32 @@ object ExtensionQueries {
              |FROM seg GROUP BY doc_id, seg
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ── LM sequence-packing manifest: per-source doc streams sliced
+    // into 4096-token bins, one row per (doc × bin) slice — exact
+    // integer window math, one group exchange + a bounded explode ───────
+    QuerySpec("sequence_packing",
+      (s, d) => Extensions.sequencePack(documents(s, d), "source",
+          "doc_id", "n_chars", capacity = 4096L)
+        .orderBy("source", "bin_id", "doc_id"),
+      Some("""WITH x AS (
+             |  SELECT source, doc_id, n_chars::BIGINT AS len,
+             |         CAST(sum(n_chars::BIGINT) OVER (
+             |           PARTITION BY source ORDER BY doc_id
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM documents WHERE n_chars > 0),
+             |b AS (
+             |  SELECT source, doc_id, len, cum, cum - len AS s,
+             |         unnest(generate_series((cum - len) // 4096,
+             |                                (cum - 1) // 4096)) AS bin_id
+             |  FROM x)
+             |SELECT source, bin_id, doc_id,
+             |       greatest(bin_id * 4096, s) - s AS doc_slice_start,
+             |       greatest(bin_id * 4096, s) - bin_id * 4096
+             |         AS bin_offset,
+             |       least((bin_id + 1) * 4096, cum)
+             |         - greatest(bin_id * 4096, s) AS slice_len
+             |FROM b ORDER BY source, bin_id, doc_id""".stripMargin)),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

@@ -621,6 +621,50 @@ object Extensions {
         col("n_windows"))
   }
 
+  /** Sequence-packing manifest: concatenate each group's documents in
+    * deterministic `idCol` order into one token stream, slice the
+    * stream into fixed `capacity`-token bins (LM context windows), and
+    * emit one row per (document × bin it lands in) — exactly the
+    * manifest a training loader replays to materialize packed
+    * examples without ever concatenating the corpus itself. Documents
+    * straddle bin boundaries (standard LM packing: the stream is cut
+    * every `capacity` tokens, not padded), so a row carries which
+    * slice of the doc fills which range of the bin:
+    * (groupCol, bin_id, idCol, doc_slice_start, bin_offset, slice_len)
+    * — all exact integers. Zero-length docs occupy no stream space and
+    * emit no rows.
+    *
+    * Scale shape: ONE exchange on the group (the running-total
+    * window), then a per-row `sequence()` explode bounded by
+    * ceil(len/capacity)+1 bins per doc — no corpus-wide state, no
+    * global window (packing is per group — source shard, language,
+    * curriculum stage — which is also how production packing runs).
+    */
+  def sequencePack(docs: DataFrame, groupCol: String, idCol: String,
+      lenCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, "capacity must be at least 1 token")
+    requireNoReserved(docs, Seq("__len", "__cum", "__s", "__e", "bin_id",
+      "doc_slice_start", "bin_offset", "slice_len"))
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col(idCol), col(lenCol).cast("long").as("__len"))
+      .filter(col("__len") > 0)
+      .withColumn("__cum", sum("__len").over(w))
+      .withColumn("__s", col("__cum") - col("__len"))
+      .withColumn("bin_id",
+        explode(sequence(expr(s"__s div $capacity"),
+          expr(s"(__cum - 1) div $capacity"))))
+      .select(col(groupCol), col("bin_id"), col(idCol),
+        (greatest(col("bin_id") * capacity, col("__s")) - col("__s"))
+          .as("doc_slice_start"),
+        (greatest(col("bin_id") * capacity, col("__s"))
+          - col("bin_id") * capacity).as("bin_offset"),
+        (least((col("bin_id") + 1) * capacity, col("__cum"))
+          - greatest(col("bin_id") * capacity, col("__s")))
+          .as("slice_len"))
+  }
+
   /** Bottom-k fingerprint per document: the k smallest shingle hashes
     * (a winnowing-style sketch — two docs' fingerprints overlap in
     * proportion to their shingle Jaccard). One narrow aggregation, no

@@ -354,6 +354,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gaps == Seq((5L, 0, 3, 1L), (5L, 12, 15, 1L), (6L, 0, 3, 1L)))
   }
 
+  test("sequencePack: docs straddle bin boundaries with exact slice " +
+      "arithmetic; bins fill to capacity; zero-length docs vanish; " +
+      "groups pack independently") {
+    val d = Seq(
+      ("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 0L), ("a", 4L, 9L),
+      ("b", 1L, 12L)).toDF("src", "id", "len")
+    val out = Extensions.sequencePack(d, "src", "id", "len", capacity = 8L)
+      .orderBy("src", "bin_id", "id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // stream a: doc1 [0,5) doc2 [5,8) doc4 [8,17); doc3 len 0 -> gone
+    // stream b: doc1 [0,12) -> bins 0 and 1
+    assert(out == Seq(
+      ("a", 0L, 1L, 0L, 0L, 5L),   // doc1 fully in bin 0 at offset 0
+      ("a", 0L, 2L, 0L, 5L, 3L),   // doc2 fills bin 0 to capacity
+      ("a", 1L, 4L, 0L, 0L, 8L),   // doc4 first 8 tokens fill bin 1
+      ("a", 2L, 4L, 8L, 0L, 1L),   // doc4 last token starts bin 2
+      ("b", 0L, 1L, 0L, 0L, 8L),   // group b packs from its own zero
+      ("b", 1L, 1L, 8L, 0L, 4L)))
+    // invariants on real data: per-bin fill == capacity except each
+    // group's last bin; slice lens per doc sum to the doc's length
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Extensions.sequencePack(docs, "source", "doc_id",
+      "n_chars", capacity = 4096L)
+    val fills = packed.groupBy("source", "bin_id")
+      .agg(sum("slice_len").as("fill"))
+    val lastBins = fills.groupBy("source").agg(max("bin_id").as("last"))
+    val nonLast = fills.join(lastBins, "source")
+      .filter(col("bin_id") < col("last"))
+    assert(nonLast.filter(col("fill") =!= 4096L).count() == 0,
+      "every non-final bin must fill to capacity exactly")
+    val perDoc = packed.groupBy("doc_id").agg(sum("slice_len").as("tot"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    assert(perDoc.filter(col("tot") =!= col("n_chars")).count() == 0,
+      "doc slices must reassemble to the full doc")
+  }
+
   test("fingerprints: identical docs identical, k-bounded, deterministic") {
     val fps = Extensions.fingerprintBottomK(docs, "text", "doc_id", 3, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
