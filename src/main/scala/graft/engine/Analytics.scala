@@ -835,16 +835,30 @@ object Analytics {
   def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     requireNoReserved(df, Seq("__o", "__na", "__nb", "__n", "__r", "__c",
       "__e", "__t", "chi2", "cramers_v", "n_rows", "dof"))
-    val cell = df.groupBy(col(aCol), col(bCol))
+    // marginals/total are plain re-aggregations of the cell table and
+    // BROADCAST back (as mutualInfo): the explicit broadcasts keep all
+    // three consumers joining against BroadcastExchange(agg(cell)), so
+    // the one big cell exchange is planned once and ReusedExchange
+    // everywhere else — without them the planner re-derived the cell
+    // subtree per consumer and the inputs were scanned 3× (caught by
+    // the PlanSpec reuse pin). The up-front null filter is ALSO a
+    // reuse requirement, not just the "null is not a category"
+    // convention: without it the marginal joins push DIFFERENT
+    // IsNotNull predicates into each consumer's copy of the cell
+    // subtree (ma's carries isnotnull(a), mb's isnotnull(b), terms'
+    // both), the canonical forms diverge, and ReusedExchange never
+    // fires. sum(__o) needs no __o > 0 guard: cell counts are ≥ 1 by
+    // construction.
+    val cell = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("__o"))
-    val ma = cell.groupBy(aCol)
-      .agg(sum(when(col("__o") > 0, col("__o"))).as("__na"))
-    val mb = cell.groupBy(bCol)
-      .agg(sum(when(col("__o") > 0, col("__o"))).as("__nb"))
-    val tot = cell.agg(sum(when(col("__o") > 0, col("__o"))).as("__n"),
-      count_distinct(when(col("__o") > 0, col(aCol))).as("__r"),
-      count_distinct(when(col("__o") > 0, col(bCol))).as("__c"))
-    val terms = cell.join(ma, aCol).join(mb, bCol)
+    val ma = cell.groupBy(aCol).agg(sum(col("__o")).as("__na"))
+    val mb = cell.groupBy(bCol).agg(sum(col("__o")).as("__nb"))
+    val tot = cell.agg(sum(col("__o")).as("__n"),
+      count_distinct(col(aCol)).as("__r"),
+      count_distinct(col(bCol)).as("__c"))
+    val terms = cell.join(broadcast(ma), aCol).join(broadcast(mb), bCol)
       .crossJoin(broadcast(tot))
       .withColumn("__e",
         col("__na").cast("double") * col("__nb") / col("__n"))

@@ -971,6 +971,16 @@ object ExtensionQueries {
              |         - greatest(bin_id * 4096, s) AS slice_len
              |FROM b ORDER BY source, bin_id, doc_id""".stripMargin)),
 
+    // ── product quantization codes (seeded per-subspace KMeans →
+    // rows-only; exact-recovery/monotonicity laws in ExtensionsSpec) ────
+    QuerySpec("pq_codes",
+      (s, d) => Extensions.pqQuantize(embeddings(s, d), "embedding",
+          "vec_id", m = 4, k = 16)
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"),
+          col("recon_mse"))
+        .orderBy("vec_id"),
+      None),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

@@ -702,6 +702,59 @@ object Extensions {
       cosine(col(embCol), col("__q")).as("cosine_sim"))
   }
 
+  /** Product quantization (PQ): split each embedding into `m`
+    * contiguous subvectors, learn a `k`-codeword KMeans codebook per
+    * subspace (sample-fitted, seeded), and encode every vector as m
+    * small codes — the faiss-style compression an embedding store
+    * runs at 100 TB (dim·4 bytes → m·log₂k bits: 128-dim float32 at
+    * m=8, k=256 is 64×). Returns (idCol, codes array<int> of length m,
+    * recon_mse) — recon_mse is the mean squared reconstruction error
+    * against the decoded codewords, the quantity PQ training
+    * minimizes subspace-wise. Ties in the argmin break to the lowest
+    * code id (array_position finds the first minimum) → deterministic.
+    *
+    * Scale shape: m sample-bounded fits produce m·k·(dim/m) floats of
+    * driver metadata (one small codebook); encoding is then ONE
+    * projection pass — the codebook enters the plan as a LITERAL and
+    * the per-subspace argmin composes from codegen'd HOFs. No join,
+    * no shuffle, no model object at scoring time.
+    */
+  def pqQuantize(emb: DataFrame, embCol: String, idCol: String,
+      m: Int = 4, k: Int = 16, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && k >= 1 && k <= (1 << 20),
+      "need m >= 1 subspaces and 1 <= k <= 2^20 codewords")
+    val dim = emb.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
+      "equal subvectors")
+    val sub = dim / m
+    val vecs = emb.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+    val fitBase = if (sample.count() >= k.toLong * 4) sample else vecs
+    // m independent subspace codebooks; each fit sees only its slice
+    val codebook: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
+      val sliced = fitBase.select(array_to_vector(
+        slice(col(embCol), j * sub + 1, sub)).as("__vec"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setFeaturesCol("__vec").setK(k).setSeed(seed + j).setMaxIter(5)
+        .fit(sliced)
+        .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    }
+    // one-pass encode: per subspace, distances to the k literal
+    // codewords, argmin -> code, min -> squared error contribution
+    def sqDist(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (a, b) =>
+        (a.cast("double") - b) * (a.cast("double") - b)), lit(0.0), _ + _)
+    val dists = (0 until m).map { j =>
+      transform(typedLit(codebook(j)),
+        c => sqDist(slice(col(embCol), j * sub + 1, sub), c))
+    }
+    vecs.select(col(idCol),
+      array(dists.map(d =>
+        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
+      round(dists.map(array_min).reduce(_ + _) / dim, 6).as("recon_mse"))
+  }
+
   /** Sequential-fold dot product in double — the summation order the
     * oracle's list_dot_product mirrors. Backed by the native
     * [[graft.functions.DotF32]] Catalyst expression (codegen'd tight

@@ -390,6 +390,36 @@ class ExtensionsSpec extends AnyFunSuite {
       "doc slices must reassemble to the full doc")
   }
 
+  test("pqQuantize: vectors drawn from a small codebook reconstruct " +
+      "exactly; codes are m-long, k-bounded, deterministic; more " +
+      "codewords never reconstruct worse on real embeddings") {
+    // 4-dim vectors, m=2 subspaces; each subvector one of 2 prototypes
+    // -> k=2 per subspace can encode losslessly
+    val protos = Seq(Array(1.0f, 2.0f), Array(-3.0f, 0.5f))
+    val rows = (0 until 40).map { i =>
+      (i.toLong, protos(i % 2) ++ protos((i / 2) % 2))
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val out = Extensions.pqQuantize(d, "embedding", "vec_id", m = 2, k = 2)
+      .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
+    assert(out.forall(_._3 == 0.0), "codebook data must reconstruct exactly")
+    assert(out.forall(r => r._2.size == 2 && r._2.forall(c => c >= 0 && c < 2)))
+    // identical subvectors always get identical codes
+    val byFirstProto = out.groupBy(r => (r._1 % 2, r._2.head))
+    assert(byFirstProto.size == 2, "same subvector -> same code")
+    // determinism
+    val again = Extensions.pqQuantize(d, "embedding", "vec_id", m = 2, k = 2)
+      .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
+    assert(again == out)
+    // monotonicity on real embeddings: mean recon_mse(k=8) <= k=2
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def meanMse(kk: Int): Double = Extensions
+      .pqQuantize(emb, "embedding", "vec_id", m = 4, k = kk)
+      .agg(avg("recon_mse")).as[Double].head()
+    assert(meanMse(8) <= meanMse(2),
+      "more codewords must not reconstruct worse")
+  }
+
   test("fingerprints: identical docs identical, k-bounded, deterministic") {
     val fps = Extensions.fingerprintBottomK(docs, "text", "doc_id", 3, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

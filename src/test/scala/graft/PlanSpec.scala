@@ -405,6 +405,18 @@ class PlanSpec extends AnyFunSuite {
       s"marginals and the total, got $reused reuses:\n$plan")
   }
 
+  test("cramers_v reads each input once: both marginals and the total " +
+      "ride the cell aggregate's exchange (round-8 o²/e−n form kept " +
+      "the reuse shape)") {
+    val plan = executedPlan(SparkEntry.queries("cramers_v")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <=2 scans (customer+orders once each), " +
+      s"got $scans:\n$plan")
+    val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 3, s"expected the cell exchange reused for both " +
+      s"marginals and the total, got $reused reuses:\n$plan")
+  }
+
   test("edge_jaccard scans lineitem once and intersects adjacency " +
       "in-array — no wedge enumeration (at most the two endpoint " +
       "adjacency attaches)") {
