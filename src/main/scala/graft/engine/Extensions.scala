@@ -510,11 +510,26 @@ object Extensions {
         transform(col(embCol), x => x.cast("double") / col("__n"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    val fitSample =
-      if (sample.count() >= nCells.toLong * 4) sample else vecs
+    val sampleN = sample.count()
+    val (fitSample, fitN) =
+      if (sampleN >= nCells.toLong * 4) (sample, sampleN)
+      else (vecs, vecs.count())
+    // MLlib KMeans needs k >= 2 and a non-empty fit; a corpus with
+    // fewer than two nonzero-norm rows has no pairs anyway (the
+    // fallback branch's fitN IS the corpus size) — return the typed
+    // empty result instead of crashing
+    val kmK = math.min(nCells.toLong, fitN).toInt
+    if (kmK < 2) {
+      val idT = emb.schema(idCol).dataType
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(null).cast(idT).as("id_a"),
+          lit(null).cast(idT).as("id_b"), lit(0.0).as("cosine_sim"))
+    }
+    // k capped at the fit-set size; fewer cells only coarsens the
+    // blocking — correctness is seed/k-free
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .setK(nCells).setSeed(seed).setMaxIter(5).fit(fitSample)
+      .setK(kmK).setSeed(seed).setMaxIter(5).fit(fitSample)
     val assigned = km.transform(vecs)
       .select(col(idCol), col(embCol), col("__n"), col("__cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -721,25 +736,44 @@ object Extensions {
     */
   def pqQuantize(emb: DataFrame, embCol: String, idCol: String,
       m: Int = 4, k: Int = 16, seed: Long = 42L): DataFrame = {
-    require(m >= 1 && k >= 1 && k <= (1 << 20),
-      "need m >= 1 subspaces and 1 <= k <= 2^20 codewords")
-    val dim = emb.select(size(col(embCol))).head().getInt(0)
+    require(m >= 1 && k >= 2 && k <= (1 << 20),
+      "need m >= 1 subspaces and 2 <= k <= 2^20 codewords")
+    val dimRow = emb.select(size(col(embCol))).head(1)
+    if (dimRow.isEmpty) {
+      val idT = emb.schema(idCol).dataType
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(null).cast(idT).as(idCol),
+          lit(null).cast("array<int>").as("codes"),
+          lit(0.0).as("recon_mse"))
+    }
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
     val sub = dim / m
     val vecs = emb.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    val fitBase = if (sample.count() >= k.toLong * 4) sample else vecs
+    val sampleN = sample.count()
+    val (fitBase, fitN) =
+      if (sampleN >= k.toLong * 4) (sample, sampleN)
+      else (vecs, vecs.count())
+    // k capped at the fit-set size (MLlib rejects k > n and k < 2): a
+    // tiny corpus gets a smaller codebook; a SINGLE-row corpus gets
+    // that row's subvectors as the codebook directly (exact)
+    val kEff = math.min(k.toLong, fitN).toInt
     // m independent subspace codebooks; each fit sees only its slice
-    val codebook: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
-      val sliced = fitBase.select(array_to_vector(
-        slice(col(embCol), j * sub + 1, sub)).as("__vec"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setFeaturesCol("__vec").setK(k).setSeed(seed + j).setMaxIter(5)
-        .fit(sliced)
-        .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-    }
+    val codebook: Seq[Seq[Seq[Float]]] =
+      if (kEff < 2) {
+        val row = fitBase.select(col(embCol)).head().getSeq[Float](0)
+        (0 until m).map(j => Seq(row.slice(j * sub, (j + 1) * sub).toSeq))
+      } else (0 until m).map { j =>
+        val sliced = fitBase.select(array_to_vector(
+          slice(col(embCol), j * sub + 1, sub)).as("__vec"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setFeaturesCol("__vec").setK(kEff).setSeed(seed + j).setMaxIter(5)
+          .fit(sliced)
+          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+      }
     // one-pass encode: per subspace, distances to the k literal
     // codewords, argmin -> code, min -> squared error contribution
     def sqDist(v: Column, c: Column): Column =

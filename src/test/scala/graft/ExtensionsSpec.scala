@@ -324,6 +324,17 @@ class ExtensionsSpec extends AnyFunSuite {
         0.5, nCells = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       == Set((901L, 902L)))
+    // degenerate corpora return the typed empty result, never crash:
+    // all-zero (nothing survives the norm filter) and single-row
+    // (k capped at the 1-point fit set; no pairs exist)
+    val allZero = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val z = Extensions.cosineNearDupsBlocked(allZero, "embedding",
+      "vec_id", 0.5)
+    assert(z.columns.toSeq == Seq("id_a", "id_b", "cosine_sim") &&
+      z.count() == 0)
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Extensions.cosineNearDupsBlocked(one, "embedding", "vec_id",
+      0.5).count() == 0)
   }
 
   test("spanDedup: cross-doc repeated windows merge into maximal " +
@@ -418,6 +429,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .agg(avg("recon_mse")).as[Double].head()
     assert(meanMse(8) <= meanMse(2),
       "more codewords must not reconstruct worse")
+    // degenerate corpora: empty input returns the typed empty frame;
+    // a corpus smaller than k caps the codebook and reconstructs
+    // exactly (every point is its own codeword)
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = Extensions.pqQuantize(none, "embedding", "vec_id")
+    assert(e.columns.toSeq == Seq("vec_id", "codes", "recon_mse") &&
+      e.count() == 0)
+    val tiny = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(5.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val t = Extensions.pqQuantize(tiny, "embedding", "vec_id", m = 1, k = 16)
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(t.length == 2 && t.forall(_._3 == 0.0))
   }
 
   test("fingerprints: identical docs identical, k-bounded, deterministic") {
