@@ -115,6 +115,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(preds(2L) == "fr")
   }
 
+  test("the corpus's lang label is uncorrelated with its text (all " +
+      "labels draw one shared vocabulary) — the documented reason " +
+      "langId stays a fixture-tested toy instead of a measured model") {
+    // If the labels were learnable, per-language vocabularies would
+    // separate; instead every language's token set is essentially the
+    // same shared pool, so NO content-based ID can beat the base rate
+    // on this synthetic corpus. Pinning the corpus fact keeps the
+    // 'documented toy' status honest and alarms if a future testdata
+    // generator starts emitting real per-language text — at which
+    // point langId should be upgraded and measured for real.
+    val labeled = graft.engine.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val vocabByLang = labeled
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+      .toMap
+    assert(vocabByLang.size == 5)
+    val langs = vocabByLang.keys.toSeq
+    val overlaps = for (a <- langs; b <- langs if a < b) yield {
+      val (va, vb) = (vocabByLang(a), vocabByLang(b))
+      (va & vb).size.toDouble / (va | vb).size
+    }
+    assert(overlaps.forall(_ > 0.9),
+      s"per-language vocabularies separate (min overlap " +
+        s"${overlaps.min}) — labels became learnable; upgrade langId " +
+        "and measure it instead of keeping the toy")
+  }
+
   test("tfidf top terms rank by true tf*ln(N/df), term tiebreak") {
     val d = Seq(
       (1L, "apple apple cherry cherry cherry"),
