@@ -981,6 +981,16 @@ object ExtensionQueries {
         .orderBy("vec_id"),
       None),
 
+    // ── PQ asymmetric-distance top-k: full-precision queries against
+    // the compressed corpus, codeword lookups as literal-array
+    // element_at inside codegen (seeded KMeans → rows-only; the
+    // ADC==L2-to-reconstruction identity is law-checked) ────────────────
+    QuerySpec("pq_topk",
+      (s, d) => Extensions.pqTopK(embeddings(s, d), "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy("query_id", "rank"),
+      None),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

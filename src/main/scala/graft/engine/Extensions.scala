@@ -750,6 +750,88 @@ object Extensions {
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
     val sub = dim / m
+    val codebook = pqCodebookOf(emb, embCol, idCol, m, k, seed)
+    // one-pass encode: per subspace, distances to the k literal
+    // codewords, argmin -> code, min -> squared error contribution
+    val dists = (0 until m).map { j =>
+      transform(typedLit(codebook(j)),
+        c => pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
+    }
+    emb.select(col(idCol),
+      array(dists.map(d =>
+        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
+      round(dists.map(array_min).reduce(_ + _) / dim, 6).as("recon_mse"))
+  }
+
+  /** Squared L2 between two float arrays, sequential-fold double. */
+  private def pqSqDist(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (a, b) =>
+      (a.cast("double") - b) * (a.cast("double") - b)), lit(0.0), _ + _)
+
+  /** PQ asymmetric-distance top-k (ADC): queries stay full-precision,
+    * the corpus is scanned as PQ CODES — each (query, row) score sums
+    * the query's distance to the row's m codewords, i.e. the exact L2
+    * to the row's RECONSTRUCTION (spec-pinned identity; zero decode
+    * materialized). The payoff of [[pqQuantize]]: at 100 TB the scan
+    * reads m small ints per row instead of dim floats, and the
+    * codeword lookups are literal-array `element_at`s inside codegen —
+    * no join against a codebook table, no UDF, no model object.
+    * Returns (query_id, neighbor_id, adc_dist, rank); ties break to
+    * the lower neighbor id. Self-matches are excluded.
+    */
+  def pqTopK(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int = 10, m: Int = 4, kCode: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(m >= 1 && kCode >= 2 && kCode <= (1 << 20),
+      "need m >= 1 subspaces and 2 <= kCode <= 2^20 codewords")
+    val dimRow = emb.select(size(col(embCol))).head(1)
+    if (dimRow.isEmpty) {
+      val idT = emb.schema(idCol).dataType
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(null).cast(idT).as("query_id"),
+          lit(null).cast(idT).as("neighbor_id"),
+          lit(0.0).as("adc_dist"), lit(0).as("rank"))
+    }
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
+      "equal subvectors")
+    val sub = dim / m
+    // ONE codebook fit serves both the corpus encode and the query
+    // scoring lookups (pqQuantize would refit identically — seeded)
+    val codebook = pqCodebookOf(emb, embCol, idCol, m, kCode, seed)
+    val dists = (0 until m).map { j =>
+      transform(typedLit(codebook(j)),
+        c => pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
+    }
+    val coded = emb.select(col(idCol).as("neighbor_id"),
+      array(dists.map(d =>
+        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q"))
+    val adc = (0 until m).map { j =>
+      pqSqDist(slice(col("__q"), j * sub + 1, sub),
+        element_at(typedLit(codebook(j)), col("codes")(j) + 1))
+    }.reduce(_ + _)
+    coded.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adc, 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(asc("adc_dist"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** The PQ codebook for these params — the single source of truth
+    * shared by [[pqQuantize]] (encode) and [[pqTopK]] (ADC scoring):
+    * seeded, sample-fitted, so both paths see identical centers. k is
+    * capped at the fit-set size (MLlib rejects k > n and k < 2); a
+    * single-row corpus yields that row's subvectors directly (exact).
+    */
+  private def pqCodebookOf(emb: DataFrame, embCol: String, idCol: String,
+      m: Int, k: Int, seed: Long): Seq[Seq[Seq[Float]]] = {
+    val dim = emb.select(size(col(embCol))).head().getInt(0)
+    val sub = dim / m
     val vecs = emb.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
@@ -757,36 +839,18 @@ object Extensions {
     val (fitBase, fitN) =
       if (sampleN >= k.toLong * 4) (sample, sampleN)
       else (vecs, vecs.count())
-    // k capped at the fit-set size (MLlib rejects k > n and k < 2): a
-    // tiny corpus gets a smaller codebook; a SINGLE-row corpus gets
-    // that row's subvectors as the codebook directly (exact)
     val kEff = math.min(k.toLong, fitN).toInt
-    // m independent subspace codebooks; each fit sees only its slice
-    val codebook: Seq[Seq[Seq[Float]]] =
-      if (kEff < 2) {
-        val row = fitBase.select(col(embCol)).head().getSeq[Float](0)
-        (0 until m).map(j => Seq(row.slice(j * sub, (j + 1) * sub).toSeq))
-      } else (0 until m).map { j =>
-        val sliced = fitBase.select(array_to_vector(
-          slice(col(embCol), j * sub + 1, sub)).as("__vec"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setFeaturesCol("__vec").setK(kEff).setSeed(seed + j).setMaxIter(5)
-          .fit(sliced)
-          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-      }
-    // one-pass encode: per subspace, distances to the k literal
-    // codewords, argmin -> code, min -> squared error contribution
-    def sqDist(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (a, b) =>
-        (a.cast("double") - b) * (a.cast("double") - b)), lit(0.0), _ + _)
-    val dists = (0 until m).map { j =>
-      transform(typedLit(codebook(j)),
-        c => sqDist(slice(col(embCol), j * sub + 1, sub), c))
+    if (kEff < 2) {
+      val row = fitBase.select(col(embCol)).head().getSeq[Float](0)
+      (0 until m).map(j => Seq(row.slice(j * sub, (j + 1) * sub).toSeq))
+    } else (0 until m).map { j =>
+      val sliced = fitBase.select(array_to_vector(
+        slice(col(embCol), j * sub + 1, sub)).as("__vec"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setFeaturesCol("__vec").setK(kEff).setSeed(seed + j).setMaxIter(5)
+        .fit(sliced)
+        .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
     }
-    vecs.select(col(idCol),
-      array(dists.map(d =>
-        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
-      round(dists.map(array_min).reduce(_ + _) / dim, 6).as("recon_mse"))
   }
 
   /** Sequential-fold dot product in double — the summation order the

@@ -472,6 +472,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(t.length == 2 && t.forall(_._3 == 0.0))
   }
 
+  test("pqTopK: on codebook-exact data ADC distances EQUAL exact L2 " +
+      "and the ranking matches brute force; self excluded; rank dense") {
+    // 4-dim vectors from 2 prototypes per 2-dim subspace (as the
+    // pqQuantize spec): recon is exact, so adc == exact L2 squared
+    val protos = Seq(Array(1.0f, 2.0f), Array(-3.0f, 0.5f))
+    val rows = (0 until 12).map { i =>
+      (i.toLong, protos(i % 2) ++ protos((i / 2) % 2))
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val out = Extensions.pqTopK(d, "embedding", "vec_id",
+        queryIds = Seq(0L, 3L), k = 5, m = 2, kCode = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val byId = rows.toMap
+    for ((q, n, adc, _) <- out) {
+      assert(n != q, "self must be excluded")
+      assert(math.abs(adc - l2sq(byId(q), byId(n))) < 1e-9,
+        s"ADC must equal exact L2² on codebook-exact data: $q->$n")
+    }
+    // ranking law vs brute force (ties break to lower neighbor id)
+    for (q <- Seq(0L, 3L)) {
+      val got = out.filter(_._1 == q).sortBy(_._4).map(_._2)
+      val exp = rows.filter(_._1 != q)
+        .map { case (n, v) => (l2sq(byId(q), v), n) }
+        .sorted.take(5).map(_._2)
+      assert(got == exp, s"query $q ranking diverged")
+      assert(out.filter(_._1 == q).map(_._4).sorted == (1 to 5).toList)
+    }
+  }
+
   test("fingerprints: identical docs identical, k-bounded, deterministic") {
     val fps = Extensions.fingerprintBottomK(docs, "text", "doc_id", 3, 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
