@@ -813,13 +813,14 @@ object Extensions {
       pqSqDist(slice(col("__q"), j * sub + 1, sub),
         element_at(typedLit(codebook(j)), col("codes")(j) + 1))
     }.reduce(_ + _)
-    coded.crossJoin(broadcast(queries))
+    val scored = coded.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(adc, 6).as("adc_dist"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(asc("adc_dist"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
+    // bounded-heap ranking, NOT a rank window: the whole point of PQ is
+    // scanning m small ints per row at 100 TB — a per-query window sort
+    // of every ADC score would throw that away (see topKBy)
+    topKBy(scored, "adc_dist", "neighbor_id", k, smallestFirst = true)
   }
 
   /** The PQ codebook for these params — the single source of truth
@@ -872,9 +873,40 @@ object Extensions {
     when(na =!= 0 && nb =!= 0, d / (na * nb)).otherwise(0.0)
   }
 
+  /** Per-query top-k over a scored (query_id, id, score) stream via the
+    * bounded-heap [[graft.functions.TopKPairs]] aggregate — the shared
+    * ranking tail of [[cosineTopK]] and [[pqTopK]]. Largest score first,
+    * ties to the smaller id; pass `smallestFirst = true` for
+    * distance-like scores (ranked by negated score internally — exact
+    * for the non-negative distances both callers produce, and IEEE
+    * negation is bit-exact in general except for promoting -0.0 to 0.0).
+    *
+    * Scale shape (the reason this helper exists — see the doctrine at
+    * [[graft.engine.Analytics.groupTopK]]): the equivalent
+    * `row_number() OVER (PARTITION BY query_id ORDER BY score)` window
+    * funnels the ENTIRE scored corpus into one partition per query and
+    * sorts it; this form pre-reduces map-side (each map partition emits
+    * at most k rows per query) and holds O(k) heap state per query —
+    * at 100 TB the per-query shuffle volume is k·numMapPartitions rows
+    * instead of the corpus, and nothing ever sorts a whole partition.
+    */
+  private def topKBy(scored: DataFrame, scoreCol: String, idOut: String,
+      k: Int, smallestFirst: Boolean): DataFrame = {
+    val ord = if (smallestFirst) negate(col(scoreCol)) else col(scoreCol)
+    val restore = if (smallestFirst) negate(col("__p.ord")) else col("__p.ord")
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topKPairs(
+        ord, col(idOut).cast("long"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__rk0", "__p")))
+      .select(col("query_id"), col("__p.id").as(idOut),
+        restore.as(scoreCol), (col("__rk0") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force top-k cosine neighbors for a set of query ids:
     * broadcast the queries, one pass over the corpus, per-query top-k
-    * via window rank. The baseline ANN answer; exact.
+    * via the bounded-heap [[graft.functions.TopKPairs]] aggregate (see
+    * [[topKBy]] for why not a rank window). The baseline ANN answer;
+    * exact.
     */
   def cosineTopK(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], k: Int = 10): DataFrame = {
@@ -890,9 +922,7 @@ object Extensions {
         round(when(col("__ne") =!= 0 && col("__nq") =!= 0,
           dot(col(embCol), col("__q")) / (col("__ne") * col("__nq")))
           .otherwise(0.0), 6).as("cosine_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKBy(scored, "cosine_sim", "neighbor_id", k, smallestFirst = false)
   }
 
   /** LSH-bucketed ANN scale path: native sign-random-projection

@@ -313,6 +313,27 @@ class PlanSpec extends AnyFunSuite {
     assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
   }
 
+  test("cosineTopK and pqTopK rank via the bounded heap: no window, " +
+      "no partition-wide sort, partial+final ObjectHashAggregate") {
+    // the search family's 100 TB contract: scoring streams map-side into
+    // TopKPairs (k rows per query per map partition cross the wire), so
+    // neither plan may contain the row_number() window form that sorts
+    // the whole scored corpus per query (Analytics.groupTopK doctrine)
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    for ((name, df) <- Seq(
+        "cosineTopK" -> graft.engine.Extensions.cosineTopK(
+          emb, "embedding", "vec_id", Seq(0L, 1L, 2L), k = 5),
+        "pqTopK" -> graft.engine.Extensions.pqTopK(
+          emb, "embedding", "vec_id", Seq(0L, 1L, 2L), k = 5))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("Window"), s"$name plan was:\n$plan")
+      assert(!plan.contains(" Sort "), s"$name plan was:\n$plan")
+      val objAggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+      assert(objAggs >= 2,
+        s"$name: expected partial+final ObjectHashAggregate:\n$plan")
+    }
+  }
+
   test("lastTouchAttribution exchanges on the user exactly once " +
       "(+ the tiny channel rollup)") {
     val df = graft.engine.Analytics.lastTouchAttribution(
