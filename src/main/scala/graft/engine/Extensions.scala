@@ -820,7 +820,8 @@ object Extensions {
     // bounded-heap ranking, NOT a rank window: the whole point of PQ is
     // scanning m small ints per row at 100 TB — a per-query window sort
     // of every ADC score would throw that away (see topKBy)
-    topKBy(scored, "adc_dist", "neighbor_id", k, smallestFirst = true)
+    topKBy(scored, "query_id", "neighbor_id", "adc_dist", k,
+      smallestFirst = true)
   }
 
   /** The PQ codebook for these params — the single source of truth
@@ -873,13 +874,18 @@ object Extensions {
     when(na =!= 0 && nb =!= 0, d / (na * nb)).otherwise(0.0)
   }
 
-  /** Per-query top-k over a scored (query_id, id, score) stream via the
-    * bounded-heap [[graft.functions.TopKPairs]] aggregate — the shared
-    * ranking tail of [[cosineTopK]] and [[pqTopK]]. Largest score first,
-    * ties to the smaller id; pass `smallestFirst = true` for
+  /** Per-group top-k over a scored (groupCol, idCol, scoreCol) stream
+    * via the bounded-heap [[graft.functions.TopKPairs]] aggregate — the
+    * shared ranking tail of the search family ([[cosineTopK]],
+    * [[pqTopK]], [[annBucketed]], [[annIvf]], [[bm25TopK]] and the
+    * persisted [[IvfIndex]]/[[TextIndex]] query paths). Largest score
+    * first, ties to the smaller id; pass `smallestFirst = true` for
     * distance-like scores (ranked by negated score internally — exact
-    * for the non-negative distances both callers produce, and IEEE
-    * negation is bit-exact in general except for promoting -0.0 to 0.0).
+    * for the non-negative distances the callers produce, and IEEE
+    * negation is bit-exact in general except for promoting -0.0 to
+    * 0.0). `idCol` must be integral; an integer `scoreCol` rides the
+    * heap as double, exact below 2^53 (the micro-unit BM25 scores are
+    * ~1e10 at most).
     *
     * Scale shape (the reason this helper exists — see the doctrine at
     * [[graft.engine.Analytics.groupTopK]]): the equivalent
@@ -890,15 +896,17 @@ object Extensions {
     * at 100 TB the per-query shuffle volume is k·numMapPartitions rows
     * instead of the corpus, and nothing ever sorts a whole partition.
     */
-  private def topKBy(scored: DataFrame, scoreCol: String, idOut: String,
-      k: Int, smallestFirst: Boolean): DataFrame = {
-    val ord = if (smallestFirst) negate(col(scoreCol)) else col(scoreCol)
+  private[engine] def topKBy(scored: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, k: Int,
+      smallestFirst: Boolean): DataFrame = {
+    val score = col(scoreCol).cast("double")
+    val ord = if (smallestFirst) negate(score) else score
     val restore = if (smallestFirst) negate(col("__p.ord")) else col("__p.ord")
-    scored.groupBy("query_id")
+    scored.groupBy(groupCol)
       .agg(graft.functions.TopKPairs.topKPairs(
-        ord, col(idOut).cast("long"), k).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__rk0", "__p")))
-      .select(col("query_id"), col("__p.id").as(idOut),
+        ord, col(idCol).cast("long"), k).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__rk0", "__p")))
+      .select(col(groupCol), col("__p.id").as(idCol),
         restore.as(scoreCol), (col("__rk0") + 1).cast("int").as("rank"))
   }
 
@@ -922,7 +930,8 @@ object Extensions {
         round(when(col("__ne") =!= 0 && col("__nq") =!= 0,
           dot(col(embCol), col("__q")) / (col("__ne") * col("__nq")))
           .otherwise(0.0), 6).as("cosine_sim"))
-    topKBy(scored, "cosine_sim", "neighbor_id", k, smallestFirst = false)
+    topKBy(scored, "query_id", "neighbor_id", "cosine_sim", k,
+      smallestFirst = false)
   }
 
   /** LSH-bucketed ANN scale path: native sign-random-projection
@@ -971,9 +980,12 @@ object Extensions {
       // copies are identical, min picks one)
       .groupBy("query_id", "neighbor_id")
       .agg(min(col("l2")).as("l2_dist"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(asc("l2_dist"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
+      // bounded-heap rank, not a window: LSH collisions bound the
+      // EXPECTED candidate set, but a degenerate corpus (many identical
+      // vectors) can flood a bucket — the heap keeps the rank O(k) per
+      // query regardless (see topKBy)
+      .transform(topKBy(_, "query_id", "neighbor_id", "l2_dist", k,
+        smallestFirst = true))
   }
 
   /** IVF-style ANN: KMeans coarse quantizer (seed-fixed) partitions the
@@ -1014,6 +1026,9 @@ object Extensions {
       .toDF("__cell", "__centroid")
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(embCol).as("__q"))
+    // this rank window is provably bounded: its partition is one query's
+    // cross join with the BROADCAST centroid table — exactly nCells rows
+    // (a driver-known constant), never a function of corpus size
     val probed = queries.crossJoin(broadcast(centDf))
       .withColumn("__cdist", -cosine(col("__q"), col("__centroid")))
       .withColumn("__crank", row_number().over(
@@ -1028,9 +1043,11 @@ object Extensions {
     candidates
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__e"), col("__q")), 6).as("cosine_sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(desc("cosine_sim"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
+      // the candidate set is nprobe/nCells of the corpus in expectation
+      // but unbounded for a skewed clustering — bounded-heap rank, not
+      // a per-query window sort (see topKBy)
+      .transform(topKBy(_, "query_id", "neighbor_id", "cosine_sim", k,
+        smallestFirst = false))
   }
 
   /** Deterministic hash split: assign each row to train/holdout by a
@@ -1513,6 +1530,10 @@ object Extensions {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("__n_docs").cast("double") / col("df")), 6))
+      // bounded rank window: the partition is ONE document's distinct
+      // terms — capped by that document's own token count (a single row
+      // of the input), never by corpus size; the id is a string term,
+      // which the long-keyed heap can't carry anyway
       .withColumn("term_rank", row_number().over(
         Window.partitionBy(idCol)
           .orderBy(desc("tfidf"), asc("term"))).cast("int"))
@@ -1539,7 +1560,8 @@ object Extensions {
     * Scale shape: queries broadcast onto the (doc, term, tf) inverted
     * index, so only documents sharing at least one query term are ever
     * scored; doc-length and corpus stats ride a broadcast 1-row agg;
-    * the top-k cut is a per-query window, never a global sort.
+    * the top-k cut is the bounded-heap [[bm25RankTail]], never a
+    * window sort of the scored postings.
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame, queryTextCol: String, queryIdCol: String,
@@ -1578,14 +1600,23 @@ object Extensions {
         round(idf * fTf * lit(1000000.0)).cast("long"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum("__contrib").as("__score_int"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(queryIdCol)
-          .orderBy(desc("__score_int"), asc(idCol))).cast("int"))
-      .filter(col("rank") <= k)
+    bm25RankTail(scored, queryIdCol, idCol, k)
+  }
+
+  /** Shared BM25 ranking tail ([[bm25TopK]], [[TextIndex]],
+    * [[SegmentedTextIndex]]): bounded-heap top-k on the exact integer
+    * micro-unit score (a common query term matches most of the corpus —
+    * a per-query window sort over the scored postings is the same
+    * scale-killer topKBy exists to remove; micro-unit scores are ~1e10,
+    * far below the 2^53 exact-double bound), then the single
+    * bigint→double division of the displayed score.
+    */
+  private[engine] def bm25RankTail(scored: DataFrame, queryIdCol: String,
+      idCol: String, k: Int): DataFrame =
+    topKBy(scored, queryIdCol, idCol, "__score_int", k,
+        smallestFirst = false)
       .select(col(queryIdCol), col(idCol),
         (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
-  }
 
   /** Bigram language-model statistics per document: bigram count,
     * distinct bigrams, average corpus frequency of the document's

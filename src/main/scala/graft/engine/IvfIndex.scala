@@ -52,6 +52,9 @@ final class IvfIndex private (
     val spark = corpus.sparkSession
     val centDf = spark.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
+    // bounded rank window: the partition is one query crossed with the
+    // BROADCAST centroid table — exactly |centroids| rows, a build-time
+    // constant, never a function of corpus size
     val probed = queries.crossJoin(broadcast(centDf))
       .withColumn("__cdist",
         -Extensions.cosine(col("__q"), col("__centroid")))
@@ -72,9 +75,11 @@ final class IvfIndex private (
       .select(col("query_id"), col("neighbor_id"),
         round(Extensions.cosine(col("__e"), col("__q")), 6)
           .as("cosine_sim"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(desc("cosine_sim"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
+      // probed cells bound the EXPECTED candidate count, not the worst
+      // case (skewed clustering) — bounded-heap rank, not a per-query
+      // window sort (see Extensions.topKBy)
+      .transform(Extensions.topKBy(_, "query_id", "neighbor_id",
+        "cosine_sim", k, smallestFirst = false))
   }
 
   /** Persist the index: centroids + the corpus partitioned by cell.
@@ -137,21 +142,24 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/quantizer")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    val centDf = broadcast(spark.createDataFrame(cents)
-      .toDF("__cell", "__centroid"))
-    val dist2 = aggregate(
-      zip_with(col(embCol), col("__centroid"),
-        (x, c) => (x.cast("double") - c.cast("double")) *
-          (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    val wNearest = Window.partitionBy(idCol)
-      .orderBy(asc("__d2"), asc("__cell"))
-    val assigned = emb.select(col(idCol), col(embCol))
-      .crossJoin(centDf)
-      .withColumn("__d2", dist2)
-      .withColumn("__rk", row_number().over(wNearest))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col(embCol), col("__cell"))
+    // nearest-centroid assignment as a literal-codebook projection (the
+    // pqQuantize template): the centroid list enters the plan as a
+    // LITERAL indexed by cell id, so assignment is one codegen'd pass —
+    // no centroid cross join (which would push |centroids| embedding
+    // copies per row through a shuffle for the old per-vector rank
+    // window). array_position takes the FIRST minimum = the lowest cell
+    // id, KMeans' own tie rule.
+    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "saved quantizer cell ids must be contiguous 0..n-1")
+    val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
+    val dists = transform(typedLit(centArrays), c =>
+      aggregate(zip_with(col(embCol), c,
+        (x, cc) => (x.cast("double") - cc.cast("double")) *
+          (x.cast("double") - cc.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    val assigned = emb.select(col(idCol), col(embCol),
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+        .as("__cell"))
     assigned.write.mode("append").partitionBy("__cell")
       .parquet(s"$path/cells")
   }

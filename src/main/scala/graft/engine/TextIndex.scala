@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Build-once / query-many inverted text index — the persisted form of
@@ -64,19 +63,14 @@ final class TextIndex private[engine] (
     val fTf = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) +
         (lit(0.75) * col("dl")) / lit(sumDl.toDouble / nDocs)))
-    postings
+    val scored = postings
       .filter(col("__bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
       .join(broadcast(qterms), "term")
       .withColumn("__contrib",
         round(idf * fTf * lit(1000000.0)).cast("long"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum("__contrib").as("__score_int"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(queryIdCol)
-          .orderBy(desc("__score_int"), asc(idCol))).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol),
-        (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
+    Extensions.bm25RankTail(scored, queryIdCol, idCol, k)
   }
 
   /** Persist: postings partitioned by term-hash bucket + 1-row stats.
@@ -143,17 +137,12 @@ final class SegmentedTextIndex private[engine] (
     val fTf = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) +
         (lit(0.75) * col("dl")) / lit(sumDl.toDouble / nDocs)))
-    probed.join(broadcast(dfreq), "term")
+    val scored = probed.join(broadcast(dfreq), "term")
       .withColumn("__contrib",
         round(idf * fTf * lit(1000000.0)).cast("long"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum("__contrib").as("__score_int"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(queryIdCol)
-          .orderBy(desc("__score_int"), asc(idCol))).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol),
-        (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
+    Extensions.bm25RankTail(scored, queryIdCol, idCol, k)
   }
 }
 

@@ -324,6 +324,8 @@ class PlanSpec extends AnyFunSuite {
         "cosineTopK" -> graft.engine.Extensions.cosineTopK(
           emb, "embedding", "vec_id", Seq(0L, 1L, 2L), k = 5),
         "pqTopK" -> graft.engine.Extensions.pqTopK(
+          emb, "embedding", "vec_id", Seq(0L, 1L, 2L), k = 5),
+        "annBucketed" -> graft.engine.Extensions.annBucketed(
           emb, "embedding", "vec_id", Seq(0L, 1L, 2L), k = 5))) {
       val plan = executedPlan(df)
       assert(!plan.contains("Window"), s"$name plan was:\n$plan")
@@ -332,6 +334,17 @@ class PlanSpec extends AnyFunSuite {
       assert(objAggs >= 2,
         s"$name: expected partial+final ObjectHashAggregate:\n$plan")
     }
+    // annIvf and bm25_topk keep exactly one provably-bounded window each
+    // (annIvf's centroid rank over the broadcast nCells rows; none in
+    // bm25) — the corpus-sized candidate rank must be heap-based in both
+    val ivfPlan = executedPlan(graft.engine.Extensions.annIvf(
+      emb, "embedding", "vec_id", Seq(0L, 1L, 2L), k = 5))
+    val ivfWindows = ivfPlan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(ivfWindows.forall(_.contains("__cdist")),
+      s"non-centroid window in annIvf:\n$ivfPlan")
+    val bmPlan = executedPlan(SparkEntry.queries("bm25_topk")(spark, sf))
+    assert(!bmPlan.contains("Window"), s"bm25_topk plan was:\n$bmPlan")
   }
 
   test("lastTouchAttribution exchanges on the user exactly once " +
