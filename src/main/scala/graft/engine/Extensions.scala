@@ -593,16 +593,24 @@ object Extensions {
     *
     * Scale shape: NGram slides an O(tokens) iterator (the HOF
     * slice-per-position alternative is O(tokens²) — docShingles note);
-    * df attaches as a COUNT WINDOW over the span key — one exchange,
-    * and crucially ONE scan+tokenization of the corpus (the
-    * aggregate-then-semi-join form computes the span stream twice:
-    * scan→NGram→explode has no exchange for ReuseExchange to share,
-    * so both the rollup and the probe re-derive it — PlanSpec pins
-    * the 1-scan shape). Then ONE exchange on the doc for the merge
-    * window, partition-bounded by doc length. Span keys here are the
-    * raw n-token strings (oracle-comparable); at 100 TB swap the
-    * window key to `xxhash64(span)` — 8-byte shuffle keys, identical
-    * regions up to 64-bit collisions.
+    * df is a map-side-combinable HASH AGGREGATE per span (each map
+    * partition contributes ONE row per distinct span it saw), and the
+    * flagged spans semi-join back onto the span stream as a
+    * shuffle_hash probe — the edge_jaccard adjacency-attach shape.
+    * The earlier one-scan form (`count(1) OVER (PARTITION BY
+    * __span)`) shuffled and SORTED the whole exploded window stream
+    * keyed by span text: a boilerplate/license span present in most
+    * documents — precisely this op's target — lands its entire
+    * postings list in one sort. Here the heavy key costs a streaming
+    * hash probe, never a sort, and the rollup side is pre-shrunk by
+    * the partial aggregate. Price: the span stream derives twice
+    * (scan→NGram→explode has no exchange for ReuseExchange to share);
+    * two cheap scans beat one skew-sorted exchange at 100 TB.
+    * Then ONE exchange on the doc for the merge window,
+    * partition-bounded by doc length. Span keys here are the raw
+    * n-token strings (oracle-comparable); at 100 TB swap the join key
+    * to `xxhash64(span)` — 8-byte shuffle keys, identical regions up
+    * to 64-bit collisions.
     */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 20, minDf: Long = 2L): DataFrame = {
@@ -617,10 +625,12 @@ object Extensions {
       .select(col(idCol), posexplode(col("__spans"))
         .as(Seq("__pos", "__span")))
     val w = Window.partitionBy(idCol).orderBy("__pos")
-    spans
-      .withColumn("__df",
-        count(lit(1)).over(Window.partitionBy("__span")))
+    val flagged = spans.groupBy("__span")
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
+      .select("__span")
+    spans
+      .join(flagged.hint("shuffle_hash"), Seq("__span"), "left_semi")
       // windows at starts p, p' overlap/touch iff p' - p <= n: break a
       // new region on a larger gap, then segment-id by running sum
       .withColumn("__brk",

@@ -472,17 +472,30 @@ class PlanSpec extends AnyFunSuite {
       s"adjacency attach regressed to sort-merge:\n$plan")
   }
 
-  test("span_dedup scans documents once, never cartesian-joins, and " +
-      "merges regions on a single doc-partitioned window sort") {
+  test("span_dedup never sorts the span-keyed stream: df rides a " +
+      "partial hash aggregate + shuffle_hash semi-join, and the only " +
+      "window is the doc-partitioned merge") {
     val plan = executedPlan(SparkEntry.queries("span_dedup")(spark, sf))
-    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    // the heavy-span de-skew: flagged spans attach as a hash-join probe
+    // (streaming, spill-free on the probe side), never as
+    // count(1) OVER (PARTITION BY __span) which sorts a boilerplate
+    // span's whole postings list in one task. Price: the span stream
+    // derives twice (documented tradeoff in spanDedup's scaladoc).
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"expected a shuffle_hash semi-join df attach:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"df attach must not sort the span stream:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"span matching must go through the df rollup, not a product:\n$plan")
-    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
-    assert(windows <= 2, // lag + running sum share one sort
-      s"expected the lag+sum pair on one partitioning, got $windows:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected at most 2 documents scans, got $scans:\n$plan")
+    // all remaining window sorts are doc-partitioned (the lag+sum merge
+    // pair) — no span-keyed window may survive
+    val windowLines = plan.linesIterator.filter(
+      _.contains("windowspecdefinition")).toSeq
+    assert(windowLines.forall(_.contains("__pos")),
+      s"span-keyed window survived:\n$plan")
   }
 
   test("cosine_neardup_blocked never cartesian-joins (the exact form's " +
