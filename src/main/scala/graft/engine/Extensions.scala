@@ -520,6 +520,7 @@ object Extensions {
     // empty result instead of crashing
     val kmK = math.min(nCells.toLong, fitN).toInt
     if (kmK < 2) {
+      vecs.unpersist()
       val idT = emb.schema(idCol).dataType
       return emb.sparkSession.emptyDataFrame
         .select(lit(null).cast(idT).as("id_a"),
@@ -533,6 +534,7 @@ object Extensions {
     val assigned = km.transform(vecs)
       .select(col(idCol), col(embCol), col("__n"), col("__cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
@@ -547,6 +549,10 @@ object Extensions {
           lit(-1.0)), lit(1.0))).as("__r"))
       .groupBy("__cell").agg(max("__r").as("__r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the radii collect materialized `assigned`'s cache end to end;
+    // everything downstream reads that cache, so the fit-side cache can
+    // go now instead of leaking into the caller's session
+    vecs.unpersist()
     val slack = 1e-4
     val thetaMax = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
     def unit(v: Array[Double]): Array[Double] = {
@@ -570,7 +576,13 @@ object Extensions {
       col("__n").as("__na"), col("__cell").as("__ca"))
     val b = assigned.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
       col("__n").as("__nb"), col("__cell").as("__cb"))
-    a.join(broadcast(survDf), Seq("__ca"))
+    // the pair list is the operator's bounded OUTPUT (pairs above a
+    // production threshold ≪ corpus): persist + count materializes it
+    // so the finally can release the corpus-sized fit/assign caches
+    // without the caller's later action recomputing the pipeline. The
+    // returned frame stays persisted (small; evictable) — callers that
+    // are done with it may .unpersist() it.
+    val pairs = a.join(broadcast(survDf), Seq("__ca"))
       .join(b, Seq("__cb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -578,6 +590,13 @@ object Extensions {
           dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
           .otherwise(0.0), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    pairs
+    } finally {
+      vecs.unpersist()
+      assigned.unpersist()
+    }
   }
 
   /** Exact repeated-span regions — ExactSubstr-style dedup (the
@@ -846,23 +865,27 @@ object Extensions {
     val sub = dim / m
     val vecs = emb.select(col(idCol), col(embCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    val sampleN = sample.count()
-    val (fitBase, fitN) =
-      if (sampleN >= k.toLong * 4) (sample, sampleN)
-      else (vecs, vecs.count())
-    val kEff = math.min(k.toLong, fitN).toInt
-    if (kEff < 2) {
-      val row = fitBase.select(col(embCol)).head().getSeq[Float](0)
-      (0 until m).map(j => Seq(row.slice(j * sub, (j + 1) * sub).toSeq))
-    } else (0 until m).map { j =>
-      val sliced = fitBase.select(array_to_vector(
-        slice(col(embCol), j * sub + 1, sub)).as("__vec"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setFeaturesCol("__vec").setK(kEff).setSeed(seed + j).setMaxIter(5)
-        .fit(sliced)
-        .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-    }
+    // the returned codebook is a driver-side Seq, so every consumer of
+    // the cache finishes inside this body — release it on all paths
+    try {
+      val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+      val sampleN = sample.count()
+      val (fitBase, fitN) =
+        if (sampleN >= k.toLong * 4) (sample, sampleN)
+        else (vecs, vecs.count())
+      val kEff = math.min(k.toLong, fitN).toInt
+      if (kEff < 2) {
+        val row = fitBase.select(col(embCol)).head().getSeq[Float](0)
+        (0 until m).map(j => Seq(row.slice(j * sub, (j + 1) * sub).toSeq))
+      } else (0 until m).map { j =>
+        val sliced = fitBase.select(array_to_vector(
+          slice(col(embCol), j * sub + 1, sub)).as("__vec"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setFeaturesCol("__vec").setK(kEff).setSeed(seed + j).setMaxIter(5)
+          .fit(sliced)
+          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+      }
+    } finally vecs.unpersist()
   }
 
   /** Sequential-fold dot product in double — the summation order the
@@ -1028,6 +1051,7 @@ object Extensions {
     // assigned feeds both the query-probe filter and the candidate scan
     val assigned = km.transform(vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // each query probes its nprobe nearest centroids
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
@@ -1050,7 +1074,7 @@ object Extensions {
         col("__cell"))
       .join(probed, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-    candidates
+    val result = candidates
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__e"), col("__q")), 6).as("cosine_sim"))
       // the candidate set is nprobe/nCells of the corpus in expectation
@@ -1058,6 +1082,18 @@ object Extensions {
       // a per-query window sort (see topKBy)
       .transform(topKBy(_, "query_id", "neighbor_id", "cosine_sim", k,
         smallestFirst = false))
+      // k rows per query — persist + count materializes the result so
+      // the finally can release the corpus-sized fit/assign caches (the
+      // ad-hoc operator owns them for ONE query batch; the build-once
+      // path is IvfIndex). The small result stays persisted; callers
+      // may .unpersist() it when done.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    result
+    } finally {
+      vecs.unpersist()
+      assigned.unpersist()
+    }
   }
 
   /** Deterministic hash split: assign each row to train/holdout by a

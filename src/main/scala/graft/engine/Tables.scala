@@ -88,6 +88,13 @@ object Tables {
           col("ts").as("ts_ns"),
           timestamp_micros(expr("ts div 1000")).as("ts")) ++ tail: _*)
       case _ => // TimestampType / TimestampNTZType, µs precision
+        // the NTZ→timestamp cast interprets the wall-clock in the
+        // SESSION time zone — value-preserving only under UTC. The
+        // nanosAsLong guard above covers externally-built sessions;
+        // this is its time-zone twin (a non-UTC session would silently
+        // shift ts/ts_ns here).
+        if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+          s.conf.set("spark.sql.session.timeZone", "UTC")
         raw.select(Seq(
           col("event_id"),
           (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts_ns"),

@@ -239,6 +239,8 @@ object Streaming {
     // (the same cross-write validation loadSegments does for the
     // text index's n_buckets)
     val bucketMeta = new java.io.File(root, "_NBUCKETS")
+    val genDir = s"gen-$epochId"
+    val cur = graft.engine.Generations.currentName(path)
     if (bucketMeta.exists()) {
       val stamped = new String(
         java.nio.file.Files.readAllBytes(bucketMeta.toPath), "UTF-8")
@@ -246,9 +248,19 @@ object Streaming {
       require(stamped == nBuckets,
         s"target $path was written with nBuckets=$stamped; " +
           s"this batch was invoked with nBuckets=$nBuckets")
+    } else if (cur.isDefined) {
+      // generations exist but no stamp: a target written before the
+      // stamp existed. The true bucket count is NOT derivable from the
+      // layout (absent high buckets are indistinguishable from a
+      // smaller count), and trusting the caller's nBuckets is exactly
+      // the stale-row resurrection the stamp guards against — refuse
+      // and require an explicit migration.
+      throw new IllegalStateException(
+        s"target $path has generation directories but no _NBUCKETS " +
+          "stamp (written by a pre-stamp version); create " +
+          s"$path/_NBUCKETS containing the bucket count the target was " +
+          "originally written with before appending")
     }
-    val genDir = s"gen-$epochId"
-    val cur = graft.engine.Generations.currentName(path)
     if (cur.contains(genDir) || batch.isEmpty) return
     if (!bucketMeta.exists())
       java.nio.file.Files.write(bucketMeta.toPath,

@@ -148,5 +148,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromNanos == fromMicros)
     assert(fromNanos.map(_._2) == micros.map(_ * 1000),
       "ts_ns must be the nano-precision epoch either way")
+    // the timestamp branch's NTZ→timestamp cast reads the session time
+    // zone — events() must pin UTC for an externally-built session in
+    // another zone, or ts/ts_ns silently shift (the nanosAsLong guard's
+    // time-zone twin)
+    val tzKey = "spark.sql.session.timeZone"
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val shifted = rows(usDir)
+      assert(spark.conf.get(tzKey) == "UTC",
+        "events() must restore UTC before casting NTZ")
+      assert(shifted == fromMicros, "non-UTC session shifted ts_ns")
+    } finally spark.conf.set(tzKey, "UTC")
   }
 }

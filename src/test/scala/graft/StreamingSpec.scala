@@ -341,6 +341,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.size == 64 && state(1L) == "v1b" && state(2L) == "v2")
   }
 
+  test("mergeBatch refuses a pre-stamp target: generations without an " +
+      "_NBUCKETS file require explicit migration, never a trusted guess") {
+    import TestSpark.spark.implicits._
+    val target = Files.createTempDirectory("graft-mb-migrate").toString
+    val b1 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "v", "seq", "del")
+    Streaming.mergeBatch(b1, 0L, Seq("k"), "seq", Some("del"), target,
+      nBuckets = 8)
+    // simulate a target written by the pre-stamp code
+    val meta = new java.io.File(target, "_NBUCKETS")
+    assert(meta.delete(), "stamp should exist after the first batch")
+    val b2 = Seq((2L, "b2", 2L, false)).toDF("k", "v", "seq", "del")
+    val ex = intercept[IllegalStateException] {
+      // even the HISTORICALLY CORRECT count is refused — the layout
+      // cannot prove it, and a wrong guess resurrects overwritten keys
+      Streaming.mergeBatch(b2, 1L, Seq("k"), "seq", Some("del"), target,
+        nBuckets = 8)
+    }
+    assert(ex.getMessage.contains("_NBUCKETS"))
+    // the documented migration: restore the stamp → appends proceed
+    java.nio.file.Files.write(meta.toPath, "8".getBytes("UTF-8"))
+    Streaming.mergeBatch(b2, 1L, Seq("k"), "seq", Some("del"), target,
+      nBuckets = 8)
+    val state = Streaming.readMergeTarget(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a", 2L -> "b2"))
+  }
+
   test("mergeBatch replay of a committed epoch is a no-op (crash between " +
       "pointer flip and checkpoint commit recovers)") {
     import TestSpark.spark.implicits._
