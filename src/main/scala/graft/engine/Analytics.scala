@@ -266,8 +266,10 @@ object Analytics {
     * with the returned ranks to release them.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
@@ -298,7 +300,7 @@ object Analytics {
       // Values are unchanged; short runs (like the catalog's 3-iter
       // query) never hit a checkpoint.
       if (i % 4 == 0 && i < iters)
-        pr = pr.localCheckpoint(true)
+        pr = ckpt(pr)
     }
     pr
   }
@@ -376,14 +378,17 @@ object Analytics {
     * Scale shape: each round is one degree aggregation + two semi-joins
     * of the surviving symmetric edge list — no windows, no all-pairs.
     * Rounds are bounded by the peel depth (≤ graph degeneracy, shallow
-    * in practice); lineage truncates per round via localCheckpoint, the
-    * same iterative-algorithm hygiene as ConnectedComponents/pageRank.
+    * in practice); lineage truncates per round (reliable-checkpoint
+    * knob via [[Lineage]]), the same iterative-algorithm hygiene as
+    * ConnectedComponents/pageRank.
     * The only driver-side values are 1-row round counts (the accepted
     * broadcast-1-row idiom).
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-      maxIter: Int = 30, outCol: String = "id"): DataFrame = {
+      maxIter: Int = 30, outCol: String = "id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
     requireNoReserved(edges, Seq("__a", "__b", "__n", "__m", "__deg"))
     val und = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
@@ -396,23 +401,21 @@ object Analytics {
         struct(col("__a").as("n"), col("__b").as("m")),
         struct(col("__b").as("n"), col("__a").as("m")))).as("__e"))
       .select(col("__e.n").as("__n"), col("__e.m").as("__m"))
-      .localCheckpoint(true)
+      .transform(ckpt)
     var nAlive = -1L
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val deg = sym.groupBy("__n").agg(count(lit(1)).as("__deg"))
-      val keep = deg.filter(col("__deg") >= k).select("__n")
-        .localCheckpoint(true)
+      val keep = ckpt(deg.filter(col("__deg") >= k).select("__n"))
       val nKeep = keep.count()
       if (nKeep == nAlive) done = true // no node fell below k: fixpoint
       else {
         nAlive = nKeep
-        sym = sym.join(keep, Seq("__n"), "left_semi")
+        sym = ckpt(sym.join(keep, Seq("__n"), "left_semi")
           .join(keep.select(col("__n").as("__m")), Seq("__m"),
             "left_semi")
-          .select("__n", "__m")
-          .localCheckpoint(true)
+          .select("__n", "__m"))
         if (nKeep == 0L) done = true // empty core (sym is now empty too)
       }
       iter += 1
@@ -1741,7 +1744,8 @@ object Analytics {
     * already labeled (BFS invariant: first discovery IS the minimum
     * distance, so no min-aggregation over paths and no re-visits),
     * and stops early when the frontier empties. Lineage truncates per
-    * round via localCheckpoint (the [[kCore]]/[[pageRank]] posture);
+    * round (reliable-checkpoint knob via [[Lineage]] — the
+    * [[kCore]]/[[pageRank]] posture);
     * the edge list is persisted once and unpersisted before return.
     * At 100 TB the cost is maxDepth hash joins keyed on the frontier,
     * each a fraction of one full-graph shuffle.
@@ -1751,30 +1755,30 @@ object Analytics {
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxDepth: Int,
-      outCol: String = "id"): DataFrame = {
+      outCol: String = "id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be >= 0")
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
     requireNoReserved(edges, Seq("__s", "__t", "__n", "dist"))
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("__s"), col(dstCol).as("__t"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var dist = seeds.select(col(seedCol).as("__n")).distinct()
-      .withColumn("dist", lit(0))
-      .localCheckpoint(true)
+    var dist = ckpt(seeds.select(col(seedCol).as("__n")).distinct()
+      .withColumn("dist", lit(0)))
     var frontier = dist
     var d = 0
     var drained = false
     while (d < maxDepth && !drained) {
       d += 1
-      val next = frontier.join(e, col("__n") === col("__s"))
+      val next = ckpt(frontier.join(e, col("__n") === col("__s"))
         .select(col("__t").as("__n")).distinct()
         .join(dist, Seq("__n"), "left_anti")
-        .withColumn("dist", lit(d))
-        .localCheckpoint(true)
+        .withColumn("dist", lit(d)))
       if (next.isEmpty) drained = true
       else {
-        dist = dist.union(next).localCheckpoint(true)
+        dist = ckpt(dist.union(next))
         frontier = next
       }
     }

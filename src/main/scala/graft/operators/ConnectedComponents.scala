@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * Each round every node adopts the minimum label among itself and its
   * neighbors; convergence in O(diameter) rounds. Each round is two
   * shuffles (join + groupBy) of the edge list — the standard
-  * Spark-native CC shape. Lineage is truncated with localCheckpoint
-  * every few rounds so long chains don't accumulate a deep plan (the
-  * classic iterative-algorithm failure mode at scale).
+  * Spark-native CC shape. Lineage is truncated every round so long
+  * chains don't accumulate a deep plan (the classic
+  * iterative-algorithm failure mode at scale); pass `checkpointDir`
+  * for reliable checkpoints on a real cluster
+  * ([[graft.engine.Lineage]]).
   *
   * Deterministic: labels are mins over a fixed edge set.
   */
@@ -20,10 +22,16 @@ object ConnectedComponents {
 
   /** @param nodes  one column `idCol` (covers isolated nodes)
     * @param edges  columns `srcCol`, `dstCol` (undirected; self-loops ok)
+    * @param checkpointDir reliable checkpoint dir for the per-round
+    *   lineage cuts (cluster posture — survives executor loss); default
+    *   executor-local (see [[graft.engine.Lineage]])
     * @return (idCol, component) where component = min node id reachable
     */
   def components(nodes: DataFrame, edges: DataFrame, idCol: String,
-      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+      srcCol: String, dstCol: String, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = graft.engine.Lineage.truncator(nodes.sparkSession,
+      checkpointDir)
     // symmetrize by exploding each edge into both directions — ONE
     // evaluation of the (often expensive: near-dup scoring) edge plan,
     // where a union of two selects would execute it twice
@@ -38,9 +46,8 @@ object ConnectedComponents {
     // their own component by definition, and in near-dup graphs the
     // edge-touched subgraph is a tiny fraction of the corpus, so the
     // per-round joins shrink from |corpus| to |dup-candidates|
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = ckpt(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // Convergence certificate: every step takes a min, so each node's
     // label is monotone non-increasing — the label SUM strictly
     // decreases until the fixpoint, and an unchanged sum ⇒ no label
@@ -59,10 +66,9 @@ object ConnectedComponents {
       // next feeds BOTH sides of the jump self-join below; checkpoint it
       // so the neighbor-min aggregation runs once per round, not twice
       // (AQE re-plans defeat ReuseExchange on this shape).
-      val next = labels.select(col("id"), col("comp"))
+      val next = ckpt(labels.select(col("id"), col("comp"))
         .unionByName(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("comp").as("comp")))
       val nextSum = labelSum(next)
       if (nextSum.compareTo(prevSum) == 0) {
         // neighbor-min is at its fixpoint: every edge already connects
@@ -77,11 +83,10 @@ object ConnectedComponents {
         // (O(log diameter) rounds instead of O(diameter))
         val compMap = next.select(col("id").as("__mid"),
           col("comp").as("__mcomp"))
-        val jumped = next.join(compMap, next("comp") === compMap("__mid"),
-            "left")
+        val jumped = ckpt(next.join(compMap,
+            next("comp") === compMap("__mid"), "left")
           .select(col("id"),
-            coalesce(col("__mcomp"), col("comp")).as("comp"))
-          .localCheckpoint(true) // truncate lineage each round
+            coalesce(col("__mcomp"), col("comp")).as("comp")))
         prevSum = labelSum(jumped)
         labels = jumped
       }

@@ -28,6 +28,57 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(comps.values.toSet == Set(1L))
   }
 
+  test("reliable-checkpoint knob: results bit-identical to the " +
+      "localCheckpoint default, and the dir actually receives " +
+      "checkpoint data (cluster fault-tolerance posture)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      val nodes = (1L to 12L).toDF("id")
+      val edges = ((1L until 8L).map(i => (i, i + 1)) ++ Seq((10L, 11L)))
+        .toDF("a", "b")
+      val local = ConnectedComponents
+        .components(nodes, edges, "id", "a", "b")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val reliable = ConnectedComponents
+        .components(nodes, edges, "id", "a", "b",
+          checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(reliable == local)
+      // the reliable path must really have checkpointed into the dir
+      // (files persist until the caller cleans the directory — Spark
+      // does not self-delete reliable checkpoints)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Seq(f) ++ Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      assert(walk(dir).exists(f => f.isFile && f.getName.startsWith("part-")),
+        s"no checkpoint part files under $dir")
+      // bfs + kCore ride the same knob: equality spot-check
+      val bfsL = graft.engine.Analytics.bfsDistances(edges.toDF("a", "b"),
+        "a", "b", Seq(1L).toDF("s"), "s", maxDepth = 3)
+        .as[(Long, Int)].collect().sorted.toSeq
+      val bfsR = graft.engine.Analytics.bfsDistances(edges.toDF("a", "b"),
+        "a", "b", Seq(1L).toDF("s"), "s", maxDepth = 3,
+        checkpointDir = Some(dir.toString))
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(bfsR == bfsL)
+      val coreL = graft.engine.Analytics
+        .kCore(edges.toDF("a", "b"), "a", "b", k = 2)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val coreR = graft.engine.Analytics
+        .kCore(edges.toDF("a", "b"), "a", "b", k = 2,
+          checkpointDir = Some(dir.toString))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(coreR == coreL)
+    } finally {
+      // caller-owned lifecycle: sweep the checkpoint dir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(dir)
+      assert(!dir.exists())
+    }
+  }
+
   test("dedup clusters keep exactly one survivor per duplicate group") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
