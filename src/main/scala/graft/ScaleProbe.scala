@@ -15,15 +15,26 @@ import org.apache.spark.sql.functions._
   * Fixture notes, because they decide what an exponent MEANS here:
   *  - lineitem replicas offset BOTH l_orderkey and l_partkey → disjoint
   *    co-occurrence graphs. Density constant, volume ×f: clean probe.
-  *  - documents replicas are word-SHUFFLED (seeded) copies: exact-copy
-  *    replicas would make every doc collide with its f−1 twins and the
-  *    near-dup pair count quadratic IN THE FIXTURE — a shuffled word
-  *    order destroys shingle overlap, so cross-replica collisions stay
-  *    rare and the probe measures the engine, not the fixture.
+  *  - documents replicas are word-PERMUTED copies: exact-copy replicas
+  *    would make every doc collide with its f−1 twins and the near-dup
+  *    pair count quadratic IN THE FIXTURE. The permutation is
+  *    position-keyed (sort by xxhash64(position, replica)) — the SAME
+  *    reorder for every doc in a replica, so within-replica
+  *    exact-duplicate structure survives intact while cross-replica
+  *    shingle/span overlap is destroyed; and it is fully deterministic,
+  *    so a regenerated fixture reproduces the recorded exponents
+  *    (the earlier `shuffle()` draft was seedless — nondeterministic).
   *  - embeddings replicate as-is (identical vectors re-labelled): IVF
   *    cells grow ×f at fixed cell count — the linear regime the
   *    operator's own scaling story (grow nCells with corpus) sits on top
-  *    of.
+  *    of. Bounded top-k searches (ann_ivf, pq_topk) tolerate identical
+  *    twins; threshold searches do NOT, so cosine_neardup_blocked reads
+  *    the `embeddings_perm` variant instead: replica k>0 applies one
+  *    element permutation (sort by xxhash64(elem_index, replica)) to
+  *    EVERY vector — dot products within a replica are permutation-
+  *    invariant (pair structure identical to the base corpus) while
+  *    cross-replica cosines are scrambled, so the pair count stays
+  *    linear in f and the probe measures the engine, not the fixture.
   *
   * Emits one JSON line:
   * {"queries":{name:{"t":{f:sec},"exponent":x}},"factors":[...]}
@@ -64,16 +75,29 @@ object ScaleProbe {
       replicated("lineitem", f, (df, k) => df
         .withColumn("l_orderkey", col("l_orderkey") + lit(k * off))
         .withColumn("l_partkey", col("l_partkey") + lit(k * off))))
+    // deterministic position-keyed permutation: sort elements by
+    // xxhash64(index, replica) — same reorder for every row of a replica
+    def permuted(arr: org.apache.spark.sql.Column, k: Int) =
+      transform(
+        array_sort(transform(arr,
+          (x, i) => struct(xxhash64(i, lit(k)).as("h"), x.as("x")))),
+        s => s.getField("x"))
     def documentsAt(f: Int): DataFrame = spark.read.parquet(
       replicated("documents", f, (df, k) =>
         if (k == 0) df
         else df
           .withColumn("doc_id", col("doc_id") + lit(k * off))
           .withColumn("text",
-            array_join(shuffle(split(col("text"), " ")), " "))))
+            array_join(permuted(split(col("text"), " "), k), " "))))
     def embeddingsAt(f: Int): DataFrame = spark.read.parquet(
       replicated("embeddings", f, (df, k) => df
         .withColumn("vec_id", col("vec_id") + lit(k * off))))
+    def embeddingsPermAt(f: Int): DataFrame = spark.read.parquet(
+      replicated("embeddings_perm", f, (df, k) =>
+        if (k == 0) df
+        else df
+          .withColumn("vec_id", col("vec_id") + lit(k * off))
+          .withColumn("embedding", permuted(col("embedding"), k))))
 
     // the catalog's exact edge build (AnalyticsQueries triangle_count /
     // edge_jaccard): in-array ordered pairs per order
@@ -106,11 +130,37 @@ object ScaleProbe {
         documentsAt(f), "text", "doc_id", maxHamming = 3)),
       "ann_ivf" -> (f => graft.engine.Extensions.annIvf(
         embeddingsAt(f), "embedding", "vec_id",
-        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)))
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+      "span_dedup" -> (f => graft.engine.Extensions.spanDedup(
+        documentsAt(f), "text", "doc_id", n = 20, minDf = 2L)),
+      "cosine_neardup_blocked" -> (f =>
+        graft.engine.Extensions.cosineNearDupsBlocked(
+          embeddingsPermAt(f), "embedding", "vec_id",
+          minCosine = 0.35, nCells = 16)),
+      "pq_topk" -> (f => graft.engine.Extensions.pqTopK(
+        embeddingsAt(f), "embedding", "vec_id",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+      // the catalog's exact shape: symmetrized co-purchase edges, seeds
+      // = parts ≡ 0 (mod 97) (offset replicas keep seed density ~1/97),
+      // 3 rounds of frontier expansion over disjoint replica graphs
+      "bfs_distances" -> (f => {
+        val li = lineitemAt(f)
+        val sym = orderEdges(li, minCo = 1).select(explode(array(
+            struct(col("part_a").as("s"), col("part_b").as("t")),
+            struct(col("part_b").as("s"), col("part_a").as("t"))))
+            .as("__e"))
+          .select(col("__e.s").as("s"), col("__e.t").as("t"))
+        val seeds = li.select(col("l_partkey"))
+          .filter(col("l_partkey") % 97 === 0)
+        graft.engine.Analytics.bfsDistances(sym, "s", "t", seeds,
+          "l_partkey", maxDepth = 3, outCol = "part")
+      }))
 
     // generate everything first so write time never leaks into a timing,
     // then one JVM warmup pass at the smallest factor
-    factors.foreach { f => lineitemAt(f); documentsAt(f); embeddingsAt(f) }
+    factors.foreach { f =>
+      lineitemAt(f); documentsAt(f); embeddingsAt(f); embeddingsPermAt(f)
+    }
     shapes.foreach { case (_, mk) => mk(factors.head).count() }
 
     val times = shapes.map { case (name, mk) =>

@@ -705,6 +705,39 @@ class ExtensionsSpec extends AnyFunSuite {
       s"recall too low: ${lsh.intersect(exact).size}/10")
   }
 
+  test("graded recall law: mean recall@10 over 20 queries at sf0.01 " +
+      "stays above the pinned floor for annIvf and annBucketed") {
+    // VERDICT r8 #7: the parity/shape asserts alone would not catch a
+    // silent degradation in bucketing quality (e.g. a broken hyperplane
+    // seed or a centroid-assignment bug that still returns k rows).
+    // Everything here is seeded and deterministic, so measured recall is
+    // a constant of the code+testdata and a floor just below it is a
+    // real regression tripwire, not a flake.
+    val emb = graft.engine.Tables.embeddings(TestSpark.spark,
+      "/root/testdata/sf0.01")
+    val qids = (0L until 20L).toSeq
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Extensions.cosineTopK(
+      emb, "embedding", "vec_id", qids, k = 10))
+    def meanRecall(approx: Map[Long, Set[Long]]): Double =
+      qids.map(q => approx.getOrElse(q, Set.empty[Long])
+        .intersect(exact(q)).size / 10.0).sum / qids.size
+    // catalog-default parameters for both approximate paths
+    val rIvf = meanRecall(sets(Extensions.annIvf(
+      emb, "embedding", "vec_id", qids, k = 10)))
+    val rLsh = meanRecall(sets(Extensions.annBucketed(
+      emb, "embedding", "vec_id", qids, k = 10)))
+    info(f"annIvf mean recall@10 = $rIvf%.3f, annBucketed = $rLsh%.3f")
+    // floors sit just under the measured values (ivf 0.515, lsh 0.410
+    // on the round-9 testdata) with slack for a regenerated-testdata
+    // shift; annBucketed ranks by L2 against a cosine oracle, so its
+    // ceiling is below 1 even with perfect buckets
+    assert(rIvf >= 0.45, f"annIvf mean recall@10 regressed: $rIvf%.3f")
+    assert(rLsh >= 0.35, f"annBucketed mean recall@10 regressed: $rLsh%.3f")
+  }
+
   test("ann bucketed returns ranked neighbors deterministically") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
