@@ -61,11 +61,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val off = 10000000L
 
+    // `table` names the fixture under $work; `srcTable` the base-dir
+    // parquet it derives from (they differ for variant fixtures like
+    // embeddings_perm, which derives from embeddings)
     def replicated(table: String, f: Int,
-        mutate: (DataFrame, Int) => DataFrame): String = {
+        mutate: (DataFrame, Int) => DataFrame,
+        srcTable: String = ""): String = {
       val path = s"$work/f$f/$table.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
-        val src = spark.read.parquet(s"$base/$table.parquet")
+        val srcName = if (srcTable.isEmpty) table else srcTable
+        val src = spark.read.parquet(s"$base/$srcName.parquet")
         (0 until f).map(k => mutate(src, k)).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(path)
       }
@@ -97,7 +102,8 @@ object ScaleProbe {
         if (k == 0) df
         else df
           .withColumn("vec_id", col("vec_id") + lit(k * off))
-          .withColumn("embedding", permuted(col("embedding"), k))))
+          .withColumn("embedding", permuted(col("embedding"), k)),
+        srcTable = "embeddings"))
 
     // the catalog's exact edge build (AnalyticsQueries triangle_count /
     // edge_jaccard): in-array ordered pairs per order
