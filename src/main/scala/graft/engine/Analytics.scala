@@ -1212,6 +1212,60 @@ object Analytics {
           6).as("slope_per_day"))
   }
 
+  /** Per-group exponentially-weighted moving average of the daily
+    * value series: ewma₁ = v₁, ewmaₜ = α·vₜ + (1−α)·ewmaₜ₋₁ over days
+    * in order — the classic smoother for revenue/traffic dashboards
+    * and the drift baseline anomaly detectors subtract. Returns
+    * (groupCol, day, ewma) with `day` in epoch days.
+    *
+    * The recurrence is inherently sequential per series — no window
+    * frame expresses it and no associative reformulation is
+    * overflow-safe (the closed form needs (1−α)^(−t) weights, which
+    * explode past t ≈ 700 in double) — so each group's ordered daily
+    * series folds INSIDE one aggregate HOF over its collected array.
+    * Scale shape: the corpus-sized work is the map-side-combinable
+    * daily rollup; per-group state is then bounded by CALENDAR DAYS
+    * (a few thousand structs), not data volume, so the fold's O(L²)
+    * accumulator copying is a few million pointer moves per group at
+    * worst — the honest cost of an exact recursive filter, same
+    * posture as [[resampleFill]]'s per-series state. Determinism: daily
+    * totals are exact long cents; the fold's double ops replay in the
+    * oracle's recursive CTE in identical order, rounded once.
+    */
+  def ewmaSmooth(df: DataFrame, groupCol: String, dateCol: String,
+      valueCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    requireNoReserved(df, Seq("__x", "__y", "__xs", "__es", "__e",
+      "day", "ewma"))
+    // (1 − α) folded in the PLAN so the literal matches the oracle's
+    // `(1 - 0.3)` bit-for-bit (1−0.3 ≠ the double literal 0.7)
+    val beta = lit(1.0) - lit(alpha)
+    val emptyAcc = filter(
+      array(struct(lit(0L).as("d"), lit(0.0).as("e"))), _ => lit(false))
+    val daily = df
+      .select(col(groupCol), epochDay(dateCol).as("__x"),
+        round(col(valueCol) * 100).cast("long").as("__y"))
+      .groupBy(col(groupCol), col("__x"))
+      .agg(sum("__y").as("__y"))
+    daily.groupBy(groupCol)
+      .agg(array_sort(collect_list(
+        struct(col("__x").as("d"), col("__y").as("v")))).as("__xs"))
+      .select(col(groupCol), explode(aggregate(col("__xs"), emptyAcc,
+        (acc, x) => concat(acc, array(struct(x.getField("d").as("d"),
+          when(size(acc) === 0, x.getField("v").cast("double"))
+            .otherwise(lit(alpha) * x.getField("v") +
+              beta * element_at(acc, -1).getField("e")).as("e"))))))
+        .as("__e"))
+      // emitted RAW (cents folded back to value units by one double
+      // division): the fold's double sequence is fixed (no partial-agg
+      // order to absorb), so the value is bit-deterministic — while
+      // round-to-6 is NOT cross-engine-stable when the value sits
+      // within an ulp of a .5 boundary (HALF_UP on the shortest decimal
+      // repr vs binary rounding diverge there; 3 rows at sf0.01 did)
+      .select(col(groupCol), col("__e.d").as("day"),
+        (col("__e.e") / 100).as("ewma"))
+  }
+
   /** Per-key inter-arrival statistics over an event stream: gap count,
     * mean gap (seconds) and the coefficient of variation of the gaps —
     * the burstiness fingerprint that separates organic users (CV ≈ 1,

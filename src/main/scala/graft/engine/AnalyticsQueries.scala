@@ -494,6 +494,34 @@ object AnalyticsQueries {
              |             / 100, 6) AS slope_per_day
              |FROM daily GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
 
+    // ── per-nation EWMA of daily revenue: the sequential recurrence
+    // folds inside one per-group aggregate HOF (state bounded by
+    // calendar days); oracle = the recursive-CTE replay of the same
+    // double ops in the same order ──────────────────────────────────────
+    QuerySpec("ewma_smooth",
+      (s, d) => Analytics.ewmaSmooth(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "o_orderdate", "o_totalprice")
+        .orderBy("c_nationkey", "day"),
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT c.c_nationkey AS g,
+             |         CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS d,
+             |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2),
+             |r AS (SELECT g, d, v,
+             |        row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+             |      FROM daily),
+             |e(g, d, rn, ew) AS (
+             |  SELECT g, d, rn, v::DOUBLE FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.g, r.d, r.rn,
+             |         0.3::DOUBLE * r.v + (1 - 0.3::DOUBLE) * e.ew
+             |  FROM e JOIN r ON r.g = e.g AND r.rn = e.rn + 1)
+             |SELECT g AS c_nationkey, d AS day, ew / 100 AS ewma
+             |FROM e ORDER BY c_nationkey, day""".stripMargin)),
+
     // ── per-user inter-arrival burstiness (mean gap + CV): exact
     // microsecond gaps, decimal/HUGEINT moment sums, the bot-detector ───
     QuerySpec("inter_event_stats",

@@ -998,6 +998,144 @@ object ExtensionQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("l2_dist"), 6).as("l2_dist"), col("rank"))
         .orderBy("query_id", "rank"),
-      None)
+      None),
+
+    // ── semantic dedup end to end: blocked near-dup pairs (recall 1 by
+    // the triangle inequality) → transitive closure → KEEP-BEST survivor
+    // (longest doc wins, ties to smallest id). Oracle = all-pairs cosine
+    // + WITH RECURSIVE reachability + exact arg-max — the full pipeline
+    // proven against SQL, not just its pair stage ───────────────────────
+    QuerySpec("semantic_dedup",
+      (s, d) => Extensions.semanticDedup(
+          documents(s, d),
+          embeddings(s, d).filter(col("vec_id") < 500)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id", "n_chars", "embedding", minCosine = 0.35, nCells = 16)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+             |  WHERE vec_id < 500
+             |    AND vec_id IN (SELECT doc_id FROM documents)),
+             |dd AS (
+             |  SELECT d.doc_id, d.n_chars
+             |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         round(CASE WHEN list_dot_product(a.emb, a.emb) = 0
+             |                      OR list_dot_product(b.emb, b.emb) = 0 THEN 0
+             |               ELSE list_dot_product(a.emb, b.emb)
+             |                    / (sqrt(list_dot_product(a.emb, a.emb))
+             |                     * sqrt(list_dot_product(b.emb, b.emb)))
+             |               END, 6) AS cs
+             |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id),
+             |pairs AS (SELECT id_a, id_b FROM p WHERE cs >= 0.35),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM dd
+             |  UNION
+             |  SELECT e2.dst, reach.r
+             |  FROM reach JOIN edges e2 ON e2.src = reach.id),
+             |comp AS (SELECT id AS doc_id, min(r) AS component
+             |         FROM reach GROUP BY id),
+             |q AS (SELECT c.doc_id, c.component, dd.n_chars
+             |      FROM comp c JOIN dd ON dd.doc_id = c.doc_id),
+             |b1 AS (SELECT component, max(n_chars) AS bq FROM q GROUP BY 1),
+             |b2 AS (SELECT q.component, min(q.doc_id) AS best_id
+             |       FROM q JOIN b1 ON q.component = b1.component
+             |        AND q.n_chars = b1.bq
+             |       GROUP BY 1)
+             |SELECT q.doc_id, q.component, q.n_chars,
+             |       (q.doc_id = b2.best_id)::INT AS keep
+             |FROM q JOIN b2 ON q.component = b2.component
+             |ORDER BY q.doc_id""".stripMargin)),
+
+    // ── windowed skip-gram PMI collocations: in-array pair build (no
+    // position self-join), marginals re-aggregate the pair table ────────
+    QuerySpec("token_pmi",
+      (s, d) => Extensions.tokenPmi(documents(s, d), "text", "doc_id",
+          window = 2, minCount = 5, topN = 100),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, i.range AS i, toks[i.range] AS w
+             |  FROM t, range(1, 100000) i WHERE i.range <= len(toks)),
+             |pr AS (
+             |  SELECT a.w AS w1, b.w AS w2
+             |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+             |   AND b.i - a.i BETWEEN 1 AND 2),
+             |c AS (SELECT w1, w2, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+             |l AS (SELECT w1, sum(c_ab) AS ca FROM c GROUP BY 1),
+             |r AS (SELECT w2, sum(c_ab) AS cb FROM c GROUP BY 1),
+             |tt AS (SELECT sum(c_ab) AS t FROM c)
+             |SELECT c.w1, c.w2, c.c_ab,
+             |       round(ln(c.c_ab::DOUBLE * tt.t
+             |                / (l.ca::DOUBLE * r.cb)), 6) AS pmi
+             |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+             |WHERE c_ab >= 5
+             |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin)),
+
+    // ── Gopher quality rules (public heuristics, Rae et al. 2021):
+    // per-rule flags + conjunction, pure projection ──────────────────────
+    QuerySpec("gopher_rules",
+      (s, d) => Extensions.gopherRules(documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, len(toks)::INT AS n_words,
+             |         round(list_sum(list_transform(toks,
+             |                 x -> length(x)))::BIGINT
+             |               / len(toks)::DOUBLE, 6) AS mean_word_len,
+             |         round(len(list_filter(toks,
+             |                 x -> regexp_matches(x, '[a-z]')))
+             |               / len(toks)::DOUBLE, 6) AS alpha_frac,
+             |         len(list_filter(toks, x -> x IN ('the','be','to',
+             |             'of','and','that','have','with')))::BIGINT
+             |           AS stop_hits
+             |  FROM t WHERE len(toks) >= 1)
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+             |       (n_words BETWEEN 50 AND 100000)::INT AS ok_words,
+             |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0)::INT
+             |         AS ok_word_len,
+             |       (alpha_frac >= 0.8)::INT AS ok_alpha,
+             |       (stop_hits >= 2)::INT AS ok_stop,
+             |       ((n_words BETWEEN 50 AND 100000)
+             |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             |        AND alpha_frac >= 0.8 AND stop_hits >= 2)::INT
+             |         AS passes
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ── Zipf rank-frequency fit: scaled-ln integer moments in decimal
+    // (order-independent sums), one vocabulary-bounded rank window ───────
+    QuerySpec("zipf_slope",
+      (s, d) => Extensions.zipfSlope(documents(s, d), "text"),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |f AS (SELECT w, count(*) AS cf FROM tok GROUP BY 1),
+             |rk AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, w) AS r
+             |       FROM f),
+             |m AS (SELECT CAST(round(ln(r::DOUBLE) * 1e6) AS BIGINT) AS x,
+             |             CAST(round(ln(cf::DOUBLE) * 1e6) AS BIGINT) AS y
+             |      FROM rk)
+             |SELECT count(*) AS n_terms,
+             |       round((count(*) * sum(x::HUGEINT * y)
+             |              - sum(x::HUGEINT) * sum(y::HUGEINT))::DOUBLE
+             |             / (count(*) * sum(x::HUGEINT * x)
+             |                - sum(x::HUGEINT) * sum(x::HUGEINT))::DOUBLE,
+             |             6) AS zipf_slope,
+             |       round((count(*) * sum(x::HUGEINT * y)
+             |              - sum(x::HUGEINT) * sum(y::HUGEINT))::DOUBLE
+             |             * (count(*) * sum(x::HUGEINT * y)
+             |                - sum(x::HUGEINT) * sum(y::HUGEINT))::DOUBLE
+             |             / ((count(*) * sum(x::HUGEINT * x)
+             |                 - sum(x::HUGEINT) * sum(x::HUGEINT))::DOUBLE
+             |              * (count(*) * sum(y::HUGEINT * y)
+             |                 - sum(y::HUGEINT) * sum(y::HUGEINT))::DOUBLE),
+             |             6) AS r2
+             |FROM m""".stripMargin))
   )
 }

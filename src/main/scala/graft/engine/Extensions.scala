@@ -447,6 +447,47 @@ object Extensions {
       (col(idCol) === col("component")).cast("int"))
   }
 
+  /** Semantic (embedding-space) dedup, end to end: near-dup pairs above
+    * `minCosine` via the exact-recall blocked scan
+    * ([[cosineNearDupsBlocked]] — KMeans angular cells, recall 1 by the
+    * triangle inequality), transitive closure into clusters
+    * ([[graft.operators.ConnectedComponents]]), then a KEEP-BEST
+    * survivor per cluster: highest `qualityCol` wins, ties to the
+    * smallest id — unlike [[dedupClusters]]' min-id survivor, the
+    * curation policy here retains the best-quality copy (the longest /
+    * highest-scoring document), which is what an LM training pipeline
+    * actually wants from semantic dedup. The dedup domain is the inner
+    * join of `docs` and `emb` on `idCol` (only embedded docs can be
+    * compared; unembedded docs are out of scope by definition).
+    * Returns (idCol, component, qualityCol, keep).
+    *
+    * Scale shape: the pair build never materializes all-pairs (cell
+    * blocking), the closure is the pointer-jumping CC operator, and
+    * the survivor pick is a map-side-combinable hash aggregate per
+    * component (`max(struct(quality, -id))`) hash-joined back — never
+    * a window over the component key, so a mega-cluster costs a heavy
+    * join key (AQE-splittable) rather than a single-task sort.
+    */
+  def semanticDedup(docs: DataFrame, emb: DataFrame, idCol: String,
+      qualityCol: String, embCol: String, minCosine: Double,
+      nCells: Int = 16): DataFrame = {
+    requireNoReserved(docs, Seq("__b", "__best_id", "component"))
+    val ids = docs.select(col(idCol)).join(emb.select(col(idCol)), idCol)
+    val pairs = cosineNearDupsBlocked(
+      emb.join(docs.select(col(idCol)), idCol), embCol, idCol,
+      minCosine, nCells)
+    val comps = graft.operators.ConnectedComponents.components(
+      ids, pairs, idCol, "id_a", "id_b")
+    val withQ = comps.join(docs.select(col(idCol), col(qualityCol)), idCol)
+    val best = withQ.groupBy("component")
+      .agg(max(struct(col(qualityCol).as("q"),
+        (-col(idCol)).as("negid"))).as("__b"))
+      .select(col("component"), (-col("__b.negid")).as("__best_id"))
+    withQ.join(best, "component")
+      .select(col(idCol), col("component"), col(qualityCol),
+        (col(idCol) === col("__best_id")).cast("int").as("keep"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
     * Exact all-pairs form — production pre-buckets with [[annBucketed]]
     * and runs this as the precision pass on candidates; here it doubles
@@ -1448,6 +1489,159 @@ object Extensions {
         countDistinct(col("shingle")).as("distinct_ngrams"))
       .withColumn("repetition_ratio",
         round(lit(1.0) - col("distinct_ngrams") / col("total_ngrams"), 6))
+  }
+
+  /** Windowed skip-gram collocations scored by pointwise mutual
+    * information: every ordered token pair (wᵢ, wᵢ₊ₒ) with offset
+    * 1 ≤ o ≤ `window` counts once; pairs seen ≥ `minCount` times are
+    * scored PMI = ln(c_ab·T / (c_a·c_b)) against the pair stream's own
+    * left/right marginals (T = total pair tokens). The classic
+    * collocation extractor ("new york", "machine learning") a corpus
+    * vocabulary pass feeds from.
+    *
+    * Scale shape: the pair stream is generated INSIDE each row's token
+    * array (nested sequence() transforms — pure codegen'd projection),
+    * never via a position self-join of the exploded token stream, so
+    * the only full-corpus exchange is the map-side-combinable pair
+    * count. Marginals and T re-aggregate the counted PAIR table
+    * (vocabulary², ≪ corpus) and T rides in as a broadcast 1-row
+    * aggregate. The top-N cut is TakeOrdered (bounded heap per
+    * partition), never a global sort.
+    *
+    * Determinism: counts are exact longs; the only double math is the
+    * final ln(c_ab·T/(c_a·c_b)), identical operand order on the oracle
+    * side, rounded once to 6.
+    */
+  def tokenPmi(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 2, minCount: Long = 5, topN: Int = 100): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    requireNoReserved(docs, Seq("__toks", "__pairs", "__p", "w1", "w2",
+      "c_ab", "__ca", "__cb", "__t", "pmi"))
+    val toks = docs.select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    // per-row ordered pairs straight out of the token array:
+    // for i in [1, n-1], for o in [1, min(window, n-i)]: (t[i], t[i+o])
+    val pairs = toks.select(explode(flatten(
+      transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+        transform(sequence(lit(1),
+            least(lit(window), size(col("__toks")) - i)), o =>
+          struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + o).as("w2")))))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      // tokens are never null, but Catalyst can't see that — the
+      // marginal joins below push IsNotNull(w1)/IsNotNull(w2) into
+      // their branch's copy of this subtree, and DIVERGENT pushed
+      // predicates break the exchange's canonical equality (4 corpus
+      // scans instead of 1 — the cramers_v round-8 failure mode).
+      // Filtering up front makes every branch carry the SAME subtree,
+      // so the pair-count exchange computes once and reuses 3×.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val left = counts.groupBy("w1").agg(sum("c_ab").as("__ca"))
+    val right = counts.groupBy("w2").agg(sum("c_ab").as("__cb"))
+    val total = counts.agg(sum("c_ab").as("__t"))
+    counts.filter(col("c_ab") >= minCount)
+      .join(broadcast(left), "w1").join(broadcast(right), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        // every operand promoted to double BEFORE multiplying — a
+        // long·long product overflows at corpus scale (c_ab·T ~ 10¹⁸+)
+        round(log(col("c_ab").cast("double") * col("__t") /
+          (col("__ca").cast("double") * col("__cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — public heuristics): word-count bounds,
+    * mean-word-length bounds, a minimum fraction of alphabetic words,
+    * and a minimum stop-word hit count. Emits each rule flag plus the
+    * conjunction — curation keeps `passes = 1` rows and the flags say
+    * WHY the rest were cut (ablation accounting per rule, which is how
+    * these filters get tuned). Pure projection: every stat derives
+    * from the row's own token array (codegen'd HOFs), zero shuffles,
+    * exact integer/rational arithmetic → oracle bit-identical.
+    */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    requireNoReserved(docs, Seq("__toks", "n_words", "mean_word_len",
+      "alpha_frac", "stop_hits", "ok_words", "ok_word_len", "ok_alpha",
+      "ok_stop", "passes"))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col("__toks")
+    val nWords = size(t)
+    val sumLen = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaN = size(filter(t, x => x.rlike("[a-z]")))
+    val stopHits = size(filter(t,
+      x => stops.map(s => x === lit(s)).reduce(_ || _)))
+    val meanLen = round(sumLen / nWords.cast("double"), 6)
+    val alphaFrac = round(alphaN / nWords.cast("double"), 6)
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(nWords >= 1)
+      .select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), stopHits.cast("long").as("stop_hits"))
+      .withColumn("ok_words",
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int"))
+      .withColumn("ok_word_len",
+        (col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen).cast("int"))
+      .withColumn("ok_alpha", (col("alpha_frac") >= minAlphaFrac).cast("int"))
+      .withColumn("ok_stop", (col("stop_hits") >= minStopHits).cast("int"))
+      .withColumn("passes",
+        (col("ok_words") === 1 && col("ok_word_len") === 1 &&
+          col("ok_alpha") === 1 && col("ok_stop") === 1).cast("int"))
+  }
+
+  /** Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    * the corpus vocabulary, plus r² — the one-number corpus-health
+    * check (natural text sits near slope ≈ −1; a synthetic or
+    * template-heavy corpus shows up instantly as a flat or broken
+    * power law). Returns one row (n_terms, zipf_slope, r2).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * token count; the rank window then orders |vocabulary| aggregated
+    * rows — bounded by distinct terms, not corpus volume (the same
+    * vocabulary-bounded-window argument as [[topTokens]]). Determinism:
+    * ln values are scaled to integer micro-units per TERM and the OLS
+    * moments accumulate in decimal(38,0) ([[Analytics.trendSlope]]'s
+    * posture) — the final slope is order-independent bit-for-bit; the
+    * 1e6 scale factors cancel between numerator and denominator.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
+    requireNoReserved(docs, Seq("__w", "__f", "__r", "__x", "__y",
+      "n_terms", "zipf_slope", "r2"))
+    val dec = "decimal(38,0)"
+    val freq = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    val ranked = freq.withColumn("__r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("__f").desc, col("__w"))))
+    val num = col("n_terms").cast(dec) * col("__sxy") -
+      col("__sx") * col("__sy")
+    val denX = col("n_terms").cast(dec) * col("__sxx") -
+      col("__sx") * col("__sx")
+    val denY = col("n_terms").cast(dec) * col("__syy") -
+      col("__sy") * col("__sy")
+    ranked
+      .select(round(log(col("__r").cast("double")) * 1e6).cast("long")
+          .as("__x"),
+        round(log(col("__f").cast("double")) * 1e6).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        // micro-ln values are ≤ ~2e7, so the long·long products stay
+        // ≤ ~4e14 — multiply in long, accumulate in decimal
+        sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).as("__syy"))
+      .select(col("n_terms"),
+        round(num.cast("double") / denX.cast("double"), 6).as("zipf_slope"),
+        round(num.cast("double") * num.cast("double") /
+          (denX.cast("double") * denY.cast("double")), 6).as("r2"))
   }
 
   /** The full corpus-curation pipeline a pre-training run needs, as ONE

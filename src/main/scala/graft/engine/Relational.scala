@@ -940,6 +940,32 @@ object Relational {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── co-located bucketed join: both sides pre-bucketed on the join
+    // key (Scale.ensureBucketed, idempotent per session), so the
+    // sort-merge join plans with ZERO exchange under it — the "pay the
+    // shuffle once at ingest" layout that makes repeated fact-dim joins
+    // shuffle-free at warehouse scale. hint("merge") pins SMJ so the
+    // exchange-free plan is what actually runs (a broadcast would hide
+    // the layout win at toy scale); PlanSpec asserts the plan shape ─────
+    QuerySpec("bucketed_join",
+      (s, d) => {
+        val o = Scale.ensureBucketed(s,
+          orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "orders", d, "o_custkey", 8)
+        val c = Scale.ensureBucketed(s,
+          customer(s, d).select("c_custkey", "c_mktsegment"),
+          "customer", d, "c_custkey", 8)
+        o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
     // ── data profiling: per-column null/distinct/min/max report ──────────
     QuerySpec("table_profile",
       (s, d) => {

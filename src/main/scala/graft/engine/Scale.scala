@@ -39,6 +39,44 @@ object Scale {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Idempotent bucketed materialization: write `df` bucketed by `key`
+    * under a deterministic per-(name, source) table name unless this
+    * session already has it, and return the catalog-backed frame. The
+    * re-usable half of the "pay the shuffle once at ingest" trade —
+    * callers that join repeatedly on `key` go exchange-free from the
+    * second use on. The table name carries the source tag so the same
+    * session can hold bucketed copies of several scale factors.
+    * `df` is repartitioned onto the bucket key before the write so
+    * each bucket lands as ONE file — the layout Spark's scan requires
+    * to also skip the in-partition SORT on sort-merge joins.
+    */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, name: String,
+      sourceTag: String, key: String, buckets: Int): DataFrame = {
+    // hex of the tag hash: stable across JVMs (String.hashCode is
+    // specified), collision-safe enough for a session-local cache
+    val table =
+      f"graft_bkt_${name}_${sourceTag.hashCode & 0x7fffffff}%08x"
+    if (!spark.catalog.tableExists(table)) {
+      // files without a catalog entry = leftovers from a previous
+      // session's in-memory catalog — dead weight; clear before writing
+      // (saveAsTable refuses to adopt an existing managed location)
+      val loc = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath + "/" + table
+      val dir = new java.io.File(loc)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(dir)
+      }
+      val d = df
+      d.repartition(buckets, col(key)).write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
   /** Per-key mergeable aggregate state over a LONG value column:
     * (keyCols*, n_rows, sum_v, min_v, max_v). The four fields form a
     * commutative monoid under [[mergeAggState]], so partial states

@@ -1131,4 +1131,29 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Double)].head()
     assert(l2._2 == 28L && l2._3 == 1.0)
   }
+
+  test("ewmaSmooth: first day seeds, same-day rows sum before " +
+      "smoothing, groups are independent, alpha=1 is the identity") {
+    val df = Seq(
+      ("g1", "2024-01-01", 1.00), ("g1", "2024-01-02", 2.00),
+      ("g1", "2024-01-03", 3.00), ("g1", "2024-01-03", 1.00),
+      ("g2", "2024-01-05", 7.00))
+      .toDF("g", "d", "v").withColumn("d", col("d").cast("date"))
+    val out = Analytics.ewmaSmooth(df, "g", "d", "v", alpha = 0.3)
+      .orderBy("g", "day")
+      .as[(String, Long, Double)].collect()
+    assert(out.length == 4)
+    // g1 daily: 1.00, 2.00, 4.00 → ewma 1.0, .3·2+.7·1=1.3, .3·4+.7·1.3=2.11
+    assert(math.abs(out(0)._3 - 1.0) < 1e-9)
+    assert(math.abs(out(1)._3 - 1.3) < 1e-9)
+    assert(math.abs(out(2)._3 - 2.11) < 1e-9)
+    // g2 is seeded by its own first day, never by g1's tail
+    assert(out(3)._1 == "g2" && math.abs(out(3)._3 - 7.0) < 1e-9)
+    // days are consecutive epoch days for g1
+    assert(out(1)._2 == out(0)._2 + 1 && out(2)._2 == out(1)._2 + 1)
+    // alpha = 1: ewma ≡ the daily series, bit-exact
+    val id = Analytics.ewmaSmooth(df, "g", "d", "v", alpha = 1.0)
+      .orderBy("g", "day").as[(String, Long, Double)].collect()
+    assert(id.map(_._3).toSeq == Seq(1.0, 2.0, 4.0, 7.0))
+  }
 }

@@ -861,4 +861,90 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.getString(1) == "ab||cd||ef")
     assert(out.getLong(2) == 4L && out.getLong(3) == 3L)
   }
+
+  test("semanticDedup: keep-best survivor (highest quality, ties to " +
+      "smallest id), singleton keeps itself, dedup domain = docs ∩ emb") {
+    val rows = Seq(
+      (0L, Array(1f, 0f), 100L),        // cluster {0,1}: 1 is longer
+      (1L, Array(0.999f, 0.01f), 200L),
+      (2L, Array(0f, 1f), 50L),         // cluster {2,3}: quality TIE
+      (3L, Array(0.01f, 0.999f), 50L),  //   → min id (2) survives
+      (4L, Array(-1f, 0.1f), 10L))      // singleton
+    val emb = rows.toDF("id", "emb", "q").select("id", "emb")
+    val docs = rows.toDF("id", "emb", "q").select("id", "q")
+      // a doc with no embedding is out of the dedup domain
+      .union(Seq((5L, 999L)).toDF("id", "q"))
+    val out = Extensions.semanticDedup(docs, emb, "id", "q", "emb",
+        minCosine = 0.9, nCells = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // no id 5
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 2L, 2L, 4L)) // components
+    assert(out.map(_._4).toSeq == Seq(0, 1, 1, 0, 1))      // keep flags
+  }
+
+  test("tokenPmi: hand-computed pair counts, marginals and PMI on " +
+      "tiny corpora; ordering is (pmi desc, w1, w2)") {
+    // "a b a b", window 1: pairs (a,b),(b,a),(a,b)
+    //   c(a,b)=2 c(b,a)=1, T=3, left a=2 b=1, right b=2 a=1
+    //   pmi(a,b)=ln(2·3/(2·2))=ln 1.5; pmi(b,a)=ln(1·3/(1·1))=ln 3
+    val d1 = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val o1 = Extensions.tokenPmi(d1, "text", "doc_id",
+        window = 1, minCount = 1, topN = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(o1.length == 2)
+    assert(o1(0) == (("b", "a", 1L,
+      math.rint(math.log(3.0) * 1e6) / 1e6)))
+    assert(o1(1) == (("a", "b", 2L,
+      math.rint(math.log(1.5) * 1e6) / 1e6)))
+    // "a b c", window 2: pairs (a,b),(a,c),(b,c); la: a=2 b=1;
+    //   rb: b=1 c=2 → pmi ln1.5, ln0.75, ln1.5
+    val d2 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val o2 = Extensions.tokenPmi(d2, "text", "doc_id",
+        window = 2, minCount = 1, topN = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(o2.map(r => (r._1, r._2)).toSeq ==
+      Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(math.abs(o2(0)._4 - math.log(1.5)) < 1e-6)
+    assert(math.abs(o2(2)._4 - math.log(0.75)) < 1e-6)
+    // minCount filters the pair but NOT the marginals it contributed to
+    val o3 = Extensions.tokenPmi(d1, "text", "doc_id",
+        window = 1, minCount = 2, topN = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(o3.map(r => (r._1, r._2)).toSeq == Seq(("a", "b")))
+    assert(math.abs(o3(0)._4 - math.log(1.5)) < 1e-6) // T still 3
+  }
+
+  test("gopherRules: each rule fails independently on a targeted " +
+      "fixture and the conjunction requires all four") {
+    def words(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val good = (words("example", 56) + " the and of to that")
+    val docs = Seq(
+      (1L, good),                           // all rules pass
+      (2L, "the and of just a few words"),  // too short
+      (3L, words("a", 58) + " the and"),    // mean word length < 3
+      (4L, words("12345", 58) + " the and"),// alpha fraction ~ 0.03
+      (5L, words("example", 60)))           // zero stopword hits
+      .toDF("doc_id", "text")
+    val out = Extensions.gopherRules(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("ok_words", "ok_word_len", "ok_alpha", "ok_stop", "passes")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    assert(out(0) == ((1, 1, 1, 1, 1)))
+    assert(out(1)._1 == 0 && out(1)._5 == 0)
+    assert(out(2)._2 == 0 && out(2)._5 == 0)
+    assert(out(3)._3 == 0 && out(3)._5 == 0)
+    assert(out(4) == ((1, 1, 1, 0, 0)))
+  }
+
+  test("zipfSlope: an exact power-law corpus (f·r = const) fits slope " +
+      "-1 with r² = 1; n_terms counts the vocabulary") {
+    // counts 6, 3, 2 at ranks 1, 2, 3: ln f = ln 6 − ln r exactly
+    val docs = Seq((1L, "a a a a a a b b b c c")).toDF("doc_id", "text")
+    val (n, slope, r2) = Extensions.zipfSlope(docs, "text")
+      .as[(Long, Double, Double)].head()
+    assert(n == 3L)
+    assert(math.abs(slope - (-1.0)) < 1e-3, s"slope $slope")
+    assert(math.abs(r2 - 1.0) < 1e-3, s"r2 $r2")
+  }
 }

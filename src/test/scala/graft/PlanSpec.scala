@@ -508,4 +508,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"survivor cell-pair list should broadcast:\n$plan")
   }
+
+  test("token_pmi tokenizes the corpus ONCE: marginals and the total " +
+      "reuse the pair-count exchange, and the top-N cut is a bounded " +
+      "heap, not a global sort") {
+    val plan = executedPlan(SparkEntry.queries("token_pmi")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("documents") && l.contains("ReadSchema"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"plan was:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("bucketed_join: the join itself is exchange-free — no exchange " +
+      "keyed on either join key anywhere in the plan") {
+    val plan = executedPlan(SparkEntry.queries("bucketed_join")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+    for (k <- Seq("o_custkey", "c_custkey"))
+      assert(!plan.contains(s"Exchange hashpartitioning($k"),
+        s"join key $k was shuffled — bucketing not honored:\n$plan")
+  }
+
+  test("ewma_smooth: the corpus-sized work is the daily rollup — at " +
+      "most two hash exchanges (daily, then per-group collect)") {
+    val plan = executedPlan(SparkEntry.queries("ewma_smooth")(spark, sf))
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+  }
 }

@@ -276,4 +276,39 @@ class ScaleSpec extends AnyFunSuite {
     val withEmpty = Scale.mergeAggState(full, full.limit(0), Seq("k"))
     assert(states(withEmpty) == states(full))
   }
+
+  test("ensureBucketed: join is exchange-free, a second call reuses " +
+      "the table without re-evaluating the source, and a stale " +
+      "warehouse location from a dead session is recovered") {
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val bo = Scale.ensureBucketed(spark, o, "sp_o", sf, "o_custkey", 4)
+    val bc = Scale.ensureBucketed(spark, c, "sp_c", sf, "c_custkey", 4)
+    val joined = bo.hint("merge")
+      .join(bc, col("o_custkey") === col("c_custkey"))
+    assert(joined.count() == o.count()) // every order has a customer
+    val plan = (joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+    // idempotent: the by-name source is NOT re-evaluated on a hit
+    val again = Scale.ensureBucketed(spark,
+      sys.error("source re-evaluated on cache hit"): org.apache.spark.sql.DataFrame,
+      "sp_o", sf, "o_custkey", 4)
+    assert(again.count() == o.count())
+    // stale location (files on disk, no catalog entry — a previous
+    // session's leftovers) is cleared and the write succeeds
+    val tag = "stale-tag"
+    val table = f"graft_bkt_sp_s_${tag.hashCode & 0x7fffffff}%08x"
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    assert(loc.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(loc, "junk").toPath, "stale")
+    val bs = Scale.ensureBucketed(spark, c, "sp_s", tag, "c_custkey", 4)
+    assert(bs.count() == c.count())
+  }
 }
