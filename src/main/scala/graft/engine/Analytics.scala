@@ -1222,15 +1222,19 @@ object Analytics {
     * frame expresses it and no associative reformulation is
     * overflow-safe (the closed form needs (1−α)^(−t) weights, which
     * explode past t ≈ 700 in double) — so each group's ordered daily
-    * series folds INSIDE one aggregate HOF over its collected array.
+    * series folds INSIDE aggregate HOFs over its collected array.
     * Scale shape: the corpus-sized work is the map-side-combinable
-    * daily rollup; per-group state is then bounded by CALENDAR DAYS
-    * (a few thousand structs), not data volume, so the fold's O(L²)
-    * accumulator copying is a few million pointer moves per group at
-    * worst — the honest cost of an exact recursive filter, same
-    * posture as [[resampleFill]]'s per-series state. Determinism: daily
-    * totals are exact long cents; the fold's double ops replay in the
-    * oracle's recursive CTE in identical order, rounded once.
+    * daily rollup; per-group state is then bounded by CALENDAR DAYS,
+    * not data volume. The fold is TWO-LEVEL (blocks of 64 days, then
+    * a fold over blocks): a flat fold's append-only accumulator
+    * re-copies the whole array per element — O(L²) element moves,
+    * billions at a 10-year series — while the blocked form moves
+    * O(L·B + (L/B)²) ≈ thousands, with the SAME sequential chain of
+    * double ops (re-association changes where array boundaries fall,
+    * never the arithmetic order), so results stay bit-identical to
+    * the naive fold and to the oracle's recursive CTE. Same posture
+    * as [[resampleFill]]'s per-series state. Determinism: daily
+    * totals are exact long cents; one double division at the end.
     */
   def ewmaSmooth(df: DataFrame, groupCol: String, dateCol: String,
       valueCol: String, alpha: Double = 0.3): DataFrame = {
@@ -1240,21 +1244,44 @@ object Analytics {
     // (1 − α) folded in the PLAN so the literal matches the oracle's
     // `(1 - 0.3)` bit-for-bit (1−0.3 ≠ the double literal 0.7)
     val beta = lit(1.0) - lit(alpha)
-    val emptyAcc = filter(
+    val blockLen = 64
+    // typed empty arrays (array().cast would carry NullType internals)
+    val emptyBlock = filter(
       array(struct(lit(0L).as("d"), lit(0.0).as("e"))), _ => lit(false))
     val daily = df
       .select(col(groupCol), epochDay(dateCol).as("__x"),
         round(col(valueCol) * 100).cast("long").as("__y"))
       .groupBy(col(groupCol), col("__x"))
       .agg(sum("__y").as("__y"))
+    val xs = col("__xs")
+    val nBlocks = ceil(size(xs) / lit(blockLen.toDouble)).cast("int")
+    val blocks = transform(sequence(lit(0), nBlocks - 1),
+      b => slice(xs, b * blockLen + 1, lit(blockLen)))
+    // outer fold over blocks: acc = (seeded?, carry, per-block outputs);
+    // inner fold over one block: acc = (seeded?, carry, block output).
+    // Per element the op is IDENTICAL to the naive fold — seed with v,
+    // then α·v + (1−α)·prev — so the chain of IEEE ops is unchanged.
+    val outerZero = struct(lit(false).as("s"), lit(0.0).as("p"),
+      filter(array(emptyBlock), _ => lit(false)).as("out"))
+    val folded = aggregate(blocks, outerZero, (oacc, blk) => {
+      val innerZero = struct(oacc.getField("s").as("s"),
+        oacc.getField("p").as("p"), emptyBlock.as("out"))
+      val inner = aggregate(blk, innerZero, (acc, x) => {
+        val e = when(!acc.getField("s"), x.getField("v").cast("double"))
+          .otherwise(lit(alpha) * x.getField("v") +
+            beta * acc.getField("p"))
+        struct(lit(true).as("s"), e.as("p"),
+          concat(acc.getField("out"),
+            array(struct(x.getField("d").as("d"), e.as("e")))).as("out"))
+      })
+      struct(inner.getField("s").as("s"), inner.getField("p").as("p"),
+        concat(oacc.getField("out"),
+          array(inner.getField("out"))).as("out"))
+    })
     daily.groupBy(groupCol)
       .agg(array_sort(collect_list(
         struct(col("__x").as("d"), col("__y").as("v")))).as("__xs"))
-      .select(col(groupCol), explode(aggregate(col("__xs"), emptyAcc,
-        (acc, x) => concat(acc, array(struct(x.getField("d").as("d"),
-          when(size(acc) === 0, x.getField("v").cast("double"))
-            .otherwise(lit(alpha) * x.getField("v") +
-              beta * element_at(acc, -1).getField("e")).as("e"))))))
+      .select(col(groupCol), explode(flatten(folded.getField("out")))
         .as("__e"))
       // emitted RAW (cents folded back to value units by one double
       // division): the fold's double sequence is fixed (no partial-agg

@@ -1155,5 +1155,22 @@ class AnalyticsSpec extends AnyFunSuite {
     val id = Analytics.ewmaSmooth(df, "g", "d", "v", alpha = 1.0)
       .orderBy("g", "day").as[(String, Long, Double)].collect()
     assert(id.map(_._3).toSeq == Seq(1.0, 2.0, 4.0, 7.0))
+    // 150-day series spans three 64-day fold blocks: the blocked fold
+    // must be BIT-identical to the naive sequential recurrence across
+    // every block boundary (re-association moves array boundaries,
+    // never the arithmetic order)
+    val days = (0 until 150).map(i =>
+      ("g", java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i.toLong)), (i % 7 + 1) * 1.0))
+    val long = days.toDF("g", "d", "v")
+    val got = Analytics.ewmaSmooth(long, "g", "d", "v", alpha = 0.3)
+      .orderBy("day").as[(String, Long, Double)].collect().map(_._3)
+    val a = 0.3; val b = 1.0 - a
+    val cents = days.map(_._3 * 100).map(v => math.rint(v))
+    val exp = cents.tail.scanLeft(cents.head)((p, v) => a * v + b * p)
+      .map(_ / 100)
+    assert(got.length == 150)
+    assert(got.toSeq == exp.toSeq, "blocked fold diverged from the " +
+      "sequential recurrence")
   }
 }
