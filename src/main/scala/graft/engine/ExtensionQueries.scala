@@ -1108,6 +1108,87 @@ object ExtensionQueries {
              |         AS passes
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ── Bloom-filter decontamination (the broadcast-filter scale path;
+    // xxhash64 bit positions are engine-internal → rows-only; the
+    // no-false-negative superset law vs the exact form + the FPR bound
+    // are spec-pinned in ExtensionsSpec) ─────────────────────────────────
+    QuerySpec("bloom_decontaminate",
+      (s, d) => {
+        val docs0 = documents(s, d)
+        Extensions.bloomDecontaminate(
+            docs0.filter(col("doc_id") >= 100),
+            docs0.filter(col("doc_id") < 100),
+            "text", "doc_id", n = 8)
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ── K-fold out-of-fold target encoding with additive smoothing:
+    // the leakage-safe target encoder (fold = id mod K, exact integer
+    // cent sums, total-minus-own-fold) ──────────────────────────────────
+    QuerySpec("target_encode_oof",
+      (s, d) => Features.targetEncodingOof(orders(s, d),
+          "o_orderpriority", "o_totalprice", "o_orderkey",
+          folds = 5, smoothing = 20.0, valueScale = 100)
+        .orderBy("o_orderkey"),
+      Some("""WITH w AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |         o_orderkey % 5 AS fold,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders
+             |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+             |bf AS (SELECT o_orderpriority, fold, sum(v) AS fs,
+             |              count(*) AS fc
+             |       FROM w GROUP BY 1, 2),
+             |bc AS (SELECT o_orderpriority, sum(fs) AS cs, sum(fc) AS cc
+             |       FROM bf GROUP BY 1),
+             |pr AS (SELECT sum(fs)::DOUBLE / sum(fc) AS prior FROM bf)
+             |SELECT w.o_orderkey, w.o_orderpriority, w.fold,
+             |       round(((bc.cs - bf.fs)::DOUBLE + 20.0 * pr.prior)
+             |             / ((bc.cc - bf.fc)::DOUBLE + 20.0) / 100,
+             |             6) AS o_orderpriority_te_oof
+             |FROM w
+             |JOIN bf ON bf.o_orderpriority = w.o_orderpriority
+             |       AND bf.fold = w.fold
+             |JOIN bc ON bc.o_orderpriority = w.o_orderpriority
+             |CROSS JOIN pr
+             |ORDER BY w.o_orderkey""".stripMargin)),
+
+    // ── top-V vocabulary + OOV encode: vocabulary as one broadcast map
+    // scalar, the encode itself pure projection ─────────────────────────
+    QuerySpec("vocab_encode",
+      (s, d) => Extensions.vocabEncode(documents(s, d), "text", "doc_id",
+          vocabSize = 64)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |f AS (SELECT w, count(*) AS cf FROM tok GROUP BY 1),
+             |v AS (SELECT w, row_number() OVER (ORDER BY cf DESC, w) - 1
+             |        AS tid
+             |      FROM f ORDER BY cf DESC, w LIMIT 64),
+             |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |      FROM documents),
+             |p AS (SELECT doc_id, i.range AS i, toks[i.range] AS w,
+             |             len(toks) AS n
+             |      FROM t, range(1, 100000) i WHERE i.range <= len(toks)),
+             |e AS (SELECT p.doc_id, p.i, p.n,
+             |             coalesce(v.tid, 64) AS tid,
+             |             (v.tid IS NULL)::INT AS oov
+             |      FROM p LEFT JOIN v ON v.w = p.w)
+             |SELECT doc_id, max(n)::INT AS n_tokens,
+             |       sum(oov)::INT AS n_oov,
+             |       string_agg(tid::VARCHAR, ',' ORDER BY i) AS token_ids
+             |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── BPE merge training (first 6 merge rules over the word-freq
+    // table; rows-only — the merge sequence is spec-proven against a
+    // plain-Scala reference implementation) ─────────────────────────────
+    QuerySpec("bpe_merges",
+      (s, d) => Extensions.bpeMerges(documents(s, d), "text", merges = 6)
+        .orderBy("merge_rank"),
+      None),
+
     // ── Zipf rank-frequency fit: scaled-ln integer moments in decimal
     // (order-independent sums), one vocabulary-bounded rank window ───────
     QuerySpec("zipf_slope",

@@ -1472,6 +1472,80 @@ object Extensions {
         coalesce(col("contaminated"), lit(0)).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — [[contaminationFlags]]' 100 TB
+    * form: the eval set's shingle hashes are folded into a Bloom
+    * filter (numBits bits, numHashes probes per key, double hashing)
+    * that BROADCASTS as one map of ≤ numBits/64 long words, and every
+    * train shingle probes it row-locally — no shuffle of the train
+    * shingle stream at all, where the exact form semi-joins it against
+    * the eval hash set. False negatives are impossible by
+    * construction (a truly shared shingle sets exactly the bits it
+    * later probes), so the flag set is a SUPERSET of the exact one —
+    * recall 1, precision governed by the standard (1−e^(−kn/m))^k
+    * false-positive rate; size numBits ≈ 10–15 bits per distinct eval
+    * shingle for ~1% FPR. Built entirely from codegen'd built-ins
+    * (composition rung (a) of the extension ladder): the filter build
+    * is one map-side-combinable bit_or aggregate over word indices,
+    * the filter itself a map_from_entries scalar.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      numBits: Int = 1 << 20, numHashes: Int = 4): DataFrame = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      "numBits must be a power of two >= 64")
+    require(numHashes >= 1 && numHashes <= 16,
+      "numHashes must be in [1, 16]")
+    requireNoReserved(train, Seq("__h", "__h2", "__pos", "__widx", "__w",
+      "__bloom", "contaminated"))
+    def shingleHashes(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      val ngram = new org.apache.spark.ml.feature.NGram()
+        .setN(n).setInputCol("toks").setOutputCol("__sh")
+      ngram.transform(toks)
+        .select(col(idCol), explode(col("__sh")).as("shingle"))
+        .select(col(idCol), xxhash64(col("shingle")).as("__h"))
+    }
+    // double hashing: position_i = (h1 + i·h2) mod numBits, with BOTH
+    // terms reduced mod numBits up front — h1 + i·h2 on raw 64-bit
+    // hashes overflows a long (ANSI throws); reduced, the sum stays
+    // under 2²⁵. h2 from an independent seeded xxhash64, forced ODD so
+    // it cycles the full power-of-two table (coprime with 2^m) and the
+    // k probes never degenerate onto one bit.
+    def positions(h: Column): Seq[Column] = {
+      val h1 = pmod(h, lit(numBits.toLong))
+      val h2 = pmod(xxhash64(h, lit(0x9e3779b97f4a7c15L)),
+        lit(numBits.toLong)).bitwiseOR(lit(1L))
+      (0 until numHashes).map(i =>
+        pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong)))
+    }
+    val words = shingleHashes(eval)
+      .select(explode(array(positions(col("__h")): _*)).as("__pos"))
+      .select((col("__pos") / 64).cast("int").as("__widx"),
+        // the Scala shiftleft() overload takes only a literal shift —
+        // call the SQL function, whose shift is a full expression
+        call_function("shiftleft", lit(1L),
+          pmod(col("__pos"), lit(64)).cast("int")).as("__w"))
+      .groupBy("__widx").agg(bit_or(col("__w")).as("__w"))
+    val bloom = words.agg(map_from_entries(
+      collect_list(struct(col("__widx"), col("__w")))).as("__bloom"))
+    def mightContain(h: Column): Column =
+      positions(h).map { p =>
+        val word = coalesce(
+          element_at(col("__bloom"), (p / 64).cast("int")), lit(0L))
+        call_function("shiftrightunsigned", word,
+          pmod(p, lit(64)).cast("int")).bitwiseAND(lit(1L)) === 1L
+      }.reduce(_ && _)
+    val flagged = shingleHashes(train)
+      .crossJoin(broadcast(bloom))
+      .filter(mightContain(col("__h")))
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(1))
+    train.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contaminated"), lit(0)).as("contaminated"))
+  }
+
   /** Repetition statistics: distinct-vs-total word-trigram counts per
     * document plus the repetition ratio (1 − distinct/total) — the
     * boilerplate/template detector in corpus quality filtering. One
@@ -1642,6 +1716,121 @@ object Extensions {
         round(num.cast("double") / denX.cast("double"), 6).as("zipf_slope"),
         round(num.cast("double") * num.cast("double") /
           (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+  }
+
+  /** Top-V vocabulary encoding with an OOV bucket: the `vocabSize`
+    * most frequent tokens (ties to the lexicographically smaller) get
+    * ids 0..V−1 in rank order, every other token maps to the single
+    * OOV id V — the dictionary step in front of embedding lookup /
+    * hashing-free categorical pipelines, with the long-tail cutoff
+    * that keeps the embedding table bounded. Returns per doc:
+    * (idCol, n_tokens, n_oov, token_ids comma-joined).
+    *
+    * Scale shape: one map-side-combinable token count; the rank
+    * window orders only the top-V survivors of a TakeOrdered cut
+    * (bounded by V, never the vocabulary); the encode itself is a
+    * PURE PROJECTION — the vocabulary broadcasts as one V-entry map
+    * scalar and each doc's tokens transform row-locally (no explode,
+    * no join, no re-collect).
+    */
+  def vocabEncode(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 64): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    requireNoReserved(docs, Seq("__w", "__f", "__tid", "__vmap",
+      "n_tokens", "n_oov", "token_ids"))
+    val topV = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w")).limit(vocabSize)
+    val ranked = topV.withColumn("__tid", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("__f").desc, col("__w"))) - 1)
+    val vmap = ranked.agg(map_from_entries(
+      collect_list(struct(col("__w"), col("__tid")))).as("__vmap"))
+    val toksC = tokens(col(textCol))
+    docs.select(col(idCol), toksC.as("__w"))
+      .crossJoin(broadcast(vmap))
+      .select(col(idCol),
+        size(col("__w")).as("n_tokens"),
+        size(filter(col("__w"),
+          t => element_at(col("__vmap"), t).isNull)).as("n_oov"),
+        concat_ws(",", transform(col("__w"),
+          t => coalesce(element_at(col("__vmap"), t),
+            lit(vocabSize)))).as("token_ids"))
+  }
+
+  /** BPE merge training — the first `merges` byte-pair-encoding merge
+    * rules learned from the corpus (the algorithm behind GPT-style
+    * tokenizers, Sennrich et al. 2016; public knowledge). Words are
+    * symbol sequences (initially characters); each round counts
+    * adjacent symbol pairs weighted by word frequency, picks the most
+    * frequent pair (ties: lexicographic), and fuses its occurrences
+    * left-to-right. Returns (merge_rank, left, right, pair_count).
+    *
+    * Scale shape: the corpus is scanned ONCE into a word-frequency
+    * table; every round then operates on that VOCABULARY-bounded
+    * table (the standard BPE-on-word-counts trick — pair counts carry
+    * the word's frequency as weight, so corpus volume only affects
+    * the first aggregation). Each round's argmax is a 1-row bounded
+    * collect (the per-cell-radii precedent), and the merge applies as
+    * a codegen'd array fold (greedy left-to-right: after a fusion the
+    * new symbol can't re-match as the merge's left side because
+    * left+right ≠ left). The per-round vocab table is re-cached and
+    * the previous round released, so the plan never deepens past one
+    * round.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String,
+      merges: Int = 6): DataFrame = {
+    require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
+    requireNoReserved(docs, Seq("__w", "__f", "__syms", "__p",
+      "merge_rank", "left", "right", "pair_count"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      // split("", -1) keeps a trailing empty string — drop it, an empty
+      // symbol would fabricate (lastChar, "") pairs
+      .select(filter(split(col("__w"), ""), x => length(x) > 0)
+        .as("__syms"), col("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val s = col("__syms")
+      val top = words
+        .filter(size(s) >= 2)
+        .select(col("__f"), explode(transform(
+          sequence(lit(1), size(s) - 1),
+          i => struct(element_at(s, i).as("a"),
+            element_at(s, i + 1).as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum("__f").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r + 1, a, b, c))
+        val fused = lit(a + b)
+        val emptySyms = filter(array(lit("")), _ => lit(false))
+        val next = words.select(aggregate(col("__syms"), emptySyms,
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+            .otherwise(concat(acc, array(x)))).as("__syms"),
+          col("__f"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist()
+    out.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
   /** The full corpus-curation pipeline a pre-training run needs, as ONE

@@ -167,6 +167,70 @@ object Features {
       acc.join(enc, Seq(c), "left")
     }
 
+  /** K-fold OUT-OF-FOLD target encoding with additive smoothing — the
+    * leakage-safe upgrade of [[targetEncoding]] (whose in-sample mean
+    * lets each row see its own target — the classic target-leak that
+    * inflates validation scores). Each row's fold is a deterministic
+    * hash of `idCol`; its encoding is the target mean over the OTHER
+    * folds' rows of its category, shrunk toward the global mean by
+    * `smoothing` pseudo-observations:
+    *
+    *   te = (cat_sum − fold_sum + m·prior) / (cat_cnt − fold_cnt + m)
+    *
+    * The out-of-fold sums need no per-fold recomputation: aggregate
+    * once per (category, fold), re-aggregate to per-category totals,
+    * and subtract the row's own fold — total minus own-fold IS the
+    * other-folds sum. Degenerate case: a category entirely inside one
+    * fold has cnt−fold_cnt = 0; with smoothing > 0 the encoding
+    * gracefully collapses to the prior (m·prior / m).
+    *
+    * Values accumulate as exact integer micro-units (`valueScale`),
+    * so sums are order-independent; one double division at the end.
+    * Scale shape: one (cat, fold) hash aggregate (map-combinable; K×
+    * |categories| rows), per-category totals and the prior re-
+    * aggregate THAT table and broadcast back — raw data read once
+    * (the marginal branches carry the same up-front shape, so the
+    * exchange reuses; cf. tokenPmi's canonical-form note).
+    */
+  def targetEncodingOof(df: DataFrame, catCol: String, target: String,
+      idCol: String, folds: Int = 5, smoothing: Double = 20.0,
+      valueScale: Int = 100): DataFrame = {
+    require(folds >= 2, "folds must be >= 2")
+    require(smoothing > 0, "smoothing must be > 0 (degenerate " +
+      "single-fold categories need the prior to fall back to)")
+    // fold = id mod K (idCol integral): deterministic, cheap, and —
+    // unlike a hash — oracle-expressible; callers with non-integral
+    // ids pre-derive an integral key (e.g. via hashSplit's md5 prefix)
+    // fold is wrapped in coalesce to make it NON-NULLABLE: the join on
+    // (cat, fold) otherwise infers isnotnull(pmod(id, K)) into its copy
+    // of this subtree only, the copies stop canonicalizing equal, and
+    // the (cat, fold) exchange computes per consumer instead of reusing
+    // (the tokenPmi/cramers_v failure mode, constraint-inference
+    // flavor). The coalesce arm never fires: id is filtered non-null.
+    val withFold = df
+      .filter(col(catCol).isNotNull && col(target).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol), col(catCol),
+        coalesce(pmod(col(idCol), lit(folds.toLong)), lit(0L)).as("fold"),
+        round(col(target) * valueScale).cast("long").as("__v"))
+    val byFold = withFold.groupBy(col(catCol), col("fold"))
+      .agg(sum("__v").as("__fs"), count(lit(1)).as("__fc"))
+    val byCat = byFold.groupBy(catCol)
+      .agg(sum("__fs").as("__cs"), sum("__fc").as("__cc"))
+    val prior = byFold.agg(
+      (sum("__fs").cast("double") / sum("__fc")).as("__prior"))
+    withFold
+      .join(broadcast(byFold), Seq(catCol, "fold"))
+      .join(broadcast(byCat), Seq(catCol))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col(catCol), col("fold"),
+        round(
+          ((col("__cs") - col("__fs")).cast("double") +
+            lit(smoothing) * col("__prior")) /
+          ((col("__cc") - col("__fc")).cast("double") + lit(smoothing)) /
+          valueScale, 6).as(s"${catCol}_te_oof"))
+  }
+
   /** Mean imputation — result-identical to the reference's
     * Imputer-with-rename dance (reference: src/feature_engineering.py:140-149)
     * as one global aggregate broadcast back (same scale rationale as

@@ -937,6 +937,82 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(4) == ((1, 1, 1, 0, 0)))
   }
 
+  test("bloomDecontaminate: flags are a SUPERSET of the exact form's " +
+      "(no false negatives, by construction) and the false-positive " +
+      "rate stays near zero at ample bits") {
+    val docs0 = Seq.tabulate(150) { i =>
+      // each doc carries a distinctive 10-word sentence; train docs
+      // 100..119 repeat eval docs 0..19 (the contamination), train
+      // docs 120..149 are disjoint from every eval doc
+      val k = if (i >= 100 && i < 120) i - 100 else i
+      (i.toLong, (0 until 10).map(j => s"w${k}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val train = docs0.filter(col("doc_id") >= 100)
+    val eval0 = docs0.filter(col("doc_id") < 100)
+    def flagsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("contaminated") === 1)
+        .select("doc_id").as[Long].collect().toSet
+    val exact = flagsOf(Extensions.contaminationFlags(
+      train, eval0, "text", "doc_id", n = 8))
+    val bloom = flagsOf(Extensions.bloomDecontaminate(
+      train, eval0, "text", "doc_id", n = 8))
+    assert(exact == (100L until 120L).toSet) // fixture sanity
+    assert(exact.subsetOf(bloom), "bloom dropped a truly " +
+      s"contaminated doc: ${exact -- bloom}")
+    // 2^20 bits vs ~300 eval shingles: FPR is ~0 — allow 1 stray
+    assert((bloom -- exact).size <= 1, s"excess flags: ${bloom -- exact}")
+    // tiny filter degrades precision, NEVER recall
+    val tiny = flagsOf(Extensions.bloomDecontaminate(
+      train, eval0, "text", "doc_id", n = 8, numBits = 64))
+    assert(exact.subsetOf(tiny))
+  }
+
+  test("bpeMerges matches a plain-Scala reference BPE on word counts") {
+    val docs0 = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val got = Extensions.bpeMerges(docs0, "text", merges = 5)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // reference: word-freq table, count adjacent pairs weighted by
+    // freq, merge argmax (ties lexicographic), repeat
+    var words: Map[Vector[String], Long] =
+      ("low low low lower lowest new newer newest low").split(" ")
+        .groupBy(identity).map { case (w, a) =>
+          (w.map(_.toString).toVector, a.length.toLong) }
+    val expect = (1 to 5).map { r =>
+      val counts = words.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f)) }
+        .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      val ((a, b), c) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      words = words.map { case (syms, f) =>
+        val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (a + b)
+          else acc :+ x
+        }
+        (out, f)
+      }.groupBy(_._1).map { case (k, m) => (k, m.map(_._2).sum) }
+      (r, a, b, c)
+    }
+    assert(got == expect, s"got $got expected $expect")
+  }
+
+  test("vocabEncode: rank order (freq desc, token asc), OOV collapses " +
+      "to id V, encode preserves token order") {
+    val docs0 = Seq(
+      (1L, "b a b c b a"),
+      (2L, "a rare b")).toDF("doc_id", "text")
+    // freqs: b=4, a=3, c=1, rare=1 → top-2 vocab: b=0, a=1; others OOV=2
+    val out = Extensions.vocabEncode(docs0, "text", "doc_id",
+        vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 6, 1, "0,1,0,2,0,1")))
+    assert(out(1) == ((2L, 3, 1, "1,2,0")))
+  }
+
   test("zipfSlope: an exact power-law corpus (f·r = const) fits slope " +
       "-1 with r² = 1; n_terms counts the vocabulary") {
     // counts 6, 3, 2 at ranks 1, 2, 3: ln f = ln 6 − ln r exactly

@@ -207,4 +207,37 @@ class FeaturesSpec extends AnyFunSuite {
     val c = Features.robustScale(const, "v").select("v_robust").collect()
     assert(c.forall(_.isNullAt(0)))
   }
+
+  test("targetEncodingOof: a row never sees its own fold's targets, " +
+      "smoothing shrinks toward the global prior, and a single-fold " +
+      "category collapses to the prior exactly") {
+    // category X: ids 0 (fold 0, v=1.00) and 1 (fold 1, v=3.00)
+    // category Y: ids 2 (fold 0, v=5.00) and 3 (fold 1, v=7.00)
+    // category Z: id 4 (fold 0, v=9.00) — single-fold category
+    val df = Seq(
+      (0L, "X", 1.00), (1L, "X", 3.00),
+      (2L, "Y", 5.00), (3L, "Y", 7.00),
+      (4L, "Z", 9.00)).toDF("id", "cat", "t")
+    val m = 2.0
+    val out = Features.targetEncodingOof(df, "cat", "t", "id",
+        folds = 2, smoothing = m, valueScale = 100)
+      .orderBy("id").select("cat_te_oof").as[Double].collect()
+    val prior = (100.0 + 300 + 500 + 700 + 900) / 5 // cents
+    def te(catSum: Long, foldSum: Long, catCnt: Long, foldCnt: Long) =
+      math.rint(((catSum - foldSum).toDouble + m * prior) /
+        ((catCnt - foldCnt).toDouble + m) / 100 * 1e6) / 1e6
+    // id 0 (X, fold 0): other-fold = id 1's 300 cents only
+    assert(out(0) == te(400, 100, 2, 1))
+    assert(out(1) == te(400, 300, 2, 1))
+    assert(out(2) == te(1200, 500, 2, 1))
+    assert(out(3) == te(1200, 700, 2, 1))
+    // id 4: category Z is entirely inside fold 0 → (0 + m·prior)/(0+m)
+    // = prior exactly, never a 0/0
+    assert(out(4) == te(900, 900, 1, 1))
+    assert(math.abs(out(4) - prior / 100) < 1e-6)
+    // leakage check against the in-sample encoder: the naive mean FOR
+    // id 0 includes its own target; the OOF one must not
+    val naive = (100.0 + 300) / 2 / 100
+    assert(out(0) != naive)
+  }
 }

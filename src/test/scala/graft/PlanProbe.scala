@@ -56,6 +56,7 @@ object PlanProbe {
       .filter(l => l.contains("Scan") || l.contains("Exchange") ||
         l.contains("Join") || l.contains("Aggregate") ||
         l.contains("Window") || l.contains("Sort"))
-      .foreach(l => println("[probe] " + l.take(160)))
+      .foreach(l => println("[probe] " +
+        l.take(sys.env.getOrElse("PROBE_WIDTH", "160").toInt)))
   }
 }

@@ -529,6 +529,35 @@ class PlanSpec extends AnyFunSuite {
         s"join key $k was shuffled — bucketing not honored:\n$plan")
   }
 
+  test("target_encode_oof reads orders twice at most: the row stream, " +
+      "plus ONE (cat, fold) aggregate whose exchange the totals and " +
+      "the prior both reuse") {
+    val plan = executedPlan(SparkEntry.queries("target_encode_oof")(spark, sf))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 2, s"expected 2 orders scans, got $scans:\n$plan")
+    val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 2, s"expected >=2 reuses, got $reused:\n$plan")
+  }
+
+  test("bloom_decontaminate never shuffles the train shingle stream " +
+      "on the hash key — the filter reaches it as a broadcast scalar") {
+    val plan = executedPlan(
+      SparkEntry.queries("bloom_decontaminate")(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning(__h"),
+      s"train shingles were shuffled on the hash key — that is the " +
+        s"exact form's plan, not the bloom path:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+  }
+
+  test("vocab_encode: the vocabulary rides in as a broadcast map and " +
+      "the top-V cut is a bounded heap — the encode adds no join") {
+    val plan = executedPlan(SparkEntry.queries("vocab_encode")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 2, s"expected 2 documents scans, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+  }
+
   test("ewma_smooth: the corpus-sized work is the daily rollup — at " +
       "most two hash exchanges (daily, then per-group collect)") {
     val plan = executedPlan(SparkEntry.queries("ewma_smooth")(spark, sf))
