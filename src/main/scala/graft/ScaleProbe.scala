@@ -104,6 +104,9 @@ object ScaleProbe {
           .withColumn("vec_id", col("vec_id") + lit(k * off))
           .withColumn("embedding", permuted(col("embedding"), k)),
         srcTable = "embeddings"))
+    def ordersAt(f: Int): DataFrame = spark.read.parquet(
+      replicated("orders", f, (df, k) => df
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * off))))
 
     // the catalog's exact edge build (AnalyticsQueries triangle_count /
     // edge_jaccard): in-array ordered pairs per order
@@ -149,6 +152,36 @@ object ScaleProbe {
       // the catalog's exact shape: symmetrized co-purchase edges, seeds
       // = parts ≡ 0 (mod 97) (offset replicas keep seed density ~1/97),
       // 3 rounds of frontier expansion over disjoint replica graphs
+      // replicas' pair structure is internal to each replica (vectors
+      // permuted per replica) → linear pair growth; quality = id mod
+      // 1000 gives a deterministic keep-best discriminator
+      "semantic_dedup" -> (f => {
+        val emb = embeddingsPermAt(f)
+        graft.engine.Extensions.semanticDedup(
+          emb.select(col("vec_id"),
+            pmod(col("vec_id"), lit(1000L)).as("q")),
+          emb.select("vec_id", "embedding"),
+          "vec_id", "q", "embedding", minCosine = 0.35, nCells = 16)
+      }),
+      "token_pmi" -> (f => graft.engine.Extensions.tokenPmi(
+        documentsAt(f), "text", "doc_id",
+        window = 2, minCount = 5, topN = 100)),
+      // orders volume ×f against a FIXED calendar: probes the claim
+      // that corpus-sized work is the daily rollup while the fold's
+      // state stays calendar-bounded
+      "ewma_smooth" -> (f => graft.engine.Analytics.ewmaSmooth(
+        ordersAt(f).join(
+          spark.read.parquet(s"$base/customer.parquet"),
+          col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "o_orderdate", "o_totalprice")),
+      // train side ×f, eval side fixed (replica-0 ids < 100): the
+      // broadcast-filter probe cost should track the train stream
+      "bloom_decontaminate" -> (f => {
+        val docs = documentsAt(f)
+        graft.engine.Extensions.bloomDecontaminate(
+          docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), "text", "doc_id")
+      }),
       "bfs_distances" -> (f => {
         val li = lineitemAt(f)
         val sym = orderEdges(li, minCo = 1).select(explode(array(
@@ -166,6 +199,7 @@ object ScaleProbe {
     // then one JVM warmup pass at the smallest factor
     factors.foreach { f =>
       lineitemAt(f); documentsAt(f); embeddingsAt(f); embeddingsPermAt(f)
+      ordersAt(f)
     }
     shapes.foreach { case (_, mk) => mk(factors.head).count() }
 

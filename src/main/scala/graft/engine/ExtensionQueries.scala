@@ -1108,6 +1108,45 @@ object ExtensionQueries {
              |         AS passes
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ── per-doc contamination fraction (the metric form of the flag;
+    // Spark joins on xxhash64(shingle), the oracle on the string —
+    // identical up to a 2^-64 collision) ────────────────────────────────
+    QuerySpec("contamination_score",
+      (s, d) => {
+        val docs0 = documents(s, d)
+        Extensions.contaminationScore(
+            docs0.filter(col("doc_id") >= 100),
+            docs0.filter(col("doc_id") < 100),
+            "text", "doc_id", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id >= 100),
+             |ev AS (
+             |  SELECT string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |ts AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM tr, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |es AS (
+             |  SELECT DISTINCT
+             |         array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM ev, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |sc AS (
+             |  SELECT ts.doc_id, count(*) AS n_shingles,
+             |         sum((es.sh IS NOT NULL)::BIGINT) AS n_hit
+             |  FROM ts LEFT JOIN es ON es.sh = ts.sh GROUP BY 1)
+             |SELECT d.doc_id,
+             |       coalesce(sc.n_shingles, 0) AS n_shingles,
+             |       coalesce(sc.n_hit, 0) AS n_hit,
+             |       coalesce(round(sc.n_hit / sc.n_shingles, 6), 0.0)
+             |         AS overlap_frac
+             |FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+             |LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── Bloom-filter decontamination (the broadcast-filter scale path;
     // xxhash64 bit positions are engine-internal → rows-only; the
     // no-false-negative superset law vs the exact form + the FPR bound

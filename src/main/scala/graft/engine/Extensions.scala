@@ -1451,16 +1451,22 @@ object Extensions {
     * shingle set — one shuffle keyed on the hash, never doc×doc. With a
     * small eval set the semi-join's build side broadcasts.
     */
+  /** (idCol, __h): every word n-gram of every doc, hashed to 8 bytes —
+    * the shared front end of the contamination family. */
+  private def docShingleHashes(df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val ngram = new org.apache.spark.ml.feature.NGram()
+      .setN(n).setInputCol("toks").setOutputCol("__sh")
+    ngram.transform(toks)
+      .select(col(idCol), explode(col("__sh")).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("__h"))
+  }
+
   def contaminationFlags(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 8): DataFrame = {
-    def shingleHashes(df: DataFrame): DataFrame = {
-      val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      val ngram = new org.apache.spark.ml.feature.NGram()
-        .setN(n).setInputCol("toks").setOutputCol("__sh")
-      ngram.transform(toks)
-        .select(col(idCol), explode(col("__sh")).as("shingle"))
-        .select(col(idCol), xxhash64(col("shingle")).as("__h"))
-    }
+    def shingleHashes(df: DataFrame): DataFrame =
+      docShingleHashes(df, textCol, idCol, n)
     val evalHashes = shingleHashes(eval).select("__h").distinct()
     val contaminated = shingleHashes(train)
       .join(evalHashes, Seq("__h"), "left_semi")
@@ -1470,6 +1476,39 @@ object Extensions {
       .join(contaminated, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("contaminated"), lit(0)).as("contaminated"))
+  }
+
+  /** Per-document contamination SCORE — the metric form of
+    * [[contaminationFlags]]: for each train doc, how many of its
+    * DISTINCT word n-gram shingles appear anywhere in the eval set,
+    * and the fraction. The binary flag answers "drop it?"; the
+    * fraction answers "how bad" and feeds graded policies (drop above
+    * 20 %, audit 5–20 %, keep the incidental tail) plus the
+    * contamination-rate reporting an eval card needs. Docs too short
+    * to carry a single n-gram score 0 over 0 shingles.
+    *
+    * Scale shape: per-doc distinct shingles (one hash aggregate), one
+    * left join keyed on the 8-byte shingle hash against the DISTINCT
+    * eval shingle set (broadcasts when the eval set is small), then a
+    * per-doc rollup — never doc×doc.
+    */
+  def contaminationScore(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    requireNoReserved(train, Seq("__h", "__hit", "n_shingles", "n_hit",
+      "overlap_frac"))
+    val tr = docShingleHashes(train, textCol, idCol, n).distinct()
+    val ev = docShingleHashes(eval, textCol, idCol, n)
+      .select("__h").distinct().withColumn("__hit", lit(1L))
+    val scored = tr.join(ev, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    train.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit") / col("n_shingles"), lit(0.0)), 6)
+          .as("overlap_frac"))
   }
 
   /** Bloom-filter decontamination — [[contaminationFlags]]' 100 TB
@@ -1497,14 +1536,8 @@ object Extensions {
       "numHashes must be in [1, 16]")
     requireNoReserved(train, Seq("__h", "__h2", "__pos", "__widx", "__w",
       "__bloom", "contaminated"))
-    def shingleHashes(df: DataFrame): DataFrame = {
-      val toks = df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      val ngram = new org.apache.spark.ml.feature.NGram()
-        .setN(n).setInputCol("toks").setOutputCol("__sh")
-      ngram.transform(toks)
-        .select(col(idCol), explode(col("__sh")).as("shingle"))
-        .select(col(idCol), xxhash64(col("shingle")).as("__h"))
-    }
+    def shingleHashes(df: DataFrame): DataFrame =
+      docShingleHashes(df, textCol, idCol, n)
     // double hashing: position_i = (h1 + i·h2) mod numBits, with BOTH
     // terms reduced mod numBits up front — h1 + i·h2 on raw 64-bit
     // hashes overflows a long (ANSI throws); reduced, the sum stays

@@ -967,6 +967,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exact.subsetOf(tiny))
   }
 
+  test("contaminationScore: exact copies score 1.0, disjoint docs 0.0, " +
+      "sub-n-gram docs (0, 0, 0.0); flag ⟺ n_hit ≥ 1") {
+    val docs0 = Seq.tabulate(60) { i =>
+      val k = if (i >= 40 && i < 50) i - 40 else i
+      (i.toLong, (0 until 10).map(j => s"w${k}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+      .union(Seq((60L, "too short")).toDF("doc_id", "text"))
+    val train = docs0.filter(col("doc_id") >= 40)
+    val eval0 = docs0.filter(col("doc_id") < 40)
+    val out = Extensions.contaminationScore(train, eval0,
+        "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // copies (40..49): all 3 shingles of a 10-word doc hit → 1.0
+    assert(out.filter(r => r._1 < 50)
+      .forall(r => r._2 == 3 && r._3 == 3 && r._4 == 1.0))
+    // disjoint (50..59): zero hits
+    assert(out.filter(r => r._1 >= 50 && r._1 < 60)
+      .forall(r => r._2 == 3 && r._3 == 0 && r._4 == 0.0))
+    // 2-word doc: no 8-gram at all, scores (0, 0, 0.0) not null
+    assert(out.last == ((60L, 0L, 0L, 0.0)))
+    // consistency with the binary flag operator
+    val flags = Extensions.contaminationFlags(train, eval0,
+        "text", "doc_id", n = 8)
+      .orderBy("doc_id").as[(Long, Int)].collect()
+    assert(flags.map(_._2).toSeq ==
+      out.map(r => if (r._3 >= 1) 1 else 0).toSeq)
+  }
+
   test("bpeMerges matches a plain-Scala reference BPE on word counts") {
     val docs0 = Seq(
       (1L, "low low low lower lowest"),
