@@ -1228,6 +1228,35 @@ object ExtensionQueries {
         .orderBy("merge_rank"),
       None),
 
+    // ── tokenizer fitness: apply the learned merges, report chars per
+    // token (rows-only; corpus-level counts are spec-proven against the
+    // reference BPE's own encode) ───────────────────────────────────────
+    QuerySpec("bpe_stats",
+      (s, d) => Extensions.bpeStats(documents(s, d), "text", merges = 6),
+      None),
+
+    // ── temperature-weighted mixing quotas (α = 0.3, exp/ln micro-unit
+    // weights so the normalizer sums exactly) ───────────────────────────
+    QuerySpec("temperature_mixing",
+      (s, d) => Extensions.temperatureMixing(documents(s, d), "source",
+          budget = 2000L, alpha = 0.3)
+        .orderBy("source"),
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_docs FROM documents
+             |  WHERE source IS NOT NULL GROUP BY 1),
+             |x AS (
+             |  SELECT source, n_docs,
+             |         CAST(round(exp(0.3::DOUBLE * ln(n_docs::DOUBLE))
+             |                    * 1e6) AS BIGINT) AS x
+             |  FROM c),
+             |t AS (SELECT sum(x) AS sx FROM x)
+             |SELECT source, n_docs,
+             |       round(x::DOUBLE / sx, 6) AS weight,
+             |       least(n_docs,
+             |             CAST(floor(x::DOUBLE / sx * 2000) AS BIGINT))
+             |         AS target_docs
+             |FROM x CROSS JOIN t ORDER BY source""".stripMargin)),
+
     // ── Zipf rank-frequency fit: scaled-ln integer moments in decimal
     // (order-independent sums), one vocabulary-bounded rank window ───────
     QuerySpec("zipf_slope",

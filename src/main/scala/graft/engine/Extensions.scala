@@ -1866,6 +1866,86 @@ object Extensions {
     out.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Temperature-weighted corpus mixing (the multilingual-LM sampling
+    * rule, e.g. mBERT/XLM-R exponent smoothing): source s samples with
+    * weight nₛ^α / Σₜ nₜ^α — α = 1 reproduces natural proportions,
+    * α → 0 flattens toward uniform, lifting low-resource sources.
+    * Returns per source: (sourceCol, n_docs, weight, target_docs) for
+    * a `budget`-document mix, target capped at the source's own size
+    * (no oversampling without replacement).
+    *
+    * Determinism across engines: nₛ^α is computed as exp(α·ln nₛ) and
+    * ROUNDED TO INTEGER MICRO-UNITS per source, so the normalizing sum
+    * is an exact long (never an order-dependent double sum); the final
+    * weight/target divisions are the only double ops, identical
+    * operand order in the oracle. Scale shape: one map-side-combinable
+    * source count (|sources| rows), everything after is arithmetic on
+    * that tiny table.
+    */
+  def temperatureMixing(docs: DataFrame, sourceCol: String,
+      budget: Long, alpha: Double = 0.3): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    requireNoReserved(docs, Seq("__x", "__sx", "n_docs", "weight",
+      "target_docs"))
+    val counts = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__x",
+        round(exp(lit(alpha) * log(col("n_docs").cast("double"))) * 1e6)
+          .cast("long"))
+    val total = counts.agg(sum("__x").as("__sx"))
+    counts.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("__x").cast("double") / col("__sx"), 6).as("weight"),
+        least(col("n_docs"),
+          floor(col("__x").cast("double") / col("__sx") * budget)
+            .cast("long")).as("target_docs"))
+  }
+
+  /** Tokenizer evaluation: apply the first `merges` BPE rules learned
+    * by [[bpeMerges]] to the corpus and report the compression —
+    * (n_words, n_chars, n_tokens, chars_per_token). chars_per_token is
+    * THE tokenizer fitness number (bytes-per-token ↑ ⇒ fewer tokens
+    * per document ⇒ cheaper training/inference on the same text).
+    *
+    * Scale shape: the merge TABLE is `merges` driver rows (bounded
+    * collect, per-cell-radii precedent); applying them is one
+    * projection over the word-frequency table — `merges` nested array
+    * folds compiled into a single codegen'd expression, corpus volume
+    * touched only by the word count.
+    */
+  def bpeStats(docs: DataFrame, textCol: String,
+      merges: Int = 6): DataFrame = {
+    val rules = bpeMerges(docs, textCol, merges)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val emptySyms = filter(array(lit("")), _ => lit(false))
+    def applyRule(syms: Column, a: String, b: String): Column =
+      aggregate(syms, emptySyms, (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+            x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    val words = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .select(col("__f"),
+        filter(split(col("__w"), ""), x => length(x) > 0).as("__syms"))
+    val encoded = rules.foldLeft(col("__syms")) { case (c, (a, b)) =>
+      applyRule(c, a, b)
+    }
+    words
+      .select(col("__f"), size(col("__syms")).as("__chars"),
+        size(encoded).as("__toks"))
+      .agg(sum("__f").as("n_words"),
+        sum(col("__f") * col("__chars")).as("n_chars"),
+        sum(col("__f") * col("__toks")).as("n_tokens"))
+      .select(col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+  }
+
   /** The full corpus-curation pipeline a pre-training run needs, as ONE
     * composed operator: exact dedup (deterministic min-key survivor) →
     * quality scoring → threshold filter → PII scrub → deterministic

@@ -1028,6 +1028,64 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("temperatureMixing: alpha=1 reproduces natural proportions, " +
+      "alpha->0 flattens toward uniform, targets cap at source size") {
+    val docs0 = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    def mix(alpha: Double, budget: Long) =
+      Extensions.temperatureMixing(docs0, "source", budget, alpha)
+        .orderBy("source")
+        .as[(String, Long, Double, Long)].collect()
+    val nat = mix(1.0, 50)
+    assert(nat.map(_._2).toSeq == Seq(90L, 10L))
+    assert(nat(0)._3 == 0.9 && nat(1)._3 == 0.1) // natural proportions
+    assert(nat(0)._4 == 45L && nat(1)._4 == 5L)
+    val flat = mix(0.1, 50)
+    // smoothing narrows the gap strictly, never reverses the order
+    assert(flat(0)._3 < 0.9 && flat(0)._3 > flat(1)._3)
+    assert(flat(1)._3 > 0.1)
+    // a budget larger than the corpus caps every target at n_docs
+    val capped = mix(0.3, 100000)
+    assert(capped.forall(r => r._4 == r._2))
+  }
+
+  test("bpeStats: counts match encoding the corpus with the reference " +
+      "BPE merges; zero merges means one token per char") {
+    val docs0 = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val corpus = "low low low lower lowest new newer newest low".split(" ")
+    // reference: learn merges on word counts, then encode
+    var words: Map[Vector[String], Long] = corpus.groupBy(identity)
+      .map { case (w, a) => (w.map(_.toString).toVector, a.length.toLong) }
+    (1 to 6).foreach { _ =>
+      val counts = words.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f)) }
+        .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        words = words.map { case (syms, f) =>
+          (syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          }, f)
+        }.groupBy(_._1).map { case (k, m) => (k, m.map(_._2).sum) }
+      }
+    }
+    val expTokens = words.map { case (syms, f) => syms.size * f }.sum
+    val expChars = corpus.map(_.length).sum
+    val got = Extensions.bpeStats(docs0, "text", merges = 6)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 == corpus.length.toLong)
+    assert(got._2 == expChars.toLong)
+    assert(got._3 == expTokens)
+    assert(got._4 ==
+      math.rint(expChars.toDouble / expTokens * 1e6) / 1e6)
+  }
+
   test("vocabEncode: rank order (freq desc, token asc), OOV collapses " +
       "to id V, encode preserves token order") {
     val docs0 = Seq(
