@@ -1108,6 +1108,33 @@ object ExtensionQueries {
              |         AS passes
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ── per-doc novelty: share of shingles first seen in this doc
+    // (Spark keys on xxhash64(shingle), the oracle on the string) ───────
+    QuerySpec("novelty_score",
+      (s, d) => Extensions.noveltyScore(documents(s, d), "text",
+          "doc_id", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM t, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |f AS (SELECT sh, min(doc_id) AS fst FROM s GROUP BY 1),
+             |sc AS (
+             |  SELECT s.doc_id, count(*) AS n_shingles,
+             |         sum((s.doc_id = f.fst)::BIGINT) AS n_first
+             |  FROM s JOIN f USING (sh) GROUP BY 1)
+             |SELECT d.doc_id,
+             |       coalesce(sc.n_shingles, 0) AS n_shingles,
+             |       coalesce(sc.n_first, 0) AS n_first,
+             |       coalesce(round(sc.n_first / sc.n_shingles, 6), 0.0)
+             |         AS novelty_frac
+             |FROM (SELECT doc_id FROM documents) d
+             |LEFT JOIN sc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── per-doc contamination fraction (the metric form of the flag;
     // Spark joins on xxhash64(shingle), the oracle on the string —
     // identical up to a 2^-64 collision) ────────────────────────────────

@@ -1511,6 +1511,49 @@ object Extensions {
           .as("overlap_frac"))
   }
 
+  /** Per-document novelty: the fraction of a doc's DISTINCT n-gram
+    * shingles whose FIRST corpus occurrence (minimum `idCol` over docs
+    * containing the shingle) is this doc. Ingestion-ordered ids make
+    * this "how much of this doc is new content vs already-crawled
+    * boilerplate" — the diversity/freshness signal dedup-adjacent
+    * curation ranks by (a mirror-heavy crawl scores near 0, original
+    * content near 1). Docs too short for one n-gram score 0 over 0.
+    * Returns (idCol, n_shingles, n_first, novelty_frac).
+    *
+    * Scale shape: the ownership side counts per-doc DISTINCT shingles;
+    * the first-occurrence side min-aggregates the RAW shingle stream —
+    * Catalyst drops the redundant distinct under min(), so that branch
+    * re-tokenizes the corpus instead of reusing the distinct exchange,
+    * trading a scan for an exchange (both branches stay map-side-
+    * combinable hash aggregates keyed on the 8-byte hash). Never
+    * doc×doc, and no window over the skewed shingle key — a
+    * boilerplate shingle is a heavy AGGREGATE key (combinable), not a
+    * single-task sort (the span_dedup de-skew doctrine).
+    */
+  def noveltyScore(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    requireNoReserved(docs, Seq("__h", "__first", "n_shingles",
+      "n_first", "novelty_frac"))
+    // the canonical-form club (tokenPmi note): the __h join below
+    // pushes IsNotNull(__h) into its copies of this subtree — filter
+    // up front so both consumers' subtrees stay identical and the
+    // distinct exchange reuses
+    val sh = docShingleHashes(docs, textCol, idCol, n)
+      .filter(col("__h").isNotNull && col(idCol).isNotNull)
+      .distinct()
+    val first = sh.groupBy("__h").agg(min(col(idCol)).as("__first"))
+    val scored = sh.join(first, "__h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col(idCol) === col("__first")).cast("long")).as("n_first"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        round(coalesce(col("n_first") / col("n_shingles"), lit(0.0)), 6)
+          .as("novelty_frac"))
+  }
+
   /** Bloom-filter decontamination — [[contaminationFlags]]' 100 TB
     * form: the eval set's shingle hashes are folded into a Bloom
     * filter (numBits bits, numHashes probes per key, double hashing)

@@ -1028,6 +1028,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("noveltyScore: the first copy owns all its shingles, an exact " +
+      "later copy owns none, partial overlap scores the new fraction; " +
+      "Σ n_first = distinct corpus shingles") {
+    def sent(k: Int) = (0 until 10).map(j => s"w${k}_$j").mkString(" ")
+    val docs0 = Seq(
+      (1L, sent(0)),                       // original: novelty 1
+      (2L, sent(0)),                       // exact copy: novelty 0
+      (3L, sent(0) + " " + sent(1)),       // half old, half new
+      (4L, "too short")                    // no 8-gram: (0, 0, 0.0)
+    ).toDF("doc_id", "text")
+    val out = Extensions.noveltyScore(docs0, "text", "doc_id", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0)._2 == 3 && out(0)._4 == 1.0)
+    assert(out(1)._4 == 0.0)
+    // doc 3: 13 windows over 20 tokens; the 3 windows fully inside
+    // sent(0) were seen in doc 1, the other 10 are first-here
+    assert(out(2) == ((3L, 13L, 10L,
+      math.rint(10.0 / 13 * 1e6) / 1e6)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+    // conservation: every distinct corpus shingle is first-owned once
+    assert(out.map(_._3).sum == 3 + 10)
+  }
+
   test("temperatureMixing: alpha=1 reproduces natural proportions, " +
       "alpha->0 flattens toward uniform, targets cap at source size") {
     val docs0 = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
