@@ -158,6 +158,69 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Input row of [[ewmaStream]]: one finalized daily total per
+    * (group, epoch day), value in integer micro-units (cents). */
+  case class DailyValue(g: String, day: Long, v: Long)
+
+  /** Output row of [[ewmaStream]]: the smoothed value in ORIGINAL units
+    * (cents folded back by /100, mirroring the batch operator). */
+  case class EwmaPoint(g: String, day: Long, ewma: Double)
+
+  /** [[EwmaProcessor]]'s per-group state: last emitted day + EWMA in
+    * cents. Public so the state encoder's generated code can reference
+    * the class (a private class forces interpreter fallback). */
+  case class EwmaState(day: Long, e: Double)
+
+  /** The streaming twin of [[Analytics.ewmaSmooth]]'s recurrence:
+    * per-group `ValueState` carries (last day, last EWMA in cents) and
+    * each arriving daily total folds α·v + (1−α)·prev — the SAME
+    * chain of double ops as the batch fold, so a series streamed over
+    * any micro-batch split reproduces the batch output bit-for-bit
+    * (spec-pinned). Within a batch, rows sort by day and same-day rows
+    * sum first (mirroring the batch daily rollup); a day at or before
+    * the state's frontier is DROPPED — the recurrence's value for an
+    * already-emitted day is final, so late daily totals cannot be
+    * folded in retroactively (feed finalized daily aggregates, e.g.
+    * from a closed tumbling window).
+    */
+  class EwmaProcessor(alpha: Double)
+      extends StatefulProcessor[String, DailyValue, EwmaPoint] {
+    private val beta = 1.0 - alpha
+    @transient private var last: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[EwmaState]("last",
+        Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(g: String, rows: Iterator[DailyValue],
+        timerValues: TimerValues): Iterator[EwmaPoint] = {
+      var st = if (last.exists()) last.get() else null
+      val daily = rows.toSeq.groupBy(_.day).view
+        .mapValues(_.map(_.v).sum).toSeq.sortBy(_._1)
+      val out = daily.flatMap { case (day, v) =>
+        if (st != null && day <= st.day) None
+        else {
+          val e = if (st == null) v.toDouble else alpha * v + beta * st.e
+          st = EwmaState(day, e)
+          Some(EwmaPoint(g, day, e / 100))
+        }
+      }
+      if (st != null) last.update(st)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-group EWMA over finalized daily totals (see
+    * [[EwmaProcessor]]). RocksDB state store required, as for
+    * [[tokenBudgetAdmit]]. */
+  def ewmaStream(daily: Dataset[DailyValue],
+      alpha: Double = 0.3): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.g)
+      .transformWithState(new EwmaProcessor(alpha),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run a streaming aggregation to a named in-memory sink until all
     * currently-available input is processed (local smoke path).
     */

@@ -140,6 +140,53 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("ewmaStream reproduces batch ewmaSmooth bit-for-bit across " +
+      "micro-batch splits; late or duplicate days are dropped") {
+    import spark.implicits._
+    import graft.streaming.Streaming.{DailyValue, EwmaPoint}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // values exactly representable (×100 is an exact integer), so the
+      // batch round(v*100) and the stream's integer cents agree
+      val series = Seq(
+        ("g1", 0L, 1.25), ("g1", 1L, 2.5), ("g1", 2L, 0.75),
+        ("g1", 3L, 4.0), ("g1", 4L, 3.25),
+        ("g2", 2L, 7.5), ("g2", 5L, 1.0))
+      val batchDf = series.map { case (g, day, v) =>
+        (g, java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(day)), v)
+      }.toDF("g", "d", "v")
+      val expected = graft.engine.Analytics
+        .ewmaSmooth(batchDf, "g", "d", "v", alpha = 0.3)
+        .as[(String, Long, Double)].collect().toSet
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[DailyValue](spark)
+      val q = graft.streaming.Streaming.ewmaStream(in.toDS(), alpha = 0.3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ewma_out").start()
+      try {
+        def cents(v: Double) = math.round(v * 100)
+        // split mid-series per group, out of order WITHIN the batch
+        in.addData(series.take(3).reverse.map { case (g, d, v) =>
+          DailyValue(g, d, cents(v)) }: _*)
+        q.processAllAvailable()
+        in.addData(series.drop(3).map { case (g, d, v) =>
+          DailyValue(g, d, cents(v)) }: _*)
+        q.processAllAvailable()
+        val got = spark.table("ewma_out").as[EwmaPoint]
+          .collect().map(p => (p.g, p.day, p.ewma)).toSet
+        assert(got == expected,
+          s"stream $got differs from batch $expected")
+        // a late daily total at an already-emitted day is dropped
+        in.addData(DailyValue("g1", 2L, 99900L))
+        q.processAllAvailable()
+        assert(spark.table("ewma_out").count() == series.size.toLong)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on event_id") {
     import TestSpark.spark.implicits._
     val dir = Files.createTempDirectory("graft-sdedup").toString
