@@ -509,6 +509,63 @@ object Relational {
              |  ON e.user_id = o.o_custkey AND e.e_k >= o.o_k
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ── point-in-time interval lookup (graft.operators.PitJoin): each
+    // lineitem reads the priority interval LIVE AT ITS SHIP DATE from
+    // the per-customer order history — ship dates lag order dates, so
+    // the containing interval is routinely a LATER order than the
+    // line's own. Oracle = the plain interval-containment LEFT JOIN ────
+    QuerySpec("pit_join",
+      (s, d) => {
+        val ord = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderpriority"),
+          (col("o_orderdate").cast("timestamp").cast("long") * 10000000L
+            + col("o_orderkey")).as("__from"))
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("__from"))
+        val dim = ord.select(col("o_custkey").as("__dk"),
+          col("__from"), lead(col("__from"), 1).over(w).as("__to"),
+          col("o_orderpriority").as("ship_time_priority"),
+          col("o_orderkey").as("src_order"))
+        val fact = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("l_shipdate").cast("timestamp").cast("long") * 10000000L
+              + lit(9999999L)).as("__ts"))
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .drop("o_orderkey")
+        graft.operators.PitJoin.lookup(fact, dim, "o_custkey", "__dk",
+            "__ts", "__from", "__to",
+            Seq("ship_time_priority", "src_order"))
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "ship_time_priority", "src_order")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""WITH d AS (
+             |  SELECT o_custkey AS k,
+             |         epoch_us(o_orderdate)//1000000 * 10000000
+             |           + o_orderkey AS f,
+             |         lead(epoch_us(o_orderdate)//1000000 * 10000000
+             |              + o_orderkey) OVER (
+             |           PARTITION BY o_custkey
+             |           ORDER BY epoch_us(o_orderdate)//1000000 * 10000000
+             |              + o_orderkey) AS t,
+             |         o_orderpriority AS prio, o_orderkey AS src_order
+             |  FROM orders),
+             |f AS (
+             |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+             |         l.l_suppkey, o.o_custkey AS k,
+             |         epoch_us(l_shipdate)//1000000 * 10000000
+             |           + 9999999 AS ts
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey,
+             |       f.l_suppkey, d.prio AS ship_time_priority,
+             |       d.src_order
+             |FROM f LEFT JOIN d ON d.k = f.k AND d.f <= f.ts
+             |                   AND (d.t IS NULL OR f.ts < d.t)
+             |ORDER BY f.l_orderkey, f.l_linenumber, f.l_partkey,
+             |         f.l_suppkey""".stripMargin)),
+
     // ── banded range join: pairs of a user's events within 10 minutes
     // (graft.operators.RangeJoin — tolerance-band equi-join, not a
     // cartesian; oracle = the plain inequality join DuckDB can afford

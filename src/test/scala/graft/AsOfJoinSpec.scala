@@ -42,4 +42,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(ex == 1, s"expected 1 exchange:\n$plan")
   }
+
+  test("PitJoin.lookup: interval containment carries, a GAP between " +
+      "intervals nulls out (unlike raw as-of), the open interval " +
+      "carries forever, pre-history and unknown keys are null") {
+    val dim = Seq(
+      ("A", 10L, Option(20L), "X"),  // [10, 20) -> X
+      ("A", 30L, Option.empty[Long], "Y")) // [30, inf) -> Y
+      .toDF("k", "f", "t", "attr")
+    val fact = Seq(
+      (1L, "A", 5L),   // before history -> null
+      (2L, "A", 15L),  // inside [10,20) -> X
+      (3L, "A", 25L),  // GAP [20,30) -> null (as-of alone would say X)
+      (4L, "A", 35L),  // open interval -> Y
+      (5L, "B", 15L))  // unknown key -> null
+      .toDF("id", "k", "ts")
+    val out = graft.operators.PitJoin.lookup(fact, dim, "k", "k",
+        "ts", "f", "t", Seq("attr"))
+      .orderBy("id").select("id", "attr")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq(1L -> None, 2L -> Some("X"), 3L -> None,
+      4L -> Some("Y"), 5L -> None))
+    // the gap row is exactly what distinguishes PIT from as-of
+    val asOfOnly = AsOfJoin.asOf(fact, dim, "k", "k", "ts", "f",
+        Seq("attr"))
+      .filter($"id" === 3L).select("attr").as[String].head()
+    assert(asOfOnly == "X")
+  }
 }
