@@ -1108,6 +1108,29 @@ object ExtensionQueries {
              |         AS passes
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ── length-grouped batching manifest: 32-token length classes,
+    // 16-doc batches in deterministic md5 order, positions via the
+    // two-level prefix-sum (no class-sized window); oracle = the
+    // direct per-class global window ────────────────────────────────────
+    QuerySpec("length_batching",
+      (s, d) => Extensions.lengthBatches(documents(s, d), "text",
+          "doc_id", binWidth = 32, batchSize = 16)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         len(string_split(lower(text), ' '))::INT AS n_tokens,
+             |         md5(doc_id::VARCHAR) AS h
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens, n_tokens // 32 AS cls, h
+             |      FROM t),
+             |p AS (SELECT doc_id, n_tokens, cls,
+             |             row_number() OVER (PARTITION BY cls
+             |               ORDER BY h, doc_id) - 1 AS pos
+             |      FROM c)
+             |SELECT doc_id, n_tokens, cls::INT AS len_class,
+             |       pos // 16 AS batch_idx, pos % 16 AS slot
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ── per-doc novelty: share of shingles first seen in this doc
     // (Spark keys on xxhash64(shingle), the oracle on the string) ───────
     QuerySpec("novelty_score",

@@ -1989,6 +1989,60 @@ object Extensions {
           .as("chars_per_token"))
   }
 
+  /** Length-grouped batching manifest — the dynamic-batching trick:
+    * group docs into token-length classes (`binWidth`-token bins) and
+    * assign deterministic `batchSize`-doc batches WITHIN each class,
+    * so a batch's members have similar lengths and padding waste stays
+    * bounded by the bin width (vs padding every batch to its longest
+    * member under random batching). Rows get (len_class, batch_idx,
+    * slot): (class, batch) is the batch's identity, slot its member
+    * position; order within a class is the md5-of-id shuffle —
+    * reproducible across runs and partitionings.
+    *
+    * Scale shape: [[shuffleDeterministic]]'s two-level prefix-sum,
+    * keyed per class — positions come from per-(class, md5-sub-bucket)
+    * counts prefix-summed and broadcast back, and the only windows run
+    * inside (class, sub-bucket) cells (≤1/256th of a class), so a
+    * dominant length class never becomes a single-task sort.
+    */
+  def lengthBatches(docs: DataFrame, textCol: String, idCol: String,
+      binWidth: Int = 32, batchSize: Int = 16): DataFrame = {
+    require(binWidth >= 1 && batchSize >= 1,
+      "binWidth and batchSize must be positive")
+    requireNoReserved(docs, Seq("__md5", "__sub", "__cls", "__cn",
+      "__psub", "__pn", "__off", "__pos", "n_tokens", "len_class",
+      "batch_idx", "slot"))
+    val withCls = docs
+      .select(col(idCol), size(tokens(col(textCol))).as("n_tokens"))
+      // integer `div`, never a double division: a double quotient can
+      // round across a bin boundary exactly at the cut
+      .withColumn("__cls", expr(s"cast(n_tokens div $binWidth as int)"))
+      .withColumn("__md5", md5(col(idCol).cast("string")))
+      .withColumn("__sub", conv(substring(col("__md5"), 1, 2), 16, 10)
+        .cast("int"))
+    val counts = withCls.groupBy("__cls", "__sub")
+      .agg(count(lit(1)).as("__cn"))
+    // prior's columns are all renamed — a shared lineage with `counts`
+    // would otherwise trip the ambiguous-self-join check
+    val prior = counts.select(col("__cls").as("__pcls"),
+      col("__sub").as("__psub"), col("__cn").as("__pn"))
+    val offsets = counts
+      .join(broadcast(prior),
+        col("__pcls") === col("__cls") &&
+          col("__psub") < col("__sub"), "left")
+      .groupBy("__cls", "__sub")
+      .agg(coalesce(sum("__pn"), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy("__cls", "__sub")
+      .orderBy(col("__md5"), col(idCol))
+    val pos = col("__off") + row_number().over(wLocal).cast("long") - 1L
+    withCls.join(broadcast(offsets), Seq("__cls", "__sub"))
+      .withColumn("__pos", pos)
+      .select(col(idCol), col("n_tokens"),
+        col("__cls").as("len_class"),
+        expr(s"__pos div $batchSize").as("batch_idx"),
+        pmod(col("__pos"), lit(batchSize.toLong)).as("slot"))
+  }
+
   /** The full corpus-curation pipeline a pre-training run needs, as ONE
     * composed operator: exact dedup (deterministic min-key survivor) →
     * quality scoring → threshold filter → PII scrub → deterministic

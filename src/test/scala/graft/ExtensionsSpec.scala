@@ -1028,6 +1028,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("lengthBatches: batches are class-pure and ≤ batchSize, slots " +
+      "enumerate 0..k within each batch, positions match a direct " +
+      "per-class window, and the layout is partitioning-invariant") {
+    val docs0 = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(i % 70 + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Extensions.lengthBatches(docs0, "text", "doc_id",
+        binWidth = 32, batchSize = 8)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(out.length == 200)
+    // class purity: every member's length sits in its class's bin
+    assert(out.forall(r => r._2 / 32 == r._3))
+    // batch sizes and slot enumeration
+    val byBatch = out.groupBy(r => (r._3, r._4))
+    assert(byBatch.values.forall(_.length <= 8))
+    assert(byBatch.values.forall(b =>
+      b.map(_._5).sorted.toSeq == (0L until b.length).toSeq))
+    // positions equal the direct per-class md5-order window
+    val direct = docs0
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cls", expr("cast(n div 32 as int)"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cls")
+          .orderBy("h", "doc_id")).cast("long") - 1L)
+      .select(col("doc_id"), (col("pos") / 8).cast("long").as("b"),
+        pmod(col("pos"), lit(8L)).as("s"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.forall(r => direct(r._1) == ((r._4, r._5))))
+    // partitioning-invariant
+    val re = Extensions.lengthBatches(docs0.repartition(7), "text",
+        "doc_id", binWidth = 32, batchSize = 8)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("noveltyScore: the first copy owns all its shingles, an exact " +
       "later copy owns none, partial overlap scores the new fraction; " +
       "Σ n_first = distinct corpus shingles") {
