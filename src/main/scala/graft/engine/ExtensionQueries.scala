@@ -1131,6 +1131,33 @@ object ExtensionQueries {
              |       pos // 16 AS batch_idx, pos % 16 AS slot
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ── padding-efficiency report over the batching manifest ────────────
+    QuerySpec("padding_stats",
+      (s, d) => Extensions.paddingStats(documents(s, d), "text",
+          "doc_id", binWidth = 32, batchSize = 16)
+        .orderBy("len_class", "batch_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         len(string_split(lower(text), ' '))::INT AS n_tokens,
+             |         md5(doc_id::VARCHAR) AS h
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens, n_tokens // 32 AS cls, h
+             |      FROM t),
+             |p AS (SELECT n_tokens, cls,
+             |             row_number() OVER (PARTITION BY cls
+             |               ORDER BY h, doc_id) - 1 AS pos
+             |      FROM c),
+             |b AS (SELECT cls::INT AS len_class, pos // 16 AS batch_idx,
+             |             n_tokens
+             |      FROM p)
+             |SELECT len_class, batch_idx, count(*) AS n_docs,
+             |       max(n_tokens)::INT AS max_tokens,
+             |       sum(n_tokens)::BIGINT AS sum_tokens,
+             |       round(1 - sum(n_tokens)::BIGINT
+             |             / (count(*) * max(n_tokens)), 6) AS waste_frac
+             |FROM b GROUP BY 1, 2
+             |ORDER BY len_class, batch_idx""".stripMargin)),
+
     // ── per-doc novelty: share of shingles first seen in this doc
     // (Spark keys on xxhash64(shingle), the oracle on the string) ───────
     QuerySpec("novelty_score",

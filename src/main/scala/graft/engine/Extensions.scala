@@ -2043,6 +2043,27 @@ object Extensions {
         pmod(col("__pos"), lit(batchSize.toLong)).as("slot"))
   }
 
+  /** Per-batch padding efficiency for a [[lengthBatches]] layout: each
+    * batch pads its members to its longest doc, so the waste fraction
+    * is 1 − Σtokens / (n·max) — the number that justifies (or tunes)
+    * the bin width: under length grouping it is bounded by
+    * binWidth/classFloor, under random batching it averages the
+    * corpus-wide length dispersion. One re-aggregation of the
+    * manifest, keyed by (class, batch) — batches are `batchSize`-
+    * bounded groups, trivially combinable.
+    */
+  def paddingStats(docs: DataFrame, textCol: String, idCol: String,
+      binWidth: Int = 32, batchSize: Int = 16): DataFrame =
+    lengthBatches(docs, textCol, idCol, binWidth, batchSize)
+      .groupBy("len_class", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("len_class"), col("batch_idx"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        round(lit(1) - col("sum_tokens") /
+          (col("n_docs") * col("max_tokens")), 6).as("waste_frac"))
+
   /** The full corpus-curation pipeline a pre-training run needs, as ONE
     * composed operator: exact dedup (deterministic min-key survivor) →
     * quality scoring → threshold filter → PII scrub → deterministic

@@ -1068,6 +1068,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("paddingStats: uniform-length batches waste zero, waste is " +
+      "bounded by the bin spread, doc counts conserve") {
+    val docs0 = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(i % 70 + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Extensions.paddingStats(docs0, "text", "doc_id",
+        binWidth = 32, batchSize = 8)
+      .as[(Int, Long, Long, Int, Long, Double)].collect()
+    assert(out.map(_._3).sum == 200L)
+    assert(out.forall(r => r._6 >= 0.0 && r._6 < 1.0))
+    // within a class, lengths span < binWidth, so waste < 32/max
+    assert(out.forall(r => r._6 < 32.0 / r._4))
+    // a uniform corpus (every doc 10 tokens) pads nothing
+    val uni = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val u = Extensions.paddingStats(uni, "text", "doc_id",
+        binWidth = 32, batchSize = 8)
+      .as[(Int, Long, Long, Int, Long, Double)].collect()
+    assert(u.forall(_._6 == 0.0))
+  }
+
   test("noveltyScore: the first copy owns all its shingles, an exact " +
       "later copy owns none, partial overlap scores the new fraction; " +
       "Σ n_first = distinct corpus shingles") {
