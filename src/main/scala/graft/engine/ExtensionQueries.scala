@@ -23,6 +23,43 @@ object ExtensionQueries {
   private def bm25QueryValues: String = Bm25Queries
     .map { case (id, t) => s"($id::BIGINT, '$t')" }.mkString(", ")
 
+  // ── BPE oracle building blocks (bpe_merges / bpe_stats): the greedy
+  // merge loop unrolled into chained CTEs, one (pairs → best → reseg)
+  // triple per round. State per word = its symbol list; resegmentation
+  // is a list_reduce over a chr(31)-joined fold that mirrors Spark's
+  // aggregate() rule exactly — merge when the accumulator's LAST SYMBOL
+  // equals the rule's left and the incoming symbol its right, where
+  // "last symbol equals a" is (acc = a OR ends_with(acc, SEP || a)) so
+  // a symbol merely ENDING in a never false-matches. nc carries each
+  // word's original char count for the stats aggregate. ─────────────────
+  private val bpeSeedCte: String =
+    """WITH w0 AS (
+      |  SELECT string_split(w, '') AS s, count(*)::BIGINT AS f,
+      |         len(w)::BIGINT AS nc FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),""".stripMargin
+
+  private def bpeRoundCtes(merges: Int): String =
+    (1 to merges).map { r =>
+      val prev = s"w${r - 1}"
+      s"""
+         |p$r AS (
+         |  SELECT pr.a AS a, pr.b AS b, sum(f)::BIGINT AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(s)-1),
+         |             i -> {'a': s[i], 'b': s[i+1]})) AS pr, f
+         |    FROM $prev WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT string_split(list_reduce(s, (acc, x) -> CASE
+         |           WHEN (acc = b$r.a OR ends_with(acc, chr(31) || b$r.a))
+         |                AND x = b$r.b
+         |           THEN acc || x
+         |           ELSE acc || chr(31) || x END), chr(31)) AS s, f, nc
+         |  FROM $prev, b$r)""".stripMargin
+    }.mkString(",")
+
   val catalog: Seq[QuerySpec] = Seq(
 
     // ── exact dedup with deterministic survivor ─────────────────────────
@@ -1158,6 +1195,31 @@ object ExtensionQueries {
              |FROM b GROUP BY 1, 2
              |ORDER BY len_class, batch_idx""".stripMargin)),
 
+    // ── per-source token-budget admission, the batch twin of the
+    // streaming TokenBudgetProcessor (greedy quota: admit in doc_id
+    // order while the PRIOR admitted total is under budget — may
+    // overshoot by one doc). Running sums via the two-level prefix-sum
+    // (no source-count-bounded window); oracle = the direct
+    // per-source cumulative window ──────────────────────────────────────
+    QuerySpec("stream_admission",
+      (s, d) => Extensions.tokenBudgetBatch(documents(s, d), "source",
+          "doc_id", size(Extensions.tokens(col("text"))),
+          budgetPerSource = 600L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         len(string_split(lower(text), ' '))::BIGINT
+             |           AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         sum(n_tokens) OVER (PARTITION BY source
+             |           ORDER BY doc_id)::BIGINT AS running_tokens
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens, running_tokens
+             |FROM c WHERE running_tokens - n_tokens < 600
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── per-doc novelty: share of shingles first seen in this doc
     // (Spark keys on xxhash64(shingle), the oracle on the string) ───────
     QuerySpec("novelty_score",
@@ -1178,7 +1240,7 @@ object ExtensionQueries {
              |  FROM s JOIN f USING (sh) GROUP BY 1)
              |SELECT d.doc_id,
              |       coalesce(sc.n_shingles, 0) AS n_shingles,
-             |       coalesce(sc.n_first, 0) AS n_first,
+             |       coalesce(sc.n_first, 0)::BIGINT AS n_first,
              |       coalesce(round(sc.n_first / sc.n_shingles, 6), 0.0)
              |         AS novelty_frac
              |FROM (SELECT doc_id FROM documents) d
@@ -1217,7 +1279,7 @@ object ExtensionQueries {
              |  FROM ts LEFT JOIN es ON es.sh = ts.sh GROUP BY 1)
              |SELECT d.doc_id,
              |       coalesce(sc.n_shingles, 0) AS n_shingles,
-             |       coalesce(sc.n_hit, 0) AS n_hit,
+             |       coalesce(sc.n_hit, 0)::BIGINT AS n_hit,
              |       coalesce(round(sc.n_hit / sc.n_shingles, 6), 0.0)
              |         AS overlap_frac
              |FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
@@ -1298,19 +1360,35 @@ object ExtensionQueries {
              |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── BPE merge training (first 6 merge rules over the word-freq
-    // table; rows-only — the merge sequence is spec-proven against a
-    // plain-Scala reference implementation) ─────────────────────────────
+    // table). Oracle (r10, VERDICT r9 #7): the 6 greedy rounds unroll
+    // into chained CTEs — pair counts from the current segmentation,
+    // argmax with the (count desc, left, right) tie-break, then the
+    // SAME greedy left-to-right fold Spark's aggregate() runs, as a
+    // DuckDB list_reduce over a unit-separator-joined state (also
+    // spec-proven against a plain-Scala reference implementation) ───────
     QuerySpec("bpe_merges",
       (s, d) => Extensions.bpeMerges(documents(s, d), "text", merges = 6)
         .orderBy("merge_rank"),
-      None),
+      Some(bpeSeedCte + bpeRoundCtes(6) + "\n" +
+        s"""SELECT r AS merge_rank, a AS "left", b AS "right",
+           |       c AS pair_count FROM (
+           |${(1 to 6).map(r => s"SELECT $r AS r, * FROM b$r")
+             .mkString(" UNION ALL ")}
+           |) ORDER BY merge_rank""".stripMargin)),
 
     // ── tokenizer fitness: apply the learned merges, report chars per
-    // token (rows-only; corpus-level counts are spec-proven against the
-    // reference BPE's own encode) ───────────────────────────────────────
+    // token. Oracle = the same unrolled-merge CTE chain, re-aggregated
+    // over the final segmentation (corpus-level counts also spec-proven
+    // against the reference BPE's own encode) ───────────────────────────
     QuerySpec("bpe_stats",
       (s, d) => Extensions.bpeStats(documents(s, d), "text", merges = 6),
-      None),
+      Some(bpeSeedCte + bpeRoundCtes(6) + "\n" +
+        """SELECT sum(f)::BIGINT AS n_words,
+          |       sum(f * nc)::BIGINT AS n_chars,
+          |       sum(f * len(s))::BIGINT AS n_tokens,
+          |       round(sum(f * nc)::DOUBLE / sum(f * len(s)), 6)
+          |         AS chars_per_token
+          |FROM w6""".stripMargin)),
 
     // ── temperature-weighted mixing quotas (α = 0.3, exp/ln micro-unit
     // weights so the normalizer sums exactly) ───────────────────────────

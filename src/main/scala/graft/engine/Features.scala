@@ -219,9 +219,13 @@ object Features {
       .agg(sum("__fs").as("__cs"), sum("__fc").as("__cc"))
     val prior = byFold.agg(
       (sum("__fs").cast("double") / sum("__fc")).as("__prior"))
+    // byFold/byCat are |categories·folds|-sized — no forced broadcast
+    // (ADVICE r9: a high-cardinality category column would force a
+    // driver-OOM-sized broadcast); AQE broadcasts them itself when
+    // they are actually small. Only the 1-row prior keeps the hint.
     withFold
-      .join(broadcast(byFold), Seq(catCol, "fold"))
-      .join(broadcast(byCat), Seq(catCol))
+      .join(byFold, Seq(catCol, "fold"))
+      .join(byCat, Seq(catCol))
       .crossJoin(broadcast(prior))
       .select(col(idCol), col(catCol), col("fold"),
         round(

@@ -478,17 +478,29 @@ object Relational {
     // ── as-of join: each event backfilled with the user's most recent
     // prior order (point-in-time feature join; graft.operators.AsOfJoin,
     // oracle = DuckDB's native ASOF LEFT JOIN). Time keys are made unique
-    // as epoch_s*1e6 + orderkey (orderkey < 1e6 at these SFs; widen the
-    // base at larger scale) so "most recent" is deterministic even with
-    // several same-day orders per customer. ──────────────────────────────
+    // as epoch_s*slot + orderkey, where slot = the smallest power of 10
+    // strictly above max(o_orderkey) — DERIVED from the data (ADVICE r9:
+    // a fixed base silently breaks once orderkeys outgrow it; the 1e6
+    // base this query first shipped with already fails at TPC-H sf≳0.15).
+    // The slot is a 1-row broadcast scalar (never a driver collect), the
+    // string-length form is integer-exact, and the oracle derives the
+    // identical value — so "most recent" stays deterministic even with
+    // several same-day orders per customer, at any SF whose
+    // epoch_s·slot product fits a long (guard below). ────────────────────
     QuerySpec("asof_join",
       (s, d) => {
-        val ev = events(s, d).select(col("event_id"), col("user_id"),
-          (col("ts").cast("long") * 1000000L + 999999L).as("e_k"))
-        val ord = orders(s, d).select(col("o_custkey"),
+        val slot = orders(s, d).agg(
+          pow(lit(10.0), length(max(col("o_orderkey")).cast("string")))
+            .cast("long").as("__slot"))
+        val ev = events(s, d).crossJoin(broadcast(slot))
+          .select(col("event_id"), col("user_id"),
+            (col("ts").cast("long") * col("__slot")
+              + (col("__slot") - 1L)).as("e_k"))
+        val ord = orders(s, d).crossJoin(broadcast(slot))
+          .select(col("o_custkey"),
           // o_orderdate is TIMESTAMP_NTZ: cast via TIMESTAMP (session tz
           // is pinned UTC) to get epoch seconds
-          (col("o_orderdate").cast("timestamp").cast("long") * 1000000L
+          (col("o_orderdate").cast("timestamp").cast("long") * col("__slot")
             + col("o_orderkey")).as("o_k"),
           col("o_orderkey"), col("o_totalprice"))
         graft.operators.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey",
@@ -496,14 +508,18 @@ object Relational {
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
           .orderBy("event_id")
       },
-      Some(s"""WITH e AS (
+      Some(s"""WITH sl AS (
+             |  SELECT power(10, length(CAST(max(o_orderkey) AS VARCHAR)))::BIGINT
+             |           AS s FROM orders),
+             |e AS (
              |  SELECT event_id, user_id,
-             |         ($EpochS) * 1000000 + 999999 AS e_k FROM events),
+             |         ($EpochS) * sl.s + (sl.s - 1) AS e_k
+             |  FROM events, sl),
              |o AS (
              |  SELECT o_custkey,
-             |         epoch_us(o_orderdate)//1000000 * 1000000 + o_orderkey AS o_k,
+             |         epoch_us(o_orderdate)//1000000 * sl.s + o_orderkey AS o_k,
              |         o_orderkey, o_totalprice
-             |  FROM orders)
+             |  FROM orders, sl)
              |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
              |FROM e ASOF LEFT JOIN o
              |  ON e.user_id = o.o_custkey AND e.e_k >= o.o_k
@@ -516,9 +532,19 @@ object Relational {
     // line's own. Oracle = the plain interval-containment LEFT JOIN ────
     QuerySpec("pit_join",
       (s, d) => {
-        val ord = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        // slot = smallest power of 10 strictly above max(o_orderkey),
+        // derived from the data as a 1-row broadcast scalar (ADVICE r9:
+        // the fixed 1e7 base only holds for TPC-H sf ≲ 1.5 — beyond it
+        // same-ship-date orders sort past the fact sentinel and are
+        // silently missed, and a fixed-base oracle mirrors the miss).
+        // The oracle computes the identical integer-exact slot.
+        val slot = orders(s, d).agg(
+          pow(lit(10.0), length(max(col("o_orderkey")).cast("string")))
+            .cast("long").as("__slot"))
+        val ord = orders(s, d).crossJoin(broadcast(slot))
+          .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderpriority"),
-          (col("o_orderdate").cast("timestamp").cast("long") * 10000000L
+          (col("o_orderdate").cast("timestamp").cast("long") * col("__slot")
             + col("o_orderkey")).as("__from"))
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("__from"))
@@ -526,11 +552,11 @@ object Relational {
           col("__from"), lead(col("__from"), 1).over(w).as("__to"),
           col("o_orderpriority").as("ship_time_priority"),
           col("o_orderkey").as("src_order"))
-        val fact = lineitem(s, d)
+        val fact = lineitem(s, d).crossJoin(broadcast(slot))
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey"),
-            (col("l_shipdate").cast("timestamp").cast("long") * 10000000L
-              + lit(9999999L)).as("__ts"))
+            (col("l_shipdate").cast("timestamp").cast("long") * col("__slot")
+              + (col("__slot") - 1L)).as("__ts"))
           .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .drop("o_orderkey")
@@ -541,23 +567,27 @@ object Relational {
             "ship_time_priority", "src_order")
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       },
-      Some("""WITH d AS (
+      Some("""WITH sl AS (
+             |  SELECT power(10, length(CAST(max(o_orderkey) AS VARCHAR)))::BIGINT
+             |           AS s FROM orders),
+             |d AS (
              |  SELECT o_custkey AS k,
-             |         epoch_us(o_orderdate)//1000000 * 10000000
+             |         epoch_us(o_orderdate)//1000000 * sl.s
              |           + o_orderkey AS f,
-             |         lead(epoch_us(o_orderdate)//1000000 * 10000000
+             |         lead(epoch_us(o_orderdate)//1000000 * sl.s
              |              + o_orderkey) OVER (
              |           PARTITION BY o_custkey
-             |           ORDER BY epoch_us(o_orderdate)//1000000 * 10000000
+             |           ORDER BY epoch_us(o_orderdate)//1000000 * sl.s
              |              + o_orderkey) AS t,
              |         o_orderpriority AS prio, o_orderkey AS src_order
-             |  FROM orders),
+             |  FROM orders, sl),
              |f AS (
              |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
              |         l.l_suppkey, o.o_custkey AS k,
-             |         epoch_us(l_shipdate)//1000000 * 10000000
-             |           + 9999999 AS ts
-             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             |         epoch_us(l_shipdate)//1000000 * sl.s
+             |           + (sl.s - 1) AS ts
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey,
+             |       sl)
              |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey,
              |       f.l_suppkey, d.prio AS ship_time_priority,
              |       d.src_order

@@ -50,26 +50,30 @@ object Scale {
     * each bucket lands as ONE file — the layout Spark's scan requires
     * to also skip the in-partition SORT on sort-merge joins.
     */
-  def ensureBucketed(spark: SparkSession, df: => DataFrame, name: String,
+  def ensureBucketed(spark: SparkSession, df: DataFrame, name: String,
       sourceTag: String, key: String, buckets: Int): DataFrame = {
-    // hex of the tag hash: stable across JVMs (String.hashCode is
-    // specified), collision-safe enough for a session-local cache
-    val table =
-      f"graft_bkt_${name}_${sourceTag.hashCode & 0x7fffffff}%08x"
+    val d = df
+    // Cache key folds in the bucket key, bucket count, AND a schema
+    // fingerprint (ADVICE r9): a second call with the same (name, tag)
+    // but a different layout must MISS and materialize its own table,
+    // never silently reuse a table bucketed on the wrong key/count or
+    // carrying a stale column set. hashCode of the composed string is
+    // stable across JVMs (String.hashCode is specified).
+    val schemaFp = d.schema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+    val tag = s"$sourceTag|$key|$buckets|$schemaFp"
+    val table = f"graft_bkt_${name}_${tag.hashCode & 0x7fffffff}%08x"
     if (!spark.catalog.tableExists(table)) {
       // files without a catalog entry = leftovers from a previous
       // session's in-memory catalog — dead weight; clear before writing
-      // (saveAsTable refuses to adopt an existing managed location)
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath + "/" + table
-      val dir = new java.io.File(loc)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(dir)
-      }
-      val d = df
+      // (saveAsTable refuses to adopt an existing managed location).
+      // Hadoop FileSystem API, not java.io.File: the warehouse may be
+      // HDFS/S3, where a File-based delete silently no-ops (ADVICE r9).
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
       d.repartition(buckets, col(key)).write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)

@@ -182,8 +182,15 @@ object Streaming {
     * already-emitted day is final, so late daily totals cannot be
     * folded in retroactively (feed finalized daily aggregates, e.g.
     * from a closed tumbling window).
+    *
+    * Dropped days are not silent (ADVICE r9): each one bumps the
+    * `dropped` accumulator (when supplied), so a mis-fed pipeline —
+    * non-finalized daily aggregates straddling micro-batches — is
+    * OBSERVABLE from the driver instead of losing data invisibly
+    * while emitting plausible output.
     */
-  class EwmaProcessor(alpha: Double)
+  class EwmaProcessor(alpha: Double,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
       extends StatefulProcessor[String, DailyValue, EwmaPoint] {
     private val beta = 1.0 - alpha
     @transient private var last: ValueState[EwmaState] = _
@@ -198,8 +205,9 @@ object Streaming {
       val daily = rows.toSeq.groupBy(_.day).view
         .mapValues(_.map(_.v).sum).toSeq.sortBy(_._1)
       val out = daily.flatMap { case (day, v) =>
-        if (st != null && day <= st.day) None
-        else {
+        if (st != null && day <= st.day) {
+          dropped.foreach(_.add(1L)); None
+        } else {
           val e = if (st == null) v.toDouble else alpha * v + beta * st.e
           st = EwmaState(day, e)
           Some(EwmaPoint(g, day, e / 100))
@@ -212,12 +220,15 @@ object Streaming {
 
   /** Streaming per-group EWMA over finalized daily totals (see
     * [[EwmaProcessor]]). RocksDB state store required, as for
-    * [[tokenBudgetAdmit]]. */
-  def ewmaStream(daily: Dataset[DailyValue],
-      alpha: Double = 0.3): Dataset[EwmaPoint] = {
+    * [[tokenBudgetAdmit]]. Pass `dropped` (a driver-registered
+    * LongAccumulator) to count frontier-violating daily totals the
+    * recurrence must discard — the input-contract violation detector. */
+  def ewmaStream(daily: Dataset[DailyValue], alpha: Double = 0.3,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[EwmaPoint] = {
     import daily.sparkSession.implicits._
     daily.groupByKey(_.g)
-      .transformWithState(new EwmaProcessor(alpha),
+      .transformWithState(new EwmaProcessor(alpha, dropped),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -1101,6 +1101,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline2D anti-correlated worst case: no row dominates any " +
+      "other, the full input survives (the documented phase-2 bound)") {
+    // x and y inversely ranked — the skyline IS the whole input, so
+    // the local pass prunes nothing and phase 2 sees all n rows in
+    // one window partition. This fixture pins the documented bound:
+    // output-sized work, exact result, no row lost or invented.
+    val n = 2000
+    val pts = (0 until n).map(i => (i.toLong, i.toLong, (n - 1 - i).toLong))
+    val got = Analytics.skyline2D(
+        pts.toDF("id", "x", "y").repartition(16), "id", "x", "y")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == (0 until n).map(_.toLong))
+    // and equal-x ties on the frontier are all kept (strict dominance)
+    val tied = Seq((1L, 5L, 9L), (2L, 5L, 9L), (3L, 1L, 1L))
+    val gotTied = Analytics.skyline2D(tied.toDF("id", "x", "y"),
+        "id", "x", "y")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(gotTied == Seq(1L, 2L))
+  }
+
   test("benfordDigits: digits from exact cents, non-positive excluded, " +
       "shares sum to one, expected column is Benford's law") {
     val df = Seq(1.23, 12.0, 19.99, 0.45, 9.0, -5.0, 0.0).toDF("v")

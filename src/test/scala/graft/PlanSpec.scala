@@ -221,6 +221,22 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
   }
 
+  test("zipf_slope derives ranks from the frequency histogram: no " +
+      "window ever sees a single-partition input (r10 de-window pin)") {
+    val df = SparkEntry.queries("zipf_slope")(spark, sf)
+    df.collect()
+    val planNode = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val globalWin = planNode.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
+    }
+    assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()

@@ -294,11 +294,13 @@ class ScaleSpec extends AnyFunSuite {
     }).toString
     assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
-    // idempotent: the by-name source is NOT re-evaluated on a hit
-    val again = Scale.ensureBucketed(spark,
-      sys.error("source re-evaluated on cache hit"): org.apache.spark.sql.DataFrame,
-      "sp_o", sf, "o_custkey", 4)
+    // idempotent: a second identical call reuses the catalog table
+    // (no second materialization — table count is unchanged)
+    val nTables = spark.catalog.listTables().count()
+    val again = Scale.ensureBucketed(spark, o, "sp_o", sf, "o_custkey", 4)
     assert(again.count() == o.count())
+    assert(spark.catalog.listTables().count() == nTables,
+      "cache hit materialized a new table")
     // stale location (files on disk, no catalog entry — a previous
     // session's leftovers) is cleared and the write succeeds
     val tag = "stale-tag"
@@ -310,5 +312,42 @@ class ScaleSpec extends AnyFunSuite {
       new java.io.File(loc, "junk").toPath, "stale")
     val bs = Scale.ensureBucketed(spark, c, "sp_s", tag, "c_custkey", 4)
     assert(bs.count() == c.count())
+  }
+
+  test("ensureBucketed cache key folds in bucket key, count, and " +
+      "schema: a layout change MISSES instead of reusing stale data") {
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = Scale.ensureBucketed(spark, o, "sp_k", sf, "o_custkey", 4)
+    assert(base.count() == o.count())
+    // same (name, tag), different bucket KEY → distinct table whose
+    // merge-join on the new key is exchange-free (stale reuse would
+    // leave an o_orderkey exchange in the plan)
+    val byOrder =
+      Scale.ensureBucketed(spark, o, "sp_k", sf, "o_orderkey", 4)
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val bl = Scale.ensureBucketed(spark,
+      l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "sp_kl", sf, "o_orderkey", 4)
+    val j = byOrder.hint("merge").join(bl, Seq("o_orderkey"))
+    assert(j.count() == l.count())
+    val plan = (j.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    assert(!plan.contains("Exchange"), s"plan:\n$plan")
+    // same (name, tag, key), different bucket COUNT → distinct table
+    // (a NEW catalog table is materialized, not the 4-bucket one reused)
+    val before = spark.catalog.listTables().count()
+    val eight =
+      Scale.ensureBucketed(spark, o, "sp_k", sf, "o_custkey", 8)
+    assert(eight.count() == o.count())
+    assert(spark.catalog.listTables().count() == before + 1,
+      "bucket-count change did not materialize a distinct table")
+    // same everything, narrower SCHEMA → distinct table, narrow columns
+    val narrow = Scale.ensureBucketed(spark,
+      o.select("o_orderkey", "o_custkey"), "sp_k", sf, "o_custkey", 4)
+    assert(narrow.columns.toSeq == Seq("o_orderkey", "o_custkey"),
+      s"got ${narrow.columns.toSeq} — stale wide table reused")
   }
 }

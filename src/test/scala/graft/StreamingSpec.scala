@@ -140,6 +140,45 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("tokenBudgetAdmit matches the batch twin tokenBudgetBatch on an " +
+      "id-ordered replay over any micro-batch split") {
+    import spark.implicits._
+    import graft.streaming.Streaming.{AdmittedDoc, Doc}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(7)
+      val docs = (0L until 60L).map(i =>
+        Doc(i, s"src${i % 3}", 10L + rnd.nextInt(40)))
+      val expected = graft.engine.Extensions.tokenBudgetBatch(
+          docs.toDF(), "source", "doc_id", col("n_tokens"),
+          budgetPerSource = 300L)
+        .as[AdmittedDoc].collect()
+        .map(a => (a.doc_id, a.source, a.n_tokens, a.running_tokens))
+        .toSet
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Doc](spark)
+      val q = graft.streaming.Streaming
+        .tokenBudgetAdmit(in.toDS(), budgetPerSource = 300L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("budget_twin_out").start()
+      try {
+        // id-ordered replay, uneven micro-batch splits
+        for (chunk <- docs.grouped(17)) {
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table("budget_twin_out").as[AdmittedDoc]
+          .collect()
+          .map(a => (a.doc_id, a.source, a.n_tokens, a.running_tokens))
+          .toSet
+        assert(got == expected,
+          s"stream ${got.size} rows differ from batch ${expected.size}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("ewmaStream reproduces batch ewmaSmooth bit-for-bit across " +
       "micro-batch splits; late or duplicate days are dropped") {
     import spark.implicits._
@@ -162,7 +201,9 @@ class StreamingSpec extends AnyFunSuite {
         .as[(String, Long, Double)].collect().toSet
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[DailyValue](spark)
-      val q = graft.streaming.Streaming.ewmaStream(in.toDS(), alpha = 0.3)
+      val droppedAcc = spark.sparkContext.longAccumulator("ewma_dropped")
+      val q = graft.streaming.Streaming
+        .ewmaStream(in.toDS(), alpha = 0.3, dropped = Some(droppedAcc))
         .writeStream.outputMode("append").format("memory")
         .queryName("ewma_out").start()
       try {
@@ -178,10 +219,15 @@ class StreamingSpec extends AnyFunSuite {
           .collect().map(p => (p.g, p.day, p.ewma)).toSet
         assert(got == expected,
           s"stream $got differs from batch $expected")
-        // a late daily total at an already-emitted day is dropped
+        // a late daily total at an already-emitted day is dropped —
+        // and the drop is OBSERVABLE via the accumulator (ADVICE r9:
+        // input-contract violations must not be silent)
+        assert(droppedAcc.value == 0L)
         in.addData(DailyValue("g1", 2L, 99900L))
         q.processAllAvailable()
         assert(spark.table("ewma_out").count() == series.size.toLong)
+        assert(droppedAcc.value == 1L,
+          s"dropped-row accumulator saw ${droppedAcc.value}")
       } finally q.stop()
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

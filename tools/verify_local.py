@@ -42,6 +42,20 @@ for name in manifest:
         if len(got) == 0:
             print(f"FAIL {name}: 0 rows"); fails += 1
         continue
+    # Type sweep (VERDICT r9 #1): the driver hashes TYPED values, so a
+    # DuckDB type the pandas compare below coerces away (HUGEINT from an
+    # uncast sum(), UHUGEINT, DECIMAL from integer division) still fails
+    # the driver gate even when every value matches. Catch the class here.
+    otypes = con.execute(f"DESCRIBE ({oracle[name]})").df()
+    widened = [f"{r.column_name}:{r.column_type}"
+               for r in otypes.itertuples()
+               if any(t in str(r.column_type).upper()
+                      for t in ("HUGEINT", "UHUGEINT"))]
+    if widened:
+        print(f"FAIL {name}: oracle emits driver-hostile type(s) "
+              f"{widened} — cast to ::BIGINT in the oracle SQL")
+        fails += 1
+        continue
     exp = con.execute(oracle[name]).df()
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
