@@ -237,6 +237,22 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
   }
 
+  test("stream_admission running sums are two-level: no window sees a " +
+      "single-partition input, parallelism never bounded by source count") {
+    val df = SparkEntry.queries("stream_admission")(spark, sf)
+    df.collect()
+    val planNode = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val globalWin = planNode.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
+    }
+    assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+  }
+
   test("simhash signatures stay inside whole-stage codegen") {
     val df = SparkEntry.queries("simhash_signatures")(spark, sf)
     df.collect()

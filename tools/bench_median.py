@@ -15,12 +15,18 @@ import sys
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+# each run executes under a DIFFERENT seeded-shuffled order (the
+# BASELINE adjudication protocol): host-noise windows smear across
+# unrelated names per run and the per-query median strips them
+seeds = (sys.argv[4].split(",") if len(sys.argv) > 4
+         else ["101", "202", "303", "404", "505"])[:n]
 
 runs = []
 for i in range(n):
     out = subprocess.run(
         ["sbt", "runMain graft.Bench"],
         env={"SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": cpus,
+             "SPARK_GRAFT_SHUFFLE_ORDER": seeds[i % len(seeds)],
              "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"},
         capture_output=True, text=True, cwd="/root/repo").stdout
     line = next(l for l in out.splitlines() if '"metric"' in l)
