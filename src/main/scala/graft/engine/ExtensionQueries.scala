@@ -1028,6 +1028,16 @@ object ExtensionQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // ── IVF+PQ composed search (the production ANN shape: cell-pruned
+    // scan of PQ codes + exact shortlist re-rank; seeded KMeans fits →
+    // rows-only; the exhaustive-parameters == exact-L2 identity and
+    // recall floors are law-checked in ExtensionsSpec) ───────────────────
+    QuerySpec("ivfpq_topk",
+      (s, d) => Extensions.ivfPqTopK(embeddings(s, d), "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy("query_id", "rank"),
+      None),
+
     // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",

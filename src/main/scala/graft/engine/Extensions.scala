@@ -894,6 +894,122 @@ object Extensions {
       smallestFirst = true)
   }
 
+  /** IVF+PQ composed search (the production 100 TB ANN shape, e.g.
+    * FAISS IVFPQ): coarse-quantizer cell pruning ([[annIvf]]'s half)
+    * × PQ asymmetric-distance scoring ([[pqTopK]]'s half) × an exact
+    * re-rank of the shortlist. Each query (1) probes its `nprobe`
+    * nearest KMeans cells by exact squared L2 to the centroid, (2)
+    * ADC-scores ONLY the PQ codes inside those cells — the scan reads
+    * m small ints per candidate row, never the full vector — keeping
+    * the best `k·refineFactor` per query in a bounded heap, and (3)
+    * re-ranks that shortlist by exact squared L2 on the full vectors
+    * (a |queries|·k·refineFactor-row join — tiny by construction).
+    * Returns (query_id, neighbor_id, l2_dist, rank ≤ k).
+    *
+    * Why compose: cells bound WHICH rows are scanned (I/O ∝
+    * nprobe/nCells of the corpus), PQ bounds the BYTES per scanned row
+    * (m bytes vs 4·dim), and the refine step restores exact distances
+    * where it matters — the three knobs are independent, which is the
+    * whole design. At 100 TB: grow nCells with the corpus (cells stay
+    * executor-sized), store codes cell-partitioned ([[IvfIndex]]'s
+    * layout) so probes prune files, and refineFactor stays a small
+    * constant. Both fits are sampled and seeded; every rank is a
+    * bounded heap ([[topKBy]]) or a driver-known-constant window —
+    * recall@k floors vs the exact scan are spec-pinned
+    * (seed-dependent ⇒ no_oracle by the catalog contract).
+    */
+  def ivfPqTopK(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int = 10, nCells: Int = 16,
+      nprobe: Int = 4, m: Int = 4, kCode: Int = 16,
+      refineFactor: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && refineFactor >= 1, "k and refineFactor must be >= 1")
+    require(nprobe >= 1 && nprobe <= nCells, "need 1 <= nprobe <= nCells")
+    require(m >= 1 && kCode >= 2 && kCode <= (1 << 20),
+      "need m >= 1 subspaces and 2 <= kCode <= 2^20 codewords")
+    val dimRow = emb.select(size(col(embCol))).head(1)
+    if (dimRow.isEmpty) {
+      val idT = emb.schema(idCol).dataType
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(null).cast(idT).as("query_id"),
+          lit(null).cast(idT).as("neighbor_id"),
+          lit(0.0).as("l2_dist"), lit(0).as("rank"))
+    }
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
+      "equal subvectors")
+    val sub = dim / m
+    val vecs = emb.select(col(idCol), col(embCol),
+      array_to_vector(col(embCol)).as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // sampled, seeded coarse fit — annIvf's rationale verbatim: a
+      // coarse quantizer needs neither tight convergence nor the full
+      // corpus; at 100 TB the fit is bounded, the assign is one pass
+      val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+      val fitSample =
+        if (sample.count() >= nCells.toLong * 4) sample else vecs
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setFeaturesCol("__vec").setPredictionCol("__cell")
+        .setK(nCells).setSeed(seed).setMaxIter(5).fit(fitSample)
+      val assigned = km.transform(vecs).drop("__vec")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val codebook = pqCodebookOf(emb, embCol, idCol, m, kCode, seed)
+        val dists = (0 until m).map { j =>
+          transform(typedLit(codebook(j)),
+            c => pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
+        }
+        // PQ codes per row, carrying the row's cell — the persisted
+        // form a production layout would write cell-partitioned
+        val coded = assigned.select(col(idCol).as("neighbor_id"),
+          col("__cell"),
+          array(dists.map(d =>
+            (array_position(d, array_min(d)) - 1).cast("int")): _*)
+            .as("codes"))
+        val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat))
+        }.toSeq
+        val centDf = emb.sparkSession.createDataFrame(centroids)
+          .toDF("__cell", "__centroid")
+        val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("query_id"), col(embCol).as("__q"))
+        // nCells is a driver-known constant, so this rank window's
+        // partition is exactly nCells rows per query — bounded
+        val probed = queries.crossJoin(broadcast(centDf))
+          .withColumn("__cdist", pqSqDist(col("__q"), col("__centroid")))
+          .withColumn("__crank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(asc("__cdist"), asc("__cell"))))
+          .filter(col("__crank") <= nprobe)
+          .select(col("query_id"), col("__q"), col("__cell"))
+        val adc = (0 until m).map { j =>
+          pqSqDist(slice(col("__q"), j * sub + 1, sub),
+            element_at(typedLit(codebook(j)), col("codes")(j) + 1))
+        }.reduce(_ + _)
+        val shortlist = coded
+          .join(probed, Seq("__cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(adc, 6).as("adc_dist"))
+          .transform(topKBy(_, "query_id", "neighbor_id", "adc_dist",
+            k * refineFactor, smallestFirst = true))
+        // exact re-rank: full vectors rejoin ONLY the shortlist ids
+        val refined = shortlist
+          .select(col("query_id"), col("neighbor_id"))
+          .join(emb.select(col(idCol).as("neighbor_id"),
+            col(embCol).as("__e")), Seq("neighbor_id"))
+          .join(queries, Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(pqSqDist(col("__e"), col("__q")), 6).as("l2_dist"))
+          .transform(topKBy(_, "query_id", "neighbor_id", "l2_dist", k,
+            smallestFirst = true))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        refined.count()
+        refined
+      } finally assigned.unpersist()
+    } finally vecs.unpersist()
+  }
+
   /** The PQ codebook for these params — the single source of truth
     * shared by [[pqQuantize]] (encode) and [[pqTopK]] (ADC scoring):
     * seeded, sample-fitted, so both paths see identical centers. k is

@@ -738,6 +738,64 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rLsh >= 0.35, f"annBucketed mean recall@10 regressed: $rLsh%.3f")
   }
 
+  test("ivfPqTopK with exhaustive parameters (all cells probed, " +
+      "shortlist covers the corpus) equals exact L2 top-k") {
+    // seeded distinct-ish vectors so L2 distances don't tie
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat())))
+    val emb = rows.toDF("vec_id", "embedding")
+    def sqDist(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val qids = Seq(0L, 7L)
+    val exact = qids.map { q =>
+      val qv = rows.find(_._1 == q).get._2
+      q -> rows.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, math.rint(sqDist(v, qv) * 1e6) / 1e6) }
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSeq
+    }.toMap
+    val got = Extensions.ivfPqTopK(emb, "embedding", "vec_id", qids,
+        k = 3, nCells = 4, nprobe = 4, m = 4, kCode = 4,
+        refineFactor = 20)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSeq }
+    assert(got == exact, s"got $got expected $exact")
+    // and it is deterministic across input partitionings
+    val again = Extensions.ivfPqTopK(emb.repartition(7), "embedding",
+        "vec_id", qids, k = 3, nCells = 4, nprobe = 4, m = 4,
+        kCode = 4, refineFactor = 20)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(again.groupBy(_._1).map { case (q, ns) =>
+      q -> ns.map(_._2).toSeq } == exact)
+  }
+
+  test("ivfPqTopK catalog-default recall@10 stays above the pinned " +
+      "floor vs the exact scan at sf0.01") {
+    val emb = graft.engine.Tables.embeddings(TestSpark.spark,
+      "/root/testdata/sf0.01")
+    val qids = (0L until 20L).toSeq
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Extensions.cosineTopK(
+      emb, "embedding", "vec_id", qids, k = 10))
+    val got = sets(Extensions.ivfPqTopK(
+      emb, "embedding", "vec_id", qids, k = 10))
+    val recall = qids.map(q => got.getOrElse(q, Set.empty[Long])
+      .intersect(exact(q)).size / 10.0).sum / qids.size
+    info(f"ivfPqTopK mean recall@10 = $recall%.3f")
+    // L2-ranked search vs a cosine oracle (the annBucketed ceiling
+    // argument) THROUGH cell pruning and PQ approximation — the floor
+    // sits under the seeded measured value with regeneration slack
+    assert(recall >= 0.30, f"ivfPqTopK recall@10 regressed: $recall%.3f")
+  }
+
   test("ann bucketed returns ranked neighbors deterministically") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
