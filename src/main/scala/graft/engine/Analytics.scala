@@ -1952,29 +1952,94 @@ object Analytics {
     * local pass prunes nothing, and the phase-2 window processes the
     * FULL input in one task — unavoidable for this operator's
     * semantics, since the skyline of anti-correlated data IS the whole
-    * input (any algorithm must emit O(n) rows; SkylineSpec pins the
+    * input (any algorithm must emit O(n) rows; AnalyticsSpec pins the
     * fixture). The two-phase split is therefore an expected-case
     * optimization: random/correlated data leaves O(log n) survivors
     * per partition and phase 2 is constant work. Callers on data known
-    * to be near-anti-correlated should pre-bucket x into value ranges
-    * and skyline each range separately, or accept the single-task
-    * phase 2 as output-sized work.
+    * to be near-anti-correlated with NUMERIC x should use
+    * [[skyline2DBucketed]] — result-identical, and its phase 2 is
+    * value-range-bucketed so no task ever holds more than ~1/nBuckets
+    * of the survivors.
     */
+  /** Strict-dominance prune within each window partition: keep rows
+    * whose y is not exceeded by any same-partition row of strictly
+    * greater x (dense-rank range frame — exact for fractional x).
+    * Shared by [[skyline2D]] (phases 1 and 2) and
+    * [[skyline2DBucketed]] (phases 1 and 2a). */
+  private def undominatedIn(in: DataFrame, w: WindowSpec,
+      xCol: String, yCol: String): DataFrame =
+    in.withColumn("__xr", dense_rank().over(w.orderBy(col(xCol).desc)))
+      .withColumn("__mx",
+        max(col(yCol)).over(w.orderBy(col("__xr"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__mx").isNull || col(yCol) >= col("__mx"))
+      .drop("__xr", "__mx")
+
   def skyline2D(df: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {
     requireNoReserved(df, Seq("__pid", "__xr", "__mx"))
-    def undominated(in: DataFrame, w: WindowSpec): DataFrame =
-      in.withColumn("__xr", dense_rank().over(w.orderBy(col(xCol).desc)))
-        .withColumn("__mx",
-          max(col(yCol)).over(w.orderBy(col("__xr"))
-            .rangeBetween(Window.unboundedPreceding, -1)))
-        .filter(col("__mx").isNull || col(yCol) >= col("__mx"))
-        .drop("__xr", "__mx")
     val narrowed = df.select(col(idCol), col(xCol), col(yCol))
-    val local = undominated(
+    val local = undominatedIn(
       narrowed.withColumn("__pid", spark_partition_id()),
-      Window.partitionBy("__pid")).drop("__pid")
-    undominated(local, Window.partitionBy())
+      Window.partitionBy("__pid"), xCol, yCol).drop("__pid")
+    undominatedIn(local, Window.partitionBy(), xCol, yCol)
+  }
+
+  /** [[skyline2D]] for NUMERIC x with the worst case de-windowed: the
+    * scale path for data where the skyline survivor set may be large
+    * (anti-correlated x/y — the documented skyline2D bound). Phase 2
+    * never runs in one task: survivors of the local pass split into
+    * `nBuckets` equal-width VALUE ranges of x (bounds from a broadcast
+    * 1-row min/max agg — no collect), each bucket prunes its own
+    * strictly-greater-x dominators in a per-bucket window, and
+    * cross-bucket dominance reduces to ONE number per bucket — any row
+    * of a strictly-higher bucket has strictly greater x by
+    * construction, so a row survives the cross-bucket test iff its y
+    * is not exceeded by max(y) over higher buckets (a ≤nBuckets-row
+    * triangular broadcast join). Result-identical to [[skyline2D]]
+    * (law-pinned), and on anti-correlated data the widest window
+    * partition is ~1/nBuckets of the survivors instead of all of them
+    * (PlanSpec pins no single-partition window).
+    *
+    * Caveats: x must cast to double losslessly for the BUCKETING only
+    * (comparisons still happen on the original column — a lossy cast
+    * can only unbalance buckets, never change the result, because
+    * bucket boundaries compare in double while dominance compares in
+    * the source type... strictly: bucket monotonicity requires the
+    * cast be order-preserving, which holds for all numeric types and
+    * epoch-derived longs). A value-skewed x (e.g. one hot x value)
+    * degrades toward the single-bucket case — the all-ties input
+    * where nothing dominates and output-sized work is semantically
+    * unavoidable (skyline2D's documented bound).
+    */
+  def skyline2DBucketed(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    requireNoReserved(df, Seq("__pid", "__xr", "__mx", "__b", "__xd",
+      "__xmin", "__xmax", "__bmax", "__hb", "__hm", "__pmax"))
+    val narrowed = df.select(col(idCol), col(xCol), col(yCol))
+    val local = undominatedIn(
+      narrowed.withColumn("__pid", spark_partition_id()),
+      Window.partitionBy("__pid"), xCol, yCol).drop("__pid")
+    val xd = col(xCol).cast("double")
+    val stats = local.agg(min(xd).as("__xmin"), max(xd).as("__xmax"))
+    val withB = local.crossJoin(broadcast(stats))
+      .withColumn("__b",
+        when(col("__xmax") === col("__xmin"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((xd - col("__xmin")) /
+              ((col("__xmax") - col("__xmin")) / nBuckets)).cast("int"))))
+      .drop("__xmin", "__xmax")
+    val inBucket = undominatedIn(withB,
+      Window.partitionBy("__b"), xCol, yCol)
+    val bmax = withB.groupBy("__b").agg(max(col(yCol)).as("__bmax"))
+    val pmax = bmax
+      .join(broadcast(bmax.select(col("__b").as("__hb"),
+        col("__bmax").as("__hm"))), col("__hb") > col("__b"), "left")
+      .groupBy("__b").agg(max("__hm").as("__pmax"))
+    inBucket.join(broadcast(pmax), Seq("__b"))
+      .filter(col("__pmax").isNull || col(yCol) >= col("__pmax"))
+      .select(col(idCol), col(xCol), col(yCol))
   }
 
   /** First-significant-digit distribution of a positive money column

@@ -940,6 +940,31 @@ object AnalyticsQueries {
              |WHERE mx IS NULL OR price_cents >= mx
              |ORDER BY order_day, o_orderkey""".stripMargin)),
 
+    // ── the same frontier via the de-windowed scale path (value-range
+    // buckets + per-bucket windows + cross-bucket max join — no
+    // single-partition window even on anti-correlated data);
+    // result-identical to skyline_orders, so it shares the oracle ──────
+    QuerySpec("skyline_bucketed",
+      (s, d) => Analytics.skyline2DBucketed(
+          orders(s, d).select(col("o_orderkey"),
+            (col("o_orderdate").cast("timestamp").cast("long") / 86400L)
+              .cast("long").as("order_day"),
+            round(col("o_totalprice") * 100).cast("long")
+              .as("price_cents")),
+          "o_orderkey", "order_day", "price_cents")
+        .orderBy("order_day", "o_orderkey"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS order_day,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             |  FROM orders),
+             |w AS (SELECT *, max(price_cents) OVER (ORDER BY order_day DESC
+             |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+             |      FROM o)
+             |SELECT o_orderkey, order_day, price_cents FROM w
+             |WHERE mx IS NULL OR price_cents >= mx
+             |ORDER BY order_day, o_orderkey""".stripMargin)),
+
     // ── Benford first-digit audit of lineitem prices: digit from the
     // exact integer cents (string head), never float log10 binning ──────
     QuerySpec("benford_digits",

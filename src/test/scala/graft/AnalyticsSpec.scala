@@ -1121,6 +1121,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gotTied == Seq(1L, 2L))
   }
 
+  test("skyline2DBucketed is result-identical to skyline2D on random, " +
+      "anti-correlated, and tied fixtures, across partitionings and " +
+      "bucket counts") {
+    val rnd = new scala.util.Random(11)
+    val random = (0 until 500)
+      .map(i => (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    val anti = (0 until 500)
+      .map(i => (i.toLong, i.toLong, (499 - i).toLong))
+    val tied = Seq((1L, 5L, 9L), (2L, 5L, 9L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 1L, 9L))
+    for (pts <- Seq(random, anti, tied); parts <- Seq(1, 7);
+         nb <- Seq(1, 8, 64)) {
+      val df = pts.toDF("id", "x", "y").repartition(parts)
+      val exp = Analytics.skyline2D(df, "id", "x", "y")
+        .select("id").as[Long].collect().toSet
+      val got = Analytics.skyline2DBucketed(df, "id", "x", "y", nb)
+        .select("id").as[Long].collect().toSet
+      assert(got == exp, s"n=${pts.size} parts=$parts nb=$nb")
+    }
+  }
+
+  test("skyline2DBucketed never runs a single-partition window, even " +
+      "on the anti-correlated worst case where all rows survive") {
+    val n = 2000
+    val pts = (0 until n).map(i => (i.toLong, i.toLong, (n - 1 - i).toLong))
+    val df = Analytics.skyline2DBucketed(
+      pts.toDF("id", "x", "y").repartition(16), "id", "x", "y")
+    assert(df.count() == n.toLong)
+    val planNode = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val globalWin = planNode.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
+    }
+    assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+  }
+
   test("benfordDigits: digits from exact cents, non-positive excluded, " +
       "shares sum to one, expected column is Benford's law") {
     val df = Seq(1.23, 12.0, 19.99, 0.45, 9.0, -5.0, 0.0).toDF("v")
