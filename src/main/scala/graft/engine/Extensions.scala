@@ -1900,12 +1900,30 @@ object Extensions {
       "__m", "__b", "__pb", "__pn", "__boff", "__goff", "__s", "__c",
       "__soff", "n_terms", "zipf_slope", "r2"))
     val dec = "decimal(38,0)"
+    // tokens are never null, but Catalyst can't see that: without the
+    // up-front filter the (f, s)-keyed join below pushes IsNotNull
+    // constraints into ITS copy of this subtree only, the copies stop
+    // canonicalizing equal, and the corpus-sized freq exchange computes
+    // per consumer instead of reusing (the tokenPmi/cramers_v
+    // canonical-form lesson). Same reason __s wraps in coalesce: a
+    // nullable salt would diverge the join branches' constraints.
     val freq = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isNotNull)
       .groupBy("__w").agg(count(lit(1)).as("__f"))
-    // tie-group rank intervals from the frequency histogram: __goff =
-    // count of words with strictly higher frequency, so group f owns
-    // ranks __goff+1 .. __goff+__m
-    val hist = freq.groupBy("__f").agg(count(lit(1)).as("__m"))
+    // salted word table: the ONE consumer of the corpus-sized freq
+    // aggregate — the histogram derives from the (f, salt) counts
+    // below, never from freq directly (a second freq consumer with a
+    // narrower column set would re-scan the corpus)
+    val salted = freq.withColumn("__s",
+      coalesce(pmod(xxhash64(col("__w")), lit(256)), lit(0L))
+        .cast("int"))
+    val sCounts = salted.groupBy("__f", "__s")
+      .agg(count(lit(1)).as("__c"))
+    // tie-group rank intervals from the frequency histogram (derived
+    // by re-aggregating the vocabulary-scale sCounts): __goff = count
+    // of words with strictly higher frequency, so group f owns ranks
+    // __goff+1 .. __goff+__m
+    val hist = sCounts.groupBy("__f").agg(sum("__c").as("__m"))
       .withColumn("__b",
         (lit(63) - floor(log2(col("__f")))).cast("int"))
     val bTotals = hist.groupBy("__b").agg(sum("__m").as("__pn"))
@@ -1922,17 +1940,14 @@ object Extensions {
       .withColumn("__goff",
         col("__boff") + coalesce(sum("__m").over(wB), lit(0L)))
       .select(col("__f"), col("__goff"))
-    // salted within-group offsets: (f, salt) counts → per-f window of
-    // ≤256 rows; combined = histogram-scale, one (f, salt)-keyed join
-    // back to the word table (skew on hapax f diluted 256 ways)
-    val salted = freq.withColumn("__s",
-      pmod(xxhash64(col("__w")), lit(256)).cast("int"))
+    // salted within-group offsets: per-f window of ≤256 rows;
+    // combined = histogram-scale, one (f, salt)-keyed join back to
+    // the word table (skew on hapax f diluted 256 ways)
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy("__f").orderBy("__s")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, -1)
-    val subOff = salted.groupBy("__f", "__s")
-      .agg(count(lit(1)).as("__c"))
+    val subOff = sCounts
       .withColumn("__soff", coalesce(sum("__c").over(wS), lit(0L)))
       .join(groupOff, Seq("__f"))
       .select(col("__f"), col("__s"),

@@ -251,6 +251,11 @@ class PlanSpec extends AnyFunSuite {
             org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
     }
     assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+    // and the corpus is tokenized ONCE: every histogram/offset branch
+    // reuses the freq exchange (r10 canonical-form fix)
+    val scans = planNode.toString.linesIterator
+      .count(l => l.contains("documents") && l.contains("ReadSchema"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$planNode")
   }
 
   test("simhash signatures stay inside whole-stage codegen") {
