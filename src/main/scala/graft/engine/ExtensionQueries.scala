@@ -236,6 +236,38 @@ object ExtensionQueries {
              |SELECT query_id, neighbor_id, cosine_sim, rank FROM r
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // ── all-rows k-NN self-join (every row's top-3 neighbors — the
+    // hard-negative-mining shape). Exhaustive probes here (nprobe =
+    // nCells) so every pair is scored exactly once and the result is
+    // the brute-force per-row top-k REGARDLESS of the KMeans seed —
+    // oracle-exact through the full cell/probe/heap machinery; the
+    // pruned-probe recall trade is law-pinned in ExtensionsSpec ────────
+    QuerySpec("knn_join",
+      (s, d) => Extensions.knnJoin(embeddings(s, d), "embedding",
+          "vec_id", k = 3, nCells = 8, nprobe = 8)
+        .orderBy("query_id", "rank"),
+      Some("""WITH s AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |         round(CASE WHEN list_dot_product(b.embedding::DOUBLE[],
+             |                                          b.embedding::DOUBLE[]) = 0
+             |                      OR list_dot_product(a.embedding::DOUBLE[],
+             |                                          a.embedding::DOUBLE[]) = 0
+             |                    THEN 0
+             |               ELSE list_dot_product(b.embedding::DOUBLE[],
+             |                                     a.embedding::DOUBLE[])
+             |                    / (sqrt(list_dot_product(b.embedding::DOUBLE[],
+             |                                             b.embedding::DOUBLE[]))
+             |                     * sqrt(list_dot_product(a.embedding::DOUBLE[],
+             |                                             a.embedding::DOUBLE[])))
+             |               END, 6) AS cosine_sim
+             |  FROM embeddings a CROSS JOIN embeddings b
+             |  WHERE a.vec_id <> b.vec_id),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank FROM s)
+             |SELECT query_id, neighbor_id, cosine_sim, rank FROM r
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // ── exact n-gram Jaccard on a bounded sample (the precise scorer; the
     // scale path is minhash_neardup / simhash below) ─────────────────────
     QuerySpec("ngram_jaccard",

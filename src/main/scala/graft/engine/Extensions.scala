@@ -1010,6 +1010,89 @@ object Extensions {
     } finally vecs.unpersist()
   }
 
+  /** All-rows k-NN self-join: EVERY row gets its top-k cosine
+    * neighbors — the hard-negative-mining / kNN-dedup / retrieval-
+    * augmentation shape, where the query set IS the corpus (unlike
+    * [[cosineTopK]]/[[annIvf]], which take a handful of query ids).
+    *
+    * Scale shape: never the all-pairs cartesian. Each row joins only
+    * the cells it PROBES: a seeded sampled KMeans assigns every vector
+    * to its cell once, each row derives its `nprobe` nearest cells in
+    * ONE projection (centroids enter the plan as a literal array;
+    * per-centroid distances + a sort of that nCells-length in-row
+    * array — no crossJoin, no per-row shuffle), explodes to nprobe
+    * (row, cell) probes, and the cell-keyed equi-join scores
+    * nprobe/nCells of the corpus per row. Per-row top-k is the
+    * [[topKBy]] bounded heap. Cost is nprobe·|corpus|²/nCells pair
+    * scores — grow nCells with the corpus to hold cells
+    * executor-sized, exactly the [[IvfIndex]] doctrine.
+    *
+    * Exactness: with nprobe = nCells every pair is scored exactly once
+    * (each candidate lives in exactly one cell), so the result is the
+    * brute-force per-row top-k REGARDLESS of the KMeans seed — the
+    * catalog entry runs exhaustive probes and is oracle-exact, while
+    * pruned probes trade recall for the 1/nCells scan (recall law
+    * spec-pinned). Ties break toward the smaller neighbor id, as
+    * everywhere in the search family.
+    */
+  def knnJoin(emb: DataFrame, embCol: String, idCol: String, k: Int = 5,
+      nCells: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1 && nprobe <= nCells, "need 1 <= nprobe <= nCells")
+    val vecs = emb.select(col(idCol), col(embCol),
+      array_to_vector(col(embCol)).as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+      val fitSample =
+        if (sample.count() >= nCells.toLong * 4) sample else vecs
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setFeaturesCol("__vec").setPredictionCol("__cell")
+        .setK(nCells).setSeed(seed).setMaxIter(5).fit(fitSample)
+      val assigned = km.transform(vecs).drop("__vec")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // centroids as a literal array<struct<cell, centroid>>: probe
+        // cells derive row-locally — sort the in-row (dist, cell) array
+        // (deterministic: distance ties break on the cell id) and keep
+        // the first nprobe
+        val centLit = typedLit(km.clusterCenters.zipWithIndex.map {
+          case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+        }.toSeq)
+        val distStructs = transform(centLit, s =>
+          struct(pqSqDist(col(embCol), s.getField("_2")).as("d"),
+            s.getField("_1").as("c")))
+        val probes = transform(slice(sort_array(distStructs), 1, nprobe),
+          s => s.getField("c"))
+        // norms hoisted to one per-row column: [[cosine]] would refold
+        // |e| and |q| for EVERY pair — 2/3 of the pair-scan compute is
+        // redundant norm work. d / (ne * nq) with precomputed norms is
+        // the IDENTICAL op sequence to cosine()'s d / (na * nb), so the
+        // result (and the oracle hash) is bit-unchanged.
+        val withNorm = assigned.withColumn("__n",
+          sqrt(dot(col(embCol), col(embCol))))
+        val queries = withNorm.select(col(idCol).as("query_id"),
+          col(embCol).as("__q"), col("__n").as("__qn"),
+          explode(probes).as("__cell"))
+        val candidates = withNorm.select(col(idCol).as("neighbor_id"),
+          col(embCol).as("__e"), col("__n").as("__en"), col("__cell"))
+        // each candidate lives in ONE cell and a row's probe cells are
+        // distinct, so no (query, neighbor) pair scores twice
+        val scored = queries.join(candidates, Seq("__cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(when(col("__en") =!= 0 && col("__qn") =!= 0,
+              dot(col("__e"), col("__q")) / (col("__en") * col("__qn")))
+              .otherwise(0.0), 6).as("cosine_sim"))
+        val result = topKBy(scored, "query_id", "neighbor_id",
+            "cosine_sim", k, smallestFirst = false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        result.count()
+        result
+      } finally assigned.unpersist()
+    } finally vecs.unpersist()
+  }
+
   /** The PQ codebook for these params — the single source of truth
     * shared by [[pqQuantize]] (encode) and [[pqTopK]] (ADC scoring):
     * seeded, sample-fitted, so both paths see identical centers. k is
@@ -1216,7 +1299,8 @@ object Extensions {
     val centDf = emb.sparkSession.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(embCol).as("__q"))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q"),
+        sqrt(dot(col(embCol), col(embCol))).as("__nq"))
     // this rank window is provably bounded: its partition is one query's
     // cross join with the BROADCAST centroid table — exactly nCells rows
     // (a driver-known constant), never a function of corpus size
@@ -1225,15 +1309,21 @@ object Extensions {
       .withColumn("__crank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("__cdist"), asc("__cell"))))
       .filter(col("__crank") <= nprobe)
-      .select(col("query_id"), col("__q"), col("__cell"))
+      .select(col("query_id"), col("__q"), col("__nq"), col("__cell"))
+    // candidate norms hoisted to one per-row column (the knnJoin
+    // optimization): cosine() would refold |e| and |q| per candidate —
+    // d / (ne * nq) with precomputed norms is the identical op
+    // sequence, so scores are bit-unchanged
     val candidates = assigned
       .select(col(idCol).as("neighbor_id"), col(embCol).as("__e"),
-        col("__cell"))
+        sqrt(dot(col(embCol), col(embCol))).as("__ne"), col("__cell"))
       .join(probed, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
     val result = candidates
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("__e"), col("__q")), 6).as("cosine_sim"))
+        round(when(col("__ne") =!= 0 && col("__nq") =!= 0,
+          dot(col("__e"), col("__q")) / (col("__ne") * col("__nq")))
+          .otherwise(0.0), 6).as("cosine_sim"))
       // the candidate set is nprobe/nCells of the corpus in expectation
       // but unbounded for a skewed clustering — bounded-heap rank, not
       // a per-query window sort (see topKBy)

@@ -796,6 +796,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.30, f"ivfPqTopK recall@10 regressed: $recall%.3f")
   }
 
+  test("knnJoin with exhaustive probes equals the brute-force per-row " +
+      "top-k for every row, across partitionings") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat())))
+    val emb = rows.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      // mirror DotF32's sequential fold order
+      for (j <- a.indices) { d += a(j).toDouble * b(j).toDouble }
+      for (j <- a.indices) { na += a(j).toDouble * a(j).toDouble }
+      for (j <- b.indices) { nb += b(j).toDouble * b(j).toDouble }
+      if (na == 0 || nb == 0) 0.0
+      else math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val exact = rows.map { case (q, qv) =>
+      q -> rows.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Extensions.knnJoin(emb.repartition(parts), "embedding",
+          "vec_id", k = 3, nCells = 4, nprobe = 4)
+        .orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSeq }
+      assert(got == exact, s"parts=$parts")
+    }
+  }
+
+  test("knnJoin pruned probes keep recall above the pinned floor vs " +
+      "the exhaustive join at sf0.01") {
+    val emb = graft.engine.Tables.embeddings(TestSpark.spark,
+      "/root/testdata/sf0.01")
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Extensions.knnJoin(emb, "embedding", "vec_id",
+      k = 5, nCells = 8, nprobe = 8))
+    val pruned = sets(Extensions.knnJoin(emb, "embedding", "vec_id",
+      k = 5, nCells = 8, nprobe = 3))
+    val qids = exact.keys.toSeq
+    val recall = qids.map(q => pruned.getOrElse(q, Set.empty[Long])
+      .intersect(exact(q)).size / 5.0).sum / qids.size
+    info(f"knnJoin mean recall@5 (nprobe 3/8) = $recall%.3f")
+    assert(recall >= 0.50, f"knnJoin pruned recall regressed: $recall%.3f")
+  }
+
   test("ann bucketed returns ranked neighbors deterministically") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
