@@ -1252,7 +1252,8 @@ object ExtensionQueries {
              |  SELECT doc_id, source,
              |         len(string_split(lower(text), ' '))::BIGINT
              |           AS n_tokens
-             |  FROM documents),
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
              |c AS (
              |  SELECT doc_id, source, n_tokens,
              |         sum(n_tokens) OVER (PARTITION BY source

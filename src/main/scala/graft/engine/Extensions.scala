@@ -2370,26 +2370,45 @@ object Extensions {
     // input that already carries n_tokens may pass it as the count)
     requireNoReserved(docs, Seq("__mx", "__b", "__bs", "__off",
       "running_tokens"))
-    val base = docs.select(col(idCol), col(sourceCol),
-      tokenCount.cast("long").as("n_tokens"))
-    val mx = base.agg(greatest(max(col(idCol)).cast("double"), lit(0.0))
-      .as("__mx"))
+    // null id/source rows are excluded BY CONTRACT (both are grouping/
+    // ordering keys — the streaming twin's groupByKey has the same
+    // requirement in practice, and a null key would silently vanish in
+    // the (source, bucket) equi-join anyway). The up-front filter also
+    // keeps the offsets branch's subtree canonically EQUAL to the
+    // running-sum branch's (the join would otherwise push IsNotNull
+    // into one copy only and the corpus would tokenize twice — the
+    // tokenPmi lesson; PlanSpec pins <=2 scans: this shared one plus
+    // the id-only 1-row max for the bucket bounds).
+    val base = docs
+      .filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol),
+        tokenCount.cast("long").as("n_tokens"))
+    val mx = docs.filter(col(idCol).isNotNull)
+      .agg(greatest(max(col(idCol)).cast("double"), lit(0.0)).as("__mx"))
     val withB = base.crossJoin(broadcast(mx))
-      .withColumn("__b", least(lit(255), greatest(lit(0),
+      .withColumn("__b", coalesce(least(lit(255), greatest(lit(0),
         floor(col(idCol).cast("double") * 256.0 / (col("__mx") + 1.0))
-          .cast("int"))))
+          .cast("int"))), lit(0)))
       .drop("__mx")
-    val wOff = Window.partitionBy(sourceCol).orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy(sourceCol, "__b")
-      .agg(sum("n_tokens").as("__bs"))
-      .withColumn("__off", coalesce(sum("__bs").over(wOff), lit(0L)))
-      .select(col(sourceCol), col("__b"), col("__off"))
+    // the bucket OFFSETS derive from the local-sum window's own output
+    // (a bucket's total = its last row's running sum = max of the
+    // running sum), so both branches sit on the SAME (source, bucket)
+    // exchange and the corpus tokenizes once — a groupBy-from-base
+    // offsets branch would build its own partial-agg exchange below a
+    // divergent subtree and re-scan (the zipf_slope canonical-form
+    // lesson; PlanSpec pins the scan count)
     val wLocal = Window.partitionBy(sourceCol, "__b").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
-    withB.join(broadcast(offsets), Seq(sourceCol, "__b"))
-      .withColumn("running_tokens",
-        col("__off") + sum("n_tokens").over(wLocal))
+    val local = withB.withColumn("__ls",
+      sum("n_tokens").over(wLocal))
+    val wOff = Window.partitionBy(sourceCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(sourceCol, "__b")
+      .agg(max("__ls").as("__bs"))
+      .withColumn("__off", coalesce(sum("__bs").over(wOff), lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__off"))
+    local.join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("running_tokens", col("__off") + col("__ls"))
       .filter(col("running_tokens") - col("n_tokens") <
         budgetPerSource)
       .select(col(idCol), col(sourceCol), col("n_tokens"),

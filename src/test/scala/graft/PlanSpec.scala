@@ -235,6 +235,11 @@ class PlanSpec extends AnyFunSuite {
             org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
     }
     assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
+    // and the corpus is tokenized ONCE: every histogram/offset branch
+    // reuses the freq exchange (r10 canonical-form fix)
+    val scans = planNode.toString.linesIterator
+      .count(l => l.contains("documents") && l.contains("ReadSchema"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$planNode")
   }
 
   test("stream_admission running sums are two-level: no window sees a " +
@@ -251,11 +256,13 @@ class PlanSpec extends AnyFunSuite {
             org.apache.spark.sql.catalyst.plans.physical.SinglePartition => w
     }
     assert(globalWin.isEmpty, s"single-partition window in:\n$planNode")
-    // and the corpus is tokenized ONCE: every histogram/offset branch
-    // reuses the freq exchange (r10 canonical-form fix)
+    // the corpus is TOKENIZED once: the running-sum branch and the
+    // offsets branch share one full-column scan (canonical-form fix);
+    // the only other scan is the id-only 1-row max for the bucket
+    // bounds (the chunkForTraining broadcast-bounds shape)
     val scans = planNode.toString.linesIterator
       .count(l => l.contains("documents") && l.contains("ReadSchema"))
-    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$planNode")
+    assert(scans <= 2, s"expected <=2 documents scans, got $scans:\n$planNode")
   }
 
   test("simhash signatures stay inside whole-stage codegen") {
