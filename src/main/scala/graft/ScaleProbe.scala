@@ -207,6 +207,29 @@ object ScaleProbe {
       // two-level running sums; sources stay fixed while volume grows
       "stream_admission" -> (f =>
         graft.SparkEntry.queries("stream_admission")(spark, s"$work/f$f")),
+      // r10 search additions. knn_join probes the DOCTRINE, not a fixed
+      // config: nCells grows with the corpus (cells stay executor-sized)
+      // so the pruned pair scan is ~nprobe·|corpus|·cellSize — linear.
+      // Permuted replicas keep cross-replica cosines scrambled (the
+      // cosine_neardup_blocked fixture argument).
+      "knn_join" -> (f => graft.engine.Extensions.knnJoin(
+        embeddingsPermAt(f), "embedding", "vec_id",
+        k = 5, nCells = 16 * f, nprobe = 4)),
+      // fixed cell count, fixed query set: candidate scan ∝ f
+      "ivfpq_topk" -> (f => graft.engine.Extensions.ivfPqTopK(
+        embeddingsAt(f), "embedding", "vec_id",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+      // the documented WORST case: anti-correlated x/y (every row
+      // survives) — output-sized work, but the bucketed phase 2 must
+      // stay linear with no single-task knee
+      "skyline_bucketed_anti" -> (f => {
+        val o = ordersAt(f)
+        graft.engine.Analytics.skyline2DBucketed(
+          o.select(col("o_orderkey"),
+            col("o_orderkey").as("x"),
+            (-col("o_orderkey")).as("y")),
+          "o_orderkey", "x", "y")
+      }),
       "bfs_distances" -> (f => {
         val li = lineitemAt(f)
         val sym = orderEdges(li, minCo = 1).select(explode(array(
