@@ -409,4 +409,39 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  val budgetDocs: Gen[(List[(Long, String, Long)], Long)] =
+    Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 500L),
+        Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 40L))),
+      Gen.chooseNum(30L, 150L))
+
+  test("tokenBudgetBatch laws: admitted rows per source are exactly " +
+      "the greedy doc_id-ordered prefix; running sums are the exact " +
+      "cumulative; prior total is always under budget") {
+    forAll(budgetDocs) { case (raw, budget) =>
+      // distinct ids (duplicates would make 'prefix' ambiguous)
+      val rows = raw.groupBy(_._1).map(_._2.head).toList
+      whenever(rows.nonEmpty) {
+        val got = Extensions.tokenBudgetBatch(
+            rows.toDF("doc_id", "source", "n_tokens"),
+            "source", "doc_id", col("n_tokens"), budget)
+          .as[(Long, String, Long, Long)].collect()
+          .groupBy(_._2).map { case (src, rs) =>
+            src -> rs.sortBy(_._1).map(r => (r._1, r._3, r._4)).toSeq }
+        val exp = rows.groupBy(_._2).map { case (src, rs) =>
+          var total = 0L
+          val admitted = rs.sortBy(_._1).flatMap { case (id, _, nt) =>
+            if (total < budget) { total += nt; Some((id, nt, total)) }
+            else None
+          }
+          src -> admitted.toSeq
+        }.filter(_._2.nonEmpty)
+        assert(got == exp, s"budget=$budget")
+        got.values.flatten.foreach { case (_, nt, run) =>
+          assert(run - nt < budget, "a row was admitted over budget")
+        }
+      }
+    }
+  }
 }
