@@ -834,7 +834,7 @@ object Extensions {
   }
 
   /** Squared L2 between two float arrays, sequential-fold double. */
-  private def pqSqDist(v: Column, c: Column): Column =
+  private[engine] def pqSqDist(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (a, b) =>
       (a.cast("double") - b) * (a.cast("double") - b)), lit(0.0), _ + _)
 
@@ -1099,7 +1099,7 @@ object Extensions {
     * capped at the fit-set size (MLlib rejects k > n and k < 2); a
     * single-row corpus yields that row's subvectors directly (exact).
     */
-  private def pqCodebookOf(emb: DataFrame, embCol: String, idCol: String,
+  private[engine] def pqCodebookOf(emb: DataFrame, embCol: String, idCol: String,
       m: Int, k: Int, seed: Long): Seq[Seq[Seq[Float]]] = {
     val dim = emb.select(size(col(embCol))).head().getInt(0)
     val sub = dim / m

@@ -175,4 +175,129 @@ object IvfIndex {
     val corpus = spark.read.parquet(s"$path/cells")
     new IvfIndex(cents, corpus, idCol, embCol)
   }
+
+  /** Write a PQ-codes sidecar beside a SAVED index — the persisted
+    * form of [[Extensions.ivfPqTopK]] (FAISS IVFPQ's on-disk shape):
+    * `$path/codebook` (m per-subspace codebooks, k rows each) and
+    * `$path/codes` (per row: id + m small ints, parquet-partitioned BY
+    * CELL like the full vectors). A probed query then reads m ints per
+    * candidate row from file-pruned code partitions instead of 4·dim
+    * bytes — the scan-bytes knob on top of save()'s which-files knob.
+    * The full-vector cells stay as the exact re-rank source (and for
+    * callers who skip re-rank, the codes sidecar alone serves).
+    */
+  def addPqCodes(spark: SparkSession, path: String, idCol: String,
+      embCol: String, m: Int = 4, kCode: Int = 16,
+      seed: Long = 42L): Unit = {
+    val corpus = spark.read.parquet(s"$path/cells")
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
+      "equal subvectors")
+    val sub = dim / m
+    val codebook = Extensions.pqCodebookOf(corpus, embCol, idCol,
+      m, kCode, seed)
+    val cbRows = for {
+      (cb, j) <- codebook.zipWithIndex
+      (cent, c) <- cb.zipWithIndex
+    } yield (j, c, cent)
+    spark.createDataFrame(cbRows).toDF("j", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val dists = (0 until m).map { j =>
+      transform(typedLit(codebook(j)), c =>
+        Extensions.pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
+    }
+    corpus.select(col(idCol),
+        array(dists.map(d =>
+          (array_position(d, array_min(d)) - 1).cast("int")): _*)
+          .as("codes"),
+        col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** Open a saved index WITH its PQ sidecar (build → save →
+    * [[addPqCodes]] → loadPq). */
+  def loadPq(spark: SparkSession, path: String, idCol: String,
+      embCol: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val cb = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    new IvfPqIndex(cents, cb, path, spark, idCol, embCol)
+  }
+}
+
+/** Persisted IVF+PQ query path (see [[IvfIndex.addPqCodes]]): probe →
+  * file-pruned ADC scan over the codes sidecar → exact re-rank of the
+  * shortlist from the full-vector cells. Output matches
+  * [[Extensions.ivfPqTopK]]: (query_id, neighbor_id, l2_dist, rank).
+  */
+final class IvfPqIndex private[engine] (
+    centroids: Seq[(Int, Array[Float])],
+    codebook: Seq[Seq[Seq[Float]]],
+    path: String,
+    spark: SparkSession,
+    idCol: String,
+    embCol: String) {
+
+  private val m = codebook.size
+  private def cellsDf = spark.read.parquet(s"$path/cells")
+  private def codesDf = spark.read.parquet(s"$path/codes")
+
+  def queryByIds(queryIds: Seq[Long], k: Int, nprobe: Int,
+      refineFactor: Int = 4): DataFrame =
+    query(cellsDf.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("__q")),
+      k, nprobe, refineFactor)
+
+  /** `queries` must carry (query_id, __q: array<float>). */
+  def query(queries: DataFrame, k: Int, nprobe: Int,
+      refineFactor: Int): DataFrame = {
+    require(k > 0 && nprobe > 0 && refineFactor > 0,
+      "k, nprobe and refineFactor must be positive")
+    val dim = codebook.head.head.size * m
+    val sub = dim / m
+    val centDf = spark.createDataFrame(centroids)
+      .toDF("__cell", "__centroid")
+    // bounded rank window — |centroids| rows per query (see IvfIndex)
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("__cdist",
+        Extensions.pqSqDist(col("__q"), col("__centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("__cdist"), asc("__cell"))))
+      .filter(col("__crank") <= nprobe)
+      .select(col("query_id"), col("__q"), col("__cell"))
+    // probed cell ids as LITERALS → file-level pruning on BOTH the
+    // codes scan and the re-rank's cells scan
+    val cells = probed.select("__cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cellLits = cells.toSeq.map(Integer.valueOf)
+    val adc = (0 until m).map { j =>
+      Extensions.pqSqDist(slice(col("__q"), j * sub + 1, sub),
+        element_at(typedLit(codebook(j)), col("codes")(j) + 1))
+    }.reduce(_ + _)
+    val shortlist = codesDf.filter(col("__cell").isin(cellLits: _*))
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("__cell"))
+      .join(broadcast(probed), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adc, 6).as("adc_dist"))
+      .transform(Extensions.topKBy(_, "query_id", "neighbor_id",
+        "adc_dist", k * refineFactor, smallestFirst = true))
+    val full = cellsDf.filter(col("__cell").isin(cellLits: _*))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__e"))
+    shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(full, Seq("neighbor_id"))
+      .join(queries.select(col("query_id"), col("__q")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Extensions.pqSqDist(col("__e"), col("__q")), 6)
+          .as("l2_dist"))
+      .transform(Extensions.topKBy(_, "query_id", "neighbor_id",
+        "l2_dist", k, smallestFirst = true))
+  }
 }

@@ -100,4 +100,52 @@ class IvfIndexSpec extends AnyFunSuite {
       IvfIndex.build(bad, "embedding", "vec_id")
     }
   }
+
+  test("PQ sidecar: exhaustive-parameter queries on the persisted " +
+      "IVF+PQ layout equal exact L2 top-k, and the codes scan is " +
+      "file-pruned on probed cells") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 8).save(dir)
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    val idx = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+    // exhaustive probes + corpus-covering shortlist: the PQ stage can
+    // only reorder the shortlist, the exact re-rank restores true L2
+    // top-k — independent of both KMeans fits
+    val n = emb.count().toInt
+    val out = idx.queryByIds(queryIds, k = 5, nprobe = 8,
+      refineFactor = n)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0
+      for (j <- a.indices) {
+        val x = a(j).toDouble - b(j).toDouble; d += x * x
+      }
+      math.rint(d * 1e6) / 1e6
+    }
+    val exact = queryIds.map { q =>
+      val qv = rows.find(_._1 == q).get._2
+      q -> rows.filter(_._1 != q)
+        .map { case (id, v) => (id, sq(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = out.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .toSeq.groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSeq }
+    assert(got == exact)
+    // pruned probes: the codes scan must carry a partition filter
+    val pruned = idx.queryByIds(queryIds, k = 5, nprobe = 3)
+    pruned.collect()
+    val plan = (pruned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    val codesScan = plan.linesIterator
+      .find(l => l.contains("codes") && l.contains("PartitionFilters") &&
+        l.contains("__cell"))
+    assert(codesScan.isDefined, s"no partition-filtered codes scan in:\n$plan")
+  }
 }
