@@ -215,6 +215,52 @@ object IvfIndex {
       .parquet(s"$path/codes")
   }
 
+  /** Append new vectors to a saved index's PQ sidecar under the
+    * FROZEN quantizer and codebooks — the codes-side companion of
+    * [[appendToSaved]] (call both to grow the layout: cells for the
+    * re-rank source, codes for the scan). Cell assignment and PQ
+    * encoding are pure literal-codebook projections, so the append is
+    * one codegen'd pass over the new rows; new ids must be disjoint
+    * from stored ones (dedup upstream). Retrain cadence: when cells go
+    * lopsided or codebook reconstruction error drifts, rebuild —
+    * frozen-dictionary growth between rebuilds is the standard IVFPQ
+    * operating mode.
+    */
+  def appendPqToSaved(spark: SparkSession, path: String, emb: DataFrame,
+      embCol: String, idCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "saved quantizer cell ids must be contiguous 0..n-1")
+    val codebook = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val m = codebook.size
+    val dim = codebook.head.head.size * m
+    val sub = dim / m
+    val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
+    val cellDists = transform(typedLit(centArrays), c =>
+      aggregate(zip_with(col(embCol), c,
+        (x, cc) => (x.cast("double") - cc.cast("double")) *
+          (x.cast("double") - cc.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    val codeDists = (0 until m).map { j =>
+      transform(typedLit(codebook(j)), c =>
+        Extensions.pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
+    }
+    emb.select(col(idCol),
+        array(codeDists.map(d =>
+          (array_position(d, array_min(d)) - 1).cast("int")): _*)
+          .as("codes"),
+        (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
+          .as("__cell"))
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/codes")
+  }
+
   /** Open a saved index WITH its PQ sidecar (build → save →
     * [[addPqCodes]] → loadPq). */
   def loadPq(spark: SparkSession, path: String, idCol: String,

@@ -148,4 +148,44 @@ class IvfIndexSpec extends AnyFunSuite {
         l.contains("__cell"))
     assert(codesScan.isDefined, s"no partition-filtered codes scan in:\n$plan")
   }
+
+  test("PQ sidecar growth: appended vectors join the layout under the " +
+      "frozen quantizer+codebooks and exhaustive queries stay exact " +
+      "over the grown corpus") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 80)
+    val extra = emb.filter(col("vec_id") >= 80 && col("vec_id") < 100)
+    val dir = Files.createTempDirectory("graft-ivfpq-grow").toString
+    IvfIndex.build(base, "embedding", "vec_id", nCells = 8).save(dir)
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    IvfIndex.appendToSaved(spark, dir, extra, "embedding", "vec_id")
+    IvfIndex.appendPqToSaved(spark, dir, extra, "embedding", "vec_id")
+    val idx = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+    val grown = emb.filter(col("vec_id") < 100)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0
+      for (j <- a.indices) {
+        val x = a(j).toDouble - b(j).toDouble; d += x * x
+      }
+      math.rint(d * 1e6) / 1e6
+    }
+    // query an APPENDED id: exhaustive probes + corpus-covering
+    // shortlist make the answer the exact L2 top-k over the grown
+    // corpus, independent of the frozen fits
+    val exact = Seq(85L).map { q =>
+      val qv = grown.find(_._1 == q).get._2
+      q -> grown.filter(_._1 != q)
+        .map { case (id, v) => (id, sq(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = idx.queryByIds(Seq(85L), k = 5, nprobe = 8,
+        refineFactor = grown.length)
+      .orderBy("rank").select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSeq }
+    assert(got == exact)
+  }
 }
