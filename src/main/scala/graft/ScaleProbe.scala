@@ -250,11 +250,42 @@ object ScaleProbe {
     val selected = shapes.filter { case (n, _) =>
       onlyShapes.forall(_.contains(n)) }
 
-    // generate everything first so write time never leaks into a timing,
+    // generate ONLY the fixtures the selected shapes read (a filtered
+    // sweep must not pay minutes of unrelated replica writes), and do
+    // it before timing so write time never leaks into a measurement;
     // then one JVM warmup pass at the smallest factor
+    val tablesFor: Map[String, Set[String]] = Map(
+      "basket_affinity" -> Set("lineitem"),
+      "triangle_count" -> Set("lineitem"),
+      "edge_jaccard" -> Set("lineitem"),
+      "bfs_distances" -> Set("lineitem"),
+      "dedup_clusters" -> Set("documents"),
+      "span_dedup" -> Set("documents"),
+      "token_pmi" -> Set("documents"),
+      "bpe_merges" -> Set("documents"),
+      "bpe_stats" -> Set("documents"),
+      "length_batching" -> Set("documents"),
+      "zipf_slope" -> Set("documents"),
+      "stream_admission" -> Set("documents"),
+      "bloom_decontaminate" -> Set("documents"),
+      "ann_ivf" -> Set("embeddings"),
+      "pq_topk" -> Set("embeddings"),
+      "ivfpq_topk" -> Set("embeddings"),
+      "cosine_neardup_blocked" -> Set("embeddings_perm"),
+      "semantic_dedup" -> Set("embeddings_perm"),
+      "knn_join" -> Set("embeddings_perm"),
+      "ewma_smooth" -> Set("orders"),
+      "skyline_bucketed_anti" -> Set("orders"),
+      "pit_join" -> Set("lineitem", "orders"))
+    val needed = selected.flatMap { case (n, _) =>
+      tablesFor.getOrElse(n, Set("lineitem", "documents", "embeddings",
+        "embeddings_perm", "orders")) }.toSet
     factors.foreach { f =>
-      lineitemAt(f); documentsAt(f); embeddingsAt(f); embeddingsPermAt(f)
-      ordersAt(f)
+      if (needed("lineitem")) lineitemAt(f)
+      if (needed("documents")) documentsAt(f)
+      if (needed("embeddings")) embeddingsAt(f)
+      if (needed("embeddings_perm")) embeddingsPermAt(f)
+      if (needed("orders")) ordersAt(f)
     }
     selected.foreach { case (_, mk) => mk(factors.head).count() }
 

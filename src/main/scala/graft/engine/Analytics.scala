@@ -2022,17 +2022,35 @@ object Analytics {
       narrowed.withColumn("__pid", spark_partition_id()),
       Window.partitionBy("__pid"), xCol, yCol).drop("__pid")
     val xd = col(xCol).cast("double")
-    val stats = local.agg(min(xd).as("__xmin"), max(xd).as("__xmax"))
+    // bounds from the RAW input, not the survivors: any cover of the
+    // survivor range buckets correctly, and aggregating narrowed keeps
+    // the stats branch a plain column-pruned scan instead of a third
+    // execution of the phase-1 window pass
+    val stats = narrowed.agg(min(xd).as("__xmin"), max(xd).as("__xmax"))
+    // NULL x is tested FIRST and lands in bucket 0 (the lowest-x
+    // bucket) — mirroring skyline2D's window semantics, where null x
+    // sorts LAST under the desc dense_rank (null never dominates, and
+    // anything with larger y dominates it). The check must precede the
+    // clamp: Spark's least()/greatest() SKIP nulls, so least(63,
+    // floor(null)) is 63, not null — a trailing coalesce never fires
+    // and null-x rows would land in the TOP bucket, where their y
+    // wrongly prunes every lower bucket (caught by the null fixture in
+    // the identity law).
     val withB = local.crossJoin(broadcast(stats))
       .withColumn("__b",
-        when(col("__xmax") === col("__xmin"), lit(0))
+        when(xd.isNull || col("__xmax") === col("__xmin"), lit(0))
           .otherwise(least(lit(nBuckets - 1),
             floor((xd - col("__xmin")) /
               ((col("__xmax") - col("__xmin")) / nBuckets)).cast("int"))))
       .drop("__xmin", "__xmax")
     val inBucket = undominatedIn(withB,
       Window.partitionBy("__b"), xCol, yCol)
-    val bmax = withB.groupBy("__b").agg(max(col(yCol)).as("__bmax"))
+    // bucket maxima from the PRUNED rows: a bucket's max-y row cannot
+    // be dominated within its bucket (nothing there has strictly
+    // greater y), so it always survives the in-bucket pass and
+    // max(y) over inBucket == max(y) over withB — deriving bmax from
+    // inBucket spares a second execution of the phase-1+bucket chain
+    val bmax = inBucket.groupBy("__b").agg(max(col(yCol)).as("__bmax"))
     val pmax = bmax
       .join(broadcast(bmax.select(col("__b").as("__hb"),
         col("__bmax").as("__hm"))), col("__hb") > col("__b"), "left")

@@ -52,12 +52,17 @@ object ExtensionQueries {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
          |w$r AS (
+         |  -- LEFT JOIN ON true, not a cross join: when merges exhaust
+         |  -- early (no pairs left) b$r is EMPTY, and a cross join
+         |  -- would wipe the word table while Spark keeps segmenting —
+         |  -- with null a/b the CASE's WHEN is NULL, so every symbol
+         |  -- falls to the ELSE and the segmentation passes unchanged
          |  SELECT string_split(list_reduce(s, (acc, x) -> CASE
          |           WHEN (acc = b$r.a OR ends_with(acc, chr(31) || b$r.a))
          |                AND x = b$r.b
          |           THEN acc || x
          |           ELSE acc || chr(31) || x END), chr(31)) AS s, f, nc
-         |  FROM $prev, b$r)""".stripMargin
+         |  FROM $prev LEFT JOIN b$r ON true)""".stripMargin
     }.mkString(",")
 
   val catalog: Seq[QuerySpec] = Seq(

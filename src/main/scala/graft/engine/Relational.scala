@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,20 @@ object Relational {
 
   /** DuckDB-side truncated epoch seconds for events.ts (see scaladoc). */
   private val EpochS = "epoch_us(ts)//1000000"
+
+  /** Overflow-guarded composite time key `epoch·slot + off` for the
+    * as-of/PIT queries: raises loudly instead of silently wrapping
+    * when the product would exceed a long (with ANSI off, Spark wraps
+    * long multiplication — garbage orderings, wrong matches, and an
+    * oracle that errors while Spark "succeeds"). assert_true returns
+    * NULL on success, so the `when` wrapper cannot be pruned away. */
+  private def slotKey(epoch: Column, slot: Column, off: Column): Column =
+    when(assert_true(epoch <= (lit(Long.MaxValue) - off) / slot,
+        lit("composite time key overflows long: epoch*slot+off " +
+          "exceeds Long.MaxValue — the derived slot outgrew the " +
+          "epoch range; widen the key to decimal at this scale"))
+        .isNull,
+      epoch * slot + off)
 
   val catalog: Seq[QuerySpec] = Seq(
 
@@ -494,14 +508,14 @@ object Relational {
             .cast("long").as("__slot"))
         val ev = events(s, d).crossJoin(broadcast(slot))
           .select(col("event_id"), col("user_id"),
-            (col("ts").cast("long") * col("__slot")
-              + (col("__slot") - 1L)).as("e_k"))
+            slotKey(col("ts").cast("long"), col("__slot"),
+              col("__slot") - 1L).as("e_k"))
         val ord = orders(s, d).crossJoin(broadcast(slot))
           .select(col("o_custkey"),
           // o_orderdate is TIMESTAMP_NTZ: cast via TIMESTAMP (session tz
           // is pinned UTC) to get epoch seconds
-          (col("o_orderdate").cast("timestamp").cast("long") * col("__slot")
-            + col("o_orderkey")).as("o_k"),
+          slotKey(col("o_orderdate").cast("timestamp").cast("long"),
+            col("__slot"), col("o_orderkey")).as("o_k"),
           col("o_orderkey"), col("o_totalprice"))
         graft.operators.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey",
             "e_k", "o_k", Seq("o_orderkey", "o_totalprice"))
@@ -544,8 +558,8 @@ object Relational {
         val ord = orders(s, d).crossJoin(broadcast(slot))
           .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderpriority"),
-          (col("o_orderdate").cast("timestamp").cast("long") * col("__slot")
-            + col("o_orderkey")).as("__from"))
+          slotKey(col("o_orderdate").cast("timestamp").cast("long"),
+            col("__slot"), col("o_orderkey")).as("__from"))
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("__from"))
         val dim = ord.select(col("o_custkey").as("__dk"),
@@ -555,8 +569,8 @@ object Relational {
         val fact = lineitem(s, d).crossJoin(broadcast(slot))
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey"),
-            (col("l_shipdate").cast("timestamp").cast("long") * col("__slot")
-              + (col("__slot") - 1L)).as("__ts"))
+            slotKey(col("l_shipdate").cast("timestamp").cast("long"),
+              col("__slot"), col("__slot") - 1L).as("__ts"))
           .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .drop("o_orderkey")

@@ -57,12 +57,17 @@ object Scale {
     // fingerprint (ADVICE r9): a second call with the same (name, tag)
     // but a different layout must MISS and materialize its own table,
     // never silently reuse a table bucketed on the wrong key/count or
-    // carrying a stale column set. hashCode of the composed string is
-    // stable across JVMs (String.hashCode is specified).
+    // carrying a stale column set. Key and bucket count embed READABLY
+    // (identifier-sanitized) so two layouts can only collide if they
+    // share key+count AND their (tag, schema) strings collide on the
+    // 31-bit hash — not merely any two layouts. hashCode is stable
+    // across JVMs (String.hashCode is specified).
     val schemaFp = d.schema.fields
       .map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
-    val tag = s"$sourceTag|$key|$buckets|$schemaFp"
-    val table = f"graft_bkt_${name}_${tag.hashCode & 0x7fffffff}%08x"
+    val keyId = key.toLowerCase.map(c => if (c.isLetterOrDigit) c else '_')
+    val tag = s"$sourceTag|$schemaFp"
+    val table = f"graft_bkt_${name}_${keyId}_${buckets}_" +
+      f"${tag.hashCode & 0x7fffffff}%08x"
     if (!spark.catalog.tableExists(table)) {
       // files without a catalog entry = leftovers from a previous
       // session's in-memory catalog — dead weight; clear before writing

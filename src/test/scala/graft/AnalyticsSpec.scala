@@ -1140,6 +1140,18 @@ class AnalyticsSpec extends AnyFunSuite {
         .select("id").as[Long].collect().toSet
       assert(got == exp, s"n=${pts.size} parts=$parts nb=$nb")
     }
+    // NULL x must not be mis-bucketed into the top range: both forms
+    // treat null x as "never dominates, dominated by any larger y"
+    val withNulls = Seq((1L, Some(5L), 100L), (2L, None, 200L),
+      (3L, Some(9L), 40L), (4L, None, 50L), (5L, Some(2L), 150L))
+    for (nb <- Seq(1, 8, 64)) {
+      val df = withNulls.toDF("id", "x", "y").repartition(3)
+      val exp = Analytics.skyline2D(df, "id", "x", "y")
+        .select("id").as[Long].collect().toSet
+      val got = Analytics.skyline2DBucketed(df, "id", "x", "y", nb)
+        .select("id").as[Long].collect().toSet
+      assert(got == exp, s"null-x fixture nb=$nb: $got != $exp")
+    }
   }
 
   test("skyline2DBucketed never runs a single-partition window, even " +

@@ -303,8 +303,12 @@ class ScaleSpec extends AnyFunSuite {
       "cache hit materialized a new table")
     // stale location (files on disk, no catalog entry — a previous
     // session's leftovers) is cleared and the write succeeds
+    // (table name mirrors ensureBucketed's layout-keyed formula)
     val tag = "stale-tag"
-    val table = f"graft_bkt_sp_s_${tag.hashCode & 0x7fffffff}%08x"
+    val schemaFp = c.schema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+    val table = f"graft_bkt_sp_s_c_custkey_4_" +
+      f"${s"$tag|$schemaFp".hashCode & 0x7fffffff}%08x"
     val loc = new java.io.File(new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
     assert(loc.mkdirs())
@@ -312,6 +316,11 @@ class ScaleSpec extends AnyFunSuite {
       new java.io.File(loc, "junk").toPath, "stale")
     val bs = Scale.ensureBucketed(spark, c, "sp_s", tag, "c_custkey", 4)
     assert(bs.count() == c.count())
+    // guard against formula drift: if ensureBucketed's table-name
+    // scheme changes, the junk above lands at the wrong path and this
+    // test stops exercising recovery — fail loudly instead
+    assert(spark.catalog.tableExists(table),
+      s"ensureBucketed did not create $table — name formula drifted")
   }
 
   test("ensureBucketed cache key folds in bucket key, count, and " +

@@ -50,7 +50,7 @@ for name in manifest:
     widened = [f"{r.column_name}:{r.column_type}"
                for r in otypes.itertuples()
                if any(t in str(r.column_type).upper()
-                      for t in ("HUGEINT", "UHUGEINT"))]
+                      for t in ("HUGEINT", "UHUGEINT", "DECIMAL"))]
     if widened:
         print(f"FAIL {name}: oracle emits driver-hostile type(s) "
               f"{widened} — cast to ::BIGINT in the oracle SQL")
