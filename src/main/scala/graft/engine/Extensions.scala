@@ -780,11 +780,19 @@ object Extensions {
     */
   def cosineVsQuery(emb: DataFrame, embCol: String, idCol: String,
       queryId: Long): DataFrame = {
+    // the query norm rides in the broadcast row instead of refolding
+    // per corpus row; identical op sequence to cosine(), so scores are
+    // bit-unchanged (see knnJoin's norm-hoist rationale)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(embCol).as("__q"))
+      .select(col(embCol).as("__q"),
+        sqrt(dot(col(embCol), col(embCol))).as("__nq"))
     val joined = emb.crossJoin(broadcast(q))
     joined.select(col(idCol),
-      cosine(col(embCol), col("__q")).as("cosine_sim"))
+      when(sqrt(dot(col(embCol), col(embCol))) =!= 0 &&
+          col("__nq") =!= 0,
+        dot(col(embCol), col("__q")) /
+          (sqrt(dot(col(embCol), col(embCol))) * col("__nq")))
+        .otherwise(0.0).as("cosine_sim"))
   }
 
   /** Product quantization (PQ): split each embedding into `m`

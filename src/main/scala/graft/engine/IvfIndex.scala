@@ -67,14 +67,23 @@ final class IvfIndex private (
     // partitions — a join key can't prune files
     val cells = probed.select("__cell").distinct()
       .collect().map(_.getInt(0)).sorted
+    // norms hoisted to one per-row column (the knnJoin/annIvf
+    // optimization): cosine() would refold |e| and |q| per candidate;
+    // d / (ne * nq) with precomputed norms is the identical op
+    // sequence, so scores are bit-unchanged (annIvf parity spec)
+    val probedN = probed.withColumn("__nq",
+      sqrt(Extensions.dot(col("__q"), col("__q"))))
     corpus.filter(col("__cell").isin(cells.toSeq.map(Integer.valueOf): _*))
       .select(col(idCol).as("neighbor_id"), col(embCol).as("__e"),
+        sqrt(Extensions.dot(col(embCol), col(embCol))).as("__ne"),
         col("__cell"))
-      .join(broadcast(probed), Seq("__cell"))
+      .join(broadcast(probedN), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Extensions.cosine(col("__e"), col("__q")), 6)
-          .as("cosine_sim"))
+        round(when(col("__ne") =!= 0 && col("__nq") =!= 0,
+          Extensions.dot(col("__e"), col("__q")) /
+            (col("__ne") * col("__nq")))
+          .otherwise(0.0), 6).as("cosine_sim"))
       // probed cells bound the EXPECTED candidate count, not the worst
       // case (skewed clustering) — bounded-heap rank, not a per-query
       // window sort (see Extensions.topKBy)
