@@ -241,6 +241,17 @@ object ExtensionQueries {
              |SELECT query_id, neighbor_id, cosine_sim, rank FROM r
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // ── all-rows k-NN self-join, PRODUCTION configuration: pruned
+    // probes scan nprobe/nCells of the corpus per row — the config the
+    // scale story runs on (ScaleProbe exponent 0.34 under grow-nCells;
+    // seeded KMeans blocking → rows-only here, recall law pinned in
+    // ExtensionsSpec against the exhaustive form) ───────────────────────
+    QuerySpec("knn_join_pruned",
+      (s, d) => Extensions.knnJoin(embeddings(s, d), "embedding",
+          "vec_id", k = 3, nCells = 16, nprobe = 4)
+        .orderBy("query_id", "rank"),
+      None),
+
     // ── all-rows k-NN self-join (every row's top-3 neighbors — the
     // hard-negative-mining shape). Exhaustive probes here (nprobe =
     // nCells) so every pair is scored exactly once and the result is
