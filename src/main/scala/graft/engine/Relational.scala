@@ -40,7 +40,7 @@ object Relational {
     * long multiplication — garbage orderings, wrong matches, and an
     * oracle that errors while Spark "succeeds"). assert_true returns
     * NULL on success, so the `when` wrapper cannot be pruned away. */
-  private def slotKey(epoch: Column, slot: Column, off: Column): Column =
+  private[graft] def slotKey(epoch: Column, slot: Column, off: Column): Column =
     when(assert_true(epoch <= (lit(Long.MaxValue) - off) / slot,
         lit("composite time key overflows long: epoch*slot+off " +
           "exceeds Long.MaxValue — the derived slot outgrew the " +

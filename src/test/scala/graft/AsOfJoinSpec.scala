@@ -69,4 +69,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       .filter($"id" === 3L).select("attr").as[String].head()
     assert(asOfOnly == "X")
   }
+
+  test("slotKey overflow guard: a product past Long.MaxValue raises " +
+      "loudly instead of silently wrapping; safe inputs pass through") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val safe = Seq((800000000L, 999L)).toDF("ep", "off")
+      .select(graft.engine.Relational.slotKey(col("ep"), lit(1000L),
+        col("off")).as("k"))
+      .as[Long].collect()
+    assert(safe.toSeq == Seq(800000000L * 1000L + 999L))
+    val huge = Seq((4611686018427387904L, 999L)).toDF("ep", "off")
+    val ex = intercept[Exception] {
+      huge.select(graft.engine.Relational.slotKey(col("ep"), lit(1000L),
+        col("off"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("composite time key overflows")),
+      s"unexpected failure: $ex")
+  }
 }
