@@ -1292,6 +1292,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(1) == ((2L, 3, 1, "1,2,0")))
   }
 
+  test("zipfSlope equals the global-rank brute force bit-for-bit on a " +
+      "tie-heavy corpus, across partitionings (the r10 histogram-rank " +
+      "permutation-invariance claim, adversarially checked)") {
+    // many words share frequencies (hapax-heavy + planted tie groups),
+    // so the salted tie-group machinery is fully exercised
+    val rnd = new scala.util.Random(13)
+    val words = (0 until 120).map(i => s"w${i}%02d")
+    val corpus = (0 until 400).map { _ =>
+      words(rnd.nextInt(words.size))
+    } ++ words // every word at least once; long hapax tail
+    val text = corpus.mkString(" ")
+    // brute force: the ORIGINAL global (f desc, w asc) rank formula
+    val freq = corpus.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (w, f) => (-f, w) }
+    val xs = freq.zipWithIndex.map { case (_, i) =>
+      math.rint(math.log((i + 1).toDouble) * 1e6).toLong }
+    val ys = freq.map { case (_, f) =>
+      math.rint(math.log(f.toDouble) * 1e6).toLong }
+    val n = BigInt(freq.size)
+    val sx = xs.map(BigInt(_)).sum
+    val sy = ys.map(BigInt(_)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x * y) }.sum
+    val sxx = xs.map(x => BigInt(x * x)).sum
+    val syy = ys.map(y => BigInt(y * y)).sum
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expSlope = r6(num.toDouble / denX.toDouble)
+    val expR2 = r6(num.toDouble * num.toDouble /
+      (denX.toDouble * denY.toDouble))
+    for (parts <- Seq(1, 7, 32)) {
+      val docs = Seq((1L, text)).toDF("doc_id", "text").repartition(parts)
+      val (nt, slope, r2) = Extensions.zipfSlope(docs, "text")
+        .as[(Long, Double, Double)].head()
+      assert(nt == freq.size.toLong, s"parts=$parts")
+      assert(slope == expSlope, s"parts=$parts: $slope != $expSlope")
+      assert(r2 == expR2, s"parts=$parts: $r2 != $expR2")
+    }
+  }
+
   test("zipfSlope: an exact power-law corpus (f·r = const) fits slope " +
       "-1 with r² = 1; n_terms counts the vocabulary") {
     // counts 6, 3, 2 at ranks 1, 2, 3: ln f = ln 6 − ln r exactly
