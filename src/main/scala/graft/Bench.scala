@@ -70,7 +70,33 @@ object Bench {
       val ok = runs.forall(_._2)
       (name, if (ok) runs.map(_._1).min else -1.0, ok)
     }
+    // Driver-spike self-adjudication (VERDICT r10 #7): the cold pass
+    // re-times its 10 slowest successes, twice each in seeded-shuffled
+    // order, recording each query's MIN re-run. Every round's apparent
+    // regressions have been host-noise spikes sweeping a contiguous
+    // span of the cold run; a cold value far above its requeried value
+    // is that noise, while a real regression reproduces. Cost ≈ 2× the
+    // top-10 tail (~15 s at sf0.1); the headline "total"/"queries"
+    // stay the single-cold-run semantics of every prior round.
+    // Skipped under SPARK_GRAFT_REPEAT>1 (min-of-n already adjudicates).
+    val requeried: Seq[(String, Double)] =
+      if (repeat > 1) Seq.empty
+      else {
+        val fns = SparkEntry.queries
+        val top = results.filter(_._3).sortBy(-_._2).take(10).map(_._1)
+        new scala.util.Random(7L).shuffle(top ++ top)
+          .map { name =>
+            val t0 = System.nanoTime()
+            try { fns(name)(spark, sfDir).count(); () }
+            catch { case _: Throwable => () }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min)
+          .toSeq.sortBy(_._1)
+      }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rq = requeried.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -80,7 +106,7 @@ object Bench {
     // summary must also sit last to survive them. Duplicate keys are
     // valid JSON (json.loads keeps the last occurrence — same values).
     val head = s""""metric":"total","value":$total,"unit":"sec""""
-    println(s"""{$head,"queries":$qs,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},$head}""")
+    println(s"""{$head,"queries":$qs,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},$head}""")
     spark.stop()
   }
 }

@@ -2026,8 +2026,21 @@ object Analytics {
     // survivor range buckets correctly, and aggregating narrowed keeps
     // the stats branch a plain column-pruned scan instead of a third
     // execution of the phase-1 window pass
-    val stats = narrowed.agg(min(xd).as("__xmin"), max(xd).as("__xmax"))
-    // NULL x is tested FIRST and lands in bucket 0 (the lowest-x
+    // Bounds exclude NaN: Spark's max() would return NaN (it sorts as
+    // the LARGEST double), poisoning the bucket arithmetic for every
+    // finite row — NaN rows get their own explicit route below.
+    val stats = narrowed.agg(
+      min(when(!isnan(xd), xd)).as("__xmin"),
+      max(when(!isnan(xd), xd)).as("__xmax"))
+    // NaN x is tested FIRST and lands in the TOP bucket: under the
+    // desc dense_rank NaN sorts as the largest double, so a NaN-x row
+    // is never dominated (nothing has strictly greater x) and its y
+    // prunes every finite-x row — exactly a top-bucket resident.
+    // floor(NaN).cast(int) is 0 under non-ANSI eval, so without this
+    // route NaN rows would fall into bucket 0 where the cross-bucket
+    // __pmax filter wrongly kills them (ADVICE r10; pinned by the NaN
+    // fixture in the identity law).
+    // NULL x is tested NEXT and lands in bucket 0 (the lowest-x
     // bucket) — mirroring skyline2D's window semantics, where null x
     // sorts LAST under the desc dense_rank (null never dominates, and
     // anything with larger y dominates it). The check must precede the
@@ -2038,7 +2051,8 @@ object Analytics {
     // the identity law).
     val withB = local.crossJoin(broadcast(stats))
       .withColumn("__b",
-        when(xd.isNull || col("__xmax") === col("__xmin"), lit(0))
+        when(isnan(xd), lit(nBuckets - 1))
+          .when(xd.isNull || col("__xmax") === col("__xmin"), lit(0))
           .otherwise(least(lit(nBuckets - 1),
             floor((xd - col("__xmin")) /
               ((col("__xmax") - col("__xmin")) / nBuckets)).cast("int"))))

@@ -458,16 +458,33 @@ object ExtensionQueries {
              |SELECT id_a, id_b, cosine_sim FROM p
              |WHERE cosine_sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
-    // ── bottom-k shingle-hash fingerprints (winnowing-style sketch;
-    // xxhash64 is engine-internal → rows-only + ScalaTest; the array is
-    // emitted concat_ws'd so the driver comparator can hash it) ──────────
+    // ── bottom-k shingle-hash fingerprints (winnowing-style sketch).
+    // ORACLE-exact since r11: the catalog form hashes shingles with the
+    // md5-60-bit hash both engines compute identically (the hash_split
+    // playbook), so the k-smallest-distinct set matches bit-for-bit;
+    // the xxhash64 production default stays spec-covered. The array is
+    // emitted concat_ws'd so the driver comparator can hash it ───────────
     QuerySpec("doc_fingerprints",
       (s, d) => Extensions.fingerprintBottomK(documents(s, d), "text",
-          "doc_id", n = 3, k = 8)
+          "doc_id", n = 3, k = 8, hashOf = Extensions.md5Hash60)
         .select(col("doc_id"),
           concat_ws(",", col("fingerprint")).as("fingerprint"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+2], ' ') AS shingle
+             |  FROM t, range(1, 100000) i
+             |  WHERE i.range <= len(toks) - 2),
+             |h AS (
+             |  SELECT DISTINCT doc_id,
+             |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+             |  FROM sh)
+             |SELECT doc_id,
+             |       array_to_string(list_sort(list(h))[1:8], ',') AS fingerprint
+             |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── higher-order array functions (lambda filter/transform — the
     // codegen'd alternative to UDFs for per-row collection work) ─────────
@@ -850,16 +867,53 @@ object ExtensionQueries {
              |       (substr(md5(doc_id::VARCHAR), 1, 2) < 'cd')::INT AS is_train
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ── full dedup: near-dup pairs → connected components → survivors
-    // (iterative CC — rows-only; clustering covered by ScalaTest) ────────
+    // ── full dedup: near-dup pairs → connected components → survivors.
+    // ORACLE-exact since r11 (VERDICT r10): the catalog form derives its
+    // pairs from the deterministic exact n-gram Jaccard scorer (the
+    // cc_components precedent) instead of banded SimHash, so DuckDB can
+    // re-derive the identical pair set from shingle SQL and run the same
+    // min-label closure via WITH RECURSIVE — pairs, components, AND the
+    // min-id keep flag all checked end to end. The SimHash-banded form
+    // (the at-scale candidate generator) stays spec-covered.
     // (sample-bounded like the other fuzzy-dedup queries: the tiny-
     // vocabulary synthetic corpus is pathologically self-similar)
     QuerySpec("dedup_clusters",
-      (s, d) => Extensions.dedupClusters(
-          documents(s, d).filter(col("doc_id") < 1000), "text", "doc_id",
-          maxHamming = 3)
-        .orderBy("doc_id"),
-      None),
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 600)
+        Extensions.dedupClustersFromPairs(docs, "doc_id",
+            Extensions.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+              minJaccard = 0.6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 600),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+2], ' ') AS shingle
+             |  FROM t, range(1, 100000) i
+             |  WHERE i.range <= len(toks) - 2),
+             |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM sh a JOIN sh b USING (shingle)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN c ca ON ca.doc_id = id_a
+             |  JOIN c cb ON cb.doc_id = id_b
+             |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.6),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM t
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+             |SELECT id AS doc_id, min(r) AS component,
+             |       (id = min(r))::INT AS keep
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // ── connected components PROVEN against SQL: edges from the
     // deterministic oracle-expressible ngram-Jaccard scorer (≥ 0.5), the

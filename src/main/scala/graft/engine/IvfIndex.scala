@@ -194,9 +194,12 @@ object IvfIndex {
     * bytes — the scan-bytes knob on top of save()'s which-files knob.
     * The full-vector cells stay as the exact re-rank source (and for
     * callers who skip re-rank, the codes sidecar alone serves).
+    * Defaults track [[Extensions.ivfPqTopK]]'s r11 operating point
+    * (kCode 256, query refineFactor 8 — the RecallSweep knee in
+    * BASELINE.md); the codebook sidecar stays tiny (m·kCode rows).
     */
   def addPqCodes(spark: SparkSession, path: String, idCol: String,
-      embCol: String, m: Int = 4, kCode: Int = 16,
+      embCol: String, m: Int = 4, kCode: Int = 256,
       seed: Long = 42L): Unit = {
     val corpus = spark.read.parquet(s"$path/cells")
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
@@ -304,7 +307,7 @@ final class IvfPqIndex private[engine] (
   private def codesDf = spark.read.parquet(s"$path/codes")
 
   def queryByIds(queryIds: Seq[Long], k: Int, nprobe: Int,
-      refineFactor: Int = 4): DataFrame =
+      refineFactor: Int = 8): DataFrame =
     query(cellsDf.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(embCol).as("__q")),
       k, nprobe, refineFactor)

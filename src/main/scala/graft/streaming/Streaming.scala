@@ -188,6 +188,13 @@ object Streaming {
     * non-finalized daily aggregates straddling micro-batches — is
     * OBSERVABLE from the driver instead of losing data invisibly
     * while emitting plausible output.
+    *
+    * The count is APPROXIMATE, an alarm rather than a ledger (ADVICE
+    * r10): accumulator updates inside a stateful transformation are
+    * not deduplicated by Spark, so task retries and speculative
+    * execution can inflate it. Treat `dropped > 0` as the signal
+    * (any violation is a contract bug upstream); do not reconcile
+    * the exact value against row counts.
     */
   class EwmaProcessor(alpha: Double,
       dropped: Option[org.apache.spark.util.LongAccumulator] = None)
@@ -222,7 +229,8 @@ object Streaming {
     * [[EwmaProcessor]]). RocksDB state store required, as for
     * [[tokenBudgetAdmit]]. Pass `dropped` (a driver-registered
     * LongAccumulator) to count frontier-violating daily totals the
-    * recurrence must discard — the input-contract violation detector. */
+    * recurrence must discard — the input-contract violation detector
+    * (approximate under retries/speculation; see [[EwmaProcessor]]). */
   def ewmaStream(daily: Dataset[DailyValue], alpha: Double = 0.3,
       dropped: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[EwmaPoint] = {

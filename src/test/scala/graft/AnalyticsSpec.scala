@@ -1152,6 +1152,28 @@ class AnalyticsSpec extends AnyFunSuite {
         .select("id").as[Long].collect().toSet
       assert(got == exp, s"null-x fixture nb=$nb: $got != $exp")
     }
+    // NaN x must not be mis-bucketed into bucket 0: Spark sorts NaN
+    // as the LARGEST double (a NaN-x row is never dominated and its y
+    // prunes every finite-x row), but floor(NaN).cast(int) is 0 —
+    // without the explicit top-bucket route the cross-bucket __pmax
+    // filter wrongly kills NaN rows (ADVICE r10). Mixed fixture: NaN,
+    // null, and finite x, with a NaN row whose y prunes most of the
+    // frontier and a NaN row that itself survives only via strict
+    // dominance ties.
+    val nan = Double.NaN
+    val withNaN = Seq((1L, 5.0, 100L), (2L, nan, 200L), (3L, 9.0, 40L),
+      (4L, nan, 50L), (5L, 2.0, 150L), (6L, 7.0, 300L),
+      (7L, Double.MaxValue, 10L))
+      .toDF("id", "x", "y")
+      .union(Seq((8L, Option.empty[Double], 250L)).toDF("id", "x", "y"))
+    for (nb <- Seq(1, 8, 64); parts <- Seq(1, 3)) {
+      val df = withNaN.repartition(parts)
+      val exp = Analytics.skyline2D(df, "id", "x", "y")
+        .select("id").as[Long].collect().toSet
+      val got = Analytics.skyline2DBucketed(df, "id", "x", "y", nb)
+        .select("id").as[Long].collect().toSet
+      assert(got == exp, s"NaN-x fixture nb=$nb parts=$parts: $got != $exp")
+    }
   }
 
   test("skyline2DBucketed never runs a single-partition window, even " +

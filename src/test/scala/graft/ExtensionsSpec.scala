@@ -790,10 +790,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val recall = qids.map(q => got.getOrElse(q, Set.empty[Long])
       .intersect(exact(q)).size / 10.0).sum / qids.size
     info(f"ivfPqTopK mean recall@10 = $recall%.3f")
-    // L2-ranked search vs a cosine oracle (the annBucketed ceiling
-    // argument) THROUGH cell pruning and PQ approximation — the floor
-    // sits under the seeded measured value with regeneration slack
-    assert(recall >= 0.30, f"ivfPqTopK recall@10 regressed: $recall%.3f")
+    // r11 operating point (RecallSweep curve in BASELINE.md): measured
+    // 0.92 at nprobe=8/kCode=256/refine=8; the floor sits well under
+    // the seeded measured value with regeneration slack. The cosine
+    // oracle is NOT a handicap here: the sweep measured L2-vs-cosine
+    // top-10 agreement at 1.000 on this corpus.
+    assert(recall >= 0.70, f"ivfPqTopK recall@10 regressed: $recall%.3f")
   }
 
   test("knnJoin with exhaustive probes equals the brute-force per-row " +
