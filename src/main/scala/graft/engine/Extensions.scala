@@ -848,18 +848,17 @@ object Extensions {
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
-    val sub = dim / m
     val codebook = pqCodebookOf(emb, embCol, idCol, m, k, seed)
-    // one-pass encode: per subspace, distances to the k literal
-    // codewords, argmin -> code, min -> squared error contribution
-    val dists = (0 until m).map { j =>
-      transform(typedLit(codebook(j)),
-        c => pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
-    }
-    emb.select(col(idCol),
-      array(dists.map(d =>
-        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"),
-      round(dists.map(array_min).reduce(_ + _) / dim, 6).as("recon_mse"))
+    // one-pass encode via the native kernels (graft.functions.PqOps —
+    // bit-identical to the HOF argmin form they replaced, r11): codes
+    // from the per-subspace argmin, recon from the ADC of the row's
+    // own codes (the distance to the argmin codeword IS the min). The
+    // SAME encode Column instance feeds both outputs, so codegen's
+    // subexpression elimination evaluates it once per row.
+    val codes = graft.functions.PqOps.pqEncode(col(embCol), codebook)
+    emb.select(col(idCol), codes.as("codes"),
+      round(graft.functions.PqOps.pqAdc(col(embCol), codes, codebook)
+        / dim, 6).as("recon_mse"))
   }
 
   /** Squared L2 between two float arrays, sequential-fold double. */
@@ -895,23 +894,15 @@ object Extensions {
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
-    val sub = dim / m
     // ONE codebook fit serves both the corpus encode and the query
-    // scoring lookups (pqQuantize would refit identically — seeded)
+    // scoring lookups (pqQuantize would refit identically — seeded);
+    // encode and ADC run as the native PqOps kernels (r11)
     val codebook = pqCodebookOf(emb, embCol, idCol, m, kCode, seed)
-    val dists = (0 until m).map { j =>
-      transform(typedLit(codebook(j)),
-        c => pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
-    }
     val coded = emb.select(col(idCol).as("neighbor_id"),
-      array(dists.map(d =>
-        (array_position(d, array_min(d)) - 1).cast("int")): _*).as("codes"))
+      graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"))
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(embCol).as("__q"))
-    val adc = (0 until m).map { j =>
-      pqSqDist(slice(col("__q"), j * sub + 1, sub),
-        element_at(typedLit(codebook(j)), col("codes")(j) + 1))
-    }.reduce(_ + _)
+    val adc = graft.functions.PqOps.pqAdc(col("__q"), col("codes"), codebook)
     val scored = coded.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -950,13 +941,15 @@ object Extensions {
     * Default operating point (r11, from the [[graft.RecallSweep]]
     * nprobe × kCode × m × refineFactor grid recorded in BASELINE.md):
     * nprobe 8, kCode 256, refineFactor 8 — measured recall@10 = 0.92
-    * vs the exact scan at sf0.01 (spec floor 0.70), at the same
-    * wall cost as the superseded 0.40-recall r10 default. The sweep's
-    * shape: PQ quantization error (kCode) dominates recall, shortlist
-    * size second, probe count third — so the knee spends its budget on
-    * the codebook (256 codewords ≈ 4.6 s vs 16 ≈ 3.2 s at toy sf,
-    * amortized at scale where the fit is corpus-sample-bounded),
-    * keeping m = 4 ints/row scan width.
+    * vs the exact scan at sf0.01 (spec floor 0.70), and FASTER than
+    * the superseded 0.40-recall r10 default (2.77 s vs 4.56 s at
+    * sf0.1) after the two r11 scale-path fixes: the codebook fits
+    * driver-side on a capped sample ([[pqCodebookOf]]) and encode/ADC
+    * run as native codegen'd kernels ([[graft.functions.PqOps]]).
+    * The sweep's shape: PQ quantization error (kCode) dominates
+    * recall, shortlist size second, probe count third — so the knee
+    * spends its budget on the codebook, keeping m = 4 ints/row scan
+    * width.
     */
   def ivfPqTopK(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], k: Int = 10, nCells: Int = 16,
@@ -977,7 +970,6 @@ object Extensions {
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
-    val sub = dim / m
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -995,16 +987,12 @@ object Extensions {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val codebook = pqCodebookOf(emb, embCol, idCol, m, kCode, seed)
-        val dists = (0 until m).map { j =>
-          transform(typedLit(codebook(j)),
-            c => pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
-        }
-        // PQ codes per row, carrying the row's cell — the persisted
-        // form a production layout would write cell-partitioned
+        // PQ codes per row via the native PqOps encode kernel (r11),
+        // carrying the row's cell — the persisted form a production
+        // layout would write cell-partitioned
         val coded = assigned.select(col(idCol).as("neighbor_id"),
           col("__cell"),
-          array(dists.map(d =>
-            (array_position(d, array_min(d)) - 1).cast("int")): _*)
+          graft.functions.PqOps.pqEncode(col(embCol), codebook)
             .as("codes"))
         val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
           (i, c.toArray.map(_.toFloat))
@@ -1022,10 +1010,8 @@ object Extensions {
               .orderBy(asc("__cdist"), asc("__cell"))))
           .filter(col("__crank") <= nprobe)
           .select(col("query_id"), col("__q"), col("__cell"))
-        val adc = (0 until m).map { j =>
-          pqSqDist(slice(col("__q"), j * sub + 1, sub),
-            element_at(typedLit(codebook(j)), col("codes")(j) + 1))
-        }.reduce(_ + _)
+        val adc = graft.functions.PqOps.pqAdc(col("__q"), col("codes"),
+          codebook)
         val shortlist = coded
           .join(probed, Seq("__cell"))
           .filter(col("neighbor_id") =!= col("query_id"))
@@ -1135,37 +1121,118 @@ object Extensions {
 
   /** The PQ codebook for these params — the single source of truth
     * shared by [[pqQuantize]] (encode) and [[pqTopK]] (ADC scoring):
-    * seeded, sample-fitted, so both paths see identical centers. k is
-    * capped at the fit-set size (MLlib rejects k > n and k < 2); a
-    * single-row corpus yields that row's subvectors directly (exact).
+    * seeded, sample-fitted, so both paths see identical centers.
+    *
+    * Fitted DRIVER-SIDE (r11) on a capped deterministic sample: PQ
+    * training is a bounded-sample problem at EVERY corpus size (FAISS
+    * trains its codebooks in memory on ≤~100k vectors regardless of
+    * index size — more sample stops improving a 256-cell subspace
+    * quantizer long before that), so the fit collects the `sampleCap`
+    * rows with the smallest xxhash64(id) — one TakeOrdered pass,
+    * O(cap) driver memory (cap·dim floats ≈ 4 MB), partition-order
+    * independent — and runs seeded kmeans++ and Lloyd locally, the m
+    * subspaces in parallel threads. This replaces m distributed MLlib
+    * fits whose per-iteration job scheduling dominated the composed
+    * search at toy scale (~10 s of ivfpq_topk's 14.7 s at sf0.1,
+    * measured) and whose 1/4 hash-sample fit set GREW with the corpus;
+    * the driver fit is the same cost at sf0.01 and at 100 TB.
+    * kmeans++ init (not plain random) keeps the degenerate-data laws:
+    * on data drawn from j distinct prototypes it always seeds distinct
+    * prototypes (next center ∝ D², which is 0 on covered points), so
+    * codebook-exact corpora reconstruct exactly. Fewer than k distinct
+    * points yield a smaller codebook (every point its own codeword).
     */
   private[engine] def pqCodebookOf(emb: DataFrame, embCol: String, idCol: String,
-      m: Int, k: Int, seed: Long): Seq[Seq[Seq[Float]]] = {
+      m: Int, k: Int, seed: Long, sampleCap: Int = 16384,
+      iters: Int = 8): Seq[Seq[Seq[Float]]] = {
     val dim = emb.select(size(col(embCol))).head().getInt(0)
     val sub = dim / m
-    val vecs = emb.select(col(idCol), col(embCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the returned codebook is a driver-side Seq, so every consumer of
-    // the cache finishes inside this body — release it on all paths
-    try {
-      val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-      val sampleN = sample.count()
-      val (fitBase, fitN) =
-        if (sampleN >= k.toLong * 4) (sample, sampleN)
-        else (vecs, vecs.count())
-      val kEff = math.min(k.toLong, fitN).toInt
-      if (kEff < 2) {
-        val row = fitBase.select(col(embCol)).head().getSeq[Float](0)
-        (0 until m).map(j => Seq(row.slice(j * sub, (j + 1) * sub).toSeq))
-      } else (0 until m).map { j =>
-        val sliced = fitBase.select(array_to_vector(
-          slice(col(embCol), j * sub + 1, sub)).as("__vec"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setFeaturesCol("__vec").setK(kEff).setSeed(seed + j).setMaxIter(5)
-          .fit(sliced)
-          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    val sample = emb
+      .select(col(embCol), xxhash64(col(idCol)).as("__h"), col(idCol))
+      .orderBy(col("__h"), col(idCol))
+      .limit(sampleCap)
+      .select(col(embCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot fit a PQ codebook on an empty corpus")
+    def fitSubspace(j: Int): Seq[Seq[Float]] = {
+      val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      val n = pts.length
+      val rnd = new scala.util.Random(seed + j)
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
       }
-    } finally vecs.unpersist()
+      // kmeans++: next center drawn ∝ squared distance to the nearest
+      // chosen center; sumD2 == 0 ⇒ every point is already a center
+      // value — stop with a smaller (exact) codebook
+      val centers = scala.collection.mutable.ArrayBuffer(
+        pts(rnd.nextInt(n)).clone())
+      val dist = pts.map(p => d2(p, centers(0)))
+      var exhausted = false
+      while (centers.size < math.min(k, n) && !exhausted) {
+        val sumD2 = dist.sum
+        if (sumD2 == 0) exhausted = true
+        else {
+          var r = rnd.nextDouble() * sumD2
+          var i = 0
+          while (i < n - 1 && r >= dist(i)) { r -= dist(i); i += 1 }
+          val c = pts(i).clone()
+          centers += c
+          var p = 0
+          while (p < n) {
+            val d = d2(pts(p), c)
+            if (d < dist(p)) dist(p) = d
+            p += 1
+          }
+        }
+      }
+      // Lloyd: assign (ties to the lowest center index), mean-update;
+      // an emptied center keeps its position
+      val kk = centers.size
+      val assign = new Array[Int](n)
+      var it = 0
+      while (it < iters) {
+        var p = 0
+        while (p < n) {
+          var best = 0; var bestD = d2(pts(p), centers(0)); var c = 1
+          while (c < kk) {
+            val d = d2(pts(p), centers(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(p) = best
+          p += 1
+        }
+        val sums = Array.fill(kk)(new Array[Double](sub))
+        val counts = new Array[Int](kk)
+        p = 0
+        while (p < n) {
+          val c = assign(p); counts(c) += 1
+          var i = 0
+          while (i < sub) { sums(c)(i) += pts(p)(i); i += 1 }
+          p += 1
+        }
+        var c = 0
+        while (c < kk) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < sub) {
+              centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      centers.map(_.toSeq).toSeq
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).map(j => Future(fitSubspace(j)))),
+      Duration.Inf)
   }
 
   /** Sequential-fold dot product in double — the summation order the

@@ -205,7 +205,6 @@ object IvfIndex {
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
-    val sub = dim / m
     val codebook = Extensions.pqCodebookOf(corpus, embCol, idCol,
       m, kCode, seed)
     val cbRows = for {
@@ -214,14 +213,8 @@ object IvfIndex {
     } yield (j, c, cent)
     spark.createDataFrame(cbRows).toDF("j", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    val dists = (0 until m).map { j =>
-      transform(typedLit(codebook(j)), c =>
-        Extensions.pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
-    }
     corpus.select(col(idCol),
-        array(dists.map(d =>
-          (array_position(d, array_min(d)) - 1).cast("int")): _*)
-          .as("codes"),
+        graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
         col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/codes")
@@ -250,23 +243,14 @@ object IvfIndex {
         r.getSeq[Float](2).toSeq))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    val m = codebook.size
-    val dim = codebook.head.head.size * m
-    val sub = dim / m
     val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
     val cellDists = transform(typedLit(centArrays), c =>
       aggregate(zip_with(col(embCol), c,
         (x, cc) => (x.cast("double") - cc.cast("double")) *
           (x.cast("double") - cc.cast("double"))),
         lit(0.0), (acc, v) => acc + v))
-    val codeDists = (0 until m).map { j =>
-      transform(typedLit(codebook(j)), c =>
-        Extensions.pqSqDist(slice(col(embCol), j * sub + 1, sub), c))
-    }
     emb.select(col(idCol),
-        array(codeDists.map(d =>
-          (array_position(d, array_min(d)) - 1).cast("int")): _*)
-          .as("codes"),
+        graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
         (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
           .as("__cell"))
       .write.mode("append").partitionBy("__cell")
@@ -317,8 +301,6 @@ final class IvfPqIndex private[engine] (
       refineFactor: Int): DataFrame = {
     require(k > 0 && nprobe > 0 && refineFactor > 0,
       "k, nprobe and refineFactor must be positive")
-    val dim = codebook.head.head.size * m
-    val sub = dim / m
     val centDf = spark.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
     // bounded rank window — |centroids| rows per query (see IvfIndex)
@@ -335,10 +317,8 @@ final class IvfPqIndex private[engine] (
     val cells = probed.select("__cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val cellLits = cells.toSeq.map(Integer.valueOf)
-    val adc = (0 until m).map { j =>
-      Extensions.pqSqDist(slice(col("__q"), j * sub + 1, sub),
-        element_at(typedLit(codebook(j)), col("codes")(j) + 1))
-    }.reduce(_ + _)
+    val adc = graft.functions.PqOps.pqAdc(col("__q"), col("codes"),
+      codebook)
     val shortlist = codesDf.filter(col("__cell").isin(cellLits: _*))
       .select(col(idCol).as("neighbor_id"), col("codes"), col("__cell"))
       .join(broadcast(probed), Seq("__cell"))

@@ -662,7 +662,13 @@ object TpchQueries {
         // qualifies iff the order has another supplier (n_supp > 1) and
         // no OTHER late one (n_late = 1). The pair agg hashes on
         // (orderkey, suppkey); the per-order rollup rides a window over
-        // the far smaller pair frame, not a second lineitem pass.
+        // the pair frame (≈ distinct (order, supplier) — roughly 2/3 of
+        // lineitem rows, NOT "far smaller"), never a second lineitem
+        // pass. r11 f20 A/B (BASELINE.md): the window's per-order sort
+        // vs a groupBy+join-back rollup is a wash (3.87 vs 3.53 s on a
+        // 4M-row pair frame) — the pair JOIN dominates; the window's
+        // sort runs per l_orderkey-shuffled partition, executor-sized
+        // when partition count tracks data (AQE), so it holds at scale.
         val pairs = lineitem(s, d)
           .join(orders(s, d).filter(col("o_orderstatus") === "F")
             .select("o_orderkey", "o_orderdate"),
