@@ -303,6 +303,15 @@ object ScaleProbe {
       "ivf_append_query" -> (f => graft.engine.IvfIndex
         .loadPq(spark, ivfIndexAt(f), "vec_id", "embedding")
         .queryByIds(Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 4)),
+      // r11 retrieval-eval additions. roc_auc: the scoring scan grows
+      // ×f but the AUC histogram is VALUE-bounded (micro-unit grid),
+      // so the prefix-sum tail must stay flat while the scan tracks
+      // volume. rrf_fusion: two bounded-heap branch scans ×f, the
+      // fusion layer itself fixed-size (|Q|·kBranch rows).
+      "roc_auc" -> (f =>
+        graft.SparkEntry.queries("roc_auc")(spark, s"$work/f$f")),
+      "rrf_fusion" -> (f =>
+        graft.SparkEntry.queries("rrf_fusion")(spark, s"$work/f$f")),
       "bfs_distances" -> (f => {
         val li = lineitemAt(f)
         val sym = orderEdges(li, minCo = 1).select(explode(array(
@@ -356,7 +365,9 @@ object ScaleProbe {
       "group_topk" -> Set("orders"),
       "window_rank" -> Set("orders"),
       "merge_upsert" -> Set("orders"),
-      "ivf_append_query" -> Set("embeddings_perm", "ivf_index"))
+      "ivf_append_query" -> Set("embeddings_perm", "ivf_index"),
+      "roc_auc" -> Set("embeddings"),
+      "rrf_fusion" -> Set("documents", "embeddings"))
     val needed = selected.flatMap { case (n, _) =>
       tablesFor.getOrElse(n, Set("lineitem", "documents", "embeddings",
         "embeddings_perm", "orders")) }.toSet

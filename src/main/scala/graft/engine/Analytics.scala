@@ -1147,6 +1147,131 @@ object Analytics {
           6).as("gini"))
   }
 
+  /** Distributed ROC AUC (Mann-Whitney U with tie correction) of an
+    * integer-grid score against a boolean label: AUC = (#concordant
+    * pairs (score_pos > score_neg) + ½·#tied pairs) / (P·N), computed
+    * from the SCORE HISTOGRAM — never a global rank sort. Scores must
+    * arrive pre-quantized to an integer grid (the catalog entry uses
+    * micro-units, round(score·1e6)); ties are then well-defined and
+    * cross-engine exact, and both pair counts are exact integers — the
+    * final division is the only float op. Returns one row
+    * (n_pos, n_neg, auc, gini) with gini = 2·AUC−1, both rounded to
+    * 6 dp; auc/gini are null when either class is empty.
+    *
+    * Scale shape (the zipfSlope two-level prefix-sum doctrine): the
+    * histogram groupBy reduces the corpus map-side to ≤|score grid|
+    * rows — a micro-unit score in [−1, 1] has ≤2e6+1 distinct values
+    * REGARDLESS of corpus size. The "negatives strictly below" prefix
+    * sum then runs bucketed: per-bucket windows over ~|grid|/nBuckets
+    * rows plus a ≤nBuckets-row triangular broadcast join for bucket
+    * offsets — no single-partition window anywhere, even over the
+    * histogram. Pair counts accumulate in decimal(38,0) (P·N
+    * overflows long past ~3e9 rows per class). Bucket boundaries
+    * don't touch the result (any split yields the same prefix sums),
+    * so nBuckets is a pure parallelism knob.
+    */
+  def rocAuc(df: DataFrame, scoreIntCol: String, labelCol: String,
+      nBuckets: Int = 512): DataFrame = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
+    requireNoReserved(df, Seq("__s", "__y", "__pos", "__neg", "__lo",
+      "__hi", "__b", "__pb", "__pn2", "__boff", "__nb", "__conc",
+      "__tied", "n_pos", "n_neg", "auc", "gini"))
+    val dec = "decimal(38,0)"
+    val hist = df
+      .select(col(scoreIntCol).cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy("__s")
+      .agg(sum("__y").as("__pos"),
+        (count(lit(1)) - sum("__y")).as("__neg"))
+    // equal-width score-range buckets (integer math: width = range div
+    // nBuckets + 1 keeps ids in [0, nBuckets)); the 1-row bounds agg
+    // broadcasts. The caller's integer grid is micro-unit-scale, far
+    // from the (__s − __lo)·overflow regime.
+    // The when() predicates below are always true (__pos/__neg are
+    // counts ≥ 0) but genuinely CONSUME the histogram's aggregate
+    // columns, so every derived branch plans the IDENTICAL subtree and
+    // reuses hist's exchange — without them column pruning
+    // de-canonicalizes the copies and each branch re-scans and
+    // re-scores the corpus (the tfidfTopTerms/zipfSlope lesson; for
+    // this operator a re-scan re-computes the caller's per-row score).
+    val live = col("__pos") + col("__neg") > 0
+    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
+      max(when(live, col("__s"))).as("__hi"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
+          .cast("int"))
+      .drop("__lo", "__hi")
+    val bTot = bucketed.groupBy("__b")
+      .agg(sum(when(col("__s").isNotNull && live, col("__neg")))
+        .as("__pn"))
+    val bOff = bTot
+      .join(broadcast(bTot.select(col("__b").as("__pb"),
+          col("__pn").as("__pn2"))),
+        col("__pb") < col("__b"), "left")
+      .groupBy("__b")
+      // the __pn >= 0 guard (always true) keeps the LEFT side of the
+      // triangular join consuming __pn — pruned away, its bTot copy
+      // stops matching the broadcast side's and re-derives from a
+      // fresh corpus scan
+      .agg(coalesce(sum(when(col("__pn") >= 0, col("__pn2"))), lit(0L))
+        .as("__boff"))
+    val wB = Window.partitionBy("__b").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = bucketed.join(broadcast(bOff), Seq("__b"))
+      .withColumn("__nb",
+        col("__boff") + coalesce(sum("__neg").over(wB), lit(0L)))
+    val pn = col("n_pos").cast(dec) * col("n_neg").cast(dec)
+    val num = lit(2).cast(dec) * col("__conc") + col("__tied")
+    withBelow.agg(
+        sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
+        sum(col("__pos").cast(dec) * col("__nb").cast(dec)).as("__conc"),
+        sum(col("__pos").cast(dec) * col("__neg").cast(dec)).as("__tied"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(num.cast("double") /
+            (lit(2).cast(dec) * pn).cast("double"), 6)).as("auc"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((num - pn).cast("double") / pn.cast("double"), 6))
+          .as("gini"))
+  }
+
+  /** Reliability-diagram calibration bins of a micro-unit probability
+    * score (an integer in [0, 1e6]) against a boolean label:
+    * equal-width bins over [0, 1], per bin the support, positive
+    * count, mean predicted score, and empirical positive rate — the
+    * table a calibration plot / ECE computation reads. Bin assignment
+    * is pure integer math (score·bins div 1e6, top edge clamped into
+    * the last bin), so no float boundary can flip a row across
+    * engines; the mean and rate are exact integer sums with a single
+    * final division each, rounded to 6 dp. Empty bins are absent.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on ≤`bins` keys —
+    * the score sum rides decimal(38,0) so a 1e12-row bin cannot
+    * overflow long.
+    */
+  def calibrationBins(df: DataFrame, scoreMicroCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need bins >= 1")
+    requireNoReserved(df, Seq("bin", "__sm", "__y", "__ssum", "n",
+      "n_pos", "mean_score", "pos_rate"))
+    val dec = "decimal(38,0)"
+    df.select(
+        least(expr(s"(`$scoreMicroCol` * $bins) div 1000000"),
+          lit(bins - 1).cast("long")).cast("int").as("bin"),
+        col(scoreMicroCol).cast("long").as("__sm"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum(col("__sm").cast(dec)).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__ssum").cast("double") /
+          (col("n").cast(dec) * lit(1000000).cast(dec)).cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
+
   /** Per-group Shannon entropy (nats) of a categorical mix — how
     * evenly a group spreads over the categories (0 = all one type,
     * ln k = uniform over k types). Uses the re-aggregation identity

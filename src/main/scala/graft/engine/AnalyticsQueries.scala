@@ -388,6 +388,93 @@ object AnalyticsQueries {
              |FROM u WHERE t0 IS NOT NULL AND t1 IS NOT NULL
              |GROUP BY 1 ORDER BY lag_bucket""".stripMargin)),
 
+    // ── distributed ROC AUC of the cosine-to-query-0 retrieval score
+    // against the class-0 label: micro-unit integer score grid →
+    // histogram → bucketed two-level prefix sum — no global rank sort
+    // (see Analytics.rocAuc). The oracle computes the same pair counts
+    // with a direct window over the (tiny at sf0.01) histogram ──────────
+    QuerySpec("roc_auc",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val scored = e.select(col("vec_id"), (col("label") === 0).as("__yy"))
+          .join(Extensions.cosineVsQuery(e, "embedding", "vec_id", 0L),
+            "vec_id")
+          .select(
+            round(col("cosine_sim") * 1000000.0).cast("long").as("score_int"),
+            col("__yy").as("is_pos"))
+        Analytics.rocAuc(scored, "score_int", "is_pos")
+      },
+      Some("""WITH q AS (
+             |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+             |  WHERE vec_id = 0),
+             |s AS (
+             |  SELECT CAST(round(
+             |           CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                      e.embedding::DOUBLE[]) = 0
+             |                  OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |           ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                         e.embedding::DOUBLE[]))
+             |                 * sqrt(list_dot_product(q.qe, q.qe)))
+             |           END * 1000000.0) AS BIGINT) AS si,
+             |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings e CROSS JOIN q),
+             |h AS (SELECT si, sum(y)::BIGINT AS pos,
+             |             (count(*) - sum(y))::BIGINT AS neg
+             |      FROM s GROUP BY 1),
+             |p AS (SELECT si, pos, neg,
+             |        coalesce(sum(neg) OVER (ORDER BY si
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0)::BIGINT AS nb
+             |      FROM h)
+             |SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+             |       round((2 * sum(pos * nb) + sum(pos * neg))::DOUBLE
+             |             / ((2 * sum(pos) * sum(neg))::DOUBLE), 6) AS auc,
+             |       round((2 * sum(pos * nb) + sum(pos * neg)
+             |              - sum(pos) * sum(neg))::DOUBLE
+             |             / ((sum(pos) * sum(neg))::DOUBLE), 6) AS gini
+             |FROM p""".stripMargin)),
+
+    // ── reliability-diagram calibration bins of the (cosine+1)/2
+    // pseudo-probability vs the class-0 label: integer bin math, exact
+    // integer sums, one division per displayed stat (see
+    // Analytics.calibrationBins) ────────────────────────────────────────
+    QuerySpec("calibration_bins",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val scored = e.select(col("vec_id"), (col("label") === 0).as("__yy"))
+          .join(Extensions.cosineVsQuery(e, "embedding", "vec_id", 0L),
+            "vec_id")
+          .select(
+            round((col("cosine_sim") + 1.0) / 2.0 * 1000000.0).cast("long")
+              .as("score_micro"),
+            col("__yy").as("is_pos"))
+        Analytics.calibrationBins(scored, "score_micro", "is_pos",
+          bins = 10).orderBy("bin")
+      },
+      Some("""WITH q AS (
+             |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+             |  WHERE vec_id = 0),
+             |s AS (
+             |  SELECT CAST(round((
+             |           CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                      e.embedding::DOUBLE[]) = 0
+             |                  OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |           ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                         e.embedding::DOUBLE[]))
+             |                 * sqrt(list_dot_product(q.qe, q.qe)))
+             |           END + 1.0) / 2.0 * 1000000.0) AS BIGINT) AS sm,
+             |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings e CROSS JOIN q)
+             |SELECT least((sm * 10) // 1000000, 9)::INT AS bin,
+             |       count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+             |       round((sum(sm)::BIGINT)::DOUBLE
+             |             / ((count(*) * 1000000)::BIGINT)::DOUBLE, 6)
+             |         AS mean_score,
+             |       round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS pos_rate
+             |FROM s GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // ── chi-square contingency: order status × priority — counts once,
     // marginals re-aggregated from the tiny cell table ──────────────────
     QuerySpec("chi_square",

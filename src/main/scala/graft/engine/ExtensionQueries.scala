@@ -17,6 +17,10 @@ object ExtensionQueries {
   private val TfidfK = 3
   private val BigramRareBelow = 5L
   private val Bm25K = 10
+  private val RrfQueryIds = Seq(0L, 1L, 2L)
+  private val RrfKBranch = 20
+  private val RrfFinalK = 10
+  private val RrfConst = 60
   private val Bm25Queries: Seq[(Long, String)] = Seq(
     0L -> "fast hash join", 1L -> "spark window agg",
     2L -> "slow scan filter")
@@ -686,6 +690,92 @@ object ExtensionQueries {
              |SELECT query_id, doc_id, score_int / 1000000.0 AS bm25,
              |       rank::INT AS rank
              |FROM r WHERE rank <= $Bm25K
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ── hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // list and the cosine dense list per query document (shared
+    // doc/vec id space; self excluded from both branches). Branch
+    // ranks are exact (integer micro-unit BM25; round-6 cosine), the
+    // 1/(60+rank) terms are IEEE divisions of exact small ints summed
+    // in a fixed order, so the fused ranking cannot drift — see
+    // Extensions.rrfFusion ─────────────────────────────────────────────
+    QuerySpec("rrf_fusion",
+      (s, d) => Extensions.rrfFusion(documents(s, d), "text", "doc_id",
+          embeddings(s, d), "embedding", "vec_id",
+          queryIds = RrfQueryIds, kBranch = RrfKBranch, k = RrfFinalK,
+          rrfK = RrfConst)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH q AS (
+             |  SELECT doc_id AS query_id, text AS qtext FROM documents
+             |  WHERE doc_id IN (${RrfQueryIds.mkString(", ")})),
+             |qt AS (
+             |  SELECT DISTINCT query_id, term FROM (
+             |    SELECT query_id,
+             |           unnest(string_split(lower(qtext), ' ')) AS term
+             |    FROM q) WHERE term <> ''),
+             |tk AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM tf GROUP BY 1),
+             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*)::BIGINT AS n_docs,
+             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |sc AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |         CAST(round(
+             |           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             |           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25
+             |               + 0.75 * dl.dl / (st.sum_dl / st.n_docs))))
+             |           * 1000000.0) AS BIGINT) AS contrib
+             |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+             |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+             |  WHERE tf.doc_id <> qt.query_id),
+             |lagg AS (SELECT query_id, doc_id,
+             |                CAST(sum(contrib) AS BIGINT) AS score_int
+             |         FROM sc GROUP BY 1, 2),
+             |lexr AS (SELECT query_id, doc_id,
+             |                row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY score_int DESC, doc_id) AS lex_rank
+             |         FROM lagg),
+             |lex AS (SELECT * FROM lexr WHERE lex_rank <= $RrfKBranch),
+             |qe AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             |       FROM embeddings
+             |       WHERE vec_id IN (${RrfQueryIds.mkString(", ")})),
+             |cs AS (
+             |  SELECT qe.query_id, e.vec_id AS doc_id,
+             |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                          e.embedding::DOUBLE[]) = 0
+             |                      OR list_dot_product(qe.qe, qe.qe) = 0 THEN 0
+             |               ELSE list_dot_product(e.embedding::DOUBLE[], qe.qe)
+             |                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                             e.embedding::DOUBLE[]))
+             |                     * sqrt(list_dot_product(qe.qe, qe.qe)))
+             |               END, 6) AS cosine_sim
+             |  FROM embeddings e CROSS JOIN qe
+             |  WHERE e.vec_id <> qe.query_id),
+             |denser AS (SELECT query_id, doc_id,
+             |                  row_number() OVER (PARTITION BY query_id
+             |                    ORDER BY cosine_sim DESC, doc_id) AS vec_rank
+             |           FROM cs),
+             |dense AS (SELECT * FROM denser WHERE vec_rank <= $RrfKBranch),
+             |f AS (
+             |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+             |         l.lex_rank, d.vec_rank,
+             |         coalesce(1.0 / ($RrfConst + l.lex_rank), 0)
+             |           + coalesce(1.0 / ($RrfConst + d.vec_rank), 0) AS rrf
+             |  FROM lex l FULL JOIN dense d
+             |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+             |r AS (SELECT query_id, doc_id, lex_rank::INT AS lex_rank,
+             |             vec_rank::INT AS vec_rank,
+             |             round(rrf, 6) AS rrf_score,
+             |             row_number() OVER (PARTITION BY query_id
+             |               ORDER BY rrf DESC, doc_id)::INT AS rank
+             |      FROM f)
+             |SELECT * FROM r WHERE rank <= $RrfFinalK
              |ORDER BY query_id, rank""".stripMargin)),
 
     // ── bigram LM quality stats: corpus-frequency profile of each

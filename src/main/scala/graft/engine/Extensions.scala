@@ -2736,6 +2736,80 @@ object Extensions {
       .select(col(queryIdCol), col(idCol),
         (col("__score_int") / lit(1000000.0)).as("bm25"), col("rank"))
 
+  /** Hybrid retrieval by reciprocal-rank fusion: the lexical (BM25)
+    * and dense (cosine) top-`kBranch` lists for each query document
+    * fuse as Σ 1/(rrfK + rank) over the union of candidates — the
+    * standard hybrid-search combiner, used in a curation pipeline
+    * wherever one retrieval mode alone misses (paraphrases escape
+    * BM25, rare named entities escape dense search — decontamination
+    * and hard-negative mining both want the union). Query documents
+    * are corpus members (`queryIds`, shared doc/vec id space); each is
+    * excluded from its own candidate lists. Returns
+    * (query_id, idCol, lex_rank, vec_rank, rrf_score, rank ≤ k);
+    * a candidate absent from one list carries a null rank there and
+    * contributes only the present branch's term.
+    *
+    * Cross-engine determinism: branch ranks are exact by construction
+    * (BM25 integer micro-unit scores; cosine rounded to 6 decimals
+    * before ranking; ties to the smaller id); 1/(rrfK+rank) is one
+    * correctly-rounded IEEE division of exact small integers, and the
+    * two-term sum is written in the same (lex + dense) order on both
+    * engines — bit-identical doubles, so the fused ranking cannot
+    * drift. Cross-branch score ties (lex-only rank r vs dense-only
+    * rank r produce equal sums) break to the smaller id, mirrored in
+    * the SQL twin.
+    *
+    * Scale shape: both branches are the already-scale-shaped search
+    * paths (broadcast query terms onto the inverted index + bounded
+    * heap [[bm25TopK]]; broadcast query vectors + bounded heap
+    * [[cosineTopK]]) — the fusion itself joins two |Q|·kBranch-row
+    * rankings, and every window partition is ≤ kBranch+1 (the de-self
+    * re-rank) or ≤ 2·kBranch (the fused rank) rows BY CONSTRUCTION,
+    * independent of corpus size.
+    */
+  def rrfFusion(docs: DataFrame, textCol: String, idCol: String,
+      emb: DataFrame, embCol: String, vecIdCol: String,
+      queryIds: Seq[Long], kBranch: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    // k may exceed kBranch (the fused union holds up to 2·kBranch
+    // candidates); anything beyond that just returns fewer rows
+    require(queryIds.nonEmpty && kBranch >= 1 && k >= 1 && rrfK >= 1,
+      "need queryIds nonempty, kBranch >= 1, k >= 1, rrfK >= 1")
+    requireNoReserved(docs, Seq("query_id", "__qtext", "lex_rank",
+      "vec_rank", "rrf_score", "rank", "__rrf"))
+    val qDocs = docs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(textCol).as("__qtext"))
+    // ask for kBranch+1 then drop self: the query doc is lexically its
+    // own best match but must not be its own candidate. Whether or not
+    // self made the heap, re-ranking the survivors and cutting at
+    // kBranch equals the direct top-kBranch over non-self candidates,
+    // so the oracle can take the direct form.
+    val wReRank = Window.partitionBy("query_id")
+      .orderBy(desc("bm25"), asc(idCol))
+    val lex = bm25TopK(docs, textCol, idCol, qDocs, "__qtext",
+        "query_id", kBranch + 1)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("lex_rank", row_number().over(wReRank).cast("int"))
+      .filter(col("lex_rank") <= kBranch)
+      .select(col("query_id"), col(idCol), col("lex_rank"))
+    val dense = cosineTopK(emb, embCol, vecIdCol, queryIds, kBranch)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("rank").as("vec_rank"))
+    def branch(r: Column): Column =
+      when(r.isNotNull, lit(1.0) / (lit(rrfK) + r.cast("double")))
+        .otherwise(0.0)
+    val fused = lex.join(dense, Seq("query_id", idCol), "full_outer")
+      .withColumn("__rrf", branch(col("lex_rank")) + branch(col("vec_rank")))
+    val wFuse = Window.partitionBy("query_id")
+      .orderBy(desc("__rrf"), asc(idCol))
+    fused
+      .withColumn("rank", row_number().over(wFuse).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("lex_rank"),
+        col("vec_rank"), round(col("__rrf"), 6).as("rrf_score"),
+        col("rank"))
+  }
+
   /** Bigram language-model statistics per document: bigram count,
     * distinct bigrams, average corpus frequency of the document's
     * bigrams, and how many fall below `rareBelow` corpus occurrences —

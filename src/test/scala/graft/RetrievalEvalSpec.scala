@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Analytics, Extensions}
+
+/** Laws for the retrieval-eval family: distributed ROC AUC
+  * (histogram prefix-sum form vs brute-force pair enumeration, tie
+  * handling, bucket-count invariance), calibration bins (integer bin
+  * edges, clamping, exact means), and reciprocal-rank fusion
+  * (branch-rank fidelity, union semantics, self-exclusion,
+  * cross-branch tie-break).
+  */
+class RetrievalEvalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ── rocAuc ───────────────────────────────────────────────────────────
+
+  /** Brute-force AUC over all (pos, neg) pairs: concordant + half the
+    * ties, in exact rational arithmetic until one final division. */
+  private def bruteAuc(rows: Seq[(Long, Boolean)]): Double = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val conc = (for { p <- pos; n <- neg if p > n } yield 1L).sum
+    val tied = (for { p <- pos; n <- neg if p == n } yield 1L).sum
+    BigDecimal(2 * conc + tied)
+      ./(BigDecimal(2L * pos.size * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  // tie-heavy seeded fixture: 40 rows over only 7 distinct scores, so
+  // the tie-correction term is exercised hard
+  private val aucFixture: Seq[(Long, Boolean)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(40)((rnd.nextInt(7).toLong - 3L, rnd.nextBoolean()))
+  }
+
+  test("rocAuc equals brute-force pair counting on a tie-heavy fixture, " +
+      "for any bucket count and any partitioning") {
+    val expected = bruteAuc(aucFixture)
+    for (nb <- Seq(1, 3, 512); parts <- Seq(1, 7)) {
+      val df = aucFixture.toDF("s", "y").repartition(parts)
+      val row = Analytics.rocAuc(df, "s", "y", nBuckets = nb).head()
+      assert(row.getAs[Double]("auc") == expected,
+        s"nBuckets=$nb parts=$parts")
+      assert(row.getAs[Long]("n_pos") == aucFixture.count(_._2))
+      assert(row.getAs[Long]("n_neg") == aucFixture.count(!_._2))
+      // gini is the same exact numerator: 2·AUC − 1 within the 6-dp grid
+      assert(math.abs(row.getAs[Double]("gini") -
+        (2 * expected - 1)) < 2e-6)
+    }
+  }
+
+  test("rocAuc endpoints: perfect separation 1.0, reversed 0.0, " +
+      "all-tied 0.5, one-class null") {
+    val perfect = Seq((10L, true), (11L, true), (1L, false), (2L, false))
+    assert(Analytics.rocAuc(perfect.toDF("s", "y"), "s", "y").head()
+      .getAs[Double]("auc") == 1.0)
+    val reversed = perfect.map { case (s, y) => (s, !y) }
+    assert(Analytics.rocAuc(reversed.toDF("s", "y"), "s", "y").head()
+      .getAs[Double]("auc") == 0.0)
+    val tied = Seq((5L, true), (5L, false), (5L, true), (5L, false))
+    assert(Analytics.rocAuc(tied.toDF("s", "y"), "s", "y").head()
+      .getAs[Double]("auc") == 0.5)
+    val oneClass = Seq((1L, true), (2L, true))
+    val r = Analytics.rocAuc(oneClass.toDF("s", "y"), "s", "y").head()
+    assert(r.isNullAt(r.fieldIndex("auc")) && r.isNullAt(r.fieldIndex("gini")))
+  }
+
+  // ── calibrationBins ──────────────────────────────────────────────────
+
+  test("calibrationBins: integer bin edges, top-edge clamp, exact " +
+      "mean/rate") {
+    val rows = Seq(
+      (0L, false),        // bin 0 (left edge)
+      (99999L, true),     // bin 0 (just under the edge)
+      (100000L, false),   // bin 1 (exact edge goes UP)
+      (500000L, true),    // bin 5
+      (999999L, true),    // bin 9
+      (1000000L, true))   // bin 9 (top edge clamped in)
+    val out = Analytics.calibrationBins(rows.toDF("sm", "y"), "sm", "y")
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 5, 9))
+    val byBin = out.map(r => r._1 -> r).toMap
+    assert(byBin(0)._2 == 2 && byBin(0)._3 == 1)
+    assert(byBin(0)._4 == 0.05)      // (0 + 99999) / (2·1e6) rounded
+    assert(byBin(0)._5 == 0.5)
+    assert(byBin(1)._4 == 0.1 && byBin(1)._5 == 0.0)
+    assert(byBin(5)._4 == 0.5 && byBin(5)._5 == 1.0)
+    assert(byBin(9)._2 == 2 && byBin(9)._4 == 1.0 && byBin(9)._5 == 1.0)
+    // support conserves the corpus
+    assert(out.map(_._2).sum == rows.size)
+  }
+
+  // ── rrfFusion ────────────────────────────────────────────────────────
+
+  // corpus engineered so the branches DISAGREE: docs 1-2 share the
+  // query's tokens (lexical hits), docs 3-4 share its embedding
+  // direction (dense hits), doc 5 is close in both, doc 6 in neither
+  private val fusionDocs = Seq(
+    (0L, "alpha beta gamma"),
+    (1L, "alpha beta delta"),
+    (2L, "alpha epsilon zeta"),
+    (3L, "eta theta iota"),
+    (4L, "kappa lambda mu"),
+    (5L, "beta gamma nu"),
+    (6L, "xi omicron pi"))
+  private val fusionEmb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),   // lexical hit, dense miss
+    (2L, Array(0.0f, 0.9f, 0.1f)),
+    (3L, Array(0.99f, 0.1f, 0.0f)),  // dense hit, lexical miss
+    (4L, Array(0.98f, 0.0f, 0.1f)),
+    (5L, Array(0.9f, 0.0f, 0.0f)),   // both
+    (6L, Array(0.0f, 0.0f, 1.0f)))   // neither
+
+  private def fusionResult(kBranch: Int = 4, k: Int = 7) = {
+    val docs = fusionDocs.toDF("doc_id", "text")
+    val emb = fusionEmb.toDF("vec_id", "embedding")
+    Extensions.rrfFusion(docs, "text", "doc_id", emb, "embedding",
+      "vec_id", queryIds = Seq(0L), kBranch = kBranch, k = k)
+      .orderBy("rank")
+      .select("doc_id", "lex_rank", "vec_rank", "rrf_score", "rank")
+      .collect()
+  }
+
+  test("rrfFusion: branch ranks match the standalone branch rankings, " +
+      "self is excluded, union carries nulls, score is 1/(60+r) sums") {
+    val out = fusionResult()
+    // the query doc never appears as its own candidate
+    assert(!out.exists(_.getAs[Long]("doc_id") == 0L))
+    // standalone branch rankings (self-excluded), recomputed here
+    val lexExpected: Map[Long, Int] =
+      Extensions.bm25TopK(fusionDocs.toDF("doc_id", "text"),
+          "text", "doc_id",
+          Seq((0L, "alpha beta gamma")).toDF("query_id", "qt"),
+          "qt", "query_id", k = 8)
+        .filter(col("doc_id") =!= 0L)
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .select("doc_id").as[Long].collect().take(4)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val denseExpected = Extensions.cosineTopK(
+        fusionEmb.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        Seq(0L), k = 4)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val vec = Option(r.getAs[Integer]("vec_rank")).map(_.toInt)
+      assert(lex == lexExpected.get(id), s"lex_rank of $id")
+      assert(vec == denseExpected.get(id), s"vec_rank of $id")
+      val expectedScore = BigDecimal(
+        lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf_score") == expectedScore, s"score of $id")
+    }
+    // a lexical-only hit (doc 1 or 2: orthogonal embedding) and a
+    // dense-only hit (doc 3 or 4: no shared token) must both be present
+    assert(out.exists(r => r.getAs[Integer]("vec_rank") == null))
+    assert(out.exists(r => r.getAs[Integer]("lex_rank") == null))
+    // final ordering: non-increasing score, ties to the smaller id
+    val pairs = out.toSeq.map(r =>
+      (r.getAs[Double]("rrf_score"), r.getAs[Long]("doc_id")))
+    assert(pairs.sliding(2).forall {
+      case Seq((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+  }
+
+  test("rrfFusion is invariant under input partitioning") {
+    val base = fusionResult().map(_.toString).toSeq
+    val docs7 = fusionDocs.toDF("doc_id", "text").repartition(7)
+    val emb3 = fusionEmb.toDF("vec_id", "embedding").repartition(3)
+    val re = Extensions.rrfFusion(docs7, "text", "doc_id", emb3,
+        "embedding", "vec_id", queryIds = Seq(0L), kBranch = 4, k = 7)
+      .orderBy("rank")
+      .select("doc_id", "lex_rank", "vec_rank", "rrf_score", "rank")
+      .collect().map(_.toString).toSeq
+    assert(re == base)
+  }
+}
