@@ -1272,6 +1272,69 @@ object Analytics {
           .as("pos_rate"))
   }
 
+  /** Micro-unit DCG discount table for [[retrievalEval]]: D(r) =
+    * round(1e6 / log2(r+1)). Computed ONCE here and inlined as
+    * literals into BOTH the Spark plan and (via the catalog's SQL
+    * interpolation) the DuckDB oracle, so no cross-engine log2 ulp
+    * can ever drift a discount — the constants ARE the contract.
+    */
+  private[engine] def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranked-retrieval quality per query: hits@k, precision@k,
+    * recall@k, and NDCG@k (binary relevance). `ranked` carries one row
+    * per (queryCol, idCol, rank ≤ k) candidate; `relevant` the
+    * ground-truth (queryCol, idCol) pairs. DCG uses the micro-unit
+    * integer discount table [[ndcgDiscounts]] — relevance hits sum
+    * exact integers (order-free under Spark's nondeterministic partial
+    * aggregation), the ideal DCG is a prefix-sum lookup at
+    * min(k, |relevant|), and each displayed stat is one final
+    * division rounded to 6 dp. ndcg/recall are null when a query has
+    * no relevant documents. Returns
+    * (queryCol, n_relevant, hits, precision_k, recall_k, ndcg).
+    *
+    * Scale shape: one keyed left join of the k·|Q|-row rank table
+    * against the relevant pairs (both keyed exchanges; the rank table
+    * is tiny, the pairs table shuffles once), one |Q|-group rollup of
+    * each — no window, no per-rank driver logic; the discount tables
+    * ride the plan as ≤k-element literals.
+    */
+  def retrievalEval(ranked: DataFrame, relevant: DataFrame,
+      queryCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    requireNoReserved(ranked, Seq("__rel", "__d", "__hits", "__dcg",
+      "__m", "__idcg", "n_relevant", "hits", "precision_k", "recall_k",
+      "ndcg"))
+    val discounts = ndcgDiscounts(k)
+    val prefix = discounts.scanLeft(0L)(_ + _).tail // Σ_{r≤m} D(r)
+    val rel1 = relevant.select(col(queryCol), col(idCol),
+      lit(1L).as("__rel"))
+    val totals = rel1.groupBy(queryCol)
+      .agg(sum("__rel").as("n_relevant"))
+    val perQuery = ranked
+      .join(rel1, Seq(queryCol, idCol), "left")
+      .withColumn("__d",
+        element_at(typedLit(discounts), col("rank").cast("int")))
+      .groupBy(queryCol)
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        sum(coalesce(col("__rel"), lit(0L)) * col("__d")).as("__dcg"))
+    perQuery.join(totals, Seq(queryCol), "left")
+      .withColumn("n_relevant", coalesce(col("n_relevant"), lit(0L)))
+      .withColumn("__m",
+        least(col("n_relevant"), lit(k.toLong)).cast("int"))
+      .withColumn("__idcg",
+        when(col("__m") >= 1, element_at(typedLit(prefix), col("__m"))))
+      .select(col(queryCol), col("n_relevant"), col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6)
+          .as("precision_k"),
+        when(col("n_relevant") > 0,
+          round(col("hits").cast("double") /
+            col("n_relevant").cast("double"), 6)).as("recall_k"),
+        when(col("__idcg").isNotNull,
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
   /** Per-group Shannon entropy (nats) of a categorical mix — how
     * evenly a group spreads over the categories (0 = all one type,
     * ln k = uniform over k types). Uses the re-aggregation identity

@@ -12,6 +12,17 @@ object AnalyticsQueries {
 
   private val EpochS = "epoch_us(ts)//1000000"
 
+  private val NdcgK = 10
+  private val NdcgQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+  // the SAME Scala-computed micro-unit discount constants feed the
+  // Spark literal array AND this SQL — no cross-engine log2 involved
+  private def ndcgDiscountValues: String =
+    Analytics.ndcgDiscounts(NdcgK).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d}::BIGINT)" }.mkString(", ")
+  private def ndcgPrefixValues: String =
+    Analytics.ndcgDiscounts(NdcgK).scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d}::BIGINT)" }.mkString(", ")
+
   val catalog: Seq[QuerySpec] = Seq(
 
     // ── strict ordered funnel with a 3-day per-step deadline: one user
@@ -474,6 +485,78 @@ object AnalyticsQueries {
              |         AS mean_score,
              |       round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS pos_rate
              |FROM s GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // ── ranked-retrieval quality: hits/precision/recall/NDCG@10 of the
+    // exact cosine ranking against same-label relevance — binary-DCG
+    // with the shared micro-unit discount constants (see
+    // Analytics.retrievalEval / ndcgDiscounts) ──────────────────────────
+    QuerySpec("ndcg_eval",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id").isin(NdcgQueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        val relevant = e.select(col("vec_id").as("neighbor_id"),
+            col("label"))
+          .join(broadcast(q), col("label") === col("__ql"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id")
+        val ranked = Extensions.cosineTopK(e, "embedding", "vec_id",
+          NdcgQueryIds, k = NdcgK)
+        Analytics.retrievalEval(ranked, relevant, "query_id",
+          "neighbor_id", k = NdcgK).orderBy("query_id")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+             |         label AS ql
+             |  FROM embeddings
+             |  WHERE vec_id IN (${NdcgQueryIds.mkString(", ")})),
+             |s AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                          e.embedding::DOUBLE[]) = 0
+             |                      OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |               ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                             e.embedding::DOUBLE[]))
+             |                     * sqrt(list_dot_product(q.qe, q.qe)))
+             |               END, 6) AS cosine_sim
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |             row_number() OVER (PARTITION BY query_id
+             |               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+             |      FROM s),
+             |topk AS (SELECT * FROM r WHERE rank <= $NdcgK),
+             |rel AS (SELECT q.query_id, e.vec_id AS neighbor_id
+             |        FROM embeddings e JOIN q ON e.label = q.ql
+             |        WHERE e.vec_id <> q.query_id),
+             |tot AS (SELECT query_id, count(*)::BIGINT AS n_relevant
+             |        FROM rel GROUP BY 1),
+             |d AS (SELECT * FROM (VALUES $ndcgDiscountValues) v(r, d)),
+             |p AS (SELECT * FROM (VALUES $ndcgPrefixValues) v(m, pd)),
+             |j AS (SELECT t.query_id, t.rank,
+             |             CASE WHEN rel.neighbor_id IS NULL THEN 0 ELSE 1 END
+             |               AS hit
+             |      FROM topk t LEFT JOIN rel
+             |        ON t.query_id = rel.query_id
+             |       AND t.neighbor_id = rel.neighbor_id),
+             |agg AS (SELECT j.query_id, sum(hit)::BIGINT AS hits,
+             |               CAST(sum(hit * d.d) AS BIGINT) AS dcg
+             |        FROM j JOIN d ON d.r = j.rank GROUP BY 1),
+             |f AS (SELECT a.query_id,
+             |             coalesce(tot.n_relevant, 0)::BIGINT AS n_relevant,
+             |             a.hits, a.dcg,
+             |             least(coalesce(tot.n_relevant, 0), $NdcgK)::INT AS m
+             |      FROM agg a LEFT JOIN tot USING (query_id))
+             |SELECT f.query_id, f.n_relevant, f.hits,
+             |       round(f.hits::DOUBLE / $NdcgK.0, 6) AS precision_k,
+             |       CASE WHEN f.n_relevant > 0
+             |            THEN round(f.hits::DOUBLE / f.n_relevant::DOUBLE, 6)
+             |       END AS recall_k,
+             |       CASE WHEN f.m >= 1
+             |            THEN round(f.dcg::DOUBLE / p.pd::DOUBLE, 6)
+             |       END AS ndcg
+             |FROM f LEFT JOIN p ON p.m = f.m
+             |ORDER BY f.query_id""".stripMargin)),
 
     // ── chi-square contingency: order status × priority — counts once,
     // marginals re-aggregated from the tiny cell table ──────────────────

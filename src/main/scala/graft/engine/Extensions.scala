@@ -2779,22 +2779,43 @@ object Extensions {
       "vec_rank", "rrf_score", "rank", "__rrf"))
     val qDocs = docs.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(textCol).as("__qtext"))
-    // ask for kBranch+1 then drop self: the query doc is lexically its
-    // own best match but must not be its own candidate. Whether or not
-    // self made the heap, re-ranking the survivors and cutting at
-    // kBranch equals the direct top-kBranch over non-self candidates,
-    // so the oracle can take the direct form.
+    val lex = deSelfRerank(bm25TopK(docs, textCol, idCol, qDocs,
+      "__qtext", "query_id", kBranch + 1), idCol, kBranch)
+    val dense = cosineTopK(emb, embCol, vecIdCol, queryIds, kBranch)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("rank").as("vec_rank"))
+    rrfFuseRanked(lex, dense, idCol, k, rrfK)
+  }
+
+  /** Self-exclusion re-rank of a BM25 branch that asked for kBranch+1
+    * candidates ([[rrfFusion]], [[HybridIndex]]): the query doc is
+    * lexically its own best match but must not be its own candidate.
+    * Whether or not self made the heap, re-ranking the survivors and
+    * cutting at kBranch equals the direct top-kBranch over non-self
+    * candidates — so an oracle can take the direct form. The window
+    * partition is ≤ kBranch+1 rows by construction.
+    */
+  private[engine] def deSelfRerank(ranked: DataFrame, idCol: String,
+      kBranch: Int): DataFrame = {
     val wReRank = Window.partitionBy("query_id")
       .orderBy(desc("bm25"), asc(idCol))
-    val lex = bm25TopK(docs, textCol, idCol, qDocs, "__qtext",
-        "query_id", kBranch + 1)
+    ranked
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("lex_rank", row_number().over(wReRank).cast("int"))
       .filter(col("lex_rank") <= kBranch)
       .select(col("query_id"), col(idCol), col("lex_rank"))
-    val dense = cosineTopK(emb, embCol, vecIdCol, queryIds, kBranch)
-      .select(col("query_id"), col("neighbor_id").as(idCol),
-        col("rank").as("vec_rank"))
+  }
+
+  /** Shared RRF fusion tail ([[rrfFusion]], [[HybridIndex]]): full
+    * outer join of a (query_id, idCol, lex_rank) and a
+    * (query_id, idCol, vec_rank) branch ranking, Σ 1/(rrfK + rank)
+    * over the union (absent rank contributes 0), final top-k with
+    * ties to the smaller id. Both inputs are |Q|·kBranch-row rank
+    * tables, so every window partition here is ≤ 2·kBranch rows by
+    * construction.
+    */
+  private[engine] def rrfFuseRanked(lex: DataFrame, dense: DataFrame,
+      idCol: String, k: Int, rrfK: Int): DataFrame = {
     def branch(r: Column): Column =
       when(r.isNotNull, lit(1.0) / (lit(rrfK) + r.cast("double")))
         .otherwise(0.0)

@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval over PERSISTED indexes — the production 100 TB
+  * search shape: the BM25 branch queries a [[TextIndex]] (term-hash
+  * bucket partitions, query vocabulary becomes literals so the scan
+  * file-prunes), the dense branch queries an [[IvfIndex]] (cell
+  * partitions, probed cells become literals likewise), and the two
+  * ≤ |Q|·kBranch-row rank tables fuse with reciprocal-rank fusion —
+  * the same tail as the in-memory [[Extensions.rrfFusion]], shared
+  * code, shared laws.
+  *
+  * Both branches scan only PRUNED partitions of their saved layouts;
+  * the fusion layer adds no corpus-sized work at all. Under exhaustive
+  * parameters (nprobe = the index's cell count) the dense branch is
+  * exact, so the composed result equals the in-memory
+  * [[Extensions.rrfFusion]] bit-for-bit — the parity law
+  * HybridIndexSpec pins; production runs prune (nprobe < nCells) and
+  * inherit the IVF recall trade on the dense branch only (the lexical
+  * branch is always exact).
+  */
+object HybridIndex {
+
+  /** RRF-fused top-k for query documents that are corpus members
+    * (`queryIds` in the shared doc/vec id space): `queryDocs` supplies
+    * the query TEXT (usually the documents table), the IVF index looks
+    * up the query VECTORS by the same ids. Self is excluded from both
+    * branches. Output matches [[Extensions.rrfFusion]]:
+    * (query_id, <text index idCol>, lex_rank, vec_rank, rrf_score,
+    * rank ≤ k).
+    */
+  def queryByIds(textIndex: TextIndex, ivfIndex: IvfIndex,
+      queryDocs: DataFrame, queryTextCol: String, queryIds: Seq[Long],
+      kBranch: Int = 20, k: Int = 10, nprobe: Int = 4,
+      rrfK: Int = 60): DataFrame = {
+    require(queryIds.nonEmpty && kBranch >= 1 && k >= 1 && rrfK >= 1,
+      "need queryIds nonempty, kBranch >= 1, k >= 1, rrfK >= 1")
+    val idCol = textIndex.idCol
+    val qDocs = queryDocs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(queryTextCol).as("__qtext"))
+    // kBranch+1 then de-self, exactly as the in-memory form (see
+    // Extensions.deSelfRerank for why the cut is equivalent to direct
+    // non-self top-kBranch)
+    val lex = Extensions.deSelfRerank(
+      textIndex.query(qDocs, "__qtext", "query_id", kBranch + 1),
+      idCol, kBranch)
+    // the IVF query path excludes self already
+    val dense = ivfIndex.queryByIds(queryIds, kBranch, nprobe)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("rank").as("vec_rank"))
+    Extensions.rrfFuseRanked(lex, dense, idCol, k, rrfK)
+  }
+}

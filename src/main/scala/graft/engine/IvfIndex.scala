@@ -181,7 +181,9 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/quantizer")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    val corpus = spark.read.parquet(s"$path/cells")
+    // base cells ∪ claimed ingest epochs (appendEpoch) — each branch
+    // stays cell-partitioned, so probes still file-prune everywhere
+    val corpus = cellsWithEpochs(spark, path)
     new IvfIndex(cents, corpus, idCol, embCol)
   }
 
@@ -257,6 +259,99 @@ object IvfIndex {
       .parquet(s"$path/codes")
   }
 
+  // ── streaming epoch appends (exactly-once segment growth) ────────────
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Directories of CLAIMED ingest epochs under `path/epochs` — an
+    * epoch becomes visible only once its `_claim` marker exists, which
+    * [[appendEpoch]] writes LAST, so a half-written epoch (crash
+    * mid-batch) is invisible to every load. */
+  private def claimedEpochs(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, root) = hadoopFs(spark, s"$path/epochs")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_claim")))
+      .map(_.toString).sorted
+  }
+
+  /** The corpus = base cells ∪ every claimed epoch's cells. Each
+    * branch keeps its own __cell partition layout, so a probed query's
+    * isin filter file-prunes every branch independently — epoch growth
+    * never widens what a query scans beyond its probed cells. */
+  private[engine] def cellsWithEpochs(spark: SparkSession,
+      path: String): DataFrame =
+    claimedEpochs(spark, path)
+      .foldLeft(spark.read.parquet(s"$path/cells"))((df, e) =>
+        df.unionByName(spark.read.parquet(s"$e/cells")))
+
+  /** PQ-codes twin of [[cellsWithEpochs]]: epochs written before the
+    * sidecar existed carry no codes dir and contribute nothing. */
+  private[engine] def codesWithEpochs(spark: SparkSession,
+      path: String): DataFrame =
+    claimedEpochs(spark, path)
+      .filter(e => hadoopFs(spark, s"$e/codes")._1
+        .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))
+      .foldLeft(spark.read.parquet(s"$path/codes"))((df, e) =>
+        df.unionByName(spark.read.parquet(s"$e/codes")))
+
+  /** Exactly-once epoch append under the FROZEN quantizer (and frozen
+    * PQ codebooks when the sidecar exists): the batch lands as one
+    * immutable epoch segment — cells (+ codes) first, the `_claim`
+    * marker LAST. Returns false and writes nothing when the epoch is
+    * already claimed (checkpoint replay after a successful batch);
+    * a crash mid-write leaves an UNCLAIMED dir that loads ignore and
+    * the retry deletes before rewriting. This is [[appendToSaved]]'s
+    * contract made replay-safe — the streaming ingest path
+    * (`Streaming.vectorIngestSink`) calls it per micro-batch; new ids
+    * must be disjoint from stored ones (dedup upstream).
+    */
+  def appendEpoch(spark: SparkSession, path: String, emb: DataFrame,
+      embCol: String, idCol: String, epochName: String): Boolean = {
+    require(epochName.nonEmpty && !epochName.contains("/"),
+      "epochName must be a single path segment")
+    val (fs, epochRoot) = hadoopFs(spark, s"$path/epochs/$epochName")
+    val claim = new org.apache.hadoop.fs.Path(epochRoot, "_claim")
+    if (fs.exists(claim)) return false
+    if (fs.exists(epochRoot)) fs.delete(epochRoot, true)
+    val cents = spark.read.parquet(s"$path/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "saved quantizer cell ids must be contiguous 0..n-1")
+    val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
+    val cellDists = transform(typedLit(centArrays), c =>
+      aggregate(zip_with(col(embCol), c,
+        (x, cc) => (x.cast("double") - cc.cast("double")) *
+          (x.cast("double") - cc.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    val assigned = emb.select(col(idCol), col(embCol),
+        (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
+          .as("__cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.write.mode("errorifexists").partitionBy("__cell")
+      .parquet(s"$epochRoot/cells")
+    if (hadoopFs(spark, s"$path/codebook")._1
+        .exists(new org.apache.hadoop.fs.Path(s"$path/codebook"))) {
+      val codebook = spark.read.parquet(s"$path/codebook")
+        .collect().map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[Float](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+      assigned.select(col(idCol),
+          graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
+          col("__cell"))
+        .write.mode("errorifexists").partitionBy("__cell")
+        .parquet(s"$epochRoot/codes")
+    }
+    assigned.unpersist()
+    fs.create(claim, false).close()
+    true
+  }
+
   /** Open a saved index WITH its PQ sidecar (build → save →
     * [[addPqCodes]] → loadPq). */
   def loadPq(spark: SparkSession, path: String, idCol: String,
@@ -287,8 +382,8 @@ final class IvfPqIndex private[engine] (
     embCol: String) {
 
   private val m = codebook.size
-  private def cellsDf = spark.read.parquet(s"$path/cells")
-  private def codesDf = spark.read.parquet(s"$path/codes")
+  private def cellsDf = IvfIndex.cellsWithEpochs(spark, path)
+  private def codesDf = IvfIndex.codesWithEpochs(spark, path)
 
   def queryByIds(queryIds: Seq[Long], k: Int, nprobe: Int,
       refineFactor: Int = 8): DataFrame =

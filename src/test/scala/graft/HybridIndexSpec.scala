@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Extensions, HybridIndex, IvfIndex, Tables, TextIndex}
+
+/** The persisted hybrid query path must answer exactly like the
+  * in-memory rrfFusion under exhaustive dense probes, and keep its
+  * lexical branch exact when the dense branch prunes.
+  */
+class HybridIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private val ids = Seq(0L, 1L, 2L)
+  private val NCells = 8
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+
+  private lazy val (savedText, savedIvf): (TextIndex, IvfIndex) = {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val tDir = Files.createTempDirectory("graft-hyb-t").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(tDir)
+    val vDir = Files.createTempDirectory("graft-hyb-v").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = NCells).save(vDir)
+    (TextIndex.load(spark, tDir),
+      IvfIndex.load(spark, vDir, "vec_id", "embedding"))
+  }
+
+  test("hybrid query over SAVED indexes equals the in-memory rrfFusion " +
+      "bit-for-bit under exhaustive dense probes") {
+    val viaIndexes = HybridIndex.queryByIds(savedText, savedIvf,
+      Tables.documents(spark, sf), "text", ids,
+      kBranch = 10, k = 10, nprobe = NCells)
+    val inMemory = Extensions.rrfFusion(
+      Tables.documents(spark, sf), "text", "doc_id",
+      Tables.embeddings(spark, sf), "embedding", "vec_id",
+      queryIds = ids, kBranch = 10, k = 10)
+    assert(rows(viaIndexes) == rows(inMemory))
+    assert(rows(viaIndexes).nonEmpty)
+  }
+
+  test("pruned dense probes (nprobe=1) keep the lexical branch exact " +
+      "and the output well-formed") {
+    // k = 2·kBranch: the reference keeps EVERY fused candidate, so a
+    // pruned-run candidate can never be missing just because denser
+    // competition cut it from a smaller reference k
+    val exhaustive = HybridIndex.queryByIds(savedText, savedIvf,
+      Tables.documents(spark, sf), "text", ids,
+      kBranch = 10, k = 20, nprobe = NCells)
+    val pruned = HybridIndex.queryByIds(savedText, savedIvf,
+      Tables.documents(spark, sf), "text", ids,
+      kBranch = 10, k = 10, nprobe = 1)
+    def lexRanks(df: DataFrame): Map[(Long, Long), Int] =
+      df.collect().flatMap { r =>
+        Option(r.getAs[Integer]("lex_rank")).map(lr =>
+          (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> lr.toInt)
+      }.toMap
+    val ex = lexRanks(exhaustive)
+    // every lexically-ranked candidate surviving the pruned fusion
+    // carries the same exact lexical rank — pruning only touches the
+    // dense branch
+    lexRanks(pruned).foreach { case (key, lr) =>
+      assert(ex.get(key).contains(lr), s"lex rank drifted for $key")
+    }
+    val out = pruned.collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(r =>
+      r.getAs[Long]("doc_id") == r.getAs[Long]("query_id")))
+    // ranks are 1..n per query with no gaps
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+    }
+  }
+}

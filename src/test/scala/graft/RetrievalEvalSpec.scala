@@ -95,6 +95,53 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == rows.size)
   }
 
+  // ── retrievalEval (NDCG@k) ───────────────────────────────────────────
+
+  test("retrievalEval: hand-computed hits/precision/recall/NDCG, " +
+      "no-relevant nulls, recall under truncation") {
+    // q1: ranked (a,b,c), relevant {a, c, d, e} -> hits at ranks 1,3;
+    // q2: ranked (x, y), relevant {} -> zero row with nulls
+    val ranked = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "x", 1), (2L, "y", 2)
+    ).toDF("q", "id", "rank")
+    val relevant = Seq((1L, "a"), (1L, "c"), (1L, "d"), (1L, "e"))
+      .toDF("q", "id")
+    val k = 3
+    val out = Analytics.retrievalEval(ranked, relevant, "q", "id", k)
+      .orderBy("q").collect()
+    val d = (1 to k).map(r =>
+      math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_relevant") == 4 && r1.getAs[Long]("hits") == 2)
+    assert(r1.getAs[Double]("precision_k") ==
+      BigDecimal(2.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getAs[Double]("recall_k") == 0.5)
+    // DCG = D(1) + D(3); IDCG = D(1)+D(2)+D(3) (m = min(3, 4) = 3)
+    val expectedNdcg = BigDecimal((d(0) + d(2)).toDouble / d.sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("ndcg") == expectedNdcg)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_relevant") == 0 && r2.getAs[Long]("hits") == 0)
+    assert(r2.getAs[Double]("precision_k") == 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("recall_k")))
+    assert(r2.isNullAt(r2.fieldIndex("ndcg")))
+  }
+
+  test("retrievalEval: perfect top-k ranking scores ndcg 1.0 even when " +
+      "relevant exceeds k") {
+    val ranked = Seq((1L, "a", 1), (1L, "b", 2)).toDF("q", "id", "rank")
+    val relevant = Seq((1L, "a"), (1L, "b"), (1L, "c"))
+      .toDF("q", "id")
+    val row = Analytics.retrievalEval(ranked, relevant, "q", "id", k = 2)
+      .head()
+    assert(row.getAs[Double]("ndcg") == 1.0)   // m = min(2, 3) = 2
+    assert(row.getAs[Double]("recall_k") ==
+      BigDecimal(2.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // ── rrfFusion ────────────────────────────────────────────────────────
 
   // corpus engineered so the branches DISAGREE: docs 1-2 share the
