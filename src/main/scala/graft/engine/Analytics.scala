@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * that decides whether it survives 100 TB.
   *
   * Extends the reference's analytics surface (its widest aggregation
-  * is groupBy/agg, reference: src/data_processing.py:71-93) with the
+  * is groupBy/agg, reference: src/feature_engineering.py:53) with the
   * event-funnel / retention / merge shapes a production analytics
   * engine is expected to answer.
   */

@@ -1139,8 +1139,11 @@ object Extensions {
     * kmeans++ init (not plain random) keeps the degenerate-data laws:
     * on data drawn from j distinct prototypes it always seeds distinct
     * prototypes (next center ∝ D², which is 0 on covered points), so
-    * codebook-exact corpora reconstruct exactly. Fewer than k distinct
-    * points yield a smaller codebook (every point its own codeword).
+    * codebook-exact corpora reconstruct exactly. A subspace with fewer
+    * than k distinct points fits them all exactly, then pads to the
+    * common codeword count with duplicates of its last center (never
+    * assigned — ties go low) so the codebook stays rectangular even
+    * when one dim is constant/degenerate.
     */
   private[engine] def pqCodebookOf(emb: DataFrame, embCol: String, idCol: String,
       m: Int, k: Int, seed: Long, sampleCap: Int = 16384,
@@ -1230,9 +1233,19 @@ object Extensions {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
+    val fitted = Await.result(
       Future.sequence((0 until m).map(j => Future(fitSubspace(j)))),
       Duration.Inf)
+    // A subspace whose sample has fewer distinct points than codewords
+    // stops early (sumD2 == 0 above) with a SMALLER exact codebook —
+    // e.g. a zero-padded or constant embedding dim. Pad every subspace
+    // to the common max codeword count by duplicating its last center:
+    // encode argmins tie to the LOWEST index, so a duplicate at a
+    // higher index is never assigned and codes/ADC are bit-identical
+    // to the unpadded fit — but the codebook is rectangular again,
+    // which PqOps.flatten requires (it would throw on a ragged one).
+    val kMax = fitted.map(_.size).max
+    fitted.map(cb => cb ++ Seq.fill(kMax - cb.size)(cb.last))
   }
 
   /** Sequential-fold dot product in double — the summation order the

@@ -472,6 +472,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(t.length == 2 && t.forall(_._3 == 0.0))
   }
 
+  test("pqQuantize/pqTopK: a constant (degenerate) subspace exhausts " +
+      "kmeans++ early yet still yields a rectangular codebook — codes " +
+      "valid, constant dims reconstruct exactly") {
+    // subspace 0 has many distinct subvectors (fills k); subspace 1 is
+    // CONSTANT (zero-padded-dim shape) -> its kmeans++ stops at one
+    // center and must be padded, not returned ragged (ADVICE r11)
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Array(i.toFloat, (i * 7 % 13).toFloat, 0f, 0f))
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val out = Extensions.pqQuantize(d, "embedding", "vec_id", m = 2, k = 8)
+      .as[(Long, Seq[Int], Double)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 64)
+    assert(out.forall(r => r._2.size == 2 && r._2.forall(_ >= 0)))
+    // every row's constant subvector gets the SAME code (center 0)
+    assert(out.map(_._2(1)).distinct == Seq(0))
+    val topk = Extensions.pqTopK(d, "embedding", "vec_id",
+      queryIds = Seq(0L, 1L), k = 5, m = 2, kCode = 8)
+    assert(topk.count() > 0)
+  }
+
   test("pqTopK: on codebook-exact data ADC distances EQUAL exact L2 " +
       "and the ranking matches brute force; self excluded; rank dense") {
     // 4-dim vectors from 2 prototypes per 2-dim subspace (as the

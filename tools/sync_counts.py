@@ -53,23 +53,23 @@ def spec_count() -> int:
 
 
 def query_counts():
-    """Catalog counts parsed from the SOURCE (the current truth: a
-    mid-round oracle closure shows up immediately), cross-checked
-    against the newest driver CORRECTNESS ledger (which lags one round
-    behind by construction — a mismatch is expected right after a
-    closure and printed, not applied)."""
-    total = oracled = 0
-    for f in glob.glob(f"{REPO}/src/main/scala/graft/engine/*.scala"):
-        for part in open(f).read().split("QuerySpec(")[1:]:
-            if not re.match(r'\s*"[a-z_0-9]+"', part):
-                continue
-            total += 1
-            # the oracle is the last constructor arg: a spec closes with
-            # either `Some("""...""".stripMargin)` or a bare `None)`
-            tail = part.split("QuerySpec(")[0]
-            if not (re.search(r"None\)\s*,?\s*$", tail.strip()[-400:])
-                    or "\n      None)" in tail):
-                oracled += 1
+    """Catalog counts from the COMPILED catalog itself (`sbt runMain
+    graft.Counts` — SparkEntry.queries / oracleSql sizes): the r11
+    static source parse was fragile to reformatting (ADVICE r11 — its
+    end-anchored regex could never match and a moved `None)` entry was
+    silently miscounted as oracled). Cross-checked against the newest
+    driver CORRECTNESS ledger (which lags one round behind by
+    construction — a mismatch right after an oracle closure is expected
+    and printed, not applied)."""
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Counts"], cwd=REPO,
+        capture_output=True, text=True).stdout
+    m = re.search(r"GRAFT_COUNTS total=(\d+) oracled=(\d+) no_oracle=(\d+)",
+                  out)
+    if not m:
+        sys.exit("`sbt runMain graft.Counts` printed no GRAFT_COUNTS line "
+                 "— does the build compile?")
+    total, oracled, no_oracle = map(int, m.groups())
     runs = sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json"))
     if runs:
         d = json.load(open(runs[-1]))
@@ -79,9 +79,7 @@ def query_counts():
         if (lt, lg) != (total, oracled):
             print(f"note: driver ledger {runs[-1]} reads total={lt} "
                   f"green={lg} (lags the source by one round)")
-    if total == 0:
-        return None
-    return "source parse", total, oracled, total - oracled
+    return "graft.Counts (compiled catalog)", total, oracled, no_oracle
 
 
 def sync(path: str, subs) -> bool:
