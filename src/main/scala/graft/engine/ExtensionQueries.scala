@@ -21,11 +21,142 @@ object ExtensionQueries {
   private val RrfKBranch = 20
   private val RrfFinalK = 10
   private val RrfConst = 60
+  private val HybridNCells = 8
   private val Bm25Queries: Seq[(Long, String)] = Seq(
     0L -> "fast hash join", 1L -> "spark window agg",
     2L -> "slow scan filter")
   private def bm25QueryValues: String = Bm25Queries
     .map { case (id, t) => s"($id::BIGINT, '$t')" }.mkString(", ")
+
+  /** Generated DuckDB twin for `ann_bucketed`: the seeded gaussian
+    * hyperplanes come from the SAME generator the operator buckets
+    * with ([[Extensions.annPlanes]]) and enter the SQL as
+    * shortest-round-trip double literals, so DuckDB's sign buckets,
+    * OR-table candidate join, and full-precision L2 rescore replay the
+    * Spark plan exactly. `dim` is pinned by the caller (the testdata
+    * embedding width) — a mismatched corpus would fail the compare
+    * loudly rather than silently bucket differently. */
+  private def annBucketedOracleSql(queryIds: Seq[Long], k: Int,
+      numTables: Int, bitsPerTable: Int, seed: Long, dim: Int): String = {
+    val planes = Extensions.annPlanes(dim, numTables, bitsPerTable, seed)
+    def planeLit(p: Array[Float]): String =
+      p.map(_.toDouble.toString).mkString("[", ", ", "]")
+    def bucketExpr(v: String, t: Int): String =
+      (0 until bitsPerTable).map { b =>
+        s"(CASE WHEN list_dot_product($v, ${planeLit(planes(t)(b))}) >= 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val corpusBuckets = (0 until numTables)
+      .map(t => s"${bucketExpr("emb", t)} AS b$t").mkString(",\n       ")
+    val queryCols = (0 until numTables).map(t => s"b$t AS qb$t")
+      .mkString(", ")
+    val collide = (0 until numTables).map(t => s"c.b$t = q.qb$t")
+      .mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |eb AS (
+       |  SELECT vec_id, emb,
+       |       $corpusBuckets
+       |  FROM e),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb AS qe, $queryCols
+       |  FROM eb WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, c.emb
+       |  FROM eb c JOIN q ON ($collide)
+       |  WHERE c.vec_id <> q.query_id),
+       |d AS (
+       |  SELECT query_id, neighbor_id,
+       |         sqrt(greatest(list_dot_product(qe, qe)
+       |           + list_dot_product(emb, emb)
+       |           - 2 * list_dot_product(qe, emb), 0)) AS l2
+       |  FROM cand),
+       |r AS (
+       |  SELECT query_id, neighbor_id, l2,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY l2, neighbor_id)::INT AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, round(l2, 6) AS l2_dist, rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** One DuckDB twin serves BOTH hybrid-search catalog forms:
+    * `rrf_fusion` (the in-memory operator) and `hybrid_topk` (the
+    * persisted TextIndex + IvfIndex composition under exhaustive
+    * dense probes) — the two Spark paths are bit-equal by the
+    * HybridIndexSpec parity law, so they share this oracle verbatim. */
+  private def rrfOracleSql: String = s"""WITH q AS (
+             |  SELECT doc_id AS query_id, text AS qtext FROM documents
+             |  WHERE doc_id IN (${RrfQueryIds.mkString(", ")})),
+             |qt AS (
+             |  SELECT DISTINCT query_id, term FROM (
+             |    SELECT query_id,
+             |           unnest(string_split(lower(qtext), ' ')) AS term
+             |    FROM q) WHERE term <> ''),
+             |tk AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM tf GROUP BY 1),
+             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*)::BIGINT AS n_docs,
+             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |sc AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |         CAST(round(
+             |           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             |           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25
+             |               + 0.75 * dl.dl / (st.sum_dl / st.n_docs))))
+             |           * 1000000.0) AS BIGINT) AS contrib
+             |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+             |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+             |  WHERE tf.doc_id <> qt.query_id),
+             |lagg AS (SELECT query_id, doc_id,
+             |                CAST(sum(contrib) AS BIGINT) AS score_int
+             |         FROM sc GROUP BY 1, 2),
+             |lexr AS (SELECT query_id, doc_id,
+             |                row_number() OVER (PARTITION BY query_id
+             |                  ORDER BY score_int DESC, doc_id) AS lex_rank
+             |         FROM lagg),
+             |lex AS (SELECT * FROM lexr WHERE lex_rank <= $RrfKBranch),
+             |qe AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             |       FROM embeddings
+             |       WHERE vec_id IN (${RrfQueryIds.mkString(", ")})),
+             |cs AS (
+             |  SELECT qe.query_id, e.vec_id AS doc_id,
+             |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                          e.embedding::DOUBLE[]) = 0
+             |                      OR list_dot_product(qe.qe, qe.qe) = 0 THEN 0
+             |               ELSE list_dot_product(e.embedding::DOUBLE[], qe.qe)
+             |                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                             e.embedding::DOUBLE[]))
+             |                     * sqrt(list_dot_product(qe.qe, qe.qe)))
+             |               END, 6) AS cosine_sim
+             |  FROM embeddings e CROSS JOIN qe
+             |  WHERE e.vec_id <> qe.query_id),
+             |denser AS (SELECT query_id, doc_id,
+             |                  row_number() OVER (PARTITION BY query_id
+             |                    ORDER BY cosine_sim DESC, doc_id) AS vec_rank
+             |           FROM cs),
+             |dense AS (SELECT * FROM denser WHERE vec_rank <= $RrfKBranch),
+             |f AS (
+             |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+             |         l.lex_rank, d.vec_rank,
+             |         coalesce(1.0 / ($RrfConst + l.lex_rank), 0)
+             |           + coalesce(1.0 / ($RrfConst + d.vec_rank), 0) AS rrf
+             |  FROM lex l FULL JOIN dense d
+             |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+             |r AS (SELECT query_id, doc_id, lex_rank::INT AS lex_rank,
+             |             vec_rank::INT AS vec_rank,
+             |             round(rrf, 6) AS rrf_score,
+             |             row_number() OVER (PARTITION BY query_id
+             |               ORDER BY rrf DESC, doc_id)::INT AS rank
+             |      FROM f)
+             |SELECT * FROM r WHERE rank <= $RrfFinalK
+             |ORDER BY query_id, rank""".stripMargin
 
   // ── BPE oracle building blocks (bpe_merges / bpe_stats): the greedy
   // merge loop unrolled into chained CTEs, one (pairs → best → reseg)
@@ -392,12 +523,33 @@ object ExtensionQueries {
              |WHERE i.range <= len(toks)
              |ORDER BY doc_id, pos""".stripMargin)),
 
-    // ── SimHash signatures (custom Catalyst expression; hash function is
-    // JVM-side Murmur3 → not SQL-expressible, rows-only check + ScalaTest)
+    // ── SimHash signatures, ORACLE-exact since r12: the catalog form
+    // votes with the md5-60-bit token hash both engines compute
+    // identically (the doc_fingerprints playbook), so every signature
+    // bit matches DuckDB's re-derivation — all-integer votes, no float
+    // boundary. The native Murmur3 SimHash64 expression stays the
+    // production default, spec-covered (SimHashSigSpec + the
+    // simhash_neardups family). ─────────────────────────────────────────
     QuerySpec("simhash_signatures",
-      (s, d) => Extensions.simhashSignatures(documents(s, d), "text", "doc_id")
+      (s, d) => Extensions.simhashSignaturesMd5(documents(s, d), "text",
+          "doc_id")
         .orderBy("doc_id"),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |  FROM t),
+             |v AS (
+             |  SELECT doc_id, i.range AS i,
+             |         sum(CASE WHEN (h >> i.range::INT) & 1 = 1
+             |                  THEN 1 ELSE -1 END)::BIGINT AS w
+             |  FROM h, range(0, 60) i GROUP BY 1, 2)
+             |SELECT doc_id,
+             |       sum(CASE WHEN w > 0 THEN (1::BIGINT << i::INT)
+             |                ELSE 0 END)::BIGINT AS simhash
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── MinHash near-dup pairs (native MinHashSig expression; seeded
     // hashing → not SQL-expressible, rows-only).
@@ -705,78 +857,58 @@ object ExtensionQueries {
           queryIds = RrfQueryIds, kBranch = RrfKBranch, k = RrfFinalK,
           rrfK = RrfConst)
         .orderBy("query_id", "rank"),
-      Some(s"""WITH q AS (
-             |  SELECT doc_id AS query_id, text AS qtext FROM documents
-             |  WHERE doc_id IN (${RrfQueryIds.mkString(", ")})),
-             |qt AS (
-             |  SELECT DISTINCT query_id, term FROM (
-             |    SELECT query_id,
-             |           unnest(string_split(lower(qtext), ' ')) AS term
-             |    FROM q) WHERE term <> ''),
-             |tk AS (
-             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-             |       FROM tf GROUP BY 1),
-             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-             |st AS (SELECT count(*)::BIGINT AS n_docs,
-             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-             |sc AS (
-             |  SELECT qt.query_id, tf.doc_id,
-             |         CAST(round(
-             |           ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-             |           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25
-             |               + 0.75 * dl.dl / (st.sum_dl / st.n_docs))))
-             |           * 1000000.0) AS BIGINT) AS contrib
-             |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
-             |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-             |  WHERE tf.doc_id <> qt.query_id),
-             |lagg AS (SELECT query_id, doc_id,
-             |                CAST(sum(contrib) AS BIGINT) AS score_int
-             |         FROM sc GROUP BY 1, 2),
-             |lexr AS (SELECT query_id, doc_id,
-             |                row_number() OVER (PARTITION BY query_id
-             |                  ORDER BY score_int DESC, doc_id) AS lex_rank
-             |         FROM lagg),
-             |lex AS (SELECT * FROM lexr WHERE lex_rank <= $RrfKBranch),
-             |qe AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-             |       FROM embeddings
-             |       WHERE vec_id IN (${RrfQueryIds.mkString(", ")})),
-             |cs AS (
-             |  SELECT qe.query_id, e.vec_id AS doc_id,
-             |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
-             |                                          e.embedding::DOUBLE[]) = 0
-             |                      OR list_dot_product(qe.qe, qe.qe) = 0 THEN 0
-             |               ELSE list_dot_product(e.embedding::DOUBLE[], qe.qe)
-             |                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-             |                                             e.embedding::DOUBLE[]))
-             |                     * sqrt(list_dot_product(qe.qe, qe.qe)))
-             |               END, 6) AS cosine_sim
-             |  FROM embeddings e CROSS JOIN qe
-             |  WHERE e.vec_id <> qe.query_id),
-             |denser AS (SELECT query_id, doc_id,
-             |                  row_number() OVER (PARTITION BY query_id
-             |                    ORDER BY cosine_sim DESC, doc_id) AS vec_rank
-             |           FROM cs),
-             |dense AS (SELECT * FROM denser WHERE vec_rank <= $RrfKBranch),
-             |f AS (
-             |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
-             |         coalesce(l.doc_id, d.doc_id) AS doc_id,
-             |         l.lex_rank, d.vec_rank,
-             |         coalesce(1.0 / ($RrfConst + l.lex_rank), 0)
-             |           + coalesce(1.0 / ($RrfConst + d.vec_rank), 0) AS rrf
-             |  FROM lex l FULL JOIN dense d
-             |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
-             |r AS (SELECT query_id, doc_id, lex_rank::INT AS lex_rank,
-             |             vec_rank::INT AS vec_rank,
-             |             round(rrf, 6) AS rrf_score,
-             |             row_number() OVER (PARTITION BY query_id
-             |               ORDER BY rrf DESC, doc_id)::INT AS rank
-             |      FROM f)
-             |SELECT * FROM r WHERE rank <= $RrfFinalK
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(rrfOracleSql)),
+
+    // ── the SAME hybrid search through the PERSISTED production path:
+    // build + save a TextIndex (term-hash bucket partitions) and an
+    // IvfIndex (cell partitions), load both back, and answer from the
+    // saved layouts — both branch scans file-prune to query-derived
+    // literal partition sets. Under exhaustive dense probes
+    // (nprobe = nCells) the dense branch is exact, so the composed
+    // result equals rrf_fusion bit-for-bit (HybridIndexSpec law) and
+    // the one oracle serves both. Timed cost here includes the index
+    // BUILD — the build-once/query-many amortization is the point of
+    // the persisted form, and hybrid_topk_pruned below measures the
+    // production pruned probe on the same layout. ───────────────────────
+    QuerySpec("hybrid_topk",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hybrid").toString
+        TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
+          .save(s"$dir/text")
+        IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
+          nCells = HybridNCells).save(s"$dir/ivf")
+        HybridIndex.queryByIds(
+            TextIndex.load(s, s"$dir/text"),
+            IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"),
+            documents(s, d), "text", RrfQueryIds,
+            kBranch = RrfKBranch, k = RrfFinalK, nprobe = HybridNCells,
+            rrfK = RrfConst)
+          .orderBy("query_id", "rank")
+      },
+      Some(rrfOracleSql)),
+
+    // ── the pruned production configuration of the same saved layout
+    // (nprobe < nCells): the lexical branch stays exact, the dense
+    // branch inherits the IVF recall trade — approximate by design →
+    // rows-only here; recall/exactness laws live in HybridIndexSpec ─────
+    QuerySpec("hybrid_topk_pruned",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hybrid-p").toString
+        TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
+          .save(s"$dir/text")
+        IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
+          nCells = HybridNCells).save(s"$dir/ivf")
+        HybridIndex.queryByIds(
+            TextIndex.load(s, s"$dir/text"),
+            IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"),
+            documents(s, d), "text", RrfQueryIds,
+            kBranch = RrfKBranch, k = RrfFinalK, nprobe = 2,
+            rrfK = RrfConst)
+          .orderBy("query_id", "rank")
+      },
+      None),
 
     // ── bigram LM quality stats: corpus-frequency profile of each
     // document's bigrams, all-integer + long/long division → exact;
@@ -1230,14 +1362,22 @@ object ExtensionQueries {
         .orderBy("query_id", "rank"),
       None),
 
-    // ── LSH-bucketed ANN (seeded random hyperplanes → rows-only) ─────────
+    // ── LSH-bucketed ANN, ORACLE-exact since r12: the seeded
+    // hyperplanes are driver-known literals, so the oracle re-derives
+    // every sign bucket itself — each plane interpolated as
+    // shortest-round-trip doubles (parse back to the identical
+    // values), list_dot_product mirroring the SignBuckets fold
+    // bit-for-bit, `>= 0` sets the bit. Candidates = collide in ANY
+    // table (the OR-join), then the exact L2 rescore and the
+    // asc-l2/asc-id rank replay topKBy's order on full precision. ───────
     QuerySpec("ann_bucketed",
       (s, d) => Extensions.annBucketed(embeddings(s, d), "embedding",
           "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .select(col("query_id"), col("neighbor_id"),
           round(col("l2_dist"), 6).as("l2_dist"), col("rank"))
         .orderBy("query_id", "rank"),
-      None),
+      Some(annBucketedOracleSql(queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, numTables = 4, bitsPerTable = 4, seed = 42L, dim = 64))),
 
     // ── semantic dedup end to end: blocked near-dup pairs (recall 1 by
     // the triangle inequality) → transitive closure → KEEP-BEST survivor

@@ -101,6 +101,37 @@ object Extensions {
     docs.select(col(idCol),
       simhash64(docs.sparkSession, tokens(col(textCol))).as("simhash"))
 
+  /** 60-bit SimHash over the [[md5Hash60]] token hash — the
+    * oracle-expressible twin of [[simhashSignatures]] (the
+    * doc_fingerprints playbook: both engines compute the md5 slice
+    * identically, so the whole signature is cross-engine exact). Same
+    * algorithm, different token hash: per bit b, the per-token votes
+    * (+1 if bit set else −1) sum over the doc; the signature sets bit
+    * b iff the sum is positive. All arithmetic is integer, so no
+    * float boundary can flip a bit.
+    *
+    * Scale shape: identical to the native form — ONE narrow
+    * projection, no shuffle, no explode; the per-doc fold runs as
+    * nested codegen'd HOFs (a 60-long vote array per doc, reused
+    * across tokens by the aggregate fold). The native
+    * [[graft.functions.SimHash64]] stays the production default
+    * (single murmur pass, no per-token md5); this form buys DuckDB
+    * reproducibility for the correctness gate.
+    */
+  def simhashSignaturesMd5(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val masks = typedLit((0 until 60).map(1L << _))
+    val votes = aggregate(
+      transform(tokens(col(textCol)), t => md5Hash60(t)),
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= lit(0L), lit(1L)).otherwise(lit(-1L))))
+    docs.select(col(idCol),
+      aggregate(zip_with(votes, masks, (w, m) =>
+          when(w > lit(0L), m).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x).as("simhash"))
+  }
+
   /** SimHash near-dup candidate pairs: band the 64-bit signature into
     * `numBands` equal bands (standard LSH trick), self-join per band,
     * then filter on exact hamming distance. Shuffles on the small band
@@ -1340,18 +1371,29 @@ object Extensions {
     * (query_id, neighbor_id, l2_dist, rank); deterministic for a fixed
     * seed.
     */
+  /** The seeded gaussian hyperplane matrix [[annBucketed]] buckets
+    * with — the SINGLE generator shared by the operator and the
+    * catalog's oracle-SQL builder, so the literals DuckDB re-derives
+    * sign buckets from are the exact floats the SignBuckets kernel
+    * dots against (interpolated as shortest-round-trip doubles, which
+    * parse back to the identical values). */
+  private[engine] def annPlanes(dim: Int, numTables: Int,
+      bitsPerTable: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables, bitsPerTable)(
+      Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
   def annBucketed(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], k: Int = 10, numTables: Int = 4,
       bitsPerTable: Int = 4, seed: Long = 42L): DataFrame = {
     require(numTables > 0 && bitsPerTable > 0 && bitsPerTable <= 62,
       "need numTables > 0 and 0 < bitsPerTable <= 62")
     val dim = emb.select(size(col(embCol))).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
     // gaussian hyperplanes, carried into codegen as one reference
     // object: every bucket id of a row computes inside a single
     // SignBuckets call (see its scaladoc for why not composed DotF32s)
-    val planes = Array.fill(numTables, bitsPerTable)(
-      Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val planes = annPlanes(dim, numTables, bitsPerTable, seed)
     def buckets(v: Column): Column =
       graft.functions.SignBuckets.signBuckets(v, planes)
     // queries are driver-known ids: tiny after the isin pushdown, so the
