@@ -1272,6 +1272,119 @@ object Analytics {
           .as("pos_rate"))
   }
 
+  /** Expected calibration error over the [[calibrationBins]] table,
+    * collapsed to one row (n, ece): ECE = Σ_b (n_b/N)·|pos_rate_b −
+    * mean_score_b|. The float-free form the operator actually sums is
+    * Σ_b |n_pos_b·1e6 − Σ_b score_micro| / (N·1e6) — the per-bin
+    * numerator is an EXACT integer (micro-unit scores make the two
+    * rates commensurable), so the bin sum is order-free and the single
+    * final division is the only float op, rounded to 6 dp. Returns
+    * ece = null on empty input.
+    *
+    * Scale shape: identical to [[calibrationBins]] — one
+    * map-side-combinable groupBy on ≤`bins` keys, then a ≤`bins`-row
+    * final fold; sums ride decimal(38,0) so a 1e12-row bin cannot
+    * overflow long.
+    */
+  def expectedCalibrationError(df: DataFrame, scoreMicroCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need bins >= 1")
+    requireNoReserved(df, Seq("__bin", "__sm", "__y", "__n", "__pos",
+      "__ssum", "__num", "n", "ece"))
+    val dec = "decimal(38,0)"
+    df.select(
+        least(expr(s"(`$scoreMicroCol` * $bins) div 1000000"),
+          lit(bins - 1).cast("long")).cast("int").as("__bin"),
+        col(scoreMicroCol).cast("long").as("__sm"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__pos"),
+        sum(col("__sm").cast(dec)).as("__ssum"))
+      .agg(sum("__n").as("n"),
+        sum(abs(col("__pos").cast(dec) * lit(1000000).cast(dec)
+          - col("__ssum"))).as("__num"))
+      .select(col("n"),
+        when(col("n") > 0,
+          round(col("__num").cast("double") /
+            (col("n").cast(dec) * lit(1000000).cast(dec)).cast("double"),
+            6)).as("ece"))
+  }
+
+  /** Distributed PR-AUC (average precision, step interpolation) of an
+    * integer-grid score against a boolean label, from the SCORE
+    * HISTOGRAM — the precision-recall companion of [[rocAuc]], same
+    * no-global-sort doctrine. Walking distinct scores descending,
+    * AP = Σ_s (pos_s/P)·precision(s) with precision(s) =
+    * cumPos(s)/cumTot(s) over scores ≥ s (ties enter together — the
+    * histogram form's natural tie rule). The contract is the exact
+    * integer micro-unit form: each threshold contributes
+    * (pos_s·cumPos(s)·1e6) div cumTot(s) — floor division of exact
+    * integers, so the per-threshold terms are order-free integers
+    * (≤1e-6 quantization each, bounded by the grid size) and both
+    * engines agree bit-for-bit; ap = Σ/(P·1e6) is the single float
+    * division, rounded to 6 dp. Returns one row (n_pos, n_neg, ap);
+    * ap is null when there are no positives.
+    *
+    * Scale shape: mirrors [[rocAuc]] — histogram groupBy bounded by
+    * the score grid, then BUCKETED descending-inclusive prefix sums
+    * (per-bucket windows over ~|grid|/nBuckets rows + a ≤nBuckets-row
+    * triangular broadcast join); pair products ride decimal(38,0).
+    * The always-true when() guards keep every derived branch consuming
+    * the histogram's aggregate columns so the exchange is reused (the
+    * rocAuc canonical-form lesson).
+    */
+  def prAuc(df: DataFrame, scoreIntCol: String, labelCol: String,
+      nBuckets: Int = 512): DataFrame = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
+    requireNoReserved(df, Seq("__s", "__y", "__pos", "__tot", "__lo",
+      "__hi", "__b", "__pb", "__bp", "__bt", "__bp2", "__bt2", "__opos",
+      "__otot", "__cpos", "__ctot", "__term", "n_pos", "n_neg", "ap"))
+    val dec = "decimal(38,0)"
+    val hist = df
+      .select(col(scoreIntCol).cast("long").as("__s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy("__s")
+      .agg(sum("__y").as("__pos"), count(lit(1)).as("__tot"))
+    val live = col("__tot") > 0
+    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
+      max(when(live, col("__s"))).as("__hi"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
+          .cast("int"))
+      .drop("__lo", "__hi")
+    val bTot = bucketed.groupBy("__b")
+      .agg(sum(when(col("__s").isNotNull && live, col("__pos")))
+          .as("__bp"),
+        sum(when(col("__s").isNotNull && live, col("__tot"))).as("__bt"))
+    // offsets come from HIGHER buckets (descending-inclusive sums)
+    val bOff = bTot
+      .join(broadcast(bTot.select(col("__b").as("__pb"),
+          col("__bp").as("__bp2"), col("__bt").as("__bt2"))),
+        col("__pb") > col("__b"), "left")
+      .groupBy("__b")
+      .agg(coalesce(sum(when(col("__bp") >= 0, col("__bp2"))), lit(0L))
+          .as("__opos"),
+        coalesce(sum(when(col("__bt") >= 0, col("__bt2"))), lit(0L))
+          .as("__otot"))
+    val wB = Window.partitionBy("__b").orderBy(desc("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = bucketed.join(broadcast(bOff), Seq("__b"))
+      .withColumn("__cpos", col("__opos") + sum("__pos").over(wB))
+      .withColumn("__ctot", col("__otot") + sum("__tot").over(wB))
+    val term = expr("cast(__pos as decimal(38,0)) " +
+      "* cast(__cpos as decimal(38,0)) * cast(1000000 as decimal(38,0)) " +
+      "div cast(__ctot as decimal(38,0))")
+    withCum.agg(sum("__pos").as("n_pos"),
+        (sum("__tot") - sum("__pos")).as("n_neg"),
+        sum(term.cast(dec)).as("__term"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round(col("__term").cast("double") /
+            (col("n_pos").cast(dec) * lit(1000000).cast(dec))
+              .cast("double"), 6)).as("ap"))
+  }
+
   /** Micro-unit DCG discount table for [[retrievalEval]]: D(r) =
     * round(1e6 / log2(r+1)). Computed ONCE here and inlined as
     * literals into BOTH the Spark plan and (via the catalog's SQL

@@ -486,6 +486,95 @@ object AnalyticsQueries {
              |       round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS pos_rate
              |FROM s GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // ── expected calibration error: the calibration_bins table
+    // collapsed to one number — per-bin |n_pos·1e6 − Σ score_micro| is
+    // an EXACT integer (micro-unit scores make the two rates
+    // commensurable), so the sum is order-free and the single final
+    // division the only float op (see Analytics.expectedCalibrationError) ─
+    QuerySpec("ece",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val scored = e.select(col("vec_id"), (col("label") === 0).as("__yy"))
+          .join(Extensions.cosineVsQuery(e, "embedding", "vec_id", 0L),
+            "vec_id")
+          .select(
+            round((col("cosine_sim") + 1.0) / 2.0 * 1000000.0).cast("long")
+              .as("score_micro"),
+            col("__yy").as("is_pos"))
+        Analytics.expectedCalibrationError(scored, "score_micro", "is_pos",
+          bins = 10)
+      },
+      Some("""WITH q AS (
+             |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+             |  WHERE vec_id = 0),
+             |s AS (
+             |  SELECT CAST(round((
+             |           CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                      e.embedding::DOUBLE[]) = 0
+             |                  OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |           ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                         e.embedding::DOUBLE[]))
+             |                 * sqrt(list_dot_product(q.qe, q.qe)))
+             |           END + 1.0) / 2.0 * 1000000.0) AS BIGINT) AS sm,
+             |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings e CROSS JOIN q),
+             |b AS (SELECT least((sm * 10) // 1000000, 9) AS bin,
+             |             count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+             |             sum(sm)::BIGINT AS ssum
+             |      FROM s GROUP BY 1)
+             |SELECT sum(n)::BIGINT AS n,
+             |       round(sum(abs(pos * 1000000 - ssum))::DOUBLE
+             |             / ((sum(n) * 1000000)::BIGINT)::DOUBLE, 6) AS ece
+             |FROM b""".stripMargin)),
+
+    // ── PR-AUC (average precision) of the same retrieval score from
+    // its HISTOGRAM — descending-inclusive bucketed prefix sums, each
+    // threshold term an exact floor-divided micro-unit integer so the
+    // sum is order-free (see Analytics.prAuc; the rocAuc doctrine) ──────
+    QuerySpec("pr_auc",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val scored = e.select(col("vec_id"), (col("label") === 0).as("__yy"))
+          .join(Extensions.cosineVsQuery(e, "embedding", "vec_id", 0L),
+            "vec_id")
+          .select(
+            round(col("cosine_sim") * 1000000.0).cast("long").as("score_int"),
+            col("__yy").as("is_pos"))
+        Analytics.prAuc(scored, "score_int", "is_pos")
+      },
+      Some("""WITH q AS (
+             |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+             |  WHERE vec_id = 0),
+             |s AS (
+             |  SELECT CAST(round(
+             |           CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                      e.embedding::DOUBLE[]) = 0
+             |                  OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |           ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                         e.embedding::DOUBLE[]))
+             |                 * sqrt(list_dot_product(q.qe, q.qe)))
+             |           END * 1000000.0) AS BIGINT) AS si,
+             |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings e CROSS JOIN q),
+             |h AS (SELECT si, sum(y)::BIGINT AS pos,
+             |             count(*)::BIGINT AS tot
+             |      FROM s GROUP BY 1),
+             |c AS (SELECT si, pos, tot,
+             |        sum(pos) OVER (ORDER BY si DESC ROWS BETWEEN
+             |          UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+             |        sum(tot) OVER (ORDER BY si DESC ROWS BETWEEN
+             |          UNBOUNDED PRECEDING AND CURRENT ROW) AS ctot
+             |      FROM h)
+             |SELECT sum(pos)::BIGINT AS n_pos,
+             |       (sum(tot) - sum(pos))::BIGINT AS n_neg,
+             |       round(sum((pos::HUGEINT * cpos::HUGEINT * 1000000)
+             |               // ctot::HUGEINT)::DOUBLE
+             |             / ((sum(pos) * 1000000)::HUGEINT)::DOUBLE, 6)
+             |         AS ap
+             |FROM c""".stripMargin)),
+
     // ── ranked-retrieval quality: hits/precision/recall/NDCG@10 of the
     // exact cosine ranking against same-label relevance — binary-DCG
     // with the shared micro-unit discount constants (see

@@ -218,6 +218,82 @@ class RetrievalEvalSpec extends AnyFunSuite {
     })
   }
 
+  test("expectedCalibrationError: perfectly calibrated bins score 0, " +
+      "degenerate miscalibration scores 1, equals the hand fold, " +
+      "partition-invariant") {
+    // perfectly calibrated: in each bin the mean micro score EQUALS the
+    // positive rate (bin 2: two rows at 250000, one positive of... make
+    // exact: scores 500000/500000 with exactly one of two positive)
+    val calib = Seq((500000L, true), (500000L, false),
+      (250000L, true), (250000L, false), (250000L, false), (250000L, false))
+      .toDF("score_micro", "is_pos")
+    val e0 = Analytics.expectedCalibrationError(calib, "score_micro",
+      "is_pos", bins = 10).collect().head
+    assert(e0.getAs[Long]("n") == 6 && e0.getAs[Double]("ece") == 0.0)
+    // degenerate: predicts 1.0 for all-negative -> ECE 1
+    val bad = Seq((1000000L, false), (1000000L, false))
+      .toDF("score_micro", "is_pos")
+    assert(Analytics.expectedCalibrationError(bad, "score_micro", "is_pos")
+      .collect().head.getAs[Double]("ece") == 1.0)
+    // random fixture equals the driver-side exact fold
+    val rnd = new scala.util.Random(5L)
+    val rows = (0 until 400).map(_ =>
+      (rnd.nextInt(1000001).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("score_micro", "is_pos")
+    val got = Analytics.expectedCalibrationError(df, "score_micro",
+      "is_pos", bins = 10).collect().head.getAs[Double]("ece")
+    val byBin = rows.groupBy(r => math.min(r._1 * 10 / 1000000, 9))
+    val num = byBin.values.map { g =>
+      math.abs(g.count(_._2).toLong * 1000000L - g.map(_._1).sum)
+    }.sum
+    val want = BigDecimal(num.toDouble / (rows.size * 1000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want)
+    val re = Analytics.expectedCalibrationError(df.repartition(7),
+      "score_micro", "is_pos", bins = 10).collect().head
+      .getAs[Double]("ece")
+    assert(re == got)
+  }
+
+  test("prAuc: perfect separation 1.0, all-tied equals the positive " +
+      "prevalence, no-positives null, equals the hand fold under any " +
+      "bucketing/partitioning") {
+    def ap(rows: Seq[(Long, Boolean)], nBuckets: Int = 512,
+        parts: Int = 1): Option[Double] = {
+      val df0 = rows.toDF("score_int", "is_pos")
+      val df = if (parts > 1) df0.repartition(parts) else df0
+      Option(Analytics.prAuc(df, "score_int", "is_pos", nBuckets)
+        .collect().head.getAs[java.lang.Double]("ap")).map(_.toDouble)
+    }
+    // perfect: all positives strictly above all negatives
+    val perfect = Seq((90L, true), (80L, true), (20L, false), (10L, false))
+    assert(ap(perfect).contains(1.0))
+    // all tied at one score: precision = prevalence at the single step
+    val tied = Seq((5L, true), (5L, false), (5L, false), (5L, false))
+    assert(ap(tied).contains(0.25))
+    // no positives -> null
+    assert(ap(Seq((5L, false), (7L, false))).isEmpty)
+    // hand fold on a random grid: walk distinct scores desc with the
+    // same floor-divided micro-unit terms
+    val rnd = new scala.util.Random(11L)
+    val rows = (0 until 500).map(_ =>
+      ((rnd.nextInt(50) + 1).toLong, rnd.nextInt(3) == 0))
+    val hist = rows.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2).toLong, g.size.toLong)).toMap
+    var cp = 0L; var ct = 0L; var apMicro = 0L
+    hist.keys.toSeq.sorted.reverse.foreach { s =>
+      val (p, t) = hist(s); cp += p; ct += t
+      apMicro += p * cp * 1000000L / ct
+    }
+    val P = rows.count(_._2).toLong
+    val want = BigDecimal(apMicro.toDouble / (P * 1000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ap(rows).contains(want))
+    // bucket boundaries and input partitioning don't touch the result
+    assert(ap(rows, nBuckets = 1).contains(want))
+    assert(ap(rows, nBuckets = 7, parts = 13).contains(want))
+  }
+
   test("rrfFusion is invariant under input partitioning") {
     val base = fusionResult().map(_.toString).toSeq
     val docs7 = fusionDocs.toDF("doc_id", "text").repartition(7)
