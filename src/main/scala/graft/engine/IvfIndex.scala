@@ -203,7 +203,16 @@ object IvfIndex {
   def addPqCodes(spark: SparkSession, path: String, idCol: String,
       embCol: String, m: Int = 4, kCode: Int = 256,
       seed: Long = 42L): Unit = {
-    val corpus = spark.read.parquet(s"$path/cells")
+    // encode the WHOLE visible corpus — base cells PLUS every claimed
+    // ingest epoch (ADVICE r11): an epoch appended before the sidecar
+    // existed would otherwise never get codes and silently vanish from
+    // the PQ shortlist, and a re-fit would leave epoch codes dirs
+    // holding codes from the OLD codebook. After this call the base
+    // codes cover every claimed row under the NEW codebook; stale
+    // epoch codes dirs are excluded by the version check in
+    // [[codesWithEpochs]] (their _pqv no longer matches), so nothing
+    // is double-counted and nothing is scored against wrong codewords.
+    val corpus = cellsWithEpochs(spark, path)
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
@@ -215,11 +224,48 @@ object IvfIndex {
     } yield (j, c, cent)
     spark.createDataFrame(cbRows).toDF("j", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writeMarker(spark, s"$path/codebook/_pqv", pqVersionOf(codebook))
     corpus.select(col(idCol),
         graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
         col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/codes")
+  }
+
+  /** Content fingerprint of a PQ codebook — epoch codes dirs are
+    * stamped with the version they were encoded under, and
+    * [[codesWithEpochs]] unions only epochs whose stamp matches the
+    * CURRENT codebook's: after a re-fit, stale epoch codes would be
+    * ADC-scored against the wrong codewords (silently wrong
+    * distances, ADVICE r11) — version-skew excludes them instead,
+    * and the re-fit's full re-encode (see [[addPqCodes]]) has already
+    * folded those rows into the base codes. */
+  private[engine] def pqVersionOf(codebook: Seq[Seq[Seq[Float]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    for (sub <- codebook; cent <- sub; x <- cent) {
+      buf.clear(); buf.putFloat(x)
+      md.update(buf.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def writeMarker(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out = fs.create(p, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    }
   }
 
   /** Append new vectors to a saved index's PQ sidecar under the
@@ -282,21 +328,30 @@ object IvfIndex {
     * branch keeps its own __cell partition layout, so a probed query's
     * isin filter file-prunes every branch independently — epoch growth
     * never widens what a query scans beyond its probed cells. */
-  private[engine] def cellsWithEpochs(spark: SparkSession,
+  private[graft] def cellsWithEpochs(spark: SparkSession,
       path: String): DataFrame =
     claimedEpochs(spark, path)
       .foldLeft(spark.read.parquet(s"$path/cells"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/cells")))
 
-  /** PQ-codes twin of [[cellsWithEpochs]]: epochs written before the
-    * sidecar existed carry no codes dir and contribute nothing. */
-  private[engine] def codesWithEpochs(spark: SparkSession,
-      path: String): DataFrame =
+  /** PQ-codes twin of [[cellsWithEpochs]], version-gated: an epoch
+    * codes dir joins the union ONLY when its `_pqv` stamp matches the
+    * current codebook's — codes encoded under a superseded codebook
+    * would be ADC-scored against the wrong codewords. Rows behind a
+    * skewed or missing stamp are NOT lost: every [[addPqCodes]] run
+    * re-encodes the full claimed corpus into the base codes, which is
+    * also why epochs written before the sidecar existed (no codes dir
+    * at all) contribute nothing here yet still get searched. */
+  private[graft] def codesWithEpochs(spark: SparkSession,
+      path: String): DataFrame = {
+    val current = readMarker(spark, s"$path/codebook/_pqv")
     claimedEpochs(spark, path)
       .filter(e => hadoopFs(spark, s"$e/codes")._1
         .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))
+      .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
       .foldLeft(spark.read.parquet(s"$path/codes"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/codes")))
+  }
 
   /** Exactly-once epoch append under the FROZEN quantizer (and frozen
     * PQ codebooks when the sidecar exists): the batch lands as one
@@ -346,6 +401,11 @@ object IvfIndex {
           col("__cell"))
         .write.mode("errorifexists").partitionBy("__cell")
         .parquet(s"$epochRoot/codes")
+      // stamp the codebook these codes were encoded under — a later
+      // re-fit flips the base _pqv and codesWithEpochs stops scoring
+      // this dir (its rows re-enter via the re-fit's full re-encode)
+      readMarker(spark, s"$path/codebook/_pqv").foreach(v =>
+        writeMarker(spark, s"$epochRoot/codes/_pqv", v))
     }
     assigned.unpersist()
     fs.create(claim, false).close()

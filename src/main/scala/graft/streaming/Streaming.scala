@@ -298,6 +298,29 @@ object Streaming {
       .start()
   }
 
+  /** Streaming ingest into a SAVED [[graft.engine.IvfIndex]] layout:
+    * each micro-batch lands as one immutable epoch segment via
+    * [[graft.engine.IvfIndex.appendEpoch]] — cells (+ PQ codes when
+    * the sidecar exists) under the FROZEN quantizer, claim marker
+    * last. The epoch name is derived from the batch id, so checkpoint
+    * replay after a successful batch finds the epoch already claimed
+    * and appendEpoch returns false (exactly-once growth); a crash
+    * mid-write leaves an unclaimed dir every load ignores and the
+    * replay rewrites. New ids must be disjoint from stored ones
+    * (dedup upstream — [[watermarkDedup]] composes in front).
+    */
+  def vectorIngestSink(updates: DataFrame, indexPath: String,
+      embCol: String, idCol: String,
+      checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.engine.IvfIndex.appendEpoch(batch.sparkSession, indexPath,
+          batch, embCol, idCol, f"batch-$epochId%09d")
+        ()
+      }
+      .start()
+
   /** One [[mergeSink]] epoch, exposed so crash-replay can be exercised
     * directly: apply `batch` as generation `gen-<epochId>` under
     * `path`. Idempotent per epoch — if `_CURRENT` already names this

@@ -263,4 +263,88 @@ class IvfIndexSpec extends AnyFunSuite {
         l.contains("__cell"))
     assert(codesScan.isDefined, s"no partition-filtered codes scan in:\n$plan")
   }
+
+  test("epoch lifecycle: appendEpoch is exactly-once (claim replay " +
+      "returns false), a crashed unclaimed dir is invisible and the " +
+      "retry rewrites it, and the epoch-grown index answers exactly " +
+      "like the in-place appendToSaved path") {
+    val emb = Tables.embeddings(spark, sf)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dirA = Files.createTempDirectory("graft-ivf-ep-a").toString
+    val dirB = Files.createTempDirectory("graft-ivf-ep-b").toString
+    IvfIndex.build(half1, "embedding", "vec_id", nCells = 8).save(dirA)
+    IvfIndex.build(half1, "embedding", "vec_id", nCells = 8).save(dirB)
+    // crash simulation: a half-written epoch exists but never claimed
+    new java.io.File(s"$dirA/epochs/e1/cells").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirA/epochs/e1/cells/garbage.txt"), "x")
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dirA).count()
+      == half1.count(), "unclaimed epoch must be invisible to loads")
+    // the retry deletes the unclaimed dir and rewrites it
+    assert(IvfIndex.appendEpoch(spark, dirA, half2, "embedding",
+      "vec_id", "e1"))
+    val cnt = graft.engine.IvfIndex.cellsWithEpochs(spark, dirA).count()
+    assert(cnt == emb.count())
+    // checkpoint replay after success: already claimed -> false, no-op
+    assert(!IvfIndex.appendEpoch(spark, dirA, half2, "embedding",
+      "vec_id", "e1"))
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dirA).count()
+      == cnt)
+    // parity law: the epoch-grown layout answers exactly like the
+    // in-place append on an identically built (seeded) twin
+    IvfIndex.appendToSaved(spark, dirB, half2, "embedding", "vec_id")
+    val viaEpoch = resultSet(IvfIndex.load(spark, dirA, "vec_id",
+      "embedding").queryByIds(queryIds, k = 8, nprobe = 8))
+    val viaAppend = resultSet(IvfIndex.load(spark, dirB, "vec_id",
+      "embedding").queryByIds(queryIds, k = 8, nprobe = 8))
+    assert(viaEpoch == viaAppend && viaEpoch.nonEmpty)
+  }
+
+  test("PQ sidecar + epochs: addPqCodes encodes pre-sidecar epochs " +
+      "(no recall hole), post-sidecar epoch codes carry the codebook " +
+      "version, and a re-fit EXCLUDES stale epoch codes instead of " +
+      "ADC-scoring them against the wrong codewords") {
+    val emb = Tables.embeddings(spark, sf)
+    val third1 = emb.filter(col("vec_id") % 3 === 0)
+    val third2 = emb.filter(col("vec_id") % 3 === 1)
+    val third3 = emb.filter(col("vec_id") % 3 === 2)
+    val dir = Files.createTempDirectory("graft-ivfpq-ep").toString
+    IvfIndex.build(third1, "embedding", "vec_id", nCells = 4).save(dir)
+    // an epoch claimed BEFORE the sidecar exists carries no codes dir
+    assert(IvfIndex.appendEpoch(spark, dir, third2, "embedding",
+      "vec_id", "pre"))
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    // ...but its rows ARE encoded: addPqCodes reads cellsWithEpochs
+    val codes1 = graft.engine.IvfIndex.codesWithEpochs(spark, dir)
+    assert(codes1.count() == third1.count() + third2.count(),
+      "pre-sidecar epoch rows must be present in the PQ scan")
+    // an epoch claimed AFTER the sidecar writes version-stamped codes
+    assert(IvfIndex.appendEpoch(spark, dir, third3, "embedding",
+      "vec_id", "post"))
+    val codes2 = graft.engine.IvfIndex.codesWithEpochs(spark, dir)
+    assert(codes2.count() == emb.count())
+    assert(codes2.select("vec_id").distinct().count() == emb.count(),
+      "every id exactly once in the PQ scan")
+    // exhaustive-parameter query sees neighbors from all three waves
+    val idx = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+    val n = emb.count().toInt
+    val res = idx.queryByIds(Seq(0L), k = n - 1, nprobe = 4,
+      refineFactor = n).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(res.exists(_ % 3 == 1) && res.exists(_ % 3 == 2),
+      "epoch rows must be reachable through the PQ query path")
+    // RE-FIT: the post epoch's codes are now stale (old codebook) —
+    // they must drop out of the union while the re-encode carries
+    // their rows in the base codes: still exactly one row per id
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 16)
+    val codes3 = graft.engine.IvfIndex.codesWithEpochs(spark, dir)
+    assert(codes3.count() == emb.count(),
+      "stale epoch codes must not double-count after a re-fit")
+    assert(codes3.select("vec_id").distinct().count() == emb.count())
+    // the stale dir is still on disk — excluded by version, not luck
+    assert(new java.io.File(s"$dir/epochs/post/codes").exists())
+  }
 }
