@@ -1201,6 +1201,23 @@ object ExtensionQueries {
       },
       None),
 
+    // ── end-to-end image similarity: decode → 8×8 luminance thumbnail
+    // embedding (partition-local, bytes never leave the executor) →
+    // the EXISTING IVF query path over the decoded vectors. Exhaustive
+    // probes make the search stage exact given the embeddings; decode
+    // determinism and the embedding values are pinned in
+    // MultimodalSpec, the bounded-heap plan shape in PlanSpec —
+    // rows-only here (synthesized PNG bytes aren't SQL-expressible) ─────
+    QuerySpec("image_similarity",
+      (s, d) => {
+        val media = Multimodal.synthesizeMedia(documents(s, d), "doc_id")
+        val emb = Multimodal.imageEmbeddings(media).toDF()
+        Extensions.annIvf(emb, "embedding", "media_id",
+            queryIds = Seq(0L, 3L, 6L), k = 10, nCells = 8, nprobe = 8)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ── IVF ANN (seeded KMeans coarse quantizer → rows-only) ─────────────
     QuerySpec("ann_ivf",
       (s, d) => Extensions.annIvf(embeddings(s, d), "embedding", "vec_id",

@@ -289,6 +289,28 @@ object Multimodal {
     }
   }
 
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** Decode-side visual embedding: the nearest-neighbor luminance
+    * [[thumbnail]] flattened row-major into a `tw·th`-float vector —
+    * the composition point between the multimodal family and the
+    * similarity-search family: its output is a plain
+    * (id, array&lt;float&gt;) frame that [[Extensions.annIvf]] /
+    * [[IvfIndex]] consume unchanged (the catalog's `image_similarity`
+    * entry). Deterministic (lossless PNG + integer resize), and the
+    * decode stays partition-local — payload bytes never leave the
+    * executor, only the small embedding rides the exchange, which at
+    * 100 TB of media is the whole game: the ANN index is built over
+    * tw·th floats per image, not the image bytes.
+    */
+  def imageEmbeddings(media: Dataset[MediaRow], tw: Int = 8,
+      th: Int = 8): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions { rows =>
+      rows.map(r => MediaEmbedding(r.media_id, thumbnail(r.content, tw, th)))
+    }
+  }
+
   /** Size-aware repartitioning: media payloads are orders of magnitude
     * wider than relational rows, so partition count follows total bytes
     * (~targetBytes per partition), not row count. At 100 TB this is the

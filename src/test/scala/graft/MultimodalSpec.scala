@@ -132,4 +132,54 @@ class MultimodalSpec extends AnyFunSuite {
       totalBytes = 10L << 20, targetBytes = 1L << 20)
     assert(out.rdd.getNumPartitions == 10)
   }
+
+  test("imageEmbeddings: image rows only, tw*th luminance floats in " +
+      "0..255, equal to the direct thumbnail decode, deterministic " +
+      "across partitionings") {
+    val emb = Multimodal.imageEmbeddings(media, tw = 8, th = 8)
+      .collect().sortBy(_.media_id)
+    val imageIds = media.collect().filter(_.modality == "image")
+      .map(_.media_id).sorted.toSeq
+    assert(emb.map(_.media_id).toSeq == imageIds && emb.nonEmpty)
+    assert(emb.forall(_.embedding.length == 64))
+    assert(emb.forall(_.embedding.forall(v => v >= 0f && v <= 255f)))
+    // equals the driver-side decode of the same payload
+    val byId = media.collect().map(r => r.media_id -> r.content).toMap
+    emb.take(3).foreach { e =>
+      assert(e.embedding.toSeq ==
+        Multimodal.thumbnail(byId(e.media_id), 8, 8).toSeq)
+    }
+    val again = Multimodal.imageEmbeddings(
+        media.repartition(7), tw = 8, th = 8)
+      .collect().sortBy(_.media_id)
+    assert(again.map(_.embedding.toSeq).toSeq ==
+      emb.map(_.embedding.toSeq).toSeq)
+  }
+
+  test("image_similarity: the decoded-thumbnail IVF search with " +
+      "exhaustive probes equals brute-force cosine top-k over the same " +
+      "embeddings, and ranks with the bounded heap, not a window sort") {
+    val out = SparkEntry.queries("image_similarity")(spark,
+      "/root/testdata/sf0.001")
+    out.collect()
+    // bounded-heap rank (TopKPairs objects), never a per-query window
+    // sort over the scored candidates
+    val plan = (out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("topkpairs"), s"no bounded-heap rank in:\n$plan")
+    // exhaustive probes = exact: equals brute-force cosineTopK over the
+    // identical decoded embeddings
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Multimodal.imageEmbeddings(
+      Multimodal.synthesizeMedia(docs, "doc_id")).toDF()
+    val brute = graft.engine.Extensions.cosineTopK(emb, "embedding",
+      "media_id", queryIds = Seq(0L, 3L, 6L), k = 10)
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(s(out) == s(brute) && s(out).nonEmpty)
+  }
 }
