@@ -70,21 +70,42 @@ object Bench {
       val ok = runs.forall(_._2)
       (name, if (ok) runs.map(_._1).min else -1.0, ok)
     }
-    // Driver-spike self-adjudication (VERDICT r10 #7): the cold pass
-    // re-times its 10 slowest successes, twice each in seeded-shuffled
-    // order, recording each query's MIN re-run. Every round's apparent
-    // regressions have been host-noise spikes sweeping a contiguous
-    // span of the cold run; a cold value far above its requeried value
-    // is that noise, while a real regression reproduces. Cost ≈ 2× the
-    // top-10 tail (~15 s at sf0.1); the headline "total"/"queries"
-    // stay the single-cold-run semantics of every prior round.
-    // Skipped under SPARK_GRAFT_REPEAT>1 (min-of-n already adjudicates).
+    // Driver-spike self-adjudication (VERDICT r10 #7, widened r12 per
+    // VERDICT r11 #6): the cold pass re-times (a) its 10 slowest
+    // successes and (b) any query whose cold time exceeds 1.8× its
+    // recorded per-query median in BASELINE_QUERIES.json (the
+    // committed parsed copy of the BASELINE.md record — absolute
+    // slack 0.2 s filters sub-noise entries; capped at 15 extra,
+    // worst ratios first). (a) alone missed tpch_q4's 2.1× spike in
+    // r11 because its absolute time was small. Twice each in
+    // seeded-shuffled order, recording each query's MIN re-run: a
+    // cold value far above its requeried value is host noise, a real
+    // regression reproduces. The headline "total"/"queries" keep the
+    // single-cold-run semantics of every prior round. Skipped under
+    // SPARK_GRAFT_REPEAT>1 (min-of-n already adjudicates).
+    val recorded: Map[String, Double] =
+      try {
+        val p = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+          "BASELINE_QUERIES.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val requeried: Seq[(String, Double)] =
       if (repeat > 1) Seq.empty
       else {
         val fns = SparkEntry.queries
         val top = results.filter(_._3).sortBy(-_._2).take(10).map(_._1)
-        new scala.util.Random(7L).shuffle(top ++ top)
+        val outliers = results.filter(_._3)
+          .filter { case (n, t, _) =>
+            recorded.get(n).exists(r => t > 1.8 * r && t - r > 0.2) }
+          .sortBy { case (n, t, _) => -(t / recorded(n)) }
+          .take(15).map(_._1)
+          .filterNot(top.contains)
+        val names = top ++ outliers
+        new scala.util.Random(7L).shuffle(names ++ names)
           .map { name =>
             val t0 = System.nanoTime()
             try { fns(name)(spark, sfDir).count(); () }

