@@ -104,6 +104,79 @@ object ExtensionQueries {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Generated DuckDB twin for `mmr_rerank`: the greedy MMR selection
+    * unrolled into one CTE triple (remaining → max-sim-to-selected →
+    * argmax pick) per step, the BPE-oracle playbook. Every score is
+    * exact integer micro-units (7·rel − 3·maxSim — λ=0.7 scaled ×10),
+    * so the whole k-step trajectory is bit-reproducible. */
+  private def mmrOracleSql(queryIds: Seq[Long], kBranch: Int,
+      k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""CASE WHEN list_dot_product($a, $a) = 0
+         |              OR list_dot_product($b, $b) = 0 THEN 0
+         |         ELSE list_dot_product($a, $b)
+         |              / (sqrt(list_dot_product($a, $a))
+         |               * sqrt(list_dot_product($b, $b))) END""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prior = (1 until i).map(j => s"SELECT * FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""selu$i AS ($prior),
+         |rem$i AS (
+         |  SELECT c.* FROM cands c LEFT JOIN selu$i s
+         |    ON c.query_id = s.query_id AND c.nid = s.nid
+         |  WHERE s.nid IS NULL),
+         |ms$i AS (
+         |  SELECT r.query_id, r.nid, r.rel, max(p.sim) AS maxsim
+         |  FROM rem$i r
+         |  JOIN pairs p ON p.query_id = r.query_id AND p.ca = r.nid
+         |  JOIN selu$i s ON s.query_id = p.query_id AND s.nid = p.cb
+         |  GROUP BY 1, 2, 3),
+         |sel$i AS (
+         |  SELECT query_id, nid, rel, maxsim, 7 * rel - 3 * maxsim
+         |           AS score, $i AS sel_rank
+         |  FROM (SELECT ms$i.*, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY 7 * rel - 3 * maxsim DESC, nid) AS rn
+         |        FROM ms$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(j => s"SELECT * FROM sel$j")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb AS qe FROM e
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |sc AS (
+       |  SELECT q.query_id, e.vec_id AS nid,
+       |         CAST(round(round(${cos("e.emb", "q.qe")}, 6)
+       |           * 1000000.0) AS BIGINT) AS rel
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |cands AS (
+       |  SELECT query_id, nid, rel FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, nid) AS rn FROM sc)
+       |  WHERE rn <= $kBranch),
+       |cv AS (
+       |  SELECT c.query_id, c.nid, c.rel, e.emb
+       |  FROM cands c JOIN e ON e.vec_id = c.nid),
+       |pairs AS (
+       |  SELECT a.query_id, a.nid AS ca, b.nid AS cb,
+       |         CAST(round(${cos("a.emb", "b.emb")} * 1000000.0)
+       |           AS BIGINT) AS sim
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.nid <> b.nid),
+       |sel1 AS (
+       |  SELECT query_id, nid, rel, 0::BIGINT AS maxsim, 7 * rel AS score,
+       |         1 AS sel_rank
+       |  FROM (SELECT cands.*, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY 7 * rel DESC, nid) AS rn FROM cands)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT query_id, nid AS neighbor_id, rel AS rel_micro,
+       |       maxsim AS max_sim_micro, score AS mmr_micro, sel_rank
+       |FROM ($unionAll) ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   /** One DuckDB twin serves BOTH hybrid-search catalog forms:
     * `rrf_fusion` (the in-memory operator) and `hybrid_topk` (the
     * persisted TextIndex + IvfIndex composition under exhaustive
@@ -1210,6 +1283,18 @@ object ExtensionQueries {
           .orderBy("media_id")
       },
       None),
+
+    // ── MMR diversification of the cosine top-k (the RAG-context /
+    // search-result diversifier): greedy 7·rel − 3·maxSim in exact
+    // integer micro-units, every step's argmax bit-reproducible — the
+    // oracle unrolls the k-step trajectory as CTE triples (see
+    // mmrOracleSql; the BPE playbook). Corpus-sized work = the
+    // bounded-heap candidate harvest only ────────────────────────────────
+    QuerySpec("mmr_rerank",
+      (s, d) => Extensions.mmrRerank(embeddings(s, d), "embedding",
+          "vec_id", queryIds = Seq(0L, 1L, 2L), kBranch = 10, k = 5)
+        .orderBy("query_id", "sel_rank"),
+      Some(mmrOracleSql(queryIds = Seq(0L, 1L, 2L), kBranch = 10, k = 5))),
 
     // ── end-to-end image similarity: decode → 8×8 luminance thumbnail
     // embedding (partition-local, bytes never leave the executor) →

@@ -1358,6 +1358,81 @@ object Extensions {
       smallestFirst = false)
   }
 
+  /** Maximal-marginal-relevance re-rank: diversify each query's
+    * cosine top-`kBranch` candidate list down to `k` results by the
+    * greedy MMR rule — pick argmax of λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s) over the not-yet-selected candidates, ties to the
+    * smaller id (Carbonell & Goldstein '98, the standard
+    * search-result/RAG-context diversifier). λ is fixed at 0.7 and
+    * the score works in EXACT integers: relevance and pair
+    * similarities ride micro-units, so the step score is
+    * 7·rel − 3·maxSim — pure integer arithmetic, no float boundary,
+    * which is what makes the whole greedy trajectory
+    * oracle-expressible (the unrolled-CTE playbook the BPE oracles
+    * established). The first pick has no selected set: maxSim = 0.
+    *
+    * Scale shape: the ONLY corpus-sized work is the bounded-heap
+    * [[cosineTopK]] harvest (plus one broadcast join back to fetch the
+    * ≤|Q|·kBranch candidate vectors). Everything after — the kBranch²
+    * pair matrix and the k greedy steps — runs on ≤|Q|·kBranch-row
+    * frames, a size fixed by parameters, not the corpus; both small
+    * frames are cached so the k unrolled steps don't re-run the
+    * harvest. Returns (query_id, neighbor_id, rel_micro,
+    * max_sim_micro, mmr_micro, sel_rank ≤ k).
+    */
+  def mmrRerank(emb: DataFrame, embCol: String, idCol: String,
+      queryIds: Seq[Long], kBranch: Int = 10, k: Int = 5): DataFrame = {
+    require(queryIds.nonEmpty && kBranch >= k && k >= 1,
+      "need queryIds nonempty and kBranch >= k >= 1")
+    val cands = cosineTopK(emb, embCol, idCol, queryIds, kBranch)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine_sim") * 1e6).cast("long").as("rel_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = emb.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__v"))
+    val withVec = cands.join(vecs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("__v"))
+    val pairs = withVec.select(col("query_id"),
+        col("neighbor_id").as("__ca"), col("__v").as("__va"))
+      .join(withVec.select(col("query_id"),
+        col("neighbor_id").as("__cb"), col("__v").as("__vb")), "query_id")
+      .filter(col("__ca") =!= col("__cb"))
+      .select(col("query_id"), col("__ca"), col("__cb"),
+        round(cosine(col("__va"), col("__vb")) * 1e6).cast("long")
+          .as("__sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pick(scoredRem: DataFrame, step: Int): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("mmr_micro"), asc("neighbor_id"))
+      scoredRem
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("sel_rank", lit(step))
+    }
+    val first = pick(cands
+      .withColumn("max_sim_micro", lit(0L))
+      .withColumn("mmr_micro", lit(7L) * col("rel_micro")), 1)
+    var selected = first
+    var step = 2
+    while (step <= k) {
+      val rem = cands.join(selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = rem
+        .join(pairs.withColumnRenamed("__ca", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("__cb")), Seq("query_id", "__cb"))
+        .groupBy("query_id", "neighbor_id", "rel_micro")
+        .agg(max("__sim").as("max_sim_micro"))
+        .withColumn("mmr_micro",
+          lit(7L) * col("rel_micro") - lit(3L) * col("max_sim_micro"))
+      selected = selected.unionByName(pick(ms, step))
+      step += 1
+    }
+    selected.select("query_id", "neighbor_id", "rel_micro",
+      "max_sim_micro", "mmr_micro", "sel_rank")
+  }
+
   /** LSH-bucketed ANN scale path: native sign-random-projection
     * (SimHash-for-vectors) buckets. Seeded hyperplanes enter the plan as
     * literals, so the whole bucket assignment is one codegen'd

@@ -294,6 +294,46 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(ap(rows, nBuckets = 7, parts = 13).contains(want))
   }
 
+  test("mmrRerank: pick 1 is the relevance argmax, a near-duplicate " +
+      "of the first pick is deferred in favor of a diverse candidate, " +
+      "ranks are 1..k, scores follow 7*rel-3*maxSim, " +
+      "partition-invariant") {
+    // query 0 = x̂. 10 and 11 are near-parallel twins at rel ≈ 0.95;
+    // 12 sits at rel ≈ 0.92 on the OPPOSITE side of the query
+    // (cos(10,12) ≈ 0.75, the triangle-inequality minimum), so at
+    // λ=0.7 the twin's ≈1.0 duplication penalty loses to 12's small
+    // one: 7·0.9199−3·0.7517 ≈ 4.18M beats 7·0.9491−3·0.99999 ≈ 3.65M
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      10L -> Array(0.95f, 0.312f, 0f, 0f),
+      11L -> Array(0.949f, 0.315f, 0f, 0f),
+      12L -> Array(0.92f, -0.392f, 0f, 0f),
+      13L -> Array(-1f, 0f, 0f, 0f)).toDF("vec_id", "embedding")
+    val out = Extensions.mmrRerank(emb, "embedding", "vec_id",
+      queryIds = Seq(0L), kBranch = 4, k = 3)
+      .orderBy("sel_rank").collect()
+    assert(out.map(_.getAs[Int]("sel_rank")).toSeq == Seq(1, 2, 3))
+    // pick 1 = pure relevance argmax (10 vs 11: 10 wins by cosine tie
+    // rules or value); pick 2 must be the DIVERSE 12, not the
+    // near-duplicate 11, because 11's maxSim penalty to 10 is huge
+    val first = out(0).getAs[Long]("neighbor_id")
+    assert(Set(10L, 11L).contains(first))
+    assert(out(1).getAs[Long]("neighbor_id") == 12L,
+      s"expected the diverse candidate second, got ${out.toSeq}")
+    // score law: mmr = 7*rel - 3*maxSim exactly, maxSim 0 on pick 1
+    out.foreach { r =>
+      assert(r.getAs[Long]("mmr_micro") ==
+        7L * r.getAs[Long]("rel_micro") -
+          3L * r.getAs[Long]("max_sim_micro"))
+    }
+    assert(out(0).getAs[Long]("max_sim_micro") == 0L)
+    // partition invariance
+    val re = Extensions.mmrRerank(emb.repartition(5), "embedding",
+      "vec_id", queryIds = Seq(0L), kBranch = 4, k = 3)
+      .orderBy("sel_rank").collect().map(_.toString).toSeq
+    assert(re == out.map(_.toString).toSeq)
+  }
+
   test("rrfFusion is invariant under input partitioning") {
     val base = fusionResult().map(_.toString).toSeq
     val docs7 = fusionDocs.toDF("doc_id", "text").repartition(7)
