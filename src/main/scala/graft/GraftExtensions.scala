@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BottomK, DotF32, MinHashSig, SimHash64, TopKPairs}
+import graft.functions.{BottomK, DotF32, MinHashSig, MmrSelect, SimHash64, TopKPairs}
 
 /** SparkSessionExtensions entry point — the production route to the
   * library's custom Catalyst functions. Users add
@@ -60,5 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       // arity + foldable-integral-k validation lives in fromExprs
       (exprs: Exprs) => TopKPairs.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("mmr_select"),
+      new ExpressionInfo(classOf[MmrSelect].getName, "mmr_select"),
+      // arity + foldable-integral-k validation lives in fromExprs
+      (exprs: Exprs) => MmrSelect.fromExprs(exprs)))
   }
 }

