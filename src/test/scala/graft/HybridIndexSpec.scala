@@ -78,4 +78,27 @@ class HybridIndexSpec extends AnyFunSuite {
         (1 to rs.length).toSeq)
     }
   }
+
+  test("hybrid query file-prunes BOTH persisted branches: the postings " +
+      "scan carries a __bucket partition filter, the cells scan a " +
+      "__cell one") {
+    val df = HybridIndex.queryByIds(savedText, savedIvf,
+      Tables.documents(spark, sf), "text", ids,
+      kBranch = 10, k = 10, nprobe = 2)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    val postings = plan.linesIterator.find(l =>
+      l.contains("postings") && l.contains("PartitionFilters") &&
+        l.contains("__bucket"))
+    assert(postings.isDefined,
+      s"no bucket-pruned postings scan in:\n$plan")
+    val cells = plan.linesIterator.find(l =>
+      l.contains("cells") && l.contains("PartitionFilters") &&
+        l.contains("__cell"))
+    assert(cells.isDefined, s"no cell-pruned cells scan in:\n$plan")
+  }
 }
