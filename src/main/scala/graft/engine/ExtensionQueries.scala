@@ -22,6 +22,10 @@ object ExtensionQueries {
   private val RrfFinalK = 10
   private val RrfConst = 60
   private val HybridNCells = 8
+  private val CmsDepth = 4
+  private val CmsWidth = 16384
+  private val BloomBits = 1 << 20
+  private val BloomHashes = 4
   private val Bm25Queries: Seq[(Long, String)] = Seq(
     0L -> "fast hash join", 1L -> "spark window agg",
     2L -> "slow scan filter")
@@ -1088,13 +1092,38 @@ object ExtensionQueries {
              |GROUP BY token
              |ORDER BY n DESC, token LIMIT 50""".stripMargin)),
 
-    // ── count-min-sketch token frequencies (seeded CMS → rows-only; the
-    // mergeable approximate twin of top_tokens' exact count) ─────────────
+    // ── count-min-sketch token frequencies, ORACLE-exact since r12:
+    // the catalog form builds the sketch from md5-60-bit row hashes
+    // both engines compute identically (the simhash playbook) — the
+    // counter table is one bounded groupBy, estimates are min-of-depth
+    // exact integer counts, so DuckDB replays the whole sketch. The
+    // Spark-native count_min_sketch aggregate (engine-internal hash)
+    // stays available as Extensions.freqSketchEstimates, spec-covered ───
     QuerySpec("token_freq_cms",
-      (s, d) => Extensions.freqSketchEstimates(documents(s, d), "text",
-          Seq("the", "of", "and", "data", "model"))
+      (s, d) => Extensions.cmsEstimatesMd5(documents(s, d), "text",
+          Seq("the", "of", "and", "data", "model"),
+          depth = CmsDepth, width = CmsWidth)
         .orderBy("token"),
-      None),
+      Some(s"""WITH tok AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |p AS (
+             |  SELECT j.range AS j,
+             |         ('0x' || substr(md5(j.range::VARCHAR || ':' || tok),
+             |            1, 15))::BIGINT % $CmsWidth AS pos
+             |  FROM tok, range(0, $CmsDepth) j),
+             |c AS (SELECT j, pos, count(*)::BIGINT AS n
+             |      FROM p GROUP BY 1, 2),
+             |q AS (SELECT unnest(['the', 'of', 'and', 'data', 'model'])
+             |        AS token),
+             |qp AS (
+             |  SELECT token, j.range AS j,
+             |         ('0x' || substr(md5(j.range::VARCHAR || ':' || token),
+             |            1, 15))::BIGINT % $CmsWidth AS pos
+             |  FROM q, range(0, $CmsDepth) j)
+             |SELECT token, min(coalesce(c.n, 0))::BIGINT AS est_count
+             |FROM qp LEFT JOIN c USING (j, pos)
+             |GROUP BY token ORDER BY token""".stripMargin)),
 
     // ── deterministic stratified sample: exactly ceil(10%) per event_type,
     // chosen by md5 order (reproducible, balanced — unlike seeded
@@ -1741,20 +1770,65 @@ object ExtensionQueries {
              |LEFT JOIN sc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
-    // ── Bloom-filter decontamination (the broadcast-filter scale path;
-    // xxhash64 bit positions are engine-internal → rows-only; the
-    // no-false-negative superset law vs the exact form + the FPR bound
-    // are spec-pinned in ExtensionsSpec) ─────────────────────────────────
+    // ── Bloom-filter decontamination (the broadcast-filter scale
+    // path), ORACLE-exact since r12: the catalog form double-hashes
+    // with the two disjoint md5-60-bit slices both engines compute
+    // identically, so DuckDB rebuilds the exact bit set and replays
+    // every probe — false positives included. The xxhash64 default
+    // stays the production fast path, spec-covered (superset law vs
+    // the exact form + FPR bound in ExtensionsSpec) ──────────────────────
     QuerySpec("bloom_decontaminate",
       (s, d) => {
         val docs0 = documents(s, d)
         Extensions.bloomDecontaminate(
             docs0.filter(col("doc_id") >= 100),
             docs0.filter(col("doc_id") < 100),
-            "text", "doc_id", n = 8)
+            "text", "doc_id", n = 8, numBits = BloomBits,
+            numHashes = BloomHashes,
+            hashPair = sh => (Extensions.md5Hash60(sh),
+              Extensions.md5Hash60b(sh)))
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH tr AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id >= 100),
+             |ev AS (
+             |  SELECT string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |es AS (
+             |  SELECT DISTINCT
+             |         array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM ev, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |eh AS (
+             |  SELECT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h1,
+             |         ('0x' || substr(md5(sh), 17, 15))::BIGINT AS h2
+             |  FROM es),
+             |bits AS (
+             |  SELECT DISTINCT ((h1 % $BloomBits)
+             |    + i.range * ((h2 % $BloomBits) | 1)) % $BloomBits AS pos
+             |  FROM eh, range(0, $BloomHashes) i),
+             |ts AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+7], ' ') AS sh
+             |  FROM tr, range(1, 100000) i WHERE i.range <= len(toks) - 7),
+             |th AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h1,
+             |         ('0x' || substr(md5(sh), 17, 15))::BIGINT AS h2
+             |  FROM ts),
+             |tp AS (
+             |  SELECT doc_id, h1, h2, ((h1 % $BloomBits)
+             |    + i.range * ((h2 % $BloomBits) | 1)) % $BloomBits AS pos
+             |  FROM th, range(0, $BloomHashes) i),
+             |hit AS (
+             |  SELECT doc_id, h1, h2, count(b.pos) AS nh
+             |  FROM tp LEFT JOIN bits b USING (pos)
+             |  GROUP BY 1, 2, 3),
+             |fl AS (SELECT DISTINCT doc_id FROM hit
+             |       WHERE nh = $BloomHashes)
+             |SELECT d.doc_id, (fl.doc_id IS NOT NULL)::INT AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+             |LEFT JOIN fl USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // ── K-fold out-of-fold target encoding with additive smoothing:
     // the leakage-safe target encoder (fold = id mod K, exact integer

@@ -824,6 +824,13 @@ object Extensions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** The SECOND 60-bit slice of the same md5 (hex chars 17..31) — the
+    * independent companion to [[md5Hash60]] for double hashing, which
+    * DuckDB reproduces as `('0x' || substr(md5(s), 17, 15))::BIGINT`
+    * (the bloom_decontaminate oracle). */
+  def md5Hash60b(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 17, 15), 16, 10).cast("long")
+
   // ── similarity search over embeddings ────────────────────────────────
 
   /** Cosine similarity of every row against one query vector (both as
@@ -1586,6 +1593,54 @@ object Extensions {
     * driver-side data (like IvfIndex's probed cell-id set). Seeded:
     * bit-reproducible estimates.
     */
+  /** Count-min sketch with the DuckDB-reproducible md5-60-bit row
+    * hashes — the oracle-expressible twin of [[freqSketchEstimates]]
+    * (the simhash/doc_fingerprints playbook): row j hashes token t at
+    * `md5Hash60(j + ":" + t) mod width`, the counter table is ONE
+    * map-side-combinable groupBy on ≤ depth·width keys (the sketch
+    * itself, as rows), and each query token reads back the MIN of its
+    * depth counters. Same CMS overcount guarantee (estimate ∈
+    * [true, true + N/width] per row, min over depth rows); everything
+    * is exact integer counting on deterministic hashes, so DuckDB
+    * replays it bit-for-bit. Query-token positions are computed
+    * driver-side with the identical md5 slice (a few rows — the
+    * [[freqSketchEstimates]] driver-decode precedent) and joined
+    * against the counter table; a position never seen counts 0.
+    *
+    * Scale shape: the corpus-sized work is one explode + one
+    * hash-keyed groupBy bounded by depth·width keys at ANY corpus
+    * size; the query side is |queryTokens|·depth rows broadcast.
+    */
+  def cmsEstimatesMd5(docs: DataFrame, textCol: String,
+      queryTokens: Seq[String], depth: Int = 4,
+      width: Int = 1 << 14): DataFrame = {
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    val toks = docs.select(explode(tokens(col(textCol))).as("__tok"))
+    val posCols = (0 until depth).map { j =>
+      struct(lit(j).as("__j"),
+        pmod(md5Hash60(concat(lit(s"$j:"), col("__tok"))),
+          lit(width.toLong)).as("__pos"))
+    }
+    val counters = toks
+      .select(explode(array(posCols: _*)).as("__jp"))
+      .select(col("__jp.__j").as("__j"), col("__jp.__pos").as("__pos"))
+      .groupBy("__j", "__pos").agg(count(lit(1)).as("__n"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val qRows = for {
+      t <- queryTokens
+      j <- 0 until depth
+    } yield (t, j, java.lang.Long.parseLong(
+      md5Hex(s"$j:$t").substring(0, 15), 16) % width)
+    val qDf = docs.sparkSession.createDataFrame(qRows)
+      .toDF("token", "__j", "__pos")
+    qDf.join(counters, Seq("__j", "__pos"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("__n"), lit(0L))).as("est_count"))
+  }
+
   def freqSketchEstimates(docs: DataFrame, textCol: String,
       queryTokens: Seq[String], eps: Double = 0.001,
       confidence: Double = 0.99, seed: Int = 42): DataFrame = {
@@ -2003,30 +2058,46 @@ object Extensions {
     */
   def bloomDecontaminate(train: DataFrame, eval: DataFrame,
       textCol: String, idCol: String, n: Int = 8,
-      numBits: Int = 1 << 20, numHashes: Int = 4): DataFrame = {
+      numBits: Int = 1 << 20, numHashes: Int = 4,
+      // the two independent shingle hashes double hashing derives its
+      // probe positions from. Default: engine-internal xxhash64 chain
+      // (fastest). The catalog passes the md5-60-bit slice pair
+      // (md5Hash60 + the second 15-hex slice) instead — both
+      // DuckDB-computable, which makes the whole filter oracle-exact
+      // (the simhash playbook).
+      hashPair: Column => (Column, Column) = sh => {
+        val h = xxhash64(sh)
+        (h, xxhash64(h, lit(0x9e3779b97f4a7c15L)))
+      }): DataFrame = {
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       "numBits must be a power of two >= 64")
     require(numHashes >= 1 && numHashes <= 16,
       "numHashes must be in [1, 16]")
     requireNoReserved(train, Seq("__h", "__h2", "__pos", "__widx", "__w",
       "__bloom", "contaminated"))
-    def shingleHashes(df: DataFrame): DataFrame =
-      docShingleHashes(df, textCol, idCol, n)
+    def shingleHashes(df: DataFrame): DataFrame = {
+      val (h1, h2) = {
+        val pair = hashPair(col("shingle"))
+        (pair._1, pair._2)
+      }
+      docShingles(df, textCol, idCol, n)
+        .select(col(idCol), h1.as("__h"), h2.as("__h2"))
+    }
     // double hashing: position_i = (h1 + i·h2) mod numBits, with BOTH
     // terms reduced mod numBits up front — h1 + i·h2 on raw 64-bit
     // hashes overflows a long (ANSI throws); reduced, the sum stays
-    // under 2²⁵. h2 from an independent seeded xxhash64, forced ODD so
-    // it cycles the full power-of-two table (coprime with 2^m) and the
-    // k probes never degenerate onto one bit.
-    def positions(h: Column): Seq[Column] = {
+    // under 2²⁵. h2 independent of h1, forced ODD so it cycles the
+    // full power-of-two table (coprime with 2^m) and the k probes
+    // never degenerate onto one bit.
+    def positions(h: Column, hb: Column): Seq[Column] = {
       val h1 = pmod(h, lit(numBits.toLong))
-      val h2 = pmod(xxhash64(h, lit(0x9e3779b97f4a7c15L)),
-        lit(numBits.toLong)).bitwiseOR(lit(1L))
+      val h2 = pmod(hb, lit(numBits.toLong)).bitwiseOR(lit(1L))
       (0 until numHashes).map(i =>
         pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong)))
     }
     val words = shingleHashes(eval)
-      .select(explode(array(positions(col("__h")): _*)).as("__pos"))
+      .select(explode(array(positions(col("__h"), col("__h2")): _*))
+        .as("__pos"))
       .select((col("__pos") / 64).cast("int").as("__widx"),
         // the Scala shiftleft() overload takes only a literal shift —
         // call the SQL function, whose shift is a full expression
@@ -2035,8 +2106,8 @@ object Extensions {
       .groupBy("__widx").agg(bit_or(col("__w")).as("__w"))
     val bloom = words.agg(map_from_entries(
       collect_list(struct(col("__widx"), col("__w")))).as("__bloom"))
-    def mightContain(h: Column): Column =
-      positions(h).map { p =>
+    def mightContain(h: Column, hb: Column): Column =
+      positions(h, hb).map { p =>
         val word = coalesce(
           element_at(col("__bloom"), (p / 64).cast("int")), lit(0L))
         call_function("shiftrightunsigned", word,
@@ -2044,7 +2115,7 @@ object Extensions {
       }.reduce(_ && _)
     val flagged = shingleHashes(train)
       .crossJoin(broadcast(bloom))
-      .filter(mightContain(col("__h")))
+      .filter(mightContain(col("__h"), col("__h2")))
       .select(col(idCol)).distinct()
       .withColumn("contaminated", lit(1))
     train.select(col(idCol))

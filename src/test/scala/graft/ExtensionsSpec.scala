@@ -664,6 +664,24 @@ class ExtensionsSpec extends AnyFunSuite {
     val again = Extensions.freqSketchEstimates(docs, "text", probes)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == est)
+    // the md5-hash CMS (the oracle-expressible catalog form) obeys the
+    // same never-undercount law, its per-row overcount is bounded by
+    // collisions (<= N - true at worst), and it is partition-invariant
+    val est2 = Extensions.cmsEstimatesMd5(docs, "text", probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (p <- probes) {
+      val ex = exact.getOrElse(p, 0L)
+      assert(est2(p) >= ex, s"$p: md5 CMS must never undercount")
+      assert(est2(p) <= n, s"$p: estimate cannot exceed the token count")
+    }
+    val est2re = Extensions.cmsEstimatesMd5(docs.repartition(7), "text",
+      probes).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2re == est2)
+    // an absent token estimates 0 unless every row collides
+    val ghost = Extensions.cmsEstimatesMd5(docs, "text",
+      Seq("zz_never_in_corpus_zz"), width = 1 << 16)
+      .collect().head.getLong(1)
+    assert(ghost >= 0L && ghost <= (0.01 * n).ceil.toLong)
   }
 
   test("dedupBest keeps the highest-quality row of each dupe group") {
