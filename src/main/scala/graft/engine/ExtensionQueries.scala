@@ -652,8 +652,13 @@ object ExtensionQueries {
              |                ELSE 0 END)::BIGINT AS simhash
              |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    // ── MinHash near-dup pairs (native MinHashSig expression; seeded
-    // hashing → not SQL-expressible, rows-only).
+    // ── MinHash near-dup pairs, ORACLE-exact since r12: the catalog
+    // form signs with md5MinhashSig (band j = min over distinct tokens
+    // of md5Hash60(j + ":" + token) — both engines compute it
+    // identically), so DuckDB re-derives the signatures, the
+    // any-band-collision candidates, AND the exact Jaccard rescore
+    // (string-joined, the contamination_score precedent). The native
+    // seeded MinHashSig stays the production default, spec-covered.
     // Sample-bounded like ngram_jaccard: this synthetic corpus draws from
     // a tiny vocabulary, so nearly ALL pairs collide at Jaccard 0.5 and
     // the join degenerates to all-pairs distance scoring — a corpus
@@ -661,11 +666,42 @@ object ExtensionQueries {
     QuerySpec("minhash_neardup",
       (s, d) => Extensions.minhashNearDups(
           documents(s, d).filter(col("doc_id") < 300), "text", "doc_id",
-          maxJaccardDist = 0.3, numHashTables = 3)
+          maxJaccardDist = 0.3, numHashTables = 3,
+          sigOf = Some(Extensions.md5MinhashSig(3)))
         .select(col("id_a"), col("id_b"), round(col("jaccard_dist"), 6)
           .as("jaccard_dist"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_filter(string_split(lower(text),
+             |           ' '), x -> x <> '')) AS toks
+             |  FROM documents WHERE doc_id < 300),
+             |nz AS (SELECT * FROM d WHERE len(toks) > 0),
+             |t AS (SELECT doc_id, unnest(toks) AS tok FROM nz),
+             |h AS (
+             |  SELECT doc_id, j.range AS band,
+             |         min(('0x' || substr(md5(j.range::VARCHAR || ':' ||
+             |           tok), 1, 15))::BIGINT) AS h
+             |  FROM t, range(0, 3) j GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM h a JOIN h b
+             |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+             |cnt AS (SELECT doc_id, len(toks)::BIGINT AS n FROM nz),
+             |inter AS (
+             |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS ni
+             |  FROM cand c
+             |  JOIN t ta ON ta.doc_id = c.id_a
+             |  JOIN t tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+             |  GROUP BY 1, 2),
+             |jd AS (
+             |  SELECT id_a, id_b,
+             |         1.0 - inter.ni / (na.n + nb.n - inter.ni) AS jd
+             |  FROM inter
+             |  JOIN cnt na ON na.doc_id = inter.id_a
+             |  JOIN cnt nb ON nb.doc_id = inter.id_b)
+             |SELECT id_a, id_b, round(jd, 6) AS jaccard_dist
+             |FROM jd WHERE jd <= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
     // ── embedding-cosine near-dup pairs (exact all-pairs ground truth
     // for the ANN-bucketed candidate pipeline) ───────────────────────────

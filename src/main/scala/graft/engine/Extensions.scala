@@ -194,9 +194,26 @@ object Extensions {
     * if all k independent minhash values differ — P[miss] = (1−j)^k,
     * the standard OR-amplification bound.
     */
+  /** The DuckDB-reproducible signature builder for [[minhashNearDups]]
+    * (the md5 playbook): band j's minhash = min over the doc's
+    * distinct tokens of `md5Hash60(j + ":" + token)` — one nested HOF,
+    * no shuffle, and the oracle recomputes every value identically, so
+    * candidate generation AND the exact rescore both replay
+    * bit-for-bit. The native seeded [[graft.functions.MinHashSig]]
+    * stays the production default (one murmur pass per token vs k md5
+    * digests). */
+  def md5MinhashSig(k: Int)(toks: Column): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(toks, t =>
+        md5Hash60(concat(j.cast("string"), lit(":"), t)))))
+
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxJaccardDist: Double = 0.8, numHashTables: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      // signature builder over the distinct-token array; defaults to
+      // the native seeded MinHashSig expression, the catalog passes
+      // [[md5MinhashSig]] for oracle-exactness
+      sigOf: Option[Column => Column] = None): DataFrame = {
     // "" is not a token (split("", " ") yields [""]): without stripping
     // it, every empty/whitespace-only doc shares that token, collides on
     // every band, AND survives the exact rescore — O(m²) output on a
@@ -207,9 +224,9 @@ object Extensions {
     val toks = docs.select(col(idCol),
       array_remove(array_distinct(tokens(col(textCol))), "").as("__toks"))
       .filter(size(col("__toks")) > 0)
-    val sig = toks.select(col(idCol),
-      graft.functions.MinHashSig.minhashSig(col("__toks"), numHashTables, seed)
-        .as("__sig"))
+    val mkSig: Column => Column = sigOf.getOrElse(ts =>
+      graft.functions.MinHashSig.minhashSig(ts, numHashTables, seed))
+    val sig = toks.select(col(idCol), mkSig(col("__toks")).as("__sig"))
     val banded = sig.select(col(idCol),
       posexplode(col("__sig")).as(Seq("__band", "__h")))
     val cand = banded.select(col("__band"), col("__h"), col(idCol).as("id_a"))
