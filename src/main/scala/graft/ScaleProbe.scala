@@ -156,6 +156,20 @@ object ScaleProbe {
       path
     }
 
+    // persisted hybrid layout (r12): TextIndex + IvfIndex built and
+    // saved in fixture prep so hybrid_query times ONLY the pruned
+    // query path (the ivfIndexAt pattern)
+    def hybridIndexAt(f: Int): String = {
+      val path = s"$work/hybrid_f$f"
+      if (!new java.io.File(s"$path/ivf/cells/_SUCCESS").exists()) {
+        graft.engine.TextIndex.build(documentsAt(f), "text", "doc_id",
+          nBuckets = 16).save(s"$path/text")
+        graft.engine.IvfIndex.build(embeddingsAt(f), "embedding",
+          "vec_id", nCells = 8).save(s"$path/ivf")
+      }
+      path
+    }
+
     // the catalog's exact edge build (AnalyticsQueries triangle_count /
     // edge_jaccard): in-array ordered pairs per order
     def orderEdges(li: DataFrame, minCo: Long): DataFrame = {
@@ -323,6 +337,35 @@ object ScaleProbe {
           .filter(col("l_partkey") % 97 === 0)
         graft.engine.Analytics.bfsDistances(sym, "s", "t", seeds,
           "l_partkey", maxDepth = 3, outCol = "part")
+      }),
+      // r12 probes. mmr_rerank: the harvest scan grows ×f, the pair
+      // matrix and greedy are parameter-bounded — must track the scan.
+      "mmr_rerank" -> (f =>
+        graft.SparkEntry.queries("mmr_rerank")(spark, s"$work/f$f")),
+      // ece / pr_auc: scoring scan ×f; the calibration table is
+      // ≤bins keys and the AP histogram value-bounded — tails flat.
+      "ece" -> (f =>
+        graft.SparkEntry.queries("ece")(spark, s"$work/f$f")),
+      "pr_auc" -> (f =>
+        graft.SparkEntry.queries("pr_auc")(spark, s"$work/f$f")),
+      // image_similarity: synthesize+decode ×f media partition-locally,
+      // then the IVF path — decode dominates, must stay linear.
+      "image_similarity" -> (f =>
+        graft.SparkEntry.queries("image_similarity")(spark, s"$work/f$f")),
+      // the PRUNED persisted hybrid query over a layout built in
+      // fixture prep (the ivf_append_query pattern — builds never
+      // timed): query-term posting lists and probed cells both grow
+      // ×f in content while the probe sets stay fixed, so the pruned
+      // scans should track f with a small constant, the fusion tail
+      // stays |Q|·kBranch.
+      "hybrid_query" -> (f => {
+        val path = hybridIndexAt(f)
+        graft.engine.HybridIndex.queryByIds(
+          graft.engine.TextIndex.load(spark, s"$path/text"),
+          graft.engine.IvfIndex.load(spark, s"$path/ivf", "vec_id",
+            "embedding"),
+          documentsAt(f), "text", Seq(0L, 1L, 2L),
+          kBranch = 20, k = 10, nprobe = 2)
       }))
 
     // optional comma-separated shape filter (sweep a subset without
@@ -366,6 +409,11 @@ object ScaleProbe {
       "window_rank" -> Set("orders"),
       "merge_upsert" -> Set("orders"),
       "ivf_append_query" -> Set("embeddings_perm", "ivf_index"),
+      "mmr_rerank" -> Set("embeddings"),
+      "ece" -> Set("embeddings"),
+      "pr_auc" -> Set("embeddings"),
+      "image_similarity" -> Set("documents"),
+      "hybrid_query" -> Set("documents", "embeddings", "hybrid_index"),
       "roc_auc" -> Set("embeddings"),
       "rrf_fusion" -> Set("documents", "embeddings"))
     val needed = selected.flatMap { case (n, _) =>
@@ -382,6 +430,7 @@ object ScaleProbe {
         Seq("customer", "supplier", "nation", "region")
           .foreach(staticAt(f, _))
       if (needed("ivf_index")) ivfIndexAt(f)
+      if (needed("hybrid_index")) hybridIndexAt(f)
     }
     selected.foreach { case (_, mk) => mk(factors.head).count() }
 

@@ -14,6 +14,44 @@ object AnalyticsQueries {
 
   private val NdcgK = 10
   private val NdcgQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+  private val KCoreK = 3
+
+  /** Generated DuckDB twin for `k_core`: the peel unrolled — alive0 =
+    * nodes with degree ≥ k in the canonical symmetric co-purchase
+    * graph, alive_i = nodes with ≥ k neighbors whose BOTH endpoints
+    * survive alive_{i-1}. `rounds` must be ≥ the actual fixpoint
+    * depth (extra rounds are idempotent — the alive set stops
+    * changing, so any surplus depth returns the identical set). The
+    * alive CTEs are AS MATERIALIZED: each references its predecessor
+    * twice, so DuckDB's default CTE inlining would blow the plan up
+    * 2^rounds-fold. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "alive0" else s"alive${i - 1}"
+      s"""alive$i AS MATERIALIZED (
+         |  SELECT y.n FROM sym y
+         |  JOIN $prev a ON a.n = y.n
+         |  JOIN $prev b ON b.n = y.m
+         |  GROUP BY y.n HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS s, b.l_partkey AS t
+       |  FROM li a JOIN li b USING (l_orderkey)
+       |  WHERE a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS MATERIALIZED (SELECT s AS n, t AS m FROM und
+       |        UNION ALL SELECT t, s FROM und),
+       |alive0 AS MATERIALIZED (
+       |  SELECT n FROM sym GROUP BY n HAVING count(*) >= $k),
+       |$steps
+       |SELECT y.n AS part_id, count(*)::BIGINT AS core_degree
+       |FROM sym y
+       |JOIN alive$rounds a ON a.n = y.n
+       |JOIN alive$rounds b ON b.n = y.m
+       |GROUP BY 1 HAVING count(*) >= $k ORDER BY part_id""".stripMargin
+  }
   // the SAME Scala-computed micro-unit discount constants feed the
   // Spark literal array AND this SQL — no cross-engine log2 involved
   private def ndcgDiscountValues: String =
@@ -240,6 +278,32 @@ object AnalyticsQueries {
              |  UNION ALL SELECT z FROM tri)
              |SELECT part_id, count(*)::BIGINT AS triangles
              |FROM n GROUP BY 1 ORDER BY part_id""".stripMargin)),
+
+    // ── k-core decomposition of the same co-purchase graph: iterative
+    // peel (drop nodes with < k surviving neighbors until fixpoint),
+    // the graph-cleaning step before community analysis. The oracle
+    // UNROLLS the peel (the BPE playbook): alive_i = nodes with ≥ k
+    // neighbors inside alive_{i-1}; rounds are unrolled past the
+    // fixpoint depth, where extra rounds are idempotent — so the
+    // Spark fixpoint loop and the fixed-depth SQL agree exactly ─────────
+    QuerySpec("k_core",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          .select(explode(flatten(transform(col("__items"), (a, i) =>
+            transform(
+              slice(col("__items"), i + lit(2), size(col("__items"))),
+              b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
+          .select(col("__p.part_a"), col("__p.part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("__co"))
+          .filter(col("__co") >= 2)
+        Analytics.kCore(edges, "part_a", "part_b", k = KCoreK,
+            outCol = "part_id")
+          .orderBy("part_id")
+      },
+      Some(kCoreOracleSql(KCoreK, rounds = 10))),
 
     // ── grouped top-k via the bounded-heap TopKPairs aggregate: map-side
     // partial top-k (≤k rows per group per partition shuffle) instead of
