@@ -1385,6 +1385,42 @@ object ExtensionQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // ── content-defined chunking (gear/Rabin at token granularity):
+    // a chunk ends at every token whose md5-60-bit hash ≡ 0 (mod 64) —
+    // boundaries depend only on LOCAL content, so edits re-chunk just
+    // their neighborhood (the edit-stability incremental dedup needs;
+    // fixed-width chunks shift every boundary after one insertion).
+    // Pure projection + generator, NO shuffle; boundary rule and
+    // chunk hash are both md5 slices → oracle-exact end to end ──────────
+    QuerySpec("cdc_chunking",
+      (s, d) => Extensions.cdcChunks(documents(s, d), "text", "doc_id",
+          avgLen = 64)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, toks, i.range AS i
+             |  FROM t, range(1, 100000) i WHERE i.range <= len(toks)),
+             |e AS (
+             |  SELECT doc_id, toks, i FROM p
+             |  WHERE ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT % 64 = 0
+             |     OR i = len(toks)),
+             |c AS (
+             |  SELECT doc_id, toks, i AS end_i,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY i)
+             |           AS chunk_idx,
+             |         coalesce(lag(i) OVER (PARTITION BY doc_id
+             |           ORDER BY i), 0) + 1 AS start_tok
+             |  FROM e)
+             |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+             |       start_tok::INT AS start_tok,
+             |       (end_i - start_tok + 1)::INT AS n_tokens,
+             |       ('0x' || substr(md5(array_to_string(
+             |          toks[start_tok:end_i], ' ')), 1, 15))::BIGINT
+             |         AS chunk_hash
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ── sliding context windows (512 chars, stride 384) per document:
     // pure projection + sequence() explode, zero shuffles ────────────────
     QuerySpec("overlap_chunking",

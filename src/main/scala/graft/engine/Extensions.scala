@@ -3107,6 +3107,53 @@ object Extensions {
     * token stream (cross-doc offsets, needs its prefix-sum machinery);
     * this operator windows WITHIN each document.
     */
+  /** Content-defined chunking at token granularity (the gear/Rabin
+    * idea applied to words): a chunk ends at every token whose
+    * md5-60-bit hash is ≡ 0 (mod `avgLen`) — boundaries depend only
+    * on LOCAL content, so an edit re-chunks just its neighborhood
+    * while every other chunk keeps its exact extent and hash. That
+    * edit-stability is the point: chunk hashes feed incremental /
+    * cross-snapshot dedup ([[dedupIncremental]]) where fixed-width
+    * chunks would shift every boundary after one insertion.
+    * Expected chunk length = `avgLen` tokens (geometric); the final
+    * chunk always closes at the document end. Returns one row per
+    * chunk: (idCol, chunk_idx, start_tok, n_tokens, chunk_hash) with
+    * chunk_hash = md5-60 of the space-joined chunk text — both the
+    * boundary rule and the hash are the DuckDB-reproducible md5
+    * slices, so the whole chunking is oracle-exact.
+    *
+    * Scale shape: pure projection + one generator — NO exchange at
+    * any corpus size (chunking 100 TB is map-only). The per-chunk
+    * slice copies partition the token array, so per-doc work stays
+    * O(tokens), never O(tokens²).
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+      avgLen: Int = 64): DataFrame = {
+    require(avgLen >= 2, "avgLen must be at least 2")
+    requireNoReserved(docs, Seq("__toks", "__ends", "__c", "chunk_idx",
+      "start_tok", "n_tokens", "chunk_hash"))
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val ends = filter(sequence(lit(1), n), i =>
+      (pmod(md5Hash60(element_at(col("__toks"), i)),
+        lit(avgLen.toLong)) === 0L) || (i === n))
+    val chunks = transform(col("__ends"), (e, j) => {
+      val start = when(j === 0, lit(1))
+        .otherwise(element_at(col("__ends"), j) + 1)
+      struct((j + 1).as("chunk_idx"), start.as("start_tok"),
+        (e - start + 1).as("n_tokens"),
+        md5Hash60(array_join(
+          slice(col("__toks"), start, e - start + 1), " "))
+          .as("chunk_hash"))
+    })
+    toks.withColumn("__ends", ends)
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.start_tok").as("start_tok"),
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_hash").as("chunk_hash"))
+  }
+
   def overlapChunks(df: DataFrame, idCol: String, nTokensCol: String,
       ctxLen: Int, stride: Int): DataFrame = {
     require(ctxLen > 0, "ctxLen must be positive")

@@ -684,6 +684,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ghost >= 0L && ghost <= (0.01 * n).ceil.toLong)
   }
 
+  test("cdcChunks: chunks partition the doc contiguously, boundaries " +
+      "are content-local (an insertion changes only its own chunk — " +
+      "later chunks shift but keep their hashes), and the plan has " +
+      "no exchange") {
+    val rnd = new scala.util.Random(3L)
+    val words = (0 until 400).map(_ => s"w${rnd.nextInt(500)}")
+    val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Extensions.cdcChunks(doc, "text", "doc_id", avgLen = 16)
+      .orderBy("chunk_idx").collect()
+    // contiguous partition of the token stream
+    assert(out.map(_.getAs[Int]("n_tokens")).sum == 400)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Int]("start_tok") ==
+          a.getAs[Int]("start_tok") + a.getAs[Int]("n_tokens"))
+      case _ =>
+    }
+    assert(out.head.getAs[Int]("start_tok") == 1)
+    assert(out.length > 5, "expected several chunks at avgLen=16")
+    // EDIT STABILITY: insert 3 tokens mid-doc; chunks before the edit
+    // keep (start, hash); chunks after keep their hashes with starts
+    // shifted by exactly +3 — only the edited chunk's neighborhood
+    // re-chunks. (Fixed-width chunking would shift EVERY later
+    // boundary and invalidate every later hash.)
+    val editPos = 200
+    val edited = (words.take(editPos) ++ Seq("INS1", "INS2", "INS3") ++
+      words.drop(editPos)).mkString(" ")
+    val out2 = Extensions.cdcChunks(
+        Seq((1L, edited)).toDF("doc_id", "text"), "text", "doc_id",
+        avgLen = 16)
+      .orderBy("chunk_idx").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("start_tok"), r.getAs[Long]("chunk_hash"))
+    val before = out.filter(r => r.getAs[Int]("start_tok") +
+      r.getAs[Int]("n_tokens") - 1 < editPos).map(key).toSeq
+    val before2 = out2.take(before.length).map(key).toSeq
+    assert(before2 == before, "pre-edit chunks must be bit-identical")
+    val after = out.filter(_.getAs[Int]("start_tok") > editPos)
+      .map(r => (r.getAs[Int]("start_tok") + 3,
+        r.getAs[Long]("chunk_hash"))).toSet
+    val after2 = out2.map(key).toSet
+    // every post-edit chunk of the original reappears, shifted +3
+    // (the edited chunk itself may split/merge — everything else holds)
+    val missing = after -- after2
+    assert(missing.isEmpty,
+      s"post-edit chunks drifted: ${missing.take(3)}")
+    // map-only: no exchange anywhere in the plan
+    val df = Extensions.cdcChunks(doc, "text", "doc_id", avgLen = 16)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cdcChunks must be map-only:\n$plan")
+  }
+
   test("dedupBest keeps the highest-quality row of each dupe group") {
     val df = Seq(
       (1L, "aaa", 10), (2L, "aaa", 30), (3L, "aaa", 30), // group: max q, tie -> min id
