@@ -1448,6 +1448,34 @@ object Analytics {
             col("__idcg").cast("double"), 6)).as("ndcg"))
   }
 
+  /** Reciprocal rank per query (the MRR building block): the rank of
+    * the FIRST relevant candidate within the top-k ranking, and
+    * rr = 1/first_rel_rank (0.0 when no relevant candidate makes the
+    * cut — the standard convention). The division is the only float
+    * op: 1/rank of an exact small int is exactly rounded identically
+    * by both engines, then 6-dp displayed. Returns
+    * (queryCol, first_rel_rank ≤ k | null, rr).
+    *
+    * Scale shape: one keyed left join of the k·|Q|-row rank table
+    * against the relevant pairs + one |Q|-group min rollup — the
+    * [[retrievalEval]] shape minus the discount lookup.
+    */
+  def mrrEval(ranked: DataFrame, relevant: DataFrame,
+      queryCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    requireNoReserved(ranked, Seq("__rel", "first_rel_rank", "rr"))
+    val rel1 = relevant.select(col(queryCol), col(idCol),
+      lit(1L).as("__rel"))
+    ranked.filter(col("rank") <= k)
+      .join(rel1, Seq(queryCol, idCol), "left")
+      .groupBy(queryCol)
+      .agg(min(when(col("__rel").isNotNull, col("rank")))
+        .cast("int").as("first_rel_rank"))
+      .select(col(queryCol), col("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
+          .as("rr"))
+  }
+
   /** Per-group Shannon entropy (nats) of a categorical mix — how
     * evenly a group spreads over the categories (0 = all one type,
     * ln k = uniform over k types). Uses the re-aggregation identity

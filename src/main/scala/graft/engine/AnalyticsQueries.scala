@@ -711,6 +711,59 @@ object AnalyticsQueries {
              |FROM f LEFT JOIN p ON p.m = f.m
              |ORDER BY f.query_id""".stripMargin)),
 
+    // ── reciprocal rank per query (the MRR building block) over the
+    // same cosine ranking / same-label relevance fixture as ndcg_eval;
+    // 1/first_rel_rank is the only float op, exactly rounded by both
+    // engines (see Analytics.mrrEval) ───────────────────────────────────
+    QuerySpec("mrr",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id").isin(NdcgQueryIds: _*))
+          .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        val relevant = e.select(col("vec_id").as("neighbor_id"),
+            col("label"))
+          .join(broadcast(q), col("label") === col("__ql"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id")
+        val ranked = Extensions.cosineTopK(e, "embedding", "vec_id",
+          NdcgQueryIds, k = NdcgK)
+        Analytics.mrrEval(ranked, relevant, "query_id",
+          "neighbor_id", k = NdcgK).orderBy("query_id")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+             |         label AS ql
+             |  FROM embeddings
+             |  WHERE vec_id IN (${NdcgQueryIds.mkString(", ")})),
+             |s AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+             |                                          e.embedding::DOUBLE[]) = 0
+             |                      OR list_dot_product(q.qe, q.qe) = 0 THEN 0
+             |               ELSE list_dot_product(e.embedding::DOUBLE[], q.qe)
+             |                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+             |                                             e.embedding::DOUBLE[]))
+             |                     * sqrt(list_dot_product(q.qe, q.qe)))
+             |               END, 6) AS cosine_sim
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |             row_number() OVER (PARTITION BY query_id
+             |               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+             |      FROM s),
+             |topk AS (SELECT * FROM r WHERE rank <= $NdcgK),
+             |rel AS (SELECT q.query_id, e.vec_id AS neighbor_id
+             |        FROM embeddings e JOIN q ON e.label = q.ql
+             |        WHERE e.vec_id <> q.query_id),
+             |j AS (SELECT t.query_id,
+             |             CASE WHEN rel.neighbor_id IS NULL THEN NULL
+             |                  ELSE t.rank END AS hit_rank
+             |      FROM topk t LEFT JOIN rel
+             |        ON t.query_id = rel.query_id
+             |       AND t.neighbor_id = rel.neighbor_id)
+             |SELECT query_id, min(hit_rank)::INT AS first_rel_rank,
+             |       round(coalesce(1.0 / min(hit_rank), 0.0), 6) AS rr
+             |FROM j GROUP BY 1 ORDER BY query_id""".stripMargin)),
+
     // ── chi-square contingency: order status × priority — counts once,
     // marginals re-aggregated from the tiny cell table ──────────────────
     QuerySpec("chi_square",

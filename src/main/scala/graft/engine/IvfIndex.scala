@@ -98,7 +98,14 @@ final class IvfIndex private (
     corpus.sparkSession.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
       .write.mode("overwrite").parquet(s"$path/quantizer")
-    corpus.write.mode("overwrite").partitionBy("__cell")
+    // cluster by the partition column before partitionBy: without it
+    // every task writes a sliver into every cell dir (tasks × cells
+    // small files — both a write-time and a scan-time tax); clustered,
+    // each cell lands as a handful of full files. Standard
+    // partitioned-write hygiene; raise the partition count past
+    // nCells when cells outgrow executor-sized files.
+    corpus.repartition(centroids.size, col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/cells")
   }
 }
@@ -228,6 +235,7 @@ object IvfIndex {
     corpus.select(col(idCol),
         graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
         col("__cell"))
+      .repartition(col("__cell")) // cluster per cell dir (save() note)
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/codes")
   }

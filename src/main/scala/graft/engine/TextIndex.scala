@@ -79,7 +79,13 @@ final class TextIndex private[engine] (
   def save(path: String): Unit = {
     val spark = postings.sparkSession
     import spark.implicits._
-    postings.write.mode("overwrite").partitionBy("__bucket")
+    // cluster by the partition column before partitionBy (the
+    // IvfIndex.save note): unclustered, every task writes a sliver
+    // into every bucket dir — tasks × buckets small files; clustered,
+    // each bucket lands as a handful of full files. Raise the count
+    // past nBuckets when buckets outgrow executor-sized files.
+    postings.repartition(nBuckets, col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$path/postings")
     Seq((nDocs, sumDl, nBuckets, idCol)).toDF(
         "n_docs", "sum_dl", "n_buckets", "id_col")

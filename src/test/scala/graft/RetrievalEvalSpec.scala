@@ -334,6 +334,30 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert(re == out.map(_.toString).toSeq)
   }
 
+  test("mrrEval: first relevant rank and 1/rank, 0.0 when nothing " +
+      "relevant makes the cut, truncation at k") {
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // q1: rel at rank 2
+      (2L, 20L, 1), (2L, 21L, 2),                  // q2: no rel in top-k
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))    // q3: rel at 1 AND 3
+      .toDF("query_id", "neighbor_id", "rank")
+    val relevant = Seq((1L, 11L), (2L, 99L), (3L, 30L), (3L, 32L),
+      (1L, 13L)).toDF("query_id", "neighbor_id")
+    val out = Analytics.mrrEval(ranked, relevant, "query_id",
+        "neighbor_id", k = 3)
+      .orderBy("query_id").collect()
+    assert(out.map(r => (r.getLong(0),
+      Option(r.getAs[Integer]("first_rel_rank")).map(_.toInt),
+      r.getDouble(2))).toSeq ==
+      Seq((1L, Some(2), 0.5), (2L, None, 0.0), (3L, Some(1), 1.0)))
+    // truncation: at k=1 only q3's rank-1 hit survives
+    val k1 = Analytics.mrrEval(ranked, relevant, "query_id",
+        "neighbor_id", k = 1)
+      .orderBy("query_id").collect()
+    assert(k1.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 0.0), (2L, 0.0), (3L, 1.0)))
+  }
+
   test("rrfFusion is invariant under input partitioning") {
     val base = fusionResult().map(_.toString).toSeq
     val docs7 = fusionDocs.toDF("doc_id", "text").repartition(7)
