@@ -177,7 +177,7 @@ object IvfIndex {
       (array_position(dists, array_min(dists)) - 1).cast("int")
         .as("__cell"))
     assigned.write.mode("append").partitionBy("__cell")
-      .parquet(s"$path/cells")
+      .parquet(s"${baseRoot(path)}/cells")
   }
 
   /** Open a saved index. Queries against it prune the cell partitions
@@ -237,7 +237,7 @@ object IvfIndex {
         col("__cell"))
       .repartition(col("__cell")) // cluster per cell dir (save() note)
       .write.mode("overwrite").partitionBy("__cell")
-      .parquet(s"$path/codes")
+      .parquet(s"${baseRoot(path)}/codes")
   }
 
   /** Content fingerprint of a PQ codebook — epoch codes dirs are
@@ -310,7 +310,7 @@ object IvfIndex {
         (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
           .as("__cell"))
       .write.mode("append").partitionBy("__cell")
-      .parquet(s"$path/codes")
+      .parquet(s"${baseRoot(path)}/codes")
   }
 
   // ── streaming epoch appends (exactly-once segment growth) ────────────
@@ -320,6 +320,23 @@ object IvfIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Root directory holding the live base `cells/` (and `codes/`)
+    * dirs: the legacy layout keeps them directly under `path`; once
+    * [[compactEpochs]] has published a generation, the `_CURRENT`
+    * pointer names the live root — resolution is one pointer read
+    * (the [[Generations]] commit protocol, as
+    * [[TextIndex.compactSegments]]). */
+  private[graft] def baseRoot(path: String): String =
+    Generations.currentName(path).map(g => s"$path/$g").getOrElse(path)
+
+  /** Epoch names already folded into the CURRENT base generation by
+    * [[compactEpochs]] — excluded from every union even while their
+    * dirs still exist (the window between the publish flip and the
+    * cleanup sweep, or after a crash inside it). */
+  private def foldedEpochs(spark: SparkSession, path: String): Set[String] =
+    readMarker(spark, s"${baseRoot(path)}/_folded")
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
   /** Directories of CLAIMED ingest epochs under `path/epochs` — an
     * epoch becomes visible only once its `_claim` marker exists, which
     * [[appendEpoch]] writes LAST, so a half-written epoch (crash
@@ -327,9 +344,13 @@ object IvfIndex {
   private def claimedEpochs(spark: SparkSession, path: String): Seq[String] = {
     val (fs, root) = hadoopFs(spark, s"$path/epochs")
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_claim")))
-      .map(_.toString).sorted
+    else {
+      val folded = foldedEpochs(spark, path)
+      fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_claim")))
+        .filterNot(p => folded(p.getName))
+        .map(_.toString).sorted
+    }
   }
 
   /** The corpus = base cells ∪ every claimed epoch's cells. Each
@@ -339,7 +360,7 @@ object IvfIndex {
   private[graft] def cellsWithEpochs(spark: SparkSession,
       path: String): DataFrame =
     claimedEpochs(spark, path)
-      .foldLeft(spark.read.parquet(s"$path/cells"))((df, e) =>
+      .foldLeft(spark.read.parquet(s"${baseRoot(path)}/cells"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/cells")))
 
   /** PQ-codes twin of [[cellsWithEpochs]], version-gated: an epoch
@@ -357,7 +378,7 @@ object IvfIndex {
       .filter(e => hadoopFs(spark, s"$e/codes")._1
         .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))
       .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
-      .foldLeft(spark.read.parquet(s"$path/codes"))((df, e) =>
+      .foldLeft(spark.read.parquet(s"${baseRoot(path)}/codes"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/codes")))
   }
 
@@ -376,6 +397,10 @@ object IvfIndex {
       embCol: String, idCol: String, epochName: String): Boolean = {
     require(epochName.nonEmpty && !epochName.contains("/"),
       "epochName must be a single path segment")
+    // an epoch that was claimed and then FOLDED by compactEpochs has
+    // its dir swept but its rows in the base — a checkpoint replay of
+    // that batch must still be refused or it would re-ingest them
+    if (foldedEpochs(spark, path).contains(epochName)) return false
     val (fs, epochRoot) = hadoopFs(spark, s"$path/epochs/$epochName")
     val claim = new org.apache.hadoop.fs.Path(epochRoot, "_claim")
     if (fs.exists(claim)) return false
@@ -417,6 +442,83 @@ object IvfIndex {
     }
     assigned.unpersist()
     fs.create(claim, false).close()
+    true
+  }
+
+  /** Fold every claimed ingest epoch into ONE compacted base
+    * generation — the segment-merge half of the epoch lifecycle
+    * ([[appendEpoch]] grows the layout a segment per micro-batch;
+    * unbounded, every query unions ever more branches — this collapses
+    * them back to a single clustered cell layout), mirroring
+    * [[TextIndex.compactSegments]]'s stage → audit-on-written-files →
+    * publish protocol:
+    *
+    *   1. stage `gen-N/cells` (and `gen-N/codes` when the PQ sidecar
+    *      exists) from the CURRENT epoch-union views, clustered per
+    *      cell; audit row counts on the files as written;
+    *   2. record the folded epoch NAMES in `gen-N/_folded` (carrying
+    *      forward any names an earlier generation folded) — after the
+    *      flip those epochs stop counting even while their dirs still
+    *      exist;
+    *   3. `Generations.publish` flips the `_CURRENT` pointer — the
+    *      single commit point: readers resolve the new root ∪ the
+    *      not-yet-folded epochs, so there is NO window where a row is
+    *      visible twice or not at all;
+    *   4. sweep the folded epoch dirs and the superseded root —
+    *      idempotent cleanup; a crash inside it leaves only unreferenced
+    *      garbage that the next compaction's sweep removes.
+    *
+    * Returns false (and writes nothing) when no claimed epochs exist.
+    */
+  def compactEpochs(spark: SparkSession, path: String): Boolean = {
+    val epochs = claimedEpochs(spark, path)
+    if (epochs.isEmpty) return false
+    val prevRoot = baseRoot(path)
+    val cells = cellsWithEpochs(spark, path)
+    val liveCells = cells.count()
+    val nextGen = Generations.currentName(path) match {
+      case Some(g) => g.stripPrefix("gen-").toInt + 1
+      case None    => 1
+    }
+    val stage = s"$path/gen-$nextGen"
+    val (stageFs, stagePath) = hadoopFs(spark, stage)
+    // a crashed earlier attempt at this generation is unpublished by
+    // construction — delete and restage
+    if (stageFs.exists(stagePath)) stageFs.delete(stagePath, true)
+    cells.repartition(col("__cell"))
+      .write.mode("errorifexists").partitionBy("__cell")
+      .parquet(s"$stage/cells")
+    val writtenCells = spark.read.parquet(s"$stage/cells").count()
+    require(writtenCells == liveCells,
+      s"compaction audit failed: wrote $writtenCells cells, live $liveCells")
+    val hasCodes = hadoopFs(spark, s"$prevRoot/codes")._1
+      .exists(new org.apache.hadoop.fs.Path(s"$prevRoot/codes"))
+    if (hasCodes) {
+      val codes = codesWithEpochs(spark, path)
+      val liveCodes = codes.count()
+      codes.repartition(col("__cell"))
+        .write.mode("errorifexists").partitionBy("__cell")
+        .parquet(s"$stage/codes")
+      val writtenCodes = spark.read.parquet(s"$stage/codes").count()
+      require(writtenCodes == liveCodes,
+        s"compaction audit failed: wrote $writtenCodes codes, live $liveCodes")
+      readMarker(spark, s"$path/codebook/_pqv").foreach(v =>
+        writeMarker(spark, s"$stage/codes/_pqv", v))
+    }
+    val foldedNow = foldedEpochs(spark, path) ++
+      epochs.map(e => new org.apache.hadoop.fs.Path(e).getName)
+    writeMarker(spark, s"$stage/_folded", foldedNow.toSeq.sorted
+      .mkString("\n"))
+    Generations.publish(path, s"gen-$nextGen") // the commit point
+    // cleanup: folded epoch dirs + the superseded root's data dirs
+    val (fs, _) = hadoopFs(spark, path)
+    epochs.foreach(e =>
+      fs.delete(new org.apache.hadoop.fs.Path(e), true))
+    if (prevRoot == path) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    } else
+      fs.delete(new org.apache.hadoop.fs.Path(prevRoot), true)
     true
   }
 

@@ -347,4 +347,79 @@ class IvfIndexSpec extends AnyFunSuite {
     // the stale dir is still on disk — excluded by version, not luck
     assert(new java.io.File(s"$dir/epochs/post/codes").exists())
   }
+
+  test("compactEpochs folds claimed epochs into one published " +
+      "generation: bit-identical answers, exact counts, folded epoch " +
+      "names stay exactly-once after their dirs are swept, appends and " +
+      "a second compaction keep working, file pruning intact") {
+    val emb = Tables.embeddings(spark, sf)
+    val third1 = emb.filter(col("vec_id") % 3 === 0)
+    val third2 = emb.filter(col("vec_id") % 3 === 1)
+    val third3 = emb.filter(col("vec_id") % 3 === 2)
+    val dir = Files.createTempDirectory("graft-ivf-compact").toString
+    IvfIndex.build(third1, "embedding", "vec_id", nCells = 4).save(dir)
+    assert(IvfIndex.appendEpoch(spark, dir, third2, "embedding",
+      "vec_id", "e1"))
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    assert(IvfIndex.appendEpoch(spark, dir, third3, "embedding",
+      "vec_id", "e2"))
+    val n = emb.count().toInt
+    def answers(): (Set[(Long, Long, Int)], Set[(Long, Long, Int)]) = (
+      resultSet(IvfIndex.load(spark, dir, "vec_id", "embedding")
+        .queryByIds(queryIds, k = 8, nprobe = 4)),
+      resultSet(IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+        .queryByIds(queryIds, k = 8, nprobe = 4, refineFactor = n)))
+    val before = answers()
+    assert(IvfIndex.compactEpochs(spark, dir))
+    assert(graft.engine.Generations.currentName(dir).contains("gen-1"))
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == emb.count())
+    assert(graft.engine.IvfIndex.codesWithEpochs(spark, dir).count()
+      == emb.count())
+    assert(answers() == before, "compaction must not change any answer")
+    // the epoch dirs are swept; replaying a FOLDED epoch refuses even
+    // though its dir is gone (its rows live in the base now)
+    assert(!new java.io.File(s"$dir/epochs/e1").exists())
+    assert(!IvfIndex.appendEpoch(spark, dir, third2, "embedding",
+      "vec_id", "e1"))
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == emb.count())
+    // crash-window simulation: a folded epoch dir resurrected with a
+    // claim marker stays EXCLUDED (the _folded list, not luck)
+    new java.io.File(s"$dir/epochs/e2/cells").mkdirs()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/epochs/e2/_claim"))
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == emb.count())
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/epochs/e2"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.delete(p); () })
+    // growth continues on the compacted layout: a NEW epoch (disjoint
+    // ids) is visible, and a second compaction folds it into gen-2
+    val wave = third2.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    assert(IvfIndex.appendEpoch(spark, dir, wave, "embedding",
+      "vec_id", "e3"))
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == emb.count() + wave.count())
+    assert(IvfIndex.compactEpochs(spark, dir))
+    assert(graft.engine.Generations.currentName(dir).contains("gen-2"))
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == emb.count() + wave.count())
+    assert(graft.engine.IvfIndex.codesWithEpochs(spark, dir).count()
+      == emb.count() + wave.count())
+    assert(!IvfIndex.compactEpochs(spark, dir), "nothing left to fold")
+    // the compacted layout still file-prunes
+    val q = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+      .queryByIds(queryIds, k = 5, nprobe = 2, refineFactor = 8)
+    q.collect()
+    val plan = (q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+    assert(plan.linesIterator.exists(l => l.contains("codes") &&
+      l.contains("PartitionFilters") && l.contains("__cell")),
+      s"no partition-filtered codes scan in:\n$plan")
+  }
 }
