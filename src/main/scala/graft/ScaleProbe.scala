@@ -358,6 +358,14 @@ object ScaleProbe {
       // ×f in content while the probe sets stay fixed, so the pruned
       // scans should track f with a small constant, the fusion tail
       // stays |Q|·kBranch.
+      // k_core: bounded peel rounds over the ×f co-purchase graph —
+      // per-round degree agg + two semi-joins must track edge volume
+      "k_core" -> (f =>
+        graft.SparkEntry.queries("k_core")(spark, s"$work/f$f")),
+      // cdc_chunking: map-only (projection + generator) — must be
+      // embarrassingly linear with zero exchanges at every factor
+      "cdc_chunking" -> (f =>
+        graft.SparkEntry.queries("cdc_chunking")(spark, s"$work/f$f")),
       "hybrid_query" -> (f => {
         val path = hybridIndexAt(f)
         graft.engine.HybridIndex.queryByIds(
@@ -414,6 +422,8 @@ object ScaleProbe {
       "pr_auc" -> Set("embeddings"),
       "image_similarity" -> Set("documents"),
       "hybrid_query" -> Set("documents", "embeddings", "hybrid_index"),
+      "k_core" -> Set("lineitem"),
+      "cdc_chunking" -> Set("documents"),
       "roc_auc" -> Set("embeddings"),
       "rrf_fusion" -> Set("documents", "embeddings"))
     val needed = selected.flatMap { case (n, _) =>
