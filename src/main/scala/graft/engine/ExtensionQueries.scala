@@ -652,6 +652,50 @@ object ExtensionQueries {
              |                ELSE 0 END)::BIGINT AS simhash
              |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ── SimHash near-dup pairs (completes the simhash family): band the
+    // 60-bit md5 signature into 4×15-bit LSH keys, self-join per band,
+    // exact popcount hamming ≤ 3. The pigeonhole bound makes banding
+    // LOSSLESS at maxHamming = numBands−1 — every qualifying pair shares
+    // at least one unchanged band — so the whole operator (signatures,
+    // band keys, candidate join, hamming filter) is deterministic and
+    // DuckDB replays it bit-for-bit. The native 64-bit Murmur3 form
+    // (Extensions.simhashNearDups) stays the production default,
+    // spec-covered by the banding-exactness law. ────────────────────────
+    QuerySpec("simhash_neardup",
+      (s, d) => Extensions.simhashNearDupsMd5(documents(s, d), "text",
+          "doc_id", maxHamming = 3, numBands = 4)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |  FROM t),
+             |v AS (
+             |  SELECT doc_id, i.range AS i,
+             |         sum(CASE WHEN (h >> i.range::INT) & 1 = 1
+             |                  THEN 1 ELSE -1 END)::BIGINT AS w
+             |  FROM h, range(0, 60) i GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id,
+             |         sum(CASE WHEN w > 0 THEN (1::BIGINT << i::INT)
+             |                  ELSE 0 END)::BIGINT AS simhash
+             |  FROM v GROUP BY doc_id),
+             |banded AS (
+             |  SELECT doc_id, simhash, b.range AS band,
+             |         (simhash >> (b.range::INT * 15)) & 32767 AS bandkey
+             |  FROM sig, range(0, 4) b),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bandkey = b.bandkey
+             |   AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, hamming::INT AS hamming
+             |FROM cand WHERE hamming <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── MinHash near-dup pairs, ORACLE-exact since r12: the catalog
     // form signs with md5MinhashSig (band j = min over distinct tokens
     // of md5Hash60(j + ":" + token) — both engines compute it

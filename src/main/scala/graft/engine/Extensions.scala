@@ -151,9 +151,38 @@ object Extensions {
     // mask computation, 1L << 64, wraps to 0 on the JVM)
     require(numBands >= 2 && numBands <= 16 && 64 % numBands == 0,
       "numBands must divide 64, in [2, 16]")
-    val width = 64 / numBands
+    bandedHammingPairs(simhashSignatures(docs, textCol, idCol), idCol,
+      sigBits = 64, numBands = numBands, maxHamming = maxHamming)
+  }
+
+  /** SimHash near-dup pairs over the 60-bit [[simhashSignaturesMd5]]
+    * signature — the oracle-expressible twin of [[simhashNearDups]].
+    * With `maxHamming = numBands − 1` (the default 3 at 4 bands) the
+    * pigeonhole bound makes banding LOSSLESS, not approximate: any pair
+    * within the hamming budget has at least one band with zero
+    * differing bits, so the band join finds every qualifying pair and
+    * the operator is fully deterministic — DuckDB replays signatures,
+    * band keys, the candidate join, and the popcount filter end to end.
+    * Same scale shape as the native form: the only full-corpus exchange
+    * carries (band, 15-bit key, id, sig) rows, never tokens.
+    */
+  def simhashNearDupsMd5(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(numBands >= 2 && numBands <= 12 && 60 % numBands == 0,
+      "numBands must divide 60, in [2, 12]")
+    bandedHammingPairs(simhashSignaturesMd5(docs, textCol, idCol), idCol,
+      sigBits = 60, numBands = numBands, maxHamming = maxHamming)
+  }
+
+  /** Shared LSH banding for hamming near-dup search: split the
+    * `sigBits`-bit `simhash` column into `numBands` equal bands,
+    * self-join on (band, bandkey), keep pairs at exact popcount
+    * hamming ≤ `maxHamming`. Candidates pass the join once per shared
+    * band; `distinct()` before the hamming filter collapses them. */
+  private def bandedHammingPairs(sigs: DataFrame, idCol: String,
+      sigBits: Int, numBands: Int, maxHamming: Int): DataFrame = {
+    val width = sigBits / numBands
     val mask = (1L << width) - 1
-    val sigs = simhashSignatures(docs, textCol, idCol)
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),

@@ -195,6 +195,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhash banding is lossless at maxHamming = numBands - 1") {
+    // pigeonhole: with 4 bands, a pair at hamming <= 3 must share at
+    // least one unchanged band — so the banded join finds EXACTLY the
+    // pairs the all-pairs brute force finds, for both signature forms
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    def brute(sigs: org.apache.spark.sql.DataFrame, h: Int) = {
+      val rows = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+    }
+    val bandedMd5 = Extensions.simhashNearDupsMd5(corpus, "text", "doc_id",
+        maxHamming = 3, numBands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bandedMd5 == brute(
+      Extensions.simhashSignaturesMd5(corpus, "text", "doc_id"), 3))
+    val bandedNative = Extensions.simhashNearDups(corpus, "text", "doc_id",
+        maxHamming = 3, numBands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bandedNative == brute(
+      Extensions.simhashSignatures(corpus, "text", "doc_id"), 3))
+    assert(bandedMd5.nonEmpty || bandedNative.nonEmpty)
+  }
+
   test("fuzzy dedup: candidate-first plan matches corpus-wide rescoring") {
     // the scale-safe form (prune to candidates BEFORE the shingle join)
     // must produce exactly the pairs+scores of the naive reference form
