@@ -1205,6 +1205,40 @@ object ExtensionQueries {
              |FROM qp LEFT JOIN c USING (j, pos)
              |GROUP BY token ORDER BY token""".stripMargin)),
 
+    // ── HyperLogLog distinct estimate, ORACLE-exact: own md5-hash
+    // registers (p=8, m=256 — one bounded groupBy, ≤256 rows per group
+    // at ANY corpus size) + a harmonic-mean estimator kept in exact
+    // integer algebra (S = Σ 2^(53−rho) as BIGINT, one decimal(38,0)
+    // integral division by the shared micro-unit ALPHA numerator), so
+    // DuckDB replays registers AND estimate to the last integer.
+    // Spark's native approx_count_distinct (engine-internal HLL++
+    // binary) stays the rows-only `approx_distinct` entry; the
+    // register-merge law lives in ExtensionsSpec. ───────────────────────
+    QuerySpec("hll_distinct",
+      (s, d) => Extensions.hllDistinct(
+          lineitem(s, d).select("l_returnflag", "l_partkey"),
+          "l_returnflag", "l_partkey")
+        .orderBy("l_returnflag"),
+      Some(s"""WITH h AS (
+             |  SELECT l_returnflag,
+             |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))
+             |           ::BIGINT AS h
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT l_returnflag, h & 255 AS bucket,
+             |         max(CASE WHEN h >> 8 = 0 THEN 53
+             |                  ELSE 53 - length(bin(h >> 8)) END) AS rho
+             |  FROM h GROUP BY 1, 2),
+             |s AS (
+             |  SELECT l_returnflag,
+             |         sum((1::HUGEINT << (53 - rho)))
+             |           + (256 - count(*)) * (1::HUGEINT << 53) AS s
+             |  FROM r GROUP BY 1)
+             |SELECT l_returnflag,
+             |       CAST(${Extensions.HllNumerator}::HUGEINT
+             |         // (1000000::HUGEINT * s) AS BIGINT) AS est_distinct
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
     // ── deterministic stratified sample: exactly ceil(10%) per event_type,
     // chosen by md5 order (reproducible, balanced — unlike seeded
     // approximate sampleBy) ──────────────────────────────────────────────

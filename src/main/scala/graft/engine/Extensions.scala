@@ -1657,6 +1657,69 @@ object Extensions {
     * hash-keyed groupBy bounded by depth·width keys at ANY corpus
     * size; the query side is |queryTokens|·depth rows broadcast.
     */
+  /** HyperLogLog constants, fixed at p = 8 (m = 256 buckets): the
+    * micro-unit bias constant ALPHA ≈ 0.7213/(1 + 1.079/m) and the
+    * exact-integer numerator ALPHA·m²·2⁵³·10⁻⁶ the estimator
+    * floor-divides by 10⁶·S. One Scala source feeds both the Spark
+    * plan and the generated oracle SQL. */
+  private[engine] val HllAlphaMicro = 718273L
+  private[engine] val HllNumerator: String =
+    (BigInt(HllAlphaMicro) * 65536 * (BigInt(1) << 53)).toString
+
+  /** HyperLogLog register table (Flajolet et al. 2007) with the
+    * DuckDB-reproducible md5-60-bit hash: bucket = low 8 bits, and
+    * rho = leading-zero rank of the remaining 52-bit word
+    * (53 − bit_length(w), 53 when w = 0 — bit length via the minimal
+    * binary string both engines render identically). One
+    * map-side-combinable groupBy to ≤ |groups|·256 rows — constant
+    * per group at ANY corpus size, the sketch property. Registers
+    * merge by MAX, so the same table serves per-segment sketches,
+    * streaming state, and multi-corpus union (see
+    * [[hllEstimateFromRegisters]] and the ExtensionsSpec merge law).
+    */
+  def hllRegisters(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    requireNoReserved(rows, Seq("__h", "__w", "bucket", "rho"))
+    rows
+      .select(col(groupCol),
+        md5Hash60(col(valueCol).cast("string")).as("__h"))
+      .select(col(groupCol), col("__h").bitwiseAND(lit(255L)).as("bucket"),
+        shiftrightunsigned(col("__h"), 8).as("__w"))
+      .select(col(groupCol), col("bucket"),
+        when(col("__w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("__w")))).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max("rho").as("rho"))
+  }
+
+  /** The harmonic-mean HLL estimate from a register table, in EXACT
+    * integer algebra end to end: S = Σ_b 2^(53−M[b]) (absent buckets
+    * contribute 2⁵³; max S = 256·2⁵³ < 2⁶², a BIGINT), then
+    * estimate = ⌊ALPHA·m²·2⁵³ / (10⁶·S)⌋ via decimal(38,0) integral
+    * division — no float touches the pipeline on either engine, so
+    * the estimate is cross-engine exact to the last integer. No
+    * small-range correction (it needs ln): callers should keep the
+    * expected cardinality ≥ ~2.5·m, the standard raw-HLL regime.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame,
+      groupCol: String): DataFrame =
+    regs.groupBy(col(groupCol))
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"))
+        + (lit(256L) - count(lit(1))) * lit(1L << 53)).as("__s"))
+      .select(col(groupCol),
+        expr(s"CAST('$HllNumerator' AS DECIMAL(38,0)) div " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0)))")
+          .as("est_distinct"))
+
+  /** Grouped approximate distinct count via [[hllRegisters]] +
+    * [[hllEstimateFromRegisters]] — the oracle-expressible companion
+    * to Spark's approx_count_distinct (whose HLL++ registers live in
+    * engine-internal binary). Standard error ≈ 1.04/√m = 6.5%. */
+  def hllDistinct(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(rows, groupCol, valueCol),
+      groupCol)
+
   def cmsEstimatesMd5(docs: DataFrame, textCol: String,
       queryTokens: Seq[String], depth: Int = 4,
       width: Int = 1 << 14): DataFrame = {

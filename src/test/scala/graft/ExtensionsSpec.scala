@@ -195,6 +195,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hll: registers merge by max — split-union estimate == whole-corpus") {
+    // the property that makes the sketch 100 TB-able: per-segment
+    // register tables (256 rows each) union + max into the exact
+    // whole-corpus registers, so estimates never need the raw rows again
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "l_partkey")
+    val whole = Extensions.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val half1 = Extensions.hllRegisters(
+      li.filter(pmod(col("l_partkey"), lit(2)) === 0),
+      "l_returnflag", "l_partkey")
+    val half2 = Extensions.hllRegisters(
+      li.filter(pmod(col("l_partkey"), lit(2)) === 1),
+      "l_returnflag", "l_partkey")
+    val merged = half1.unionByName(half2)
+      .groupBy("l_returnflag", "bucket").agg(max("rho").as("rho"))
+    val viaMerge = Extensions.hllEstimateFromRegisters(merged, "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMerge == whole)
+  }
+
+  test("hll: estimate within the expected error band of the exact count") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val est = Extensions.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      // 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+      assert(math.abs(est(flag) - n).toDouble / n < 0.20,
+        s"$flag: est=${est(flag)} exact=$n")
+    }
+  }
+
   test("simhash banding is lossless at maxHamming = numBands - 1") {
     // pigeonhole: with 4 bands, a pair at hamming <= 3 must share at
     // least one unchanged band — so the banded join finds EXACTLY the
