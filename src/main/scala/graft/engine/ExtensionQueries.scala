@@ -24,6 +24,7 @@ object ExtensionQueries {
   private val HybridNCells = 8
   private val CmsDepth = 4
   private val CmsWidth = 16384
+  private val DsirBuckets = 4096
   private val BloomBits = 1 << 20
   private val BloomHashes = 4
   private val Bm25Queries: Seq[(Long, String)] = Seq(
@@ -1102,6 +1103,54 @@ object ExtensionQueries {
              |       sum(CASE WHEN n < $BigramRareBelow THEN 1 ELSE 0 END)::BIGINT
              |         AS n_rare
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── DSIR importance weights (Xie et al. 2023): hashed
+    // unigram+bigram bucket models for target (lang='en') vs the raw
+    // pool, add-1 smoothed, per-feature log-probs micro-nat quantized
+    // (the lm_perplexity doctrine) — the per-doc log-weight is exact
+    // integer algebra over DuckDB-reproducible md5 bucket ids. Both
+    // count tables are bounded at 4096 rows at any corpus size. ─────────
+    QuerySpec("dsir_weights",
+      (s, d) => Extensions.dsirWeights(documents(s, d), "text", "doc_id",
+          isTarget = col("lang") === "en", buckets = DsirBuckets)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     x -> x <> '') AS toks
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_concat(toks,
+             |           list_transform(range(1, len(toks)),
+             |             i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+             |  FROM t),
+             |fb AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substr(md5(feat), 1, 15))::BIGINT
+             |           % $DsirBuckets AS f
+             |  FROM f),
+             |docf AS (SELECT doc_id, f, count(*)::BIGINT AS n
+             |         FROM fb GROUP BY 1, 2),
+             |rawc AS (SELECT f, sum(n)::BIGINT AS cr FROM docf GROUP BY 1),
+             |tgtc AS (SELECT f, count(*)::BIGINT AS ct
+             |         FROM fb WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr,
+             |               (SELECT sum(ct) FROM tgtc) AS nt),
+             |lp AS (
+             |  SELECT rawc.f,
+             |         CAST(round(ln((coalesce(ct, 0) + 1)::DOUBLE
+             |           / (nt + $DsirBuckets)) * 1000000.0) AS BIGINT)
+             |           AS lpt,
+             |         CAST(round(ln((cr + 1)::DOUBLE
+             |           / (nr + $DsirBuckets)) * 1000000.0) AS BIGINT)
+             |           AS lpr
+             |  FROM rawc LEFT JOIN tgtc USING (f) CROSS JOIN tot)
+             |SELECT doc_id, sum(n)::BIGINT AS n_feats,
+             |       CAST(sum(n * (lpt - lpr)) AS BIGINT) / 1000000.0
+             |         AS log_weight
+             |FROM docf JOIN lp USING (f)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── the full curation pipeline composed end-to-end (dedup → quality
     // filter → PII scrub → deterministic split) — ONE shuffle total;

@@ -3143,6 +3143,68 @@ object Extensions {
     * frame is built with slice/zip_with HOFs inside codegen — no
     * NGram/UDF row transform.
     */
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document in the pool by how much more
+    * likely its hashed n-gram bag is under a TARGET subset's feature
+    * distribution than under the whole RAW pool's. Features are
+    * unigrams + bigrams hashed into `buckets` ids (md5-60 mod B —
+    * DuckDB-reproducible); both distributions are add-1-smoothed
+    * bucket models; per-feature log-probs are micro-nat-quantized
+    * longs (the lm_perplexity doctrine), so the per-doc log-weight
+    * Σ n_doc(f)·(lp_t(f) − lp_r(f)) is exact integer algebra and the
+    * whole operator replays in DuckDB.
+    *
+    * Scale shape: both count tables are bounded at B rows at ANY
+    * corpus size (map-side-combinable groupBys over hashed ids —
+    * never a vocabulary) and broadcast back to the per-doc feature
+    * stream; the target counts reuse the per-doc table via a semi
+    * join instead of re-tokenizing. The paper then resamples with
+    * Gumbel noise on these weights — sampling is a deterministic
+    * downstream step here (weightedSample / stratifiedSample); this
+    * operator's contract is the weights.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__ct",
+      "__cr", "__nt", "__nr", "__lpt", "__lpr", "__s"))
+    val b = buckets.toLong
+    val toks = docs.select(col(idCol),
+      filter(tokens(col(textCol)), x => x =!= lit("")).as("__toks"))
+    val featStream = toks.select(col(idCol),
+        explode(concat(col("__toks"), zip_with(
+          slice(col("__toks"), lit(1),
+            greatest(lit(0), size(col("__toks")) - 1)),
+          slice(col("__toks"), lit(2),
+            greatest(lit(0), size(col("__toks")) - 1)),
+          (x, y) => concat(x, lit(" "), y)))).as("__feat"))
+      .select(col(idCol), pmod(md5Hash60(col("__feat")), lit(b)).as("__f"))
+    val docF = featStream.groupBy(col(idCol), col("__f"))
+      .agg(count(lit(1)).as("__n"))
+    val rawC = docF.groupBy("__f").agg(sum("__n").as("__cr"))
+    val tgtC = docF
+      .join(docs.filter(isTarget).select(col(idCol)), Seq(idCol),
+        "left_semi")
+      .groupBy("__f").agg(sum("__n").as("__ct"))
+    val totals = rawC.agg(sum("__cr").as("__nr"))
+      .crossJoin(tgtC.agg(sum("__ct").as("__nt")))
+    val lp = rawC.join(tgtC, Seq("__f"), "left")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("__f"),
+        round(log((col("__ct") + 1).cast("double") / (col("__nt") + b))
+          * 1000000.0).cast("long").as("__lpt"),
+        round(log((col("__cr") + 1).cast("double") / (col("__nr") + b))
+          * 1000000.0).cast("long").as("__lpr"))
+    docF.join(broadcast(lp), "__f")
+      .groupBy(idCol)
+      .agg(sum("__n").as("n_feats"),
+        sum(col("__n") * (col("__lpt") - col("__lpr"))).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        (col("__s") / lit(1000000.0)).as("log_weight"))
+  }
+
   def bigramStats(docs: DataFrame, textCol: String, idCol: String,
       rareBelow: Long = 5L): DataFrame = {
     val t = docs.select(col(idCol),

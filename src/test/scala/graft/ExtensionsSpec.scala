@@ -195,6 +195,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dsir: target-language docs outscore the rest, exactly across partitionings") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = Extensions.dsirWeights(corpus, "text", "doc_id",
+      isTarget = col("lang") === "en")
+    val byDoc = w.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langs = corpus.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
+    val enMean = mean(byDoc.collect { case (id, s) if langs(id) == "en" => s })
+    val restMean = mean(byDoc.collect { case (id, s) if langs(id) != "en" => s })
+    // the operator's purpose: documents resembling the target
+    // distribution carry higher importance weights
+    assert(enMean > restMean, s"en=$enMean rest=$restMean")
+    // exact integer path: identical to the last bit across partitionings
+    val reparted = Extensions.dsirWeights(corpus.repartition(7), "text",
+        "doc_id", isTarget = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(reparted == byDoc)
+  }
+
   test("hll: registers merge by max — split-union estimate == whole-corpus") {
     // the property that makes the sketch 100 TB-able: per-segment
     // register tables (256 rows each) union + max into the exact
