@@ -426,6 +426,60 @@ object Analytics {
       .filter(col("core_degree") >= k)
   }
 
+  /** Synchronous label propagation for community detection, made fully
+    * deterministic: every node starts from its own id, and each round
+    * adopts the label with the highest vote count among its neighbors
+    * PLUS its own current label (the self-vote damps the classic
+    * 2-cycle oscillation on bipartite-ish structure), ties broken by
+    * the SMALLEST label. Runs exactly `rounds` rounds — a fixed
+    * unrollable recurrence rather than a data-dependent fixpoint, so a
+    * fixed-depth SQL twin replays it bit-for-bit (the k_core playbook
+    * without needing idempotence at the tail).
+    *
+    * Scale shape per round: one hash join of the symmetric edge list
+    * against the (node, label) frame plus one two-level groupBy — the
+    * same bounded-frontier doctrine as [[kCore]]/[[pageRank]]; the
+    * vote argmax is a single max(struct(count, −label)) aggregate, no
+    * window, so partial aggregation combines map-side. Lineage
+    * truncates per round ([[Lineage]]).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 4, outCol: String = "id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds must be in [1, 20]")
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
+    requireNoReserved(edges,
+      Seq("__a", "__b", "__n", "__m", "__label", "__c", "__best"))
+    val und = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+    val sym = und
+      .select(explode(array(
+        struct(col("__a").as("n"), col("__b").as("m")),
+        struct(col("__b").as("n"), col("__a").as("m")))).as("__e"))
+      .select(col("__e.n").as("__n"), col("__e.m").as("__m"))
+      .transform(ckpt)
+    var labels = sym.select(col("__n")).distinct()
+      .select(col("__n"), col("__n").as("__label"))
+      .transform(ckpt)
+    (1 to rounds).foreach { _ =>
+      val votes = sym
+        .join(labels.withColumnRenamed("__n", "__m"), Seq("__m"))
+        .select(col("__n"), col("__label"))
+        .unionByName(labels)
+      labels = ckpt(votes
+        .groupBy("__n", "__label").agg(count(lit(1)).as("__c"))
+        .groupBy("__n")
+        .agg(max(struct(col("__c").as("c"),
+          (-col("__label")).as("neg"))).as("__best"))
+        .select(col("__n"), (-col("__best.neg")).as("__label")))
+    }
+    labels.select(col("__n").as(outCol), col("__label").as("label"))
+  }
+
   /** Per-edge common-neighbor similarity (the Jaccard link-prediction
     * score): for every undirected edge (a, b), the number of shared
     * neighbors |N(a)∩N(b)|, both degrees, and

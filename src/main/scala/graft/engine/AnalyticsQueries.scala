@@ -15,6 +15,7 @@ object AnalyticsQueries {
   private val NdcgK = 10
   private val NdcgQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
   private val KCoreK = 3
+  private val LabelPropRounds = 4
 
   /** Generated DuckDB twin for `k_core`: the peel unrolled — alive0 =
     * nodes with degree ≥ k in the canonical symmetric co-purchase
@@ -25,6 +26,35 @@ object AnalyticsQueries {
     * alive CTEs are AS MATERIALIZED: each references its predecessor
     * twice, so DuckDB's default CTE inlining would blow the plan up
     * 2^rounds-fold. */
+  /** The co-purchase part graph both k_core and label_prop run on:
+    * parts sharing ≥2 orders, canonical und edges, symmetric closure.
+    * One Scala source feeds the Spark builder AND the oracle CTE
+    * prefix so the two entries cannot drift apart. */
+  private val CoPurchaseSymSql: String =
+    """li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT a.l_partkey AS s, b.l_partkey AS t
+      |  FROM li a JOIN li b USING (l_orderkey)
+      |  WHERE a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS MATERIALIZED (SELECT s AS n, t AS m FROM und
+      |        UNION ALL SELECT t, s FROM und)""".stripMargin
+
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+      .select(explode(flatten(transform(col("__items"), (a, i) =>
+        transform(
+          slice(col("__items"), i + lit(2), size(col("__items"))),
+          b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
+      .select(col("__p.part_a"), col("__p.part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("__co"))
+      .filter(col("__co") >= 2)
+
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       val prev = if (i == 1) "alive0" else s"alive${i - 1}"
@@ -34,15 +64,7 @@ object AnalyticsQueries {
          |  JOIN $prev b ON b.n = y.m
          |  GROUP BY y.n HAVING count(*) >= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (
-       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |und AS (
-       |  SELECT a.l_partkey AS s, b.l_partkey AS t
-       |  FROM li a JOIN li b USING (l_orderkey)
-       |  WHERE a.l_partkey < b.l_partkey
-       |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |sym AS MATERIALIZED (SELECT s AS n, t AS m FROM und
-       |        UNION ALL SELECT t, s FROM und),
+    s"""WITH $CoPurchaseSymSql,
        |alive0 AS MATERIALIZED (
        |  SELECT n FROM sym GROUP BY n HAVING count(*) >= $k),
        |$steps
@@ -51,6 +73,34 @@ object AnalyticsQueries {
        |JOIN alive$rounds a ON a.n = y.n
        |JOIN alive$rounds b ON b.n = y.m
        |GROUP BY 1 HAVING count(*) >= $k ORDER BY part_id""".stripMargin
+  }
+
+  /** Generated DuckDB twin for `label_prop`: the synchronous vote
+    * recurrence unrolled to exactly `rounds` rounds — lab_i = per-node
+    * argmax (count DESC, label ASC) over neighbor labels from
+    * lab_{i-1} plus the self-vote. AS MATERIALIZED for the same
+    * 2^rounds-inlining reason as k_core. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = s"lab${i - 1}"
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |    FROM (
+         |      SELECT node, label, count(*) AS c FROM (
+         |        SELECT e.n AS node, l.label FROM sym e
+         |        JOIN $prev l ON l.node = e.m
+         |        UNION ALL SELECT node, label FROM $prev) v$i
+         |      GROUP BY 1, 2) c$i) r$i
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CoPurchaseSymSql,
+       |lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT n AS node, n AS label FROM sym),
+       |$steps
+       |SELECT node AS part_id, label FROM lab$rounds
+       |ORDER BY part_id""".stripMargin
   }
   // the SAME Scala-computed micro-unit discount constants feed the
   // Spark literal array AND this SQL — no cross-engine log2 involved
@@ -287,23 +337,22 @@ object AnalyticsQueries {
     // fixpoint depth, where extra rounds are idempotent — so the
     // Spark fixpoint loop and the fixed-depth SQL agree exactly ─────────
     QuerySpec("k_core",
-      (s, d) => {
-        val edges = lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
-          .select(explode(flatten(transform(col("__items"), (a, i) =>
-            transform(
-              slice(col("__items"), i + lit(2), size(col("__items"))),
-              b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
-          .select(col("__p.part_a"), col("__p.part_b"))
-          .groupBy("part_a", "part_b").agg(count(lit(1)).as("__co"))
-          .filter(col("__co") >= 2)
-        Analytics.kCore(edges, "part_a", "part_b", k = KCoreK,
-            outCol = "part_id")
-          .orderBy("part_id")
-      },
+      (s, d) => Analytics.kCore(coPurchaseEdges(s, d), "part_a", "part_b",
+          k = KCoreK, outCol = "part_id")
+        .orderBy("part_id"),
       Some(kCoreOracleSql(KCoreK, rounds = 10))),
+
+    // ── community detection via deterministic synchronous label
+    // propagation: exactly R rounds of neighbor-vote argmax (count
+    // DESC, min label on ties, self-vote included), on the same
+    // co-purchase graph as k_core. A fixed unrollable recurrence —
+    // the oracle replays every round bit-for-bit (no fixpoint /
+    // idempotence needed, unlike k_core's peel) ─────────────────────────
+    QuerySpec("label_prop",
+      (s, d) => Analytics.labelPropagation(coPurchaseEdges(s, d),
+          "part_a", "part_b", rounds = LabelPropRounds, outCol = "part_id")
+        .orderBy("part_id"),
+      Some(labelPropOracleSql(LabelPropRounds))),
 
     // ── grouped top-k via the bounded-heap TopKPairs aggregate: map-side
     // partial top-k (≤k rows per group per partition shuffle) instead of

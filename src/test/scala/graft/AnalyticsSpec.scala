@@ -727,6 +727,47 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: disjoint cliques each converge to their min id, " +
+      "bridged cliques keep distinct communities, and a simulated " +
+      "reference agrees on a seeded random graph") {
+    // two disjoint triangles: every node adopts its clique's min id
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val lab = Analytics.labelPropagation(g, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(lab(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(lab(_) == 10L))
+    // one bridge edge is outvoted: the cliques stay separate
+    val bridged = g.unionByName(Seq((3L, 10L)).toDF("a", "b"))
+    val lab2 = Analytics.labelPropagation(bridged, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lab2.filterKeys(_ <= 3L).values.toSet.size == 1)
+    assert(lab2.filterKeys(_ >= 10L).values.toSet.size == 1)
+    assert(lab2(1L) != lab2(11L))
+    // reference simulation: same vote rule (count desc, min label,
+    // self-vote), synchronous rounds
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 80)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val und = edges
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nbrs = und.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = nbrs.keySet.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      ref = ref.map { case (n, _) =>
+        val votes = (nbrs(n).map(ref) :+ ref(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        val best = votes.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    val got = Analytics.labelPropagation(edges.toDF("a", "b"), "a", "b",
+      rounds = 4).as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
   test("mutualInfo: independent columns give exactly zero pmi; " +
       "identical columns give I(A;B) = H(A)") {
     // independent: every (a,b) combination equally often → every cell's
