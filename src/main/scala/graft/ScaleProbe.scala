@@ -374,7 +374,41 @@ object ScaleProbe {
             "embedding"),
           documentsAt(f), "text", Seq(0L, 1L, 2L),
           kBranch = 20, k = 10, nprobe = 2)
-      }))
+      }),
+      // late-r12 probes. simhash_neardup: banded 16-bit buckets over
+      // word-permuted replicas — candidate pairs must stay linear (the
+      // minhash LSH argument; permutation kills cross-replica bands).
+      "simhash_neardup" -> (f =>
+        graft.SparkEntry.queries("simhash_neardup")(spark, s"$work/f$f")),
+      // hll_distinct: register table bounded at groups × 2^p at any
+      // volume — the scan is the only ×f term.
+      "hll_distinct" -> (f =>
+        graft.SparkEntry.queries("hll_distinct")(spark, s"$work/f$f")),
+      // label_prop: R synchronous rounds over the ×f co-purchase graph
+      // (disjoint replicas — labels cannot leak across copies).
+      "label_prop" -> (f =>
+        graft.SparkEntry.queries("label_prop")(spark, s"$work/f$f")),
+      // dsir_resample: one tokenize pass (plan-pinned), B-bounded count
+      // tables, TakeOrdered tail — must track the scan.
+      "dsir_resample" -> (f =>
+        graft.SparkEntry.queries("dsir_resample")(spark, s"$work/f$f")),
+      // js_divergence: (segment, token) and token tables vocabulary-
+      // bounded; the per-replica word permutation preserves each
+      // source's token BAG, so the statistic itself is f-invariant.
+      "js_divergence" -> (f =>
+        graft.SparkEntry.queries("js_divergence")(spark, s"$work/f$f")),
+      // ks_test: cent-grid histogram value-bounded; bucketed prefix
+      // sums flat — the orders scan is the only ×f term.
+      "ks_test" -> (f =>
+        graft.SparkEntry.queries("ks_test")(spark, s"$work/f$f")),
+      // psi_split: ONE scan into a 20-key aggregate; everything after
+      // is nBins rows.
+      "psi_split" -> (f =>
+        graft.SparkEntry.queries("psi_split")(spark, s"$work/f$f")),
+      // spearman_corr: daily rollup ×f rows in, calendar-bounded rows
+      // out; the rank windows see only the bounded daily table.
+      "spearman_corr" -> (f =>
+        graft.SparkEntry.queries("spearman_corr")(spark, s"$work/f$f")))
 
     // optional comma-separated shape filter (sweep a subset without
     // re-timing the whole battery)
@@ -425,7 +459,15 @@ object ScaleProbe {
       "k_core" -> Set("lineitem"),
       "cdc_chunking" -> Set("documents"),
       "roc_auc" -> Set("embeddings"),
-      "rrf_fusion" -> Set("documents", "embeddings"))
+      "rrf_fusion" -> Set("documents", "embeddings"),
+      "simhash_neardup" -> Set("documents"),
+      "hll_distinct" -> Set("lineitem"),
+      "label_prop" -> Set("lineitem"),
+      "dsir_resample" -> Set("documents"),
+      "js_divergence" -> Set("documents"),
+      "ks_test" -> Set("orders"),
+      "psi_split" -> Set("orders"),
+      "spearman_corr" -> Set("orders", "dims"))
     val needed = selected.flatMap { case (n, _) =>
       tablesFor.getOrElse(n, Set("lineitem", "documents", "embeddings",
         "embeddings_perm", "orders")) }.toSet

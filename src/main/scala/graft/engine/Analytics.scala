@@ -2542,4 +2542,203 @@ object Analytics {
             col("__sy") * col("__sy")).cast("double")), 6)
           .as("autocorr"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic of an integer-grid value
+    * between group A (`isA` true) and group B — the distribution-drift
+    * test behind train/serve skew monitors and corpus-segment QA.
+    * The DE-WINDOWED global companion to [[ksDrift]]: ksDrift's ECDF
+    * window partitions by its group key, so a single corpus-wide
+    * comparison (no group key) would put every distinct value in one
+    * window partition — this form replaces that window with the
+    * bucketed two-level prefix sum, at the cost of requiring a
+    * pre-quantized integer grid.
+    * D = sup_x |F_A(x) − F_B(x)| evaluated at every distinct pooled
+    * value (the ECDF sup is always attained at a sample point). The
+    * comparison runs in the CROSS-MULTIPLIED integer form
+    * |cumA·n_B − cumB·n_A| (decimal(38,0) — exact at any corpus size),
+    * so the max is an exact integer and the single final division is
+    * the only float op. Returns one row (n_a, n_b, ks_d, at_value)
+    * with at_value = the smallest grid value attaining the sup (exact
+    * integer tie-break); ks_d is null when either group is empty. The
+    * decimal max stays internal — the output schema is long/double so
+    * the oracle comparison never widens.
+    *
+    * Scale shape ([[rocAuc]]'s histogram doctrine): the groupBy
+    * reduces the corpus map-side to ≤|value grid| histogram rows; the
+    * inclusive cumulative counts run bucketed two-level (per-bucket
+    * windows + a ≤nBuckets-row triangular broadcast join) — no
+    * single-partition window even over the histogram. Bucket
+    * boundaries cannot move the result (prefix sums are
+    * split-invariant), so nBuckets is a pure parallelism knob.
+    */
+  def ksTest(df: DataFrame, valueIntCol: String, isA: Column,
+      nBuckets: Int = 512): DataFrame = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
+    requireNoReserved(df, Seq("__s", "__ya", "__ca", "__cb", "__lo",
+      "__hi", "__b", "__pb", "__pa2", "__pb2", "__boffa", "__boffb",
+      "__cuma", "__cumb", "__dn", "n_a", "n_b", "d_num", "ks_d",
+      "at_value"))
+    val dec = "decimal(38,0)"
+    val hist = df
+      .select(col(valueIntCol).cast("long").as("__s"),
+        when(isA, 1L).otherwise(0L).as("__ya"))
+      .groupBy("__s")
+      .agg(sum("__ya").as("__ca"),
+        (count(lit(1)) - sum("__ya")).as("__cb"))
+    // the live guard consumes the aggregate columns so every derived
+    // branch reuses hist's exchange (the rocAuc consume-trick — see
+    // its comment; pruned copies re-scan the corpus)
+    val live = col("__ca") + col("__cb") >= 0
+    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
+      max(when(live, col("__s"))).as("__hi"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
+          .cast("int"))
+      .drop("__lo", "__hi")
+    val bTot = bucketed.groupBy("__b")
+      .agg(sum(when(live, col("__ca"))).as("__pa"),
+        sum(when(live, col("__cb"))).as("__pb0"))
+    val bOff = bTot
+      .join(broadcast(bTot.select(col("__b").as("__pb"),
+          col("__pa").as("__pa2"), col("__pb0").as("__pb2"))),
+        col("__pb") < col("__b"), "left")
+      .groupBy("__b")
+      .agg(coalesce(sum(when(col("__pa") >= 0, col("__pa2"))), lit(0L))
+          .as("__boffa"),
+        coalesce(sum(when(col("__pb0") >= 0, col("__pb2"))), lit(0L))
+          .as("__boffb"))
+    // INCLUSIVE prefix sums: the ECDF at x counts values ≤ x
+    val wB = Window.partitionBy("__b").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bucketed.join(broadcast(bOff), Seq("__b"))
+      .withColumn("__cuma", col("__boffa") + sum("__ca").over(wB))
+      .withColumn("__cumb", col("__boffb") + sum("__cb").over(wB))
+    // class totals fall out of the ≤nBuckets-row bucket-total frame —
+    // never a second pass over the histogram
+    val totals = bTot.agg(sum("__pa").as("n_a"), sum("__pb0").as("n_b"))
+    val dn = abs(col("__cuma").cast(dec) * col("n_b").cast(dec) -
+      col("__cumb").cast(dec) * col("n_a").cast(dec))
+    cum.crossJoin(broadcast(totals))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(dn).as("d_num"),
+        // smallest value attaining the max: exact integer argmax via
+        // max(struct(d, −s)) — both fields integer, never a float sort
+        max(struct(dn.as("__dn"), (-col("__s")).as("__ns"))).as("__arg"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_num").cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"),
+            6)).as("ks_d"),
+        (-col("__arg.__ns")).as("at_value"))
+  }
+
+  /** Population Stability Index of a money-valued column between a
+    * baseline segment (`isBaseline` true) and the current rest — the
+    * standard ML-monitoring drift score over a FIXED equal-width bin
+    * grid. The ONE-SCAN segment-predicate twin of
+    * [[Quality.psiReport]] (which compares two separately-read
+    * snapshots): when both periods live in one table, this form bins
+    * and counts both sides in a single pass, and its per-bin terms
+    * are micro-nat-quantized longs so the headline total is exact
+    * integer algebra. Bins: bin = cents div binWidthCents, clamped
+    * into [0, nBins), so
+    * bin membership is pure integer math that cannot flip across
+    * engines. Counts are add-1 smoothed over the full grid (empty bins
+    * included — PSI is defined on the grid, not on observed bins):
+    * p_i = (base_i+1)/(n_base+nBins), q_i likewise, term_i =
+    * (p_i−q_i)·ln(p_i/q_i). Returns one row per bin (bin, n_base,
+    * n_cur, psi_term, psi_total) ordered by bin; per-bin terms are
+    * micro-nat-quantized longs before the total sum, so psi_total is
+    * exact integer algebra (order-free) with one final division.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on ≤nBins keys, then
+    * all arithmetic on the ≤nBins-row bin frame (the grid completion
+    * is a broadcast join against a literal sequence) — the corpus is
+    * read once and reduced to nBins rows regardless of size.
+    */
+  def psiDrift(df: DataFrame, valueCol: String, isBaseline: Column,
+      binWidthCents: Long, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    require(binWidthCents >= 1, "need binWidthCents >= 1")
+    requireNoReserved(df, Seq("bin", "__yb", "__cb", "__cc", "__nb",
+      "__nc", "__p", "__q", "__tm", "n_base", "n_cur", "psi_term",
+      "psi_total"))
+    val spark = df.sparkSession
+    val binned = df
+      .select(least(greatest(
+          expr(s"cast(round(`$valueCol` * 100) as long) div $binWidthCents"),
+          lit(0L)), lit(nBins - 1L)).cast("int").as("bin"),
+        when(isBaseline, 1L).otherwise(0L).as("__yb"))
+      .groupBy("bin")
+      .agg(sum("__yb").as("__cb"),
+        (count(lit(1)) - sum("__yb")).as("__cc"))
+    // complete the fixed grid: PSI's smoothing counts EVERY bin
+    val grid = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val full = grid.join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("__cb", "__cc"))
+    val totals = full.agg(sum("__cb").as("__nb"), sum("__cc").as("__nc"))
+    val withP = full.crossJoin(broadcast(totals))
+      .withColumn("__p", (col("__cb") + 1).cast("double") /
+        (col("__nb") + nBins).cast("double"))
+      .withColumn("__q", (col("__cc") + 1).cast("double") /
+        (col("__nc") + nBins).cast("double"))
+      .withColumn("__tm",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q"))
+          * 1000000.0).cast("long"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // the global window is over the ≤nBins-row bin frame — bounded by
+    // construction, never by the corpus
+    withP
+      .withColumn("psi_total",
+        (sum("__tm").over(wAll) / lit(1000000.0)))
+      .select(col("bin"), col("__cb").as("n_base"), col("__cc").as("n_cur"),
+        (col("__tm") / lit(1000000.0)).as("psi_term"), col("psi_total"))
+  }
+
+  /** Per-group Spearman rank correlation between two numeric columns
+    * with textbook average-rank tie handling — the monotone-association
+    * companion to [[trendSlope]]'s linear fit (drift in a feature's
+    * rank relationship survives monotone transforms that break
+    * Pearson). Average ranks are computed in DOUBLED integer units
+    * (2·avg_rank = 2·min_rank + tie_count − 1, always an integer), so
+    * the Pearson-on-ranks moments are exact decimal(38,0) sums — the
+    * final division is the only float op, rounded to 6 dp. Returns
+    * (groupCol, n, spearman); groups with < 2 rows or zero rank
+    * variance (all-tied) yield null.
+    *
+    * Scale shape: two per-group rank windows + one aggregation, all
+    * partitioned by the group key — partition sizes are bounded by the
+    * group's row count (the catalog entry ranks per-nation DAILY
+    * series, calendar-bounded at any corpus size). Not for ranking an
+    * unbounded corpus under one key — that's the zipfSlope two-level
+    * doctrine's job.
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    requireNoReserved(df, Seq("__rx", "__ry", "__n", "__sx", "__sy",
+      "__sxy", "__sxx", "__syy", "n", "spearman"))
+    val dec = "decimal(38,0)"
+    def rank2(c: String): Column =
+      lit(2) * rank().over(Window.partitionBy(groupCol).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col(c))) - 1
+    val ranked = df
+      .withColumn("__rx", rank2(xCol).cast(dec))
+      .withColumn("__ry", rank2(yCol).cast(dec))
+    val num = col("__n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")
+    val vx = col("__n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n").cast(dec) * col("__syy") - col("__sy") * col("__sy")
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"),
+        sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        when(col("__n") >= 2 && vx > 0 && vy > 0,
+          round(num.cast("double") /
+            sqrt(vx.cast("double")) / sqrt(vy.cast("double")), 6))
+          .as("spearman"))
+  }
 }

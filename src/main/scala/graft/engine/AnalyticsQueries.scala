@@ -1741,6 +1741,133 @@ object AnalyticsQueries {
              |nb AS (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e),
              |deg AS (SELECT n, count(*) AS degree FROM nb GROUP BY 1)
              |SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_nodes
-             |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin))
+             |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin)),
+
+    // ── two-sample Kolmogorov–Smirnov test: urgent-priority order
+    // values vs the rest, on the integer cent grid. The DE-WINDOWED
+    // global form of ks_drift: where ksDrift partitions its ECDF
+    // window per group, one corpus-wide comparison has no group key —
+    // so the sup runs in cross-multiplied exact integers over rocAuc's
+    // bucketed two-level prefix sums (no single-partition window over
+    // the histogram). The oracle is the direct windowed-ECDF form ───────
+    QuerySpec("ks_test",
+      (s, d) => Analytics.ksTest(
+        orders(s, d).select(
+          round(col("o_totalprice") * 100).cast("long").as("__cents"),
+          col("o_orderpriority")),
+        "__cents", col("o_orderpriority") === "1-URGENT"),
+      Some("""WITH h AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+             |         sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |             THEN 1 ELSE 0 END)::BIGINT AS ca,
+             |         sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |             THEN 0 ELSE 1 END)::BIGINT AS cb
+             |  FROM orders GROUP BY 1),
+             |c AS (
+             |  SELECT s,
+             |         sum(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             |           PRECEDING AND CURRENT ROW) AS cuma,
+             |         sum(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             |           PRECEDING AND CURRENT ROW) AS cumb
+             |  FROM h),
+             |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+             |      FROM h),
+             |d AS (SELECT s, abs(cuma::HUGEINT * nb - cumb::HUGEINT * na)
+             |        AS dn
+             |      FROM c CROSS JOIN t)
+             |SELECT na AS n_a, nb AS n_b,
+             |       round((SELECT max(dn) FROM d)::DOUBLE
+             |             / (na::HUGEINT * nb)::DOUBLE, 6) AS ks_d,
+             |       (SELECT min(s) FROM d
+             |        WHERE dn = (SELECT max(dn) FROM d)) AS at_value
+             |FROM t""".stripMargin)),
+
+    // ── PSI between the pre-1995 baseline segment and the current
+    // rest of the SAME table, in ONE scan (psi_drift's two-snapshot
+    // psiReport reads its inputs separately; this is the
+    // segment-predicate twin), over a fixed 20-bin integer-cent grid
+    // (add-1 smoothed over the FULL grid, empty bins included);
+    // per-bin terms micro-nat-quantized so the total is order-free
+    // integer algebra ────────────────────────────────────────────────────
+    QuerySpec("psi_split",
+      (s, d) => Analytics.psiDrift(orders(s, d), "o_totalprice",
+          expr("cast(cast(o_orderdate as timestamp) as long)")
+            < lit(788918400L),
+          binWidthCents = 2500000L, nBins = 20)
+        .orderBy("bin"),
+      Some("""WITH b AS (
+             |  SELECT least(greatest(
+             |           CAST(round(o_totalprice * 100) AS BIGINT)
+             |             // 2500000, 0), 19) AS bin,
+             |         CASE WHEN epoch_us(o_orderdate)//1000000 < 788918400
+             |           THEN 1 ELSE 0 END AS yb
+             |  FROM orders),
+             |c AS (SELECT bin, sum(yb)::BIGINT AS cb,
+             |             (count(*) - sum(yb))::BIGINT AS cc
+             |      FROM b GROUP BY 1),
+             |g AS (SELECT unnest(generate_series(0, 19)) AS bin),
+             |f AS (SELECT g.bin, coalesce(cb, 0)::BIGINT AS cb,
+             |             coalesce(cc, 0)::BIGINT AS cc
+             |      FROM g LEFT JOIN c USING (bin)),
+             |t AS (SELECT sum(cb)::BIGINT AS nb, sum(cc)::BIGINT AS nc
+             |      FROM f),
+             |x AS (
+             |  SELECT bin, cb, cc,
+             |         CAST(round(((cb + 1)::DOUBLE / (nb + 20)
+             |                     - (cc + 1)::DOUBLE / (nc + 20))
+             |           * ln(((cb + 1)::DOUBLE / (nb + 20))
+             |                / ((cc + 1)::DOUBLE / (nc + 20)))
+             |           * 1000000.0) AS BIGINT) AS tm
+             |  FROM f CROSS JOIN t)
+             |SELECT bin::INT AS bin, cb AS n_base, cc AS n_cur,
+             |       tm / 1000000.0 AS psi_term,
+             |       (SELECT sum(tm) FROM x) / 1000000.0 AS psi_total
+             |FROM x ORDER BY bin""".stripMargin)),
+
+    // ── per-nation Spearman rank correlation between daily order
+    // count and daily revenue: average-rank ties in DOUBLED integer
+    // units, Pearson-on-ranks moments in exact decimal — rank windows
+    // partitioned per nation over the calendar-bounded daily table ──────
+    QuerySpec("spearman_corr",
+      (s, d) => Analytics.spearmanByGroup(
+          orders(s, d).join(customer(s, d),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_nationkey"),
+              expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+                .as("__d"))
+            .agg(count(lit(1)).as("__x"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("__y")),
+          "c_nationkey", "__x", "__y")
+        .orderBy("c_nationkey"),
+      Some("""WITH daily AS (
+             |  SELECT c.c_nationkey AS g,
+             |         epoch_us(o.o_orderdate)//1000000//86400 AS d,
+             |         count(*)::BIGINT AS x,
+             |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             |           ::BIGINT AS y
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT g,
+             |         2 * rank() OVER (PARTITION BY g ORDER BY x)
+             |           + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+             |         2 * rank() OVER (PARTITION BY g ORDER BY y)
+             |           + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+             |  FROM daily),
+             |m AS (
+             |  SELECT g, count(*)::BIGINT AS n,
+             |         sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+             |         sum(rx::HUGEINT * ry) AS sxy,
+             |         sum(rx::HUGEINT * rx) AS sxx,
+             |         sum(ry::HUGEINT * ry) AS syy
+             |  FROM r GROUP BY 1)
+             |SELECT g AS c_nationkey, n,
+             |       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+             |                 AND n * syy - sy * sy > 0
+             |         THEN round((n * sxy - sx * sy)::DOUBLE
+             |                / sqrt((n * sxx - sx * sx)::DOUBLE)
+             |                / sqrt((n * syy - sy * sy)::DOUBLE), 6)
+             |       END AS spearman
+             |FROM m ORDER BY c_nationkey""".stripMargin))
   )
 }

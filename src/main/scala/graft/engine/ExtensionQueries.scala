@@ -2168,6 +2168,102 @@ object ExtensionQueries {
              |              * (count(*) * sum(y::HUGEINT * y)
              |                 - sum(y::HUGEINT) * sum(y::HUGEINT))::DOUBLE),
              |             6) AS r2
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ── per-source Jensen–Shannon divergence vs the rest of the
+    // corpus: the corpus-mixing drift score. Present-token terms are
+    // micro-nat-quantized (order-free integer sum); the absent-token
+    // mass folds into a closed form over exact integer counts — never
+    // a source×vocabulary cross ─────────────────────────────────────────
+    QuerySpec("js_divergence",
+      (s, d) => Extensions.jsDivergence(documents(s, d), "text", "source")
+        .orderBy("source"),
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split(lower(text), ' '),
+             |                            x -> x <> '')) AS t
+             |  FROM documents),
+             |st AS (SELECT source, t, count(*)::BIGINT AS c
+             |       FROM tok GROUP BY 1, 2),
+             |tt AS (SELECT t, sum(c)::BIGINT AS g FROM st GROUP BY 1),
+             |sg AS (SELECT source, sum(c)::BIGINT AS n FROM st GROUP BY 1),
+             |gr AS (SELECT sum(n)::BIGINT AS nn FROM sg),
+             |x AS (
+             |  SELECT st.source, st.c, tt.g, sg.n, gr.nn,
+             |         st.c::DOUBLE / sg.n::DOUBLE AS p,
+             |         (tt.g - st.c)::DOUBLE / (gr.nn - sg.n)::DOUBLE AS q
+             |  FROM st JOIN tt USING (t) JOIN sg USING (source)
+             |  CROSS JOIN gr),
+             |y AS (
+             |  SELECT source, n,
+             |         CAST(round((p * ln(2.0 * p / (p + q))
+             |           + CASE WHEN g > c THEN q * ln(2.0 * q / (p + q))
+             |             ELSE 0.0 END) * 500000.0) AS BIGINT) AS tm,
+             |         g - c AS qn, nn - n AS qd
+             |  FROM x)
+             |SELECT source, max(n) AS n_tokens, count(*) AS vocab_seg,
+             |       round(sum(tm) / 1000000.0
+             |             + 0.34657359027997264
+             |               * (1.0 - sum(qn)::DOUBLE / max(qd)::DOUBLE), 6)
+             |         AS jsd
+             |FROM y GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── deterministic DSIR importance resampling: Gumbel-top-k over
+    // dsir_weights with md5-derandomized noise — weight and noise both
+    // micro-nat longs, so the selection order compares exact integers.
+    // The oracle replays the dsir CTEs, the gumbel transform, and the
+    // top-k boundary bit-for-bit ─────────────────────────────────────────
+    QuerySpec("dsir_resample",
+      (s, d) => Extensions.dsirResample(documents(s, d), "text", "doc_id",
+        isTarget = col("lang") === "en", k = 50, buckets = DsirBuckets),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split(lower(text), ' '),
+             |                     x -> x <> '') AS toks
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_concat(toks,
+             |           list_transform(range(1, len(toks)),
+             |             i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+             |  FROM t),
+             |fb AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substr(md5(feat), 1, 15))::BIGINT
+             |           % $DsirBuckets AS f
+             |  FROM f),
+             |docf AS (SELECT doc_id, f, count(*)::BIGINT AS n
+             |         FROM fb GROUP BY 1, 2),
+             |rawc AS (SELECT f, sum(n)::BIGINT AS cr FROM docf GROUP BY 1),
+             |tgtc AS (SELECT f, count(*)::BIGINT AS ct
+             |         FROM fb WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr,
+             |               (SELECT sum(ct) FROM tgtc) AS nt),
+             |lp AS (
+             |  SELECT rawc.f,
+             |         CAST(round(ln((coalesce(ct, 0) + 1)::DOUBLE
+             |           / (nt + $DsirBuckets)) * 1000000.0) AS BIGINT)
+             |           AS lpt,
+             |         CAST(round(ln((cr + 1)::DOUBLE
+             |           / (nr + $DsirBuckets)) * 1000000.0) AS BIGINT)
+             |           AS lpr
+             |  FROM rawc LEFT JOIN tgtc USING (f) CROSS JOIN tot),
+             |dw AS (
+             |  SELECT doc_id, sum(n)::BIGINT AS n_feats,
+             |         CAST(sum(n * (lpt - lpr)) AS BIGINT) AS lw
+             |  FROM docf JOIN lp USING (f) GROUP BY doc_id),
+             |k AS (
+             |  SELECT doc_id, n_feats, lw,
+             |         CAST(round(-ln(-ln(
+             |           (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+             |              ::BIGINT + 1)::DOUBLE
+             |             / 1152921504606847232.0))
+             |           * 1000000.0) AS BIGINT) AS gm
+             |  FROM dw)
+             |SELECT doc_id, n_feats, lw / 1000000.0 AS log_weight,
+             |       gm AS gumbel_micro, lw + gm AS key_micro,
+             |       row_number() OVER (ORDER BY lw + gm DESC, doc_id)::INT
+             |         AS rank
+             |FROM k ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin))
   )
 }

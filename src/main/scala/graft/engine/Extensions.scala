@@ -3158,34 +3158,55 @@ object Extensions {
     * Scale shape: both count tables are bounded at B rows at ANY
     * corpus size (map-side-combinable groupBys over hashed ids —
     * never a vocabulary) and broadcast back to the per-doc feature
-    * stream; the target counts reuse the per-doc table via a semi
-    * join instead of re-tokenizing. The paper then resamples with
-    * Gumbel noise on these weights — sampling is a deterministic
-    * downstream step here (weightedSample / stratifiedSample); this
-    * operator's contract is the weights.
+    * stream; the target flag rides the feature stream, so raw and
+    * target counts BOTH reuse the one per-doc aggregate — the corpus
+    * is scanned and tokenized exactly once (plan-pinned). The paper
+    * then resamples with Gumbel noise on these weights — sampling is
+    * the deterministic [[dsirResample]]; this operator's contract is
+    * the weights.
     */
   def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
       isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "buckets must be >= 2")
-    requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__ct",
-      "__cr", "__nt", "__nr", "__lpt", "__lpr", "__s"))
+    requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__t",
+      "__ct", "__cr", "__nt", "__nr", "__lpt", "__lpr", "__s"))
     val b = buckets.toLong
+    // the target flag RIDES THE FEATURE STREAM instead of arriving via
+    // a semi-join: PushDownLeftSemiAntiJoin would push a join through
+    // docF's aggregate (idCol is a grouping key), de-canonicalizing
+    // the subtree so the target branch re-scanned and re-tokenized the
+    // corpus — with the flag inline, ONE scan feeds every count table
     val toks = docs.select(col(idCol),
+      when(isTarget, 1L).otherwise(0L).as("__t"),
       filter(tokens(col(textCol)), x => x =!= lit("")).as("__toks"))
-    val featStream = toks.select(col(idCol),
+    val featStream = toks.select(col(idCol), col("__t"),
         explode(concat(col("__toks"), zip_with(
           slice(col("__toks"), lit(1),
             greatest(lit(0), size(col("__toks")) - 1)),
           slice(col("__toks"), lit(2),
             greatest(lit(0), size(col("__toks")) - 1)),
           (x, y) => concat(x, lit(" "), y)))).as("__feat"))
-      .select(col(idCol), pmod(md5Hash60(col("__feat")), lit(b)).as("__f"))
-    val docF = featStream.groupBy(col(idCol), col("__f"))
-      .agg(count(lit(1)).as("__n"))
-    val rawC = docF.groupBy("__f").agg(sum("__n").as("__cr"))
-    val tgtC = docF
-      .join(docs.filter(isTarget).select(col(idCol)), Seq(idCol),
-        "left_semi")
+      .select(col(idCol), col("__t"),
+        pmod(md5Hash60(col("__feat")), lit(b)).as("__f"))
+    // up-front null filter (the cramersV/tokenPmi canonical-form
+    // lesson): downstream joins push IsNotNull on idCol/__f into SOME
+    // copies of this subtree — filtering here keeps every copy
+    // canonically equal so docF's exchange is REUSED, not re-scanned
+    // (and re-tokenized) once per consumer
+    val docF = featStream
+      .filter(col(idCol).isNotNull && col("__f").isNotNull)
+      .groupBy(col(idCol), col("__f"))
+      .agg(count(lit(1)).as("__n"), max("__t").as("__t"))
+    // __t is 0/1 (never null), so the __t >= 0 guards below are
+    // always true — they exist to CONSUME docF's max(__t) column in
+    // every branch (the tfidf/rocAuc consume-trick): a branch that
+    // pruned it would plan a different aggregate and re-scan the
+    // corpus instead of reusing docF's exchange
+    val rawC = docF.groupBy("__f")
+      .agg(sum(when(col("__t") >= 0, col("__n"))).as("__cr"))
+    // the filter sits ABOVE docF's aggregate (on an aggregate output),
+    // so it cannot push below the exchange — the reuse holds
+    val tgtC = docF.filter(col("__t") === 1L)
       .groupBy("__f").agg(sum("__n").as("__ct"))
     val totals = rawC.agg(sum("__cr").as("__nr"))
       .crossJoin(tgtC.agg(sum("__ct").as("__nt")))
@@ -3199,10 +3220,127 @@ object Extensions {
           * 1000000.0).cast("long").as("__lpr"))
     docF.join(broadcast(lp), "__f")
       .groupBy(idCol)
-      .agg(sum("__n").as("n_feats"),
+      .agg(sum(when(col("__t") >= 0, col("__n"))).as("n_feats"),
         sum(col("__n") * (col("__lpt") - col("__lpr"))).as("__s"))
       .select(col(idCol), col("n_feats"),
         (col("__s") / lit(1000000.0)).as("log_weight"))
+  }
+
+  /** Deterministic DSIR importance RESAMPLING — the sampling half of
+    * Xie et al. 2023 that [[dsirWeights]] leaves downstream: draw the
+    * k documents with the largest (log_weight + Gumbel) keys, which
+    * samples without replacement ∝ exp(log_weight) (the
+    * Gumbel-top-k theorem). The Gumbel noise is DERANDOMIZED from the
+    * document id — u = (md5_60(id)+1)/(2^60+256) ∈ (0,1) (the
+    * denominator is the first double-representable value above 2^60,
+    * so both engines compute the identical quotient and u never
+    * reaches 1), g = −ln(−ln u)
+    * — so the draw is reproducible, audit-able, and replayable by the
+    * DuckDB twin. Both the weight and the noise are micro-nat-
+    * quantized longs; the selection key is their exact integer sum,
+    * so the top-k order (key desc, id asc) compares integers — no
+    * float comparator can flip a boundary row across engines. Returns
+    * (idCol, n_feats, log_weight, gumbel_micro, key_micro, rank).
+    *
+    * Scale shape: [[dsirWeights]]'s (bounded count tables broadcast
+    * onto one per-doc pass) plus a TakeOrdered top-k — the k-bounded
+    * heap, never a global sort.
+    */
+  def dsirResample(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, k: Int, buckets: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    requireNoReserved(docs, Seq("__u", "gumbel_micro", "key_micro",
+      "log_weight", "n_feats", "rank"))
+    val w = dsirWeights(docs, textCol, idCol, isTarget, buckets)
+    val denom = math.pow(2.0, 60) + 256.0
+    val keyed = w
+      .withColumn("__u",
+        (md5Hash60(col(idCol).cast("string")) + 1).cast("double") / denom)
+      .withColumn("gumbel_micro",
+        round(-log(-log(col("__u"))) * 1000000.0).cast("long"))
+      .withColumn("key_micro",
+        round(col("log_weight") * 1000000.0).cast("long") +
+          col("gumbel_micro"))
+    keyed
+      .orderBy(desc("key_micro"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_feats"), col("log_weight"),
+        col("gumbel_micro"), col("key_micro"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("key_micro"), col(idCol)))
+          .cast("int"))
+  }
+
+  /** Per-segment Jensen–Shannon divergence of the token distribution
+    * against the REST of the corpus — "which source is
+    * distributionally off" is the first corpus-mixing question, and
+    * JSD (unlike KL) is finite under zero counts on either side, so no
+    * smoothing constant muddies the statistic. For segment s with
+    * token probabilities p (inside) and q (rest):
+    * JSD = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)).
+    * Tokens ABSENT from the segment contribute the closed form
+    * ½·ln2·(1 − Q_present) (their p = 0 term), where Q_present =
+    * Σ_{t present in s} q_t has an EXACT INTEGER numerator — so the
+    * whole sum runs over the (segment, present-token) table only,
+    * never a segment×vocabulary cross. Per-pair terms are micro-nat-
+    * quantized longs (order-free integer sum, the dsirWeights
+    * doctrine); the absent-mass remainder is one double expression
+    * per segment from exact integer counts. Returns (segCol,
+    * n_tokens, vocab_seg, jsd) with jsd in nats, ln 2 ≈ 0.6931 = max.
+    *
+    * Scale shape: one map-side-combinable (segment, token) count, one
+    * token-keyed re-aggregation for corpus totals joined back on the
+    * token (both vocabulary-bounded), one per-segment rollup. The raw
+    * corpus is tokenized once.
+    */
+  def jsDivergence(docs: DataFrame, textCol: String,
+      segCol: String): DataFrame = {
+    requireNoReserved(docs, Seq("__tok", "__c", "__g", "__n", "__nn",
+      "__p", "__q", "__tm", "n_tokens", "vocab_seg", "jsd"))
+    val tok = docs.select(col(segCol),
+        explode(filter(tokens(col(textCol)), x => x =!= lit("")))
+          .as("__tok"))
+    // up-front null filter so the token/segment joins below push the
+    // SAME IsNotNull predicates into every copy of this aggregate —
+    // canonical equality is what lets them all reuse one exchange
+    // instead of re-tokenizing the corpus per branch
+    val segTok = tok
+      .filter(col(segCol).isNotNull && col("__tok").isNotNull)
+      .groupBy(col(segCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val tokTot = segTok.groupBy("__tok").agg(sum("__c").as("__g"))
+    val segTot = segTok.groupBy(segCol).agg(sum("__c").as("__n"))
+    val grand = segTot.agg(sum("__n").as("__nn"))
+    val joined = segTok.join(tokTot, "__tok")
+      .join(broadcast(segTot), segCol)
+      .crossJoin(broadcast(grand))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    // ANSI-safe: a single-segment corpus has an empty rest (__nn ==
+    // __n) — q is never consumed there (the final jsd guard nulls the
+    // row), but the division itself must not raise
+    val q = when(col("__nn") > col("__n"),
+      (col("__g") - col("__c")).cast("double") /
+        (col("__nn") - col("__n")).cast("double")).otherwise(lit(0.0))
+    // per-token JSD term over PRESENT tokens; p > 0 always here, q may
+    // be 0 (token exclusive to the segment) — its ln term is dropped
+    val term = p * log(lit(2.0) * p / (p + q)) +
+      when(col("__g") > col("__c"),
+        q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    joined
+      .groupBy(segCol)
+      .agg(max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("vocab_seg"),
+        sum(round(term * lit(500000.0)).cast("long")).as("__tm"),
+        // exact integer mass of the segment's tokens under the REST
+        // distribution — the absent-token remainder's complement
+        sum(col("__g") - col("__c")).as("__qp"),
+        max(col("__nn") - col("__n")).as("__qd"))
+      .select(col(segCol), col("n_tokens"), col("vocab_seg"),
+        when(col("__qd") > 0,
+          round(col("__tm") / lit(1000000.0) +
+            lit(math.log(2.0) / 2.0) *
+              (lit(1.0) - col("__qp").cast("double") /
+                col("__qd").cast("double")), 6)).as("jsd"))
   }
 
   def bigramStats(docs: DataFrame, textCol: String, idCol: String,

@@ -1309,4 +1309,147 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq, "blocked fold diverged from the " +
       "sequential recurrence")
   }
+
+  // ── ksTest ───────────────────────────────────────────────────────────
+
+  private def ksBrute(a: Seq[Long], b: Seq[Long]): (BigInt, Long) = {
+    // direct ECDF sup over the pooled distinct grid, exact integers
+    val grid = (a ++ b).distinct.sorted
+    val pairs = grid.map { x =>
+      val dn = (BigInt(a.count(_ <= x)) * b.length -
+        BigInt(b.count(_ <= x)) * a.length).abs
+      (dn, x)
+    }
+    val mx = pairs.map(_._1).max
+    (mx, pairs.filter(_._1 == mx).map(_._2).min)
+  }
+
+  test("ksTest matches the brute-force ECDF sup on tie-heavy data") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val b = Seq.fill(200)((rnd.nextInt(40) + rnd.nextInt(10)).toLong)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+    val row = Analytics.ksTest(df, "v", col("isa"), nBuckets = 7)
+      .collect()(0)
+    val (dn, at) = ksBrute(a, b)
+    assert(row.getAs[Long]("n_a") == 300L && row.getAs[Long]("n_b") == 200L)
+    val expD = BigDecimal(dn).toDouble / (300.0 * 200.0)
+    assert(math.abs(row.getAs[Double]("ks_d") - expD) < 5e-7,
+      s"ks_d ${row.getAs[Double]("ks_d")} vs $expD")
+    assert(row.getAs[Long]("at_value") == at)
+  }
+
+  test("ksTest is invariant to bucket count and partitioning") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(100).toLong, rnd.nextBoolean()))
+    val base = Analytics.ksTest(rows.toDF("v", "isa"), "v", col("isa"),
+      nBuckets = 1).collect()(0)
+    for (nb <- Seq(3, 64); np <- Seq(1, 13)) {
+      val got = Analytics.ksTest(rows.toDF("v", "isa").repartition(np),
+        "v", col("isa"), nBuckets = nb).collect()(0)
+      assert(got == base, s"nBuckets=$nb np=$np diverged")
+    }
+  }
+
+  test("ksTest endpoints: identical samples give 0, disjoint give 1") {
+    val same = (1L to 50L).flatMap(v => Seq((v, true), (v, false)))
+    val r0 = Analytics.ksTest(same.toDF("v", "isa"), "v", col("isa"))
+      .collect()(0)
+    assert(r0.getAs[Double]("ks_d") == 0.0)
+    val disj = (1L to 50L).map((_, true)) ++ (100L to 149L).map((_, false))
+    val r1 = Analytics.ksTest(disj.toDF("v", "isa"), "v", col("isa"))
+      .collect()(0)
+    assert(r1.getAs[Double]("ks_d") == 1.0)
+    assert(r1.getAs[Long]("at_value") == 50L)
+    // one empty class → null statistic, not a crash
+    val r2 = Analytics.ksTest(Seq((1L, true), (2L, true)).toDF("v", "isa"),
+      "v", col("isa")).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("ks_d")))
+  }
+
+  // ── psiDrift ─────────────────────────────────────────────────────────
+
+  test("psiDrift: identical distributions give zero, grid is complete") {
+    val rows = (1 to 200).flatMap { i =>
+      Seq((i * 37.0 % 400, true), (i * 37.0 % 400, false))
+    }
+    val out = Analytics.psiDrift(rows.toDF("v", "isb"), "v", col("isb"),
+      binWidthCents = 5000L, nBins = 8).orderBy("bin").collect()
+    assert(out.length == 8, "PSI is defined on the full bin grid")
+    assert(out.map(_.getAs[Int]("bin")).toSeq == (0 until 8))
+    out.foreach { r =>
+      assert(r.getAs[Double]("psi_term") == 0.0)
+      assert(r.getAs[Double]("psi_total") == 0.0)
+    }
+  }
+
+  test("psiDrift detects a shifted distribution and clamps outliers") {
+    val base = (1 to 300).map(i => ((i % 50) * 10.0, true))
+    val cur = (1 to 300).map(i => ((i % 50) * 10.0 + 300.0, false))
+    val out = Analytics.psiDrift((base ++ cur).toDF("v", "isb"), "v",
+      col("isb"), binWidthCents = 10000L, nBins = 6).collect()
+    val total = out.head.getAs[Double]("psi_total")
+    assert(total > 0.5, s"shift must register, got $total")
+    assert(out.map(_.getAs[Double]("psi_total")).distinct.length == 1)
+    // values beyond the grid clamp into the top bin, negatives into 0
+    val clamp = Analytics.psiDrift(
+      Seq((-5.0, true), (1e9, false)).toDF("v", "isb"), "v", col("isb"),
+      binWidthCents = 100L, nBins = 3).orderBy("bin").collect()
+    assert(clamp(0).getAs[Long]("n_base") == 1L)
+    assert(clamp(2).getAs[Long]("n_cur") == 1L)
+  }
+
+  test("psiDrift total equals the sum of its per-bin terms") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(400)((rnd.nextInt(1000) / 10.0, rnd.nextBoolean()))
+    val out = Analytics.psiDrift(rows.toDF("v", "isb"), "v", col("isb"),
+      binWidthCents = 1000L, nBins = 10).collect()
+    val sum = out.map(_.getAs[Double]("psi_term")).sum
+    val total = out.head.getAs[Double]("psi_total")
+    assert(math.abs(sum - total) < 1e-9)
+  }
+
+  // ── spearmanByGroup ──────────────────────────────────────────────────
+
+  test("spearman: monotone association is ±1, ties match brute force") {
+    val up = (1 to 20).map(i => ("g1", i.toLong, (i * i).toLong))
+    val down = (1 to 20).map(i => ("g2", i.toLong, (100 - i).toLong))
+    val out = Analytics.spearmanByGroup(
+        (up ++ down).toDF("g", "x", "y"), "g", "x", "y")
+      .orderBy("g").collect()
+    assert(out(0).getAs[Double]("spearman") == 1.0)
+    assert(out(1).getAs[Double]("spearman") == -1.0)
+  }
+
+  test("spearman: average-rank ties match the direct definition") {
+    val rnd = new scala.util.Random(5)
+    val xs = Seq.fill(60)(rnd.nextInt(8).toLong)   // heavy ties
+    val ys = Seq.fill(60)(rnd.nextInt(8).toLong)
+    val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val got = Analytics.spearmanByGroup(df, "g", "x", "y")
+      .collect()(0).getAs[Double]("spearman")
+    // brute force: average ranks, then Pearson
+    def avgRanks(v: Seq[Long]): Seq[Double] = {
+      val sorted = v.sorted.zipWithIndex
+      val byVal = sorted.groupBy(_._1)
+        .map { case (k, g) => k -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+      v.map(byVal)
+    }
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    val n = rx.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = rx.map(a => (a - mx) * (a - mx)).sum
+    val vy = ry.map(b => (b - my) * (b - my)).sum
+    val exp = cov / math.sqrt(vx) / math.sqrt(vy)
+    assert(math.abs(got - exp) < 1e-6, s"$got vs $exp")
+  }
+
+  test("spearman: degenerate groups yield null, not garbage") {
+    val df = Seq(("a", 1L, 2L), ("b", 3L, 1L), ("b", 3L, 9L))
+      .toDF("g", "x", "y")   // a: n=1; b: x all tied (zero rank variance)
+    val out = Analytics.spearmanByGroup(df, "g", "x", "y")
+      .orderBy("g").collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("spearman"))))
+  }
 }

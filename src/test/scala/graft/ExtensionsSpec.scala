@@ -1518,4 +1518,116 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(slope - (-1.0)) < 1e-3, s"slope $slope")
     assert(math.abs(r2 - 1.0) < 1e-3, s"r2 $r2")
   }
+
+  // ── jsDivergence ─────────────────────────────────────────────────────
+
+  test("jsDivergence endpoints: identical mix → 0, disjoint vocab → ln 2") {
+    // two sources with the SAME token distribution → p = q → jsd 0
+    val same = Seq((1L, "a a b c", "s1"), (2L, "a a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    Extensions.jsDivergence(same, "text", "source").collect().foreach { r =>
+      assert(r.getAs[Double]("jsd") == 0.0, s"identical mix: $r")
+    }
+    // disjoint vocabularies → maximal divergence ln 2 ≈ 0.693147
+    val disj = Seq((1L, "a a b", "s1"), (2L, "x y z z", "s2"))
+      .toDF("doc_id", "text", "source")
+    Extensions.jsDivergence(disj, "text", "source").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("jsd") - math.log(2.0)) < 1e-5,
+        s"disjoint: $r")
+    }
+  }
+
+  test("jsDivergence matches the direct two-distribution definition") {
+    val rnd = new scala.util.Random(13)
+    val vocab = ('a' to 'j').map(_.toString)
+    def doc(n: Int, bias: Int): String =
+      Seq.fill(n)(vocab(math.min(rnd.nextInt(10), rnd.nextInt(10) + bias)
+        .min(9))).mkString(" ")
+    val docs = (1 to 10).map(i => (i.toLong, doc(30, 0), "s1")) ++
+      (11 to 20).map(i => (i.toLong, doc(30, 3), "s2"))
+    val out = Extensions.jsDivergence(docs.toDF("doc_id", "text", "source"),
+      "text", "source").orderBy("source").collect()
+    // brute force per source vs rest
+    val toks = docs.map { case (_, t, s) => (s, t.split(" ").toSeq) }
+    val all = toks.flatMap(_._2)
+    for (r <- out) {
+      val s = r.getAs[String]("source")
+      val inS = toks.filter(_._1 == s).flatMap(_._2)
+      val rest = toks.filter(_._1 != s).flatMap(_._2)
+      val v = all.distinct
+      def dist(xs: Seq[String]) =
+        v.map(t => xs.count(_ == t).toDouble / xs.size)
+      val (p, q) = (dist(inS), dist(rest))
+      val jsd = p.zip(q).map { case (pi, qi) =>
+        val m = (pi + qi) / 2
+        (if (pi > 0) pi * math.log(pi / m) else 0.0) +
+          (if (qi > 0) qi * math.log(qi / m) else 0.0)
+      }.sum / 2
+      assert(math.abs(r.getAs[Double]("jsd") - jsd) < 1e-4,
+        s"$s: ${r.getAs[Double]("jsd")} vs $jsd")
+      assert(r.getAs[Long]("n_tokens") == inS.size)
+    }
+  }
+
+  test("jsDivergence: single-source corpus yields null (no rest)") {
+    val one = Seq((1L, "a b c", "only")).toDF("doc_id", "text", "source")
+    val r = Extensions.jsDivergence(one, "text", "source").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("jsd")))
+  }
+
+  // ── dsirResample ─────────────────────────────────────────────────────
+
+  test("dsirResample draws the gumbel-top-k of the weight table " +
+      "deterministically across partitionings") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("the", "cat", "sat", "mat", "dog", "ran", "far", "big")
+    val docs = (0L until 120L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = Extensions.dsirResample(docs, "text", "doc_id",
+      isTarget = col("lang") === "en", k = 15, buckets = 64)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    // ranks are 1..k and keys descend with id tie-break
+    val keys = rows.sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("key_micro"), r.getAs[Long]("doc_id")))
+    assert(keys.map(_._1).toSeq == keys.map(_._1).sortBy(-_).toSeq)
+    // the selection equals weights + test-side gumbel, recomputed
+    val w = Extensions.dsirWeights(docs, "text", "doc_id",
+      col("lang") === "en", buckets = 64).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gumbelMicro(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 1).toDouble / (math.pow(2.0, 60) + 256.0)
+      math.round(-math.log(-math.log(u)) * 1000000.0)
+    }
+    val expect = w.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val km = math.round(r.getAs[Double]("log_weight") * 1000000.0) +
+        gumbelMicro(id)
+      (km, id)
+    }.sortBy { case (km, id) => (-km, id) }.take(15).toSeq
+    assert(keys.toSeq == expect, "selection diverged from the law")
+    // partitioning cannot move the draw
+    val re = Extensions.dsirResample(docs.repartition(7), "text", "doc_id",
+      isTarget = col("lang") === "en", k = 15, buckets = 64).collect()
+    assert(re.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+      == rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("dsirResample favors target-like documents") {
+    // target docs use one vocabulary, the pool another; a doc's weight
+    // must rank target-vocabulary docs first
+    val tgt = (0L until 30L).map(i => (i, "alpha beta gamma alpha", "en"))
+    val bg = (30L until 90L).map(i => (i, "zeta eta theta zeta", "de"))
+    val docs = (tgt ++ bg).toDF("doc_id", "text", "lang")
+    val picked = Extensions.dsirResample(docs, "text", "doc_id",
+        isTarget = col("lang") === "en", k = 20, buckets = 128)
+      .collect().map(_.getAs[Long]("doc_id"))
+    val nTarget = picked.count(_ < 30L)
+    assert(nTarget >= 18, s"only $nTarget/20 draws were target-like")
+  }
 }

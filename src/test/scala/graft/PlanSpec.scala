@@ -624,4 +624,40 @@ class PlanSpec extends AnyFunSuite {
       .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
   }
+
+  test("ks_test reads orders ONCE: bounds, bucket totals and offsets " +
+      "all reuse the histogram exchange (the rocAuc consume-trick)") {
+    val plan = executedPlan(SparkEntry.queries("ks_test")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$plan")
+  }
+
+  test("psi_split bins both segments in ONE scan and the only window " +
+      "runs over the bounded bin frame") {
+    val plan = executedPlan(SparkEntry.queries("psi_split")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) &&
+        l.contains("orders"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$plan")
+  }
+
+  test("js_divergence tokenizes the corpus ONCE: totals and the grand " +
+      "total ride the (segment, token) aggregate's exchange") {
+    val plan = executedPlan(SparkEntry.queries("js_divergence")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+  }
+
+  test("dsir_resample's top-k is a bounded TakeOrdered, never a global " +
+      "sort, and the weight pass adds no extra corpus scan") {
+    val plan = executedPlan(SparkEntry.queries("dsir_resample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    // the target flag rides the feature stream, so raw counts, target
+    // counts, totals and the per-doc rollup ALL reuse one tokenize pass
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+  }
 }
