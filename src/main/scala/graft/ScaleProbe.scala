@@ -408,7 +408,24 @@ object ScaleProbe {
       // spearman_corr: daily rollup ×f rows in, calendar-bounded rows
       // out; the rank windows see only the bounded daily table.
       "spearman_corr" -> (f =>
-        graft.SparkEntry.queries("spearman_corr")(spark, s"$work/f$f")))
+        graft.SparkEntry.queries("spearman_corr")(spark, s"$work/f$f")),
+      // w1_drift: same value-bounded histogram as ks_test plus the
+      // predecessor machinery — scan is the only ×f term.
+      "w1_drift" -> (f =>
+        graft.SparkEntry.queries("w1_drift")(spark, s"$work/f$f")),
+      // chunk_dedup: map-only chunking ×f; the hash exchange moves
+      // (hash, doc) rows — cross-replica chunk collisions are killed
+      // by the word permutation, so the table stays linear.
+      "chunk_dedup" -> (f =>
+        graft.SparkEntry.queries("chunk_dedup")(spark, s"$work/f$f")),
+      // embedding_qa: dimension-bounded aggregate — pure scan tracking.
+      "embedding_qa" -> (f =>
+        graft.SparkEntry.queries("embedding_qa")(spark, s"$work/f$f")),
+      // leakage_safe_split: pair scorer + CC closure ×f over disjoint
+      // replicas (components cannot merge across copies).
+      "leakage_safe_split" -> (f =>
+        graft.SparkEntry.queries("leakage_safe_split")(spark,
+          s"$work/f$f")))
 
     // optional comma-separated shape filter (sweep a subset without
     // re-timing the whole battery)
@@ -467,7 +484,11 @@ object ScaleProbe {
       "js_divergence" -> Set("documents"),
       "ks_test" -> Set("orders"),
       "psi_split" -> Set("orders"),
-      "spearman_corr" -> Set("orders", "dims"))
+      "spearman_corr" -> Set("orders", "dims"),
+      "w1_drift" -> Set("orders"),
+      "chunk_dedup" -> Set("documents"),
+      "embedding_qa" -> Set("embeddings"),
+      "leakage_safe_split" -> Set("documents"))
     val needed = selected.flatMap { case (n, _) =>
       tablesFor.getOrElse(n, Set("lineitem", "documents", "embeddings",
         "embeddings_perm", "orders")) }.toSet

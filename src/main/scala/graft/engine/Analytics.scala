@@ -2633,6 +2633,91 @@ object Analytics {
         (-col("__arg.__ns")).as("at_value"))
   }
 
+  /** Two-sample Wasserstein-1 (earth-mover) distance of an
+    * integer-grid value between group A (`isA` true) and group B —
+    * the magnitude-aware companion to [[ksTest]]: KS says whether the
+    * distributions differ, W1 says by how much in VALUE UNITS
+    * (W1 = ∫|F_A − F_B| dx, "average cents moved per row"). Evaluated
+    * exactly on the grid: between consecutive distinct values both
+    * ECDFs are constant, so the integral is
+    * Σ |F_A(prev) − F_B(prev)| · (s − prev) — and in cross-multiplied
+    * form |cumA·n_B − cumB·n_A| · gap every term is an exact
+    * decimal(38,0) integer; the single final division by n_A·n_B is
+    * the only float op. Returns one row (n_a, n_b, w1) with w1 in
+    * grid units, rounded to 6 dp; null when either group is empty.
+    *
+    * Scale shape: [[rocAuc]]'s bucketed two-level prefix sums, plus a
+    * per-bucket predecessor: lag(s) inside each bucket window and the
+    * max grid value of earlier buckets (riding the same ≤nBuckets-row
+    * triangular broadcast as the count offsets) at bucket heads — no
+    * single-partition window over the histogram.
+    */
+  def w1Drift(df: DataFrame, valueIntCol: String, isA: Column,
+      nBuckets: Int = 512): DataFrame = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
+    requireNoReserved(df, Seq("__s", "__ya", "__ca", "__cb", "__lo",
+      "__hi", "__b", "__pb", "__pa2", "__pb2", "__pm2", "__boffa",
+      "__boffb", "__bprev", "__cuma", "__cumb", "__prev", "n_a", "n_b",
+      "w1"))
+    val dec = "decimal(38,0)"
+    val hist = df
+      .select(col(valueIntCol).cast("long").as("__s"),
+        when(isA, 1L).otherwise(0L).as("__ya"))
+      .groupBy("__s")
+      .agg(sum("__ya").as("__ca"),
+        (count(lit(1)) - sum("__ya")).as("__cb"))
+    val live = col("__ca") + col("__cb") >= 0
+    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
+      max(when(live, col("__s"))).as("__hi"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
+          .cast("int"))
+      .drop("__lo", "__hi")
+    val bTot = bucketed.groupBy("__b")
+      .agg(sum(when(live, col("__ca"))).as("__pa"),
+        sum(when(live, col("__cb"))).as("__pb0"),
+        max(when(live, col("__s"))).as("__pm"))
+    val bOff = bTot
+      .join(broadcast(bTot.select(col("__b").as("__pb"),
+          col("__pa").as("__pa2"), col("__pb0").as("__pb2"),
+          col("__pm").as("__pm2"))),
+        col("__pb") < col("__b"), "left")
+      .groupBy("__b")
+      .agg(coalesce(sum(when(col("__pa") >= 0, col("__pa2"))), lit(0L))
+          .as("__boffa"),
+        coalesce(sum(when(col("__pb0") >= 0, col("__pb2"))), lit(0L))
+          .as("__boffb"),
+        // the last grid value of any earlier bucket IS this bucket
+        // head's predecessor (buckets partition the ordered range);
+        // the isNotNull guard consumes the left side's __pm so this
+        // branch keeps canonical equality with the count offsets
+        max(when(col("__pm").isNotNull, col("__pm2"))).as("__bprev"))
+    val wB = Window.partitionBy("__b").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLag = Window.partitionBy("__b").orderBy("__s")
+    val cum = bucketed.join(broadcast(bOff), Seq("__b"))
+      .withColumn("__cuma", col("__boffa") + sum("__ca").over(wB))
+      .withColumn("__cumb", col("__boffb") + sum("__cb").over(wB))
+      .withColumn("__prev",
+        coalesce(lag("__s", 1).over(wLag), col("__bprev")))
+    val totals = bTot.agg(sum("__pa").as("n_a"), sum("__pb0").as("n_b"))
+    // the ECDFs between __prev and __s sit at the EXCLUSIVE prefix
+    // (inclusive minus the current grid row's own counts)
+    val term = abs(
+      (col("__cuma") - col("__ca")).cast(dec) * col("n_b").cast(dec) -
+        (col("__cumb") - col("__cb")).cast(dec) * col("n_a").cast(dec)) *
+      (col("__s") - col("__prev")).cast(dec)
+    cum.crossJoin(broadcast(totals))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(when(col("__prev").isNotNull, term)).as("__w"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(coalesce(col("__w"), lit(0).cast(dec)).cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"),
+            6)).as("w1"))
+  }
+
   /** Population Stability Index of a money-valued column between a
     * baseline segment (`isBaseline` true) and the current rest — the
     * standard ML-monitoring drift score over a FIXED equal-width bin

@@ -1782,6 +1782,44 @@ object AnalyticsQueries {
              |        WHERE dn = (SELECT max(dn) FROM d)) AS at_value
              |FROM t""".stripMargin)),
 
+    // ── Wasserstein-1 (earth-mover) distance between the same two
+    // order-value samples as ks_test — the magnitude in cents the KS
+    // statistic lacks. Per-gap terms are exact decimal integers over
+    // the same bucketed prefix sums, plus the per-bucket predecessor
+    // (lag within buckets, earlier-bucket max at bucket heads) ──────────
+    QuerySpec("w1_drift",
+      (s, d) => Analytics.w1Drift(
+        orders(s, d).select(
+          round(col("o_totalprice") * 100).cast("long").as("__cents"),
+          col("o_orderpriority")),
+        "__cents", col("o_orderpriority") === "1-URGENT"),
+      Some("""WITH h AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+             |         sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |             THEN 1 ELSE 0 END)::BIGINT AS ca,
+             |         sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |             THEN 0 ELSE 1 END)::BIGINT AS cb
+             |  FROM orders GROUP BY 1),
+             |c AS (
+             |  SELECT s, ca, cb,
+             |         sum(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             |           PRECEDING AND CURRENT ROW) AS cuma,
+             |         sum(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             |           PRECEDING AND CURRENT ROW) AS cumb,
+             |         lag(s) OVER (ORDER BY s) AS prev
+             |  FROM h),
+             |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+             |      FROM h)
+             |SELECT max(na) AS n_a, max(nb) AS n_b,
+             |       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+             |         round(coalesce(sum(CASE WHEN prev IS NOT NULL THEN
+             |             abs((cuma - ca)::HUGEINT * nb
+             |                 - (cumb - cb)::HUGEINT * na) * (s - prev)
+             |           END), 0)::DOUBLE
+             |           / (max(na)::HUGEINT * max(nb))::DOUBLE, 6)
+             |       END AS w1
+             |FROM c CROSS JOIN t""".stripMargin)),
+
     // ── PSI between the pre-1995 baseline segment and the current
     // rest of the SAME table, in ONE scan (psi_drift's two-snapshot
     // psiReport reads its inputs separately; this is the

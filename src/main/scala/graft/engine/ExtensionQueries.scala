@@ -1412,6 +1412,96 @@ object ExtensionQueries {
              |       (id = min(r))::INT AS keep
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // ── leakage-safe train/eval split: the split key is the near-dup
+    // COMPONENT, so a document and its near-copy always land in the
+    // same split — same pair scorer and closure as dedup_clusters, the
+    // oracle extends that entry's recursive CTE with cluster sizes and
+    // the md5 bucket ─────────────────────────────────────────────────────
+    QuerySpec("leakage_safe_split",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 600)
+        Extensions.leakageSafeSplit(docs, "doc_id",
+            Extensions.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+              minJaccard = 0.6), trainBuckets = 205)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents WHERE doc_id < 600),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |         array_to_string(toks[i.range:i.range+2], ' ') AS shingle
+             |  FROM t, range(1, 100000) i
+             |  WHERE i.range <= len(toks) - 2),
+             |c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+             |  FROM sh a JOIN sh b USING (shingle)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN c ca ON ca.doc_id = id_a
+             |  JOIN c cb ON cb.doc_id = id_b
+             |  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.6),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL
+             |  SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM t
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+             |comp AS (SELECT id AS doc_id, min(r) AS component
+             |         FROM reach GROUP BY id),
+             |sz AS (SELECT component, count(*)::BIGINT AS cluster_size
+             |       FROM comp GROUP BY 1)
+             |SELECT doc_id, component, cluster_size,
+             |       substr(md5(component::VARCHAR), 1, 2) AS split_bucket,
+             |       (substr(md5(component::VARCHAR), 1, 2) < 'cd')::INT
+             |         AS is_train
+             |FROM comp JOIN sz USING (component)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── per-dimension embedding QA: NaN/zero counts, micro-unit exact
+    // mean/std moments, NaN-excluded min/max — ONE groupBy on ≤dim
+    // keys at any corpus size ────────────────────────────────────────────
+    QuerySpec("embedding_qa",
+      (s, d) => Extensions.embeddingQa(embeddings(s, d), "embedding")
+        .orderBy("dim"),
+      Some("""WITH e AS (
+             |  SELECT i.range - 1 AS dim,
+             |         CAST(embedding[i.range] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 100000) i
+             |  WHERE i.range <= len(embedding)),
+             |m AS (
+             |  SELECT dim, count(*)::BIGINT AS n,
+             |         sum(CASE WHEN isnan(x) THEN 1 ELSE 0 END)::BIGINT
+             |           AS n_nan,
+             |         sum(CASE WHEN x = 0 THEN 1 ELSE 0 END)::BIGINT
+             |           AS n_zero,
+             |         count(CASE WHEN NOT isnan(x) THEN 1 END)::BIGINT
+             |           AS ng,
+             |         sum(CASE WHEN NOT isnan(x)
+             |             THEN CAST(round(x * 1000000.0) AS BIGINT) END)
+             |           AS sm,
+             |         sum(CASE WHEN NOT isnan(x)
+             |             THEN CAST(round(x * 1000000.0) AS HUGEINT)
+             |                  * CAST(round(x * 1000000.0) AS BIGINT) END)
+             |           AS sm2,
+             |         min(CASE WHEN NOT isnan(x) THEN x END) AS min_val,
+             |         max(CASE WHEN NOT isnan(x) THEN x END) AS max_val
+             |  FROM e GROUP BY 1)
+             |SELECT dim::INT AS dim, n, n_nan, n_zero,
+             |       CASE WHEN ng >= 1
+             |         THEN round(sm::DOUBLE / ng / 1000000.0, 6) END AS mean,
+             |       CASE WHEN ng >= 2
+             |         THEN round(sqrt((ng::HUGEINT * sm2 - sm::HUGEINT * sm)
+             |                ::DOUBLE
+             |              / (ng::HUGEINT * (ng - 1))::DOUBLE)
+             |              / 1000000.0, 6) END AS std,
+             |       min_val, max_val
+             |FROM m ORDER BY dim""".stripMargin)),
+
     // ── connected components PROVEN against SQL: edges from the
     // deterministic oracle-expressible ngram-Jaccard scorer (≥ 0.5), the
     // iterative min-label/pointer-jump closure on the Spark side, a
@@ -1547,6 +1637,51 @@ object ExtensionQueries {
              |          toks[start_tok:end_i], ' ')), 1, 15))::BIGINT
              |         AS chunk_hash
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ── chunk-level cross-document duplication over the cdc_chunking
+    // table: per doc, the chunk instances and token mass shared
+    // verbatim with ≥2 distinct documents — paragraph-granularity copy
+    // detection, edit-robust thanks to the content-defined boundaries.
+    // One chunking pass; the hash exchange moves (hash, doc) rows ──────
+    QuerySpec("chunk_dedup",
+      (s, d) => Extensions.chunkDedup(documents(s, d), "text", "doc_id",
+          avgLen = 64, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, toks, i.range AS i
+             |  FROM t, range(1, 100000) i WHERE i.range <= len(toks)),
+             |e AS (
+             |  SELECT doc_id, toks, i FROM p
+             |  WHERE ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT % 64 = 0
+             |     OR i = len(toks)),
+             |c AS (
+             |  SELECT doc_id, toks, i AS end_i,
+             |         coalesce(lag(i) OVER (PARTITION BY doc_id
+             |           ORDER BY i), 0) + 1 AS start_tok
+             |  FROM e),
+             |ch AS (
+             |  SELECT doc_id, (end_i - start_tok + 1)::BIGINT AS n_tokens,
+             |         ('0x' || substr(md5(array_to_string(
+             |            toks[start_tok:end_i], ' ')), 1, 15))::BIGINT
+             |           AS chunk_hash
+             |  FROM c),
+             |chc AS (SELECT chunk_hash, doc_id, count(*)::BIGINT AS cnt,
+             |               sum(n_tokens)::BIGINT AS tok_sum
+             |        FROM ch GROUP BY 1, 2),
+             |bh AS (SELECT chunk_hash, count(*)::BIGINT AS ndocs
+             |       FROM chc GROUP BY 1)
+             |SELECT doc_id, sum(cnt)::BIGINT AS n_chunks,
+             |       sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END)::BIGINT
+             |         AS n_shared,
+             |       sum(tok_sum)::BIGINT AS n_tokens,
+             |       round(sum(CASE WHEN ndocs >= 2 THEN tok_sum ELSE 0 END)
+             |               ::DOUBLE / sum(tok_sum)::DOUBLE, 6)
+             |         AS shared_token_frac
+             |FROM chc JOIN bh USING (chunk_hash)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ── sliding context windows (512 chars, stride 384) per document:
     // pure projection + sequence() explode, zero shuffles ────────────────

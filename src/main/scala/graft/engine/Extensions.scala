@@ -535,6 +535,86 @@ object Extensions {
       (col(idCol) === col("component")).cast("int"))
   }
 
+  /** Leakage-safe train/eval split: assign WHOLE near-duplicate
+    * clusters to splits, so a document and its near-copy can never
+    * straddle train and eval — the classic contamination vector a
+    * row-wise hash split (corpus_curation's split_bucket; Kandpal
+    * et al.'s dedup-before-eval argument) cannot close, because two
+    * near-identical docs hash independently. Pairs → transitive
+    * closure ([[graft.operators.ConnectedComponents]]) → the SPLIT KEY
+    * IS THE COMPONENT: split_bucket = md5(component)[0,2), is_train =
+    * bucket < hex(trainBuckets) (expected train share
+    * trainBuckets/256, exact per-cluster). Returns (idCol, component,
+    * cluster_size, split_bucket, is_train).
+    *
+    * Scale shape: the closure is the pointer-jumping CC operator;
+    * cluster sizes are a map-side-combinable hash aggregate hash-
+    * joined back (never a window over the component key); the split
+    * itself is a pure projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainBuckets: Int = 205): DataFrame = {
+    require(trainBuckets >= 1 && trainBuckets <= 255,
+      "trainBuckets must be in [1, 255]")
+    requireNoReserved(docs, Seq("component", "cluster_size",
+      "split_bucket", "is_train"))
+    val comps = graft.operators.ConnectedComponents.components(
+      docs.select(col(idCol)), pairs, idCol, "id_a", "id_b")
+    val sizes = comps.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    val bucket = substring(md5(col("component").cast("string")), 1, 2)
+    comps.join(sizes, "component")
+      .select(col(idCol), col("component"), col("cluster_size"),
+        bucket.as("split_bucket"),
+        (bucket < lit(f"$trainBuckets%02x")).cast("int").as("is_train"))
+  }
+
+  /** Per-dimension embedding-table QA — the sanity gate before any of
+    * the ANN/dedup family touches a corpus of vectors: for each
+    * dimension, the support, NaN and exact-zero counts, mean and
+    * sample std (micro-unit-quantized integer moments in
+    * decimal(38,0) — order-free exact sums, one final division each),
+    * and min/max (NaN-excluded on both engines). A dimension that is
+    * all-zero (dead), NaN-poisoned, or orders of magnitude off-scale
+    * breaks cosine geometry silently; this table is where that shows.
+    * Returns (dim, n, n_nan, n_zero, mean, std, min_val, max_val);
+    * std is null when fewer than 2 finite values.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on ≤dim keys — the
+    * vector stream reduces to a dimension-bounded table regardless of
+    * corpus size.
+    */
+  def embeddingQa(emb: DataFrame, embCol: String): DataFrame = {
+    requireNoReserved(emb, Seq("dim", "__x", "__m", "n", "n_nan",
+      "n_zero", "__ng", "__sm", "__sm2", "mean", "std", "min_val",
+      "max_val"))
+    val dec = "decimal(38,0)"
+    val x = col("__x").cast("double")
+    val finite = !isnan(x) && x.isNotNull
+    val m = round(x * 1000000.0).cast("long")
+    val el = emb.select(posexplode(col(embCol)).as(Seq("dim", "__x")))
+    val ng = col("__ng").cast(dec)
+    val varNum = (ng * col("__sm2") - col("__sm") * col("__sm"))
+      .cast("double")
+    val varDen = (ng * (ng - lit(1).cast(dec))).cast("double")
+    el.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isnan(x), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(x === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        count(when(finite, lit(1))).as("__ng"),
+        sum(when(finite, m.cast(dec))).as("__sm"),
+        sum(when(finite, m.cast(dec) * m.cast(dec))).as("__sm2"),
+        min(when(finite, x)).as("min_val"),
+        max(when(finite, x)).as("max_val"))
+      .select(col("dim"), col("n"), col("n_nan"), col("n_zero"),
+        when(col("__ng") >= 1,
+          round(col("__sm").cast("double") / col("__ng") / 1000000.0, 6))
+          .as("mean"),
+        when(col("__ng") >= 2,
+          round(sqrt(varNum / varDen) / 1000000.0, 6)).as("std"),
+        col("min_val"), col("max_val"))
+  }
+
   /** Semantic (embedding-space) dedup, end to end: near-dup pairs above
     * `minCosine` via the exact-recall blocked scan
     * ([[cosineNearDupsBlocked]] — KMeans angular cells, recall 1 by the
@@ -3444,6 +3524,54 @@ object Extensions {
         col("__c.start_tok").as("start_tok"),
         col("__c.n_tokens").as("n_tokens"),
         col("__c.chunk_hash").as("chunk_hash"))
+  }
+
+  /** Chunk-level cross-document duplication report — the consumer of
+    * [[cdcChunks]]: per document, how much of it (chunk instances and
+    * token mass) appears verbatim in at least `minDocs` distinct
+    * documents. This is paragraph-granularity copy detection — the
+    * intra-doc [[dedupSegments]] and whole-doc [[dedupExact]] miss a
+    * boilerplate paragraph pasted across different documents; the
+    * content-defined boundaries make the shared extent ROBUST to edits
+    * around it (cdcChunks' edit-stability law). Returns
+    * (idCol, n_chunks, n_shared, n_tokens, shared_token_frac).
+    *
+    * Scale shape (the bigramStats doctrine): the chunk stream
+    * pre-aggregates to (chunk_hash, doc) BEFORE the corpus-wide
+    * frequency count, so the hash-keyed exchange moves one row per
+    * distinct (doc, chunk) — never one per occurrence; doc frequency
+    * re-aggregates that table (exchange reuse), joins back
+    * hash-keyed, and the final rollup is doc-keyed. The corpus is
+    * scanned and chunked ONCE (cdcChunks is map-only).
+    */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      avgLen: Int = 64, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    requireNoReserved(docs, Seq("__cnt", "__tok_sum", "__ndocs",
+      "n_chunks", "n_shared", "n_tokens", "shared_token_frac"))
+    val chunks = cdcChunks(docs, textCol, idCol, avgLen)
+    val chc = chunks.groupBy(col("chunk_hash"), col(idCol))
+      .agg(count(lit(1)).as("__cnt"), sum("n_tokens").as("__tok_sum"))
+    // docs-per-hash over the (hash, doc) table: the when-guard consumes
+    // BOTH of chc's aggregate columns so this branch's copy stays
+    // canonically equal and reuses chc's exchange (the consume-trick —
+    // pruning either column would re-plan the aggregate and re-chunk
+    // the corpus)
+    val byHash = chc.groupBy("chunk_hash")
+      .agg(sum(when(col("__cnt") >= 1 && col("__tok_sum") >= 0, 1L))
+        .as("__ndocs"))
+    chc.join(byHash, "chunk_hash")
+      .groupBy(idCol)
+      .agg(sum("__cnt").as("n_chunks"),
+        sum(when(col("__ndocs") >= minDocs, col("__cnt")).otherwise(0L))
+          .as("n_shared"),
+        sum("__tok_sum").as("n_tokens"),
+        sum(when(col("__ndocs") >= minDocs, col("__tok_sum"))
+          .otherwise(0L)).as("__shared_toks"))
+      .select(col(idCol), col("n_chunks"), col("n_shared"),
+        col("n_tokens"),
+        round(col("__shared_toks").cast("double") /
+          col("n_tokens").cast("double"), 6).as("shared_token_frac"))
   }
 
   def overlapChunks(df: DataFrame, idCol: String, nTokensCol: String,

@@ -1367,6 +1367,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("ks_d")))
   }
 
+  // ── w1Drift ──────────────────────────────────────────────────────────
+
+  test("w1Drift matches the brute-force earth-mover integral and a " +
+      "pure translation costs exactly its shift") {
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(250)(rnd.nextInt(500).toLong)
+    val b = Seq.fill(150)((rnd.nextInt(500) + rnd.nextInt(100)).toLong)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+    val got = Analytics.w1Drift(df, "v", col("isa"), nBuckets = 9)
+      .collect()(0).getAs[Double]("w1")
+    // brute force: sum over the sorted grid of |F_A - F_B| * gap
+    val grid = (a ++ b).distinct.sorted
+    val exp = grid.sliding(2).map { case Seq(p, s) =>
+      val fa = a.count(_ <= p).toDouble / a.size
+      val fb = b.count(_ <= p).toDouble / b.size
+      math.abs(fa - fb) * (s - p)
+    }.sum
+    assert(math.abs(got - exp) < 1e-5, s"$got vs $exp")
+    // W1 between X and X + δ is exactly δ
+    val shifted = (a.map((_, true)) ++ a.map(v => (v + 37L, false)))
+      .toDF("v", "isa")
+    val w = Analytics.w1Drift(shifted, "v", col("isa")).collect()(0)
+    assert(w.getAs[Double]("w1") == 37.0, s"translation: $w")
+  }
+
+  test("w1Drift is invariant to bucket count and partitioning, zero on " +
+      "identical samples, null on an empty class") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(400)((rnd.nextInt(80).toLong, rnd.nextBoolean()))
+    val base = Analytics.w1Drift(rows.toDF("v", "isa"), "v", col("isa"),
+      nBuckets = 1).collect()(0)
+    for (nb <- Seq(5, 64); np <- Seq(1, 11)) {
+      val got = Analytics.w1Drift(rows.toDF("v", "isa").repartition(np),
+        "v", col("isa"), nBuckets = nb).collect()(0)
+      assert(got == base, s"nBuckets=$nb np=$np diverged")
+    }
+    val same = (1L to 40L).flatMap(v => Seq((v, true), (v, false)))
+    assert(Analytics.w1Drift(same.toDF("v", "isa"), "v", col("isa"))
+      .collect()(0).getAs[Double]("w1") == 0.0)
+    val onesided = Seq((1L, false), (2L, false)).toDF("v", "isa")
+    val r = Analytics.w1Drift(onesided, "v", col("isa")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("w1")))
+  }
+
   // ── psiDrift ─────────────────────────────────────────────────────────
 
   test("psiDrift: identical distributions give zero, grid is complete") {

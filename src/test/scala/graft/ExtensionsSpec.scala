@@ -1575,6 +1575,191 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("jsd")))
   }
 
+  // ── chunkDedup ───────────────────────────────────────────────────────
+
+  // the chunk-boundary rule (md5-60(token) % avgLen == 0), recomputed
+  // test-side so fixtures can PLACE boundaries deterministically —
+  // small random vocabularies may contain no boundary word at all,
+  // which degenerates every document to one chunk
+  private def isChunkBoundary(w: String, avgLen: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % avgLen == 0
+  }
+
+  test("chunkDedup flags exactly the chunks shared across documents " +
+      "and its shares reconcile with cdcChunks") {
+    val pool = (0 until 200).map(i => s"t$i")
+    val bWord = pool.find(isChunkBoundary(_, 16)).get
+    val filler = pool.filterNot(isChunkBoundary(_, 16))
+    def para(seed: Int, n: Int, vocab: Seq[String]): String = {
+      val r = new scala.util.Random(seed)
+      // a boundary word every ~12 tokens so multi-chunk structure is
+      // GUARANTEED, not luck
+      (1 to n).map(i => if (i % 12 == 0) bWord
+        else vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val shared = para(1, 120, filler.take(40))
+    val docs = Seq(
+      (1L, shared + " " + para(2, 100, filler.take(40))),
+      (2L, para(3, 90, filler.take(40)) + " " + shared),
+      // doc 3's vocabulary is DISJOINT from docs 1/2 (and skips the
+      // shared boundary word), so no chunk can collide
+      (3L, para(4, 150, filler.slice(40, 80)).replace(bWord,
+        filler(81)))
+    ).toDF("doc_id", "text")
+    val out = Extensions.chunkDedup(docs, "text", "doc_id",
+      avgLen = 16, minDocs = 2).orderBy("doc_id").collect()
+    // reconcile against the chunk table directly
+    val ch = Extensions.cdcChunks(docs, "text", "doc_id", avgLen = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_hash"), r.getAs[Int]("n_tokens")))
+    val docsPerHash = ch.groupBy(_._2).map { case (h, g) =>
+      h -> g.map(_._1).distinct.size }
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      val mine = ch.filter(_._1 == id)
+      assert(r.getAs[Long]("n_chunks") == mine.length)
+      val sh = mine.filter(c => docsPerHash(c._2) >= 2)
+      assert(r.getAs[Long]("n_shared") == sh.length, s"doc $id")
+      assert(r.getAs[Long]("n_tokens") == mine.map(_._3.toLong).sum)
+    }
+    // docs 1 and 2 share real mass; doc 3 shares none
+    val frac = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("shared_token_frac")).toMap
+    assert(frac(1L) > 0.2 && frac(2L) > 0.2, s"fracs: $frac")
+    assert(frac(3L) == 0.0, s"fracs: $frac")
+  }
+
+  test("chunkDedup shared extent survives an edit elsewhere in the " +
+      "document (the content-defined boundary law)") {
+    val pool = (0 until 200).map(i => s"t$i")
+    val bWord = pool.find(isChunkBoundary(_, 16)).get
+    val filler = pool.filterNot(isChunkBoundary(_, 16))
+    val r = new scala.util.Random(37)
+    def span(n: Int): String =
+      (1 to n).map(i => if (i % 10 == 0) bWord
+        else filler(r.nextInt(60))).mkString(" ")
+    val shared = span(100)
+    val tail = span(80)
+    val before = Seq((1L, shared + " " + tail), (2L, shared))
+      .toDF("doc_id", "text")
+    // doc 1 gets an insertion at its far end — outside the shared span
+    val after = Seq((1L, shared + " " + tail + " qq qq qq"), (2L, shared))
+      .toDF("doc_id", "text")
+    def sharedChunks(df: org.apache.spark.sql.DataFrame): Long =
+      Extensions.chunkDedup(df, "text", "doc_id", avgLen = 16,
+          minDocs = 2)
+        .filter(col("doc_id") === 1L)
+        .collect()(0).getAs[Long]("n_shared")
+    val b = sharedChunks(before); val a = sharedChunks(after)
+    assert(b > 0, "fixture must share chunks")
+    assert(a == b, s"an edit outside the shared span moved it: $b -> $a")
+  }
+
+  // ── leakageSafeSplit ─────────────────────────────────────────────────
+
+  test("leakageSafeSplit: no near-dup cluster ever straddles train and " +
+      "eval — including clusters a row-hash split WOULD tear apart") {
+    // pairs chain 0-1-2 and 10-11; 20..29 are singletons
+    val ids = (Seq(0L, 1L, 2L, 10L, 11L) ++ (20L to 29L)).map(Tuple1(_))
+      .toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Extensions.leakageSafeSplit(ids, "doc_id", pairs)
+      .collect()
+    // the law: within a component, is_train is constant
+    out.groupBy(_.getAs[Long]("component")).foreach { case (c, rows) =>
+      assert(rows.map(_.getAs[Int]("is_train")).distinct.length == 1,
+        s"component $c straddles the split")
+    }
+    // cluster sizes are the component cardinalities
+    val bySize = out.map(r => r.getAs[Long]("component") ->
+      r.getAs[Long]("cluster_size")).toMap
+    assert(bySize(0L) == 3L && bySize(10L) == 2L && bySize(20L) == 1L)
+    // the contrast: a ROW-hash split of the same ids tears at least
+    // one of these clusters apart (the leakage this operator closes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rowBucket(id: Long): String = md.digest(id.toString.getBytes)
+      .map("%02x".format(_)).mkString.substring(0, 2)
+    val torn = Seq(Seq(0L, 1L, 2L), Seq(10L, 11L)).exists(cl =>
+      cl.map(id => rowBucket(id) < "cd").distinct.length > 1)
+    assert(torn, "fixture too weak: row-hash split kept all clusters " +
+      "together by luck — change the ids")
+  }
+
+  test("leakageSafeSplit is deterministic across partitionings and " +
+      "its train share tracks trainBuckets/256 on singletons") {
+    val ids = (0L until 512L).map(Tuple1(_)).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val a = Extensions.leakageSafeSplit(ids, "doc_id", noPairs,
+      trainBuckets = 128).collect()
+    val b = Extensions.leakageSafeSplit(ids.repartition(7), "doc_id",
+      noPairs, trainBuckets = 128).collect()
+    assert(a.sortBy(_.getAs[Long]("doc_id")).map(_.toString).toSeq ==
+      b.sortBy(_.getAs[Long]("doc_id")).map(_.toString).toSeq)
+    val share = a.count(_.getAs[Int]("is_train") == 1).toDouble / a.length
+    assert(share > 0.35 && share < 0.65, s"train share $share vs 0.5")
+  }
+
+  // ── embeddingQa ──────────────────────────────────────────────────────
+
+  test("embeddingQa: NaN/zero accounting, exact moments, NaN-excluded " +
+      "extrema, and degenerate-dimension nulls") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, Float.NaN, 5.0f)),
+      (2L, Array(2.0f, 0.0f, Float.NaN, 5.0f)),
+      (3L, Array(3.0f, 0.0f, Float.NaN, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Extensions.embeddingQa(emb, "embedding")
+      .orderBy("dim").collect()
+    assert(out.length == 4)
+    val d0 = out(0)
+    assert(d0.getAs[Long]("n") == 3 && d0.getAs[Long]("n_nan") == 0)
+    assert(d0.getAs[Double]("mean") == 2.0)
+    assert(d0.getAs[Double]("std") == 1.0)   // sample std of 1,2,3
+    assert(d0.getAs[Double]("min_val") == 1.0 &&
+      d0.getAs[Double]("max_val") == 3.0)
+    val d1 = out(1)
+    assert(d1.getAs[Long]("n_zero") == 3 && d1.getAs[Double]("std") == 0.0)
+    val d2 = out(2)   // all NaN: moments and extrema are null
+    assert(d2.getAs[Long]("n_nan") == 3)
+    assert(d2.isNullAt(d2.fieldIndex("mean")) &&
+      d2.isNullAt(d2.fieldIndex("std")) &&
+      d2.isNullAt(d2.fieldIndex("min_val")))
+    val d3 = out(3)   // constant dimension: zero variance, not null
+    assert(d3.getAs[Double]("std") == 0.0 &&
+      d3.getAs[Double]("mean") == 5.0)
+  }
+
+  test("embeddingQa moments match brute force on random vectors " +
+      "across partitionings") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 90L).map(i =>
+      (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    for (np <- Seq(1, 13)) {
+      val out = Extensions.embeddingQa(df.repartition(np), "embedding")
+        .orderBy("dim").collect()
+      for (d <- 0 until 8) {
+        // the operator quantizes to micro-units before the moments —
+        // mirror that exactly, then the comparison is bit-for-bit
+        val xs = vecs.map(v => math.round(v._2(d).toDouble * 1e6))
+        val n = xs.length
+        val mean = BigDecimal(xs.sum).toDouble / n / 1e6
+        val varNum = BigDecimal(n) * xs.map(x => BigDecimal(x) *
+          BigDecimal(x)).sum - BigDecimal(xs.sum) * BigDecimal(xs.sum)
+        val std = math.sqrt(varNum.toDouble /
+          (BigDecimal(n) * BigDecimal(n - 1)).toDouble) / 1e6
+        val r = out(d)
+        assert(math.abs(r.getAs[Double]("mean") -
+          (math.rint(mean * 1e6) / 1e6)) < 2e-6, s"dim $d mean")
+        assert(math.abs(r.getAs[Double]("std") - std) < 2e-6,
+          s"dim $d std")
+      }
+    }
+  }
+
   // ── dsirResample ─────────────────────────────────────────────────────
 
   test("dsirResample draws the gumbel-top-k of the weight table " +

@@ -633,6 +633,32 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 orders scan, got $scans:\n$plan")
   }
 
+  test("w1_drift reads orders ONCE: the predecessor machinery rides " +
+      "the same histogram exchange as the prefix sums") {
+    val plan = executedPlan(SparkEntry.queries("w1_drift")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$plan")
+  }
+
+  test("embedding_qa reduces the vector stream in ONE scan and ONE " +
+      "dimension-keyed exchange — no window, no join") {
+    val plan = executedPlan(SparkEntry.queries("embedding_qa")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 embeddings scan, got $scans:\n$plan")
+    assert(!plan.contains("Window"), s"plan was:\n$plan")
+    assert(!plan.contains("Join"), s"plan was:\n$plan")
+  }
+
+  test("chunk_dedup chunks the corpus ONCE: doc frequency re-aggregates " +
+      "the (hash, doc) table instead of re-chunking") {
+    val plan = executedPlan(SparkEntry.queries("chunk_dedup")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+  }
+
   test("psi_split bins both segments in ONE scan and the only window " +
       "runs over the bounded bin frame") {
     val plan = executedPlan(SparkEntry.queries("psi_split")(spark, sf))
