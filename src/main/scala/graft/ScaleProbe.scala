@@ -425,7 +425,14 @@ object ScaleProbe {
       // replicas (components cannot merge across copies).
       "leakage_safe_split" -> (f =>
         graft.SparkEntry.queries("leakage_safe_split")(spark,
-          s"$work/f$f")))
+          s"$work/f$f")),
+      // corpus_report: one (text, lang) group + two corpus-keyed
+      // re-aggs — everything after is 1-row; must track the scan.
+      "corpus_report" -> (f =>
+        graft.SparkEntry.queries("corpus_report")(spark, s"$work/f$f")),
+      // dup_by_source: (head-fp, source) group + per-key totals.
+      "dup_by_source" -> (f =>
+        graft.SparkEntry.queries("dup_by_source")(spark, s"$work/f$f")))
 
     // optional comma-separated shape filter (sweep a subset without
     // re-timing the whole battery)
@@ -488,7 +495,9 @@ object ScaleProbe {
       "w1_drift" -> Set("orders"),
       "chunk_dedup" -> Set("documents"),
       "embedding_qa" -> Set("embeddings"),
-      "leakage_safe_split" -> Set("documents"))
+      "leakage_safe_split" -> Set("documents"),
+      "corpus_report" -> Set("documents"),
+      "dup_by_source" -> Set("documents"))
     val needed = selected.flatMap { case (n, _) =>
       tablesFor.getOrElse(n, Set("lineitem", "documents", "embeddings",
         "embeddings_perm", "orders")) }.toSet

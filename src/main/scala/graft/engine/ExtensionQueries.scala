@@ -1412,6 +1412,93 @@ object ExtensionQueries {
              |       (id = min(r))::INT AS keep
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // ── one-row corpus dataset card: volume, exact-dup mass (an
+    // identity — n_docs − distinct texts, no pair enumeration), lang
+    // mix entropy, mean quality in exact micro-units ────────────────────
+    QuerySpec("corpus_report",
+      (s, d) => Extensions.corpusReport(documents(s, d), "text", "lang"),
+      Some("""WITH g AS (
+             |  SELECT text, lang, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1, 2),
+             |st AS (
+             |  SELECT text, lang, n,
+             |         length(text) AS cc,
+             |         length(replace(text, ' ', '')) AS nosp
+             |  FROM g),
+             |sx AS (
+             |  SELECT text, lang, n, cc, nosp,
+             |         cc - nosp + 1 AS tc,
+             |         nosp - length(replace(replace(replace(replace(
+             |           replace(text, ' ', ''), '.', ''), ',', ''),
+             |           '!', ''), '?', '')) AS punct
+             |  FROM st),
+             |sq AS (
+             |  SELECT n, tc, cc,
+             |         CAST(round((least(1.0, tc / 100.0) * 0.5
+             |           + (1.0 - least(1.0, punct::DOUBLE
+             |               / greatest(tc, 1))) * 0.3
+             |           + least(1.0, round(nosp::DOUBLE / tc, 6) / 10.0)
+             |             * 0.2) * 1000000.0) AS BIGINT) AS qm
+             |  FROM sx),
+             |tot AS (
+             |  SELECT sum(n)::BIGINT AS n_docs,
+             |         sum(n::HUGEINT * tc) AS ts,
+             |         sum(n::HUGEINT * cc) AS cs,
+             |         sum(n::HUGEINT * qm) AS qs
+             |  FROM sq),
+             |tx AS (SELECT count(*)::BIGINT AS distinct_texts
+             |       FROM (SELECT text FROM g GROUP BY 1)),
+             |hd AS (SELECT count(*)::BIGINT AS distinct_heads
+             |       FROM (SELECT md5(array_to_string(
+             |               string_split(lower(text), ' ')[1:16], ' '))
+             |             FROM g GROUP BY 1)),
+             |lg AS (
+             |  SELECT count(*)::BIGINT AS n_langs,
+             |         round(ln(sum(c)::DOUBLE)
+             |           - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE,
+             |           6) AS lang_entropy
+             |  FROM (SELECT lang, sum(n)::BIGINT AS c FROM g GROUP BY 1))
+             |SELECT n_docs, ts::BIGINT AS n_tokens, cs::BIGINT AS n_chars,
+             |       distinct_texts,
+             |       (n_docs - distinct_texts)::BIGINT AS dup_docs,
+             |       round((n_docs - distinct_texts)::DOUBLE
+             |             / n_docs::DOUBLE, 6) AS dup_frac,
+             |       (n_docs - distinct_heads)::BIGINT AS head_dup_docs,
+             |       n_langs, lang_entropy,
+             |       round(qs::DOUBLE / n_docs::DOUBLE / 1000000.0, 6)
+             |         AS mean_quality,
+             |       round(ts::DOUBLE / n_docs::DOUBLE, 6)
+             |         AS mean_doc_tokens
+             |FROM tot CROSS JOIN tx CROSS JOIN hd CROSS JOIN lg""".stripMargin)),
+
+    // ── per-source duplication profile on the 16-token HEAD
+    // fingerprint (truncation variants of one page share a head even
+    // when exact text differs — non-vacuous at the sf0.01 gate where
+    // exact dups are absent): dup docs anywhere and cross-source
+    // shared heads (the double-counting signal when sources are
+    // weighted independently) ───────────────────────────────────────────
+    QuerySpec("dup_by_source",
+      (s, d) => Extensions.dupBySource(documents(s, d), "text", "source",
+          headTokens = 16)
+        .orderBy("source"),
+      Some("""WITH g AS (
+             |  SELECT md5(array_to_string(
+             |           string_split(lower(text), ' ')[1:16], ' ')) AS text,
+             |         source, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (
+             |  SELECT text, sum(n)::BIGINT AS nd, count(*)::BIGINT AS nsrc
+             |  FROM g GROUP BY 1)
+             |SELECT source, sum(n)::BIGINT AS n_docs,
+             |       sum(CASE WHEN nd >= 2 THEN n ELSE 0 END)::BIGINT
+             |         AS dup_docs,
+             |       sum(CASE WHEN nsrc >= 2 THEN n ELSE 0 END)::BIGINT
+             |         AS cross_source_docs,
+             |       round(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END)::DOUBLE
+             |             / sum(n)::DOUBLE, 6) AS dup_frac
+             |FROM g JOIN t USING (text)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // ── leakage-safe train/eval split: the split key is the near-dup
     // COMPONENT, so a document and its near-copy always land in the
     // same split — same pair scorer and closure as dedup_clusters, the

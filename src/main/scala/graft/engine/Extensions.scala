@@ -535,6 +535,144 @@ object Extensions {
       (col(idCol) === col("component")).cast("int"))
   }
 
+  /** One-row corpus dataset card — the summary table every training
+    * corpus publishes before anyone trains on it: document/token/char
+    * volume, exact-duplicate mass (n_docs − distinct texts — an exact
+    * identity, no pair enumeration), language mix (count + Shannon
+    * entropy, the entropy_mix doctrine: ≤|langs| double terms inside
+    * one rounding), head near-copy mass (n_docs − distinct 16-token
+    * HEAD fingerprints — truncation variants of one page share a head
+    * even when trailing bytes differ, so this catches what exact-text
+    * identity misses), and mean quality under the curateCorpus
+    * scoring formula (per-text scores micro-quantized to longs, so
+    * the corpus mean is exact integer algebra with ONE final
+    * division).
+    *
+    * Scale shape: ONE scan into a (text, lang) group (dup copies
+    * collapse immediately — the stats ride the group row weighted by
+    * its count), then a text-keyed re-aggregation for distinct/dup
+    * mass and a lang-keyed one (vocabulary-bounded) for the mix; the
+    * three 1-row summaries broadcast-join into the report row.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    // no reserved-name guard: the opening select projects the input
+    // down to two renamed columns, so no caller column can collide
+    // (documents itself carries an n_chars the output also uses)
+    val dec = "decimal(38,0)"
+    val g = docs
+      .select(col(textCol).as("__text"), col(langCol).as("__lang"))
+      .groupBy("__text", "__lang")
+      .agg(count(lit(1)).as("__n"))
+    // per-group text statistics (pure projections on the group row;
+    // identical formula to curateCorpus / the corpus_curation oracle)
+    val charCount = length(col("__text"))
+    val noSpace = length(regexp_replace(col("__text"), " ", ""))
+    val tokenCount = charCount - noSpace + 1
+    val punct = noSpace - length(translate(col("__text"), " .,!?", ""))
+    val avgTokLen = round(noSpace.cast("double") /
+      tokenCount.cast("double"), 6)
+    val qRaw =
+      least(lit(1.0), tokenCount.cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - least(lit(1.0), punct.cast("double") /
+        greatest(tokenCount, lit(1)).cast("double"))) * 0.3 +
+      least(lit(1.0), avgTokLen / 10.0) * 0.2
+    val stats = g.select(col("__text"), col("__lang"), col("__n"),
+      tokenCount.cast("long").as("__tc"), charCount.cast("long").as("__cc"),
+      round(qRaw * 1000000.0).cast("long").as("__qm"))
+    val totals = stats.agg(
+      sum("__n").as("n_docs"),
+      sum(col("__n").cast(dec) * col("__tc").cast(dec)).as("__ts"),
+      sum(col("__n").cast(dec) * col("__cc").cast(dec)).as("__cs"),
+      sum(col("__n").cast(dec) * col("__qm").cast(dec)).as("__qs"))
+    // distinct texts: the inner guards consume __n/__tc/__qm and the
+    // OUTER count consumes the inner sum — without that last link
+    // Catalyst prunes the sum, collapses the two-level grouping into
+    // a bare DISTINCT, and the branch re-scans the corpus (the
+    // consume-trick must hold at EVERY level)
+    val texts = stats.groupBy("__text")
+      .agg(sum(when(col("__tc") >= 0 && col("__qm") >= 0, col("__n")))
+        .as("__nd"))
+      .agg(count(when(col("__nd") >= 0, lit(1))).as("distinct_texts"))
+    val headFp = md5(array_join(
+      slice(tokens(col("__text")), 1, 16), " ").cast("binary"))
+    val heads = stats.groupBy(headFp.as("__fp"))
+      .agg(sum(when(col("__tc") >= 0 && col("__qm") >= 0, col("__n")))
+        .as("__nh"))
+      .agg(count(when(col("__nh") >= 0, lit(1))).as("__distinct_heads"))
+    val langs = stats.groupBy("__lang")
+      .agg(sum(when(col("__tc") >= 0 && col("__qm") >= 0, col("__n")))
+        .as("__c"))
+      .agg(count(lit(1)).as("n_langs"),
+        round(log(sum("__c").cast("double")) -
+          sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+            sum("__c").cast("double"), 6).as("lang_entropy"))
+    totals.crossJoin(broadcast(texts)).crossJoin(broadcast(heads))
+      .crossJoin(broadcast(langs))
+      .select(col("n_docs"),
+        col("__ts").cast("long").as("n_tokens"),
+        col("__cs").cast("long").as("n_chars"),
+        col("distinct_texts"),
+        (col("n_docs") - col("distinct_texts")).as("dup_docs"),
+        round((col("n_docs") - col("distinct_texts")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_frac"),
+        (col("n_docs") - col("__distinct_heads")).as("head_dup_docs"),
+        col("n_langs"), col("lang_entropy"),
+        round(col("__qs").cast("double") /
+          col("n_docs").cast("double") / 1000000.0, 6).as("mean_quality"),
+        round(col("__ts").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_doc_tokens"))
+  }
+
+  /** Per-source duplication profile — WHICH source is polluting the
+    * mix: for every source, its document count, how many of its
+    * documents have an exact-duplicate text ANYWHERE in the corpus,
+    * and how many share a text with ANOTHER source (cross-source
+    * duplication — the overlap that double-counts content when
+    * sources are weighted independently, and the direct signal that
+    * two feeds crawl the same site). Identity is exact text when
+    * `headTokens` = 0, or the md5 fingerprint of the first
+    * `headTokens` tokens — the head near-copy proxy that catches
+    * truncation variants (the catalog entry's choice). Either way no
+    * pair enumeration: the per-key table carries (total copies,
+    * distinct sources) and every per-source row re-reads it.
+    * Returns (srcCol, n_docs, dup_docs, cross_source_docs, dup_frac).
+    *
+    * Scale shape: one (key, source) group, one key-keyed
+    * re-aggregation that reuses its exchange, one hash join back,
+    * one source-keyed (bounded) rollup.
+    */
+  def dupBySource(docs: DataFrame, textCol: String,
+      srcCol: String, headTokens: Int = 0): DataFrame = {
+    require(headTokens >= 0, "headTokens must be >= 0")
+    requireNoReserved(docs, Seq("__text", "__n", "__nd", "__nsrc",
+      "n_docs", "dup_docs", "cross_source_docs", "dup_frac"))
+    val key =
+      if (headTokens == 0) col(textCol)
+      else md5(array_join(
+        slice(tokens(col(textCol)), 1, headTokens), " ").cast("binary"))
+    val g = docs
+      .select(key.as("__text"), col(srcCol))
+      .groupBy(col("__text"), col(srcCol))
+      .agg(count(lit(1)).as("__n"))
+    // per-text totals: copies anywhere + distinct sources; the guard
+    // consumes __n so the branch reuses g's exchange
+    val t = g.groupBy("__text")
+      .agg(sum(when(col("__n") >= 1, col("__n"))).as("__nd"),
+        count(lit(1)).as("__nsrc"))
+    g.join(t, "__text")
+      .groupBy(srcCol)
+      .agg(sum("__n").as("n_docs"),
+        sum(when(col("__nd") >= 2, col("__n")).otherwise(0L))
+          .as("dup_docs"),
+        sum(when(col("__nsrc") >= 2, col("__n")).otherwise(0L))
+          .as("cross_source_docs"))
+      .select(col(srcCol), col("n_docs"), col("dup_docs"),
+        col("cross_source_docs"),
+        round(col("dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_frac"))
+  }
+
   /** Leakage-safe train/eval split: assign WHOLE near-duplicate
     * clusters to splits, so a document and its near-copy can never
     * straddle train and eval — the classic contamination vector a

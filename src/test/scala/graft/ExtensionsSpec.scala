@@ -1658,6 +1658,93 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a == b, s"an edit outside the shared span moved it: $b -> $a")
   }
 
+  // ── corpusReport / dupBySource ───────────────────────────────────────
+
+  test("corpusReport: exact dup identity, head near-copy detection, " +
+      "language entropy endpoints, exact token accounting") {
+    val head = (1 to 16).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),     // 3 tokens
+      (2L, "alpha beta gamma", "en"),     // exact dup of 1
+      (3L, head + " tail one", "de"),     // shares the 16-token head
+      (4L, head + " other ending", "de")  // with doc 3, text differs
+    ).toDF("doc_id", "text", "lang")
+    val r = Extensions.corpusReport(docs, "text", "lang").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("distinct_texts") == 3)
+    assert(r.getAs[Long]("dup_docs") == 1)
+    // heads: {alpha..} ×2 (exact dups share trivially), {h1..h16} ×2
+    // → 2 distinct heads → head_dup_docs = 2 (supersets exact dups)
+    assert(r.getAs[Long]("head_dup_docs") == 2)
+    assert(r.getAs[Long]("n_langs") == 2)
+    // balanced 2-language mix → entropy ln 2
+    assert(math.abs(r.getAs[Double]("lang_entropy") - math.log(2.0))
+      < 1e-6)
+    assert(r.getAs[Long]("n_tokens") == 3 + 3 + 18 + 18)
+    // single doc, single lang → all-degenerate card
+    val one = Seq((1L, "just one doc", "en")).toDF("doc_id", "text", "lang")
+    val r1 = Extensions.corpusReport(one, "text", "lang").collect()(0)
+    assert(r1.getAs[Long]("dup_docs") == 0 &&
+      r1.getAs[Long]("head_dup_docs") == 0)
+    assert(r1.getAs[Double]("lang_entropy") == 0.0)
+  }
+
+  test("corpusReport mean_quality matches the curateCorpus scoring " +
+      "formula averaged by hand") {
+    val docs = Seq(
+      (1L, "aa bb cc dd.", "en"),
+      (2L, "x! y? z, w. longer tokens here now", "en")
+    ).toDF("doc_id", "text", "lang")
+    def quality(text: String): Double = {
+      val cc = text.length
+      val nosp = text.count(_ != ' ')
+      val tc = cc - nosp + 1
+      val punct = nosp - text.count(c => c != ' ' && c != '.' &&
+        c != ',' && c != '!' && c != '?')
+      val atl = math.rint(nosp.toDouble / tc * 1e6) / 1e6
+      math.min(1.0, tc / 100.0) * 0.5 +
+        (1.0 - math.min(1.0, punct.toDouble / math.max(tc, 1))) * 0.3 +
+        math.min(1.0, atl / 10.0) * 0.2
+    }
+    val exp = Seq("aa bb cc dd.", "x! y? z, w. longer tokens here now")
+      .map(t => math.round(quality(t) * 1e6))
+      .sum.toDouble / 2 / 1e6
+    val got = Extensions.corpusReport(docs, "text", "lang")
+      .collect()(0).getAs[Double]("mean_quality")
+    assert(math.abs(got - exp) < 1e-6, s"$got vs $exp")
+  }
+
+  test("dupBySource attributes exact and cross-source duplication to " +
+      "the right feeds, under both identity keys") {
+    val docs = Seq(
+      (1L, "copy of page one here now", "sA"),
+      (2L, "copy of page one here now", "sB"),   // cross-source exact dup
+      (3L, "unique a", "sA"),
+      (4L, "within dup text", "sC"),
+      (5L, "within dup text", "sC")              // within-source dup
+    ).toDF("doc_id", "text", "source")
+    val out = Extensions.dupBySource(docs, "text", "source")
+      .orderBy("source").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_docs"),
+          r.getAs[Long]("cross_source_docs"))).toMap
+    assert(out("sA") == ((2L, 1L, 1L)), s"sA: ${out("sA")}")
+    assert(out("sB") == ((1L, 1L, 1L)))
+    assert(out("sC") == ((2L, 2L, 0L)), "within-source dup is dup but " +
+      "not cross-source")
+    // head-fingerprint key: docs sharing only a head now count too
+    val headDocs = Seq(
+      (1L, (1 to 16).map("w" + _).mkString(" ") + " ending one", "sA"),
+      (2L, (1 to 16).map("w" + _).mkString(" ") + " ending two", "sB"))
+      .toDF("doc_id", "text", "source")
+    val h = Extensions.dupBySource(headDocs, "text", "source",
+      headTokens = 16).collect()
+    assert(h.forall(_.getAs[Long]("cross_source_docs") == 1L))
+    val exact = Extensions.dupBySource(headDocs, "text", "source")
+      .collect()
+    assert(exact.forall(_.getAs[Long]("cross_source_docs") == 0L))
+  }
+
   // ── leakageSafeSplit ─────────────────────────────────────────────────
 
   test("leakageSafeSplit: no near-dup cluster ever straddles train and " +

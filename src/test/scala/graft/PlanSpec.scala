@@ -641,6 +641,23 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 orders scan, got $scans:\n$plan")
   }
 
+  test("corpus_report reads documents ONCE: totals, distinct texts, " +
+      "head fingerprints and the language mix all reuse the " +
+      "(text, lang) group exchange") {
+    val plan = executedPlan(SparkEntry.queries("corpus_report")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+  }
+
+  test("dup_by_source reads documents ONCE: per-key totals re-aggregate " +
+      "the (key, source) table") {
+    val plan = executedPlan(SparkEntry.queries("dup_by_source")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+  }
+
   test("embedding_qa reduces the vector stream in ONE scan and ONE " +
       "dimension-keyed exchange — no window, no join") {
     val plan = executedPlan(SparkEntry.queries("embedding_qa")(spark, sf))
