@@ -422,10 +422,17 @@ object ScaleProbe {
       "embedding_qa" -> (f =>
         graft.SparkEntry.queries("embedding_qa")(spark, s"$work/f$f")),
       // leakage_safe_split: pair scorer + CC closure ×f over disjoint
-      // replicas (components cannot merge across copies).
-      "leakage_safe_split" -> (f =>
-        graft.SparkEntry.queries("leakage_safe_split")(spark,
-          s"$work/f$f")),
+      // replicas (components cannot merge across copies). NOT the
+      // catalog entry: its absolute doc_id < 600 filter would pin all
+      // scorer/closure work to replica 0 (replica ids sit at k·off) —
+      // the per-replica modulo keeps the entry's 600-doc domain in
+      // EVERY replica, so the probed work genuinely grows ×f.
+      "leakage_safe_split" -> (f => {
+        val d = documentsAt(f).filter(col("doc_id") % off < 600)
+        graft.engine.Extensions.leakageSafeSplit(d, "doc_id",
+          graft.engine.Extensions.ngramJaccardPairs(d, "text", "doc_id",
+            n = 3, minJaccard = 0.6))
+      }),
       // corpus_report: one (text, lang) group + two corpus-keyed
       // re-aggs — everything after is 1-row; must track the scan.
       "corpus_report" -> (f =>

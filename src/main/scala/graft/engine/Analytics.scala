@@ -2573,50 +2573,13 @@ object Analytics {
     */
   def ksTest(df: DataFrame, valueIntCol: String, isA: Column,
       nBuckets: Int = 512): DataFrame = {
-    require(nBuckets >= 1, "need nBuckets >= 1")
     requireNoReserved(df, Seq("__s", "__ya", "__ca", "__cb", "__lo",
       "__hi", "__b", "__pb", "__pa2", "__pb2", "__boffa", "__boffb",
       "__cuma", "__cumb", "__dn", "n_a", "n_b", "d_num", "ks_d",
       "at_value"))
     val dec = "decimal(38,0)"
-    val hist = df
-      .select(col(valueIntCol).cast("long").as("__s"),
-        when(isA, 1L).otherwise(0L).as("__ya"))
-      .groupBy("__s")
-      .agg(sum("__ya").as("__ca"),
-        (count(lit(1)) - sum("__ya")).as("__cb"))
-    // the live guard consumes the aggregate columns so every derived
-    // branch reuses hist's exchange (the rocAuc consume-trick — see
-    // its comment; pruned copies re-scan the corpus)
-    val live = col("__ca") + col("__cb") >= 0
-    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
-      max(when(live, col("__s"))).as("__hi"))
-    val bucketed = hist.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
-          .cast("int"))
-      .drop("__lo", "__hi")
-    val bTot = bucketed.groupBy("__b")
-      .agg(sum(when(live, col("__ca"))).as("__pa"),
-        sum(when(live, col("__cb"))).as("__pb0"))
-    val bOff = bTot
-      .join(broadcast(bTot.select(col("__b").as("__pb"),
-          col("__pa").as("__pa2"), col("__pb0").as("__pb2"))),
-        col("__pb") < col("__b"), "left")
-      .groupBy("__b")
-      .agg(coalesce(sum(when(col("__pa") >= 0, col("__pa2"))), lit(0L))
-          .as("__boffa"),
-        coalesce(sum(when(col("__pb0") >= 0, col("__pb2"))), lit(0L))
-          .as("__boffb"))
-    // INCLUSIVE prefix sums: the ECDF at x counts values ≤ x
-    val wB = Window.partitionBy("__b").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = bucketed.join(broadcast(bOff), Seq("__b"))
-      .withColumn("__cuma", col("__boffa") + sum("__ca").over(wB))
-      .withColumn("__cumb", col("__boffb") + sum("__cb").over(wB))
-    // class totals fall out of the ≤nBuckets-row bucket-total frame —
-    // never a second pass over the histogram
-    val totals = bTot.agg(sum("__pa").as("n_a"), sum("__pb0").as("n_b"))
+    val (cum, totals) = cumHistAB(df, valueIntCol, isA, nBuckets,
+      withPredecessor = false)
     val dn = abs(col("__cuma").cast(dec) * col("n_b").cast(dec) -
       col("__cumb").cast(dec) * col("n_a").cast(dec))
     cum.crossJoin(broadcast(totals))
@@ -2631,6 +2594,81 @@ object Analytics {
             (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"),
             6)).as("ks_d"),
         (-col("__arg.__ns")).as("at_value"))
+  }
+
+  /** The shared two-class bucketed-prefix-sum frame behind [[ksTest]]
+    * and [[w1Drift]] (rocAuc's single-class EXCLUSIVE-prefix form
+    * predates it and differs enough to stay self-contained): histogram
+    * per grid value with class-A/B counts, equal-width integer range
+    * buckets, per-bucket INCLUSIVE prefix sums with cross-bucket
+    * offsets from a ≤nBuckets-row triangular broadcast, and — when
+    * `withPredecessor` — each row's predecessor grid value (lag within
+    * the bucket window; at bucket heads, the max grid value of earlier
+    * buckets riding the same triangular join). Returns (cum, totals):
+    * cum carries __s/__ca/__cb/__cuma/__cumb (+ __prev), totals is the
+    * 1-row (n_a, n_b). Every derived branch carries consume-guards on
+    * the aggregate columns it rides so all of them reuse ONE histogram
+    * exchange — the rocAuc consume-trick; a pruned copy re-scans the
+    * corpus (scan-count plan pins on both callers).
+    */
+  private def cumHistAB(df: DataFrame, valueIntCol: String, isA: Column,
+      nBuckets: Int, withPredecessor: Boolean): (DataFrame, DataFrame) = {
+    require(nBuckets >= 1, "need nBuckets >= 1")
+    val hist = df
+      .select(col(valueIntCol).cast("long").as("__s"),
+        when(isA, 1L).otherwise(0L).as("__ya"))
+      .groupBy("__s")
+      .agg(sum("__ya").as("__ca"),
+        (count(lit(1)) - sum("__ya")).as("__cb"))
+    val live = col("__ca") + col("__cb") >= 0
+    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
+      max(when(live, col("__s"))).as("__hi"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
+          .cast("int"))
+      .drop("__lo", "__hi")
+    val bTotCols = Seq(
+      sum(when(live, col("__ca"))).as("__pa"),
+      sum(when(live, col("__cb"))).as("__pb0")) ++
+      (if (withPredecessor) Seq(max(when(live, col("__s"))).as("__pm"))
+       else Nil)
+    val bTot = bucketed.groupBy("__b").agg(bTotCols.head, bTotCols.tail: _*)
+    val rhsCols = Seq(col("__b").as("__pb"), col("__pa").as("__pa2"),
+      col("__pb0").as("__pb2")) ++
+      (if (withPredecessor) Seq(col("__pm").as("__pm2")) else Nil)
+    val bOffCols = Seq(
+      coalesce(sum(when(col("__pa") >= 0, col("__pa2"))), lit(0L))
+        .as("__boffa"),
+      coalesce(sum(when(col("__pb0") >= 0, col("__pb2"))), lit(0L))
+        .as("__boffb")) ++
+      (if (withPredecessor)
+        // the last grid value of any earlier bucket IS this bucket
+        // head's predecessor (buckets partition the ordered range);
+        // the isNotNull guard consumes the left side's __pm so this
+        // branch keeps canonical equality with the count offsets
+        Seq(max(when(col("__pm").isNotNull, col("__pm2"))).as("__bprev"))
+       else Nil)
+    val bOff = bTot
+      .join(broadcast(bTot.select(rhsCols: _*)),
+        col("__pb") < col("__b"), "left")
+      .groupBy("__b")
+      .agg(bOffCols.head, bOffCols.tail: _*)
+    // INCLUSIVE prefix sums: the ECDF at x counts values ≤ x
+    val wB = Window.partitionBy("__b").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = bucketed.join(broadcast(bOff), Seq("__b"))
+      .withColumn("__cuma", col("__boffa") + sum("__ca").over(wB))
+      .withColumn("__cumb", col("__boffb") + sum("__cb").over(wB))
+    val cum =
+      if (!withPredecessor) base
+      else base.withColumn("__prev",
+        coalesce(lag("__s", 1).over(
+          Window.partitionBy("__b").orderBy("__s")), col("__bprev")))
+    // class totals fall out of the ≤nBuckets-row bucket-total frame —
+    // never a second pass over the histogram
+    val totals = bTot.agg(sum("__pa").as("n_a"), sum("__pb0").as("n_b"))
+    (cum, totals)
   }
 
   /** Two-sample Wasserstein-1 (earth-mover) distance of an
@@ -2654,54 +2692,13 @@ object Analytics {
     */
   def w1Drift(df: DataFrame, valueIntCol: String, isA: Column,
       nBuckets: Int = 512): DataFrame = {
-    require(nBuckets >= 1, "need nBuckets >= 1")
     requireNoReserved(df, Seq("__s", "__ya", "__ca", "__cb", "__lo",
       "__hi", "__b", "__pb", "__pa2", "__pb2", "__pm2", "__boffa",
       "__boffb", "__bprev", "__cuma", "__cumb", "__prev", "n_a", "n_b",
       "w1"))
     val dec = "decimal(38,0)"
-    val hist = df
-      .select(col(valueIntCol).cast("long").as("__s"),
-        when(isA, 1L).otherwise(0L).as("__ya"))
-      .groupBy("__s")
-      .agg(sum("__ya").as("__ca"),
-        (count(lit(1)) - sum("__ya")).as("__cb"))
-    val live = col("__ca") + col("__cb") >= 0
-    val bounds = hist.agg(min(when(live, col("__s"))).as("__lo"),
-      max(when(live, col("__s"))).as("__hi"))
-    val bucketed = hist.crossJoin(broadcast(bounds))
-      .withColumn("__b",
-        expr(s"(__s - __lo) div (((__hi - __lo) div $nBuckets) + 1)")
-          .cast("int"))
-      .drop("__lo", "__hi")
-    val bTot = bucketed.groupBy("__b")
-      .agg(sum(when(live, col("__ca"))).as("__pa"),
-        sum(when(live, col("__cb"))).as("__pb0"),
-        max(when(live, col("__s"))).as("__pm"))
-    val bOff = bTot
-      .join(broadcast(bTot.select(col("__b").as("__pb"),
-          col("__pa").as("__pa2"), col("__pb0").as("__pb2"),
-          col("__pm").as("__pm2"))),
-        col("__pb") < col("__b"), "left")
-      .groupBy("__b")
-      .agg(coalesce(sum(when(col("__pa") >= 0, col("__pa2"))), lit(0L))
-          .as("__boffa"),
-        coalesce(sum(when(col("__pb0") >= 0, col("__pb2"))), lit(0L))
-          .as("__boffb"),
-        // the last grid value of any earlier bucket IS this bucket
-        // head's predecessor (buckets partition the ordered range);
-        // the isNotNull guard consumes the left side's __pm so this
-        // branch keeps canonical equality with the count offsets
-        max(when(col("__pm").isNotNull, col("__pm2"))).as("__bprev"))
-    val wB = Window.partitionBy("__b").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wLag = Window.partitionBy("__b").orderBy("__s")
-    val cum = bucketed.join(broadcast(bOff), Seq("__b"))
-      .withColumn("__cuma", col("__boffa") + sum("__ca").over(wB))
-      .withColumn("__cumb", col("__boffb") + sum("__cb").over(wB))
-      .withColumn("__prev",
-        coalesce(lag("__s", 1).over(wLag), col("__bprev")))
-    val totals = bTot.agg(sum("__pa").as("n_a"), sum("__pb0").as("n_b"))
+    val (cum, totals) = cumHistAB(df, valueIntCol, isA, nBuckets,
+      withPredecessor = true)
     // the ECDFs between __prev and __s sit at the EXCLUSIVE prefix
     // (inclusive minus the current grid row's own counts)
     val term = abs(

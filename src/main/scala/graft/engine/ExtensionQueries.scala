@@ -1434,11 +1434,11 @@ object ExtensionQueries {
              |  FROM st),
              |sq AS (
              |  SELECT n, tc, cc,
-             |         CAST(round((least(1.0, tc / 100.0) * 0.5
+             |         CAST(round(round(least(1.0, tc / 100.0) * 0.5
              |           + (1.0 - least(1.0, punct::DOUBLE
              |               / greatest(tc, 1))) * 0.3
              |           + least(1.0, round(nosp::DOUBLE / tc, 6) / 10.0)
-             |             * 0.2) * 1000000.0) AS BIGINT) AS qm
+             |             * 0.2, 6) * 1000000.0) AS BIGINT) AS qm
              |  FROM sx),
              |tot AS (
              |  SELECT sum(n)::BIGINT AS n_docs,

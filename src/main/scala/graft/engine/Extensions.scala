@@ -564,22 +564,16 @@ object Extensions {
       .select(col(textCol).as("__text"), col(langCol).as("__lang"))
       .groupBy("__text", "__lang")
       .agg(count(lit(1)).as("__n"))
-    // per-group text statistics (pure projections on the group row;
-    // identical formula to curateCorpus / the corpus_curation oracle)
-    val charCount = length(col("__text"))
-    val noSpace = length(regexp_replace(col("__text"), " ", ""))
-    val tokenCount = charCount - noSpace + 1
-    val punct = noSpace - length(translate(col("__text"), " .,!?", ""))
-    val avgTokLen = round(noSpace.cast("double") /
-      tokenCount.cast("double"), 6)
-    val qRaw =
-      least(lit(1.0), tokenCount.cast("double") / 100.0) * 0.5 +
-      (lit(1.0) - least(lit(1.0), punct.cast("double") /
-        greatest(tokenCount, lit(1)).cast("double"))) * 0.3 +
-      least(lit(1.0), avgTokLen / 10.0) * 0.2
+    // per-group text statistics: THE textStatCols expressions (shared
+    // with textStats/withTextStats/curateCorpus — one formula to
+    // maintain), micro-quantized on the group row; the 6-dp-rounded
+    // quality is re-rounded at micro scale, and the oracle mirrors the
+    // same double rounding
+    val tsc = textStatCols("__text").toMap
     val stats = g.select(col("__text"), col("__lang"), col("__n"),
-      tokenCount.cast("long").as("__tc"), charCount.cast("long").as("__cc"),
-      round(qRaw * 1000000.0).cast("long").as("__qm"))
+      tsc("token_count").cast("long").as("__tc"),
+      tsc("char_count").cast("long").as("__cc"),
+      round(tsc("quality_score") * 1000000.0).cast("long").as("__qm"))
     val totals = stats.agg(
       sum("__n").as("n_docs"),
       sum(col("__n").cast(dec) * col("__tc").cast(dec)).as("__ts"),
