@@ -1295,8 +1295,11 @@ object Analytics {
     * equal-width bins over [0, 1], per bin the support, positive
     * count, mean predicted score, and empirical positive rate — the
     * table a calibration plot / ECE computation reads. Bin assignment
-    * is pure integer math (score·bins div 1e6, top edge clamped into
-    * the last bin), so no float boundary can flip a row across
+    * is pure integer math (score·bins div 1e6, clamped into [0, bins)
+    * — the low clamp also removes the only spot where Spark's
+    * truncating `div` and DuckDB's flooring `//` could diverge, on
+    * out-of-contract negative scores), so no float boundary can flip
+    * a row across
     * engines; the mean and rate are exact integer sums with a single
     * final division each, rounded to 6 dp. Empty bins are absent.
     *
@@ -1311,8 +1314,8 @@ object Analytics {
       "n_pos", "mean_score", "pos_rate"))
     val dec = "decimal(38,0)"
     df.select(
-        least(expr(s"(`$scoreMicroCol` * $bins) div 1000000"),
-          lit(bins - 1).cast("long")).cast("int").as("bin"),
+        least(greatest(expr(s"(`$scoreMicroCol` * $bins) div 1000000"),
+          lit(0L)), lit(bins - 1).cast("long")).cast("int").as("bin"),
         col(scoreMicroCol).cast("long").as("__sm"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
       .groupBy("bin")
@@ -1347,8 +1350,8 @@ object Analytics {
       "__ssum", "__num", "n", "ece"))
     val dec = "decimal(38,0)"
     df.select(
-        least(expr(s"(`$scoreMicroCol` * $bins) div 1000000"),
-          lit(bins - 1).cast("long")).cast("int").as("__bin"),
+        least(greatest(expr(s"(`$scoreMicroCol` * $bins) div 1000000"),
+          lit(0L)), lit(bins - 1).cast("long")).cast("int").as("__bin"),
         col(scoreMicroCol).cast("long").as("__sm"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
       .groupBy("__bin")

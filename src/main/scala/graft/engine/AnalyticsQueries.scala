@@ -336,11 +336,18 @@ object AnalyticsQueries {
     // neighbors inside alive_{i-1}; rounds are unrolled past the
     // fixpoint depth, where extra rounds are idempotent — so the
     // Spark fixpoint loop and the fixed-depth SQL agree exactly ─────────
+    // rounds = 16: the unroll depth must COVER the data-dependent peel
+    // depth (extra rounds are idempotent; too few silently returns a
+    // superset of the true core — a review finding: the previous
+    // rounds = 10 sat EXACTLY at the sf0.01 fixpoint depth with zero
+    // margin). The sf0.01 gate fixture peels in 10 rounds
+    // (AnalyticsSpec pins depth ≤ 12), so 16 keeps real slack against
+    // fixture drift.
     QuerySpec("k_core",
       (s, d) => Analytics.kCore(coPurchaseEdges(s, d), "part_a", "part_b",
           k = KCoreK, outCol = "part_id")
         .orderBy("part_id"),
-      Some(kCoreOracleSql(KCoreK, rounds = 10))),
+      Some(kCoreOracleSql(KCoreK, rounds = 16))),
 
     // ── community detection via deterministic synchronous label
     // propagation: exactly R rounds of neighbor-vote argmax (count
@@ -591,7 +598,7 @@ object AnalyticsQueries {
              |           END + 1.0) / 2.0 * 1000000.0) AS BIGINT) AS sm,
              |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
              |  FROM embeddings e CROSS JOIN q)
-             |SELECT least((sm * 10) // 1000000, 9)::INT AS bin,
+             |SELECT least(greatest((sm * 10) // 1000000, 0), 9)::INT AS bin,
              |       count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
              |       round((sum(sm)::BIGINT)::DOUBLE
              |             / ((count(*) * 1000000)::BIGINT)::DOUBLE, 6)
@@ -632,7 +639,7 @@ object AnalyticsQueries {
              |           END + 1.0) / 2.0 * 1000000.0) AS BIGINT) AS sm,
              |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y
              |  FROM embeddings e CROSS JOIN q),
-             |b AS (SELECT least((sm * 10) // 1000000, 9) AS bin,
+             |b AS (SELECT least(greatest((sm * 10) // 1000000, 0), 9) AS bin,
              |             count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
              |             sum(sm)::BIGINT AS ssum
              |      FROM s GROUP BY 1)

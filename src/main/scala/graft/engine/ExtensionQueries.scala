@@ -41,14 +41,20 @@ object ExtensionQueries {
     * layout (the bucketed_join first-run-materialization precedent).
     * JVM-scoped, never cross-run: a fresh Verify/Bench process always
     * rebuilds, so a code change can't serve a stale index. */
-  private val hybridIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (TextIndex, IvfIndex)]()
+  // keyed by (session, dir): cached indexes hold DataFrames bound to
+  // the session that built them — a later session in the same JVM
+  // (sequential suites in one sbt fork) must rebuild, not inherit
+  // frames whose SparkContext is stopped (a review finding). The temp
+  // build dir is registered for JVM-exit deletion.
+  private val hybridIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (TextIndex, IvfIndex)]()
 
   private def hybridIndexes(s: org.apache.spark.sql.SparkSession,
       d: String): (TextIndex, IvfIndex) =
-    hybridIdxCache.computeIfAbsent(d, _ => {
+    hybridIdxCache.computeIfAbsent((s, d), _ => {
       val dir = java.nio.file.Files
-        .createTempDirectory("graft-hybrid").toString
+        .createTempDirectory("graft-hybrid")
+      dir.toFile.deleteOnExit()
       TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
         .save(s"$dir/text")
       IvfIndex.build(embeddings(s, d), "embedding", "vec_id",

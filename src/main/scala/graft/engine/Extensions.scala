@@ -1637,8 +1637,11 @@ object Extensions {
     * established). The first pick has no selected set: maxSim = 0.
     *
     * Scale shape: the ONLY corpus-sized work is the bounded-heap
-    * [[cosineTopK]] harvest (plus one join back to fetch the
-    * ≤|Q|·kBranch candidate vectors). Everything after — the kBranch²
+    * [[cosineTopK]] harvest, which — being ≤|Q|·kBranch rows,
+    * parameter-bounded at any corpus size — collects to the driver
+    * and re-enters as a literal relation (one corpus scan, zero
+    * persisted state; plus one join back to fetch the candidate
+    * vectors). Everything after — the kBranch²
     * pair matrix and the whole k-step greedy — runs on ≤|Q|·kBranch²
     * rows, a size fixed by parameters, not the corpus, and the
     * sequential selection itself happens INSIDE one bounded-buffer
@@ -1650,10 +1653,18 @@ object Extensions {
       queryIds: Seq[Long], kBranch: Int = 10, k: Int = 5): DataFrame = {
     require(queryIds.nonEmpty && kBranch >= k && k >= 1,
       "need queryIds nonempty and kBranch >= k >= 1")
-    val cands = cosineTopK(emb, embCol, idCol, queryIds, kBranch)
+    // the harvest is ≤|Q|·kBranch rows — parameter-bounded at any
+    // corpus size — so it collects to the driver and re-enters as a
+    // LITERAL relation: the corpus is scored exactly once and nothing
+    // stays persisted after the call (the previous MEMORY_AND_DISK
+    // persist leaked one cached RDD per invocation for the session's
+    // lifetime — a review finding)
+    val harvested = cosineTopK(emb, embCol, idCol, queryIds, kBranch)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine_sim") * 1e6).cast("long").as("rel_micro"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = emb.sparkSession
+    val cands = spark.createDataFrame(
+      java.util.Arrays.asList(harvested.collect(): _*), harvested.schema)
     val vecs = emb.select(col(idCol).as("neighbor_id"),
       col(embCol).as("__v"))
     val withVec = cands.join(vecs, "neighbor_id")

@@ -214,12 +214,19 @@ object IvfIndex {
     // ingest epoch (ADVICE r11): an epoch appended before the sidecar
     // existed would otherwise never get codes and silently vanish from
     // the PQ shortlist, and a re-fit would leave epoch codes dirs
-    // holding codes from the OLD codebook. After this call the base
-    // codes cover every claimed row under the NEW codebook; stale
-    // epoch codes dirs are excluded by the version check in
-    // [[codesWithEpochs]] (their _pqv no longer matches), so nothing
-    // is double-counted and nothing is scored against wrong codewords.
-    val corpus = cellsWithEpochs(spark, path)
+    // holding codes from the OLD codebook. ONE claimed-epoch snapshot
+    // feeds the fit, the encode, the version, and the sweep (the
+    // compactEpochs single-snapshot doctrine). After this call the
+    // base codes cover every claimed row under the NEW codebook; the
+    // folded epochs' own codes dirs are DELETED (their rows live in
+    // the base now — left in place they'd double-count), and the
+    // `_pqv` marker salts the codebook digest with the folded epoch
+    // set, so even a crash before that sweep cannot double-count: a
+    // re-fit that reproduces the identical codebook still mints a NEW
+    // version once it folds any epoch, and the stale dirs fail the
+    // [[codesWithEpochs]] stamp check.
+    val epochs = claimedEpochs(spark, path)
+    val corpus = cellsOf(spark, path, epochs)
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m " +
       "equal subvectors")
@@ -231,30 +238,47 @@ object IvfIndex {
     } yield (j, c, cent)
     spark.createDataFrame(cbRows).toDF("j", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    writeMarker(spark, s"$path/codebook/_pqv", pqVersionOf(codebook))
+    writeMarker(spark, s"$path/codebook/_pqv",
+      pqVersionOf(codebook,
+        epochs.map(e => new org.apache.hadoop.fs.Path(e).getName)))
     corpus.select(col(idCol),
         graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
         col("__cell"))
       .repartition(col("__cell")) // cluster per cell dir (save() note)
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"${baseRoot(path)}/codes")
+    // the folded epochs' codes now live in the base — their own dirs
+    // are superseded (version skew already excludes them; the sweep
+    // reclaims the space). Cells dirs stay: the vectors themselves
+    // are still epoch-resident until compactEpochs folds them.
+    epochs.foreach { e =>
+      val (efs, ecodes) = hadoopFs(spark, s"$e/codes")
+      if (efs.exists(ecodes)) efs.delete(ecodes, true)
+    }
   }
 
-  /** Content fingerprint of a PQ codebook — epoch codes dirs are
-    * stamped with the version they were encoded under, and
-    * [[codesWithEpochs]] unions only epochs whose stamp matches the
-    * CURRENT codebook's: after a re-fit, stale epoch codes would be
-    * ADC-scored against the wrong codewords (silently wrong
-    * distances, ADVICE r11) — version-skew excludes them instead,
-    * and the re-fit's full re-encode (see [[addPqCodes]]) has already
-    * folded those rows into the base codes. */
-  private[engine] def pqVersionOf(codebook: Seq[Seq[Seq[Float]]]): String = {
+  /** Content fingerprint of a PQ codebook + the epoch names its fit
+    * FOLDED into the base codes — epoch codes dirs are stamped with
+    * the version they were encoded under, and [[codesWithEpochs]]
+    * unions only epochs whose stamp matches the CURRENT codebook's:
+    * after a re-fit, stale epoch codes would be ADC-scored against
+    * the wrong codewords (silently wrong distances, ADVICE r11) —
+    * version-skew excludes them instead, and the re-fit's full
+    * re-encode (see [[addPqCodes]]) has already folded those rows
+    * into the base codes. The folded-epoch salt closes the review
+    * finding that a re-fit REPRODUCING the identical codebook (same
+    * capped sample) would keep the old version and double-count any
+    * folded epoch dir a crash left behind. */
+  private[graft] def pqVersionOf(codebook: Seq[Seq[Seq[Float]]],
+      foldedEpochNames: Seq[String] = Nil): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(4)
     for (sub <- codebook; cent <- sub; x <- cent) {
       buf.clear(); buf.putFloat(x)
       md.update(buf.array())
     }
+    foldedEpochNames.sorted.foreach(n =>
+      md.update(s"|$n".getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -359,7 +383,17 @@ object IvfIndex {
     * never widens what a query scans beyond its probed cells. */
   private[graft] def cellsWithEpochs(spark: SparkSession,
       path: String): DataFrame =
-    claimedEpochs(spark, path)
+    cellsOf(spark, path, claimedEpochs(spark, path))
+
+  /** [[cellsWithEpochs]] over an EXPLICIT epoch snapshot — the
+    * multi-step writers (compactEpochs, addPqCodes) list the claimed
+    * set ONCE and derive every union and the `_folded` manifest from
+    * that single snapshot; re-listing per step would let an epoch
+    * claimed mid-operation be folded into the staged data but never
+    * recorded as folded (its rows then count twice forever). */
+  private def cellsOf(spark: SparkSession, path: String,
+      epochs: Seq[String]): DataFrame =
+    epochs
       .foldLeft(spark.read.parquet(s"${baseRoot(path)}/cells"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/cells")))
 
@@ -372,9 +406,15 @@ object IvfIndex {
     * also why epochs written before the sidecar existed (no codes dir
     * at all) contribute nothing here yet still get searched. */
   private[graft] def codesWithEpochs(spark: SparkSession,
-      path: String): DataFrame = {
+      path: String): DataFrame =
+    codesOf(spark, path, claimedEpochs(spark, path))
+
+  /** [[codesWithEpochs]] over an explicit epoch snapshot (see
+    * [[cellsOf]] for why the snapshot must be shared). */
+  private def codesOf(spark: SparkSession, path: String,
+      epochs: Seq[String]): DataFrame = {
     val current = readMarker(spark, s"$path/codebook/_pqv")
-    claimedEpochs(spark, path)
+    epochs
       .filter(e => hadoopFs(spark, s"$e/codes")._1
         .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))
       .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
@@ -471,10 +511,16 @@ object IvfIndex {
     * Returns false (and writes nothing) when no claimed epochs exist.
     */
   def compactEpochs(spark: SparkSession, path: String): Boolean = {
+    // THE single claimed-epoch snapshot: the staged unions AND the
+    // _folded manifest all derive from this one list, so an epoch
+    // claimed while this runs is simply not part of this generation —
+    // it stays a live (unfolded) epoch and the next compaction takes
+    // it. Re-listing per step (the pre-review bug) could fold its
+    // ROWS while omitting its NAME: visible twice, forever.
     val epochs = claimedEpochs(spark, path)
     if (epochs.isEmpty) return false
     val prevRoot = baseRoot(path)
-    val cells = cellsWithEpochs(spark, path)
+    val cells = cellsOf(spark, path, epochs)
     val liveCells = cells.count()
     val nextGen = Generations.currentName(path) match {
       case Some(g) => g.stripPrefix("gen-").toInt + 1
@@ -494,7 +540,7 @@ object IvfIndex {
     val hasCodes = hadoopFs(spark, s"$prevRoot/codes")._1
       .exists(new org.apache.hadoop.fs.Path(s"$prevRoot/codes"))
     if (hasCodes) {
-      val codes = codesWithEpochs(spark, path)
+      val codes = codesOf(spark, path, epochs)
       val liveCodes = codes.count()
       codes.repartition(col("__cell"))
         .write.mode("errorifexists").partitionBy("__cell")
@@ -510,15 +556,26 @@ object IvfIndex {
     writeMarker(spark, s"$stage/_folded", foldedNow.toSeq.sorted
       .mkString("\n"))
     Generations.publish(path, s"gen-$nextGen") // the commit point
-    // cleanup: folded epoch dirs + the superseded root's data dirs
+    // cleanup, driven by the PUBLISHED state rather than this run's
+    // working set, so a crash inside an EARLIER run's sweep heals
+    // here instead of orphaning data forever (the pre-review doc
+    // claimed this and the code didn't deliver it): sweep every
+    // epoch dir whose name the carried manifest marks folded, and
+    // every generation root other than the one just published.
     val (fs, _) = hadoopFs(spark, path)
-    epochs.foreach(e =>
-      fs.delete(new org.apache.hadoop.fs.Path(e), true))
-    if (prevRoot == path) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
-    } else
-      fs.delete(new org.apache.hadoop.fs.Path(prevRoot), true)
+    val (efs, eroot) = hadoopFs(spark, s"$path/epochs")
+    if (efs.exists(eroot))
+      efs.listStatus(eroot).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => foldedNow(p.getName))
+        .foreach(p => efs.delete(p, true))
+    val (rfs, rpath) = hadoopFs(spark, path)
+    rfs.listStatus(rpath).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        p.getName != s"gen-$nextGen")
+      .foreach(p => rfs.delete(p, true))
+    // legacy in-place layout: the pre-generation cells/codes dirs
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
     true
   }
 

@@ -1310,6 +1310,51 @@ class AnalyticsSpec extends AnyFunSuite {
       "sequential recurrence")
   }
 
+  // ── k_core oracle unroll margin ──────────────────────────────────────
+
+  test("k_core's fixed oracle unroll (16 rounds) covers the gate " +
+      "fixture's actual peel depth (10 at sf0.01) with margin") {
+    // the unrolled DuckDB twin is only correct when its depth COVERS
+    // the data-dependent fixpoint (extra rounds are idempotent; too
+    // few silently accept a superset of the true core) — so pin the
+    // sf0.01 co-purchase peel depth far below the unroll
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+    for {
+      items <- li.groupBy(_._1).valuesIterator
+        .map(_.map(_._2).distinct.sorted)
+      i <- items.indices; j <- (i + 1) until items.length
+    } {
+      val k = (items(i), items(j))
+      pairCount(k) = pairCount.getOrElse(k, 0) + 1
+    }
+    // iterator first: collect-on-Map would rebuild a MAP from the
+    // (Long, Long) edge tuples, silently deduplicating by source node
+    val edges = pairCount.iterator
+      .collect { case (k, c) if c >= 2 => k }.toSeq
+    var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = scala.collection.mutable.Map[Long, Int]()
+      for ((a, b) <- edges if alive(a) && alive(b)) {
+        deg(a) = deg.getOrElse(a, 0) + 1
+        deg(b) = deg.getOrElse(b, 0) + 1
+      }
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= 3)
+      changed = next != alive
+      if (changed) rounds += 1
+      alive = next
+    }
+    assert(rounds <= 12,
+      s"peel depth $rounds at sf0.01 — the oracle's 16-round unroll " +
+        "is losing its safety margin; raise it")
+    assert(alive.nonEmpty, s"fixture degenerated: empty 3-core " +
+      s"(edges=${edges.length} rounds=$rounds)")
+  }
+
   // ── ksTest ───────────────────────────────────────────────────────────
 
   private def ksBrute(a: Seq[Long], b: Seq[Long]): (BigInt, Long) = {

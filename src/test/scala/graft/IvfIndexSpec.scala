@@ -335,17 +335,45 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(res.exists(_ % 3 == 1) && res.exists(_ % 3 == 2),
       "epoch rows must be reachable through the PQ query path")
-    // RE-FIT: the post epoch's codes are now stale (old codebook) —
-    // they must drop out of the union while the re-encode carries
-    // their rows in the base codes: still exactly one row per id
+    // RE-FIT: the post epoch's codes are now superseded — the re-fit
+    // re-encodes their rows into the base codes and SWEEPS the epoch
+    // codes dir (left in place it would double-count whenever a
+    // re-fit reproduces the identical codebook — a review finding):
+    // still exactly one row per id
+    val oldMarker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/epochs/post/codes/_pqv")), "UTF-8")
     IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
       m = 4, kCode = 16)
     val codes3 = graft.engine.IvfIndex.codesWithEpochs(spark, dir)
     assert(codes3.count() == emb.count(),
       "stale epoch codes must not double-count after a re-fit")
     assert(codes3.select("vec_id").distinct().count() == emb.count())
-    // the stale dir is still on disk — excluded by version, not luck
-    assert(new java.io.File(s"$dir/epochs/post/codes").exists())
+    assert(!new java.io.File(s"$dir/epochs/post/codes").exists(),
+      "the re-fit must sweep the folded epoch codes dir")
+    // crash-window simulation: a stale codes dir that survived the
+    // sweep (old version stamp) stays EXCLUDED by version skew — the
+    // cells dir still exists, so only the marker + dir need restoring
+    new java.io.File(s"$dir/epochs/post/codes").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/epochs/post/codes/_pqv"),
+      oldMarker.getBytes("UTF-8"))
+    val codes4 = graft.engine.IvfIndex.codesWithEpochs(spark, dir)
+    assert(codes4.count() == emb.count(),
+      "a resurrected stale codes dir must stay version-excluded")
+  }
+
+  test("pqVersionOf salts the codebook digest with the folded epoch " +
+      "set: a re-fit that reproduces the identical codebook still " +
+      "mints a new version once it folds any epoch") {
+    val cb: Seq[Seq[Seq[Float]]] =
+      Seq(Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
+    val v0 = graft.engine.IvfIndex.pqVersionOf(cb)
+    assert(v0 == graft.engine.IvfIndex.pqVersionOf(cb),
+      "same inputs, same version — re-runs stay idempotent")
+    assert(v0 != graft.engine.IvfIndex.pqVersionOf(cb, Seq("e1")))
+    assert(graft.engine.IvfIndex.pqVersionOf(cb, Seq("e1", "e2")) ==
+      graft.engine.IvfIndex.pqVersionOf(cb, Seq("e2", "e1")),
+      "the salt is order-free (a SET of names)")
   }
 
   test("compactEpochs folds claimed epochs into one published " +
@@ -403,8 +431,20 @@ class IvfIndexSpec extends AnyFunSuite {
       "vec_id", "e3"))
     assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
       == emb.count() + wave.count())
+    // crash-after-publish simulation (review finding): orphans an
+    // EARLIER run's sweep failed to remove — a folded-named epoch dir
+    // and a superseded generation root — must be healed by the NEXT
+    // compaction's manifest-driven sweep, not accumulate forever
+    new java.io.File(s"$dir/epochs/e1/cells").mkdirs()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/epochs/e1/_claim"))
+    new java.io.File(s"$dir/gen-0/cells").mkdirs()
     assert(IvfIndex.compactEpochs(spark, dir))
     assert(graft.engine.Generations.currentName(dir).contains("gen-2"))
+    assert(!new java.io.File(s"$dir/epochs/e1").exists(),
+      "a crash-orphaned FOLDED epoch dir must be swept by the next run")
+    assert(!new java.io.File(s"$dir/gen-0").exists(),
+      "a crash-orphaned superseded generation root must be swept")
     assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
       == emb.count() + wave.count())
     assert(graft.engine.IvfIndex.codesWithEpochs(spark, dir).count()

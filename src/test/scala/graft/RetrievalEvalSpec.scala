@@ -369,4 +369,19 @@ class RetrievalEvalSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(re == base)
   }
+
+  test("calibrationBins/ECE clamp out-of-contract negative scores into " +
+      "bin 0 — where Spark's truncating div and DuckDB's flooring // " +
+      "would otherwise diverge") {
+    val rows = Seq((-50000L, true), (-1L, false), (0L, true),
+      (999999L, false), (1000000L, true))
+    val out = Analytics.calibrationBins(rows.toDF("sm", "y"), "sm", "y",
+      bins = 10).orderBy("bin").collect()
+    assert(out.map(_.getAs[Int]("bin")).toSeq == Seq(0, 9),
+      s"bins: ${out.map(_.getAs[Int]("bin")).toSeq}")
+    assert(out(0).getAs[Long]("n") == 3L, "all negatives land in bin 0")
+    val e = Analytics.expectedCalibrationError(rows.toDF("sm", "y"),
+      "sm", "y", bins = 10).collect()(0)
+    assert(e.getAs[Long]("n") == 5L && !e.isNullAt(e.fieldIndex("ece")))
+  }
 }
