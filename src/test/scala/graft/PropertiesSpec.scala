@@ -444,4 +444,59 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ── drift-family laws (ksTest / w1Drift, round-12 close) ─────────────
+
+  private val twoSamples: Gen[(List[Long], List[Long], Int)] = Gen.zip(
+    Gen.nonEmptyListOf(Gen.chooseNum(-40L, 40L)),
+    Gen.nonEmptyListOf(Gen.chooseNum(-40L, 60L)),
+    Gen.chooseNum(1, 37))
+
+  test("ksTest law: matches the brute-force ECDF sup (exact integers, " +
+      "smallest-attaining tie-break) under generated tie-heavy " +
+      "samples and arbitrary bucket counts") {
+    forAll(twoSamples) { case (a, b, nb) =>
+      val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+      val row = graft.engine.Analytics.ksTest(df, "v", col("isa"),
+        nBuckets = nb).collect()(0)
+      val grid = (a ++ b).distinct.sorted
+      val dn = grid.map(x => (BigInt(a.count(_ <= x)) * b.length -
+        BigInt(b.count(_ <= x)) * a.length).abs)
+      val mx = dn.max
+      val expD = BigDecimal(mx).toDouble / (a.length.toDouble * b.length)
+      assert(math.abs(row.getAs[Double]("ks_d") - expD) < 5e-7)
+      assert(row.getAs[Long]("at_value") ==
+        grid(dn.indexOf(mx)), s"a=$a b=$b nb=$nb")
+    }
+  }
+
+  test("w1Drift laws: brute-force earth-mover equality, symmetry in " +
+      "the two samples, and exact translation cost, under generated " +
+      "samples and arbitrary bucket counts") {
+    forAll(twoSamples) { case (a, b, nb) =>
+      val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "isa")
+      val got = graft.engine.Analytics.w1Drift(df, "v", col("isa"),
+        nBuckets = nb).collect()(0).getAs[Double]("w1")
+      val grid = (a ++ b).distinct.sorted
+      val exp =
+        if (grid.length < 2) 0.0
+        else grid.sliding(2).map { case Seq(p, s) =>
+          math.abs(a.count(_ <= p).toDouble / a.length -
+            b.count(_ <= p).toDouble / b.length) * (s - p)
+        }.sum
+      assert(math.abs(got - exp) < 1e-5, s"a=$a b=$b nb=$nb")
+      // symmetry: swapping the class labels cannot change W1
+      val swapped = graft.engine.Analytics.w1Drift(
+        (a.map((_, false)) ++ b.map((_, true))).toDF("v", "isa"),
+        "v", col("isa"), nBuckets = nb).collect()(0).getAs[Double]("w1")
+      assert(swapped == got)
+      // W1(X, X + δ) = δ exactly, for any generated sample
+      val delta = 7L + (a.length % 5)
+      val trans = graft.engine.Analytics.w1Drift(
+        (a.map((_, true)) ++ a.map(v => (v + delta, false)))
+          .toDF("v", "isa"),
+        "v", col("isa"), nBuckets = nb).collect()(0).getAs[Double]("w1")
+      assert(trans == delta.toDouble, s"translation $delta -> $trans")
+    }
+  }
 }
