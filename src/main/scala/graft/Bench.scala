@@ -83,14 +83,23 @@ object Bench {
     // regression reproduces. The headline "total"/"queries" keep the
     // single-cold-run semantics of every prior round. Skipped under
     // SPARK_GRAFT_REPEAT>1 (min-of-n already adjudicates).
+    // Only the nested "queries" object is per-query medians; a flat
+    // regex over the whole file would also sweep metadata keys
+    // (n_queries, sf, future numeric fields) into the recorded map as
+    // fake baselines (ADVICE r12). Slice the braces of the "queries"
+    // block first, then regex inside it — the values are flat
+    // name→number pairs, so brace matching is one indexOf pair.
     val recorded: Map[String, Double] =
       try {
         val p = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
           "BASELINE_QUERIES.json")
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(txt)
+        val keyAt = """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt)
+          .map(_.end - 1).getOrElse(sys.error("no queries block"))
+        val blk = txt.substring(keyAt, txt.indexOf('}', keyAt) + 1)
+        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(blk)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val requeried: Seq[(String, Double)] =
@@ -122,12 +131,19 @@ object Bench {
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // headline fields lead (head-anchored parsers) AND repeat at the end:
-    // bounded tail captures truncate the FRONT of this line, so the
-    // summary must also sit last to survive them. Duplicate keys are
-    // valid JSON (json.loads keeps the last occurrence — same values).
     val head = s""""metric":"total","value":$total,"unit":"sec""""
-    println(s"""{$head,"queries":$qs,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},$head}""")
+    // The full per-query map outgrew what the driver's single-line
+    // parser/tail capture can hold (BENCH_r12 `parsed` came back null
+    // and the tail cut ~156 queries out of view — VERDICT r12 #7), so
+    // the contract is now split: stdout carries ONE compact,
+    // always-parseable summary line (total + errors + the requeried
+    // adjudication map, which is ≤25 entries by construction), and the
+    // complete JSON — identical fields plus the full "queries" map —
+    // is written to bench_out.json beside the run for the judge.
+    val full = s"""{$head,"queries":$qs,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      full.getBytes("UTF-8"))
+    println(s"""{$head,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},"full":"bench_out.json"}""")
     spark.stop()
   }
 }

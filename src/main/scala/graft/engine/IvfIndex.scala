@@ -93,9 +93,30 @@ final class IvfIndex private (
 
   /** Persist the index: centroids + the corpus partitioned by cell.
     * [[IvfIndex.load]] reads it back with the partition layout intact.
+    *
+    * Saving is a FULL overwrite of the index path, so any epoch/
+    * generation lifecycle state from a previous index at the same
+    * path is reset first: a path that has been through
+    * [[IvfIndex.compactEpochs]] carries a `_CURRENT` pointer naming a
+    * gen-N root, and writing the fresh corpus into the legacy
+    * `$path/cells` while that pointer survives would leave load()
+    * silently serving the OLD generation's vectors under the NEW
+    * quantizer (ADVICE r12). Same for leftover claimed epochs (their
+    * rows belong to the replaced index) and the PQ sidecar (encoded
+    * under the replaced quantizer's cells).
     */
   def save(path: String): Unit = {
-    corpus.sparkSession.createDataFrame(centroids)
+    val spark = corpus.sparkSession
+    val (fs, root) = IvfIndex.hadoopFs(spark, path)
+    if (fs.exists(root)) {
+      val doomed = fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
+        p.getName == "_CURRENT" || p.getName == "epochs" ||
+          p.getName == "codes" || p.getName == "codebook" ||
+          p.getName.startsWith("gen-")
+      }
+      doomed.foreach(p => fs.delete(p, true))
+    }
+    spark.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
       .write.mode("overwrite").parquet(s"$path/quantizer")
     // cluster by the partition column before partitionBy: without it
@@ -236,17 +257,28 @@ object IvfIndex {
       (cb, j) <- codebook.zipWithIndex
       (cent, c) <- cb.zipWithIndex
     } yield (j, c, cent)
+    val version = pqVersionOf(codebook,
+      epochs.map(e => new org.apache.hadoop.fs.Path(e).getName))
     spark.createDataFrame(cbRows).toDF("j", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    writeMarker(spark, s"$path/codebook/_pqv",
-      pqVersionOf(codebook,
-        epochs.map(e => new org.apache.hadoop.fs.Path(e).getName)))
+    writeMarker(spark, s"$path/codebook/_pqv", version)
     corpus.select(col(idCol),
         graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
         col("__cell"))
       .repartition(col("__cell")) // cluster per cell dir (save() note)
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"${baseRoot(path)}/codes")
+    // the base codes dir carries its OWN version stamp, written only
+    // AFTER the full re-encode lands (the parquet overwrite wiped any
+    // previous stamp with the old codes). The codebook commits first,
+    // so a crash anywhere inside the long re-encode window leaves the
+    // NEW codebook beside base codes that are either partial or still
+    // encoded under the OLD one — exactly the silently-wrong-ADC
+    // pairing the epoch `_pqv` gate prevents, which until this stamp
+    // existed had no detection on the base dir (ADVICE r12). With it,
+    // [[codesOf]] fails loudly on the mismatch and the heal is
+    // re-running addPqCodes.
+    writeMarker(spark, s"${baseRoot(path)}/codes/_pqv", version)
     // the folded epochs' codes now live in the base — their own dirs
     // are superseded (version skew already excludes them; the sweep
     // reclaims the space). Cells dirs stay: the vectors themselves
@@ -414,6 +446,19 @@ object IvfIndex {
   private def codesOf(spark: SparkSession, path: String,
       epochs: Seq[String]): DataFrame = {
     val current = readMarker(spark, s"$path/codebook/_pqv")
+    // the base codes must match the committed codebook: a crash inside
+    // addPqCodes' re-encode (codebook committed, base codes partial or
+    // still old-codebook) MUST fail loudly here rather than serve
+    // silently wrong ADC distances. Epoch dirs below get the softer
+    // skip-on-skew treatment because their rows provably re-enter via
+    // the re-fit's full base re-encode; the base dir has no such
+    // backstop — its rows would just be scored wrong.
+    val baseStamp = readMarker(spark, s"${baseRoot(path)}/codes/_pqv")
+    require(baseStamp == current,
+      s"PQ base codes at ${baseRoot(path)}/codes are stamped " +
+        s"$baseStamp but the committed codebook is $current — an " +
+        "addPqCodes run did not complete; re-run addPqCodes to " +
+        "re-encode the corpus under the committed codebook")
     epochs
       .filter(e => hadoopFs(spark, s"$e/codes")._1
         .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))
@@ -518,7 +563,15 @@ object IvfIndex {
     // it. Re-listing per step (the pre-review bug) could fold its
     // ROWS while omitting its NAME: visible twice, forever.
     val epochs = claimedEpochs(spark, path)
-    if (epochs.isEmpty) return false
+    if (epochs.isEmpty) {
+      // nothing to fold, but an EARLIER run may have crashed inside
+      // its post-publish sweep — and if no further epochs ever arrive,
+      // its folded epoch dirs / superseded roots would otherwise be
+      // orphaned forever (ADVICE r12). The sweep is driven purely by
+      // the published state, so it is safe and idempotent here.
+      sweepPublishedState(spark, path)
+      return false
+    }
     val prevRoot = baseRoot(path)
     val cells = cellsOf(spark, path, epochs)
     val liveCells = cells.count()
@@ -558,25 +611,38 @@ object IvfIndex {
     Generations.publish(path, s"gen-$nextGen") // the commit point
     // cleanup, driven by the PUBLISHED state rather than this run's
     // working set, so a crash inside an EARLIER run's sweep heals
-    // here instead of orphaning data forever (the pre-review doc
-    // claimed this and the code didn't deliver it): sweep every
-    // epoch dir whose name the carried manifest marks folded, and
-    // every generation root other than the one just published.
+    // here instead of orphaning data forever — and the same sweep
+    // also runs from the epochs-empty early return above, closing
+    // the no-further-epochs orphan window.
+    sweepPublishedState(spark, path)
+    true
+  }
+
+  /** Idempotent garbage sweep over a PUBLISHED index path: deletes
+    * every epoch dir the current generation's `_folded` manifest marks
+    * folded, every `gen-*` root other than the one `_CURRENT` names,
+    * and the legacy pre-generation `cells`/`codes` dirs. Safe at any
+    * time — it reads only committed state (`_CURRENT` + the manifest)
+    * and never touches live data; a no-op when no generation has been
+    * published yet (the legacy dirs ARE the live index then).
+    */
+  private def sweepPublishedState(spark: SparkSession,
+      path: String): Unit = {
+    val current = Generations.currentName(path).getOrElse(return)
+    val folded = foldedEpochs(spark, path)
     val (fs, _) = hadoopFs(spark, path)
     val (efs, eroot) = hadoopFs(spark, s"$path/epochs")
     if (efs.exists(eroot))
       efs.listStatus(eroot).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(p => foldedNow(p.getName))
+        .filter(p => folded(p.getName))
         .foreach(p => efs.delete(p, true))
     val (rfs, rpath) = hadoopFs(spark, path)
     rfs.listStatus(rpath).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") &&
-        p.getName != s"gen-$nextGen")
+      .filter(p => p.getName.startsWith("gen-") && p.getName != current)
       .foreach(p => rfs.delete(p, true))
     // legacy in-place layout: the pre-generation cells/codes dirs
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
-    true
   }
 
   /** Open a saved index WITH its PQ sidecar (build → save →

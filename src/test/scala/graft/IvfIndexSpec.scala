@@ -462,4 +462,75 @@ class IvfIndexSpec extends AnyFunSuite {
       l.contains("PartitionFilters") && l.contains("__cell")),
       s"no partition-filtered codes scan in:\n$plan")
   }
+
+  test("lifecycle hardening (ADVICE r12): an epoch-less compactEpochs " +
+      "heals sweep orphans, re-save over a compacted path resets the " +
+      "generation/epoch state, and a torn addPqCodes fails loudly via " +
+      "the base codes version stamp") {
+    import java.io.File
+    import java.nio.file.Paths
+    val emb = Tables.embeddings(spark, sf)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-ivf-lifecycle").toString
+    IvfIndex.build(half1, "embedding", "vec_id", nCells = 4).save(dir)
+    assert(IvfIndex.appendEpoch(spark, dir, half2, "embedding",
+      "vec_id", "e1"))
+    assert(IvfIndex.compactEpochs(spark, dir))
+    assert(graft.engine.Generations.currentName(dir).contains("gen-1"))
+    // (a) orphans an earlier run's crashed sweep left behind — a
+    // folded-named epoch dir, a superseded generation root, a legacy
+    // cells dir — must be healed even when NO new epochs ever arrive:
+    // compactEpochs' empty early-return still runs the published-state
+    // sweep
+    new File(s"$dir/epochs/e1/cells").mkdirs()
+    java.nio.file.Files.createFile(Paths.get(s"$dir/epochs/e1/_claim"))
+    new File(s"$dir/gen-0/cells").mkdirs()
+    new File(s"$dir/cells").mkdirs()
+    assert(!IvfIndex.compactEpochs(spark, dir), "nothing to fold")
+    assert(!new File(s"$dir/epochs/e1").exists(),
+      "epoch-less compaction must sweep crash-orphaned folded epochs")
+    assert(!new File(s"$dir/gen-0").exists(),
+      "epoch-less compaction must sweep superseded generation roots")
+    assert(!new File(s"$dir/cells").exists(),
+      "epoch-less compaction must sweep the legacy cells dir")
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == emb.count())
+    // (b) a rebuild re-saved over the same path is a FULL overwrite:
+    // the stale _CURRENT must not keep load() on the old generation
+    val fresh = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    IvfIndex.build(fresh, "embedding", "vec_id", nCells = 4).save(dir)
+    assert(graft.engine.Generations.currentName(dir).isEmpty,
+      "save() must clear the _CURRENT pointer")
+    assert(!new File(s"$dir/gen-1").exists())
+    assert(!new File(s"$dir/epochs").exists())
+    assert(graft.engine.IvfIndex.cellsWithEpochs(spark, dir).count()
+      == fresh.count())
+    assert(spark.read.parquet(s"$dir/cells")
+      .agg(min(col("vec_id"))).head().getLong(0) >= 500000L,
+      "load must serve the NEW corpus, not the old generation's")
+    // (c) base-codes version gate: codebook commits before the long
+    // re-encode; a crash in that window must fail loudly, not serve
+    // silently wrong ADC distances
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    val pq = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+    assert(resultSet(pq.queryByIds(Seq(500000L), k = 3, nprobe = 2,
+      refineFactor = 8)).nonEmpty)
+    java.nio.file.Files.delete(Paths.get(s"$dir/codes/_pqv"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+        .queryByIds(Seq(500000L), k = 3, nprobe = 2, refineFactor = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("addPqCodes"),
+      s"torn-encode error must name the heal: ${e.getMessage}")
+    // re-running addPqCodes is the documented heal
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    assert(resultSet(IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+      .queryByIds(Seq(500000L), k = 3, nprobe = 2, refineFactor = 8))
+      .nonEmpty)
+  }
 }
