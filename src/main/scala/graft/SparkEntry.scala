@@ -25,7 +25,11 @@ object SparkEntry {
     allSpecs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Entries whose twin inlines driver-fit literals (the PQ family)
+    * resolve through QuerySpec.lazyOracle — present only after the
+    * catalog pass has run and stashed the fits. */
   def oracleSql: Map[String, String] =
-    allSpecs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allSpecs.flatMap(q => q.oracle.orElse(q.lazyOracle()).map(q.name -> _))
+      .toMap
 }

@@ -1900,35 +1900,58 @@ object ExtensionQueries {
              |         - greatest(bin_id * 4096, s) AS slice_len
              |FROM b ORDER BY source, bin_id, doc_id""".stripMargin)),
 
-    // ── product quantization codes (seeded per-subspace KMeans →
-    // rows-only; exact-recovery/monotonicity laws in ExtensionsSpec) ────
+    // ── product quantization codes, ORACLE-exact since r13: the
+    // kmeans++ codebook is a pure deterministic driver fit, so it
+    // enters the DuckDB twin as shortest-round-trip double literals
+    // and the twin replays the PqOps encode kernel bit-for-bit
+    // (PqOracles; the ann_bucketed playbook over data-fit literals).
+    // The stashed thunk re-derives the codebook at oracle-dump time —
+    // zero cost in Bench timings. ───────────────────────────────────────
     QuerySpec("pq_codes",
-      (s, d) => Extensions.pqQuantize(embeddings(s, d), "embedding",
-          "vec_id", m = 4, k = 16)
-        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"),
-          col("recon_mse"))
-        .orderBy("vec_id"),
-      None),
+      (s, d) => {
+        PqOracles.stashCb16(() => Extensions.pqCodebookOf(
+          embeddings(s, d), "embedding", "vec_id", 4, 16, 42L))
+        Extensions.pqQuantize(embeddings(s, d), "embedding",
+            "vec_id", m = 4, k = 16)
+          .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"),
+            col("recon_mse"))
+          .orderBy("vec_id")
+      },
+      None,
+      lazyOracle = () => PqOracles.pqCodesSql()),
 
-    // ── PQ asymmetric-distance top-k: full-precision queries against
-    // the compressed corpus, codeword lookups as literal-array
-    // element_at inside codegen (seeded KMeans → rows-only; the
-    // ADC==L2-to-reconstruction identity is law-checked) ────────────────
+    // ── PQ asymmetric-distance top-k, ORACLE-exact since r13: same
+    // driver-literal codebook replay; the ADC sum and the
+    // (adc, neighbor_id) rank both replay exactly (PqOracles) ───────────
     QuerySpec("pq_topk",
-      (s, d) => Extensions.pqTopK(embeddings(s, d), "embedding",
-          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
-        .orderBy("query_id", "rank"),
-      None),
+      (s, d) => {
+        PqOracles.stashCb16(() => Extensions.pqCodebookOf(
+          embeddings(s, d), "embedding", "vec_id", 4, 16, 42L))
+        Extensions.pqTopK(embeddings(s, d), "embedding",
+            "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None,
+      lazyOracle = () => PqOracles.pqTopKSql(Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
 
-    // ── IVF+PQ composed search (the production ANN shape: cell-pruned
-    // scan of PQ codes + exact shortlist re-rank; seeded KMeans fits →
-    // rows-only; the exhaustive-parameters == exact-L2 identity and
-    // recall floors are law-checked in ExtensionsSpec) ───────────────────
+    // ── IVF+PQ composed search, ORACLE-exact since r13: the operator
+    // runs eagerly (it persists + counts its result), so its fn can
+    // stash the captured coarse centroids + codebook for the deferred
+    // twin — the oracle replays the cell assignment (literal
+    // float-centroid projection since r13), the probe ranking, the
+    // ADC shortlist, and the exact re-rank of THIS run's fit ────────────
     QuerySpec("ivfpq_topk",
-      (s, d) => Extensions.ivfPqTopK(embeddings(s, d), "embedding",
-          "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
-        .orderBy("query_id", "rank"),
-      None),
+      (s, d) => {
+        val out = Extensions.ivfPqTopK(embeddings(s, d), "embedding",
+            "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+          .orderBy("query_id", "rank")
+        Option(Extensions.lastIvfPqFit.get()).foreach(PqOracles.stashIvfPq)
+        out
+      },
+      None,
+      lazyOracle = () => PqOracles.ivfpqSql(Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 8, refineFactor = 8)),
 
     // ── LSH-bucketed ANN, ORACLE-exact since r12: the seeded
     // hyperplanes are driver-known literals, so the oracle re-derives

@@ -16,6 +16,16 @@ import graft.functions.SimHash64.simhash64
   */
 object Extensions {
 
+  /** The most recent [[ivfPqTopK]] fit (float-cast coarse centroids +
+    * PQ codebook), captured for the deferred DuckDB-twin generator
+    * ([[PqOracles]]). The coarse KMeans fit is MLlib-distributed and
+    * not refit-reproducible across partitionings, so the oracle must
+    * replay the fit of the run that produced the dumped output —
+    * Verify runs the catalog, THEN dumps oracle SQL from this capture.
+    */
+  private[engine] val lastIvfPqFit = new java.util.concurrent.atomic
+    .AtomicReference[(Seq[Array[Float]], Seq[Seq[Seq[Float]]])](null)
+
   /** Internal temp-column collision guard (same contract as
     * AsOfJoin's): fail loudly instead of silently overwriting and then
     * dropping a caller column of the same name.
@@ -1279,10 +1289,35 @@ object Extensions {
       val km = new org.apache.spark.ml.clustering.KMeans()
         .setFeaturesCol("__vec").setPredictionCol("__cell")
         .setK(nCells).setSeed(seed).setMaxIter(5).fit(fitSample)
-      val assigned = km.transform(vecs).drop("__vec")
+      val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      // cell assignment by the literal FLOAT-centroid projection (the
+      // [[IvfIndex.appendToSaved]] rule: array_position takes the
+      // first minimum = the lowest cell id, KMeans' own tie-break) —
+      // NOT km.transform. Three reasons: (a) it is the SAME rule the
+      // persisted layout assigns appends with, so the ad-hoc operator
+      // and the saved index agree; (b) it is one codegen'd pass with
+      // no second MLlib job; (c) every arithmetic step is a known
+      // literal × IEEE double op, which is what lets the DuckDB twin
+      // ([[PqOracles]]) replay the assignment bit-for-bit — MLlib's
+      // internal norm-shortcut distance is not replayable.
+      val centArrays: Seq[Seq[Float]] = centroids.map(_._2.toSeq)
+      val cellDists = transform(typedLit(centArrays), c =>
+        aggregate(zip_with(col(embCol), c, (x, cc) =>
+          (x.cast("double") - cc.cast("double")) *
+            (x.cast("double") - cc.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+      val assigned = vecs.drop("__vec")
+        .withColumn("__cell",
+          (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val codebook = pqCodebookOf(emb, embCol, idCol, m, kCode, seed)
+        // expose the fit to the deferred oracle generator (PqOracles):
+        // the coarse fit is MLlib-distributed (not refit-reproducible
+        // across partitionings), so the twin replays THIS run's fit
+        lastIvfPqFit.set((centroids.map(_._2), codebook))
         // PQ codes per row via the native PqOps encode kernel (r11),
         // carrying the row's cell — the persisted form a production
         // layout would write cell-partitioned
@@ -1290,9 +1325,6 @@ object Extensions {
           col("__cell"),
           graft.functions.PqOps.pqEncode(col(embCol), codebook)
             .as("codes"))
-        val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.map(_.toFloat))
-        }.toSeq
         val centDf = emb.sparkSession.createDataFrame(centroids)
           .toDF("__cell", "__centroid")
         val queries = assigned.filter(col(idCol).isin(queryIds: _*))

@@ -1,0 +1,252 @@
+package graft.engine
+
+/** Generated DuckDB twins for the product-quantization catalog entries
+  * (`pq_codes`, `pq_topk`, `ivfpq_topk`) — the r12 `ann_bucketed`
+  * driver-literal playbook extended to DATA-FIT literals.
+  *
+  * The PQ codebooks are driver-fit, seeded, and bounded
+  * ([[Extensions.pqCodebookOf]]: a deterministic hash-ordered sample +
+  * pure-Scala kmeans++/Lloyd), and since r13 `ivfPqTopK` assigns cells
+  * by a literal float-centroid projection (the [[IvfIndex]] saved-
+  * layout rule) rather than an opaque MLlib transform — so after the
+  * fit, EVERYTHING the operators compute is deterministic IEEE double
+  * arithmetic over known literals, and a DuckDB twin can replay it
+  * bit-for-bit:
+  *
+  *   - every float literal enters the SQL as its shortest-round-trip
+  *     double rendering (parses back to the identical double);
+  *   - the kernels' per-subspace squared-L2 ([[graft.functions.PqOps]]:
+  *     sequential `d += (x-c)²` over elements) is replayed as
+  *     `list_dot_product(diff, diff)` over an explicit element-wise
+  *     difference list — the same left-to-right accumulation the
+  *     `ann_bucketed` twin already proved bit-stable;
+  *   - argmins tie to the lowest code/cell (the kernels' strict-`<`
+  *     ascending scan) = `row_number() OVER (ORDER BY d, c) = 1`;
+  *   - ADC sums subspaces in ascending j = a left-associative
+  *     four-term `+` chain; rank ties break to the lower neighbor id
+  *     ([[Extensions.topKBy]]).
+  *
+  * The fits live in a JVM-scoped stash written by the catalog fns at
+  * run time (the `hybridIdxCache` precedent): Verify runs the catalog
+  * FIRST and dumps `oracle_sql.json` after, so the thunked generators
+  * here see exactly the fit that produced the dumped parquet — the
+  * compare can never pair an output with a stale twin. When a fit
+  * never ran (partial local runs) the generators return None and the
+  * entry degrades to the contract's rows-only check.
+  */
+private[graft] object PqOracles {
+
+  /** Codebook thunk for the shared m=4/k=16 codebook (pq_codes +
+    * pq_topk). [[Extensions.pqCodebookOf]] is pure and deterministic
+    * given the corpus, so a deferred refit reproduces the operator's
+    * codebook exactly; deferring keeps the fit cost out of Bench
+    * timings (the thunk only runs when oracle SQL is dumped). */
+  @volatile private var cb16Thunk: Option[() => Seq[Seq[Seq[Float]]]] = None
+  /** The ivfpq fit captured FROM the operator run itself (float-cast
+    * coarse centroids + m=4/k=256 codebook) — the coarse KMeans fit is
+    * MLlib-distributed, so replay-from-capture, never refit. */
+  @volatile private var ivfpqFit:
+      Option[(Seq[Array[Float]], Seq[Seq[Seq[Float]]])] = None
+
+  def stashCb16(thunk: () => Seq[Seq[Seq[Float]]]): Unit =
+    cb16Thunk = Some(thunk)
+
+  def stashIvfPq(fit: (Seq[Array[Float]], Seq[Seq[Seq[Float]]])): Unit =
+    ivfpqFit = Option(fit)
+
+  private lazy val cb16: Option[Seq[Seq[Seq[Float]]]] = cb16Thunk.map(_())
+
+  /** Shortest-round-trip double literal of a float's exact double
+    * value (Scala Double.toString — parses back bit-identical). */
+  private def dlit(f: Float): String = f.toDouble.toString
+
+  private def listLit(v: Seq[Float]): String =
+    v.map(dlit).mkString("[", ", ", "]")
+
+  /** `name(j, c, w)` VALUES rows for a rectangular codebook. */
+  private def cbValues(cb: Seq[Seq[Seq[Float]]]): String =
+    (for ((sub, j) <- cb.zipWithIndex; (cw, c) <- sub.zipWithIndex)
+      yield s"($j, $c, ${listLit(cw)})").mkString(",\n    ")
+
+  /** Element-wise difference list `[v[off+1]-w[1], ...]` (1-based). */
+  private def diffList(v: String, off: String, w: String,
+      sub: Int): String =
+    (1 to sub).map(i => s"$v[$off$i] - $w[$i]")
+      .mkString("[", ", ", "]")
+
+  /** Per-(row, subspace, codeword) squared L2 — the PqOps encode/ADC
+    * inner loop. `cd` covers EVERY corpus row, so the same CTE serves
+    * the corpus encode (argmin per row/subspace) and the query-side
+    * ADC lookups (rows restricted to the query ids). */
+  private def cdCte(sub: Int): String = {
+    val dl = diffList("e.emb", s"cb.j*$sub + ", "cb.w", sub)
+    s"""cd AS (
+       |  SELECT e.vec_id, cb.j, cb.c,
+       |         list_dot_product($dl,
+       |                          $dl) AS d
+       |  FROM e, cb)""".stripMargin
+  }
+
+  /** Chosen code + its (minimum) distance per (row, subspace): strict-<
+    * ascending scan == first minimum == lowest c among ties. */
+  private val codesCte: String =
+    """codes AS (
+      |  SELECT vec_id, j, c, d FROM (
+      |    SELECT cd.*, row_number() OVER (PARTITION BY vec_id, j
+      |             ORDER BY d, c) AS rn FROM cd)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Codes pivoted wide: (vec_id, c0..c{m-1}, d0..d{m-1}). */
+  private def pivotCte(m: Int): String = {
+    val cols = (0 until m).flatMap(j => Seq(
+      s"max(CASE WHEN j = $j THEN c END) AS c$j",
+      s"max(CASE WHEN j = $j THEN d END) AS d$j")).mkString(",\n         ")
+    s"""pc AS (
+       |  SELECT vec_id,
+       |         $cols
+       |  FROM codes GROUP BY vec_id)""".stripMargin
+  }
+
+  private def sumChain(prefix: String, m: Int): String =
+    (0 until m).map(j => s"$prefix$j").mkString(" + ")
+
+  /** DuckDB twin of `pq_codes` ([[Extensions.pqQuantize]] at m=4/k=16):
+    * codes from the per-subspace argmin, recon_mse = ADC of the row's
+    * own codes / dim — the distance to the argmin codeword IS the min,
+    * so d0..d3 are reused directly. */
+  def pqCodesSql(): Option[String] = cb16.map { cb =>
+    val m = cb.size
+    val sub = cb.head.head.size
+    val dim = m * sub
+    val codeCols = (0 until m).map(j => s"c$j").mkString(", ")
+    s"""WITH cb(j, c, w) AS (VALUES
+       |    ${cbValues(cb)}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |${cdCte(sub)},
+       |$codesCte,
+       |${pivotCte(m)}
+       |SELECT vec_id,
+       |       concat_ws(',', $codeCols) AS codes,
+       |       round((${sumChain("d", m)}) / $dim, 6) AS recon_mse
+       |FROM pc ORDER BY vec_id""".stripMargin
+  }
+
+  /** Query-side ADC join: for each candidate (query, neighbor) pair,
+    * the score is the sum over ascending subspaces of the query's
+    * distance to the neighbor's codeword — one qd lookup per
+    * subspace. */
+  private def adcJoins(m: Int, candTable: String): String =
+    (0 until m).map(j =>
+      s"  JOIN qd q$j ON q$j.query_id = $candTable.query_id " +
+        s"AND q$j.j = $j AND q$j.c = $candTable.c$j").mkString("\n")
+
+  /** DuckDB twin of `pq_topk` ([[Extensions.pqTopK]] at m=4/kCode=16):
+    * full-precision queries scored against the encoded corpus by ADC,
+    * rank ties to the lower neighbor id. */
+  def pqTopKSql(queryIds: Seq[Long], k: Int): Option[String] =
+    cb16.map { cb =>
+      val m = cb.size
+      val sub = cb.head.head.size
+      val ids = queryIds.mkString(", ")
+      s"""WITH cb(j, c, w) AS (VALUES
+         |    ${cbValues(cb)}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |${cdCte(sub)},
+         |$codesCte,
+         |${pivotCte(m)},
+         |qd AS (SELECT vec_id AS query_id, j, c, d FROM cd
+         |       WHERE vec_id IN ($ids)),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, pc.*
+         |  FROM pc, (SELECT vec_id FROM e WHERE vec_id IN ($ids)) q
+         |  WHERE pc.vec_id <> q.vec_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         |         round(${(0 until m).map(j => s"q$j.d").mkString(" + ")},
+         |               6) AS adc_dist
+         |  FROM cand
+         |${adcJoins(m, "cand")}),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist, neighbor_id)::INT AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, adc_dist, rank
+         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+
+  /** DuckDB twin of `ivfpq_topk` ([[Extensions.ivfPqTopK]] defaults):
+    * float-centroid cell assignment (celld serves BOTH the corpus
+    * assignment and the query probe — the operator computes the same
+    * distance for both), ADC over the probed cells' codes, bounded
+    * shortlist, exact squared-L2 re-rank. */
+  def ivfpqSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+      refineFactor: Int): Option[String] = ivfpqFit.map { case (cents, cb) =>
+    val m = cb.size
+    val sub = cb.head.head.size
+    val dim = m * sub
+    val ids = queryIds.mkString(", ")
+    val centRows = cents.zipWithIndex
+      .map { case (w, i) => s"($i, ${listLit(w.toSeq)})" }
+      .mkString(",\n    ")
+    val cellDl = diffList("e.emb", "", "cent.w", dim)
+    val refDl = diffList("en.emb", "", "eq_w", dim)
+    val adcSum = (0 until m).map(j => s"q$j.d").mkString(" + ")
+    s"""WITH cent(cell, w) AS (VALUES
+       |    $centRows),
+       |cb(j, c, w) AS (VALUES
+       |    ${cbValues(cb)}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |celld AS (
+       |  SELECT e.vec_id, cent.cell,
+       |         list_dot_product($cellDl,
+       |                          $cellDl) AS d
+       |  FROM e, cent),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT celld.*, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY d, cell) AS rn FROM celld)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT celld.*, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY d, cell) AS rn FROM celld
+       |    WHERE vec_id IN ($ids))
+       |  WHERE rn <= $nprobe),
+       |${cdCte(sub)},
+       |$codesCte,
+       |${pivotCte(m)},
+       |qd AS (SELECT vec_id AS query_id, j, c, d FROM cd
+       |       WHERE vec_id IN ($ids)),
+       |cand AS (
+       |  SELECT p.query_id, pc.*
+       |  FROM probe p
+       |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN pc ON pc.vec_id = a.vec_id),
+       |sc AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |         round($adcSum, 6) AS adc_dist
+       |  FROM cand
+       |${adcJoins(m, "cand")}),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_dist, neighbor_id) AS rn FROM sc)
+       |  WHERE rn <= ${k * refineFactor}),
+       |ref AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |         round(list_dot_product($refDl,
+       |                                $refDl), 6) AS l2_dist
+       |  FROM sl
+       |  JOIN e en ON en.vec_id = sl.neighbor_id
+       |  JOIN (SELECT vec_id, emb AS eq_w FROM e) eq
+       |    ON eq.vec_id = sl.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, l2_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY l2_dist, neighbor_id)::INT AS rank
+       |  FROM ref)
+       |SELECT query_id, neighbor_id, l2_dist, rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // Deferred oracle generator for entries whose DuckDB twin inlines
+    // DRIVER-FIT literals (PQ codebooks, coarse centroids): the SQL
+    // can only be written after the query has run and stashed its fit
+    // (graft.engine.PqOracles), so Verify evaluates this thunk when it
+    // dumps oracle_sql.json — after the catalog pass. Returns None
+    // when the fit never ran (partial local runs) → the entry degrades
+    // to the contract's rows-only check instead of lying.
+    lazyOracle: () => Option[String] = () => None)
 
 /** The relational query catalog: every SQL-expressible operator family from
   * SURVEY.md §2 bound to the driver testdata tables. Conventions for oracle
