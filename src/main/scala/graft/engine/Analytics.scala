@@ -2782,6 +2782,79 @@ object Analytics {
         (col("__tm") / lit(1000000.0)).as("psi_term"), col("psi_total"))
   }
 
+  /** Windowed drift SERIES: PSI of every time bucket's value
+    * distribution against one REFERENCE window of the same table —
+    * the per-time-bucket monitoring form the one-shot two-sample ops
+    * ([[ksTest]]/[[psiDrift]]/[[w1Drift]]) lack. Production drift is a
+    * time series ("which week did the feature shift?"), not a single
+    * statistic; this emits one row per bucket so the alert is a filter
+    * on `psi` over the series (rule of thumb: > 0.25 = shifted).
+    *
+    * Semantics: rows where `isRef` holds form the reference histogram
+    * (global, one per call); every bucket with at least one current
+    * (non-reference) row gets PSI(reference → bucket) over a fixed
+    * `nBins` integer-cent grid, add-1 smoothed over the FULL grid
+    * (empty bins included, [[psiDrift]]'s rule). Per-bin terms are
+    * micro-nat-quantized longs so each bucket's total is order-free
+    * integer algebra — oracle-exact. Returns
+    * (bucket, n_ref, n_cur, psi) ordered by nothing (caller sorts).
+    *
+    * Scale shape: ONE corpus scan into a map-side-combinable
+    * groupBy(bucket, bin) — at most buckets×nBins cells regardless of
+    * corpus size — which is then cached and eagerly materialized: the
+    * reference histogram, the bucket totals, and the grid completion
+    * are all derived from that tiny cached frame, so Catalyst cannot
+    * silently re-scan the corpus per branch (the r12 exchange-reuse
+    * traps; a calendar of buckets × 20 bins is kilobytes at any SF).
+    */
+  def driftSeries(df: DataFrame, valueCol: String, isRef: Column,
+      bucket: Column, binWidthCents: Long, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need nBins >= 2")
+    require(binWidthCents >= 1, "need binWidthCents >= 1")
+    requireNoReserved(df, Seq("bucket", "bin", "__yr", "__cr", "__cc",
+      "__rb", "__nr", "__ncur", "__p", "__q", "__tm", "n_ref", "n_cur",
+      "psi"))
+    val spark = df.sparkSession
+    val cells = df
+      .select(bucket.as("bucket"),
+        when(isRef, 1L).otherwise(0L).as("__yr"),
+        least(greatest(
+          expr(s"cast(round(`$valueCol` * 100) as long) div $binWidthCents"),
+          lit(0L)), lit(nBins - 1L)).cast("int").as("bin"))
+      .groupBy("bucket", "bin")
+      .agg(sum("__yr").as("__cr"),
+        (count(lit(1)) - sum("__yr")).as("__cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize: every branch below reads the cache
+    val refHist = cells.groupBy("bin").agg(sum("__cr").as("__rb"))
+    val nRef = cells.agg(sum("__cr").as("__nr"))
+    val curBuckets = cells.groupBy("bucket")
+      .agg(sum("__cc").as("__ncur"))
+      .filter(col("__ncur") > 0)
+    val grid = curBuckets.crossJoin(
+      broadcast(spark.range(nBins).select(col("id").cast("int").as("bin"))))
+    val full = grid
+      .join(cells.select(col("bucket"), col("bin"), col("__cc")),
+        Seq("bucket", "bin"), "left")
+      .na.fill(0L, Seq("__cc"))
+      .join(broadcast(refHist), Seq("bin"), "left")
+      .na.fill(0L, Seq("__rb"))
+      .crossJoin(broadcast(nRef))
+    full
+      .withColumn("__p", (col("__rb") + 1).cast("double") /
+        (col("__nr") + nBins).cast("double"))
+      .withColumn("__q", (col("__cc") + 1).cast("double") /
+        (col("__ncur") + nBins).cast("double"))
+      .withColumn("__tm",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q"))
+          * 1000000.0).cast("long"))
+      .groupBy("bucket")
+      .agg(max("__nr").as("n_ref"), max("__ncur").as("n_cur"),
+        sum("__tm").as("__s"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        (col("__s") / lit(1000000.0)).as("psi"))
+  }
+
   /** Per-group Spearman rank correlation between two numeric columns
     * with textbook average-rank tie handling — the monotone-association
     * companion to [[trendSlope]]'s linear fit (drift in a feature's

@@ -1869,6 +1869,54 @@ object AnalyticsQueries {
              |       (SELECT sum(tm) FROM x) / 1000000.0 AS psi_total
              |FROM x ORDER BY bin""".stripMargin)),
 
+    // ── windowed drift SERIES (VERDICT r12 #3): PSI of every post-1995
+    // order month against the pre-1995 reference window — the
+    // per-time-bucket monitoring form of psi_split, one row per month.
+    // Same 20-bin integer-cent grid, add-1 smoothing over the full
+    // grid, micro-nat-quantized per-bin terms → order-free integer
+    // totals. ONE corpus scan into a cached buckets×bins cell frame ─────
+    QuerySpec("drift_series",
+      (s, d) => Analytics.driftSeries(orders(s, d), "o_totalprice",
+          expr("cast(cast(o_orderdate as timestamp) as long)")
+            < lit(788918400L),
+          to_date(date_trunc("MONTH", col("o_orderdate").cast("timestamp"))),
+          binWidthCents = 2500000L, nBins = 20)
+        .orderBy("bucket"),
+      Some("""WITH b AS (
+             |  SELECT date_trunc('month', o_orderdate)::DATE AS bucket,
+             |         CASE WHEN epoch_us(o_orderdate)//1000000 < 788918400
+             |           THEN 1 ELSE 0 END AS yr,
+             |         least(greatest(
+             |           CAST(round(o_totalprice * 100) AS BIGINT)
+             |             // 2500000, 0), 19) AS bin
+             |  FROM orders),
+             |cells AS (SELECT bucket, bin, sum(yr)::BIGINT AS cr,
+             |                 (count(*) - sum(yr))::BIGINT AS cc
+             |          FROM b GROUP BY 1, 2),
+             |rh AS (SELECT bin, sum(cr)::BIGINT AS rb FROM cells GROUP BY 1),
+             |nr AS (SELECT sum(cr)::BIGINT AS nrf FROM cells),
+             |cbk AS (SELECT bucket, sum(cc)::BIGINT AS ncur FROM cells
+             |        GROUP BY 1 HAVING sum(cc) > 0),
+             |g AS (SELECT bucket, ncur,
+             |             unnest(generate_series(0, 19)) AS bin
+             |      FROM cbk),
+             |f AS (SELECT g.bucket, g.ncur, g.bin,
+             |             coalesce(c.cc, 0)::BIGINT AS cc,
+             |             coalesce(rh.rb, 0)::BIGINT AS rb
+             |      FROM g LEFT JOIN cells c
+             |        ON c.bucket = g.bucket AND c.bin = g.bin
+             |      LEFT JOIN rh ON rh.bin = g.bin),
+             |x AS (SELECT bucket, ncur, nrf,
+             |        CAST(round(((rb + 1)::DOUBLE / (nrf + 20)
+             |                    - (cc + 1)::DOUBLE / (ncur + 20))
+             |          * ln(((rb + 1)::DOUBLE / (nrf + 20))
+             |               / ((cc + 1)::DOUBLE / (ncur + 20)))
+             |          * 1000000.0) AS BIGINT) AS tm
+             |      FROM f CROSS JOIN nr)
+             |SELECT bucket, nrf AS n_ref, ncur AS n_cur,
+             |       sum(tm) / 1000000.0 AS psi
+             |FROM x GROUP BY bucket, nrf, ncur ORDER BY bucket""".stripMargin)),
+
     // ── per-nation Spearman rank correlation between daily order
     // count and daily revenue: average-rank ties in DOUBLED integer
     // units, Pearson-on-ranks moments in exact decimal — rank windows

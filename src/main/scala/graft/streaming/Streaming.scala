@@ -32,6 +32,53 @@ object Streaming {
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 
+  /** Event-time-windowed drift series — the streaming twin of
+    * [[graft.engine.Analytics.driftSeries]]: every tumbling event-time
+    * window's distribution of `binCol` (a precomputed 0..nBins-1 bin
+    * id) is PSI-compared against a FROZEN reference histogram (the
+    * training-window counts, driver-known literals — the
+    * [[driftMonitorSink]] baseline made event-time-correct: windows
+    * close on watermarks, not on micro-batch boundaries, so the series
+    * is the same whether the day arrives in 3 batches or 300).
+    *
+    * Why one stateful op: the whole per-window histogram folds into
+    * ONE windowed aggregation of nBins conditional sums (bounded state
+    * per open window); the PSI arithmetic is then a stateless
+    * projection against literal reference probabilities — streams
+    * never need a second stateful pass, so this runs in append mode
+    * with plain watermark semantics. Works on batch and streaming
+    * inputs alike (the batch/stream equivalence law in StreamingSpec).
+    * Per-bin terms micro-nat-quantized (the [[graft.engine.Analytics]]
+    * drift-family convention) so totals are order-free longs.
+    * Returns (window, n_cur, psi).
+    */
+  def driftSeriesWindowed(df: DataFrame, tsCol: String, binCol: String,
+      refHist: Seq[Long], windowDuration: String): DataFrame = {
+    val nBins = refHist.size
+    require(nBins >= 2, "need a reference histogram with >= 2 bins")
+    require(refHist.forall(_ >= 0), "reference counts must be >= 0")
+    val nRef = refHist.sum
+    val aggs = (0 until nBins).map(b =>
+      sum(when(col(binCol) === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val counts = df
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+    val ncur = (0 until nBins).map(b => col(s"__c$b")).reduce(_ + _)
+    val tms = (0 until nBins).map { b =>
+      // the reference side is a plain Scala double literal — frozen at
+      // plan time, identical in every window and every micro-batch
+      val p = (refHist(b) + 1).toDouble / (nRef + nBins).toDouble
+      val q = (col(s"__c$b") + 1).cast("double") /
+        (col("__ncur") + nBins).cast("double")
+      round((lit(p) - q) * log(lit(p) / q) * 1000000.0).cast("long")
+    }
+    counts
+      .withColumn("__ncur", ncur)
+      .withColumn("psi",
+        tms.reduce(_ + _) / lit(1000000.0))
+      .select(col("window"), col("__ncur").as("n_cur"), col("psi"))
+  }
+
   /** 30-minute-gap session windows per user (the streaming-native
     * equivalent of Relational's lag+cumsum sessionize).
     */

@@ -1498,6 +1498,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(sum - total) < 1e-9)
   }
 
+  // ── driftSeries ──────────────────────────────────────────────────────
+
+  test("driftSeries: a bucket matching the reference histogram scores " +
+      "exactly zero PSI, a concentrated bucket scores high, and " +
+      "reference-only buckets never enter the series") {
+    // bins 0..3 at binWidth 100 cents: value v lands in bin v
+    def rows(bucket: String, isRef: Boolean, hist: Seq[Int]) =
+      hist.zipWithIndex.flatMap { case (n, bin) =>
+        Seq.fill(n)((bucket, isRef, bin.toDouble)) }
+    val df = (rows("ref_window", isRef = true, Seq(10, 20, 30, 40)) ++
+        rows("b_same", isRef = false, Seq(10, 20, 30, 40)) ++
+        rows("b_shift", isRef = false, Seq(100, 0, 0, 0)))
+      .toDF("b", "r", "v")
+    val out = Analytics.driftSeries(df, "v", col("r"), col("b"),
+      binWidthCents = 100L, nBins = 4)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("b_same", "b_shift"),
+      s"reference-only bucket leaked into: ${out.toSeq}")
+    val same = out.find(_._1 == "b_same").get
+    val shift = out.find(_._1 == "b_shift").get
+    // identical histogram + identical totals ⇒ p == q in every bin ⇒
+    // every micro-nat term is exactly 0
+    assert(same == ("b_same", 100L, 100L, 0.0), s"got $same")
+    assert(shift._2 == 100L && shift._3 == 100L)
+    assert(shift._4 > 0.5, s"concentrated bucket scored ${shift._4}")
+  }
+
   // ── spearmanByGroup ──────────────────────────────────────────────────
 
   test("spearman: monotone association is ±1, ties match brute force") {

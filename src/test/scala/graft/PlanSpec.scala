@@ -685,6 +685,31 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 orders scan, got $scans:\n$plan")
   }
 
+  test("drift_series reads orders ONCE: the reference histogram, the " +
+      "bucket totals and the grid completion all derive from the " +
+      "cached buckets×bins cell frame") {
+    val plan = executedPlan(SparkEntry.queries("drift_series")(spark, sf))
+    // the corpus scan happens once, INSIDE the eagerly-materialized
+    // cache. In the printed plan every InMemoryRelation node echoes
+    // its cached child (which contains the one orders FileScan), so
+    // the pin is: every orders-scan line is such an echo — the count
+    // of orders scans equals the count of InMemoryRelation printouts,
+    // and each cached relation is consumed via InMemoryTableScan
+    // (never re-executed). An uncached branch would add an orders
+    // FileScan with no matching InMemoryRelation and break the bijection.
+    val scans = plan.linesIterator.count(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) &&
+        l.contains("orders"))
+    val rels = plan.linesIterator.count(_.contains("InMemoryRelation"))
+    val reads = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    // Spark 4.1 prints each InMemoryRelation's cached child twice
+    // (original + AQE-replanned copy) → exactly 2 echoed FileScans per
+    // relation; an uncached branch would break the 2:1 bijection
+    assert(rels > 0 && reads == rels && scans == 2 * rels,
+      s"expected all orders scans inside cached-relation printouts " +
+        s"(scans=$scans, relations=$rels, tableScans=$reads):\n$plan")
+  }
+
   test("js_divergence tokenizes the corpus ONCE: totals and the grand " +
       "total ride the (segment, token) aggregate's exchange") {
     val plan = executedPlan(SparkEntry.queries("js_divergence")(spark, sf))

@@ -10,6 +10,8 @@ import graft.streaming.Streaming
   * the events table as a batch DataFrame and as a file-source stream
   * must agree (SURVEY.md §2.8 stretch — test-only, not oracle-checked).
   */
+case class BinnedEvent(ts: java.sql.Timestamp, bin: Int)
+
 class StreamingSpec extends AnyFunSuite {
   import TestSpark.spark
 
@@ -231,6 +233,60 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("driftSeriesWindowed: append-mode stream under a watermark and " +
+      "uneven micro-batches emits the same per-window PSI series as " +
+      "the batch run (VERDICT r12 #3)") {
+    import spark.implicits._
+    val binned = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), least(greatest(
+          (round(col("value") * 100).cast("long") / lit(2000L)).cast("int"),
+          lit(0)), lit(7)).as("bin"))
+    // frozen reference histogram: the purchase-event value mix
+    // (bounded collect: 8 bins)
+    val refMap = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "purchase")
+      .select(least(greatest(
+          (round(col("value") * 100).cast("long") / lit(2000L)).cast("int"),
+          lit(0)), lit(7)).as("bin"))
+      .groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ref = (0 until 8).map(b => refMap.getOrElse(b, 0L))
+    val expected = Streaming
+      .driftSeriesWindowed(binned, "ts", "bin", ref, "6 hours")
+      .select(col("window.start").as("ws"), col("n_cur"), col("psi"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val rows = binned.as[BinnedEvent].collect().sortBy(_.ts.getTime)
+    assert(rows.length > 100)
+    val sentinel = BinnedEvent(
+      new java.sql.Timestamp(rows.last.ts.getTime + 10L * 86400000L), 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BinnedEvent](spark)
+    val q = Streaming.driftSeriesWindowed(
+        in.toDS().toDF().withWatermark("ts", "1 minute"),
+        "ts", "bin", ref, "6 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_series_out").start()
+    try {
+      // three deliberately uneven waves, time-ordered so the watermark
+      // only advances; the sentinel closes every real window
+      val (w1, rest) = rows.splitAt(rows.length / 10)
+      val (w2, w3) = rest.splitAt(rest.length / 2)
+      Seq(w1, w2, w3, Array(sentinel)).foreach { wave =>
+        in.addData(wave.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("drift_series_out")
+        .select(col("window.start").as("ws"), col("n_cur"), col("psi"))
+        .filter(col("ws") <= rows.last.ts) // the sentinel window stays open
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      assert(streamed == expected,
+        s"stream emitted ${streamed.size} windows, batch ${expected.size}")
+      assert(expected.size > 3)
+    } finally q.stop()
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark on event_id") {
