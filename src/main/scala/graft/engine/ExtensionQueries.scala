@@ -25,6 +25,7 @@ object ExtensionQueries {
   private val CmsDepth = 4
   private val CmsWidth = 16384
   private val DsirBuckets = 4096
+  private val QualityLrBuckets = 512
   private val BloomBits = 1 << 20
   private val BloomHashes = 4
   private val Bm25Queries: Seq[(Long, String)] = Seq(
@@ -1157,6 +1158,23 @@ object ExtensionQueries {
              |         AS log_weight
              |FROM docf JOIN lp USING (f)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── learned quality filter (VERDICT r12 #5): LogisticRegression on
+    // gopher_rules weak labels over the dsir hashed-n-gram stream; the
+    // SCORING pass is an exact integer dot product with the
+    // micro-quantized fitted weights — ORACLE-exact via the
+    // driver-fit-literal playbook (the fit itself is spec-covered) ──────
+    QuerySpec("quality_score_lr",
+      (s, d) => {
+        val out = Extensions.qualityScoreLr(documents(s, d), "text",
+            "doc_id", buckets = QualityLrBuckets)
+          .orderBy("doc_id")
+        Option(Extensions.lastQualityLrFit.get())
+          .foreach(PqOracles.stashQualityLr)
+        out
+      },
+      None,
+      lazyOracle = () => PqOracles.qualityLrSql(QualityLrBuckets)),
 
     // ── the full curation pipeline composed end-to-end (dedup → quality
     // filter → PII scrub → deterministic split) — ONE shuffle total;

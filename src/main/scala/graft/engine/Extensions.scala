@@ -3481,6 +3481,94 @@ object Extensions {
         (col("__s") / lit(1000000.0)).as("log_weight"))
   }
 
+  /** The most recent [[qualityScoreLr]] fit (micro-quantized
+    * coefficients + intercept), captured for the deferred DuckDB-twin
+    * generator — the [[lastIvfPqFit]] pattern: the LBFGS fit is
+    * MLlib-distributed, so the oracle replays THIS run's weights. */
+  private[graft] val lastQualityLrFit = new java.util.concurrent.atomic
+    .AtomicReference[(Seq[Long], Long)](null)
+
+  /** Quality-classifier scoring — the fasttext-style learned quality
+    * filter every production corpus uses (and the bridge between the
+    * MLPipe and text families): train LogisticRegression on WEAK
+    * labels ([[gopherRules]] `passes` — no human labels anywhere) over
+    * hashed n-gram counts (the [[dsirWeights]] feature stream), then
+    * score the whole corpus with the fitted weights.
+    *
+    * The split that makes this 100 TB-shaped: the FIT is bounded (a
+    * `buckets`-dim problem over the labeled sample — here the corpus,
+    * in production a hash-sampled slice), while the SCORING pass is
+    * pure feature hashing + one integer dot product per document — no
+    * model object, no MLlib at scoring time, just a literal weight
+    * array inside codegen. Coefficients are micro-quantized to longs
+    * (round(w·1e6)), so each document's log-odds margin is EXACT
+    * integer algebra — order-free, and replayable by the DuckDB twin
+    * with the weights inlined as literals ([[PqOracles]] playbook).
+    *
+    * Returns (idCol, n_feats, log_odds, predict) for every document
+    * with ≥1 feature; log_odds = margin/1e6 (monotone in the model
+    * probability — the sigmoid is deliberately NOT applied, keeping
+    * the output exact), predict = margin > 0.
+    *
+    * Scale shape: ONE tokenize pass into a cached (doc, bucket) count
+    * frame feeds both the training vectors and the scoring pass; the
+    * per-doc dense vector materializes only for the bounded fit input.
+    */
+  def qualityScoreLr(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 512, regParam: Double = 0.1,
+      maxIter: Int = 50): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      "need 2 <= buckets <= 65536")
+    requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__m",
+      "__vec", "__lbl", "__s", "n_feats", "log_odds", "predict"))
+    val b = buckets.toLong
+    val toks = docs.select(col(idCol),
+      filter(tokens(col(textCol)), x => x =!= lit("")).as("__toks"))
+    val featStream = toks.select(col(idCol),
+        explode(concat(col("__toks"), zip_with(
+          slice(col("__toks"), lit(1),
+            greatest(lit(0), size(col("__toks")) - 1)),
+          slice(col("__toks"), lit(2),
+            greatest(lit(0), size(col("__toks")) - 1)),
+          (x, y) => concat(x, lit(" "), y)))).as("__feat"))
+      .select(col(idCol), pmod(md5Hash60(col("__feat")), lit(b)).as("__f"))
+    // one tokenize pass, cached: the fit input AND the scoring pass
+    // read this frame (≤ docs × distinct-buckets rows, never re-derived)
+    val docF = featStream
+      .filter(col(idCol).isNotNull && col("__f").isNotNull)
+      .groupBy(col(idCol), col("__f"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docF.count()
+    val counts = docF.groupBy(idCol)
+      .agg(map_from_entries(collect_list(
+        struct(col("__f").cast("int"), col("__n").cast("double"))))
+        .as("__m"))
+      .select(col(idCol),
+        org.apache.spark.ml.functions.array_to_vector(
+          transform(sequence(lit(0), lit(buckets - 1)),
+            k => coalesce(element_at(col("__m"), k), lit(0.0))))
+          .as("__vec"))
+    val labels = gopherRules(docs, textCol, idCol)
+      .select(col(idCol), col("passes").cast("double").as("__lbl"))
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("__vec").setLabelCol("__lbl")
+      .setRegParam(regParam).setMaxIter(maxIter)
+      .fit(counts.join(labels, idCol))
+    val wMicro: Seq[Long] = model.coefficients.toArray
+      .map(w => math.round(w * 1e6)).toSeq
+    val bMicro: Long = math.round(model.intercept * 1e6)
+    lastQualityLrFit.set((wMicro, bMicro))
+    val wLit = typedLit(wMicro)
+    docF.groupBy(idCol)
+      .agg(sum("__n").as("n_feats"),
+        sum(col("__n") * element_at(wLit, col("__f").cast("int") + 1))
+          .as("__s"))
+      .select(col(idCol), col("n_feats"),
+        ((col("__s") + bMicro) / lit(1000000.0)).as("log_odds"),
+        (col("__s") + bMicro > 0).cast("int").as("predict"))
+  }
+
   /** Deterministic DSIR importance RESAMPLING — the sampling half of
     * Xie et al. 2023 that [[dsirWeights]] leaves downstream: draw the
     * k documents with the largest (log_weight + Gumbel) keys, which

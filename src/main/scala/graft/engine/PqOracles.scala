@@ -54,6 +54,51 @@ private[graft] object PqOracles {
   def stashIvfPq(fit: (Seq[Array[Float]], Seq[Seq[Seq[Float]]])): Unit =
     ivfpqFit = Option(fit)
 
+  /** quality_score_lr's fitted weights (micro-quantized longs +
+    * intercept), captured from the operator run — same replay-not-refit
+    * doctrine as the ivfpq fit (the LBFGS fit is distributed). */
+  @volatile private var qualityLrFit: Option[(Seq[Long], Long)] = None
+
+  def stashQualityLr(fit: (Seq[Long], Long)): Unit =
+    qualityLrFit = Option(fit)
+
+  /** DuckDB twin of `quality_score_lr`
+    * ([[Extensions.qualityScoreLr]]): replays the dsir feature stream
+    * (unigram+bigram md5-60 bucketing — the dsir_weights oracle
+    * fragment) and scores each document by the EXACT integer dot
+    * product with the inlined micro-quantized weights. */
+  def qualityLrSql(buckets: Int): Option[String] = qualityLrFit.map {
+    case (w, b) =>
+      val wRows = w.zipWithIndex
+        .map { case (wm, f) => s"($f, $wm)" }.mkString(",\n    ")
+      s"""WITH w(f, wm) AS (VALUES
+         |    $wRows),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '),
+         |                     x -> x <> '') AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         unnest(list_concat(toks,
+         |           list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+         |  FROM t),
+         |docf AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(feat), 1, 15))::BIGINT
+         |           % $buckets AS f,
+         |         count(*)::BIGINT AS n
+         |  FROM f GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id, sum(n)::BIGINT AS n_feats,
+         |         sum(n * wm)::BIGINT + $b AS margin
+         |  FROM docf JOIN w USING (f) GROUP BY doc_id)
+         |SELECT doc_id, n_feats, margin / 1000000.0 AS log_odds,
+         |       (CASE WHEN margin > 0 THEN 1 ELSE 0 END)::INT AS predict
+         |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val cb16: Option[Seq[Seq[Seq[Float]]]] = cb16Thunk.map(_())
 
   /** Shortest-round-trip double literal of a float's exact double

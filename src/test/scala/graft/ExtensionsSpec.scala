@@ -1902,4 +1902,41 @@ class ExtensionsSpec extends AnyFunSuite {
     val nTarget = picked.count(_ < 30L)
     assert(nTarget >= 18, s"only $nTarget/20 draws were target-like")
   }
+
+  // ── qualityScoreLr ───────────────────────────────────────────────────
+
+  test("qualityScoreLr: the fit is deterministic (two fits agree to " +
+      "the micro-unit), the scorer learns the weak-label signal, and " +
+      "log_odds is the exact micro-integer margin") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run() = {
+      val out = Extensions.qualityScoreLr(docs, "text", "doc_id",
+        buckets = 512)
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).sortBy(_._1).toSeq
+      (rows, Extensions.lastQualityLrFit.get())
+    }
+    val (rows1, fit1) = run()
+    val (rows2, fit2) = run()
+    assert(fit1 == fit2,
+      "two fits on the same corpus must micro-round identically")
+    assert(rows1 == rows2)
+    // the weak labels are derivable from the text, so the trained
+    // scorer must recover them far above chance on its training set
+    val labels = Extensions.gopherRules(docs, "text", "doc_id")
+      .select(col("doc_id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(labels.values.toSet == Set(0, 1),
+      "weak labels must contain both classes")
+    val scored = rows1.filter(r => labels.contains(r._1))
+    val acc = scored.count(r => labels(r._1) == r._4).toDouble / scored.size
+    assert(acc >= 0.8, f"training accuracy $acc%.3f below 0.8")
+    // margin exactness: log_odds · 1e6 is an integer (the micro margin)
+    rows1.foreach { case (_, _, lo, pred) =>
+      val micro = lo * 1e6
+      assert(math.abs(micro - math.rint(micro)) < 1e-6,
+        s"log_odds $lo is not an exact micro-unit value")
+      assert((micro > 0) == (pred == 1))
+    }
+  }
 }
