@@ -1706,6 +1706,24 @@ object ExtensionQueries {
       },
       None),
 
+    // ── end-to-end audio similarity (VERDICT r12 #4): WAV decode →
+    // bounded Goertzel band-energy + envelope embedding
+    // (partition-local, waveform bytes never leave the executor) →
+    // the EXISTING IVF query path — the audio leg of the multimodal
+    // composition point, mirroring image_similarity. Exhaustive probes
+    // make the search exact given the embeddings; decode determinism
+    // and frequency discrimination are pinned in MultimodalSpec —
+    // rows-only here (synthesized WAV bytes aren't SQL-expressible) ─────
+    QuerySpec("audio_similarity",
+      (s, d) => {
+        val media = Multimodal.synthesizeMedia(documents(s, d), "doc_id")
+        val emb = Multimodal.audioEmbeddings(media).toDF()
+        Extensions.annIvf(emb, "embedding", "media_id",
+            queryIds = Seq(1L, 4L, 7L), k = 10, nCells = 8, nprobe = 8)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ── IVF ANN (seeded KMeans coarse quantizer → rows-only) ─────────────
     QuerySpec("ann_ivf",
       (s, d) => Extensions.annIvf(embeddings(s, d), "embedding", "vec_id",

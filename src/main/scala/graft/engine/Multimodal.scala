@@ -311,6 +311,88 @@ object Multimodal {
     }
   }
 
+  /** Normalized mono samples of a 16-bit PCM WAV payload (the decode
+    * half of [[decodeAudio]], factored for feature extractors that
+    * need the waveform itself). */
+  private def pcmSamples(bytes: Array[Byte]): (Array[Double], Float) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val s =
+          if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+          else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+        x(i) = s / 32768.0
+        i += 1
+      }
+      (x, fmt.getSampleRate)
+    } finally ais.close()
+  }
+
+  /** Bounded spectral embedding of a WAV payload: `nBands` Goertzel
+    * DFT magnitudes at FIXED physical frequencies (200..200+100·nBands
+    * Hz — length-invariant band energies, the audio analogue of the
+    * [[thumbnail]] histogram) concatenated with `nSeg` per-segment RMS
+    * values (the temporal envelope). O(n·nBands) per row, StrictMath
+    * only (bit-exact across JVMs), no FFT library.
+    */
+  def audioBandEnergy(bytes: Array[Byte], nBands: Int = 8,
+      nSeg: Int = 8): Array[Float] = {
+    require(nBands >= 1 && nSeg >= 1, "need nBands >= 1 and nSeg >= 1")
+    val (x, rate) = pcmSamples(bytes)
+    val n = x.length
+    val out = new Array[Float](nBands + nSeg)
+    var b = 0
+    while (b < nBands) {
+      // Goertzel at f_b: |Σ x_k e^{-2πi f_b k / rate}| · 2/n
+      val w = 2.0 * StrictMath.PI * (200.0 + 100.0 * b) / rate
+      var re = 0.0; var im = 0.0; var k = 0
+      while (k < n) {
+        re += x(k) * StrictMath.cos(w * k)
+        im -= x(k) * StrictMath.sin(w * k)
+        k += 1
+      }
+      out(b) =
+        if (n == 0) 0f
+        else (2.0 * StrictMath.sqrt(re * re + im * im) / n).toFloat
+      b += 1
+    }
+    var s = 0
+    while (s < nSeg) {
+      val lo = (s.toLong * n / nSeg).toInt
+      val hi = ((s + 1).toLong * n / nSeg).toInt
+      var sumSq = 0.0; var k = lo
+      while (k < hi) { sumSq += x(k) * x(k); k += 1 }
+      out(nBands + s) =
+        if (hi == lo) 0f else StrictMath.sqrt(sumSq / (hi - lo)).toFloat
+      s += 1
+    }
+    out
+  }
+
+  /** Decode-side audio embedding — the audio leg of the multimodal →
+    * similarity-search composition point ([[imageEmbeddings]]'s
+    * contract): (media_id, array&lt;float&gt;) rows that
+    * [[Extensions.annIvf]] / [[IvfIndex]] consume unchanged (the
+    * catalog's `audio_similarity` entry). Decode and feature
+    * extraction stay partition-local — only the nBands+nSeg floats
+    * ride the exchange, never the waveform bytes.
+    */
+  def audioEmbeddings(media: Dataset[MediaRow], nBands: Int = 8,
+      nSeg: Int = 8): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "audio").mapPartitions { rows =>
+      rows.map(r =>
+        MediaEmbedding(r.media_id, audioBandEnergy(r.content, nBands, nSeg)))
+    }
+  }
+
   /** Size-aware repartitioning: media payloads are orders of magnitude
     * wider than relational rows, so partition count follows total bytes
     * (~targetBytes per partition), not row count. At 100 TB this is the

@@ -182,4 +182,62 @@ class MultimodalSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(s(out) == s(brute) && s(out).nonEmpty)
   }
+
+  test("audioEmbeddings: audio rows only, nBands+nSeg floats, " +
+      "deterministic across partitionings, and the band energies " +
+      "discriminate by frequency (same-pitch pair beats cross-pitch)") {
+    val emb = Multimodal.audioEmbeddings(media)
+      .collect().sortBy(_.media_id)
+    val audioIds = media.collect().filter(_.modality == "audio")
+      .map(_.media_id).sorted.toSeq
+    assert(emb.map(_.media_id).toSeq == audioIds && emb.nonEmpty)
+    assert(emb.forall(_.embedding.length == 16))
+    val again = Multimodal.audioEmbeddings(media.repartition(7))
+      .collect().sortBy(_.media_id)
+    assert(again.map(_.embedding.toSeq).toSeq ==
+      emb.map(_.embedding.toSeq).toSeq)
+    // synthAudioWav pitches by id mod 32: ids 1 and 97 share a
+    // frequency (different lengths), id 16 does not — the spectral
+    // half must rank the same-pitch pair above the cross-pitch pair
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = emb.map(e => e.media_id -> e.embedding).toMap
+    assert(cos(byId(1L), byId(97L)) > cos(byId(1L), byId(16L)),
+      s"same-pitch ${cos(byId(1L), byId(97L))} vs " +
+        s"cross-pitch ${cos(byId(1L), byId(16L))}")
+  }
+
+  test("audio_similarity: the band-energy IVF search with exhaustive " +
+      "probes equals brute-force cosine top-k over the same " +
+      "embeddings, ranks with the bounded heap, and the top " +
+      "neighbor shares the query's pitch") {
+    val out = SparkEntry.queries("audio_similarity")(spark,
+      "/root/testdata/sf0.001")
+    out.collect()
+    val plan = (out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("topkpairs"), s"no bounded-heap rank in:\n$plan")
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Multimodal.audioEmbeddings(
+      Multimodal.synthesizeMedia(docs, "doc_id")).toDF()
+    val brute = graft.engine.Extensions.cosineTopK(emb, "embedding",
+      "media_id", queryIds = Seq(1L, 4L, 7L), k = 10)
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(s(out) == s(brute) && s(out).nonEmpty)
+    // nearest neighbor of each query is an audio at the SAME pitch
+    // (synth pitch = 200 + (id mod 32)·25)
+    out.filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .select("query_id", "neighbor_id").collect().foreach { r =>
+        assert(r.getLong(0) % 32 == r.getLong(1) % 32,
+          s"top neighbor of ${r.getLong(0)} was ${r.getLong(1)}")
+      }
+  }
 }
