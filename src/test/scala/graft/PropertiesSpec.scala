@@ -499,4 +499,107 @@ class PropertiesSpec extends AnyFunSuite {
       assert(trans == delta.toDouble, s"translation $delta -> $trans")
     }
   }
+
+  // ── graph convergence-quality laws (VERDICT r12 #8) ─────────────────
+
+  /** Random multigraph edge lists over ≤10 nodes — self-loops,
+    * duplicates and reversals included on purpose (the operators must
+    * normalize them away exactly like the brute force does). */
+  val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(18, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+
+  private def normalize(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
+    edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+
+  /** Reference synchronous LPA: every node starts from its own id and
+    * each round adopts the (count desc, label asc)-best label among
+    * its neighbors plus itself — Analytics.labelPropagation's exact
+    * contract, in-memory. */
+  private def bruteLpa(edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val und = normalize(edges)
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(n => n -> und.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }).toMap
+    var labels = nodes.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      labels = nodes.map { n =>
+        val votes = (adj(n).toSeq.map(labels) :+ labels(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        n -> votes.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  /** Reference k-core: peel nodes with degree < k to the fixpoint. */
+  private def bruteKCore(edges: Seq[(Long, Long)],
+      k: Int): Map[Long, Int] = {
+    var und = normalize(edges)
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next != und
+      und = next
+    }
+    und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+  }
+
+  test("kCore equals the brute-force iterative peel (survivor set AND " +
+      "core degrees) on random multigraphs, for k = 2 and 3") {
+    forAll(randomEdges) { edges =>
+      whenNonEmpty(edges) { df =>
+        Seq(2, 3).foreach { k =>
+          val got = graft.engine.Analytics.kCore(df, "a", "b", k)
+            .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+          val exp = bruteKCore(edges, k)
+          assert(got == exp, s"k=$k edges=$edges")
+        }
+      }
+    }
+  }
+
+  test("labelPropagation equals the brute-force synchronous LPA at " +
+      "every round count on random multigraphs") {
+    forAll(randomEdges) { edges =>
+      whenNonEmpty(edges) { df =>
+        Seq(1, 3).foreach { rounds =>
+          val got = graft.engine.Analytics
+            .labelPropagation(df, "a", "b", rounds = rounds)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val exp = bruteLpa(edges, rounds)
+          assert(got == exp, s"rounds=$rounds edges=$edges")
+        }
+      }
+    }
+  }
+
+  test("labelPropagation community quality: on two bridged cliques the " +
+      "labels STABILIZE (a fixpoint, not an oscillation) at exactly " +
+      "one label per clique, and the bridge never merges them") {
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 5L to 9L; j <- (i + 1) to 9L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 9L)).toList
+    val df = edges.toDF("a", "b")
+    def run(rounds: Int): Map[Long, Long] = graft.engine.Analytics
+      .labelPropagation(df, "a", "b", rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at4 = run(4)
+    assert(at4 == run(5), "labels must reach a fixpoint, not oscillate")
+    assert((0L to 4L).map(at4).toSet.size == 1, s"clique A split: $at4")
+    assert((5L to 9L).map(at4).toSet.size == 1, s"clique B split: $at4")
+    assert(at4(0L) != at4(5L), s"one bridge edge merged the cliques: $at4")
+  }
+
+  private def whenNonEmpty(edges: List[(Long, Long)])(
+      check: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    if (normalize(edges).nonEmpty) check(edges.toDF("a", "b"))
+  }
 }
