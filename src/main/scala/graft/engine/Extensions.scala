@@ -3516,7 +3516,7 @@ object Extensions {
     */
   def qualityScoreLr(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int = 512, regParam: Double = 0.1,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 15): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       "need 2 <= buckets <= 65536")
     requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__m",
@@ -3551,10 +3551,17 @@ object Extensions {
           .as("__vec"))
     val labels = gopherRules(docs, textCol, idCol)
       .select(col(idCol), col("passes").cast("double").as("__lbl"))
-    val model = new org.apache.spark.ml.classification.LogisticRegression()
-      .setFeaturesCol("__vec").setLabelCol("__lbl")
-      .setRegParam(regParam).setMaxIter(maxIter)
-      .fit(counts.join(labels, idCol))
+    // persist the assembled training frame: every LBFGS iteration is a
+    // treeAggregate over it — uncached, each of the maxIter passes
+    // would re-run the vector assembly and the gopher label scan
+    val train = counts.join(labels, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new org.apache.spark.ml.classification.LogisticRegression()
+        .setFeaturesCol("__vec").setLabelCol("__lbl")
+        .setRegParam(regParam).setMaxIter(maxIter)
+        .fit(train)
+      finally train.unpersist()
     val wMicro: Seq[Long] = model.coefficients.toArray
       .map(w => math.round(w * 1e6)).toSeq
     val bMicro: Long = math.round(model.intercept * 1e6)

@@ -30,13 +30,17 @@ for i in range(n):
              "SPARK_GRAFT_SHUFFLE_ORDER": seeds[i % len(seeds)],
              "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"},
         capture_output=True, text=True, cwd="/root/repo").stdout
+    # since r13 the stdout line is a compact summary; the full
+    # per-query map lives in bench_out.json beside the run
     line = next(l for l in out.splitlines() if '"metric"' in l)
     line = line[line.index('{"metric"'):]
-    d = json.loads(line)
-    if d["errors"]:
-        sys.exit(f"run {i}: bench reported errors: {d['errors']}")
+    summary = json.loads(line)
+    if summary["errors"]:
+        sys.exit(f"run {i}: bench reported errors: {summary['errors']}")
+    with open("/root/repo/bench_out.json") as f:
+        d = json.load(f)
     with open(f"/tmp/graft_bench_run{i}.json", "w") as f:
-        f.write(line)
+        json.dump(d, f)
     print(f"run {i}: total={d['value']:.1f}s", file=sys.stderr)
     runs.append(d["queries"])
 
