@@ -189,12 +189,63 @@ object ExtensionQueries {
        |FROM ($unionAll) ORDER BY query_id, sel_rank""".stripMargin
   }
 
-  /** One DuckDB twin serves BOTH hybrid-search catalog forms:
+  /** One DuckDB twin serves the hybrid-search catalog forms:
     * `rrf_fusion` (the in-memory operator) and `hybrid_topk` (the
     * persisted TextIndex + IvfIndex composition under exhaustive
-    * dense probes) — the two Spark paths are bit-equal by the
-    * HybridIndexSpec parity law, so they share this oracle verbatim. */
-  private def rrfOracleSql: String = s"""WITH q AS (
+    * dense probes) share it verbatim — the two Spark paths are
+    * bit-equal by the HybridIndexSpec parity law; and since r13
+    * `hybrid_topk_pruned` gets the SAME twin with the dense branch
+    * routed through the saved quantizer's literal centroids
+    * ([[rrfOracleSqlPruned]]): assignment by squared-L2 argmin
+    * (the r13 IVF-family rule), probe by (cos desc, cell), the
+    * rescore restricted to probed cells. */
+  private def rrfOracleSql: String = rrfOracleSqlWith(
+    denseFrom = "FROM embeddings e CROSS JOIN qe", postQeCtes = "")
+
+  /** The pruned-dense-branch variant — generated lazily from the
+    * centroids of THIS run's cached hybrid IvfIndex. */
+  private def rrfOracleSqlPruned(cents: Seq[Array[Float]],
+      nprobe: Int): String = {
+    val dim = cents.head.length
+    val centRows = cents.zipWithIndex
+      .map { case (w, i) => s"($i, ${PqOracles.listLit(w.toSeq)})" }
+      .mkString(",\n    ")
+    val cellDl = PqOracles.diffList("ev.emb", "", "cent.w", dim)
+    // these CTEs slot in AFTER qe (they rank the probe cells per
+    // query vector), hence postQeCtes
+    val preCtes = s"""cent(cell, w) AS (VALUES
+       |    $centRows),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |celld AS (
+       |  SELECT ev.vec_id, cent.cell,
+       |         list_dot_product($cellDl,
+       |                          $cellDl) AS d
+       |  FROM ev, cent),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT celld.*, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY d, cell) AS rn FROM celld)
+       |  WHERE rn = 1),
+       |qcent AS (
+       |  SELECT qe.query_id, cent.cell,
+       |         ${PqOracles.cosSql("qe.qe", "cent.w")} AS c
+       |  FROM qe, cent),
+       |qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qcent.*, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY c DESC, cell) AS rn FROM qcent)
+       |  WHERE rn <= $nprobe),
+       |""".stripMargin
+    rrfOracleSqlWith(
+      denseFrom = """FROM embeddings e
+        |  JOIN asg a ON a.vec_id = e.vec_id
+        |  JOIN qprobe p ON p.cell = a.cell
+        |  JOIN qe ON qe.query_id = p.query_id""".stripMargin,
+      postQeCtes = preCtes)
+  }
+
+  private def rrfOracleSqlWith(denseFrom: String,
+      postQeCtes: String): String = s"""WITH q AS (
              |  SELECT doc_id AS query_id, text AS qtext FROM documents
              |  WHERE doc_id IN (${RrfQueryIds.mkString(", ")})),
              |qt AS (
@@ -233,7 +284,7 @@ object ExtensionQueries {
              |qe AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
              |       FROM embeddings
              |       WHERE vec_id IN (${RrfQueryIds.mkString(", ")})),
-             |cs AS (
+             |${postQeCtes}cs AS (
              |  SELECT qe.query_id, e.vec_id AS doc_id,
              |         round(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
              |                                          e.embedding::DOUBLE[]) = 0
@@ -243,7 +294,7 @@ object ExtensionQueries {
              |                                             e.embedding::DOUBLE[]))
              |                     * sqrt(list_dot_product(qe.qe, qe.qe)))
              |               END, 6) AS cosine_sim
-             |  FROM embeddings e CROSS JOIN qe
+             |  $denseFrom
              |  WHERE e.vec_id <> qe.query_id),
              |denser AS (SELECT query_id, doc_id,
              |                  row_number() OVER (PARTITION BY query_id
@@ -490,11 +541,20 @@ object ExtensionQueries {
     // scale story runs on (ScaleProbe exponent 0.34 under grow-nCells;
     // seeded KMeans blocking → rows-only here, recall law pinned in
     // ExtensionsSpec against the exhaustive form) ───────────────────────
+    // (ORACLE-exact since r13: literal-centroid assignment + the
+    // shared (d, cell) probe ranking replayed from THIS run's
+    // captured fit — PqOracles.knnPrunedSql)
     QuerySpec("knn_join_pruned",
-      (s, d) => Extensions.knnJoin(embeddings(s, d), "embedding",
-          "vec_id", k = 3, nCells = 16, nprobe = 4)
-        .orderBy("query_id", "rank"),
-      None),
+      (s, d) => {
+        val out = Extensions.knnJoin(embeddings(s, d), "embedding",
+            "vec_id", k = 3, nCells = 16, nprobe = 4)
+          .orderBy("query_id", "rank")
+        Option(Extensions.lastKnnJoinFit.get())
+          .foreach(PqOracles.stashKnnPruned)
+        out
+      },
+      None,
+      lazyOracle = () => PqOracles.knnPrunedSql(k = 3, nprobe = 4)),
 
     // ── all-rows k-NN self-join (every row's top-3 neighbors — the
     // hard-negative-mining shape). Exhaustive probes here (nprobe =
@@ -1072,18 +1132,24 @@ object ExtensionQueries {
 
     // ── the pruned production configuration of the same saved layout
     // (nprobe < nCells): the lexical branch stays exact, the dense
-    // branch inherits the IVF recall trade — approximate by design →
-    // rows-only here; recall/exactness laws live in HybridIndexSpec ─────
+    // branch inherits the IVF recall trade. ORACLE-exact since r13:
+    // the saved quantizer's centroids are driver-known literals, so
+    // the twin replays the assignment (L2 argmin — the r13 IVF rule),
+    // the cosine probe, and the cell-restricted rescore of THIS run's
+    // cached index; recall/exactness laws stay in HybridIndexSpec ──────
     QuerySpec("hybrid_topk_pruned",
       (s, d) => {
         val (text, ivf) = hybridIndexes(s, d)
+        PqOracles.stashHybridIvf(ivf.centroidArrays)
         HybridIndex.queryByIds(text, ivf,
             documents(s, d), "text", RrfQueryIds,
             kBranch = RrfKBranch, k = RrfFinalK, nprobe = 2,
             rrfK = RrfConst)
           .orderBy("query_id", "rank")
       },
-      None),
+      None,
+      lazyOracle = () => PqOracles.hybridIvfCents
+        .map(c => rrfOracleSqlPruned(c, nprobe = 2))),
 
     // ── bigram LM quality stats: corpus-frequency profile of each
     // document's bigrams, all-integer + long/long division → exact;
@@ -1724,12 +1790,21 @@ object ExtensionQueries {
       },
       None),
 
-    // ── IVF ANN (seeded KMeans coarse quantizer → rows-only) ─────────────
+    // ── IVF ANN, ORACLE-exact since r13: assignment is the literal
+    // float-centroid projection (nearestCellExpr), the probe and the
+    // exact rescore are guarded cosines — all replayed by the
+    // generated twin from THIS run's captured fit (PqOracles) ───────────
     QuerySpec("ann_ivf",
-      (s, d) => Extensions.annIvf(embeddings(s, d), "embedding", "vec_id",
-          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
-        .orderBy("query_id", "rank"),
-      None),
+      (s, d) => {
+        val out = Extensions.annIvf(embeddings(s, d), "embedding",
+            "vec_id", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+          .orderBy("query_id", "rank")
+        Option(Extensions.lastAnnIvfFit.get()).foreach(PqOracles.stashAnnIvf)
+        out
+      },
+      None,
+      lazyOracle = () => PqOracles.annIvfSql(Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 4)),
 
     // ── content-defined chunking (gear/Rabin at token granularity):
     // a chunk ends at every token whose md5-60-bit hash ≡ 0 (mod 64) —

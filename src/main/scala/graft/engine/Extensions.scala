@@ -1292,25 +1292,18 @@ object Extensions {
       val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat))
       }.toSeq
-      // cell assignment by the literal FLOAT-centroid projection (the
-      // [[IvfIndex.appendToSaved]] rule: array_position takes the
-      // first minimum = the lowest cell id, KMeans' own tie-break) —
-      // NOT km.transform. Three reasons: (a) it is the SAME rule the
-      // persisted layout assigns appends with, so the ad-hoc operator
-      // and the saved index agree; (b) it is one codegen'd pass with
-      // no second MLlib job; (c) every arithmetic step is a known
-      // literal × IEEE double op, which is what lets the DuckDB twin
-      // ([[PqOracles]]) replay the assignment bit-for-bit — MLlib's
-      // internal norm-shortcut distance is not replayable.
-      val centArrays: Seq[Seq[Float]] = centroids.map(_._2.toSeq)
-      val cellDists = transform(typedLit(centArrays), c =>
-        aggregate(zip_with(col(embCol), c, (x, cc) =>
-          (x.cast("double") - cc.cast("double")) *
-            (x.cast("double") - cc.cast("double"))),
-          lit(0.0), (acc, v) => acc + v))
+      // cell assignment by the shared literal FLOAT-centroid
+      // projection ([[nearestCellExpr]]) — NOT km.transform. Three
+      // reasons: (a) it is the SAME rule the persisted layout assigns
+      // appends with, so the ad-hoc operator and the saved index
+      // agree; (b) it is one codegen'd pass with no second MLlib job;
+      // (c) every arithmetic step is a known literal × IEEE double op,
+      // which is what lets the DuckDB twin ([[PqOracles]]) replay the
+      // assignment bit-for-bit — MLlib's internal norm-shortcut
+      // distance is not replayable.
       val assigned = vecs.drop("__vec")
         .withColumn("__cell",
-          (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
+          nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val codebook = pqCodebookOf(emb, embCol, idCol, m, kCode, seed)
@@ -1403,16 +1396,24 @@ object Extensions {
       val km = new org.apache.spark.ml.clustering.KMeans()
         .setFeaturesCol("__vec").setPredictionCol("__cell")
         .setK(nCells).setSeed(seed).setMaxIter(5).fit(fitSample)
-      val assigned = km.transform(vecs).drop("__vec")
+      val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      lastKnnJoinFit.set(centroids.map(_._2))
+      // assignment by the shared literal float-centroid projection
+      // ([[nearestCellExpr]] — the r13 IVF-family rule)
+      val assigned = vecs.drop("__vec")
+        .withColumn("__cell",
+          nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // centroids as a literal array<struct<cell, centroid>>: probe
         // cells derive row-locally — sort the in-row (dist, cell) array
         // (deterministic: distance ties break on the cell id) and keep
         // the first nprobe
-        val centLit = typedLit(km.clusterCenters.zipWithIndex.map {
-          case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
-        }.toSeq)
+        val centLit = typedLit(centroids.map { case (i, c) =>
+          (i, c.toSeq)
+        })
         val distStructs = transform(centLit, s =>
           struct(pqSqDist(col(embCol), s.getField("_2")).as("d"),
             s.getField("_1").as("c")))
@@ -1575,6 +1576,35 @@ object Extensions {
     val kMax = fitted.map(_.size).max
     fitted.map(cb => cb ++ Seq.fill(kMax - cb.size)(cb.last))
   }
+
+  /** Nearest-centroid cell id by squared euclidean over a LITERAL
+    * float-centroid table — THE assignment rule of the whole IVF
+    * family since r13 ([[annIvf]], [[ivfPqTopK]], [[IvfIndex]] build
+    * and appends): one codegen'd projection, no MLlib pass, ties to
+    * the lowest cell id (array_position takes the first minimum —
+    * KMeans' own rule), and every arithmetic step is a known literal ×
+    * IEEE double op, so the DuckDB twins replay assignments
+    * bit-for-bit ([[PqOracles]]). */
+  private[engine] def nearestCellExpr(emb: Column,
+      cents: Seq[Seq[Float]]): Column = {
+    val dists = transform(typedLit(cents), c =>
+      aggregate(zip_with(emb, c, (x, cc) =>
+        (x.cast("double") - cc.cast("double")) *
+          (x.cast("double") - cc.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The most recent [[annIvf]] fit (float-cast coarse centroids),
+    * captured for the deferred DuckDB-twin generator — the
+    * [[lastIvfPqFit]] pattern. */
+  private[engine] val lastAnnIvfFit = new java.util.concurrent.atomic
+    .AtomicReference[Seq[Array[Float]]](null)
+
+  /** The most recent [[knnJoin]] fit (float-cast blocking centroids),
+    * captured for the deferred DuckDB-twin generator. */
+  private[engine] val lastKnnJoinFit = new java.util.concurrent.atomic
+    .AtomicReference[Seq[Array[Float]]](null)
 
   /** Sequential-fold dot product in double — the summation order the
     * oracle's list_dot_product mirrors. Backed by the native
@@ -1821,14 +1851,19 @@ object Extensions {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .setK(nCells).setSeed(42L).setMaxIter(5).fit(fitSample)
-    // assigned feeds both the query-probe filter and the candidate scan
-    val assigned = km.transform(vecs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    // each query probes its nprobe nearest centroids
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
+    lastAnnIvfFit.set(centroids.map(_._2))
+    // assignment by the shared literal float-centroid projection
+    // ([[nearestCellExpr]] — the r13 IVF-family rule: one codegen
+    // pass, replayable, consistent with the persisted-index appends);
+    // assigned feeds both the query-probe filter and the candidate scan
+    val assigned = vecs.drop("__vec")
+      .withColumn("__cell",
+        nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val centDf = emb.sparkSession.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))

@@ -34,6 +34,13 @@ final class IvfIndex private (
     val idCol: String,
     val embCol: String) {
 
+  /** The coarse quantizer's centroids in cell order — driver-known
+    * literals (the fit is bounded), exposed for the deferred DuckDB
+    * twin generators ([[PqOracles]]: a pruned query over this index
+    * is replayable once the centroids are known). */
+  private[engine] def centroidArrays: Seq[Array[Float]] =
+    centroids.sortBy(_._1).map(_._2)
+
   /** Exact cosine top-k within the probed cells for each query id
     * (query vectors are looked up in the corpus). Output schema
     * matches [[Extensions.annIvf]]:
@@ -155,11 +162,19 @@ object IvfIndex {
     val km = new KMeans()
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .setK(nCells).setSeed(42L).setMaxIter(5).fit(fitSample)
-    val corpus = km.transform(vecs)
-      .select(col(idCol), col(embCol), col("__cell"))
     val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
+    // assignment by the shared literal float-centroid projection
+    // (Extensions.nearestCellExpr, r13) — the SAME rule appendToSaved/
+    // appendEpoch grow the layout with, so a row assigns to the same
+    // cell whether it arrived at build time or as an append (MLlib's
+    // transform used a norm-shortcut double-centroid distance that
+    // could disagree on knife-edge rows)
+    val corpus = vecs
+      .select(col(idCol), col(embCol),
+        Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
+          .as("__cell"))
     new IvfIndex(cents, corpus, idCol, embCol)
   }
 
@@ -179,23 +194,16 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/quantizer")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    // nearest-centroid assignment as a literal-codebook projection (the
-    // pqQuantize template): the centroid list enters the plan as a
-    // LITERAL indexed by cell id, so assignment is one codegen'd pass —
-    // no centroid cross join (which would push |centroids| embedding
-    // copies per row through a shuffle for the old per-vector rank
-    // window). array_position takes the FIRST minimum = the lowest cell
-    // id, KMeans' own tie rule.
+    // nearest-centroid assignment as a literal-codebook projection
+    // (Extensions.nearestCellExpr — the shared IVF-family rule): the
+    // centroid list enters the plan as a LITERAL indexed by cell id,
+    // so assignment is one codegen'd pass — no centroid cross join
+    // (which would push |centroids| embedding copies per row through
+    // a shuffle for the old per-vector rank window).
     require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
       "saved quantizer cell ids must be contiguous 0..n-1")
-    val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
-    val dists = transform(typedLit(centArrays), c =>
-      aggregate(zip_with(col(embCol), c,
-        (x, cc) => (x.cast("double") - cc.cast("double")) *
-          (x.cast("double") - cc.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
     val assigned = emb.select(col(idCol), col(embCol),
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
         .as("__cell"))
     assigned.write.mode("append").partitionBy("__cell")
       .parquet(s"${baseRoot(path)}/cells")
@@ -355,15 +363,9 @@ object IvfIndex {
         r.getSeq[Float](2).toSeq))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
-    val cellDists = transform(typedLit(centArrays), c =>
-      aggregate(zip_with(col(embCol), c,
-        (x, cc) => (x.cast("double") - cc.cast("double")) *
-          (x.cast("double") - cc.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
     emb.select(col(idCol),
         graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
-        (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
+        Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
           .as("__cell"))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"${baseRoot(path)}/codes")
@@ -495,14 +497,8 @@ object IvfIndex {
       .sortBy(_._1).toSeq
     require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
       "saved quantizer cell ids must be contiguous 0..n-1")
-    val centArrays: Seq[Seq[Float]] = cents.map(_._2.toSeq)
-    val cellDists = transform(typedLit(centArrays), c =>
-      aggregate(zip_with(col(embCol), c,
-        (x, cc) => (x.cast("double") - cc.cast("double")) *
-          (x.cast("double") - cc.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
     val assigned = emb.select(col(idCol), col(embCol),
-        (array_position(cellDists, array_min(cellDists)) - 1).cast("int")
+        Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
           .as("__cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.write.mode("errorifexists").partitionBy("__cell")

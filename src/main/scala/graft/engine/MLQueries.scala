@@ -74,6 +74,12 @@ object MLQueries {
     // approx quantiles — not bit-reproducible cross-engine by design →
     // rows-only; monotonicity ScalaTest-checked.
     // reference: src/feature_engineering.py:87-101
+    // ── ORACLE-exact since r13: the fitted SPLITS are driver-known
+    // literals after the approx-quantile fit, and Bucketizer's
+    // assignment is pure double comparison (splits(j) <= x <
+    // splits(j+1)) — no arithmetic at all — so the twin replays the
+    // binning as a literal CASE chain regardless of how approximate
+    // the sketch that CHOSE the splits was ──────────────────────────────
     QuerySpec("quantile_binning",
       (s, d) => {
         val df = lineitem(s, d).select("l_orderkey", "l_linenumber",
@@ -81,10 +87,13 @@ object MLQueries {
         val qd = new QuantileDiscretizer().setInputCol("l_extendedprice")
           .setOutputCol("l_extendedprice_binned").setNumBuckets(10)
           .setHandleInvalid("keep")
-        qd.fit(df).transform(df)
+        val model = qd.fit(df)
+        PqOracles.stashQuantileSplits(model.getSplits.toSeq)
+        model.transform(df)
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       },
-      None),
+      None,
+      lazyOracle = () => PqOracles.quantileBinningSql()),
 
     // ── PolynomialExpansion(degree=2) — reference: src/feature_engineering.py:103-114
     // Spark's expansion order for (x, y) is (x, x², y, x·y, y²) — plain
@@ -202,19 +211,33 @@ object MLQueries {
     // reconstruction invariants in ScalaTest. Components emitted as
     // scalar columns (driver comparator can't hash array cells).
     // reference: src/feature_engineering.py:116-128
+    // ── PCA projection, ORACLE-exact since r13: the fit stays MLlib
+    // (distributed covariance + eigendecomposition, sign/order
+    // captured as-is), but the PROJECTION is a literal dot product
+    // with the fitted components — MLlib's transform is a BLAS gemm
+    // the oracle can't replay; the sequential fold is the identical
+    // math in a replayable order, and at 100 TB the scoring pass
+    // carries no model object (the quality_score_lr doctrine) ───────────
     QuerySpec("pca_features",
       (s, d) => {
         val df = embeddings(s, d)
           .select(col("vec_id"), array_to_vector(col("embedding")).as("v"))
-        val pca = new PCA().setInputCol("v").setOutputCol("v_pca").setK(4)
-        val arr = vector_to_array(col("v_pca"))
-        pca.fit(df).transform(df)
-          .select(col("vec_id"),
-            round(arr(0), 6).as("pca_1"), round(arr(1), 6).as("pca_2"),
-            round(arr(2), 6).as("pca_3"), round(arr(3), 6).as("pca_4"))
+        val model = new PCA().setInputCol("v").setOutputCol("v_pca")
+          .setK(4).fit(df)
+        val pc: Seq[Seq[Double]] = (0 until 4).map(j =>
+          (0 until model.pc.numRows).map(i => model.pc(i, j)))
+        PqOracles.stashPca(pc)
+        def proj(j: Int) = round(aggregate(
+          zip_with(col("embedding"), typedLit(pc(j)),
+            (x, c) => x.cast("double") * c),
+          lit(0.0), (a, v) => a + v), 6)
+        embeddings(s, d).select(col("vec_id"),
+            proj(0).as("pca_1"), proj(1).as("pca_2"),
+            proj(2).as("pca_3"), proj(3).as("pca_4"))
           .orderBy("vec_id")
       },
-      None),
+      None,
+      lazyOracle = () => PqOracles.pcaSql()),
 
 
     // ── MinMaxScaler to [0,1]: fit is a global min/max agg, transform a

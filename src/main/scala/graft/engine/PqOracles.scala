@@ -54,6 +54,191 @@ private[graft] object PqOracles {
   def stashIvfPq(fit: (Seq[Array[Float]], Seq[Seq[Seq[Float]]])): Unit =
     ivfpqFit = Option(fit)
 
+  /** ann_ivf's fitted coarse centroids (float-cast), captured from the
+    * operator run — same replay-not-refit doctrine. */
+  @volatile private var annIvfFit: Option[Seq[Array[Float]]] = None
+
+  def stashAnnIvf(cents: Seq[Array[Float]]): Unit =
+    annIvfFit = Option(cents)
+
+  /** The cosine_topk oracle's guarded-cosine fragment — replays
+    * [[Extensions.cosine]] (zero norms → 0) with list_dot_product
+    * mirroring the DotF32 sequential fold. */
+  private[engine] def cosSql(a: String, b: String): String =
+    s"""CASE WHEN list_dot_product($a, $a) = 0
+       |                OR list_dot_product($b, $b) = 0 THEN 0
+       |           ELSE list_dot_product($a, $b)
+       |                / (sqrt(list_dot_product($a, $a))
+       |                 * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
+  /** DuckDB twin of `ann_ivf` ([[Extensions.annIvf]]): literal
+    * float-centroid cell assignment (squared-L2 argmin, ties to the
+    * lowest cell — [[Extensions.nearestCellExpr]]), cosine probe
+    * ranking (−cos asc, cell asc), exact cosine scoring inside probed
+    * cells, (cos desc, neighbor asc) rank. */
+  def annIvfSql(queryIds: Seq[Long], k: Int,
+      nprobe: Int): Option[String] = annIvfFit.map { cents =>
+    val dim = cents.head.length
+    val ids = queryIds.mkString(", ")
+    val centRows = cents.zipWithIndex
+      .map { case (w, i) => s"($i, ${listLit(w.toSeq)})" }
+      .mkString(",\n    ")
+    val cellDl = diffList("e.emb", "", "cent.w", dim)
+    s"""WITH cent(cell, w) AS (VALUES
+       |    $centRows),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |celld AS (
+       |  SELECT e.vec_id, cent.cell,
+       |         list_dot_product($cellDl,
+       |                          $cellDl) AS d
+       |  FROM e, cent),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT celld.*, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY d, cell) AS rn FROM celld)
+       |  WHERE rn = 1),
+       |qc AS (
+       |  SELECT e.vec_id AS query_id, cent.cell,
+       |         ${cosSql("e.emb", "cent.w")} AS c
+       |  FROM e, cent WHERE e.vec_id IN ($ids)),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qc.*, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY c DESC, cell) AS rn FROM qc)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN asg a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |s AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosSql("en.emb", "eq.emb")}, 6) AS cosine_sim
+       |  FROM cand c
+       |  JOIN e en ON en.vec_id = c.neighbor_id
+       |  JOIN e eq ON eq.vec_id = c.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine_sim, rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** hybrid_topk_pruned's saved-quantizer centroids, captured from
+    * this JVM's cached hybrid index (the twin itself is generated in
+    * ExtensionQueries beside the shared RRF template). */
+  @volatile private var hybridIvfFit: Option[Seq[Array[Float]]] = None
+
+  def stashHybridIvf(cents: Seq[Array[Float]]): Unit =
+    hybridIvfFit = Option(cents)
+
+  def hybridIvfCents: Option[Seq[Array[Float]]] = hybridIvfFit
+
+  /** knn_join_pruned's fitted blocking centroids (float-cast),
+    * captured from the operator run. */
+  @volatile private var knnPrunedFit: Option[Seq[Array[Float]]] = None
+
+  def stashKnnPruned(cents: Seq[Array[Float]]): Unit =
+    knnPrunedFit = Option(cents)
+
+  /** DuckDB twin of `knn_join_pruned` ([[Extensions.knnJoin]] at
+    * nprobe < nCells): EVERY row is a query — assignment and probe
+    * ranking both come from the same per-(row, cell) squared-L2 table
+    * (the operator's in-row sort of (d, cell) structs == the (d, cell)
+    * row_number), then the guarded-cosine rescore inside probed cells
+    * and the (cos desc, neighbor asc) rank. */
+  def knnPrunedSql(k: Int, nprobe: Int): Option[String] =
+    knnPrunedFit.map { cents =>
+      val dim = cents.head.length
+      val centRows = cents.zipWithIndex
+        .map { case (w, i) => s"($i, ${listLit(w.toSeq)})" }
+        .mkString(",\n    ")
+      val cellDl = diffList("e.emb", "", "cent.w", dim)
+      s"""WITH cent(cell, w) AS (VALUES
+         |    $centRows),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |celld AS (
+         |  SELECT e.vec_id, cent.cell,
+         |         list_dot_product($cellDl,
+         |                          $cellDl) AS d,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product($cellDl,
+         |                                     $cellDl), cent.cell) AS rn
+         |  FROM e, cent),
+         |asg AS (SELECT vec_id, cell FROM celld WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cell FROM celld
+         |          WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |s AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosSql("en.emb", "eq.emb")}, 6) AS cosine_sim
+         |  FROM cand c
+         |  JOIN e en ON en.vec_id = c.neighbor_id
+         |  JOIN e eq ON eq.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine_sim, rank
+         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+
+  /** quantile_binning's fitted splits (with the ±Infinity end caps
+    * MLlib adds), captured from the operator run. */
+  @volatile private var quantileSplits: Option[Seq[Double]] = None
+
+  def stashQuantileSplits(splits: Seq[Double]): Unit =
+    quantileSplits = Option(splits)
+
+  /** DuckDB twin of `quantile_binning`: Bucketizer's
+    * splits(j) <= x < splits(j+1) assignment as a literal CASE chain
+    * over the captured splits — pure double comparisons, no
+    * arithmetic, so the approx-quantile fit's indeterminacy is
+    * irrelevant once the splits are literals. */
+  def quantileBinningSql(): Option[String] = quantileSplits.map { sp =>
+    // interior splits only: the first/last entries are ±Infinity caps
+    val inner = sp.drop(1).dropRight(1)
+    val whens = inner.zipWithIndex.map { case (s, j) =>
+      s"WHEN l_extendedprice < $s THEN $j"
+    }.mkString("\n         ")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |       l_extendedprice,
+       |       (CASE
+       |         $whens
+       |         ELSE ${inner.length} END)::DOUBLE
+       |         AS l_extendedprice_binned
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+  }
+
+  /** pca_features' fitted principal components (k column vectors of
+    * doubles), captured from the operator run — sign/order are
+    * whatever the MLlib eigendecomposition produced; the twin replays
+    * THAT, which is what dissolves the sign-indeterminacy objection
+    * to a PCA oracle. */
+  @volatile private var pcaFit: Option[Seq[Seq[Double]]] = None
+
+  def stashPca(pc: Seq[Seq[Double]]): Unit = pcaFit = Option(pc)
+
+  /** DuckDB twin of `pca_features`: four literal-component dot
+    * products (list_dot_product mirroring the sequential fold). */
+  def pcaSql(): Option[String] = pcaFit.map { pc =>
+    def wLit(w: Seq[Double]): String =
+      w.map(_.toString).mkString("[", ", ", "]")
+    val cols = pc.zipWithIndex.map { case (w, j) =>
+      s"round(list_dot_product(embedding::DOUBLE[],\n" +
+        s"         ${wLit(w)}), 6) AS pca_${j + 1}"
+    }.mkString(",\n       ")
+    s"""SELECT vec_id,
+       |       $cols
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** quality_score_lr's fitted weights (micro-quantized longs +
     * intercept), captured from the operator run — same replay-not-refit
     * doctrine as the ivfpq fit (the LBFGS fit is distributed). */
@@ -103,9 +288,9 @@ private[graft] object PqOracles {
 
   /** Shortest-round-trip double literal of a float's exact double
     * value (Scala Double.toString — parses back bit-identical). */
-  private def dlit(f: Float): String = f.toDouble.toString
+  private[engine] def dlit(f: Float): String = f.toDouble.toString
 
-  private def listLit(v: Seq[Float]): String =
+  private[engine] def listLit(v: Seq[Float]): String =
     v.map(dlit).mkString("[", ", ", "]")
 
   /** `name(j, c, w)` VALUES rows for a rectangular codebook. */
@@ -114,7 +299,7 @@ private[graft] object PqOracles {
       yield s"($j, $c, ${listLit(cw)})").mkString(",\n    ")
 
   /** Element-wise difference list `[v[off+1]-w[1], ...]` (1-based). */
-  private def diffList(v: String, off: String, w: String,
+  private[engine] def diffList(v: String, off: String, w: String,
       sub: Int): String =
     (1 to sub).map(i => s"$v[$off$i] - $w[$i]")
       .mkString("[", ", ", "]")
