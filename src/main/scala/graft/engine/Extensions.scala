@@ -1586,14 +1586,15 @@ object Extensions {
     * IEEE double op, so the DuckDB twins replay assignments
     * bit-for-bit ([[PqOracles]]). */
   private[engine] def nearestCellExpr(emb: Column,
-      cents: Seq[Seq[Float]]): Column = {
-    val dists = transform(typedLit(cents), c =>
-      aggregate(zip_with(emb, c, (x, cc) =>
-        (x.cast("double") - cc.cast("double")) *
-          (x.cast("double") - cc.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+      cents: Seq[Seq[Float]]): Column =
+    // PqEncode at m=1 IS nearest-centroid assignment: one subspace of
+    // k=|cents| codewords over the full dim — the codegen'd tight-loop
+    // kernel, bit-identical to the HOF
+    // transform/zip_with/aggregate/array_position form it replaced
+    // (the PqOps drop-in parity contract; the HOF form allocated a
+    // dim-element array per row PER CENTROID — measured +0.3-2 s per
+    // affected query at sf0.1)
+    element_at(graft.functions.PqOps.pqEncode(emb, Seq(cents)), 1)
 
   /** The most recent [[annIvf]] fit (float-cast coarse centroids),
     * captured for the deferred DuckDB-twin generator — the

@@ -227,10 +227,12 @@ object MLQueries {
         val pc: Seq[Seq[Double]] = (0 until 4).map(j =>
           (0 until model.pc.numRows).map(i => model.pc(i, j)))
         PqOracles.stashPca(pc)
-        def proj(j: Int) = round(aggregate(
-          zip_with(col("embedding"), typedLit(pc(j)),
-            (x, c) => x.cast("double") * c),
-          lit(0.0), (a, v) => a + v), 6)
+        // DotF32 handles (array<float>, array<double>) natively — the
+        // same sequential x.toDouble*c accumulation as the HOF fold,
+        // without allocating a zip array per row per component
+        def proj(j: Int) = round(
+          graft.functions.DotF32.dotF32(col("embedding"),
+            typedLit(pc(j))), 6)
         embeddings(s, d).select(col("vec_id"),
             proj(0).as("pca_1"), proj(1).as("pca_2"),
             proj(2).as("pca_3"), proj(3).as("pca_4"))
