@@ -141,9 +141,25 @@ object Bench {
     // complete JSON — identical fields plus the full "queries" map —
     // is written to bench_out.json beside the run for the judge.
     val full = s"""{$head,"queries":$qs,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      full.getBytes("UTF-8"))
-    println(s"""{$head,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},"full":"bench_out.json"}""")
+    // the file write must never lose the run: a read-only or foreign
+    // cwd throwing AFTER ~200 s of measurement would eat the summary
+    // line too (review finding) — write best-effort, report the real
+    // landing path (or the failure) in the summary
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    val fullRef =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          full.getBytes("UTF-8"))
+        java.nio.file.Paths.get(outPath).toAbsolutePath.toString
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] could not write $outPath: $e")
+          s"unwritable: $e"
+      }
+    val fullJson = "\"" + fullRef.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    println(s"""{$head,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},"full":$fullJson}""")
     spark.stop()
   }
 }

@@ -30,6 +30,14 @@ object SparkEntry {
     * resolve through QuerySpec.lazyOracle — present only after the
     * catalog pass has run and stashed the fits. */
   def oracleSql: Map[String, String] =
-    allSpecs.flatMap(q => q.oracle.orElse(q.lazyOracle()).map(q.name -> _))
-      .toMap
+    allSpecs.flatMap(q =>
+      q.oracle.orElse(q.lazyOracle.flatMap(_())).map(q.name -> _)).toMap
+
+  /** Names of every entry that carries an oracle — eager or deferred —
+    * WITHOUT invoking any query or generator: the static count
+    * graft.Counts reports (a fresh JVM has no fit stashes, so sizing
+    * oracleSql there would undercount the deferred twins). */
+  def oracledNames: Set[String] =
+    allSpecs.filter(q => q.oracle.isDefined || q.lazyOracle.isDefined)
+      .map(_.name).toSet
 }

@@ -554,7 +554,7 @@ object ExtensionQueries {
         out
       },
       None,
-      lazyOracle = () => PqOracles.knnPrunedSql(k = 3, nprobe = 4)),
+      lazyOracle = Some(() => PqOracles.knnPrunedSql(k = 3, nprobe = 4))),
 
     // ── all-rows k-NN self-join (every row's top-3 neighbors — the
     // hard-negative-mining shape). Exhaustive probes here (nprobe =
@@ -1148,8 +1148,8 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       None,
-      lazyOracle = () => PqOracles.hybridIvfCents
-        .map(c => rrfOracleSqlPruned(c, nprobe = 2))),
+      lazyOracle = Some(() => PqOracles.hybridIvfCents
+        .map(c => rrfOracleSqlPruned(c, nprobe = 2)))),
 
     // ── bigram LM quality stats: corpus-frequency profile of each
     // document's bigrams, all-integer + long/long division → exact;
@@ -1240,7 +1240,7 @@ object ExtensionQueries {
         out
       },
       None,
-      lazyOracle = () => PqOracles.qualityLrSql(QualityLrBuckets)),
+      lazyOracle = Some(() => PqOracles.qualityLrSql(QualityLrBuckets))),
 
     // ── the full curation pipeline composed end-to-end (dedup → quality
     // filter → PII scrub → deterministic split) — ONE shuffle total;
@@ -1803,8 +1803,8 @@ object ExtensionQueries {
         out
       },
       None,
-      lazyOracle = () => PqOracles.annIvfSql(Seq(0L, 1L, 2L, 3L, 4L),
-        k = 10, nprobe = 4)),
+      lazyOracle = Some(() => PqOracles.annIvfSql(Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 4))),
 
     // ── content-defined chunking (gear/Rabin at token granularity):
     // a chunk ends at every token whose md5-60-bit hash ≡ 0 (mod 64) —
@@ -2029,7 +2029,7 @@ object ExtensionQueries {
           .orderBy("vec_id")
       },
       None,
-      lazyOracle = () => PqOracles.pqCodesSql()),
+      lazyOracle = Some(() => PqOracles.pqCodesSql())),
 
     // ── PQ asymmetric-distance top-k, ORACLE-exact since r13: same
     // driver-literal codebook replay; the ADC sum and the
@@ -2043,8 +2043,8 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       None,
-      lazyOracle = () => PqOracles.pqTopKSql(Seq(0L, 1L, 2L, 3L, 4L),
-        k = 10)),
+      lazyOracle = Some(() => PqOracles.pqTopKSql(Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10))),
 
     // ── IVF+PQ composed search, ORACLE-exact since r13: the operator
     // runs eagerly (it persists + counts its result), so its fn can
@@ -2061,8 +2061,8 @@ object ExtensionQueries {
         out
       },
       None,
-      lazyOracle = () => PqOracles.ivfpqSql(Seq(0L, 1L, 2L, 3L, 4L),
-        k = 10, nprobe = 8, refineFactor = 8)),
+      lazyOracle = Some(() => PqOracles.ivfpqSql(Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 8, refineFactor = 8))),
 
     // ── LSH-bucketed ANN, ORACLE-exact since r12: the seeded
     // hyperplanes are driver-known literals, so the oracle re-derives

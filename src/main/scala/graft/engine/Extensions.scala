@@ -3603,13 +3603,21 @@ object Extensions {
     val bMicro: Long = math.round(model.intercept * 1e6)
     lastQualityLrFit.set((wMicro, bMicro))
     val wLit = typedLit(wMicro)
-    docF.groupBy(idCol)
+    // materialize the (narrow, one-row-per-doc) result, then release
+    // the corpus-sized cached count frame — the annIvf/ivfPqTopK
+    // cache-hygiene pattern (review finding: docF held MEMORY_AND_DISK
+    // for the rest of the process otherwise)
+    val result = docF.groupBy(idCol)
       .agg(sum("__n").as("n_feats"),
         sum(col("__n") * element_at(wLit, col("__f").cast("int") + 1))
           .as("__s"))
       .select(col(idCol), col("n_feats"),
         ((col("__s") + bMicro) / lit(1000000.0)).as("log_odds"),
         (col("__s") + bMicro > 0).cast("int").as("predict"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    docF.unpersist()
+    result
   }
 
   /** Deterministic DSIR importance RESAMPLING — the sampling half of

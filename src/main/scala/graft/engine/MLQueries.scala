@@ -93,7 +93,7 @@ object MLQueries {
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       },
       None,
-      lazyOracle = () => PqOracles.quantileBinningSql()),
+      lazyOracle = Some(() => PqOracles.quantileBinningSql())),
 
     // ── PolynomialExpansion(degree=2) — reference: src/feature_engineering.py:103-114
     // Spark's expansion order for (x, y) is (x, x², y, x·y, y²) — plain
@@ -239,7 +239,7 @@ object MLQueries {
           .orderBy("vec_id")
       },
       None,
-      lazyOracle = () => PqOracles.pcaSql()),
+      lazyOracle = Some(() => PqOracles.pcaSql())),
 
 
     // ── MinMaxScaler to [0,1]: fit is a global min/max agg, transform a

@@ -320,6 +320,12 @@ object Multimodal {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16,
         s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+      // mono only: a stereo stream read as one interleaved sequence
+      // would double the effective sample rate under the Goertzel
+      // time index — silently wrong band energies (review finding);
+      // fold or reject upstream
+      require(fmt.getChannels == 1,
+        s"expected mono PCM, got ${fmt.getChannels} channels")
       val data = ais.readAllBytes()
       val n = data.length / 2
       val x = new Array[Double](n)

@@ -206,9 +206,15 @@ private[graft] object PqOracles {
     val whens = inner.zipWithIndex.map { case (s, j) =>
       s"WHEN l_extendedprice < $s THEN $j"
     }.mkString("\n         ")
+    // handleInvalid="keep": Spark routes null/NaN to the EXTRA bucket
+    // |splits|-1 — without this arm both would fall through the
+    // comparisons to the last regular bucket (review finding; latent
+    // on the current non-null column, wrong on any dirty one)
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |       l_extendedprice,
        |       (CASE
+       |         WHEN l_extendedprice IS NULL
+       |           OR isnan(l_extendedprice) THEN ${inner.length + 1}
        |         $whens
        |         ELSE ${inner.length} END)::DOUBLE
        |         AS l_extendedprice_binned

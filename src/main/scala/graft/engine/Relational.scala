@@ -16,10 +16,14 @@ final case class QuerySpec(
     // DRIVER-FIT literals (PQ codebooks, coarse centroids): the SQL
     // can only be written after the query has run and stashed its fit
     // (graft.engine.PqOracles), so Verify evaluates this thunk when it
-    // dumps oracle_sql.json — after the catalog pass. Returns None
-    // when the fit never ran (partial local runs) → the entry degrades
-    // to the contract's rows-only check instead of lying.
-    lazyOracle: () => Option[String] = () => None)
+    // dumps oracle_sql.json — after the catalog pass. The thunk
+    // returns None when the fit never ran (partial local runs) → the
+    // entry degrades to the contract's rows-only check instead of
+    // lying. The OUTER Option is the static "this entry HAS an oracle"
+    // flag — graft.Counts must see deferred-oracle entries as oracled
+    // without running any query (a fresh JVM has no stashes), so
+    // presence of the generator, not its result, carries that fact.
+    lazyOracle: Option[() => Option[String]] = None)
 
 /** The relational query catalog: every SQL-expressible operator family from
   * SURVEY.md §2 bound to the driver testdata tables. Conventions for oracle
