@@ -3531,9 +3531,10 @@ object Extensions {
     * hashed n-gram counts (the [[dsirWeights]] feature stream), then
     * score the whole corpus with the fitted weights.
     *
-    * The split that makes this 100 TB-shaped: the FIT is bounded (a
-    * `buckets`-dim problem over the labeled sample — here the corpus,
-    * in production a hash-sampled slice), while the SCORING pass is
+    * The split that makes this 100 TB-shaped: the FIT is bounded — a
+    * `buckets`-dim problem over a deterministic xxhash64 sample capped
+    * at `fitSampleCap` docs (the whole corpus while it fits under the
+    * cap, a 1-in-stride slice past it) — while the SCORING pass is
     * pure feature hashing + one integer dot product per document — no
     * model object, no MLlib at scoring time, just a literal weight
     * array inside codegen. Coefficients are micro-quantized to longs
@@ -3552,9 +3553,10 @@ object Extensions {
     */
   def qualityScoreLr(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int = 512, regParam: Double = 0.1,
-      maxIter: Int = 15): DataFrame = {
+      maxIter: Int = 15, fitSampleCap: Long = 65536L): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       "need 2 <= buckets <= 65536")
+    require(fitSampleCap >= 1, "fitSampleCap must be >= 1")
     requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__m",
       "__vec", "__lbl", "__s", "n_feats", "log_odds", "predict"))
     val b = buckets.toLong
@@ -3587,10 +3589,20 @@ object Extensions {
           .as("__vec"))
     val labels = gopherRules(docs, textCol, idCol)
       .select(col(idCol), col("passes").cast("double").as("__lbl"))
+    // the FIT is a bounded-sample problem at every corpus size (the
+    // pqCodebookOf doctrine): a `buckets`-dim logistic regression
+    // stops improving long before millions of examples, while each
+    // LBFGS iteration is a full treeAggregate over the training frame
+    // — so the fit input is capped to a deterministic 1-in-stride
+    // xxhash64 slice of the corpus (stride from the cheap docs.count;
+    // stride 1 ⇒ the whole corpus at toy scale, so the capture-replay
+    // oracle sees no change there). SCORING always covers every doc.
+    val stride = math.max(1L, docs.count() / fitSampleCap)
     // persist the assembled training frame: every LBFGS iteration is a
     // treeAggregate over it — uncached, each of the maxIter passes
     // would re-run the vector assembly and the gopher label scan
     val train = counts.join(labels, idCol)
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model =
       try new org.apache.spark.ml.classification.LogisticRegression()

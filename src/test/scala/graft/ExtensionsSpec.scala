@@ -1938,5 +1938,16 @@ class ExtensionsSpec extends AnyFunSuite {
         s"log_odds $lo is not an exact micro-unit value")
       assert((micro > 0) == (pred == 1))
     }
+    // the 100 TB posture: a fit capped FAR below the corpus still
+    // scores EVERY document (the cap bounds the fit, never the
+    // scoring pass), deterministically, and still beats chance
+    val capped = Extensions.qualityScoreLr(docs, "text", "doc_id",
+        buckets = 512, fitSampleCap = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq
+    assert(capped.map(_._1) == rows1.map(_._1).toSeq,
+      "a capped fit must still score every document")
+    val cappedAcc = capped.filter(r => labels.contains(r._1))
+      .count(r => labels(r._1) == r._2).toDouble / capped.size
+    assert(cappedAcc >= 0.6, f"capped-fit accuracy $cappedAcc%.3f")
   }
 }
