@@ -329,7 +329,7 @@ object ExtensionQueries {
   // word's original char count for the stats aggregate. ─────────────────
   private val bpeSeedCte: String =
     """WITH w0 AS (
-      |  SELECT string_split(w, '') AS s, count(*)::BIGINT AS f,
+      |  SELECT w, string_split(w, '') AS s, count(*)::BIGINT AS f,
       |         len(w)::BIGINT AS nc FROM (
       |    SELECT unnest(string_split(lower(text), ' ')) AS w
       |    FROM documents)
@@ -352,7 +352,7 @@ object ExtensionQueries {
          |  -- would wipe the word table while Spark keeps segmenting —
          |  -- with null a/b the CASE's WHEN is NULL, so every symbol
          |  -- falls to the ELSE and the segmentation passes unchanged
-         |  SELECT string_split(list_reduce(s, (acc, x) -> CASE
+         |  SELECT w, string_split(list_reduce(s, (acc, x) -> CASE
          |           WHEN (acc = b$r.a OR ends_with(acc, chr(31) || b$r.a))
          |                AND x = b$r.b
          |           THEN acc || x
@@ -1790,6 +1790,24 @@ object ExtensionQueries {
       },
       None),
 
+    // ── end-to-end video similarity (VERDICT r13 #4 — the triad's
+    // last leg): concat-PNG demux → sample first/mid/last frames →
+    // per-frame 8×8 luminance thumbnail → temporal mean++max pooling
+    // (partition-local, video bytes never leave the executor) → the
+    // EXISTING IVF query path. Exhaustive probes make the search
+    // exact given the embeddings; demux/pooling determinism is pinned
+    // in MultimodalSpec — rows-only here (synthesized video bytes
+    // aren't SQL-expressible, the image/audio precedent) ────────────────
+    QuerySpec("video_similarity",
+      (s, d) => {
+        val media = Multimodal.synthesizeMedia(documents(s, d), "doc_id")
+        val emb = Multimodal.videoEmbeddings(media).toDF()
+        Extensions.annIvf(emb, "embedding", "media_id",
+            queryIds = Seq(2L, 5L, 8L), k = 10, nCells = 8, nprobe = 8)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ── IVF ANN, ORACLE-exact since r13: assignment is the literal
     // float-centroid projection (nearestCellExpr), the probe and the
     // exact rescore are guarded cosines — all replayed by the
@@ -2479,6 +2497,42 @@ object ExtensionQueries {
           |       round(sum(f * nc)::DOUBLE / sum(f * len(s)), 6)
           |         AS chars_per_token
           |FROM w6""".stripMargin)),
+
+    // ── per-document BPE ENCODING (VERDICT r13 #6): apply the trained
+    // merge table — the tokenizer-throughput scan. Oracle = the same
+    // unrolled-merge CTE chain (now carrying each word through the
+    // rounds), joined back onto every document's word stream in
+    // position order; the encoded stream re-joins with string_agg
+    // ORDER BY word position. Empty docs LEFT-JOIN to zero counts,
+    // matching Spark's pure-projection row-per-doc shape ────────────────
+    QuerySpec("bpe_encode",
+      (s, d) => Extensions.bpeEncode(documents(s, d), "text", "doc_id",
+          merges = 6)
+        .orderBy("doc_id"),
+      Some(bpeSeedCte + bpeRoundCtes(6) + "," + "\n" +
+        """enc AS (SELECT w, s FROM w6),
+          |d AS (SELECT doc_id,
+          |             list_filter(string_split(lower(coalesce(text, '')),
+          |                                      ' '), x -> len(x) > 0) AS ws
+          |      FROM documents),
+          |x AS (SELECT doc_id, u.i AS i, u.w AS w FROM (
+          |        SELECT doc_id,
+          |               unnest(list_transform(generate_series(1, len(ws)),
+          |                 i -> {'i': i, 'w': ws[i]})) AS u
+          |        FROM d)),
+          |a AS (SELECT x.doc_id,
+          |             count(*)::INT AS n_words,
+          |             sum(len(x.w))::BIGINT AS n_chars,
+          |             sum(len(enc.s))::INT AS n_tokens,
+          |             string_agg(array_to_string(enc.s, ' '), ' '
+          |               ORDER BY x.i) AS bpe_tokens
+          |      FROM x JOIN enc ON x.w = enc.w GROUP BY x.doc_id)
+          |SELECT d.doc_id, coalesce(a.n_words, 0)::INT AS n_words,
+          |       coalesce(a.n_chars, 0)::BIGINT AS n_chars,
+          |       coalesce(a.n_tokens, 0)::INT AS n_tokens,
+          |       coalesce(a.bpe_tokens, '') AS bpe_tokens
+          |FROM d LEFT JOIN a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
 
     // ── temperature-weighted mixing quotas (α = 0.3, exp/ln micro-unit
     // weights so the normalizer sums exactly) ───────────────────────────

@@ -2930,26 +2930,42 @@ object Extensions {
     * folds compiled into a single codegen'd expression, corpus volume
     * touched only by the word count.
     */
+  /** The greedy left-to-right merge fold of ONE rule over a symbol
+    * list (shared by [[bpeStats]] and [[bpeEncode]]): fuse when the
+    * accumulator's last symbol is the rule's left and the incoming
+    * symbol its right — after a fusion the new symbol can't re-match
+    * as the left side because left+right ≠ left. */
+  private def bpeApplyRule(syms: Column, a: String, b: String): Column = {
+    val emptySyms = filter(array(lit("")), _ => lit(false))
+    aggregate(syms, emptySyms, (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
+          x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Character-split + all `rules` applied in rank order — the full
+    * BPE encode of one word as a single nested codegen'd expression. */
+  private def bpeEncodeWord(w: Column,
+      rules: Seq[(String, String)]): Column =
+    rules.foldLeft(filter(split(w, ""), x => length(x) > 0)) {
+      case (c, (a, b)) => bpeApplyRule(c, a, b)
+    }
+
   def bpeStats(docs: DataFrame, textCol: String,
       merges: Int = 6): DataFrame = {
     val rules = bpeMerges(docs, textCol, merges)
       .orderBy("merge_rank")
       .collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val emptySyms = filter(array(lit("")), _ => lit(false))
-    def applyRule(syms: Column, a: String, b: String): Column =
-      aggregate(syms, emptySyms, (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
-            x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+      .toSeq
     val words = docs.select(explode(tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy("__w").agg(count(lit(1)).as("__f"))
       .select(col("__f"),
         filter(split(col("__w"), ""), x => length(x) > 0).as("__syms"))
     val encoded = rules.foldLeft(col("__syms")) { case (c, (a, b)) =>
-      applyRule(c, a, b)
+      bpeApplyRule(c, a, b)
     }
     words
       .select(col("__f"), size(col("__syms")).as("__chars"),
@@ -2960,6 +2976,58 @@ object Extensions {
       .select(col("n_words"), col("n_chars"), col("n_tokens"),
         round(col("n_chars").cast("double") / col("n_tokens"), 6)
           .as("chars_per_token"))
+  }
+
+  /** PER-DOCUMENT BPE encoding — APPLY the merge table [[bpeMerges]]
+    * trains (VERDICT r13 #6): the tokenizer-throughput scan every LLM
+    * training pipeline runs over its corpus. Each word's characters
+    * fold through the `merges` rules in rank order (the
+    * [[bpeApplyRule]] greedy left-to-right semantics — identical to
+    * training's resegmentation, so encoding the training corpus
+    * reproduces the final training segmentation exactly; the
+    * bpe_stats-consistency law in ExtensionsSpec). Returns per doc:
+    * (idCol, n_words, n_chars, n_tokens, bpe_tokens space-joined) —
+    * BPE is lossless, so `bpe_tokens` minus the spaces re-spells the
+    * tokenized text (the round-trip law).
+    *
+    * Scale shape: the merge TABLE is ≤`merges` driver rows (bounded
+    * collect, per-cell-radii precedent) baked into the plan as
+    * literals; the encode itself is ONE PURE PROJECTION over the
+    * corpus — `merges` nested array folds compiled into a single
+    * codegen'd expression per row, no explode, no join, no shuffle —
+    * the shape that rides a 100 TB scan at input bandwidth. (Unlike
+    * [[bpeStats]] the fold runs per occurrence, not per distinct
+    * word: the output carries each document's token stream, so every
+    * occurrence is touched regardless.)
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Int = 6): DataFrame = {
+    // only the internal names are reserved: the first select projects
+    // the input down to (idCol, __ws), so input columns named like an
+    // OUTPUT (documents legitimately carries n_chars) can't collide —
+    // but idCol itself must not shadow one
+    requireNoReserved(docs, Seq("__ws", "__enc"))
+    require(!Seq("n_words", "n_chars", "n_tokens", "bpe_tokens")
+        .contains(idCol),
+      s"idCol $idCol collides with an output column name")
+    val rules = bpeMerges(docs, textCol, merges)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    // null text encodes as the empty document, not a null row (split
+    // on null would propagate size() = -1 into the counts)
+    val ws = filter(tokens(coalesce(col(textCol), lit(""))),
+      x => length(x) > 0)
+    docs.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).as("n_words"),
+        aggregate(transform(col("__ws"), w => length(w)), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("n_chars"),
+        transform(col("__ws"), w => bpeEncodeWord(w, rules)).as("__enc"))
+      .select(col(idCol), col("n_words"), col("n_chars"),
+        size(flatten(col("__enc"))).as("n_tokens"),
+        concat_ws(" ", flatten(col("__enc"))).as("bpe_tokens"))
   }
 
   /** Length-grouped batching manifest — the dynamic-batching trick:
@@ -3597,7 +3665,12 @@ object Extensions {
     // xxhash64 slice of the corpus (stride from the cheap docs.count;
     // stride 1 ⇒ the whole corpus at toy scale, so the capture-replay
     // oracle sees no change there). SCORING always covers every doc.
-    val stride = math.max(1L, docs.count() / fitSampleCap)
+    // ceiling division: floor (count/cap) lets the sample reach just
+    // under 2× fitSampleCap (e.g. 131,071 docs at the default cap gave
+    // stride 1 = whole-corpus fit — ADVICE r13); ceiling keeps the
+    // sampled count ≤ fitSampleCap at every corpus size
+    val stride = math.max(1L,
+      (docs.count() + fitSampleCap - 1) / fitSampleCap)
     // persist the assembled training frame: every LBFGS iteration is a
     // treeAggregate over it — uncached, each of the maxIter passes
     // would re-run the vector assembly and the gopher label scan
@@ -3667,14 +3740,22 @@ object Extensions {
       .withColumn("key_micro",
         round(col("log_weight") * 1000000.0).cast("long") +
           col("gumbel_micro"))
+    // rank WITHOUT a global window: the frame is already bounded to k
+    // rows by the TakeOrdered above, so one single-partition re-sort +
+    // monotonically_increasing_id (sequential 0..k-1 inside partition
+    // 0) yields the identical rank — and keeps the WindowExec
+    // "No Partition Defined" warning channel clean for real
+    // regressions (VERDICT r13 #8). monotonically_increasing_id is
+    // nondeterministic, so Catalyst will not reorder it below the sort.
     keyed
       .orderBy(desc("key_micro"), col(idCol))
       .limit(k)
       .select(col(idCol), col("n_feats"), col("log_weight"),
         col("gumbel_micro"), col("key_micro"))
+      .coalesce(1)
+      .sortWithinPartitions(desc("key_micro"), col(idCol))
       .withColumn("rank",
-        row_number().over(Window.orderBy(desc("key_micro"), col(idCol)))
-          .cast("int"))
+        (monotonically_increasing_id() + 1).cast("int"))
   }
 
   /** Per-segment Jensen–Shannon divergence of the token distribution

@@ -456,11 +456,24 @@ object IvfIndex {
     // the re-fit's full base re-encode; the base dir has no such
     // backstop — its rows would just be scored wrong.
     val baseStamp = readMarker(spark, s"${baseRoot(path)}/codes/_pqv")
+    // distinguish the two mismatch shapes (ADVICE r13): a MISSING base
+    // stamp is the legacy pre-stamp sidecar layout (base codes written
+    // before the _pqv stamp existed — consistent with the committed
+    // codebook, but unprovably so), not evidence of a torn write; a
+    // PRESENT-but-different stamp IS the torn addPqCodes signature.
+    // Both fail loudly with the same remedy, but the message must not
+    // misdiagnose a completed legacy run as a crash.
     require(baseStamp == current,
-      s"PQ base codes at ${baseRoot(path)}/codes are stamped " +
-        s"$baseStamp but the committed codebook is $current — an " +
-        "addPqCodes run did not complete; re-run addPqCodes to " +
-        "re-encode the corpus under the committed codebook")
+      (if (baseStamp.isEmpty)
+        s"PQ base codes at ${baseRoot(path)}/codes carry no _pqv " +
+          "stamp (a legacy pre-stamp sidecar); their consistency with " +
+          s"the committed codebook $current cannot be verified — "
+      else
+        s"PQ base codes at ${baseRoot(path)}/codes are stamped " +
+          s"$baseStamp but the committed codebook is $current — an " +
+          "addPqCodes run did not complete; ") +
+        "re-run addPqCodes to re-encode the corpus under the " +
+        "committed codebook")
     epochs
       .filter(e => hadoopFs(spark, s"$e/codes")._1
         .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))

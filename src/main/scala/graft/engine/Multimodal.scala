@@ -240,18 +240,8 @@ object Multimodal {
     * sampled frames.
     */
   def decodeVideo(bytes: Array[Byte], sampleFrames: Int = 3): Array[Float] = {
-    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
-    val nFrames = in.readInt()
-    require(nFrames > 0, "empty video container")
-    val frames = new Array[Array[Byte]](nFrames)
-    var f = 0
-    while (f < nFrames) {
-      val len = in.readInt()
-      val buf = new Array[Byte](len)
-      in.readFully(buf)
-      frames(f) = buf
-      f += 1
-    }
+    val frames = parseConcatPng(bytes)
+    val nFrames = frames.length
     val k = math.min(sampleFrames, nFrames)
     val picks =
       if (k == 1) Array(0)
@@ -263,6 +253,22 @@ object Multimodal {
       r += feat(3); g += feat(4); b += feat(5)
     }
     Array(nFrames.toFloat, w, h, r / k, g / k, b / k)
+  }
+
+  /** Demux of the concat-PNG container: 4-byte BE frame count, then
+    * per frame a 4-byte BE length + PNG bytes (see
+    * [[synthVideoConcatPng]]). Shared by [[decodeVideo]] and
+    * [[videoFrameEmbedding]]. */
+  private def parseConcatPng(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val nFrames = in.readInt()
+    require(nFrames > 0, "empty video container")
+    Array.fill(nFrames) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
   }
 
   /** Modality dispatch — the single per-row decode entry point. */
@@ -396,6 +402,68 @@ object Multimodal {
     media.filter(_.modality == "audio").mapPartitions { rows =>
       rows.map(r =>
         MediaEmbedding(r.media_id, audioBandEnergy(r.content, nBands, nSeg)))
+    }
+  }
+
+  /** Frame-sampled visual embedding of a concat-PNG video payload —
+    * the video leg of the multimodal → similarity-search composition
+    * point (VERDICT r13 #4), closing the triad: demux, sample up to
+    * `sampleFrames` DISTINCT frames (first/evenly-spaced/last,
+    * [[decodeVideo]]'s rule), take each sampled frame's tw×th
+    * luminance [[thumbnail]] (the image precedent), and pool
+    * temporally — per-cell MEAN (the static composition a mean frame
+    * would show) concatenated with per-cell MAX (transient bright
+    * frames a mean would wash out) → 2·tw·th floats. Deterministic
+    * (lossless PNG, integer resize, fixed sampling rule); duplicate
+    * sample indices (short clips where the spacing rule lands twice
+    * on one frame) are deduped so the mean never double-weights a
+    * frame. O(sampleFrames · frame-decode) per row regardless of clip
+    * length — the bounded-work property that survives hour-long clips.
+    */
+  def videoFrameEmbedding(bytes: Array[Byte], tw: Int = 8, th: Int = 8,
+      sampleFrames: Int = 3): Array[Float] = {
+    require(sampleFrames >= 1, "need sampleFrames >= 1")
+    val frames = parseConcatPng(bytes)
+    val n = frames.length
+    val k = math.min(sampleFrames, n)
+    val picks = (
+      if (k == 1) Array(0)
+      else Array.tabulate(k)(i => (i.toLong * (n - 1) / (k - 1)).toInt)
+    ).distinct
+    val d = tw * th
+    val out = new Array[Float](2 * d)
+    val meanAcc = new Array[Double](d)
+    picks.foreach { p =>
+      val t = thumbnail(frames(p), tw, th)
+      var i = 0
+      while (i < d) {
+        meanAcc(i) += t(i)
+        if (t(i) > out(d + i)) out(d + i) = t(i)
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      out(i) = (meanAcc(i) / picks.length).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Decode-side video embedding — (media_id, array&lt;float&gt;) rows
+    * that [[Extensions.annIvf]] / [[IvfIndex]] consume unchanged (the
+    * catalog's `video_similarity` entry), mirroring
+    * [[imageEmbeddings]] / [[audioEmbeddings]]: demux, frame
+    * sampling, and pooling stay partition-local — only the 2·tw·th
+    * floats ride the exchange, never the video bytes, which at 100 TB
+    * of media is the whole game.
+    */
+  def videoEmbeddings(media: Dataset[MediaRow], tw: Int = 8,
+      th: Int = 8, sampleFrames: Int = 3): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").mapPartitions { rows =>
+      rows.map(r => MediaEmbedding(r.media_id,
+        videoFrameEmbedding(r.content, tw, th, sampleFrames)))
     }
   }
 

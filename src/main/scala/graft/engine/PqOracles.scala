@@ -290,7 +290,24 @@ private[graft] object PqOracles {
          |FROM sc ORDER BY doc_id""".stripMargin
   }
 
-  private lazy val cb16: Option[Seq[Seq[Seq[Float]]]] = cb16Thunk.map(_())
+  /** Thunk-keyed memo — NOT a lazy val (ADVICE r13): a JVM-lifetime
+    * lazy val freezes the FIRST corpus's codebook, so a second
+    * Verify/catalog pass in the same JVM against a different sf dir
+    * would pair new pq_codes/pq_topk outputs with a stale twin. Keying
+    * the cache on the stashed thunk's identity re-evaluates exactly
+    * when [[stashCb16]] stored a new fit, and still evaluates the fit
+    * at most once per stash (pqCodesSql + pqTopkSql share one refit). */
+  @volatile private var cb16Memo:
+      Option[(() => Seq[Seq[Seq[Float]]], Seq[Seq[Seq[Float]]])] = None
+  private def cb16: Option[Seq[Seq[Seq[Float]]]] = cb16Thunk.map { t =>
+    cb16Memo match {
+      case Some((tt, v)) if tt eq t => v
+      case _ =>
+        val v = t()
+        cb16Memo = Some((t, v))
+        v
+    }
+  }
 
   /** Shortest-round-trip double literal of a float's exact double
     * value (Scala Double.toString — parses back bit-identical). */

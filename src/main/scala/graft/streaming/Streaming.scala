@@ -57,6 +57,14 @@ object Streaming {
     val nBins = refHist.size
     require(nBins >= 2, "need a reference histogram with >= 2 bins")
     require(refHist.forall(_ >= 0), "reference counts must be >= 0")
+    // same reserved-name guard as the batch twin Analytics.driftSeries
+    // (ADVICE r13): a binCol or input column named __c*/__ncur/psi
+    // would silently collide with the generated aggregation names
+    val reserved = (0 until nBins).map(b => s"__c$b") ++
+      Seq("__ncur", "psi")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input uses reserved internal column name(s): ${clash.mkString(", ")}")
     val nRef = refHist.sum
     val aggs = (0 until nBins).map(b =>
       sum(when(col(binCol) === b, 1L).otherwise(0L)).as(s"__c$b"))

@@ -1452,6 +1452,82 @@ class ExtensionsSpec extends AnyFunSuite {
       math.rint(expChars.toDouble / expTokens * 1e6) / 1e6)
   }
 
+  test("bpeEncode: per-doc encoding matches the reference BPE word " +
+      "by word, round-trips the text losslessly, aggregates to " +
+      "bpeStats' corpus counts, and is partitioning-invariant") {
+    val docs0 = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "new newer newest low"),
+      (3L, "")).toDF("doc_id", "text")
+    val corpus = "low low low lower lowest new newer newest low".split(" ")
+    // reference: learn merges on word counts (bpeStats' reference),
+    // keep the final word → symbols map
+    var words: Map[Vector[String], Long] = corpus.groupBy(identity)
+      .map { case (w, a) => (w.map(_.toString).toVector, a.length.toLong) }
+    (1 to 6).foreach { _ =>
+      val counts = words.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f)) }
+        .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        words = words.map { case (syms, f) =>
+          (syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          }, f)
+        }.groupBy(_._1).map { case (k, m) => (k, m.map(_._2).sum) }
+      }
+    }
+    val encodeOf = words.keys.map(syms => syms.mkString -> syms).toMap
+    def expectDoc(text: String): String =
+      text.split(" ").filter(_.nonEmpty)
+        .flatMap(w => encodeOf(w)).mkString(" ")
+    val out = Extensions.bpeEncode(docs0, "text", "doc_id", merges = 6)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Int, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._5 == expectDoc("low low low lower lowest"))
+    assert(out(1)._5 == expectDoc("new newer newest low"))
+    // the empty doc still gets a row, all-zero
+    assert(out(2) == ((3L, 0, 0L, 0, "")))
+    // losslessness: the encoded stream minus spaces re-spells the text
+    out.take(2).foreach { r =>
+      val text = if (r._1 == 1L) "low low low lower lowest"
+                 else "new newer newest low"
+      assert(r._5.replace(" ", "") == text.replace(" ", ""))
+      assert(r._2 == text.split(" ").length)
+      assert(r._3 == text.replace(" ", "").length.toLong)
+      assert(r._4 == r._5.split(" ").length)
+    }
+    // corpus-level consistency: encoding every doc and summing equals
+    // bpeStats' per-distinct-word aggregate (same corpus, same merges)
+    val stats = Extensions.bpeStats(docs0, "text", merges = 6)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out.map(_._2.toLong).sum == stats._1)
+    assert(out.map(_._3).sum == stats._2)
+    assert(out.map(_._4.toLong).sum == stats._3)
+    // composition with vocabEncode (the BPE → vocab-id pipeline stage):
+    // token counts agree when the encoded stream is re-tokenized
+    val ve = Extensions.vocabEncode(
+        Extensions.bpeEncode(docs0, "text", "doc_id", merges = 6)
+          .select(col("doc_id"), col("bpe_tokens").as("text")),
+        "text", "doc_id", vocabSize = 8)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    // vocabEncode sizes the raw split (empty text → one empty token
+    // filtered upstream in bpeEncode but split("") = [""] here), so
+    // compare the non-empty docs only
+    assert(ve(0)._2 == out(0)._4 && ve(1)._2 == out(1)._4)
+    // partitioning-invariant
+    val re = Extensions.bpeEncode(docs0.repartition(5), "text",
+        "doc_id", merges = 6)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Int, String)].collect()
+    assert(re.toSeq == out.toSeq)
+  }
+
   test("vocabEncode: rank order (freq desc, token asc), OOV collapses " +
       "to id V, encode preserves token order") {
     val docs0 = Seq(

@@ -240,4 +240,85 @@ class MultimodalSpec extends AnyFunSuite {
           s"top neighbor of ${r.getLong(0)} was ${r.getLong(1)}")
       }
   }
+
+  test("videoFrameEmbedding: mean++max pooling over the sampled " +
+      "frames is exact on solid-color frames, and short clips dedupe " +
+      "duplicate sample indices") {
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 3 solid luminance levels 0x10/0x40/0x70 → per-cell mean = 0x40,
+    // per-cell max = 0x70, at every thumbnail cell
+    val frames = Seq(solid(0x101010), solid(0x404040), solid(0x707070))
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(3)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    val e = Multimodal.videoFrameEmbedding(bos.toByteArray, tw = 2, th = 2,
+      sampleFrames = 3)
+    assert(e.length == 8)
+    assert(e.slice(0, 4).forall(_ == 0x40.toFloat), e.toSeq.toString)
+    assert(e.slice(4, 8).forall(_ == 0x70.toFloat), e.toSeq.toString)
+    // 2-frame clip, 3 sample slots: the spacing rule lands on frame 0
+    // twice — the dedupe means frame 0 is NOT double-weighted
+    val bos2 = new ByteArrayOutputStream()
+    val out2 = new java.io.DataOutputStream(bos2)
+    out2.writeInt(2)
+    Seq(solid(0x101010), solid(0x303030)).foreach { f =>
+      out2.writeInt(f.length); out2.write(f)
+    }
+    val e2 = Multimodal.videoFrameEmbedding(bos2.toByteArray, tw = 2,
+      th = 2, sampleFrames = 3)
+    assert(e2.slice(0, 4).forall(_ == 0x20.toFloat), e2.toSeq.toString)
+    assert(e2.slice(4, 8).forall(_ == 0x30.toFloat), e2.toSeq.toString)
+  }
+
+  test("videoEmbeddings: video rows only, 2*tw*th floats in 0..255, " +
+      "equal to the driver-side embedding of the same payload, " +
+      "deterministic across partitionings") {
+    val emb = Multimodal.videoEmbeddings(media)
+      .collect().sortBy(_.media_id)
+    val videoIds = media.collect().filter(_.modality == "video")
+      .map(_.media_id).sorted.toSeq
+    assert(emb.map(_.media_id).toSeq == videoIds && emb.nonEmpty)
+    assert(emb.forall(_.embedding.length == 128))
+    assert(emb.forall(_.embedding.forall(v => v >= 0f && v <= 255f)))
+    val byId = media.collect().map(r => r.media_id -> r.content).toMap
+    emb.take(3).foreach { e =>
+      assert(e.embedding.toSeq ==
+        Multimodal.videoFrameEmbedding(byId(e.media_id), 8, 8, 3).toSeq)
+    }
+    val again = Multimodal.videoEmbeddings(media.repartition(7))
+      .collect().sortBy(_.media_id)
+    assert(again.map(_.embedding.toSeq).toSeq ==
+      emb.map(_.embedding.toSeq).toSeq)
+  }
+
+  test("video_similarity: the frame-sampled pooled-thumbnail IVF " +
+      "search with exhaustive probes equals brute-force cosine top-k " +
+      "over the same embeddings, and ranks with the bounded heap, " +
+      "not a window sort") {
+    val out = SparkEntry.queries("video_similarity")(spark,
+      "/root/testdata/sf0.001")
+    out.collect()
+    val plan = (out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("topkpairs"), s"no bounded-heap rank in:\n$plan")
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Multimodal.videoEmbeddings(
+      Multimodal.synthesizeMedia(docs, "doc_id")).toDF()
+    val brute = graft.engine.Extensions.cosineTopK(emb, "embedding",
+      "media_id", queryIds = Seq(2L, 5L, 8L), k = 10)
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(s(out) == s(brute) && s(out).nonEmpty)
+  }
 }

@@ -37,7 +37,14 @@ for i in range(n):
     summary = json.loads(line)
     if summary["errors"]:
         sys.exit(f"run {i}: bench reported errors: {summary['errors']}")
-    with open("/root/repo/bench_out.json") as f:
+    # open the path the summary reports, never a hardcoded file: if
+    # Bench's best-effort write failed ("unwritable: ..."), a stale
+    # bench_out.json from a previous run would otherwise be silently
+    # ingested into the recorded medians (ADVICE r13)
+    full_path = summary.get("full", "")
+    if not full_path or full_path.startswith("unwritable"):
+        sys.exit(f"run {i}: bench full output unavailable: {full_path!r}")
+    with open(full_path) as f:
         d = json.load(f)
     with open(f"/tmp/graft_bench_run{i}.json", "w") as f:
         json.dump(d, f)
