@@ -318,6 +318,51 @@ object ExtensionQueries {
              |SELECT * FROM r WHERE rank <= $RrfFinalK
              |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared DuckDB twin for semantic_dedup AND
+    * semantic_dedup_incremental: all-pairs cosine + WITH RECURSIVE
+    * reachability + exact keep-best arg-max over the FULL corpus. The
+    * incremental entry matching this batch SQL verbatim IS its
+    * correctness statement — the pair store accumulated over the two
+    * snapshots must equal the batch pair set on the union. */
+  private val semanticDedupOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      |  WHERE vec_id < 500
+      |    AND vec_id IN (SELECT doc_id FROM documents)),
+      |dd AS (
+      |  SELECT d.doc_id, d.n_chars
+      |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         round(CASE WHEN list_dot_product(a.emb, a.emb) = 0
+      |                      OR list_dot_product(b.emb, b.emb) = 0 THEN 0
+      |               ELSE list_dot_product(a.emb, b.emb)
+      |                    / (sqrt(list_dot_product(a.emb, a.emb))
+      |                     * sqrt(list_dot_product(b.emb, b.emb)))
+      |               END, 6) AS cs
+      |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id),
+      |pairs AS (SELECT id_a, id_b FROM p WHERE cs >= 0.35),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM dd
+      |  UNION
+      |  SELECT e2.dst, reach.r
+      |  FROM reach JOIN edges e2 ON e2.src = reach.id),
+      |comp AS (SELECT id AS doc_id, min(r) AS component
+      |         FROM reach GROUP BY id),
+      |q AS (SELECT c.doc_id, c.component, dd.n_chars
+      |      FROM comp c JOIN dd ON dd.doc_id = c.doc_id),
+      |b1 AS (SELECT component, max(n_chars) AS bq FROM q GROUP BY 1),
+      |b2 AS (SELECT q.component, min(q.doc_id) AS best_id
+      |       FROM q JOIN b1 ON q.component = b1.component
+      |        AND q.n_chars = b1.bq
+      |       GROUP BY 1)
+      |SELECT q.doc_id, q.component, q.n_chars,
+      |       (q.doc_id = b2.best_id)::INT AS keep
+      |FROM q JOIN b2 ON q.component = b2.component
+      |ORDER BY q.doc_id""".stripMargin
+
   // ── BPE oracle building blocks (bpe_merges / bpe_stats): the greedy
   // merge loop unrolled into chained CTEs, one (pairs → best → reseg)
   // triple per round. State per word = its symbol list; resegmentation
@@ -2111,43 +2156,37 @@ object ExtensionQueries {
             .select(col("vec_id").as("doc_id"), col("embedding")),
           "doc_id", "n_chars", "embedding", minCosine = 0.35, nCells = 16)
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE e AS (
-             |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-             |  WHERE vec_id < 500
-             |    AND vec_id IN (SELECT doc_id FROM documents)),
-             |dd AS (
-             |  SELECT d.doc_id, d.n_chars
-             |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
-             |p AS (
-             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |         round(CASE WHEN list_dot_product(a.emb, a.emb) = 0
-             |                      OR list_dot_product(b.emb, b.emb) = 0 THEN 0
-             |               ELSE list_dot_product(a.emb, b.emb)
-             |                    / (sqrt(list_dot_product(a.emb, a.emb))
-             |                     * sqrt(list_dot_product(b.emb, b.emb)))
-             |               END, 6) AS cs
-             |  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id),
-             |pairs AS (SELECT id_a, id_b FROM p WHERE cs >= 0.35),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |          UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach(id, r) AS (
-             |  SELECT doc_id, doc_id FROM dd
-             |  UNION
-             |  SELECT e2.dst, reach.r
-             |  FROM reach JOIN edges e2 ON e2.src = reach.id),
-             |comp AS (SELECT id AS doc_id, min(r) AS component
-             |         FROM reach GROUP BY id),
-             |q AS (SELECT c.doc_id, c.component, dd.n_chars
-             |      FROM comp c JOIN dd ON dd.doc_id = c.doc_id),
-             |b1 AS (SELECT component, max(n_chars) AS bq FROM q GROUP BY 1),
-             |b2 AS (SELECT q.component, min(q.doc_id) AS best_id
-             |       FROM q JOIN b1 ON q.component = b1.component
-             |        AND q.n_chars = b1.bq
-             |       GROUP BY 1)
-             |SELECT q.doc_id, q.component, q.n_chars,
-             |       (q.doc_id = b2.best_id)::INT AS keep
-             |FROM q JOIN b2 ON q.component = b2.component
-             |ORDER BY q.doc_id""".stripMargin)),
+      Some(semanticDedupOracle)),
+
+    // ── INCREMENTAL semantic dedup (VERDICT r13 #5): the same corpus
+    // arrives as two snapshots (doc_id < 250, then ≥ 250) against a
+    // persisted SemanticStore — frozen-quantizer cell assignment,
+    // batch×(stored ∪ batch) blocked pair scan (recall 1), pairs/meta
+    // appended as an epoch beside the IvfIndex vectors. The pair-store
+    // design makes the accumulated state EXACTLY the batch run on the
+    // union, so this entry shares semantic_dedup's WITH RECURSIVE
+    // oracle VERBATIM — the strongest equivalence the gate can state ───
+    QuerySpec("semantic_dedup_incremental",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-semstore")
+        dir.toFile.deleteOnExit()
+        val docs = documents(s, d)
+        val emb = embeddings(s, d).filter(col("vec_id") < 500)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        SemanticStore.ingest(s"$dir/store",
+          docs.filter(col("doc_id") < 250),
+          emb.filter(col("doc_id") < 250),
+          "doc_id", "n_chars", "embedding", minCosine = 0.35,
+          nCells = 16, epochName = "s1")
+        SemanticStore.ingest(s"$dir/store",
+          docs.filter(col("doc_id") >= 250),
+          emb.filter(col("doc_id") >= 250),
+          "doc_id", "n_chars", "embedding", minCosine = 0.35,
+          nCells = 16, epochName = "s2")
+          .orderBy("doc_id")
+      },
+      Some(semanticDedupOracle)),
 
     // ── windowed skip-gram PMI collocations: in-array pair build (no
     // position self-join), marginals re-aggregate the pair table ────────

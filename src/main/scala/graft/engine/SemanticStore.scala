@@ -1,0 +1,249 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental semantic (embedding-space) dedup against a PERSISTED
+  * store (VERDICT r13 #5) — [[Extensions.semanticDedup]] re-clusters
+  * the whole corpus each run; a production pipeline dedups each new
+  * crawl snapshot against what it already holds. This mirrors
+  * `dedup_incremental`'s signature-store shape with embeddings:
+  * new-snapshot vectors are assigned under the store's FROZEN
+  * quantizer ([[IvfIndex]] — whose epoch lifecycle already carries
+  * the vectors), near-dup pairs are discovered by a blocked
+  * batch×(stored ∪ batch) scan with triangle-inequality-sound cell
+  * pruning (recall exactly 1, the [[Extensions.cosineNearDupsBlocked]]
+  * argument), and the snapshot lands as one epoch: pairs + doc
+  * metadata + per-cell radii beside the IvfIndex epoch.
+  *
+  * THE load-bearing design choice: the store accumulates the PAIR SET,
+  * and clustering (connected components + keep-best) always re-derives
+  * from the accumulated pairs. Pair discovery — the quadratic-ish cost
+  * center — is incremental (each snapshot only scans batch×union,
+  * never stored×stored again); CC and keep-best re-run over the
+  * edge-bounded pair store, which is linear-ish and cheap by
+  * comparison. The payoff is EXACTNESS, not approximation: the pairs
+  * accumulated over any snapshot sequence are precisely the pairs a
+  * batch run over the union would find (s1-internal ∪ s2×union ∪ … =
+  * all union pairs), so the incremental output EQUALS
+  * [[Extensions.semanticDedup]] on the union, row for row — the
+  * two-snapshot equivalence law in SemanticStoreSpec, and what lets
+  * the catalog entry share the batch twin's WITH RECURSIVE oracle
+  * verbatim. (A survivor-only store — the tempting alternative — breaks
+  * that equality on transitive chains that cross snapshot boundaries.)
+  *
+  * Store layout under `storePath`:
+  * {{{
+  *   ivf/              IvfIndex (quantizer + cells + ingest epochs)
+  *   pairs/<epoch>/    near-dup pairs this snapshot discovered
+  *   meta/<epoch>/     (id, quality) — the keep-best input
+  *   radii/<epoch>/    per-cell angular radii of THIS batch (≤ nCells
+  *                     rows; effective radius at ingest = max across
+  *                     committed epochs ∪ the live batch)
+  *   _epochs/<epoch>   commit marker, written LAST
+  * }}}
+  * Crash coherence (single writer, the [[IvfIndex.appendEpoch]]
+  * contract): pairs/meta/radii are idempotent overwrites staged
+  * BEFORE the vectors; the IVF epoch claims its cells; the operator's
+  * `_epochs/<name>` marker is the snapshot's single commit point,
+  * written after everything else. A crash anywhere before it leaves
+  * an uncommitted epoch that readers ignore and a retry overwrites;
+  * an ALREADY-committed epoch name makes [[ingest]] a no-op replay
+  * (checkpoint-redelivery shape). Batch ids must be disjoint from
+  * stored ids (exact-hash dedup upstream — the appendEpoch contract).
+  *
+  * Scale shape: the batch assigns cells by a literal-centroid codegen
+  * projection (no fit); cell-pair pruning is driver arithmetic over
+  * nCells² with nCells-bounded radii; the pair join reads ONLY the
+  * stored cells named by surviving pairs (the IvfIndex cell layout
+  * file-prunes); the pair store is the operator's bounded output
+  * (pairs above a production threshold ≪ corpus²); CC is the
+  * pointer-jumping operator; keep-best is a map-side-combinable
+  * aggregate. Nothing rescans stored×stored, ever.
+  */
+object SemanticStore {
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed epoch names, in name order (ingest order is not needed:
+    * pairs/meta/radii union symmetrically). */
+  def committedEpochs(spark: SparkSession, storePath: String): Seq[String] = {
+    val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** Ingest one snapshot and return the dedup state of the WHOLE
+    * accumulated corpus: (idCol, component, qualityCol, keep) — the
+    * exact frame [[Extensions.semanticDedup]] would return on the
+    * union of every committed snapshot. The snapshot's dedup domain is
+    * `batchDocs ⋈ batchEmb` on `idCol` (the batch twin's rule). An
+    * `epochName` that is already committed replays as a no-op.
+    */
+  def ingest(storePath: String, batchDocs: DataFrame, batchEmb: DataFrame,
+      idCol: String, qualityCol: String, embCol: String,
+      minCosine: Double, nCells: Int = 16,
+      epochName: String): DataFrame = {
+    require(minCosine > 0 && minCosine < 1,
+      "minCosine must be in (0, 1) — the cosineNearDupsBlocked domain")
+    require(epochName.nonEmpty && !epochName.contains("/"),
+      "epochName must be a single path segment")
+    val spark = batchEmb.sparkSession
+    val committed = committedEpochs(spark, storePath)
+    if (committed.contains(epochName))
+      return snapshot(spark, storePath, idCol, qualityCol)
+    val ivfPath = s"$storePath/ivf"
+    val batch = batchEmb.select(col(idCol), col(embCol))
+      .join(batchDocs.select(col(idCol), col(qualityCol)), idCol)
+    val vecs = batch.select(col(idCol), col(embCol))
+    // first snapshot fits the quantizer (bounded sample, IvfIndex
+    // rules) and saves the base layout; every later snapshot reuses
+    // the FROZEN quantizer — the IVF growth contract
+    if (committed.isEmpty)
+      IvfIndex.build(vecs, embCol, idCol, nCells).save(ivfPath)
+    val cents: Seq[Seq[Float]] = spark.read.parquet(s"$ivfPath/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).map(_._2)
+    // batch side: literal-centroid cell assignment, hoisted norms;
+    // zero-norm rows can't reach a positive threshold (cosine 0 by
+    // the exact form's convention) so they skip the pair scan but
+    // stay in the id domain via meta (singleton components)
+    val batchA = vecs
+      .withColumn("__n", sqrt(Extensions.dot(col(embCol), col(embCol))))
+      .filter(col("__n") > 0)
+      .withColumn("__cell",
+        Extensions.nearestCellExpr(col(embCol), cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("__cell", "__cent")
+    val batchRadii: Map[Int, Double] = batchA
+      .join(broadcast(centDf), "__cell")
+      .select(col("__cell"),
+        acos(least(greatest(Extensions.cosine(col(embCol), col("__cent")),
+          lit(-1.0)), lit(1.0))).as("__r"))
+      .groupBy("__cell").agg(max("__r").as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // effective per-cell radius = max over committed epochs ∪ this
+    // batch: radii are max-aggregates, so the store never needs a
+    // corpus rescan to refresh them — and a LARGER radius only admits
+    // extra candidate cell pairs, never drops a qualifying one
+    val storedRadii: Map[Int, Double] =
+      if (committed.isEmpty) Map.empty
+      else spark.read
+        .parquet(committed.map(e => s"$storePath/radii/$e"): _*)
+        .groupBy("__cell").agg(max("__r").as("__r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii: Map[Int, Double] =
+      (storedRadii.keySet ++ batchRadii.keySet).map { c =>
+        c -> math.max(storedRadii.getOrElse(c, -1.0),
+          batchRadii.getOrElse(c, -1.0))
+      }.toMap
+    // surviving ordered cell pairs by the triangle inequality on the
+    // unit sphere (the cosineNearDupsBlocked argument — sound for ANY
+    // assignment rule, so the IvfIndex's euclidean cells serve): a
+    // pair of cells is scanned unless even the closest possible
+    // members stay below the threshold angle. Slack absorbs
+    // float→double ulp wobble (admits extra pairs only).
+    val slack = 1e-4
+    val thetaMax = math.acos(math.min(1.0, math.max(-1.0, minCosine)))
+    def unit(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0) d else d.map(_ / n)
+    }
+    val uc = cents.map(unit)
+    def centAngle(i: Int, j: Int): Double = {
+      val d = uc(i).zip(uc(j)).map { case (a, b) => a * b }.sum
+      math.acos(math.min(1.0, math.max(-1.0, d)))
+    }
+    val survivors = for {
+      i <- cents.indices; j <- cents.indices
+      if radii.contains(i) && radii.contains(j)
+      if centAngle(i, j) - radii(i) - radii(j) <= thetaMax + slack
+    } yield (i, j)
+    val survDf = spark.createDataFrame(survivors).toDF("__ca", "__cb")
+    // B side = stored corpus (only the cells named by surviving pairs
+    // are ever read — the IvfIndex layout file-prunes) ∪ the batch
+    // itself; __stored keeps each unordered pair exactly once:
+    // batch×stored pairs pass unconditionally (ids are disjoint),
+    // batch×batch pairs pass once under id_a < id_b
+    val batchB = batchA.select(col(idCol).as("id_b"),
+      col(embCol).as("__eb"), col("__n").as("__nb"),
+      col("__cell").as("__cb"), lit(false).as("__stored"))
+    val bSide =
+      if (committed.isEmpty) batchB
+      else IvfIndex.cellsWithEpochs(spark, ivfPath)
+        .withColumn("__nb", sqrt(Extensions.dot(col(embCol), col(embCol))))
+        .filter(col("__nb") > 0)
+        .select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+          col("__nb"), col("__cell").as("__cb"),
+          lit(true).as("__stored"))
+        .unionByName(batchB)
+    val a = batchA.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      col("__n").as("__na"), col("__cell").as("__ca"))
+    // exact rescore — the cosineNearDupsBlocked expression verbatim
+    // (same operand order, same rounding), so scores are bit-identical
+    // to the batch twin's and the shared oracle's
+    val pairs = a.join(broadcast(survDf), Seq("__ca"))
+      .join(bSide, Seq("__cb"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__stored") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(when(col("__na") =!= 0 && col("__nb") =!= 0,
+          Extensions.dot(col("__ea"), col("__eb")) /
+            (col("__na") * col("__nb")))
+          .otherwise(0.0), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+    // stage the snapshot: pairs, meta, radii (idempotent overwrites),
+    // then the vectors (the IVF epoch's own claim), the operator's
+    // commit marker LAST
+    pairs.write.mode("overwrite").parquet(s"$storePath/pairs/$epochName")
+    batch.select(col(idCol), col(qualityCol))
+      .write.mode("overwrite").parquet(s"$storePath/meta/$epochName")
+    spark.createDataFrame(batchRadii.toSeq).toDF("__cell", "__r")
+      .write.mode("overwrite").parquet(s"$storePath/radii/$epochName")
+    batchA.unpersist()
+    // the base snapshot's vectors were saved by build(); later
+    // snapshots append as an IVF epoch (false = claimed by a previous
+    // torn run after its cells landed — the retry just proceeds to
+    // the marker, per the coherence protocol above)
+    if (committed.nonEmpty)
+      IvfIndex.appendEpoch(spark, ivfPath, vecs, embCol, idCol, epochName)
+    val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
+    fs.mkdirs(root)
+    fs.create(new org.apache.hadoop.fs.Path(root, epochName), true).close()
+    snapshot(spark, storePath, idCol, qualityCol)
+  }
+
+  /** Dedup state of the accumulated corpus WITHOUT ingesting: ids ∪
+    * quality from the committed meta, transitive closure over the
+    * accumulated pair store, keep-best survivor per component —
+    * [[Extensions.semanticDedup]]'s exact post-pair pipeline (max
+    * struct aggregate hash-joined back, never a window over the
+    * component key).
+    */
+  def snapshot(spark: SparkSession, storePath: String, idCol: String,
+      qualityCol: String): DataFrame = {
+    val committed = committedEpochs(spark, storePath)
+    require(committed.nonEmpty, s"no committed epochs at $storePath")
+    val meta = spark.read
+      .parquet(committed.map(e => s"$storePath/meta/$e"): _*)
+    val pairs = spark.read
+      .parquet(committed.map(e => s"$storePath/pairs/$e"): _*)
+    val comps = graft.operators.ConnectedComponents.components(
+      meta.select(col(idCol)), pairs, idCol, "id_a", "id_b")
+    val withQ = comps.join(meta, idCol)
+    val best = withQ.groupBy("component")
+      .agg(max(struct(col(qualityCol).as("q"),
+        (-col(idCol)).as("negid"))).as("__b"))
+      .select(col("component"), (-col("__b.negid")).as("__best_id"))
+    withQ.join(best, "component")
+      .select(col(idCol), col("component"), col(qualityCol),
+        (col(idCol) === col("__best_id")).cast("int").as("keep"))
+  }
+}
