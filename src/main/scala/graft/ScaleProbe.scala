@@ -225,6 +225,39 @@ object ScaleProbe {
           emb.select("vec_id", "embedding"),
           "vec_id", "q", "embedding", minCosine = 0.35, nCells = 16)
       }),
+      // the DOCTRINE config for the ×100 point (VERDICT r13 #3):
+      // nCells grows with the corpus so cells stay executor-sized and
+      // the blocked pair scan stays ~Σ surviving |ci|·|cj| ∝ volume —
+      // the fixed-16-cell shape above measures the degenerate regime
+      // (100 replicas crammed into 16 cells approaches block-local
+      // all-pairs work, exactly what the scaling story says NOT to do)
+      "semantic_dedup_scaled" -> (f => {
+        val emb = embeddingsPermAt(f)
+        graft.engine.Extensions.semanticDedup(
+          emb.select(col("vec_id"),
+            pmod(col("vec_id"), lit(1000L)).as("q")),
+          emb.select("vec_id", "embedding"),
+          "vec_id", "q", "embedding", minCosine = 0.35, nCells = 16 * f)
+      }),
+      // the PRODUCTION-threshold control (×100 battery): the catalog
+      // pins minCosine=0.35 (69° prune angle — a stress case where
+      // 64-dim cell pruning is inherently weak); real near-dup runs at
+      // ≥0.8 (37°), where distant cell pairs prune in bulk — this row
+      // is the operating point the 100 TB posture actually claims
+      "semantic_dedup_tight" -> (f => {
+        val emb = embeddingsPermAt(f)
+        graft.engine.Extensions.semanticDedup(
+          emb.select(col("vec_id"),
+            pmod(col("vec_id"), lit(1000L)).as("q")),
+          emb.select("vec_id", "embedding"),
+          "vec_id", "q", "embedding", minCosine = 0.8, nCells = 16 * f)
+      }),
+      // quality_score_lr (×100 battery): the tokenize+bucket count and
+      // the integer-dot scoring pass track volume; the LBFGS fit is
+      // hash-sample-capped (65536 docs at ANY corpus size, ceiling
+      // stride) so the fit cost amortizes toward flat
+      "quality_score_lr" -> (f =>
+        graft.SparkEntry.queries("quality_score_lr")(spark, s"$work/f$f")),
       "token_pmi" -> (f => graft.engine.Extensions.tokenPmi(
         documentsAt(f), "text", "doc_id",
         window = 2, minCount = 5, topN = 100)),
@@ -471,6 +504,9 @@ object ScaleProbe {
       "ivfpq_topk" -> Set("embeddings"),
       "cosine_neardup_blocked" -> Set("embeddings_perm"),
       "semantic_dedup" -> Set("embeddings_perm"),
+      "semantic_dedup_scaled" -> Set("embeddings_perm"),
+      "semantic_dedup_tight" -> Set("embeddings_perm"),
+      "quality_score_lr" -> Set("documents"),
       "knn_join" -> Set("embeddings_perm"),
       "ewma_smooth" -> Set("orders"),
       "skyline_bucketed_anti" -> Set("orders"),
