@@ -376,6 +376,37 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ingest into a persisted
+    * [[graft.engine.SemanticStore]]: each micro-batch of
+    * (id, quality, embedding) rows lands as ONE store epoch —
+    * frozen-quantizer cell assignment, blocked batch×(stored ∪ batch)
+    * pair scan, pairs/meta/radii staged beside the IvfIndex vectors,
+    * the commit marker last. Epoch names derive from the micro-batch
+    * id, so a checkpoint redelivery replays as a no-op
+    * ([[graft.engine.SemanticStore.ingest]]'s committed-epoch check —
+    * the [[vectorIngestSink]] claim-replay shape). The payoff is the
+    * store's exactness law carried into streaming: after ANY prefix
+    * of micro-batches, `SemanticStore.snapshot` equals the BATCH
+    * [[graft.engine.Extensions.semanticDedup]] over the union of
+    * those batches — a streaming corpus dedup with offline-run
+    * semantics (StreamingSpec drives the equivalence + the restart).
+    */
+  def semanticDedupIngestSink(updates: DataFrame, storePath: String,
+      idCol: String, qualityCol: String, embCol: String,
+      minCosine: Double, nCells: Int,
+      checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.engine.SemanticStore.ingest(storePath,
+          batch.select(col(idCol), col(qualityCol)),
+          batch.select(col(idCol), col(embCol)),
+          idCol, qualityCol, embCol, minCosine, nCells,
+          f"batch-$epochId%09d")
+        ()
+      }
+      .start()
+
   /** One [[mergeSink]] epoch, exposed so crash-replay can be exercised
     * directly: apply `batch` as generation `gen-<epochId>` under
     * `path`. Idempotent per epoch — if `_CURRENT` already names this

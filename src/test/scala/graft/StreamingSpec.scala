@@ -910,5 +910,79 @@ class StreamingSpec extends AnyFunSuite {
       .select("neighbor_id").collect().map(_.getLong(0))
     assert(res.nonEmpty)
   }
+
+  test("semanticDedupIngestSink: micro-batches land as committed store " +
+      "epochs, the accumulated state equals the BATCH semanticDedup on " +
+      "the union after every prefix, and a checkpoint restart replays " +
+      "as a no-op") {
+    import TestSpark.spark.implicits._
+    // the SemanticStoreSpec geometry: a—b—c is a transitive chain that
+    // CROSSES the micro-batch boundary, d—e a cross-batch pair, f a
+    // singleton (cos(f,b)=0.436, cos(f,c)=0.785 < 0.8)
+    val s = math.sqrt(1 - 0.81).toFloat
+    val c2 = (2 * 0.9 * 0.9 - 1).toFloat
+    val s2v = (2 * 0.9 * s).toFloat
+    val emb = Map(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0.9f, s, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f), 4L -> Seq(0f, 0f, 0f, 0f),
+      5L -> Seq(c2, s2v, 0f, 0f),
+      6L -> Seq(0f, 0f, 0.95f, 0.312f), 7L -> Seq(0f, 1f, 0f, 0f))
+    val quality = Map(1L -> 10L, 2L -> 20L, 3L -> 5L, 4L -> 1L,
+      5L -> 30L, 6L -> 50L, 7L -> 2L)
+    val rows = emb.keys.toSeq.sorted
+      .map(id => (id, quality(id), emb(id)))
+    val wave1 = rows.filter(_._1 <= 4) // incl. the zero-norm row
+    val wave2 = rows.filter(_._1 > 4)
+    val store = Files.createTempDirectory("graft-semsink").toString
+    val ckpt = Files.createTempDirectory("graft-semsink-ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Float])](spark)
+    def sink() = Streaming.semanticDedupIngestSink(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("q"),
+        col("_3").cast("array<float>").as("embedding")),
+      s"$store/s", "doc_id", "q", "embedding", minCosine = 0.8,
+      nCells = 4, checkpointDir = ckpt)
+    def docsOf(w: Seq[(Long, Long, Seq[Float])]) =
+      w.map(r => (r._1, r._2)).toDF("doc_id", "q")
+    def embOf(w: Seq[(Long, Long, Seq[Float])]) =
+      w.map(r => (r._1, r._3)).toDF("doc_id", "embedding")
+    def state() = graft.engine.SemanticStore
+      .snapshot(spark, s"$store/s", "doc_id", "q")
+      .select("doc_id", "component", "q", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    def batchOn(ws: Seq[(Long, Long, Seq[Float])]*) =
+      graft.engine.Extensions.semanticDedup(
+          docsOf(ws.flatten), embOf(ws.flatten), "doc_id", "q",
+          "embedding", minCosine = 0.8, nCells = 4)
+        .select("doc_id", "component", "q", "keep")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val q = sink()
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      assert(state() == batchOn(wave1))
+      input.addData(wave2: _*); q.processAllAvailable()
+      assert(state() == batchOn(wave1, wave2))
+      // the boundary-crossing chain merged and the best-quality member
+      // of {1, 2, 5} is the keeper
+      val st = state()
+      val comp1 = st.find(_._1 == 1L).get._2
+      assert(st.find(_._1 == 5L).get._2 == comp1)
+      assert(st.filter(_._2 == comp1).filter(_._4 == 1).map(_._1) ==
+        Set(5L))
+      assert(graft.engine.SemanticStore
+        .committedEpochs(spark, s"$store/s") ==
+        Seq("batch-000000000", "batch-000000001"))
+    } finally q.stop()
+    // restart from the same checkpoint: a redelivered batch's epoch
+    // name is already committed, so ingest replays as a no-op and the
+    // state is byte-identical
+    val before = state()
+    val q2 = sink()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == before)
+    assert(graft.engine.SemanticStore
+      .committedEpochs(spark, s"$store/s") ==
+      Seq("batch-000000000", "batch-000000001"))
+  }
 }
 
