@@ -718,6 +718,21 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
   }
 
+  test("bpe_encode's APPLY pass is one pure projection: a single " +
+      "documents scan, no hash exchange (the merge table rides as " +
+      "literals; the only exchange is the entry's oracle-order sort)") {
+    val plan = executedPlan(SparkEntry.queries("bpe_encode")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the encode projection must not shuffle on a key:\n$plan")
+    // exactly one exchange: the rangepartitioning the catalog entry's
+    // .orderBy("doc_id") adds for the driver's ordered oracle compare
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected only the order-by exchange:\n$plan")
+  }
+
   test("dsir_resample's top-k is a bounded TakeOrdered, never a global " +
       "sort, and the weight pass adds no extra corpus scan") {
     val plan = executedPlan(SparkEntry.queries("dsir_resample")(spark, sf))
