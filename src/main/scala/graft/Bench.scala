@@ -109,23 +109,28 @@ object Bench {
     // window inflates sub-second queries by a ~fixed smear, and even
     // the r13 worst case (45 hits × 2 re-runs of ≤10 s queries) is
     // minutes, not a second cold pass — so no cap is needed.
+    val triggerHits: Set[String] = results.filter(_._3)
+      .filter { case (n, t, _) =>
+        recorded.get(n).exists(r => t > 1.8 * r && t - r > 0.2) }
+      .map(_._1).toSet
     val requeried: Seq[(String, Double)] =
       if (repeat > 1) Seq.empty
       else {
         val fns = SparkEntry.queries
         val top = results.filter(_._3).sortBy(-_._2).take(10).map(_._1)
-        val outliers = results.filter(_._3)
-          .filter { case (n, t, _) =>
-            recorded.get(n).exists(r => t > 1.8 * r && t - r > 0.2) }
-          .map(_._1)
-          .filterNot(top.contains)
-        val names = top ++ outliers
+        val names = top ++ triggerHits.toSeq.sorted.filterNot(top.contains)
         new scala.util.Random(7L).shuffle(names ++ names)
-          .map { name =>
+          .flatMap { name =>
             val t0 = System.nanoTime()
-            try { fns(name)(spark, sfDir).count(); () }
-            catch { case _: Throwable => () }
-            name -> (System.nanoTime() - t0) / 1e9
+            // a requery that THROWS contributes nothing: recording its
+            // elapsed-to-failure would let a fast failure masquerade as
+            // a fast success in the adjudicated gate number — the same
+            // sentinel rule the cold pass enforces (review finding). If
+            // every re-run of a name fails, the name simply has no
+            // requery entry and its cold value stands unadjudicated.
+            try { fns(name)(spark, sfDir).count()
+              Some(name -> (System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
           }
           .groupBy(_._1).view.mapValues(_.map(_._2).min)
           .toSeq.sortBy(_._1)
@@ -137,16 +142,21 @@ object Bench {
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // adjudicated_total = the cold sum with each requeried query's
+    // adjudicated_total = the cold sum with each TRIGGER-HIT query's
     // re-measured MIN substituted — the gate-facing number (VERDICT
     // r13 #1): a cold reading far above its twice-re-run value is host
     // noise by the shuffled-order protocol, so the gate must never
-    // read raw noise. min(cold, requeried) per query: a requery can
-    // only clear noise, never hide a real regression (a regression
-    // reproduces on re-run and keeps its high value).
+    // read raw noise. Substitution applies ONLY to names that tripped
+    // the 1.8×+0.2 s trigger: the top-10 are re-run for judge
+    // visibility but keep their cold values unless they tripped —
+    // substituting warm re-runs for healthy heavy queries would push
+    // the gate number systematically below cold-run semantics and
+    // could mask a cold-I/O-only regression (review finding).
+    // min(cold, requeried) on a trigger hit can only clear noise: a
+    // real plan regression reproduces on re-run and keeps its value.
     val rqMap = requeried.toMap
     val adjTotal = results.collect { case (n, v, true) =>
-      math.min(v, rqMap.getOrElse(n, v)) }.sum
+      if (triggerHits(n)) math.min(v, rqMap.getOrElse(n, v)) else v }.sum
     val head = s""""metric":"total","value":$total,"unit":"sec","adjudicated_total":$adjTotal"""
     // The full per-query map outgrew what the driver's single-line
     // parser/tail capture can hold (BENCH_r12 `parsed` came back null

@@ -255,9 +255,14 @@ object ScaleProbe {
       // quality_score_lr (×100 battery): the tokenize+bucket count and
       // the integer-dot scoring pass track volume; the LBFGS fit is
       // hash-sample-capped (65536 docs at ANY corpus size, ceiling
-      // stride) so the fit cost amortizes toward flat
-      "quality_score_lr" -> (f =>
-        graft.SparkEntry.queries("quality_score_lr")(spark, s"$work/f$f")),
+      // stride) so the fit cost amortizes toward flat. The ENGINE
+      // function directly, not the catalog entry: the entry appends
+      // .orderBy(doc_id) over the corpus-sized output (the driver's
+      // ordered oracle compare) — a global range-sort the operator
+      // under test doesn't have (review finding)
+      "quality_score_lr" -> (f => graft.engine.Extensions.qualityScoreLr(
+        spark.read.parquet(s"$work/f$f/documents.parquet"),
+        "text", "doc_id")),
       "token_pmi" -> (f => graft.engine.Extensions.tokenPmi(
         documentsAt(f), "text", "doc_id",
         window = 2, minCount = 5, topN = 100)),

@@ -50,12 +50,28 @@ object ExtensionQueries {
   private val hybridIdxCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (TextIndex, IvfIndex)]()
 
+  /** Temp dir removed RECURSIVELY at JVM exit: `File.deleteOnExit`
+    * silently no-ops on non-empty directories, so a per-run store
+    * tree would otherwise leak into /tmp on every catalog pass
+    * (review finding — and disk exhaustion from accumulated run
+    * debris is exactly what killed the first ×100 probe battery). */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+        ()
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
+
   private def hybridIndexes(s: org.apache.spark.sql.SparkSession,
       d: String): (TextIndex, IvfIndex) =
     hybridIdxCache.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-hybrid")
-      dir.toFile.deleteOnExit()
+      val dir = tempDir("graft-hybrid")
       TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
         .save(s"$dir/text")
       IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
@@ -2168,9 +2184,7 @@ object ExtensionQueries {
     // oracle VERBATIM — the strongest equivalence the gate can state ───
     QuerySpec("semantic_dedup_incremental",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-semstore")
-        dir.toFile.deleteOnExit()
+        val dir = tempDir("graft-semstore")
         val docs = documents(s, d)
         val emb = embeddings(s, d).filter(col("vec_id") < 500)
           .select(col("vec_id").as("doc_id"), col("embedding"))

@@ -96,8 +96,25 @@ object SemanticStore {
     if (committed.contains(epochName))
       return snapshot(spark, storePath, idCol, qualityCol)
     val ivfPath = s"$storePath/ivf"
+    // persist the joined batch once: the radii collect, the pair scan,
+    // the meta write, and the epoch append all read it (uncached, each
+    // would re-run the join — and in the foreachBatch sink re-read the
+    // micro-batch from the source; review finding)
     val batch = batchEmb.select(col(idCol), col(embCol))
       .join(batchDocs.select(col(idCol), col(qualityCol)), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no quantizer can be fit from nothing: an empty FIRST snapshot is
+    // a no-op that commits nothing — the next non-empty snapshot
+    // becomes the base. (The streaming sink's empty-batch-0 case: a
+    // trigger that fires before data arrives must not kill the query,
+    // and must not wedge the checkpoint on a permanently-failing
+    // replay — review finding.) Empty LATER snapshots take the normal
+    // path: empty pairs/meta land, the epoch commits, state unchanged.
+    if (committed.isEmpty && batch.isEmpty) {
+      batch.unpersist()
+      return batch.select(col(idCol), col(idCol).as("component"),
+        col(qualityCol), lit(0).as("keep"))
+    }
     val vecs = batch.select(col(idCol), col(embCol))
     // first snapshot fits the quantizer (bounded sample, IvfIndex
     // rules) and saves the base layout; every later snapshot reuses
@@ -174,15 +191,39 @@ object SemanticStore {
     val batchB = batchA.select(col(idCol).as("id_b"),
       col(embCol).as("__eb"), col("__n").as("__nb"),
       col("__cell").as("__cb"), lit(false).as("__stored"))
+    // stored side = ONLY store-COMMITTED snapshots: the base layout
+    // (the first committed snapshot's vectors, written by build+save)
+    // plus each committed epoch dir — NOT IvfIndex.cellsWithEpochs.
+    // An IVF epoch whose _claim landed but whose store marker didn't
+    // (a crash inside the commit window — or THIS very epoch on a
+    // same-name retry) must stay invisible here: scanning it would
+    // write phantom edges to ids with no committed meta, breaking the
+    // committed-union equivalence law, and a retry would score its own
+    // batch against itself-in-store, triple-writing every batch pair
+    // (review finding). Corollary: IvfIndex.compactEpochs must not be
+    // run on a SemanticStore's inner index (folding sweeps the epoch
+    // dirs this read path resolves by committed NAME).
     val bSide =
       if (committed.isEmpty) batchB
-      else IvfIndex.cellsWithEpochs(spark, ivfPath)
-        .withColumn("__nb", sqrt(Extensions.dot(col(embCol), col(embCol))))
-        .filter(col("__nb") > 0)
-        .select(col(idCol).as("id_b"), col(embCol).as("__eb"),
-          col("__nb"), col("__cell").as("__cb"),
-          lit(true).as("__stored"))
-        .unionByName(batchB)
+      else {
+        val baseCells =
+          spark.read.parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
+        val epochCells = committed
+          .map(e => s"$ivfPath/epochs/$e/cells")
+          .filter { p =>
+            val (f2, pp) = hadoopFs(spark, p)
+            f2.exists(pp)
+          }
+        epochCells.foldLeft(baseCells)((df, p) =>
+            df.unionByName(spark.read.parquet(p)))
+          .withColumn("__nb",
+            sqrt(Extensions.dot(col(embCol), col(embCol))))
+          .filter(col("__nb") > 0)
+          .select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+            col("__nb"), col("__cell").as("__cb"),
+            lit(true).as("__stored"))
+          .unionByName(batchB)
+      }
     val a = batchA.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
       col("__n").as("__na"), col("__cell").as("__ca"))
     // exact rescore — the cosineNearDupsBlocked expression verbatim
@@ -207,13 +248,14 @@ object SemanticStore {
       .write.mode("overwrite").parquet(s"$storePath/meta/$epochName")
     spark.createDataFrame(batchRadii.toSeq).toDF("__cell", "__r")
       .write.mode("overwrite").parquet(s"$storePath/radii/$epochName")
-    batchA.unpersist()
     // the base snapshot's vectors were saved by build(); later
     // snapshots append as an IVF epoch (false = claimed by a previous
     // torn run after its cells landed — the retry just proceeds to
     // the marker, per the coherence protocol above)
     if (committed.nonEmpty)
       IvfIndex.appendEpoch(spark, ivfPath, vecs, embCol, idCol, epochName)
+    batchA.unpersist()
+    batch.unpersist()
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
     fs.mkdirs(root)
     fs.create(new org.apache.hadoop.fs.Path(root, epochName), true).close()

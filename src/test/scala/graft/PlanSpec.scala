@@ -733,6 +733,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the order-by exchange:\n$plan")
   }
 
+  test("benford_digits scans lineitem ONCE: the 9-row grand total " +
+      "rides the digit aggregate's exchange (reuse), not a second " +
+      "corpus scan") {
+    val plan = executedPlan(SparkEntry.queries("benford_digits")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+  }
+
   test("dsir_resample's top-k is a bounded TakeOrdered, never a global " +
       "sort, and the weight pass adds no extra corpus scan") {
     val plan = executedPlan(SparkEntry.queries("dsir_resample")(spark, sf))

@@ -125,6 +125,85 @@ class SemanticStoreSpec extends AnyFunSuite {
       "doc_id", "q")) == out2)
   }
 
+  test("a torn commit window stays invisible: an IVF epoch claimed " +
+      "without the store marker is NOT scanned as stored, so later " +
+      "snapshots keep the committed-union equivalence and write no " +
+      "phantom edges; the torn snapshot's retry then completes") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-torn").toString
+    val s1d = docs.filter(col("doc_id") <= 4)
+    val s1e = emb.filter(col("doc_id") <= 4)
+    SemanticStore.ingest(s"$dir/store", s1d, s1e, "doc_id", "q",
+      "embedding", minCosine = 0.8, nCells = 4, epochName = "s1")
+    // simulate a crash between appendEpoch's _claim and the store
+    // marker: s2's VECTORS land as a claimed IVF epoch, but the
+    // snapshot never committed (no pairs/meta/_epochs entry)
+    val s2e = emb.filter(col("doc_id") === 5L) // c — near b (cos 0.9)
+    graft.engine.IvfIndex.appendEpoch(spark, s"$dir/store/ivf",
+      s2e, "embedding", "doc_id", "s2")
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store") ==
+      Seq("s1"))
+    // a different later snapshot must see ONLY committed vectors: its
+    // state equals the batch run on s1 ∪ s3, and its pair file carries
+    // no edge touching the uncommitted id 5
+    val s3d = docs.filter(col("doc_id") === 7L)
+    val s3e = emb.filter(col("doc_id") === 7L)
+    val out3 = collect(SemanticStore.ingest(s"$dir/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    val batch13 = collect(Extensions.semanticDedup(
+      docs.filter(col("doc_id") <= 4 || col("doc_id") === 7L),
+      emb.filter(col("doc_id") <= 4 || col("doc_id") === 7L),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4))
+    assert(out3 == batch13, s"got $out3 expected $batch13")
+    val s3pairs = spark.read.parquet(s"$dir/store/pairs/s3")
+      .as[(Long, Long, Double)].collect()
+    assert(!s3pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // the torn snapshot retries under its original name: appendEpoch
+    // refuses the already-claimed epoch, the marker lands, and the
+    // final state equals the batch run on all three snapshots —
+    // including the batch-internal-pair-once invariant
+    val s2d = docs.filter(col("doc_id") === 5L)
+    val out2 = collect(SemanticStore.ingest(s"$dir/store", s2d, s2e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2"))
+    val batchAll = collect(Extensions.semanticDedup(
+      docs.filter(col("doc_id") =!= 6L), emb.filter(col("doc_id") =!= 6L),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4))
+    assert(out2 == batchAll, s"got $out2 expected $batchAll")
+    val allPairs = spark.read.parquet(s"$dir/store/pairs/s1",
+        s"$dir/store/pairs/s2", s"$dir/store/pairs/s3")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(allPairs.distinct.size == allPairs.size,
+      s"duplicate pair rows: $allPairs")
+  }
+
+  test("an empty FIRST snapshot is a committing-nothing no-op (the " +
+      "streaming empty-batch-0 case) and the next non-empty snapshot " +
+      "becomes the base") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-empty").toString
+    val none = docs.filter(col("doc_id") < 0)
+    val out0 = SemanticStore.ingest(s"$dir/store", none,
+      emb.filter(col("doc_id") < 0), "doc_id", "q", "embedding",
+      minCosine = 0.8, nCells = 4, epochName = "b0")
+    assert(out0.count() == 0L)
+    assert(out0.columns.toSeq ==
+      Seq("doc_id", "component", "q", "keep"))
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store").isEmpty)
+    val out1 = collect(SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "b1"))
+    assert(out1 == collect(Extensions.semanticDedup(
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store") ==
+      Seq("b1"))
+  }
+
   test("accumulated pairs are exactly the batch pair set on the union " +
       "(each unordered pair once, id_a < id_b, rounded scores equal)") {
     val (docs, emb) = fixture
