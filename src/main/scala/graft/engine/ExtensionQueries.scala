@@ -54,17 +54,32 @@ object ExtensionQueries {
     * silently no-ops on non-empty directories, so a per-run store
     * tree would otherwise leak into /tmp on every catalog pass
     * (review finding — and disk exhaustion from accumulated run
-    * debris is exactly what killed the first ×100 probe battery). */
-  private def tempDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    * debris is exactly what killed the first ×100 probe battery).
+    * ONE shutdown hook drains a concurrent queue of paths (ADVICE
+    * r14): a hook per call — with semantic_dedup_incremental calling
+    * this on every invocation, cold pass plus each requery — would
+    * accumulate hook threads AND keep every run's full store tree on
+    * disk until exit. The queue costs one thread total, and eager
+    * per-call deletion is still wrong (a cached hybrid index built in
+    * an earlier call must outlive it), so exit-time remains the right
+    * deletion point; the bounded leak is the trees themselves, which
+    * the ×100 battery sidesteps with one JVM per shape. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
         ()
       }
-      rm(dir.toFile)
+      var p = tempDirs.poll()
+      while (p != null) { rm(p.toFile); p = tempDirs.poll() }
     }))
+  }
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(dir)
     dir
   }
 

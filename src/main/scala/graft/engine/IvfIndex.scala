@@ -563,15 +563,45 @@ object IvfIndex {
     *      garbage that the next compaction's sweep removes.
     *
     * Returns false (and writes nothing) when no claimed epochs exist.
+    *
+    * Refuses to run on a [[SemanticStore]]'s INNER index (the
+    * `_SEMSTORE` sentinel the store writes at creation): the store's
+    * committed-union read path resolves epoch dirs by committed NAME,
+    * and folding here would also surface a claimed-but-uncommitted
+    * torn epoch's vectors as stored — phantom pairs (ADVICE r14).
+    * [[SemanticStore.compact]] is the store-aware path: it folds only
+    * store-COMMITTED epoch names via [[compactEpochsNamed]].
     */
   def compactEpochs(spark: SparkSession, path: String): Boolean = {
+    val (sfs, sp) = hadoopFs(spark, s"$path/_SEMSTORE")
+    require(!sfs.exists(sp),
+      s"$path is the inner index of a SemanticStore — its epoch dirs " +
+        "are resolved by committed snapshot name, and folding claimed-" +
+        "but-uncommitted epochs would surface phantom vectors; run " +
+        "SemanticStore.compact on the store instead")
+    compactEpochsFiltered(spark, path, None)
+  }
+
+  /** [[compactEpochs]] restricted to an explicit epoch-name subset —
+    * the [[SemanticStore.compact]] entry point (folds only epochs the
+    * STORE has committed; a torn ingest's claimed-but-uncommitted
+    * epoch stays an epoch dir, invisible to the store's read path,
+    * until its retry completes). Bypasses the `_SEMSTORE` sentinel by
+    * design. */
+  private[graft] def compactEpochsNamed(spark: SparkSession,
+      path: String, names: Set[String]): Boolean =
+    compactEpochsFiltered(spark, path, Some(names))
+
+  private def compactEpochsFiltered(spark: SparkSession, path: String,
+      only: Option[Set[String]]): Boolean = {
     // THE single claimed-epoch snapshot: the staged unions AND the
     // _folded manifest all derive from this one list, so an epoch
     // claimed while this runs is simply not part of this generation —
     // it stays a live (unfolded) epoch and the next compaction takes
     // it. Re-listing per step (the pre-review bug) could fold its
     // ROWS while omitting its NAME: visible twice, forever.
-    val epochs = claimedEpochs(spark, path)
+    val epochs = claimedEpochs(spark, path).filter(p => only.forall(
+      _.contains(new org.apache.hadoop.fs.Path(p).getName)))
     if (epochs.isEmpty) {
       // nothing to fold, but an EARLIER run may have crashed inside
       // its post-publish sweep — and if no further epochs ever arrive,

@@ -42,6 +42,10 @@ import org.apache.spark.sql.functions._
   *                     committed epochs ∪ the live batch)
   *   _epochs/<epoch>   commit marker, written LAST
   * }}}
+  * [[compact]] folds committed snapshots into one `compact-N` epoch
+  * (and the inner IVF's segments into one base generation), bounding
+  * the per-epoch dir growth; a marker file's content records the
+  * folded names, so the fold commits in ONE file creation.
   * Crash coherence (single writer, the [[IvfIndex.appendEpoch]]
   * contract): pairs/meta/radii are idempotent overwrites staged
   * BEFORE the vectors; the IVF epoch claims its cells; the operator's
@@ -68,13 +72,44 @@ object SemanticStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Committed epoch names, in name order (ingest order is not needed:
-    * pairs/meta/radii union symmetrically). */
-  def committedEpochs(spark: SparkSession, storePath: String): Seq[String] = {
+  /** One listing of `_epochs/`: (committed names in name order,
+    * folded names). A marker file's CONTENT lists the epoch names a
+    * [[compact]] folded into it — carried forward across compactions
+    * (the [[IvfIndex]] `_folded` precedent), so exclusion never
+    * depends on a superseded marker surviving the cleanup sweep: the
+    * live compacted marker always names EVERY folded epoch, and
+    * deleting an older compacted marker can never resurrect one.
+    * Ingest-order is not needed: pairs/meta/radii union symmetrically. */
+  private def markerEntries(spark: SparkSession,
+      storePath: String): (Seq[String], Set[String]) = {
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName).sorted
+    if (!fs.exists(root)) (Seq.empty, Set.empty)
+    else {
+      val sts = fs.listStatus(root).toSeq
+      val folded = sts.flatMap { st =>
+        if (st.getLen == 0) Nil
+        else {
+          val in = fs.open(st.getPath)
+          try new String(in.readAllBytes(), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toSeq
+          finally in.close()
+        }
+      }.toSet
+      (sts.map(_.getPath.getName).filterNot(folded).sorted, folded)
+    }
   }
+
+  /** Committed epoch names, in name order. A name a [[compact]] run
+    * folded is no longer committed — its pairs/meta/radii live under
+    * the compacted epoch. */
+  def committedEpochs(spark: SparkSession, storePath: String): Seq[String] =
+    markerEntries(spark, storePath)._1
+
+  /** Epoch names folded by [[compact]] — a replay of one of these is
+    * a no-op exactly like a replay of a live committed name. */
+  private[engine] def foldedEpochNames(spark: SparkSession,
+      storePath: String): Set[String] =
+    markerEntries(spark, storePath)._2
 
   /** Ingest one snapshot and return the dedup state of the WHOLE
     * accumulated corpus: (idCol, component, qualityCol, keep) — the
@@ -92,8 +127,11 @@ object SemanticStore {
     require(epochName.nonEmpty && !epochName.contains("/"),
       "epochName must be a single path segment")
     val spark = batchEmb.sparkSession
-    val committed = committedEpochs(spark, storePath)
-    if (committed.contains(epochName))
+    val (committed, folded) = markerEntries(spark, storePath)
+    // a FOLDED name replays as a no-op too: its rows live under the
+    // compacted epoch now, and re-ingesting them would double every
+    // pair and meta row (the appendEpoch folded-refusal twin)
+    if (committed.contains(epochName) || folded.contains(epochName))
       return snapshot(spark, storePath, idCol, qualityCol)
     val ivfPath = s"$storePath/ivf"
     // persist the joined batch once: the radii collect, the pair scan,
@@ -110,17 +148,50 @@ object SemanticStore {
     // and must not wedge the checkpoint on a permanently-failing
     // replay — review finding.) Empty LATER snapshots take the normal
     // path: empty pairs/meta land, the epoch commits, state unchanged.
-    if (committed.isEmpty && batch.isEmpty) {
+    val batchIsEmpty = batch.isEmpty
+    if (committed.isEmpty && batchIsEmpty) {
       batch.unpersist()
       return batch.select(col(idCol), col(idCol).as("component"),
         col(qualityCol), lit(0).as("keep"))
+    }
+    if (batchIsEmpty) {
+      // empty LATER snapshot (ADVICE r14, medium): commit empty
+      // pairs/meta/radii and the marker, but NO IVF epoch — a
+      // zero-row dynamic-partitioned cells write emits only _SUCCESS,
+      // and once such an epoch committed, every subsequent stored-side
+      // read would fail schema inference forever, permanently wedging
+      // the store (the streaming sink's empty-micro-batch case). The
+      // three staged dirs are NON-partitioned, so their empty parquet
+      // keeps its schema and the symmetric unions stay well-typed.
+      batch.limit(0)
+        .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+          lit(0.0).as("cosine_sim"))
+        .write.mode("overwrite").parquet(s"$storePath/pairs/$epochName")
+      batch.select(col(idCol), col(qualityCol))
+        .write.mode("overwrite").parquet(s"$storePath/meta/$epochName")
+      spark.createDataFrame(Seq.empty[(Int, Double)])
+        .toDF("__cell", "__r")
+        .write.mode("overwrite").parquet(s"$storePath/radii/$epochName")
+      batch.unpersist()
+      val (fs0, root0) = hadoopFs(spark, s"$storePath/_epochs")
+      fs0.mkdirs(root0)
+      fs0.create(new org.apache.hadoop.fs.Path(root0, epochName), true)
+        .close()
+      return snapshot(spark, storePath, idCol, qualityCol)
     }
     val vecs = batch.select(col(idCol), col(embCol))
     // first snapshot fits the quantizer (bounded sample, IvfIndex
     // rules) and saves the base layout; every later snapshot reuses
     // the FROZEN quantizer — the IVF growth contract
-    if (committed.isEmpty)
+    if (committed.isEmpty) {
       IvfIndex.build(vecs, embCol, idCol, nCells).save(ivfPath)
+      // sentinel: the raw IvfIndex.compactEpochs must refuse this
+      // inner index (ADVICE r14 — the committed-union law was only
+      // stated in a comment before); SemanticStore.compact is the
+      // store-aware fold path
+      val (sfs, sp) = hadoopFs(spark, s"$ivfPath/_SEMSTORE")
+      sfs.create(sp, true).close()
+    }
     val cents: Seq[Seq[Float]] = spark.read.parquet(s"$ivfPath/quantizer")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1).map(_._2)
@@ -200,9 +271,11 @@ object SemanticStore {
     // write phantom edges to ids with no committed meta, breaking the
     // committed-union equivalence law, and a retry would score its own
     // batch against itself-in-store, triple-writing every batch pair
-    // (review finding). Corollary: IvfIndex.compactEpochs must not be
-    // run on a SemanticStore's inner index (folding sweeps the epoch
-    // dirs this read path resolves by committed NAME).
+    // (review finding). Corollary: the raw IvfIndex.compactEpochs must
+    // not run on this inner index (folding would also surface torn
+    // epochs) — enforced by the `_SEMSTORE` sentinel; [[compact]] is
+    // the store-aware fold, which rewrites only store-COMMITTED names
+    // into the base generation this read resolves via baseRoot.
     val bSide =
       if (committed.isEmpty) batchB
       else {
@@ -212,7 +285,15 @@ object SemanticStore {
           .map(e => s"$ivfPath/epochs/$e/cells")
           .filter { p =>
             val (f2, pp) = hadoopFs(spark, p)
-            f2.exists(pp)
+            // existence is not enough: a zero-row dynamic-partitioned
+            // write leaves a dir with only _SUCCESS, and schema
+            // inference on it throws — require a cell partition (an
+            // epoch a pre-r15 store committed empty is skipped here
+            // rather than wedging every later ingest; ADVICE r14).
+            // Post-compaction, a committed name with NO epoch dir is
+            // the normal shape: its vectors live in the base.
+            f2.exists(pp) && f2.listStatus(pp).exists(s =>
+              s.isDirectory && s.getPath.getName.startsWith("__cell="))
           }
         epochCells.foldLeft(baseCells)((df, p) =>
             df.unionByName(spark.read.parquet(p)))
@@ -287,5 +368,87 @@ object SemanticStore {
     withQ.join(best, "component")
       .select(col(idCol), col("component"), col(qualityCol),
         (col(idCol) === col("__best_id")).cast("int").as("keep"))
+  }
+
+  /** Fold every committed snapshot into ONE compacted epoch — the
+    * store's unbounded-growth answer (VERDICT r14 #2): without it a
+    * thousand-snapshot store pays per-epoch listing and small-file
+    * reads on every ingest/snapshot forever (pairs/meta/radii dirs
+    * and inner-IVF epoch dirs all grow one per snapshot).
+    *
+    * Protocol, in write order:
+    *
+    *   1. fold the inner IVF's epoch segments for store-COMMITTED
+    *      names only ([[IvfIndex.compactEpochsNamed]] — its own
+    *      `_CURRENT` generation flip is an independent commit that is
+    *      SAFE to land first: the store's stored-side read resolves
+    *      the base via `baseRoot`, which now holds those vectors,
+    *      and skips the swept epoch dirs). A claimed-but-uncommitted
+    *      torn epoch is NOT folded — it stays invisible, and its
+    *      retry completes normally after the compaction.
+    *   2. stage consolidated `pairs/`, `meta/` (unions — epochs are
+    *      disjoint by the ingest contract) and `radii/` (per-cell max,
+    *      the same aggregate every ingest applies) under the new
+    *      compacted epoch name — idempotent overwrites, invisible
+    *      until the marker.
+    *   3. THE commit point: one `_epochs/compact-N` marker whose
+    *      CONTENT lists every folded name (carried forward from any
+    *      earlier compaction) — a single file creation atomically
+    *      retires the old epochs and commits their replacement, so
+    *      there is no window where a pair or meta row is readable
+    *      twice or not at all.
+    *   4. sweep the folded pairs/meta/radii dirs and markers —
+    *      idempotent, driven purely by the committed manifest; a crash
+    *      inside it heals on the next compact (or the next call here).
+    *
+    * Laws (SemanticStoreSpec): `snapshot()` is EQUAL before and after;
+    * an ingest after compaction equals the same ingest on the
+    * uncompacted store; a crash anywhere before step 3 leaves the
+    * store unchanged and a re-run heals; replaying a FOLDED epoch
+    * name is a no-op. Returns false (nothing to fold) when fewer than
+    * two snapshots are committed.
+    */
+  def compact(spark: SparkSession, storePath: String): Boolean = {
+    sweepFolded(spark, storePath) // heal an earlier run's crashed sweep
+    val (committed, folded) = markerEntries(spark, storePath)
+    if (committed.size < 2) return false
+    IvfIndex.compactEpochsNamed(spark, s"$storePath/ivf",
+      committed.toSet)
+    val n = (committed ++ folded).filter(_.startsWith("compact-"))
+      .flatMap(_.stripPrefix("compact-").toIntOption)
+      .maxOption.getOrElse(0) + 1
+    val cName = s"compact-$n"
+    spark.read.parquet(committed.map(e => s"$storePath/pairs/$e"): _*)
+      .write.mode("overwrite").parquet(s"$storePath/pairs/$cName")
+    spark.read.parquet(committed.map(e => s"$storePath/meta/$e"): _*)
+      .write.mode("overwrite").parquet(s"$storePath/meta/$cName")
+    spark.read.parquet(committed.map(e => s"$storePath/radii/$e"): _*)
+      .groupBy("__cell").agg(max("__r").as("__r"))
+      .coalesce(1) // ≤ nCells rows
+      .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
+    val manifest = (folded ++ committed).toSeq.sorted.mkString("\n")
+    val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, cName), true)
+    out.write(manifest.getBytes("UTF-8"))
+    out.close() // the commit point
+    sweepFolded(spark, storePath)
+    true
+  }
+
+  /** Delete every pairs/meta/radii dir and marker whose name the
+    * committed manifest marks FOLDED — reads only committed state, so
+    * it is safe and idempotent at any time. Deleting a superseded
+    * compacted marker cannot resurrect anything: the live marker
+    * carries the folded set forward (see [[markerEntries]]). */
+  private def sweepFolded(spark: SparkSession, storePath: String): Unit = {
+    val folded = markerEntries(spark, storePath)._2
+    folded.foreach { e =>
+      Seq(s"$storePath/pairs/$e", s"$storePath/meta/$e",
+        s"$storePath/radii/$e", s"$storePath/_epochs/$e")
+        .foreach { p =>
+          val (fs, pp) = hadoopFs(spark, p)
+          fs.delete(pp, true)
+        }
+    }
   }
 }

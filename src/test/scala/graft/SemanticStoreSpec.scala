@@ -204,6 +204,140 @@ class SemanticStoreSpec extends AnyFunSuite {
       Seq("b1"))
   }
 
+  test("an empty LATER snapshot commits (empty pairs/meta/radii, NO " +
+      "IVF epoch) and the store stays ingestable — the zero-row " +
+      "dynamic-partitioned cells dir would otherwise wedge every " +
+      "subsequent stored-side read on schema inference") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-emptylater").toString
+    val none = docs.filter(col("doc_id") < 0)
+    val noneE = emb.filter(col("doc_id") < 0)
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s1")
+    // the empty snapshot commits and returns the unchanged state
+    val outE = collect(SemanticStore.ingest(s"$dir/store", none, noneE,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2"))
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store") ==
+      Seq("s1", "s2"))
+    assert(outE == collect(Extensions.semanticDedup(
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+    // no IVF epoch landed for the empty snapshot
+    assert(!new java.io.File(s"$dir/store/ivf/epochs/s2").exists())
+    // the replay of the empty name is still a no-op
+    assert(collect(SemanticStore.ingest(s"$dir/store", none, noneE,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2")) == outE)
+    // and a later NON-empty ingest (which reads the stored side) works
+    val out3 = collect(SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    assert(out3 == collect(Extensions.semanticDedup(docs, emb,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+  }
+
+  test("compact folds committed snapshots into one epoch: snapshot() " +
+      "equal before/after, ingest-after-compaction equals the " +
+      "uncompacted store, folded-name replay is a no-op, and the raw " +
+      "IvfIndex.compactEpochs refuses the inner index") {
+    val (docs, emb) = fixture
+    val dirC = java.nio.file.Files
+      .createTempDirectory("graft-semstore-compact").toString
+    val dirU = java.nio.file.Files
+      .createTempDirectory("graft-semstore-uncompact").toString
+    for (dir <- Seq(dirC, dirU)) {
+      SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+        epochName = "s1")
+      SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id").isin(5L, 6L)),
+        emb.filter(col("doc_id").isin(5L, 6L)),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+        epochName = "s2")
+    }
+    val before = collect(SemanticStore.snapshot(spark, s"$dirC/store",
+      "doc_id", "q"))
+    // the sentinel blocks the store-UNAWARE fold
+    val err = intercept[IllegalArgumentException] {
+      graft.engine.IvfIndex.compactEpochs(spark, s"$dirC/store/ivf")
+    }
+    assert(err.getMessage.contains("SemanticStore"))
+    assert(SemanticStore.compact(spark, s"$dirC/store"))
+    val committed = SemanticStore.committedEpochs(spark, s"$dirC/store")
+    assert(committed == Seq("compact-1"))
+    assert(collect(SemanticStore.snapshot(spark, s"$dirC/store",
+      "doc_id", "q")) == before)
+    // the folded per-epoch dirs and the inner IVF epoch dirs are gone
+    for (e <- Seq("s1", "s2"); d <- Seq("pairs", "meta", "radii"))
+      assert(!new java.io.File(s"$dirC/store/$d/$e").exists(), s"$d/$e")
+    assert(!new java.io.File(s"$dirC/store/ivf/epochs/s2").exists())
+    // replaying a FOLDED name is a no-op
+    assert(collect(SemanticStore.ingest(s"$dirC/store",
+      docs.filter(col("doc_id").isin(5L, 6L)),
+      emb.filter(col("doc_id").isin(5L, 6L)),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2")) == before)
+    // ingest after compaction ≡ the same ingest on the uncompacted twin
+    val s3d = docs.filter(col("doc_id") === 7L)
+    val s3e = emb.filter(col("doc_id") === 7L)
+    val outC = collect(SemanticStore.ingest(s"$dirC/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    val outU = collect(SemanticStore.ingest(s"$dirU/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    assert(outC == outU)
+    assert(outC == collect(Extensions.semanticDedup(docs, emb,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+    // a second compaction carries the folded set forward
+    assert(SemanticStore.compact(spark, s"$dirC/store"))
+    assert(SemanticStore.committedEpochs(spark, s"$dirC/store") ==
+      Seq("compact-2"))
+    assert(collect(SemanticStore.snapshot(spark, s"$dirC/store",
+      "doc_id", "q")) == outC)
+    // nothing left to fold
+    assert(!SemanticStore.compact(spark, s"$dirC/store"))
+  }
+
+  test("a crash inside the compaction window (staged dirs, no marker) " +
+      "leaves the store unchanged and a re-run heals") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-compact-torn").toString
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s1")
+    val out2 = collect(SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2"))
+    // simulate the crash: the IVF fold committed (its own generation
+    // flip) and the consolidated dirs staged, but the store marker
+    // never landed
+    graft.engine.IvfIndex.compactEpochsNamed(spark, s"$dir/store/ivf",
+      Set("s1", "s2"))
+    spark.read.parquet(s"$dir/store/pairs/s1", s"$dir/store/pairs/s2")
+      .write.mode("overwrite").parquet(s"$dir/store/pairs/compact-1")
+    // the store still reads the per-epoch state: unchanged
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store") ==
+      Seq("s1", "s2"))
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == out2)
+    // the re-run completes the fold and the state is still equal
+    assert(SemanticStore.compact(spark, s"$dir/store"))
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store") ==
+      Seq("compact-1"))
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == out2)
+  }
+
   test("accumulated pairs are exactly the batch pair set on the union " +
       "(each unordered pair once, id_a < id_b, rounded scores equal)") {
     val (docs, emb) = fixture
