@@ -1371,6 +1371,68 @@ object ExtensionQueries {
              |       (substr(md5(doc_id::VARCHAR), 1, 2) < 'cd')::INT AS is_train
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // ── HTML/boilerplate text extraction (VERDICT r14 #3): the
+    // crawl-pipeline first stage. The corpus is documents.text wrapped
+    // in deterministic chrome (anchor-heavy nav/aside/footer around
+    // 12-word <p> payload blocks — Extensions.htmlWrap, the
+    // media-synthesis precedent); extraction is the jusText-class
+    // link-density block filter as ONE codegen'd regexp/HOF scan, and
+    // the wrapper's reversibility lets the entry assert payload
+    // recovery EXACTLY (`exact` = 1 on every row). Oracle replays both
+    // the wrap and the heuristic in DuckDB (RE2-safe patterns: no
+    // backreferences inside patterns, bounded repetition only) ──────────
+    QuerySpec("html_extract",
+      (s, d) => Extensions.htmlExtract(
+          documents(s, d).select(col("doc_id"), col("text"),
+            Extensions.htmlWrap(col("text")).as("html")),
+          "html", "doc_id")
+        .select(col("doc_id"), col("text_extracted"), col("n_blocks"),
+          col("n_kept"),
+          (col("text_extracted") === col("text")).cast("int").as("exact"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, text,
+             |         '<html><head><title>doc</title></head><body>'
+             |         || '<nav><a href="/">home</a> <a href="/docs">docs</a> '
+             |         || '<a href="/api">api</a></nav><p>'
+             |         || regexp_replace(text, '(\S+( \S+){11}) ',
+             |              '\1</p><p>', 'g')
+             |         || '</p><aside><a href="/r1">related one</a> '
+             |         || '<a href="/r2">related two</a> promoted</aside>'
+             |         || '<footer><a href="/tos">terms</a> '
+             |         || '<a href="/privacy">privacy</a> '
+             |         || '<a href="/contact">contact</a> (c) corp</footer>'
+             |         || '</body></html>' AS html
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, text,
+             |         regexp_extract_all(html,
+             |           '<(?:p|nav|aside|footer|header|li|h1|h2|h3)>' ||
+             |           '.*?</(?:p|nav|aside|footer|header|li|h1|h2|h3)>')
+             |           AS blocks
+             |  FROM h),
+             |k AS (
+             |  SELECT doc_id, text, blocks,
+             |         list_filter(blocks, x ->
+             |           coalesce(list_sum(list_transform(
+             |             regexp_extract_all(x, '<a [^>]*>([^<]*)</a>', 1),
+             |             y -> length(y))), 0)
+             |             <= 0.5 * greatest(length(
+             |                  regexp_replace(x, '<[^>]*>', '', 'g')), 1)
+             |           AND length(regexp_replace(x, '<[^>]*>', '', 'g'))
+             |             > 0) AS kept
+             |  FROM b),
+             |e AS (
+             |  SELECT doc_id, text, blocks, kept,
+             |         array_to_string(list_transform(kept,
+             |           x -> regexp_replace(x, '<[^>]*>', '', 'g')), ' ')
+             |           AS text_extracted
+             |  FROM k)
+             |SELECT doc_id, text_extracted,
+             |       len(blocks)::INT AS n_blocks, len(kept)::INT AS n_kept,
+             |       (text_extracted = text)::INT AS exact
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     // ── exact corpus heavy hitters: top-50 tokens by document frequency.
     // Scale shape: explode → partial-agg count (map-side combine) → one
     // shuffle on the token → TakeOrdered for the top-k (no global sort).

@@ -3197,8 +3197,19 @@ object Extensions {
     * At 100 TB the pipeline cost is the dedup shuffle plus one pass.
     */
   def curateCorpus(docs: DataFrame, textCol: String, idCol: String,
-      minQuality: Double = 0.3, keepBuckets: Int = 205): DataFrame = {
-    val deduped = dedupExact(docs, Seq(textCol), idCol)
+      minQuality: Double = 0.3, keepBuckets: Int = 205,
+      htmlCol: Option[String] = None): DataFrame = {
+    // optional crawl-shaped head (VERDICT r14 #3): when the corpus
+    // arrives as raw HTML, boilerplate-strip it first — the extracted
+    // text becomes textCol and the rest of the pipeline is unchanged
+    val input = htmlCol match {
+      case Some(h) =>
+        htmlExtract(docs, h, idCol)
+          .drop(textCol).drop(h).drop("n_blocks", "n_kept")
+          .withColumnRenamed("text_extracted", textCol)
+      case None => docs
+    }
+    val deduped = dedupExact(input, Seq(textCol), idCol)
     val scored = withTextStats(deduped, textCol)
       .filter(col("quality_score") >= minQuality)
     val scrubbed = piiScrub(scored, textCol, idCol)
@@ -3207,6 +3218,74 @@ object Extensions {
         col("token_count"), col("quality_score"),
         col("split_bucket"), col("is_train"))
   }
+
+  /** Boilerplate-stripping text extraction from HTML — the first
+    * stage of every web-crawl training pipeline (the jusText /
+    * trafilatura family of LINK-DENSITY heuristics, public-knowledge
+    * block classification): split the page into leaf block elements,
+    * strip tags per block, and keep a block only when the fraction of
+    * its text that sits inside `<a>` anchors is at most
+    * `maxLinkDensity` (navigation/footer/related-links blocks are
+    * mostly anchor text; payload paragraphs are mostly not) and it has
+    * any text at all. Kept blocks re-join with a single space.
+    *
+    * Appends (`text_extracted`, `n_blocks`, `n_kept`) to the input
+    * rows. ONE codegen'd scan — blocks, per-block link mass, and the
+    * re-join are all regexp/HOF projections (no explode, no shuffle,
+    * no UDF), so the operator is embarrassingly parallel at any corpus
+    * size. Nested containers (`<div>`) are deliberately NOT block
+    * tags: non-greedy matching over a nested tag inventory would pair
+    * an outer open with an inner close; leaf blocks inside any
+    * container still match individually.
+    */
+  def htmlExtract(docs: DataFrame, htmlCol: String, idCol: String,
+      maxLinkDensity: Double = 0.5): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("__blocks", "__kept",
+      "text_extracted", "n_blocks", "n_kept"))
+    require(clash.isEmpty,
+      s"input uses reserved column names: ${clash.mkString(", ")}")
+    val blockPat = "<(?:p|nav|aside|footer|header|li|h1|h2|h3)>" +
+      ".*?</(?:p|nav|aside|footer|header|li|h1|h2|h3)>"
+    def strip(b: Column) = regexp_replace(b, "<[^>]*>", "")
+    // anchor-text mass: sum of the lengths of the capture groups —
+    // coalesce-free here (aggregate over an empty array returns the
+    // 0 seed), but the DuckDB twin needs coalesce(list_sum, 0)
+    def linkChars(b: Column) = aggregate(
+      regexp_extract_all(b, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(x))
+    def keep(b: Column) =
+      linkChars(b).cast("double") <=
+        lit(maxLinkDensity) * greatest(length(strip(b)), lit(1)) &&
+        length(strip(b)) > 0
+    docs
+      .withColumn("__blocks",
+        regexp_extract_all(col(htmlCol), lit(blockPat), lit(0)))
+      .withColumn("__kept", filter(col("__blocks"), b => keep(b)))
+      .withColumn("text_extracted",
+        array_join(transform(col("__kept"), b => strip(b)), " "))
+      .withColumn("n_blocks", size(col("__blocks")))
+      .withColumn("n_kept", size(col("__kept")))
+      .drop("__blocks", "__kept")
+  }
+
+  /** Deterministic HTML wrapping of a plain-text column — the
+    * synthetic-corpus generator for [[htmlExtract]]'s catalog entry
+    * and specs (the media-synthesis precedent: the container ships no
+    * crawl corpus, so the fixture is built from `documents.text` by a
+    * reversible rule). Chrome blocks (nav/aside/footer) are
+    * anchor-heavy, so the link-density heuristic drops them; the
+    * payload is split into 12-word `<p>` blocks whose single-space
+    * re-join restores the original text EXACTLY — which is what lets
+    * the catalog entry assert `text_extracted = text` row for row. */
+  def htmlWrap(text: Column): Column = concat(
+    lit("<html><head><title>doc</title></head><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/docs\">docs</a> " +
+      "<a href=\"/api\">api</a></nav><p>"),
+    regexp_replace(text, "(\\S+( \\S+){11}) ", "$1</p><p>"),
+    lit("</p><aside><a href=\"/r1\">related one</a> " +
+      "<a href=\"/r2\">related two</a> promoted</aside>" +
+      "<footer><a href=\"/tos\">terms</a> <a href=\"/privacy\">privacy</a> " +
+      "<a href=\"/contact\">contact</a> (c) corp</footer></body></html>"))
 
   /** N-gram-free language ID heuristic: score each language by distinct
     * stopword hits in the token set, argmax with fixed precedence.

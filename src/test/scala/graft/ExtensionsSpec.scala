@@ -2026,4 +2026,55 @@ class ExtensionsSpec extends AnyFunSuite {
       .count(r => labels(r._1) == r._2).toDouble / capped.size
     assert(cappedAcc >= 0.6, f"capped-fit accuracy $cappedAcc%.3f")
   }
+
+  test("htmlExtract drops anchor-heavy chrome blocks, keeps payload " +
+      "blocks (even inside containers), and htmlWrap round-trips the " +
+      "original text exactly") {
+    // handcrafted page: payload <p>s nested in a <div> container,
+    // anchor-heavy nav/footer chrome, a mixed block below the density
+    // threshold, and an empty block
+    val page = "<html><body><nav><a href=\"/\">home page</a> " +
+      "<a href=\"/x\">more links</a></nav>" +
+      "<div class=\"c\"><p>the quick brown fox</p>" +
+      "<p>jumps over the dog</p></div>" +
+      "<p>see <a href=\"/ref\">ref</a> for details and context</p>" +
+      "<p></p>" +
+      "<footer><a href=\"/tos\">terms of service</a> (c)</footer>" +
+      "</body></html>"
+    val out = Extensions.htmlExtract(
+        Seq((1L, page)).toDF("doc_id", "html"), "html", "doc_id")
+      .select("doc_id", "text_extracted", "n_blocks", "n_kept")
+      .as[(Long, String, Int, Int)].collect().head
+    // nav (anchor-only), footer (19 of 23 chars in anchors) and the
+    // empty block drop; the two nested <p>s and the low-density mixed
+    // block survive in document order
+    assert(out._2 == "the quick brown fox jumps over the dog " +
+      "see ref for details and context")
+    assert(out._3 == 6 && out._4 == 3)
+    // the catalog fixture law: wrap → extract recovers text EXACTLY,
+    // with the 12-word paragraph split producing >1 block on long docs
+    val texts = Seq(
+      (1L, "a b"),
+      (2L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),
+      (3L, "one two three four five six seven eight nine ten eleven " +
+        "twelve"))
+    val wrapped = texts.toDF("doc_id", "text")
+      .withColumn("html", Extensions.htmlWrap(col("text")))
+    val back = Extensions.htmlExtract(wrapped, "html", "doc_id")
+      .select("doc_id", "text", "text_extracted", "n_kept")
+      .as[(Long, String, String, Int)].collect()
+    back.foreach { case (id, t, e, _) =>
+      assert(e == t, s"doc $id: extraction did not round-trip") }
+    assert(back.find(_._1 == 2L).get._4 == 3) // 30 words → 12|12|6
+    // the curation head: html input flows through extraction and the
+    // pipeline output equals curation on the plain text
+    val viaHtml = Extensions.curateCorpus(
+        wrapped.drop("text"), "text", "doc_id", minQuality = 0.0,
+        htmlCol = Some("html"))
+      .collect().map(_.toSeq).toSet
+    val plain = Extensions.curateCorpus(
+        texts.toDF("doc_id", "text"), "text", "doc_id", minQuality = 0.0)
+      .collect().map(_.toSeq).toSet
+    assert(viaHtml == plain)
+  }
 }

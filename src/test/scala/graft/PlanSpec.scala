@@ -733,6 +733,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the order-by exchange:\n$plan")
   }
 
+  test("html_extract is one pure projection: a single documents scan, " +
+      "no hash exchange (blocks, link densities, and the re-join are " +
+      "all regexp/HOF expressions; the only exchange is the entry's " +
+      "oracle-order sort)") {
+    val plan = executedPlan(SparkEntry.queries("html_extract")(spark, sf))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the extraction must not shuffle on a key:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected only the order-by exchange:\n$plan")
+  }
+
   test("benford_digits scans lineitem ONCE: the 9-row grand total " +
       "rides the digit aggregate's exchange (reuse), not a second " +
       "corpus scan") {
