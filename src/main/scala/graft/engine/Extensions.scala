@@ -1386,6 +1386,8 @@ object Extensions {
       nCells: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nprobe >= 1 && nprobe <= nCells, "need 1 <= nprobe <= nCells")
+    if (nCells >= knnTreeCellThreshold)
+      return knnJoinTree(emb, embCol, idCol, k, nCells, nprobe, seed)
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1419,33 +1421,85 @@ object Extensions {
             s.getField("_1").as("c")))
         val probes = transform(slice(sort_array(distStructs), 1, nprobe),
           s => s.getField("c"))
-        // norms hoisted to one per-row column: [[cosine]] would refold
-        // |e| and |q| for EVERY pair — 2/3 of the pair-scan compute is
-        // redundant norm work. d / (ne * nq) with precomputed norms is
-        // the IDENTICAL op sequence to cosine()'s d / (na * nb), so the
-        // result (and the oracle hash) is bit-unchanged.
-        val withNorm = assigned.withColumn("__n",
-          sqrt(dot(col(embCol), col(embCol))))
-        val queries = withNorm.select(col(idCol).as("query_id"),
-          col(embCol).as("__q"), col("__n").as("__qn"),
-          explode(probes).as("__cell"))
-        val candidates = withNorm.select(col(idCol).as("neighbor_id"),
-          col(embCol).as("__e"), col("__n").as("__en"), col("__cell"))
-        // each candidate lives in ONE cell and a row's probe cells are
-        // distinct, so no (query, neighbor) pair scores twice
-        val scored = queries.join(candidates, Seq("__cell"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            round(when(col("__en") =!= 0 && col("__qn") =!= 0,
-              dot(col("__e"), col("__q")) / (col("__en") * col("__qn")))
-              .otherwise(0.0), 6).as("cosine_sim"))
-        val result = topKBy(scored, "query_id", "neighbor_id",
-            "cosine_sim", k, smallestFirst = false)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        result.count()
-        result
+        knnScoredTail(assigned, embCol, idCol, probes, k)
       } finally assigned.unpersist()
     } finally vecs.unpersist()
+  }
+
+  /** Cell count at which [[knnJoin]] switches its coarse quantizer
+    * from the flat MLlib-fit + literal-scan form to the two-level
+    * [[TreeQuantizer]] ([[graft.functions.TreeCells]]): under the
+    * doctrine (nCells ∝ corpus) the flat fit/assign/probe terms are
+    * ∝ n·nCells — the f² tail BASELINE.md §×100 measured — while the
+    * candidate pair scan they feed is ∝ n. Below the threshold those
+    * terms are noise and the flat rule keeps its bit-pinned oracles;
+    * at and above it the tree halves the exponent (n·2√nCells). The
+    * catalog operating points (nCells ≤ 16) never cross it; the
+    * ScaleProbe doctrine configs (16·f, f ≥ 10) always do. */
+  private val knnTreeCellThreshold = 64
+
+  /** [[knnJoin]]'s scale path (nCells ≥ [[knnTreeCellThreshold]]):
+    * bounded-sample two-level fit ([[fitTreeQuantizer]]), one
+    * codegen'd tree-assignment projection, one codegen'd tree-probe
+    * projection — every per-row term O(√nCells·dim) instead of
+    * O(nCells·dim). Same pair-scan tail, same semantics contract:
+    * exact per-row top-k when probes are exhaustive (nprobe ≥ leaf
+    * count — each candidate lives in exactly one leaf regardless of
+    * the quantizer), recall-heuristic when pruned (spec-pinned). */
+  private def knnJoinTree(emb: DataFrame, embCol: String, idCol: String,
+      k: Int, nCells: Int, nprobe: Int, seed: Long): DataFrame = {
+    val tq = fitTreeQuantizer(emb.select(col(idCol), col(embCol)),
+      embCol, idCol, nCells, seed)
+    lastKnnJoinFit.set(tq.leafArrays)
+    val assigned = emb.select(col(idCol), col(embCol))
+      .withColumn("__cell", graft.functions.TreeCells.nearestLeaf(
+        col(embCol), tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // degenerate corpora can fit fewer leaves than nCells; nprobe at
+      // or past the leaf count means exhaustive — probe everything
+      // without ranking (order is immaterial to the explode+join)
+      val probes =
+        if (nprobe >= tq.nLeaves) typedLit((0 until tq.nLeaves).toList)
+        else graft.functions.TreeCells.probes(col(embCol), tq.supFlat,
+          tq.leafFlat, tq.groupStart, tq.dim, nprobe,
+          tq.superProbeFor(nprobe))
+      knnScoredTail(assigned, embCol, idCol, probes, k)
+    } finally assigned.unpersist()
+  }
+
+  /** The shared pair-scan tail of [[knnJoin]]'s two quantizer paths:
+    * hoisted norms, probe explode, cell-keyed equi-join, bounded-heap
+    * per-row top-k. `assigned` carries (idCol, embCol, __cell);
+    * `probes` is a row-local array<int> of probe cells.
+    *
+    * Norms hoisted to one per-row column: [[cosine]] would refold
+    * |e| and |q| for EVERY pair — 2/3 of the pair-scan compute is
+    * redundant norm work. d / (ne * nq) with precomputed norms is
+    * the IDENTICAL op sequence to cosine()'s d / (na * nb), so the
+    * result (and the oracle hash) is bit-unchanged. */
+  private def knnScoredTail(assigned: DataFrame, embCol: String,
+      idCol: String, probes: Column, k: Int): DataFrame = {
+    val withNorm = assigned.withColumn("__n",
+      sqrt(dot(col(embCol), col(embCol))))
+    val queries = withNorm.select(col(idCol).as("query_id"),
+      col(embCol).as("__q"), col("__n").as("__qn"),
+      explode(probes).as("__cell"))
+    val candidates = withNorm.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__e"), col("__n").as("__en"), col("__cell"))
+    // each candidate lives in ONE cell and a row's probe cells are
+    // distinct, so no (query, neighbor) pair scores twice
+    val scored = queries.join(candidates, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(when(col("__en") =!= 0 && col("__qn") =!= 0,
+          dot(col("__e"), col("__q")) / (col("__en") * col("__qn")))
+          .otherwise(0.0), 6).as("cosine_sim"))
+    val result = topKBy(scored, "query_id", "neighbor_id",
+        "cosine_sim", k, smallestFirst = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    result
   }
 
   /** The PQ codebook for these params — the single source of truth
@@ -1486,79 +1540,9 @@ object Extensions {
       .select(col(embCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot fit a PQ codebook on an empty corpus")
-    def fitSubspace(j: Int): Seq[Seq[Float]] = {
-      val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
-      val n = pts.length
-      val rnd = new scala.util.Random(seed + j)
-      def d2(a: Array[Float], b: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) {
-          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-        s
-      }
-      // kmeans++: next center drawn ∝ squared distance to the nearest
-      // chosen center; sumD2 == 0 ⇒ every point is already a center
-      // value — stop with a smaller (exact) codebook
-      val centers = scala.collection.mutable.ArrayBuffer(
-        pts(rnd.nextInt(n)).clone())
-      val dist = pts.map(p => d2(p, centers(0)))
-      var exhausted = false
-      while (centers.size < math.min(k, n) && !exhausted) {
-        val sumD2 = dist.sum
-        if (sumD2 == 0) exhausted = true
-        else {
-          var r = rnd.nextDouble() * sumD2
-          var i = 0
-          while (i < n - 1 && r >= dist(i)) { r -= dist(i); i += 1 }
-          val c = pts(i).clone()
-          centers += c
-          var p = 0
-          while (p < n) {
-            val d = d2(pts(p), c)
-            if (d < dist(p)) dist(p) = d
-            p += 1
-          }
-        }
-      }
-      // Lloyd: assign (ties to the lowest center index), mean-update;
-      // an emptied center keeps its position
-      val kk = centers.size
-      val assign = new Array[Int](n)
-      var it = 0
-      while (it < iters) {
-        var p = 0
-        while (p < n) {
-          var best = 0; var bestD = d2(pts(p), centers(0)); var c = 1
-          while (c < kk) {
-            val d = d2(pts(p), centers(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          assign(p) = best
-          p += 1
-        }
-        val sums = Array.fill(kk)(new Array[Double](sub))
-        val counts = new Array[Int](kk)
-        p = 0
-        while (p < n) {
-          val c = assign(p); counts(c) += 1
-          var i = 0
-          while (i < sub) { sums(c)(i) += pts(p)(i); i += 1 }
-          p += 1
-        }
-        var c = 0
-        while (c < kk) {
-          if (counts(c) > 0) {
-            var i = 0
-            while (i < sub) {
-              centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
-          }
-          c += 1
-        }
-        it += 1
-      }
-      centers.map(_.toSeq).toSeq
-    }
+    def fitSubspace(j: Int): Seq[Seq[Float]] =
+      localKMeans(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
+        k, seed + j, iters).map(_.toSeq)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -1575,6 +1559,192 @@ object Extensions {
     // which PqOps.flatten requires (it would throw on a ragged one).
     val kMax = fitted.map(_.size).max
     fitted.map(cb => cb ++ Seq.fill(kMax - cb.size)(cb.last))
+  }
+
+  /** Seeded local kmeans++ + Lloyd over driver-resident points — the
+    * bounded-sample fit kernel shared by [[pqCodebookOf]] (per-subspace
+    * codebooks, at `seed + j`) and [[fitTreeQuantizer]] (two-level
+    * coarse quantizer). Extracted VERBATIM from the r11 pqCodebookOf
+    * fit (same RNG draw order, same double arithmetic, ties to the
+    * lowest index everywhere), so PQ codebooks and their capture-replay
+    * oracles are bit-unchanged by the extraction. May return FEWER than
+    * k centers when the points have fewer distinct values (kmeans++
+    * exhausts: sumD2 == 0 ⇒ every point is already a center value). */
+  private def localKMeans(pts: Array[Array[Float]], k: Int, seed: Long,
+      iters: Int): Seq[Array[Float]] = {
+    val n = pts.length
+    val sub = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    // kmeans++: next center drawn ∝ squared distance to the nearest
+    // chosen center; sumD2 == 0 ⇒ every point is already a center
+    // value — stop with a smaller (exact) codebook
+    val centers = scala.collection.mutable.ArrayBuffer(
+      pts(rnd.nextInt(n)).clone())
+    val dist = pts.map(p => d2(p, centers(0)))
+    var exhausted = false
+    while (centers.size < math.min(k, n) && !exhausted) {
+      val sumD2 = dist.sum
+      if (sumD2 == 0) exhausted = true
+      else {
+        var r = rnd.nextDouble() * sumD2
+        var i = 0
+        while (i < n - 1 && r >= dist(i)) { r -= dist(i); i += 1 }
+        val c = pts(i).clone()
+        centers += c
+        var p = 0
+        while (p < n) {
+          val d = d2(pts(p), c)
+          if (d < dist(p)) dist(p) = d
+          p += 1
+        }
+      }
+    }
+    // Lloyd: assign (ties to the lowest center index), mean-update;
+    // an emptied center keeps its position
+    val kk = centers.size
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = d2(pts(p), centers(0)); var c = 1
+        while (c < kk) {
+          val d = d2(pts(p), centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](sub))
+      val counts = new Array[Int](kk)
+      p = 0
+      while (p < n) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < sub) { sums(c)(i) += pts(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < sub) {
+            centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers.toSeq
+  }
+
+  /** A fitted two-level coarse quantizer (see
+    * [[graft.functions.TreeCells]] for the kernel and the scale
+    * rationale): ~√nCells super-centroids, each owning a group of leaf
+    * centroids; a leaf's global cell id is its index in group-
+    * concatenation order. The flat arrays are exactly the layout the
+    * TreeCells expressions bind. */
+  private[graft] final case class TreeQuantizer(supFlat: Array[Float],
+      leafFlat: Array[Float], groupStart: Array[Int], dim: Int) {
+    def nLeaves: Int = groupStart.last
+    def nGroups: Int = groupStart.length - 1
+    /** Leaf centroids in global cell-id order (capture-replay /
+      * diagnostics — the [[lastKnnJoinFit]] shape). */
+    def leafArrays: Seq[Array[Float]] =
+      (0 until nLeaves).map(l => leafFlat.slice(l * dim, (l + 1) * dim))
+    /** Groups to open for an `nprobe`-cell probe: enough that the
+      * expected leaf-candidate count comfortably exceeds nprobe, never
+      * fewer than 2 (a boundary row must see its second-best group). */
+    def superProbeFor(nprobe: Int): Int = {
+      val avg = math.max(1.0, nLeaves.toDouble / nGroups)
+      math.min(nGroups, math.max(2, math.ceil(2.0 * nprobe / avg).toInt))
+    }
+  }
+
+  /** Fit a [[TreeQuantizer]] on a bounded deterministic sample — the
+    * n·nCells → n·2√nCells answer to the flat coarse fit/assign terms
+    * (VERDICT r14 #4; BASELINE.md §×100 knn_join adjudication). Coarse-
+    * quantizer training is a bounded-sample problem like PQ training
+    * ([[pqCodebookOf]]'s doctrine — FAISS trains coarse quantizers on
+    * capped samples regardless of index size): the smallest-xxhash64
+    * sample rows collect once (cap·dim floats, partition-order
+    * independent), the ~√nCells super-centroids fit locally, sample
+    * points partition by nearest super, and each group fits its leaf
+    * quota locally (groups in parallel threads, the pqCodebookOf
+    * pattern). Leaf quotas are proportional to group occupancy
+    * (largest remainder, ≥1 per group so assignment is total, Σ =
+    * nCells) — balanced leaf occupancy is the point of clustering the
+    * hierarchy instead of slicing centroid ids arbitrarily. A group
+    * with degenerate points fits fewer (exact) leaves; an empty group
+    * keeps its super-centroid as its lone leaf. */
+  private[graft] def fitTreeQuantizer(emb: DataFrame, embCol: String,
+      idCol: String, nCells: Int, seed: Long, sampleCap: Int = 65536,
+      iters: Int = 8): TreeQuantizer = {
+    require(nCells >= 1, "nCells must be >= 1")
+    val sample = emb
+      .select(col(embCol), xxhash64(col(idCol)).as("__h"), col(idCol))
+      .orderBy(col("__h"), col(idCol))
+      .limit(sampleCap)
+      .select(col(embCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty,
+      "cannot fit a coarse quantizer on an empty corpus")
+    val dim = sample.head.length
+    val g = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val supers = localKMeans(sample, g, seed, iters)
+    val big = supers.length
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val groups = Array.fill(big)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Float]])
+    sample.foreach { p =>
+      var best = 0; var bestD = d2(p, supers(0)); var c = 1
+      while (c < big) {
+        val d = d2(p, supers(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      groups(best) += p
+    }
+    // proportional largest-remainder leaf allocation: 1 guaranteed per
+    // group, the remaining nCells − big by occupancy share
+    val total = sample.length.toDouble
+    val spare = math.max(0, nCells - big)
+    val raw = groups.map(gr => spare * gr.size / total)
+    val quota = raw.map(_.toInt)
+    var left = spare - quota.sum
+    raw.zipWithIndex.map { case (r, i) => (r - quota(i), i) }
+      .sortBy { case (frac, i) => (-frac, i) }
+      .take(left).foreach { case (_, i) => quota(i) += 1 }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fitted: Seq[Seq[Array[Float]]] = Await.result(
+      Future.sequence((0 until big).map { gi =>
+        Future(
+          if (groups(gi).isEmpty) Seq(supers(gi))
+          else localKMeans(groups(gi).toArray, 1 + quota(gi),
+            seed + 7919L * (gi + 1), iters))
+      }), Duration.Inf)
+    val groupStart = fitted.scanLeft(0)(_ + _.size).toArray
+    val supFlat = new Array[Float](big * dim)
+    supers.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, supFlat, i * dim, dim) }
+    val leafFlat = new Array[Float](groupStart.last * dim)
+    fitted.flatten.zipWithIndex.foreach { case (c, l) =>
+      System.arraycopy(c, 0, leafFlat, l * dim, dim) }
+    TreeQuantizer(supFlat, leafFlat, groupStart, dim)
   }
 
   /** Nearest-centroid cell id by squared euclidean over a LITERAL
