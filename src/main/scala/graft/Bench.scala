@@ -172,7 +172,24 @@ object Bench {
     val rqMap = requeried.toMap
     val adjTotal = results.collect { case (n, v, true) =>
       if (triggerHits(n)) math.min(v, rqMap.getOrElse(n, v)) else v }.sum
-    val head = s""""metric":"total","value":$total,"unit":"sec","adjudicated_total":$adjTotal"""
+    // Raw-vs-adjudicated divergence flag (ADVICE r15): the trigger-hit
+    // re-runs execute in the SAME JVM after the full cold pass — warm
+    // page cache, warmed JIT — so a genuine cold-path regression (more
+    // bytes read, worse file layout) could trip the trigger, re-run
+    // fast, and be adjudicated out of the gate number. Substitution is
+    // bounded per query by the 1.8× trigger, but many queries diverging
+    // at once is exactly the cold-I/O-regression signature that same-JVM
+    // requeries cannot adjudicate. The flag makes the dual gate
+    // operational: when raw/adjudicated exceeds the shuffled-order noise
+    // band (1.5× — r13's genuine noise storm hit 1.69× on 45 smeared
+    // hits, plan regressions cluster far lower), the round must
+    // investigate in a FRESH JVM (or after dropping FS caches) instead
+    // of trusting the adjudicated number.
+    val divergence = if (adjTotal > 0) total / adjTotal else 1.0
+    val divJson = math.rint(divergence * 1000) / 1000
+    val head = s""""metric":"total","value":$total,"unit":"sec",""" +
+      s""""adjudicated_total":$adjTotal,"divergence":$divJson,""" +
+      s""""divergence_investigate":${divergence > 1.5}"""
     // The full per-query map outgrew what the driver's single-line
     // parser/tail capture can hold (BENCH_r12 `parsed` came back null
     // and the tail cut ~156 queries out of view — VERDICT r12 #7), so

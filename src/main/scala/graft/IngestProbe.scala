@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SemanticStore incremental-ingest scaling probe (VERDICT r14 #1).
+  *
+  * BASELINE.md §×100 adjudicates the batch semantic-dedup tails by
+  * prescribing the persisted-store path — ingest each snapshot against
+  * the accumulated store instead of refit-and-rescan per run — as the
+  * at-scale posture. This probe MEASURES that path rather than arguing
+  * it: at replication factor f (the ScaleProbe fixture — replica k's
+  * vectors are element-permuted, so cross-replica cosines scramble
+  * toward the uniform-direction adversarial case), the embeddings_perm
+  * corpus splits into equal snapshots by replica range (disjoint ids,
+  * the ingest contract), and each ingests in sequence. Per step it
+  * times
+  *
+  *   - `t_ingest`: the full [[graft.engine.SemanticStore.ingest]]
+  *     call + count of the returned state — frozen-quantizer assign,
+  *     per-cell radii, the blocked batch×(stored ∪ batch) pair scan,
+  *     staged writes, the IVF epoch append, the commit marker, and the
+  *     accumulated-state CC (which runs eagerly inside);
+  *   - `t_snapshot`: a SEPARATE
+  *     [[graft.engine.SemanticStore.snapshot]].count — CC + keep-best
+  *     over the accumulated pair store alone, so (t_ingest −
+  *     t_snapshot) ≈ the incremental pair-scan/write cost;
+  *
+  * and reads back store health: accumulated pair/meta rows, the
+  * effective per-cell radii (mean/max), and the surviving cell-pair
+  * fraction under the store's own triangle-inequality arithmetic —
+  * the frozen-quantizer radius-inflation behavior at the adversarial
+  * fixture, measured per step instead of asserted. After the growth
+  * sequence: `snapshot()` timed once more, [[SemanticStore.compact]]
+  * timed, `snapshot()` on the compacted store, and ONE reserved final
+  * batch ingested post-compaction (its t_ingest vs the growth trend is
+  * the compaction-payoff check).
+  *
+  * The claims under test (BASELINE.md §ingest table):
+  *   - per-ingest cost tracks BATCH size (compare factors: batches are
+  *     10× bigger at f100 than f10 at the same relative store state);
+  *   - per-ingest cost is sub-linear in STORE size at the doctrine
+  *     nCells = 16·f (the pruned stored-side read is ~surviving-cells
+  *     only), with the adversarial radius inflation bounding how much
+  *     pruning survives;
+  *   - `snapshot()` tracks the accumulated PAIR store, not the corpus;
+  *   - compaction is a one-time cost that does not change results
+  *     (equality is spec-law; here only the cost is at stake).
+  *
+  * Emits ONE JSON line. Knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_DIR,
+  * SPARK_GRAFT_INGEST_FACTOR (default 10), SPARK_GRAFT_INGEST_BATCHES
+  * (default 5 = 4 growth + 1 reserved; must divide the factor),
+  * SPARK_GRAFT_INGEST_MINCOS (default 0.35 — the catalog stress
+  * threshold; 0.8 is the production operating point),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE.
+  */
+object IngestProbe {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val f = sys.env.getOrElse("SPARK_GRAFT_INGEST_FACTOR", "10").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "5").toInt
+    val minCos = sys.env.getOrElse("SPARK_GRAFT_INGEST_MINCOS", "0.35").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    require(nBatches >= 3 && f % nBatches == 0,
+      s"factor $f must split into nBatches=$nBatches equal replica ranges")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val off = 10000000L
+
+    // the ScaleProbe embeddings_perm fixture, same path and layout so
+    // a probe battery shares replica writes across mains
+    val fixPath = s"$work/f$f/embeddings_perm.parquet"
+    if (!new java.io.File(fixPath, "_SUCCESS").exists()) {
+      def permuted(arr: org.apache.spark.sql.Column, k: Int) =
+        transform(
+          array_sort(transform(arr,
+            (x, i) => struct(xxhash64(i, lit(k)).as("h"), x.as("x")))),
+          s => s.getField("x"))
+      val src = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until f).map { k =>
+        if (k == 0) src
+        else src
+          .withColumn("vec_id", col("vec_id") + lit(k * off))
+          .withColumn("embedding", permuted(col("embedding"), k))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(fixPath)
+    }
+    val emb = spark.read.parquet(fixPath)
+    val nCells = 16 * f
+    val repPerBatch = f / nBatches
+
+    val store = s"$work/semstore_f${f}_c${(minCos * 100).toInt}"
+    val (fs, storePath) = {
+      val p = new org.apache.hadoop.fs.Path(store)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    if (fs.exists(storePath)) fs.delete(storePath, true) // fresh run
+
+    def batchAt(b: Int) = {
+      val lo = b.toLong * repPerBatch * off
+      val hi = (b.toLong + 1) * repPerBatch * off
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    }
+    def docsOf(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("vec_id"), pmod(col("vec_id"), lit(1000L)).as("q"))
+
+    def time[A](body: => A): (Double, A) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    /** Store health read back from COMMITTED state: pair/meta rows,
+      * effective radii stats, and the surviving ordered-cell-pair
+      * fraction under the store's own pruning arithmetic (unit-sphere
+      * triangle inequality, same slack). */
+    def health(): (Long, Long, Double, Double, Double) = {
+      val committed = graft.engine.SemanticStore
+        .committedEpochs(spark, store)
+      val pairRows = spark.read
+        .parquet(committed.map(e => s"$store/pairs/$e"): _*).count()
+      val metaRows = spark.read
+        .parquet(committed.map(e => s"$store/meta/$e"): _*).count()
+      val radii = spark.read
+        .parquet(committed.map(e => s"$store/radii/$e"): _*)
+        .groupBy("__cell").agg(max("__r").as("__r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val cents = spark.read.parquet(s"$store/ivf/quantizer")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .sortBy(_._1).map(_._2)
+      val uc = cents.map { v =>
+        val d = v.map(_.toDouble).toArray
+        val n = math.sqrt(d.map(x => x * x).sum)
+        if (n == 0) d else d.map(_ / n)
+      }
+      val thetaMax = math.acos(math.min(1.0, math.max(-1.0, minCos)))
+      val slack = 1e-4
+      val ids = radii.keySet.toSeq.sorted
+      var surv = 0L
+      for (i <- ids; j <- ids) {
+        var dot = 0.0
+        var x = 0
+        while (x < uc(i).length) { dot += uc(i)(x) * uc(j)(x); x += 1 }
+        val ang = math.acos(math.min(1.0, math.max(-1.0, dot)))
+        if (ang - radii(i) - radii(j) <= thetaMax + slack) surv += 1
+      }
+      val frac = surv.toDouble / (ids.size.toLong * ids.size)
+      (pairRows, metaRows,
+        radii.values.sum / math.max(1, radii.size),
+        radii.values.foldLeft(0.0)(math.max), frac)
+    }
+
+    val sb = new StringBuilder
+    var storedRows = 0L
+    val growth = nBatches - 1
+    for (b <- 0 until growth) {
+      val be = batchAt(b)
+      val rows = be.count()
+      val (tIngest, _) = time {
+        graft.engine.SemanticStore.ingest(store, docsOf(be),
+          be.select("vec_id", "embedding"), "vec_id", "q", "embedding",
+          minCosine = minCos, nCells = nCells,
+          epochName = f"snap-$b%03d").count()
+      }
+      val (tSnap, _) = time {
+        graft.engine.SemanticStore.snapshot(spark, store, "vec_id", "q")
+          .count()
+      }
+      val (pairRows, metaRows, meanR, maxR, survFrac) = health()
+      if (b > 0) sb.append(",")
+      sb.append(f"""{"i":$b,"batch_rows":$rows,""" +
+        f""""stored_rows_before":$storedRows,""" +
+        f""""t_ingest":${math.rint(tIngest * 1000) / 1000}%s,""" +
+        f""""t_snapshot":${math.rint(tSnap * 1000) / 1000}%s,""" +
+        f""""pairs_total":$pairRows,"meta_total":$metaRows,""" +
+        f""""mean_radius":${math.rint(meanR * 1000) / 1000}%s,""" +
+        f""""max_radius":${math.rint(maxR * 1000) / 1000}%s,""" +
+        f""""survivor_frac":${math.rint(survFrac * 10000) / 10000}%s}""")
+      storedRows += rows
+      System.err.println(f"[ingest-probe] f=$f b=$b rows=$rows " +
+        f"t_ingest=$tIngest%.1fs t_snapshot=$tSnap%.1fs pairs=$pairRows " +
+        f"survivors=$survFrac%.3f")
+    }
+    val (tCompact, _) = time {
+      graft.engine.SemanticStore.compact(spark, store)
+    }
+    val (tSnapCompacted, _) = time {
+      graft.engine.SemanticStore.snapshot(spark, store, "vec_id", "q")
+        .count()
+    }
+    val bLast = growth
+    val beLast = batchAt(bLast)
+    val lastRows = beLast.count()
+    val (tIngestPost, _) = time {
+      graft.engine.SemanticStore.ingest(store, docsOf(beLast),
+        beLast.select("vec_id", "embedding"), "vec_id", "q", "embedding",
+        minCosine = minCos, nCells = nCells,
+        epochName = f"snap-$bLast%03d").count()
+    }
+    System.err.println(f"[ingest-probe] compact=$tCompact%.1fs " +
+      f"snapshot_after=$tSnapCompacted%.1fs post_ingest=$tIngestPost%.1fs")
+    println(s"""{"factor":$f,"n_cells":$nCells,"min_cosine":$minCos,""" +
+      s""""batches":$nBatches,"growth":[${sb.toString}],""" +
+      s""""t_compact":${math.rint(tCompact * 1000) / 1000},""" +
+      s""""t_snapshot_compacted":${math.rint(tSnapCompacted * 1000) / 1000},""" +
+      s""""post_compact_ingest":{"batch_rows":$lastRows,""" +
+      s""""stored_rows_before":$storedRows,""" +
+      s""""t_ingest":${math.rint(tIngestPost * 1000) / 1000}},""" +
+      s""""base":"$base"}""")
+    spark.stop()
+  }
+}
