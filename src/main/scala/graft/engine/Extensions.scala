@@ -1426,17 +1426,19 @@ object Extensions {
     } finally vecs.unpersist()
   }
 
-  /** Cell count at which [[knnJoin]] switches its coarse quantizer
-    * from the flat MLlib-fit + literal-scan form to the two-level
-    * [[TreeQuantizer]] ([[graft.functions.TreeCells]]): under the
-    * doctrine (nCells ∝ corpus) the flat fit/assign/probe terms are
-    * ∝ n·nCells — the f² tail BASELINE.md §×100 measured — while the
-    * candidate pair scan they feed is ∝ n. Below the threshold those
-    * terms are noise and the flat rule keeps its bit-pinned oracles;
-    * at and above it the tree halves the exponent (n·2√nCells). The
-    * catalog operating points (nCells ≤ 16) never cross it; the
-    * ScaleProbe doctrine configs (16·f, f ≥ 10) always do. */
-  private val knnTreeCellThreshold = 64
+  /** Cell count at which the IVF family ([[knnJoin]] and
+    * [[IvfIndex.build]]) switches its coarse quantizer from the flat
+    * MLlib-fit + literal-scan form to the two-level [[TreeQuantizer]]
+    * ([[graft.functions.TreeCells]]): under the doctrine (nCells ∝
+    * corpus) the flat fit/assign/probe terms are ∝ n·nCells — the f²
+    * tail BASELINE.md §×100 measured — while the candidate pair scan
+    * they feed is ∝ n. Below the threshold those terms are noise and
+    * the flat rule keeps its bit-pinned oracles; at and above it the
+    * tree halves the exponent (n·2√nCells). The catalog operating
+    * points (nCells ≤ 16) never cross it; the ScaleProbe doctrine
+    * configs (16·f, f ≥ 10) always do. */
+  private[engine] val treeCellThreshold = 64
+  private def knnTreeCellThreshold = treeCellThreshold
 
   /** [[knnJoin]]'s scale path (nCells ≥ [[knnTreeCellThreshold]]):
     * bounded-sample two-level fit ([[fitTreeQuantizer]]), one

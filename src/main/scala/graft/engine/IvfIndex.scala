@@ -32,7 +32,8 @@ final class IvfIndex private (
     centroids: Seq[(Int, Array[Float])],
     corpus: DataFrame,
     val idCol: String,
-    val embCol: String) {
+    val embCol: String,
+    tree: Option[Extensions.TreeQuantizer] = None) {
 
   /** The coarse quantizer's centroids in cell order — driver-known
     * literals (the fit is bounded), exposed for the deferred DuckDB
@@ -116,16 +117,37 @@ final class IvfIndex private (
     val spark = corpus.sparkSession
     val (fs, root) = IvfIndex.hadoopFs(spark, path)
     if (fs.exists(root)) {
+      // quantizer_tree is doomed too: a FLAT re-save over a tree-built
+      // index must remove the stale sidecar, or every later append
+      // would tree-assign under the new flat quantizer's cells —
+      // silently mixed layouts
       val doomed = fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
         p.getName == "_CURRENT" || p.getName == "epochs" ||
           p.getName == "codes" || p.getName == "codebook" ||
-          p.getName.startsWith("gen-")
+          p.getName == "quantizer_tree" || p.getName.startsWith("gen-")
       }
       doomed.foreach(p => fs.delete(p, true))
     }
     spark.createDataFrame(centroids)
       .toDF("__cell", "__centroid")
       .write.mode("overwrite").parquet(s"$path/quantizer")
+    // tree-mode sidecar (see [[IvfIndex.build]]): the super level of
+    // the two-level quantizer — (gid, super centroid, leaf id range).
+    // Its PRESENCE is the saved index's assignment-rule flag: every
+    // append path resolves the assigner from it ([[loadAssigner]]),
+    // so a row assigns to the same cell whether it arrived at build
+    // time or as an append, in either mode. Leaf centroids are the
+    // `quantizer` table itself, in leaf-id order.
+    tree.foreach { tq =>
+      val rows = (0 until tq.nGroups).map { g =>
+        (g, tq.supFlat.slice(g * tq.dim, (g + 1) * tq.dim).toSeq,
+          tq.groupStart(g), tq.groupStart(g + 1))
+      }
+      spark.createDataFrame(rows)
+        .toDF("gid", "centroid", "leaf_start", "leaf_end")
+        .coalesce(1) // ~√nCells rows
+        .write.mode("overwrite").parquet(s"$path/quantizer_tree")
+    }
     // cluster by the partition column before partitionBy: without it
     // every task writes a sliver into every cell dir (tasks × cells
     // small files — both a write-time and a scan-time tax); clustered,
@@ -140,11 +162,21 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Fit the coarse quantizer on a deterministic 1-in-4 hash sample
-    * (bounded fit at any corpus size; falls back to the full corpus
-    * when the sample is smaller than 4× the centroid count — see
-    * [[Extensions.annIvf]] for the rationale) and assign every corpus
-    * row to its cell.
+  /** Fit the coarse quantizer and assign every corpus row to its cell.
+    * Below [[Extensions.treeCellThreshold]] cells: a 1-in-4 hash-sample
+    * MLlib fit (falling back to the full corpus when the sample is
+    * smaller than 4× the centroid count — see [[Extensions.annIvf]])
+    * and the flat literal-centroid assignment. At and above it — the
+    * doctrine regime where nCells grows with the corpus — the
+    * two-level [[Extensions.TreeQuantizer]] (VERDICT r14 #4): a
+    * bounded-sample local fit (flat cost at any corpus size, replacing
+    * an MLlib fit whose per-iteration cost was ∝ n·nCells) and the
+    * codegen'd tree assignment (n·2√nCells instead of n·nCells). The
+    * tree structure persists as a `quantizer_tree` sidecar on save, so
+    * every append resolves the SAME rule ([[loadAssigner]]); cells are
+    * the tree's leaves and the leaf table IS the `quantizer` table,
+    * so query probes, file pruning, PQ sidecars and the radii
+    * arithmetic are mode-blind.
     */
   def build(emb: DataFrame, embCol: String, idCol: String,
       nCells: Int = 16): IvfIndex = {
@@ -153,6 +185,15 @@ object IvfIndex {
       .intersect(Set("__vec", "__cell", "__q", "__e"))
     require(clash.isEmpty,
       s"input uses reserved internal column names: ${clash.mkString(", ")}")
+    if (nCells >= Extensions.treeCellThreshold) {
+      val tq = Extensions.fitTreeQuantizer(
+        emb.select(col(idCol), col(embCol)), embCol, idCol, nCells, 42L)
+      val cents = tq.leafArrays.zipWithIndex.map { case (c, i) => (i, c) }
+      val corpus = emb.select(col(idCol), col(embCol),
+        graft.functions.TreeCells.nearestLeaf(col(embCol), tq.supFlat,
+          tq.leafFlat, tq.groupStart, tq.dim).as("__cell"))
+      return new IvfIndex(cents, corpus, idCol, embCol, Some(tq))
+    }
     val vecs = emb.select(col(idCol), col(embCol))
       .withColumn("__vec", array_to_vector(col(embCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -178,6 +219,47 @@ object IvfIndex {
     new IvfIndex(cents, corpus, idCol, embCol)
   }
 
+  /** The cell-assignment rule of a SAVED index, resolved from disk:
+    * the `quantizer_tree` sidecar's presence selects the two-level
+    * tree rule (rebuilt from the sidecar's super level + the
+    * `quantizer` leaf table), its absence the flat literal-centroid
+    * rule. Every growth path (appendToSaved, appendEpoch,
+    * appendPqToSaved) and [[SemanticStore.ingest]]'s batch-side
+    * assignment MUST come through here — a row's cell may never
+    * depend on which code path ingested it, or radii-based pruning
+    * loses its recall-1 soundness and planted-duplicate lookups miss.
+    */
+  private[engine] def loadAssigner(spark: SparkSession, path: String,
+      cents: Seq[(Int, Array[Float])])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val (tfs, tp) = hadoopFs(spark, s"$path/quantizer_tree")
+    if (!tfs.exists(tp))
+      emb => Extensions.nearestCellExpr(emb, cents.map(_._2.toSeq))
+    else {
+      val rows = spark.read.parquet(s"$path/quantizer_tree")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray,
+          r.getInt(2), r.getInt(3)))
+        .sortBy(_._1)
+      val dim = cents.head._2.length
+      require(rows.nonEmpty && rows.head._3 == 0 &&
+        rows.last._4 == cents.size &&
+        rows.sliding(2).forall(w =>
+          w.length < 2 || w(0)._4 == w(1)._3) &&
+        rows.forall(_._2.length == dim),
+        s"corrupt quantizer_tree sidecar at $path")
+      val supFlat = new Array[Float](rows.length * dim)
+      rows.foreach { case (g, c, _, _) =>
+        System.arraycopy(c, 0, supFlat, g * dim, dim) }
+      val leafFlat = new Array[Float](cents.size * dim)
+      cents.sortBy(_._1).foreach { case (l, c) =>
+        System.arraycopy(c, 0, leafFlat, l * dim, dim) }
+      val groupStart = (rows.map(_._3) :+ cents.size).toArray
+      emb => graft.functions.TreeCells.nearestLeaf(emb, supFlat,
+        leafFlat, groupStart, dim)
+    }
+  }
+
   /** Append new vectors to a SAVED index under its frozen quantizer:
     * each vector is assigned to its nearest existing centroid (squared
     * euclidean, ties to the lower cell id — KMeans' own rule) and the
@@ -194,17 +276,17 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/quantizer")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    // nearest-centroid assignment as a literal-codebook projection
-    // (Extensions.nearestCellExpr — the shared IVF-family rule): the
-    // centroid list enters the plan as a LITERAL indexed by cell id,
-    // so assignment is one codegen'd pass — no centroid cross join
-    // (which would push |centroids| embedding copies per row through
-    // a shuffle for the old per-vector rank window).
+    // assignment as a literal-codebook projection resolved from the
+    // saved layout ([[loadAssigner]] — flat nearestCellExpr or the
+    // tree rule, whichever built the index): the centroids enter the
+    // plan as LITERALS, so assignment is one codegen'd pass — no
+    // centroid cross join (which would push |centroids| embedding
+    // copies per row through a shuffle for the old per-vector rank
+    // window).
     require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
       "saved quantizer cell ids must be contiguous 0..n-1")
     val assigned = emb.select(col(idCol), col(embCol),
-      Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
-        .as("__cell"))
+      loadAssigner(spark, path, cents)(col(embCol)).as("__cell"))
     assigned.write.mode("append").partitionBy("__cell")
       .parquet(s"${baseRoot(path)}/cells")
   }
@@ -365,8 +447,7 @@ object IvfIndex {
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     emb.select(col(idCol),
         graft.functions.PqOps.pqEncode(col(embCol), codebook).as("codes"),
-        Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
-          .as("__cell"))
+        loadAssigner(spark, path, cents)(col(embCol)).as("__cell"))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"${baseRoot(path)}/codes")
   }
@@ -511,8 +592,7 @@ object IvfIndex {
     require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
       "saved quantizer cell ids must be contiguous 0..n-1")
     val assigned = emb.select(col(idCol), col(embCol),
-        Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
-          .as("__cell"))
+        loadAssigner(spark, path, cents)(col(embCol)).as("__cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.write.mode("errorifexists").partitionBy("__cell")
       .parquet(s"$epochRoot/cells")

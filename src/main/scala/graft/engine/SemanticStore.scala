@@ -192,18 +192,26 @@ object SemanticStore {
       val (sfs, sp) = hadoopFs(spark, s"$ivfPath/_SEMSTORE")
       sfs.create(sp, true).close()
     }
-    val cents: Seq[Seq[Float]] = spark.read.parquet(s"$ivfPath/quantizer")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-      .sortBy(_._1).map(_._2)
-    // batch side: literal-centroid cell assignment, hoisted norms;
-    // zero-norm rows can't reach a positive threshold (cosine 0 by
-    // the exact form's convention) so they skip the pair scan but
-    // stay in the id domain via meta (singleton components)
+    val centPairs: Seq[(Int, Array[Float])] =
+      spark.read.parquet(s"$ivfPath/quantizer")
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+    val cents: Seq[Seq[Float]] = centPairs.map(_._2.toSeq)
+    // batch side: literal-centroid cell assignment RESOLVED FROM THE
+    // SAVED LAYOUT (IvfIndex.loadAssigner — the flat rule, or the
+    // two-level tree rule when the index was built past the tree
+    // threshold): the radii below describe the batch's ACTUAL cells,
+    // and the stored-side layout was written under the same rule, so
+    // the triangle-inequality prune keeps recall exactly 1 in either
+    // mode. Hoisted norms; zero-norm rows can't reach a positive
+    // threshold (cosine 0 by the exact form's convention) so they
+    // skip the pair scan but stay in the id domain via meta
+    // (singleton components).
     val batchA = vecs
       .withColumn("__n", sqrt(Extensions.dot(col(embCol), col(embCol))))
       .filter(col("__n") > 0)
       .withColumn("__cell",
-        Extensions.nearestCellExpr(col(embCol), cents))
+        IvfIndex.loadAssigner(spark, ivfPath, centPairs)(col(embCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centDf = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c) })

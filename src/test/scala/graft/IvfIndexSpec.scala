@@ -533,4 +533,85 @@ class IvfIndexSpec extends AnyFunSuite {
       .queryByIds(Seq(500000L), k = 3, nprobe = 2, refineFactor = 8))
       .nonEmpty)
   }
+
+  // ── tree-mode (two-level quantizer) lifecycle — r15 ──────────────────
+
+  test("tree-mode build (nCells >= threshold): exhaustive probes equal " +
+      "the brute-force top-k, and save/load round-trips the answers") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.build(emb, "embedding", "vec_id", nCells = 64)
+    // every candidate lives in exactly one leaf, so probing all cells
+    // is brute force regardless of the quantizer
+    val exhaustive = resultSet(idx.queryByIds(queryIds, k = 5,
+      nprobe = 64))
+    val brute = resultSet(Extensions.cosineTopK(emb, "embedding",
+      "vec_id", queryIds, k = 5))
+    assert(exhaustive == brute)
+    val dir = Files.createTempDirectory("graft-ivf-tree").toString
+    idx.save(dir)
+    assert(new java.io.File(dir, "quantizer_tree").exists,
+      "tree-mode save must write the quantizer_tree sidecar")
+    val loaded = IvfIndex.load(spark, dir, "vec_id", "embedding")
+    assert(resultSet(loaded.queryByIds(queryIds, k = 5, nprobe = 64))
+      == exhaustive)
+  }
+
+  test("tree-mode appends assign by the SAME rule as build: a planted " +
+      "exact duplicate lands in its original's cell (and gets its " +
+      "original's PQ codes) through appendToSaved, appendEpoch and " +
+      "appendPqToSaved") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivf-tree-append").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 64).save(dir)
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding")
+    def cellsOf(path: String): Map[Long, Int] =
+      spark.read.parquet(path).select("vec_id", "__cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def codesOf(path: String): Map[Long, Seq[Int]] =
+      spark.read.parquet(path).select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // re-ingest copies of existing vectors under fresh ids: if any
+    // append path resolved a DIFFERENT assignment rule than build
+    // (flat instead of tree), a copy could land in another cell —
+    // the saved layout itself is the witness
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    IvfIndex.appendToSaved(spark, dir, copies, "embedding", "vec_id")
+    IvfIndex.appendPqToSaved(spark, dir, copies, "embedding", "vec_id")
+    val cells = cellsOf(s"$dir/cells")
+    val codes = codesOf(s"$dir/codes")
+    for (q <- 0L until 10L) {
+      assert(cells(q + 500000L) == cells(q),
+        s"copy of $q landed in cell ${cells(q + 500000L)}, " +
+          s"original in ${cells(q)}")
+      assert(codes(q + 500000L) == codes(q),
+        s"copy of $q got different PQ codes")
+    }
+    // same through the exactly-once epoch path
+    val copies2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select((col("vec_id") + 600000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.appendEpoch(spark, dir, copies2, "embedding",
+      "vec_id", "tree-e1"))
+    val epochCells = cellsOf(s"$dir/epochs/tree-e1/cells")
+    for (q <- 10L until 20L)
+      assert(epochCells(q + 600000L) == cells(q),
+        s"epoch copy of $q landed in cell ${epochCells(q + 600000L)}, " +
+          s"original in ${cells(q)}")
+  }
+
+  test("flat re-save over a tree index removes the stale sidecar, so " +
+      "appends resolve the flat rule again") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivf-tree-resave").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 64).save(dir)
+    assert(new java.io.File(dir, "quantizer_tree").exists)
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 8).save(dir)
+    assert(!new java.io.File(dir, "quantizer_tree").exists,
+      "stale quantizer_tree survived a flat re-save")
+    // and the flat layout still answers like the ad-hoc operator
+    val viaIndex = resultSet(IvfIndex.load(spark, dir, "vec_id",
+      "embedding").queryByIds(queryIds, k = 5, nprobe = 3))
+    assert(viaIndex == resultSet(Extensions.annIvf(emb, "embedding",
+      "vec_id", queryIds, k = 5, nprobe = 3, nCells = 8)))
+  }
 }

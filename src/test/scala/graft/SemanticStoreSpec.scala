@@ -360,4 +360,33 @@ class SemanticStoreSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == expect, s"got $got expected $expect")
   }
+
+  test("tree-mode store (nCells >= threshold): the two-snapshot " +
+      "equivalence law holds under the two-level quantizer — the " +
+      "batch twin runs flat blocking, so equality proves the pair " +
+      "set is blocking-independent") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-tree").toString
+    val s1d = docs.filter(col("doc_id") <= 4)
+    val s1e = emb.filter(col("doc_id") <= 4)
+    val s2d = docs.filter(col("doc_id") > 4)
+    val s2e = emb.filter(col("doc_id") > 4)
+    // 64 cells crosses Extensions.treeCellThreshold: the store's inner
+    // IvfIndex builds in tree mode (quantizer_tree sidecar) and every
+    // later ingest must resolve the SAME tree rule for its batch-side
+    // assignment — a flat-assigned batch against a tree-assigned
+    // stored layout would break the radii soundness this law rides on
+    SemanticStore.ingest(s"$dir/store", s1d, s1e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 64,
+      epochName = "s1")
+    assert(new java.io.File(s"$dir/store/ivf", "quantizer_tree").exists,
+      "nCells=64 store must build its inner index in tree mode")
+    val out = collect(SemanticStore.ingest(s"$dir/store", s2d, s2e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 64,
+      epochName = "s2"))
+    val batch = collect(Extensions.semanticDedup(docs, emb,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4))
+    assert(out == batch, s"tree-mode incremental $out vs batch $batch")
+  }
 }
