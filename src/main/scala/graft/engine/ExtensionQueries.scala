@@ -1419,15 +1419,15 @@ object ExtensionQueries {
              |b AS (
              |  SELECT doc_id, text,
              |         regexp_extract_all(html,
-             |           '<(?:p|nav|aside|footer|header|li|h1|h2|h3)>' ||
-             |           '.*?</(?:p|nav|aside|footer|header|li|h1|h2|h3)>')
+             |           '(?is)<(?:p|nav|aside|footer|header|li|h1|h2|h3)\b[^>]*>' ||
+             |           '.*?</(?:p|nav|aside|footer|header|li|h1|h2|h3)\s*>')
              |           AS blocks
              |  FROM h),
              |k AS (
              |  SELECT doc_id, text, blocks,
              |         list_filter(blocks, x ->
              |           coalesce(list_sum(list_transform(
-             |             regexp_extract_all(x, '<a [^>]*>([^<]*)</a>', 1),
+             |             regexp_extract_all(x, '(?is)<a\b[^>]*>([^<]*)</a\s*>', 1),
              |             y -> length(y))), 0)
              |             <= 0.5 * greatest(length(
              |                  regexp_replace(x, '<[^>]*>', '', 'g')), 1)

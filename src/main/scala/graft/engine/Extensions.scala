@@ -860,17 +860,13 @@ object Extensions {
       .withColumn("__vec", array_to_vector(
         transform(col(embCol), x => x.cast("double") / col("__n"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    val sampleN = sample.count()
-    val (fitSample, fitN) =
-      if (sampleN >= nCells.toLong * 4) (sample, sampleN)
-      else (vecs, vecs.count())
-    // MLlib KMeans needs k >= 2 and a non-empty fit; a corpus with
-    // fewer than two nonzero-norm rows has no pairs anyway (the
-    // fallback branch's fitN IS the corpus size) — return the typed
-    // empty result instead of crashing
-    val kmK = math.min(nCells.toLong, fitN).toInt
-    if (kmK < 2) {
+    // a corpus with fewer than two nonzero-norm rows has no pairs
+    // (and neither quantizer can fit) — return the typed empty result
+    // instead of crashing. limit(2) short-circuits: the guard never
+    // scans the corpus (review finding — the old placement paid a
+    // full sample count on the tree path, whose own fit sample is
+    // bounded independently).
+    if (vecs.limit(2).count() < 2) {
       vecs.unpersist()
       val idT = emb.schema(idCol).dataType
       return emb.sparkSession.emptyDataFrame
@@ -878,17 +874,52 @@ object Extensions {
           lit(null).cast(idT).as("id_b"), lit(0.0).as("cosine_sim"))
     }
     // k capped at the fit-set size; fewer cells only coarsens the
-    // blocking — correctness is seed/k-free
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .setK(kmK).setSeed(seed).setMaxIter(5).fit(fitSample)
-    val assigned = km.transform(vecs)
-      .select(col(idCol), col(embCol), col("__n"), col("__cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // blocking — correctness is seed/k-free. Past the tree threshold
+    // (the doctrine regime: nCells ∝ corpus) the fit and the per-row
+    // assignment go through the two-level quantizer — the blocked
+    // plan's own n·nCells terms were the same f² shape the §×100
+    // probe measured on knn_join, and the recall-1 law is proven for
+    // ANY clustering/assignment, so the quantizer swap can only move
+    // cost, never results (the spec pins blocked == exact all-pairs
+    // across the threshold). Fit and assignment both act on the
+    // float-cast UNIT vectors (direction blocking, the __vec
+    // rationale); radii still measure raw-embedding angles to the
+    // float centroids, and the slack absorbs the cast ulps.
+    val unitF = transform(col(embCol),
+      x => (x.cast("double") / col("__n")).cast("float"))
+    val (centArrays: Seq[Array[Float]], assigned: DataFrame) =
+      if (nCells >= treeCellThreshold) {
+        val tq = fitTreeQuantizer(
+          vecs.select(col(idCol), unitF.as("__u")), "__u", idCol,
+          nCells, seed)
+        val asg = vecs
+          .select(col(idCol), col(embCol), col("__n"),
+            graft.functions.TreeCells.nearestLeaf(unitF, tq.supFlat,
+              tq.leafFlat, tq.groupStart, tq.dim).as("__cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (tq.leafArrays, asg)
+      } else {
+        // the 1-in-4 hash-sample fit and its fallback (see annIvf) —
+        // the counts live INSIDE the flat branch so the tree path
+        // never pays them
+        val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+        val sampleN = sample.count()
+        val (fitSample, fitN) =
+          if (sampleN >= nCells.toLong * 4) (sample, sampleN)
+          else (vecs, vecs.count())
+        // k capped at the fit-set size (MLlib needs k <= points);
+        // >= 2 is guaranteed by the nonzero-rows guard above
+        val kmK = math.min(nCells.toLong, fitN).toInt
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setFeaturesCol("__vec").setPredictionCol("__cell")
+          .setK(kmK).setSeed(seed).setMaxIter(5).fit(fitSample)
+        val asg = km.transform(vecs)
+          .select(col(idCol), col(embCol), col("__n"), col("__cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (km.clusterCenters.map(_.toArray.map(_.toFloat)).toSeq, asg)
+      }
     try {
-    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
+    val centroids = centArrays.zipWithIndex.map { case (c, i) => (i, c) }
     val centDf = spark.createDataFrame(centroids).toDF("__cell", "__cent")
     // per-cell angular radius: max angle(member, own centroid); cosine
     // is scale-invariant so the raw embedding serves. The float→double
@@ -910,7 +941,7 @@ object Extensions {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val cents = km.clusterCenters.map(c => unit(c.toArray))
+    val cents = centArrays.map(c => unit(c.map(_.toDouble)))
     def centAngle(i: Int, j: Int): Double = {
       val d = cents(i).zip(cents(j)).map { case (a, b) => a * b }.sum
       math.acos(math.min(1.0, math.max(-1.0, d)))
@@ -1452,7 +1483,12 @@ object Extensions {
       k: Int, nCells: Int, nprobe: Int, seed: Long): DataFrame = {
     val tq = fitTreeQuantizer(emb.select(col(idCol), col(embCol)),
       embCol, idCol, nCells, seed)
-    lastKnnJoinFit.set(tq.leafArrays)
+    // the capture-replay stash is CLEARED, not filled, on the tree
+    // path: PqOracles.knnPrunedSql replays the FLAT assignment/probe
+    // rule, and tree leaves fed through it would generate a silently
+    // wrong twin (review finding). A null stash makes any tree-mode
+    // capture consumer degrade loudly to no-oracle instead.
+    lastKnnJoinFit.set(null)
     val assigned = emb.select(col(idCol), col(embCol))
       .withColumn("__cell", graft.functions.TreeCells.nearestLeaf(
         col(embCol), tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim))
@@ -1723,7 +1759,9 @@ object Extensions {
     // group, the remaining nCells − big by occupancy share
     val total = sample.length.toDouble
     val spare = math.max(0, nCells - big)
-    val raw = groups.map(gr => spare * gr.size / total)
+    // spare.toDouble first: the Int product spare·|group| overflows
+    // past ~32k cells × a full sample (review finding)
+    val raw = groups.map(gr => spare.toDouble * gr.size / total)
     val quota = raw.map(_.toInt)
     var left = spare - quota.sum
     raw.zipWithIndex.map { case (r, i) => (r - quota(i), i) }
@@ -3416,14 +3454,23 @@ object Extensions {
       "text_extracted", "n_blocks", "n_kept"))
     require(clash.isEmpty,
       s"input uses reserved column names: ${clash.mkString(", ")}")
-    val blockPat = "<(?:p|nav|aside|footer|header|li|h1|h2|h3)>" +
-      ".*?</(?:p|nav|aside|footer|header|li|h1|h2|h3)>"
+    // real crawl HTML carries attributes, mixed case, and newlines
+    // inside blocks (review finding — the first cut matched only
+    // lowercase attribute-free single-line tags, i.e. only the
+    // synthetic fixture): `\b[^>]*` admits attributes without letting
+    // `<p` match `<pre`, `(?i)` covers <P>/<LI>, `(?s)` lets a block's
+    // text span lines. Both patterns stay RE2-safe (no backreference,
+    // no lookaround) so the DuckDB twin replays them verbatim.
+    val blockPat =
+      "(?is)<(?:p|nav|aside|footer|header|li|h1|h2|h3)\\b[^>]*>" +
+        ".*?</(?:p|nav|aside|footer|header|li|h1|h2|h3)\\s*>"
     def strip(b: Column) = regexp_replace(b, "<[^>]*>", "")
     // anchor-text mass: sum of the lengths of the capture groups —
     // coalesce-free here (aggregate over an empty array returns the
     // 0 seed), but the DuckDB twin needs coalesce(list_sum, 0)
     def linkChars(b: Column) = aggregate(
-      regexp_extract_all(b, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+      regexp_extract_all(b, lit("(?is)<a\\b[^>]*>([^<]*)</a\\s*>"),
+        lit(1)),
       lit(0), (acc, x) => acc + length(x))
     def keep(b: Column) =
       linkChars(b).cast("double") <=

@@ -231,10 +231,26 @@ object IvfIndex {
     */
   private[engine] def loadAssigner(spark: SparkSession, path: String,
       cents: Seq[(Int, Array[Float])])
-      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    loadTree(spark, path, cents) match {
+      case None =>
+        emb => Extensions.nearestCellExpr(emb, cents.map(_._2.toSeq))
+      case Some(tq) =>
+        emb => graft.functions.TreeCells.nearestLeaf(emb, tq.supFlat,
+          tq.leafFlat, tq.groupStart, tq.dim)
+    }
+
+  /** Rebuild the [[Extensions.TreeQuantizer]] of a saved tree-mode
+    * index from its `quantizer_tree` sidecar (super level) + the
+    * `quantizer` leaf table; None for a flat index. [[load]] threads
+    * this back into the instance so a load→save round trip REWRITES
+    * the sidecar — without that, save()'s doomed-list delete would
+    * silently flip the layout's assignment rule to flat while the
+    * cells keep their tree assignments (review finding). */
+  private def loadTree(spark: SparkSession, path: String,
+      cents: Seq[(Int, Array[Float])]): Option[Extensions.TreeQuantizer] = {
     val (tfs, tp) = hadoopFs(spark, s"$path/quantizer_tree")
-    if (!tfs.exists(tp))
-      emb => Extensions.nearestCellExpr(emb, cents.map(_._2.toSeq))
+    if (!tfs.exists(tp)) None
     else {
       val rows = spark.read.parquet(s"$path/quantizer_tree")
         .collect()
@@ -255,8 +271,7 @@ object IvfIndex {
       cents.sortBy(_._1).foreach { case (l, c) =>
         System.arraycopy(c, 0, leafFlat, l * dim, dim) }
       val groupStart = (rows.map(_._3) :+ cents.size).toArray
-      emb => graft.functions.TreeCells.nearestLeaf(emb, supFlat,
-        leafFlat, groupStart, dim)
+      Some(Extensions.TreeQuantizer(supFlat, leafFlat, groupStart, dim))
     }
   }
 
@@ -302,7 +317,8 @@ object IvfIndex {
     // base cells ∪ claimed ingest epochs (appendEpoch) — each branch
     // stays cell-partitioned, so probes still file-prune everywhere
     val corpus = cellsWithEpochs(spark, path)
-    new IvfIndex(cents, corpus, idCol, embCol)
+    new IvfIndex(cents, corpus, idCol, embCol,
+      loadTree(spark, path, cents))
   }
 
   /** Write a PQ-codes sidecar beside a SAVED index — the persisted
@@ -471,8 +487,15 @@ object IvfIndex {
   /** Epoch names already folded into the CURRENT base generation by
     * [[compactEpochs]] — excluded from every union even while their
     * dirs still exist (the window between the publish flip and the
-    * cleanup sweep, or after a crash inside it). */
-  private def foldedEpochs(spark: SparkSession, path: String): Set[String] =
+    * cleanup sweep, or after a crash inside it). `private[engine]`:
+    * [[SemanticStore]]'s stored-side read must apply the same
+    * exclusion — after [[SemanticStore.compact]]'s step 1 publishes
+    * the inner index's new base, a crash before the epoch-dir sweep
+    * leaves folded dirs on disk that the store's committed names still
+    * reference; reading them would score every stored vector twice
+    * (review finding). */
+  private[engine] def foldedEpochs(spark: SparkSession,
+      path: String): Set[String] =
     readMarker(spark, s"${baseRoot(path)}/_folded")
       .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
@@ -500,6 +523,19 @@ object IvfIndex {
       path: String): DataFrame =
     cellsOf(spark, path, claimedEpochs(spark, path))
 
+  /** True iff `dir` exists AND holds at least one `__cell=` partition
+    * dir: a ZERO-ROW dynamic-partitioned write leaves a dir with only
+    * _SUCCESS, and schema inference on it throws — such dirs (a
+    * pre-r15 store's empty-snapshot epoch, or a raw [[appendEpoch]] of
+    * an empty frame) must be skipped by every union, or one empty
+    * epoch wedges load/compact/addPqCodes forever (review finding; the
+    * SemanticStore stored-side read applies the same filter). */
+  private def hasCellData(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, dir)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__cell="))
+  }
+
   /** [[cellsWithEpochs]] over an EXPLICIT epoch snapshot — the
     * multi-step writers (compactEpochs, addPqCodes) list the claimed
     * set ONCE and derive every union and the `_folded` manifest from
@@ -509,6 +545,7 @@ object IvfIndex {
   private def cellsOf(spark: SparkSession, path: String,
       epochs: Seq[String]): DataFrame =
     epochs
+      .filter(e => hasCellData(spark, s"$e/cells"))
       .foldLeft(spark.read.parquet(s"${baseRoot(path)}/cells"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/cells")))
 
@@ -556,8 +593,7 @@ object IvfIndex {
         "re-run addPqCodes to re-encode the corpus under the " +
         "committed codebook")
     epochs
-      .filter(e => hadoopFs(spark, s"$e/codes")._1
-        .exists(new org.apache.hadoop.fs.Path(s"$e/codes")))
+      .filter(e => hasCellData(spark, s"$e/codes"))
       .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
       .foldLeft(spark.read.parquet(s"${baseRoot(path)}/codes"))((df, e) =>
         df.unionByName(spark.read.parquet(s"$e/codes")))

@@ -289,7 +289,16 @@ object SemanticStore {
       else {
         val baseCells =
           spark.read.parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
+        // epochs the INNER INDEX's _folded manifest marks folded are
+        // already inside baseRoot: a crash in [[compact]] between its
+        // step-1 publish and the epoch-dir sweep leaves their dirs on
+        // disk while the store's markers (step 3 never ran) still name
+        // them committed — reading both sides would score every stored
+        // vector twice and permanently commit duplicated pair rows
+        // into this epoch (review finding)
+        val ivfFolded = IvfIndex.foldedEpochs(spark, ivfPath)
         val epochCells = committed
+          .filterNot(ivfFolded)
           .map(e => s"$ivfPath/epochs/$e/cells")
           .filter { p =>
             val (f2, pp) = hadoopFs(spark, p)
@@ -418,6 +427,16 @@ object SemanticStore {
     */
   def compact(spark: SparkSession, storePath: String): Boolean = {
     sweepFolded(spark, storePath) // heal an earlier run's crashed sweep
+    // an earlier run's crash between marker staging and rename leaves
+    // an orphan staging file at the store root — unreadable by any
+    // path (markerEntries only lists _epochs) but worth reclaiming
+    locally {
+      val (fs, rootP) = hadoopFs(spark, storePath)
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("_staging-marker-"))
+          .foreach(p => fs.delete(p, false))
+    }
     val (committed, folded) = markerEntries(spark, storePath)
     if (committed.size < 2) return false
     IvfIndex.compactEpochsNamed(spark, s"$storePath/ivf",
@@ -436,9 +455,23 @@ object SemanticStore {
       .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
     val manifest = (folded ++ committed).toSeq.sorted.mkString("\n")
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, cName), true)
+    // the marker's CONTENT is the commit (it carries the folded-name
+    // manifest), so create-write-close is NOT atomic enough here: a
+    // crash mid-write would leave a zero-length/partial compact-N that
+    // markerEntries reads as a committed epoch folding NOTHING — every
+    // old epoch's rows visible twice, forever (review finding; the
+    // plain ingest markers are exempt — they are content-less, their
+    // EXISTENCE is the commit and everything is staged before it).
+    // Stage the manifest OUTSIDE _epochs (a torn temp there would be
+    // read as a committed epoch name) and rename in — one atomic
+    // metadata op on any production filesystem.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$storePath/_staging-marker-$cName")
+    val out = fs.create(tmp, true)
     out.write(manifest.getBytes("UTF-8"))
-    out.close() // the commit point
+    out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, cName)),
+      s"could not publish compaction marker $cName") // the commit point
     sweepFolded(spark, storePath)
     true
   }

@@ -420,6 +420,11 @@ class ExtensionsSpec extends AnyFunSuite {
     // outcome: equality must hold across thresholds, cell counts, seeds
     for (t <- Seq(0.3, 0.45)) assert(blocked(t, 16, 42L) == exact(t))
     assert(blocked(0.3, 5, 7L) == exact(0.3))
+    // ...and across the QUANTIZER swap: 64 cells crosses the tree
+    // threshold (two-level fit + tree assignment) — the law is proven
+    // for ANY clustering, so the r15 scale path must leave the pair
+    // set bit-identical
+    for (t <- Seq(0.3, 0.45)) assert(blocked(t, 64, 42L) == exact(t))
     // and the plan must block, not cross join (the exact form's shape)
     val plan = Extensions
       .cosineNearDupsBlocked(emb, "embedding", "vec_id", 0.3)
@@ -2076,5 +2081,39 @@ class ExtensionsSpec extends AnyFunSuite {
         texts.toDF("doc_id", "text"), "text", "doc_id", minQuality = 0.0)
       .collect().map(_.toSeq).toSet
     assert(viaHtml == plain)
+  }
+
+  test("htmlExtract handles real-crawl HTML shapes: attribute-bearing " +
+      "tags, uppercase tags, multiline blocks, bare <a> anchors") {
+    // the review-finding page: every block the first cut missed
+    val page = "<HTML><BODY>" +
+      "<NAV id=\"top\"><A HREF=\"/\">home page</A> " +
+      "<a class=\"x\" href=\"/y\">more links</a></NAV>" +
+      "<p class=\"body\" data-k=\"1\">line one\nline two\nline three</p>" +
+      "<P>UPPER tagged payload paragraph here</P>" +
+      "<li data-i=\"3\">see <a>bare anchor</a> in a list item of " +
+      "mostly text</li>" +
+      "<footer\nclass=\"f\"><a href=\"/tos\">terms of service and " +
+      "privacy</a></footer>" +
+      "</BODY></HTML>"
+    val out = Extensions.htmlExtract(
+        Seq((1L, page)).toDF("doc_id", "html"), "html", "doc_id")
+      .select("text_extracted", "n_blocks", "n_kept")
+      .as[(String, Int, Int)].collect().head
+    // nav (anchor-only) and footer (anchor-only) drop; the attribute'd
+    // multiline <p>, the uppercase <P>, and the bare-anchor <li> keep
+    assert(out._2 == 5, s"blocks: ${out._2} in $out")
+    assert(out._3 == 3, s"kept: ${out._3} in $out")
+    assert(out._1 == "line one\nline two\nline three " +
+      "UPPER tagged payload paragraph here " +
+      "see bare anchor in a list item of mostly text")
+    // <pre> is NOT a block tag and must not be captured by the <p
+    // prefix (the \b guard)
+    val pre = Extensions.htmlExtract(
+        Seq((1L, "<pre>code block</pre><p>real text here</p>"))
+          .toDF("doc_id", "html"), "html", "doc_id")
+      .select("text_extracted", "n_blocks")
+      .as[(String, Int)].collect().head
+    assert(pre == (("real text here", 1)))
   }
 }
