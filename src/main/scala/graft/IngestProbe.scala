@@ -63,6 +63,16 @@ object IngestProbe {
     val minCos = sys.env.getOrElse("SPARK_GRAFT_INGEST_MINCOS", "0.35").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // fixture shape: "permuted" (the ScaleProbe adversarial fixture —
+    // uniform directions, worst case for angular blocking) or
+    // "clustered" (r16 — replica k's rows gather around 50 fresh
+    // per-replica cluster centers: the DRIFT case a frozen quantizer
+    // loses to and the refit compaction exists for)
+    val fixture = sys.env.getOrElse("SPARK_GRAFT_INGEST_FIXTURE",
+      "permuted")
+    // refit the coarse quantizer at the mid-probe compaction?
+    val refit = sys.env.getOrElse("SPARK_GRAFT_INGEST_REFIT", "true")
+      .toBoolean
     require(nBatches >= 3 && f % nBatches == 0,
       s"factor $f must split into nBatches=$nBatches equal replica ranges")
     val spark = SparkSession.builder()
@@ -76,8 +86,11 @@ object IngestProbe {
     val off = 10000000L
 
     // the ScaleProbe embeddings_perm fixture, same path and layout so
-    // a probe battery shares replica writes across mains
-    val fixPath = s"$work/f$f/embeddings_perm.parquet"
+    // a probe battery shares replica writes across mains; the
+    // clustered fixture lands beside it under its own name
+    val fixPath =
+      if (fixture == "permuted") s"$work/f$f/embeddings_perm.parquet"
+      else s"$work/f$f/embeddings_$fixture.parquet"
     if (!new java.io.File(fixPath, "_SUCCESS").exists()) {
       def permuted(arr: org.apache.spark.sql.Column, k: Int) =
         transform(
@@ -85,11 +98,42 @@ object IngestProbe {
             (x, i) => struct(xxhash64(i, lit(k)).as("h"), x.as("x")))),
           s => s.getField("x"))
       val src = spark.read.parquet(s"$base/embeddings.parquet")
+      val dim = src.select(size(col("embedding"))).head().getInt(0)
+      val clustersPerReplica = 50
+      // clustered: row → unit cluster center (fresh per replica) +
+      // a 0.35-scaled unit residual of its original embedding. Member
+      // cosines within a cluster sit ~0.89 (pairs at the 0.8 operating
+      // point), cross-cluster near 0 (prunable once cells track the
+      // clusters) — and each replica's centers are directions the
+      // batch-0 quantizer NEVER saw: the drift case.
+      def centers(k: Int): Seq[Seq[Float]] =
+        (0 until clustersPerReplica).map { j =>
+          val r = new scala.util.Random(7919L * (k + 1) + j)
+          val v = Array.fill(dim)(r.nextGaussian())
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(x => (x / n).toFloat).toSeq
+        }
+      def clustered(k: Int)(df: org.apache.spark.sql.DataFrame) = {
+        val centLit = typedLit(centers(k))
+        val n0 = sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x),
+          lit(0.0), (acc, x) => acc + x))
+        val n = when(n0 > 0, n0).otherwise(lit(1.0))
+        val cidx = pmod(col("vec_id"), lit(clustersPerReplica.toLong))
+          .cast("int") + 1
+        df.withColumn("embedding",
+          zip_with(col("embedding"), element_at(centLit, cidx),
+            (x, c) => (x.cast("double") / n * 0.35 + c).cast("float")))
+      }
       (0 until f).map { k =>
-        if (k == 0) src
-        else src
-          .withColumn("vec_id", col("vec_id") + lit(k * off))
-          .withColumn("embedding", permuted(col("embedding"), k))
+        val shifted =
+          if (k == 0) src
+          else src.withColumn("vec_id", col("vec_id") + lit(k * off))
+        if (fixture == "permuted") {
+          if (k == 0) shifted
+          else shifted.withColumn("embedding",
+            permuted(col("embedding"), k))
+        } else clustered(k)(shifted)
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(fixPath)
     }
@@ -97,7 +141,8 @@ object IngestProbe {
     val nCells = 16 * f
     val repPerBatch = f / nBatches
 
-    val store = s"$work/semstore_f${f}_c${(minCos * 100).toInt}"
+    val store = s"$work/semstore_f${f}_c${(minCos * 100).toInt}" +
+      s"_${fixture}_${if (refit) "refit" else "norefit"}"
     val (fs, storePath) = {
       val p = new org.apache.hadoop.fs.Path(store)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -134,9 +179,10 @@ object IngestProbe {
         .parquet(committed.map(e => s"$store/radii/$e"): _*)
         .groupBy("__cell").agg(max("__r").as("__r"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val cents = spark.read.parquet(s"$store/ivf/quantizer")
-        .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-        .sortBy(_._1).map(_._2)
+      // resolve the LIVE quantizer (after a refit compaction it lives
+      // inside the published IVF generation, not at ivf/quantizer)
+      val cents = graft.engine.IvfIndex
+        .readQuantizer(spark, s"$store/ivf").map(_._2.toSeq)
       val uc = cents.map { v =>
         val d = v.map(_.toDouble).toArray
         val n = math.sqrt(d.map(x => x * x).sum)
@@ -191,8 +237,12 @@ object IngestProbe {
         f"survivors=$survFrac%.3f")
     }
     val (tCompact, _) = time {
-      graft.engine.SemanticStore.compact(spark, store)
+      graft.engine.SemanticStore.compact(spark, store, refit = refit)
     }
+    // post-compaction health: under a refit on the clustered fixture
+    // this is where the survivor fraction must FALL — cells re-fit to
+    // the accumulated corpus, radii recomputed per new cell
+    val (pairsPC, _, meanRPC, maxRPC, survPC) = health()
     val (tSnapCompacted, _) = time {
       graft.engine.SemanticStore.snapshot(spark, store, "vec_id", "q")
         .count()
@@ -206,15 +256,24 @@ object IngestProbe {
         minCosine = minCos, nCells = nCells,
         epochName = f"snap-$bLast%03d").count()
     }
+    val (pairsPost, _, _, _, survPost) = health()
     System.err.println(f"[ingest-probe] compact=$tCompact%.1fs " +
-      f"snapshot_after=$tSnapCompacted%.1fs post_ingest=$tIngestPost%.1fs")
+      f"snapshot_after=$tSnapCompacted%.1fs post_ingest=$tIngestPost%.1fs " +
+      f"surv_post_compact=$survPC%.4f surv_final=$survPost%.4f")
     println(s"""{"factor":$f,"n_cells":$nCells,"min_cosine":$minCos,""" +
+      s""""fixture":"$fixture","refit":$refit,""" +
       s""""batches":$nBatches,"growth":[${sb.toString}],""" +
       s""""t_compact":${math.rint(tCompact * 1000) / 1000},""" +
+      s""""post_compact_health":{"pairs_total":$pairsPC,""" +
+      s""""mean_radius":${math.rint(meanRPC * 1000) / 1000},""" +
+      s""""max_radius":${math.rint(maxRPC * 1000) / 1000},""" +
+      s""""survivor_frac":${math.rint(survPC * 10000) / 10000}},""" +
       s""""t_snapshot_compacted":${math.rint(tSnapCompacted * 1000) / 1000},""" +
       s""""post_compact_ingest":{"batch_rows":$lastRows,""" +
       s""""stored_rows_before":$storedRows,""" +
-      s""""t_ingest":${math.rint(tIngestPost * 1000) / 1000}},""" +
+      s""""t_ingest":${math.rint(tIngestPost * 1000) / 1000},""" +
+      s""""pairs_total":$pairsPost,""" +
+      s""""survivor_frac":${math.rint(survPost * 10000) / 10000}},""" +
       s""""base":"$base"}""")
     spark.stop()
   }

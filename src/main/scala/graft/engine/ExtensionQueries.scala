@@ -366,11 +366,15 @@ object ExtensionQueries {
     * reachability + exact keep-best arg-max over the FULL corpus. The
     * incremental entry matching this batch SQL verbatim IS its
     * correctness statement — the pair store accumulated over the two
-    * snapshots must equal the batch pair set on the union. */
-  private val semanticDedupOracle: String =
-    """WITH RECURSIVE e AS (
+    * snapshots must equal the batch pair set on the union.
+    * `extraWhere` narrows the corpus for the DELETE twin
+    * (semantic_dedup_delete): a post-delete snapshot must equal the
+    * batch run on the corpus WITHOUT the deleted ids — exactly this
+    * SQL with the ids excluded up front. */
+  private def semanticDedupOracleSql(extraWhere: String): String =
+    s"""WITH RECURSIVE e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-      |  WHERE vec_id < 500
+      |  WHERE vec_id < 500$extraWhere
       |    AND vec_id IN (SELECT doc_id FROM documents)),
       |dd AS (
       |  SELECT d.doc_id, d.n_chars
@@ -405,6 +409,13 @@ object ExtensionQueries {
       |       (q.doc_id = b2.best_id)::INT AS keep
       |FROM q JOIN b2 ON q.component = b2.component
       |ORDER BY q.doc_id""".stripMargin
+
+  private val semanticDedupOracle: String = semanticDedupOracleSql("")
+
+  /** The ids `semantic_dedup_delete` takes down — fixed literals so
+    * the generated twin is static. */
+  private val semanticDedupDeleteIds: Seq[Long] =
+    (0L until 20L) ++ (300L until 310L)
 
   // ── BPE oracle building blocks (bpe_merges / bpe_stats): the greedy
   // merge loop unrolled into chained CTEs, one (pairs → best → reseg)
@@ -675,6 +686,27 @@ object ExtensionQueries {
              |    ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank FROM s)
              |SELECT query_id, neighbor_id, cosine_sim, rank FROM r
              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // ── all-rows k-NN self-join, TREE-QUANTIZER configuration (r16):
+    // nCells = 64 crosses Extensions.treeCellThreshold, so this runs
+    // the SCALE path — bounded-sample two-level fit, codegen'd tree
+    // assignment + tree probe selection (n·2√nCells, the r15 kernel
+    // that killed the knn f² tail) — with a full capture-replay
+    // oracle: the two-level rule is a pure literal projection, so
+    // PqOracles.knnTreeSql replays assignment, probe selection, the
+    // guarded-cosine rescore and the rank bit-for-bit (VERDICT r15
+    // #3 — the scale path's first oracle-checked catalog presence) ─────
+    QuerySpec("knn_join_tree",
+      (s, d) => {
+        val out = Extensions.knnJoin(embeddings(s, d), "embedding",
+            "vec_id", k = 3, nCells = 64, nprobe = 8)
+          .orderBy("query_id", "rank")
+        Option(Extensions.lastKnnTreeFit.get())
+          .foreach(PqOracles.stashKnnTree)
+        out
+      },
+      None,
+      lazyOracle = Some(() => PqOracles.knnTreeSql(k = 3, nprobe = 8))),
 
     // ── exact n-gram Jaccard on a bounded sample (the precise scorer; the
     // scale path is minhash_neardup / simhash below) ─────────────────────
@@ -2290,6 +2322,40 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some(semanticDedupOracle)),
+
+    // ── TAKE-DOWN DELETE on the persisted store (r16): the same
+    // two-snapshot lifecycle, then SemanticStore.delete of 30 fixed
+    // ids — the post-delete snapshot must equal the batch run on the
+    // corpus WITHOUT those ids (deleted docs leave the domain and
+    // every pair touching them leaves the closure, so a deleted
+    // bridge doc no longer merges components). Oracle = the shared
+    // WITH RECURSIVE twin with the ids excluded up front. Deletion is
+    // logical here (the read-path anti-joins); physical removal at
+    // compact is spec-pinned (file-level asserts) ──────────────────────
+    QuerySpec("semantic_dedup_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = tempDir("graft-semstore-del")
+        val docs = documents(s, d)
+        val emb = embeddings(s, d).filter(col("vec_id") < 500)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        SemanticStore.ingest(s"$dir/store",
+          docs.filter(col("doc_id") < 250),
+          emb.filter(col("doc_id") < 250),
+          "doc_id", "n_chars", "embedding", minCosine = 0.35,
+          nCells = 16, epochName = "s1")
+        SemanticStore.ingest(s"$dir/store",
+          docs.filter(col("doc_id") >= 250),
+          emb.filter(col("doc_id") >= 250),
+          "doc_id", "n_chars", "embedding", minCosine = 0.35,
+          nCells = 16, epochName = "s2")
+        SemanticStore.delete(s"$dir/store",
+          semanticDedupDeleteIds.toDF("doc_id"), "doc_id", "d1")
+        SemanticStore.snapshot(s, s"$dir/store", "doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(semanticDedupOracleSql(
+        s"\n    AND vec_id NOT IN (${semanticDedupDeleteIds.mkString(", ")})"))),
 
     // ── windowed skip-gram PMI collocations: in-array pair build (no
     // position self-join), marginals re-aggregate the pair table ────────

@@ -1433,6 +1433,7 @@ object Extensions {
         (i, c.toArray.map(_.toFloat))
       }.toSeq
       lastKnnJoinFit.set(centroids.map(_._2))
+      lastKnnTreeFit.set(null) // flat run: no stale tree capture
       // assignment by the shared literal float-centroid projection
       // ([[nearestCellExpr]] — the r13 IVF-family rule)
       val assigned = vecs.drop("__vec")
@@ -1483,12 +1484,13 @@ object Extensions {
       k: Int, nCells: Int, nprobe: Int, seed: Long): DataFrame = {
     val tq = fitTreeQuantizer(emb.select(col(idCol), col(embCol)),
       embCol, idCol, nCells, seed)
-    // the capture-replay stash is CLEARED, not filled, on the tree
-    // path: PqOracles.knnPrunedSql replays the FLAT assignment/probe
-    // rule, and tree leaves fed through it would generate a silently
-    // wrong twin (review finding). A null stash makes any tree-mode
-    // capture consumer degrade loudly to no-oracle instead.
+    // the FLAT capture-replay stash is CLEARED, not filled, on the
+    // tree path: PqOracles.knnPrunedSql replays the FLAT assignment/
+    // probe rule, and tree leaves fed through it would generate a
+    // silently wrong twin (review finding). The tree fit lands in its
+    // OWN stash for the tree twin ([[PqOracles.knnTreeSql]], r16).
     lastKnnJoinFit.set(null)
+    lastKnnTreeFit.set(tq)
     val assigned = emb.select(col(idCol), col(embCol))
       .withColumn("__cell", graft.functions.TreeCells.nearestLeaf(
         col(embCol), tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim))
@@ -1571,8 +1573,12 @@ object Extensions {
       iters: Int = 8): Seq[Seq[Seq[Float]]] = {
     val dim = emb.select(size(col(embCol))).head().getInt(0)
     val sub = dim / m
+    // float-cast before collect — the PqOps kernels accept
+    // array<double> columns, so the fit must too (the fitTreeQuantizer
+    // fix, ADVICE r15; no-op cast on float corpora)
     val sample = emb
-      .select(col(embCol), xxhash64(col(idCol)).as("__h"), col(idCol))
+      .select(transform(col(embCol), _.cast("float")).as(embCol),
+        xxhash64(col(idCol)).as("__h"), col(idCol))
       .orderBy(col("__h"), col(idCol))
       .limit(sampleCap)
       .select(col(embCol))
@@ -1726,8 +1732,15 @@ object Extensions {
       idCol: String, nCells: Int, seed: Long, sampleCap: Int = 65536,
       iters: Int = 8): TreeQuantizer = {
     require(nCells >= 1, "nCells must be >= 1")
+    // float-cast BEFORE collect (ADVICE r15): the TreeCells expressions
+    // and the flat build path both accept array<double> embeddings, so
+    // the fit must too — an uncast getSeq[Float] throws
+    // ClassCastException on double vectors. transform(_.cast("float"))
+    // is a no-op on an already-float column (values bit-unchanged, so
+    // existing float-corpus fits and their captures are unaffected).
     val sample = emb
-      .select(col(embCol), xxhash64(col(idCol)).as("__h"), col(idCol))
+      .select(transform(col(embCol), _.cast("float")).as(embCol),
+        xxhash64(col(idCol)).as("__h"), col(idCol))
       .orderBy(col("__h"), col(idCol))
       .limit(sampleCap)
       .select(col(embCol))
@@ -1816,6 +1829,14 @@ object Extensions {
     * captured for the deferred DuckDB-twin generator. */
   private[engine] val lastKnnJoinFit = new java.util.concurrent.atomic
     .AtomicReference[Seq[Array[Float]]](null)
+
+  /** The most recent TREE-path [[knnJoin]] fit (the full two-level
+    * quantizer), captured for the deferred twin generator
+    * ([[PqOracles.knnTreeSql]] — the r16 oracle for the scale path:
+    * the two-level rule is a pure literal projection, so it replays
+    * exactly like the flat rule). */
+  private[engine] val lastKnnTreeFit = new java.util.concurrent.atomic
+    .AtomicReference[TreeQuantizer](null)
 
   /** Sequential-fold dot product in double — the summation order the
     * oracle's list_dot_product mirrors. Backed by the native

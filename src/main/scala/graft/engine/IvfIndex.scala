@@ -58,18 +58,46 @@ final class IvfIndex private (
   def query(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     val spark = corpus.sparkSession
-    val centDf = spark.createDataFrame(centroids)
-      .toDF("__cell", "__centroid")
-    // bounded rank window: the partition is one query crossed with the
-    // BROADCAST centroid table — exactly |centroids| rows, a build-time
-    // constant, never a function of corpus size
-    val probed = queries.crossJoin(broadcast(centDf))
-      .withColumn("__cdist",
-        -Extensions.cosine(col("__q"), col("__centroid")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("__cdist"), asc("__cell"))))
-      .filter(col("__crank") <= nprobe)
-      .select(col("query_id"), col("__q"), col("__cell"))
+    val probed = tree match {
+      case Some(tq) =>
+        // tree-mode probes (ADVICE r15): rank candidate cells by the
+        // TREE rule (top-superProbe groups, then their leaves), NOT a
+        // flat scan of all leaves — (a) a row's tree-assigned cell need
+        // not be its flat-nearest leaf, so flat ranking could skip the
+        // cell holding an exact duplicate at small nprobe; prepending
+        // the query's own tree-assigned cell restores the self-cell-
+        // first guarantee the flat layout had; (b) the flat scan was
+        // O(nCells·dim) per query — the very term the tree path cuts.
+        // Probe sets under pruning are a recall heuristic (the knnJoin
+        // contract); ranking here is tree-L2, self cell always first.
+        val probeArr =
+          if (nprobe >= tq.nLeaves)
+            typedLit((0 until tq.nLeaves).toList)
+          else {
+            val self = graft.functions.TreeCells.nearestLeaf(col("__q"),
+              tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim)
+            val pr = graft.functions.TreeCells.probes(col("__q"),
+              tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim, nprobe,
+              tq.superProbeFor(nprobe))
+            slice(array_distinct(concat(array(self), pr)), 1, nprobe)
+          }
+        queries.select(col("query_id"), col("__q"),
+          explode(probeArr).as("__cell"))
+      case None =>
+        val centDf = spark.createDataFrame(centroids)
+          .toDF("__cell", "__centroid")
+        // bounded rank window: the partition is one query crossed with
+        // the BROADCAST centroid table — exactly |centroids| rows, a
+        // build-time constant, never a function of corpus size
+        queries.crossJoin(broadcast(centDf))
+          .withColumn("__cdist",
+            -Extensions.cosine(col("__q"), col("__centroid")))
+          .withColumn("__crank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(asc("__cdist"), asc("__cell"))))
+          .filter(col("__crank") <= nprobe)
+          .select(col("query_id"), col("__q"), col("__cell"))
+    }
     // the probe set is tiny by construction (queries × nprobe ints);
     // cell ids must become LITERALS for the corpus scan to prune
     // partitions — a join key can't prune files
@@ -117,14 +145,22 @@ final class IvfIndex private (
     val spark = corpus.sparkSession
     val (fs, root) = IvfIndex.hadoopFs(spark, path)
     if (fs.exists(root)) {
-      // quantizer_tree is doomed too: a FLAT re-save over a tree-built
-      // index must remove the stale sidecar, or every later append
-      // would tree-assign under the new flat quantizer's cells —
-      // silently mixed layouts
+      // NOTE: quantizer_tree is deliberately NOT in this doomed list.
+      // save() is non-atomic (a full overwrite in place); the one
+      // failure mode that used to be SILENT was a crash mid-re-save
+      // over a tree-built index after the sidecar delete — the old
+      // tree-assigned cells survive with no sidecar, so every later
+      // append resolves the FLAT rule: mixed layouts with no error
+      // (ADVICE r15). The sidecar is now (a) overwritten, never
+      // pre-deleted, on a tree save, (b) deleted only AFTER the new
+      // cells land on a flat save, and (c) tied to its quantizer by
+      // the `_qv` digest marker that [[IvfIndex.loadTree]] validates —
+      // every torn combination either loads a coherent (old or new)
+      // index or fails loudly on the digest/structure check.
       val doomed = fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
         p.getName == "_CURRENT" || p.getName == "epochs" ||
           p.getName == "codes" || p.getName == "codebook" ||
-          p.getName == "quantizer_tree" || p.getName.startsWith("gen-")
+          p.getName.startsWith("gen-")
       }
       doomed.foreach(p => fs.delete(p, true))
     }
@@ -139,14 +175,7 @@ final class IvfIndex private (
     // time or as an append, in either mode. Leaf centroids are the
     // `quantizer` table itself, in leaf-id order.
     tree.foreach { tq =>
-      val rows = (0 until tq.nGroups).map { g =>
-        (g, tq.supFlat.slice(g * tq.dim, (g + 1) * tq.dim).toSeq,
-          tq.groupStart(g), tq.groupStart(g + 1))
-      }
-      spark.createDataFrame(rows)
-        .toDF("gid", "centroid", "leaf_start", "leaf_end")
-        .coalesce(1) // ~√nCells rows
-        .write.mode("overwrite").parquet(s"$path/quantizer_tree")
+      IvfIndex.writeTreeSidecar(spark, path, tq, centroids)
     }
     // cluster by the partition column before partitionBy: without it
     // every task writes a sliver into every cell dir (tasks × cells
@@ -157,6 +186,14 @@ final class IvfIndex private (
     corpus.repartition(centroids.size, col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/cells")
+    // a FLAT re-save over a tree-built index removes the stale sidecar
+    // only now, after the new cells are fully written: a crash before
+    // this point leaves the stale sidecar whose `_qv` digest no longer
+    // matches the new quantizer — a LOUD load failure, not a silent
+    // rule flip (ADVICE r15)
+    if (tree.isEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/quantizer_tree"),
+        true)
   }
 }
 
@@ -185,38 +222,96 @@ object IvfIndex {
       .intersect(Set("__vec", "__cell", "__q", "__e"))
     require(clash.isEmpty,
       s"input uses reserved internal column names: ${clash.mkString(", ")}")
+    val (cents, assign, treeOpt) = fitFor(emb, embCol, idCol, nCells)
+    // assignment by the shared literal projection (nearestCellExpr /
+    // the tree rule — r13/r15): the SAME rule appendToSaved/appendEpoch
+    // grow the layout with, so a row assigns to the same cell whether
+    // it arrived at build time or as an append (MLlib's transform used
+    // a norm-shortcut double-centroid distance that could disagree on
+    // knife-edge rows)
+    val corpus = emb.select(col(idCol), col(embCol),
+      assign(col(embCol)).as("__cell"))
+    new IvfIndex(cents, corpus, idCol, embCol, treeOpt)
+  }
+
+  /** The coarse-quantizer fit shared by [[build]] and the REFIT
+    * compaction ([[compactEpochs]] with `refit = true`): below
+    * [[Extensions.treeCellThreshold]] a hash-sampled MLlib KMeans and
+    * the flat literal-centroid rule; at and above it the bounded-
+    * sample two-level [[Extensions.TreeQuantizer]] and the codegen'd
+    * tree rule. Returns (centroids in cell order, the assignment
+    * Column rule, the tree when fitted). The flat path's lineage-
+    * shortening persist is released once the fit completes — the
+    * returned rule is a pure literal projection that never reads it. */
+  private def fitFor(emb: DataFrame, embCol: String, idCol: String,
+      nCells: Int, seed: Long = 42L): (Seq[(Int, Array[Float])],
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      Option[Extensions.TreeQuantizer]) = {
     if (nCells >= Extensions.treeCellThreshold) {
       val tq = Extensions.fitTreeQuantizer(
-        emb.select(col(idCol), col(embCol)), embCol, idCol, nCells, 42L)
+        emb.select(col(idCol), col(embCol)), embCol, idCol, nCells, seed)
       val cents = tq.leafArrays.zipWithIndex.map { case (c, i) => (i, c) }
-      val corpus = emb.select(col(idCol), col(embCol),
-        graft.functions.TreeCells.nearestLeaf(col(embCol), tq.supFlat,
-          tq.leafFlat, tq.groupStart, tq.dim).as("__cell"))
-      return new IvfIndex(cents, corpus, idCol, embCol, Some(tq))
+      return (cents, e => graft.functions.TreeCells.nearestLeaf(e,
+        tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim), Some(tq))
     }
     val vecs = emb.select(col(idCol), col(embCol))
       .withColumn("__vec", array_to_vector(col(embCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    val fitSample =
-      if (sample.count() >= nCells.toLong * 4) sample else vecs
-    val km = new KMeans()
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .setK(nCells).setSeed(42L).setMaxIter(5).fit(fitSample)
-    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
-    // assignment by the shared literal float-centroid projection
-    // (Extensions.nearestCellExpr, r13) — the SAME rule appendToSaved/
-    // appendEpoch grow the layout with, so a row assigns to the same
-    // cell whether it arrived at build time or as an append (MLlib's
-    // transform used a norm-shortcut double-centroid distance that
-    // could disagree on knife-edge rows)
-    val corpus = vecs
-      .select(col(idCol), col(embCol),
-        Extensions.nearestCellExpr(col(embCol), cents.map(_._2.toSeq))
-          .as("__cell"))
-    new IvfIndex(cents, corpus, idCol, embCol)
+    try {
+      val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+      val sampleN = sample.count()
+      val (fitSample, fitN) =
+        if (sampleN >= nCells.toLong * 4) (sample, sampleN)
+        else (vecs, vecs.count())
+      // k capped at the fit-set size: MLlib's blockified KMeans throws
+      // (out-of-bounds in the center aggregator) when k exceeds the
+      // point count — a first snapshot smaller than nCells must build
+      // a smaller (still contiguous 0..k-1) quantizer, not crash. At
+      // every realistic corpus fitN >= nCells and the fit is
+      // bit-unchanged.
+      val kEff = math.max(1L, math.min(nCells.toLong, fitN)).toInt
+      val km = new KMeans()
+        .setFeaturesCol("__vec").setPredictionCol("__cell")
+        .setK(kEff).setSeed(seed).setMaxIter(5).fit(fitSample)
+      val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      (cents, e => Extensions.nearestCellExpr(e, cents.map(_._2.toSeq)),
+        None)
+    } finally vecs.unpersist()
+  }
+
+  /** md5 over the quantizer's centroid floats in cell order — the
+    * content version that ties a `quantizer_tree` sidecar (and the
+    * [[SemanticStore]] radii epochs) to the exact quantizer they were
+    * written under. A refit always moves centroid floats, so the leaf
+    * digest alone versions the assignment rule. */
+  private[graft] def quantizerDigest(
+      cents: Seq[(Int, Array[Float])]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    for ((_, c) <- cents.sortBy(_._1); x <- c) {
+      buf.clear(); buf.putFloat(x)
+      md.update(buf.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Write the tree sidecar (+ its `_qv` quantizer-digest marker) into
+    * `root` — shared by [[IvfIndex.save]] and the refit compaction's
+    * generation staging. */
+  private def writeTreeSidecar(spark: SparkSession, root: String,
+      tq: Extensions.TreeQuantizer,
+      cents: Seq[(Int, Array[Float])]): Unit = {
+    val rows = (0 until tq.nGroups).map { g =>
+      (g, tq.supFlat.slice(g * tq.dim, (g + 1) * tq.dim).toSeq,
+        tq.groupStart(g), tq.groupStart(g + 1))
+    }
+    spark.createDataFrame(rows)
+      .toDF("gid", "centroid", "leaf_start", "leaf_end")
+      .coalesce(1) // ~√nCells rows
+      .write.mode("overwrite").parquet(s"$root/quantizer_tree")
+    writeMarker(spark, s"$root/quantizer_tree/_qv", quantizerDigest(cents))
   }
 
   /** The cell-assignment rule of a SAVED index, resolved from disk:
@@ -246,13 +341,29 @@ object IvfIndex {
     * this back into the instance so a load→save round trip REWRITES
     * the sidecar — without that, save()'s doomed-list delete would
     * silently flip the layout's assignment rule to flat while the
-    * cells keep their tree assignments (review finding). */
+    * cells keep their tree assignments (review finding). The sidecar
+    * resolves from [[quantizerRoot]] (a refit compaction stages it
+    * inside the generation, beside the refit quantizer), and its `_qv`
+    * digest must match the live quantizer: a crash inside a re-save
+    * can strand a stale sidecar beside a fresh quantizer, and without
+    * the digest check the torn pair would serve silently-wrong tree
+    * assignments (ADVICE r15). Sidecars from before the marker existed
+    * (pre-r16 saves) carry no `_qv` and are accepted as-is — their
+    * saves never interleaved quantizer and sidecar writes from
+    * different fits. */
   private def loadTree(spark: SparkSession, path: String,
       cents: Seq[(Int, Array[Float])]): Option[Extensions.TreeQuantizer] = {
-    val (tfs, tp) = hadoopFs(spark, s"$path/quantizer_tree")
+    val sidecar = s"${quantizerRoot(spark, path)}/quantizer_tree"
+    val (tfs, tp) = hadoopFs(spark, sidecar)
     if (!tfs.exists(tp)) None
     else {
-      val rows = spark.read.parquet(s"$path/quantizer_tree")
+      readMarker(spark, s"$sidecar/_qv").foreach { qv =>
+        require(qv == quantizerDigest(cents),
+          s"quantizer_tree sidecar at $sidecar was written under a " +
+            "different quantizer (a torn re-save) — rebuild and re-save " +
+            "the index")
+      }
+      val rows = spark.read.parquet(sidecar)
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray,
           r.getInt(2), r.getInt(3)))
@@ -263,7 +374,7 @@ object IvfIndex {
         rows.sliding(2).forall(w =>
           w.length < 2 || w(0)._4 == w(1)._3) &&
         rows.forall(_._2.length == dim),
-        s"corrupt quantizer_tree sidecar at $path")
+        s"corrupt quantizer_tree sidecar at $sidecar")
       val supFlat = new Array[Float](rows.length * dim)
       rows.foreach { case (g, c, _, _) =>
         System.arraycopy(c, 0, supFlat, g * dim, dim) }
@@ -288,9 +399,7 @@ object IvfIndex {
     */
   def appendToSaved(spark: SparkSession, path: String, emb: DataFrame,
       embCol: String, idCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/quantizer")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readQuantizer(spark, path)
     // assignment as a literal-codebook projection resolved from the
     // saved layout ([[loadAssigner]] — flat nearestCellExpr or the
     // tree rule, whichever built the index): the centroids enter the
@@ -298,8 +407,6 @@ object IvfIndex {
     // centroid cross join (which would push |centroids| embedding
     // copies per row through a shuffle for the old per-vector rank
     // window).
-    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
-      "saved quantizer cell ids must be contiguous 0..n-1")
     val assigned = emb.select(col(idCol), col(embCol),
       loadAssigner(spark, path, cents)(col(embCol)).as("__cell"))
     assigned.write.mode("append").partitionBy("__cell")
@@ -311,9 +418,7 @@ object IvfIndex {
     */
   def load(spark: SparkSession, path: String, idCol: String,
       embCol: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$path/quantizer")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readQuantizer(spark, path)
     // base cells ∪ claimed ingest epochs (appendEpoch) — each branch
     // stays cell-partitioned, so probes still file-prune everywhere
     val corpus = cellsWithEpochs(spark, path)
@@ -420,7 +525,7 @@ object IvfIndex {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def writeMarker(spark: SparkSession, path: String,
+  private[engine] def writeMarker(spark: SparkSession, path: String,
       content: String): Unit = {
     val (fs, p) = hadoopFs(spark, path)
     val out = fs.create(p, true)
@@ -428,7 +533,7 @@ object IvfIndex {
     out.close()
   }
 
-  private def readMarker(spark: SparkSession, path: String): Option[String] = {
+  private[engine] def readMarker(spark: SparkSession, path: String): Option[String] = {
     val (fs, p) = hadoopFs(spark, path)
     if (!fs.exists(p)) None
     else {
@@ -451,11 +556,7 @@ object IvfIndex {
     */
   def appendPqToSaved(spark: SparkSession, path: String, emb: DataFrame,
       embCol: String, idCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/quantizer")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
-    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
-      "saved quantizer cell ids must be contiguous 0..n-1")
+    val cents = readQuantizer(spark, path)
     val codebook = spark.read.parquet(s"$path/codebook")
       .collect().map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Float](2).toSeq))
@@ -483,6 +584,36 @@ object IvfIndex {
     * [[TextIndex.compactSegments]]). */
   private[graft] def baseRoot(path: String): String =
     Generations.currentName(path).map(g => s"$path/$g").getOrElse(path)
+
+  /** Root holding the LIVE quantizer (+ its optional `quantizer_tree`
+    * sidecar): a REFIT compaction stages the new quantizer inside its
+    * generation dir, so quantizer and re-assigned cells flip together
+    * with the single `_CURRENT` commit — there is no window where new
+    * cells are read under the old rule or vice versa. Indexes that
+    * never refit (and the pre-generation layout) keep the build-time
+    * `$path/quantizer`. */
+  private[graft] def quantizerRoot(spark: SparkSession,
+      path: String): String = {
+    val g = baseRoot(path)
+    if (g == path) path
+    else {
+      val (fs, qp) = hadoopFs(spark, s"$g/quantizer")
+      if (fs.exists(qp)) g else path
+    }
+  }
+
+  /** The live quantizer's centroids in cell order (resolved via
+    * [[quantizerRoot]]) — the one read every growth/query path shares. */
+  private[graft] def readQuantizer(spark: SparkSession,
+      path: String): Seq[(Int, Array[Float])] = {
+    val cents = spark.read
+      .parquet(s"${quantizerRoot(spark, path)}/quantizer")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "saved quantizer cell ids must be contiguous 0..n-1")
+    cents
+  }
 
   /** Epoch names already folded into the CURRENT base generation by
     * [[compactEpochs]] — excluded from every union even while their
@@ -515,6 +646,65 @@ object IvfIndex {
     }
   }
 
+  // ── take-down tombstones (VERDICT r15 #5) ────────────────────────────
+
+  /** Commit a take-down TOMBSTONE of ids (the ingest-commit shape:
+    * `tombstones/<name>/` parquet staged first, the content-less
+    * `_tombstones/<name>` marker LAST; a torn write is invisible, a
+    * committed name replays as a no-op). From the commit on, every
+    * read path — [[load]] queries, the PQ ADC scan, [[addPqCodes]]'s
+    * re-encode — excludes the ids via one anti-join (skipped entirely
+    * while no tombstone exists); [[compactEpochs]] drops the rows
+    * PHYSICALLY (the staged generation is the filtered union) and
+    * retires the applied tombstones. Re-using a tombstoned id in a
+    * later append is outside the contract (ids are permanent
+    * take-downs; appends require ids disjoint from stored ones). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, name: String): Unit = {
+    require(name.nonEmpty && !name.contains("/"),
+      "tombstone name must be a single path segment")
+    val (fs, root) = hadoopFs(spark, s"$path/_tombstones")
+    val marker = new org.apache.hadoop.fs.Path(root, name)
+    if (fs.exists(marker)) return // committed replay: no-op
+    ids.select(col(idCol).as("__tomb_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstones/$name")
+    fs.mkdirs(root)
+    fs.create(marker, true).close()
+  }
+
+  private def tombstoneNames(spark: SparkSession,
+      path: String): Seq[String] = {
+    val (fs, root) = hadoopFs(spark, s"$path/_tombstones")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** All committed tombstoned ids as one `__tomb_id` column; None when
+    * none exist (the common case — read paths add no plan step). */
+  private[graft] def tombstonedIds(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val names = tombstoneNames(spark, path)
+    if (names.isEmpty) None
+    else Some(spark.read
+      .parquet(names.map(n => s"$path/tombstones/$n"): _*)
+      .distinct())
+  }
+
+  /** Anti-join committed tombstones out of a cells/codes union. The id
+    * column is the one non-array column beside `__cell` (cells carry
+    * the embedding array, codes the codes array). */
+  private def excludeTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = tombstonedIds(spark, path) match {
+    case None => df
+    case Some(t) =>
+      val idCol = df.schema.fields
+        .filterNot(f => f.name == "__cell" ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .head.name
+      df.join(t.withColumnRenamed("__tomb_id", idCol), Seq(idCol),
+        "left_anti")
+  }
+
   /** The corpus = base cells ∪ every claimed epoch's cells. Each
     * branch keeps its own __cell partition layout, so a probed query's
     * isin filter file-prunes every branch independently — epoch growth
@@ -544,10 +734,10 @@ object IvfIndex {
     * recorded as folded (its rows then count twice forever). */
   private def cellsOf(spark: SparkSession, path: String,
       epochs: Seq[String]): DataFrame =
-    epochs
+    excludeTombstoned(spark, path, epochs
       .filter(e => hasCellData(spark, s"$e/cells"))
       .foldLeft(spark.read.parquet(s"${baseRoot(path)}/cells"))((df, e) =>
-        df.unionByName(spark.read.parquet(s"$e/cells")))
+        df.unionByName(spark.read.parquet(s"$e/cells"))))
 
   /** PQ-codes twin of [[cellsWithEpochs]], version-gated: an epoch
     * codes dir joins the union ONLY when its `_pqv` stamp matches the
@@ -592,11 +782,11 @@ object IvfIndex {
           "addPqCodes run did not complete; ") +
         "re-run addPqCodes to re-encode the corpus under the " +
         "committed codebook")
-    epochs
+    excludeTombstoned(spark, path, epochs
       .filter(e => hasCellData(spark, s"$e/codes"))
       .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
       .foldLeft(spark.read.parquet(s"${baseRoot(path)}/codes"))((df, e) =>
-        df.unionByName(spark.read.parquet(s"$e/codes")))
+        df.unionByName(spark.read.parquet(s"$e/codes"))))
   }
 
   /** Exactly-once epoch append under the FROZEN quantizer (and frozen
@@ -622,11 +812,7 @@ object IvfIndex {
     val claim = new org.apache.hadoop.fs.Path(epochRoot, "_claim")
     if (fs.exists(claim)) return false
     if (fs.exists(epochRoot)) fs.delete(epochRoot, true)
-    val cents = spark.read.parquet(s"$path/quantizer")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
-    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
-      "saved quantizer cell ids must be contiguous 0..n-1")
+    val cents = readQuantizer(spark, path)
     val assigned = emb.select(col(idCol), col(embCol),
         loadAssigner(spark, path, cents)(col(embCol)).as("__cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -688,14 +874,15 @@ object IvfIndex {
     * [[SemanticStore.compact]] is the store-aware path: it folds only
     * store-COMMITTED epoch names via [[compactEpochsNamed]].
     */
-  def compactEpochs(spark: SparkSession, path: String): Boolean = {
+  def compactEpochs(spark: SparkSession, path: String,
+      refit: Boolean = false): Boolean = {
     val (sfs, sp) = hadoopFs(spark, s"$path/_SEMSTORE")
     require(!sfs.exists(sp),
       s"$path is the inner index of a SemanticStore — its epoch dirs " +
         "are resolved by committed snapshot name, and folding claimed-" +
         "but-uncommitted epochs would surface phantom vectors; run " +
         "SemanticStore.compact on the store instead")
-    compactEpochsFiltered(spark, path, None)
+    compactEpochsFiltered(spark, path, None, refit)
   }
 
   /** [[compactEpochs]] restricted to an explicit epoch-name subset —
@@ -705,11 +892,27 @@ object IvfIndex {
     * until its retry completes). Bypasses the `_SEMSTORE` sentinel by
     * design. */
   private[graft] def compactEpochsNamed(spark: SparkSession,
-      path: String, names: Set[String]): Boolean =
-    compactEpochsFiltered(spark, path, Some(names))
+      path: String, names: Set[String], refit: Boolean = false): Boolean =
+    compactEpochsFiltered(spark, path, Some(names), refit)
 
+  /** `refit = true` is the quantizer-REFIT compaction (VERDICT r15
+    * #1): compaction already rewrites every live vector into the new
+    * generation, so it is the natural — and free, one extra bounded-
+    * sample fit — point to retrain the coarse quantizer from the
+    * ACCUMULATED corpus and re-assign during the rewrite. A frozen
+    * quantizer's cells drift away from the data (the §ingest probe
+    * measured survivor fraction ~1.0: radii inflate monotonically and
+    * cell pruning certifies nothing), and only a refit restores
+    * pruning power. The new quantizer (+ tree sidecar) stages INSIDE
+    * the generation dir, so quantizer and re-assigned cells flip
+    * together at the `_CURRENT` commit; every generation (refit or
+    * not) carries the live quantizer forward, so a later non-refit
+    * compaction can never resurrect the stale build-time quantizer at
+    * `$path/quantizer`. PQ codes need no re-encode (codebooks are
+    * cell-independent); their rows re-cluster under the new cells via
+    * an id join with the staged cells. */
   private def compactEpochsFiltered(spark: SparkSession, path: String,
-      only: Option[Set[String]]): Boolean = {
+      only: Option[Set[String]], refit: Boolean): Boolean = {
     // THE single claimed-epoch snapshot: the staged unions AND the
     // _folded manifest all derive from this one list, so an epoch
     // claimed while this runs is simply not part of this generation —
@@ -718,12 +921,18 @@ object IvfIndex {
     // ROWS while omitting its NAME: visible twice, forever.
     val epochs = claimedEpochs(spark, path).filter(p => only.forall(
       _.contains(new org.apache.hadoop.fs.Path(p).getName)))
-    if (epochs.isEmpty) {
+    // tombstones snapshotted ONCE (the claimed-epoch-snapshot rule): a
+    // delete committed while this runs is not part of this generation's
+    // physical removal and stays a live filter for the next one
+    val tombs = tombstoneNames(spark, path)
+    if (epochs.isEmpty && !refit && tombs.isEmpty) {
       // nothing to fold, but an EARLIER run may have crashed inside
       // its post-publish sweep — and if no further epochs ever arrive,
       // its folded epoch dirs / superseded roots would otherwise be
       // orphaned forever (ADVICE r12). The sweep is driven purely by
       // the published state, so it is safe and idempotent here.
+      // (A refit proceeds even with zero epochs: re-clustering the
+      // base alone is still the point of the call.)
       sweepPublishedState(spark, path)
       return false
     }
@@ -739,9 +948,42 @@ object IvfIndex {
     // a crashed earlier attempt at this generation is unpublished by
     // construction — delete and restage
     if (stageFs.exists(stagePath)) stageFs.delete(stagePath, true)
-    cells.repartition(col("__cell"))
-      .write.mode("errorifexists").partitionBy("__cell")
-      .parquet(s"$stage/cells")
+    val liveCents = readQuantizer(spark, path)
+    if (refit) {
+      // detect the (id, emb) columns from the cells schema — the
+      // embedding is the one array column beside __cell
+      val arrayCols = cells.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name).filterNot(_ == "__cell")
+      require(arrayCols.length == 1,
+        s"refit compaction needs exactly one embedding array column, " +
+          s"found: ${arrayCols.mkString(", ")}")
+      val embCol = arrayCols.head
+      val idCol = cells.columns
+        .filterNot(c => c == "__cell" || c == embCol).head
+      val raw = cells.drop("__cell")
+      val (cents, assign, treeOpt) =
+        fitFor(raw, embCol, idCol, liveCents.size)
+      raw.select(col(idCol), col(embCol), assign(col(embCol)).as("__cell"))
+        .repartition(cents.size, col("__cell"))
+        .write.mode("errorifexists").partitionBy("__cell")
+        .parquet(s"$stage/cells")
+      spark.createDataFrame(cents).toDF("__cell", "__centroid")
+        .write.mode("overwrite").parquet(s"$stage/quantizer")
+      treeOpt.foreach(tq => writeTreeSidecar(spark, stage, tq, cents))
+    } else {
+      cells.repartition(col("__cell"))
+        .write.mode("errorifexists").partitionBy("__cell")
+        .parquet(s"$stage/cells")
+      // carry the LIVE quantizer (+ sidecar) into the generation: once
+      // any refit has staged a quantizer in a generation, a later
+      // generation without one would fall back to the stale
+      // $path/quantizer (see [[quantizerRoot]])
+      spark.createDataFrame(liveCents).toDF("__cell", "__centroid")
+        .write.mode("overwrite").parquet(s"$stage/quantizer")
+      loadTree(spark, path, liveCents)
+        .foreach(tq => writeTreeSidecar(spark, stage, tq, liveCents))
+    }
     val writtenCells = spark.read.parquet(s"$stage/cells").count()
     require(writtenCells == liveCells,
       s"compaction audit failed: wrote $writtenCells cells, live $liveCells")
@@ -750,7 +992,18 @@ object IvfIndex {
     if (hasCodes) {
       val codes = codesOf(spark, path, epochs)
       val liveCodes = codes.count()
-      codes.repartition(col("__cell"))
+      val stagedCodes =
+        if (refit) {
+          // re-cluster the codes under the NEW cells: the per-subspace
+          // codes themselves are codebook-relative (cell-independent),
+          // only the partition column moves
+          val idCol = codes.columns
+            .filterNot(c => c == "__cell" || c == "codes").head
+          codes.drop("__cell").join(
+            spark.read.parquet(s"$stage/cells")
+              .select(col(idCol), col("__cell")), idCol)
+        } else codes
+      stagedCodes.repartition(col("__cell"))
         .write.mode("errorifexists").partitionBy("__cell")
         .parquet(s"$stage/codes")
       val writtenCodes = spark.read.parquet(s"$stage/codes").count()
@@ -770,6 +1023,21 @@ object IvfIndex {
     // also runs from the epochs-empty early return above, closing
     // the no-further-epochs orphan window.
     sweepPublishedState(spark, path)
+    // the snapshotted tombstones are now physically realized in the
+    // published generation — retire them. ONLY on the full fold (only
+    // == None, every claimed epoch rewritten): a name-filtered fold
+    // leaves epochs outside the subset unrewritten, and sweeping the
+    // filter while their rows survive would resurrect deleted ids —
+    // the SemanticStore path retires its own delete state instead.
+    // Single-writer contract as everywhere in the epoch lifecycle;
+    // a crash before this sweep leaves no-op filters (rows already
+    // gone) that the next compaction retires.
+    if (only.isEmpty) tombs.foreach { n =>
+      val (tfs, td) = hadoopFs(spark, s"$path/tombstones/$n")
+      tfs.delete(td, true)
+      val (mfs, mp) = hadoopFs(spark, s"$path/_tombstones/$n")
+      mfs.delete(mp, false)
+    }
     true
   }
 
@@ -804,15 +1072,14 @@ object IvfIndex {
     * [[addPqCodes]] → loadPq). */
   def loadPq(spark: SparkSession, path: String, idCol: String,
       embCol: String): IvfPqIndex = {
-    val cents = spark.read.parquet(s"$path/quantizer")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readQuantizer(spark, path)
     val cb = spark.read.parquet(s"$path/codebook")
       .collect().map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Float](2).toSeq))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    new IvfPqIndex(cents, cb, path, spark, idCol, embCol)
+    new IvfPqIndex(cents, cb, path, spark, idCol, embCol,
+      loadTree(spark, path, cents))
   }
 }
 
@@ -827,7 +1094,8 @@ final class IvfPqIndex private[engine] (
     path: String,
     spark: SparkSession,
     idCol: String,
-    embCol: String) {
+    embCol: String,
+    tree: Option[Extensions.TreeQuantizer] = None) {
 
   private val m = codebook.size
   private def cellsDf = IvfIndex.cellsWithEpochs(spark, path)
@@ -844,17 +1112,36 @@ final class IvfPqIndex private[engine] (
       refineFactor: Int): DataFrame = {
     require(k > 0 && nprobe > 0 && refineFactor > 0,
       "k, nprobe and refineFactor must be positive")
-    val centDf = spark.createDataFrame(centroids)
-      .toDF("__cell", "__centroid")
-    // bounded rank window — |centroids| rows per query (see IvfIndex)
-    val probed = queries.crossJoin(broadcast(centDf))
-      .withColumn("__cdist",
-        Extensions.pqSqDist(col("__q"), col("__centroid")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(asc("__cdist"), asc("__cell"))))
-      .filter(col("__crank") <= nprobe)
-      .select(col("query_id"), col("__q"), col("__cell"))
+    // tree-built indexes rank probes by the TREE rule with the
+    // self-cell prepended (the IvfIndex.query tree branch, ADVICE r15)
+    val probed = tree match {
+      case Some(tq) =>
+        val probeArr =
+          if (nprobe >= tq.nLeaves)
+            typedLit((0 until tq.nLeaves).toList)
+          else {
+            val self = graft.functions.TreeCells.nearestLeaf(col("__q"),
+              tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim)
+            val pr = graft.functions.TreeCells.probes(col("__q"),
+              tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim, nprobe,
+              tq.superProbeFor(nprobe))
+            slice(array_distinct(concat(array(self), pr)), 1, nprobe)
+          }
+        queries.select(col("query_id"), col("__q"),
+          explode(probeArr).as("__cell"))
+      case None =>
+        val centDf = spark.createDataFrame(centroids)
+          .toDF("__cell", "__centroid")
+        // bounded rank window — |centroids| rows per query (IvfIndex)
+        queries.crossJoin(broadcast(centDf))
+          .withColumn("__cdist",
+            Extensions.pqSqDist(col("__q"), col("__centroid")))
+          .withColumn("__crank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(asc("__cdist"), asc("__cell"))))
+          .filter(col("__crank") <= nprobe)
+          .select(col("query_id"), col("__q"), col("__cell"))
+    }
     // probed cell ids as LITERALS → file-level pruning on BOTH the
     // codes scan and the re-rank's cells scan
     val cells = probed.select("__cell").distinct()

@@ -188,6 +188,98 @@ private[graft] object PqOracles {
          |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
 
+  /** knn_join_tree's fitted TWO-LEVEL quantizer, captured from the
+    * operator run ([[Extensions.lastKnnTreeFit]]). */
+  @volatile private var knnTreeFit: Option[Extensions.TreeQuantizer] = None
+
+  def stashKnnTree(tq: Extensions.TreeQuantizer): Unit =
+    knnTreeFit = Option(tq)
+
+  /** DuckDB twin of `knn_join_tree` ([[Extensions.knnJoin]] past the
+    * tree threshold) — the r16 oracle for the SCALE path. The
+    * two-level rule ([[graft.functions.TreeCells]]) is a pure literal
+    * projection like the flat rule, so the twin replays it exactly:
+    *
+    *   - assignment: nearest super by squared L2 (ties to the lower
+    *     gid — the kernel's strict-< ascending scan), then nearest
+    *     leaf WITHIN that group (ties to the lower cell);
+    *   - probes: the `superProbe` nearest groups (ties low), then the
+    *     `nprobe` nearest leaves among those groups' leaves, ascending
+    *     (distance, cell) — [[graft.functions.TreeCells.probeLeaves]]'s
+    *     bounded insertion select is exactly this order;
+    *   - the guarded-cosine rescore inside probed cells and the
+    *     (cos desc, neighbor asc) rank, shared with every knn twin.
+    *
+    * Distances replay as `list_dot_product(diff, diff)` over the
+    * explicit element-wise difference — the kernels' sequential
+    * `d += (x-c)²` fold, the ann_bucketed-proven bit-stable form;
+    * float centroids enter as shortest-round-trip doubles. */
+  def knnTreeSql(k: Int, nprobe: Int): Option[String] =
+    knnTreeFit.map { tq =>
+      val dim = tq.dim
+      val superProbe = tq.superProbeFor(nprobe)
+      val supRows = (0 until tq.nGroups).map { g =>
+        s"($g, ${listLit(tq.supFlat.slice(g * dim, (g + 1) * dim).toSeq)})"
+      }.mkString(",\n    ")
+      val leafRows = (0 until tq.nLeaves).map { l =>
+        val gid = tq.groupStart.indexWhere(_ > l) - 1
+        s"($l, $gid, " +
+          s"${listLit(tq.leafFlat.slice(l * dim, (l + 1) * dim).toSeq)})"
+      }.mkString(",\n    ")
+      val supDl = diffList("e.emb", "", "sup.w", dim)
+      val leafDl = diffList("e.emb", "", "lv.w", dim)
+      s"""WITH sup(gid, w) AS (VALUES
+         |    $supRows),
+         |leafv(cell, gid, w) AS (VALUES
+         |    $leafRows),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |supd AS (
+         |  SELECT e.vec_id, sup.gid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product($supDl,
+         |                                     $supDl), sup.gid) AS rn
+         |  FROM e, sup),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, lv.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY list_dot_product($leafDl,
+         |                                       $leafDl), lv.cell) AS rn
+         |    FROM supd b
+         |    JOIN leafv lv ON lv.gid = b.gid
+         |    JOIN e ON e.vec_id = b.vec_id
+         |    WHERE b.rn = 1)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT pg.vec_id AS query_id, lv.cell,
+         |           row_number() OVER (PARTITION BY pg.vec_id
+         |             ORDER BY list_dot_product($leafDl,
+         |                                       $leafDl), lv.cell) AS rn
+         |    FROM supd pg
+         |    JOIN leafv lv ON lv.gid = pg.gid
+         |    JOIN e ON e.vec_id = pg.vec_id
+         |    WHERE pg.rn <= $superProbe)
+         |  WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |s AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosSql("en.emb", "eq.emb")}, 6) AS cosine_sim
+         |  FROM cand c
+         |  JOIN e en ON en.vec_id = c.neighbor_id
+         |  JOIN e eq ON eq.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine_sim, rank
+         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+
   /** quantile_binning's fitted splits (with the ±Infinity end caps
     * MLlib adds), captured from the operator run. */
   @volatile private var quantileSplits: Option[Seq[Double]] = None

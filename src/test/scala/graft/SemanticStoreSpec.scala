@@ -361,6 +361,211 @@ class SemanticStoreSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("REFIT compaction (the default): the quantizer retrains from " +
+      "the accumulated corpus and flips with the IVF generation, radii " +
+      "re-key to the new cells and carry the version stamp, and every " +
+      "compact law still holds — snapshot equality, ingest-after " +
+      "equality vs the non-refit twin AND the batch run") {
+    val (docs, emb) = fixture
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft-semstore-refit").toString
+    val dirN = java.nio.file.Files
+      .createTempDirectory("graft-semstore-norefit").toString
+    for (dir <- Seq(dirR, dirN)) {
+      SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+        epochName = "s1")
+      SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+        epochName = "s2")
+    }
+    val before = collect(SemanticStore.snapshot(spark, s"$dirR/store",
+      "doc_id", "q"))
+    val oldQv = graft.engine.IvfIndex.quantizerDigest(
+      graft.engine.IvfIndex.readQuantizer(spark, s"$dirR/store/ivf"))
+    assert(SemanticStore.compact(spark, s"$dirR/store")) // refit default
+    assert(SemanticStore.compact(spark, s"$dirN/store", refit = false))
+    // snapshot() is refit-invariant (pairs/meta are data, not derived
+    // from cells)
+    assert(collect(SemanticStore.snapshot(spark, s"$dirR/store",
+      "doc_id", "q")) == before)
+    val newQv = graft.engine.IvfIndex.quantizerDigest(
+      graft.engine.IvfIndex.readQuantizer(spark, s"$dirR/store/ivf"))
+    assert(newQv != oldQv,
+      "the refit should retrain the quantizer on the accumulated corpus")
+    // the compacted radii are stamped with the NEW quantizer's version
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dirR/store/radii/compact-1/_qv")),
+      "UTF-8")
+    assert(stamp == newQv)
+    // ingest after the refit equals both the non-refit twin and the
+    // batch run — the blocking-independence law under a CHANGED
+    // quantizer (batch assigns under the new rule, stored cells were
+    // rewritten under it, radii re-keyed to it)
+    val s3d = Seq((8L, 100L)).toDF("doc_id", "q")
+    val s3e = Seq((8L, Array(0f, 0f, 0.98f, -0.198f)))
+      .toDF("doc_id", "embedding")
+    val outR = collect(SemanticStore.ingest(s"$dirR/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    val outN = collect(SemanticStore.ingest(s"$dirN/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    assert(outR == outN)
+    assert(outR == collect(Extensions.semanticDedup(
+      docs.union(s3d), emb.union(s3e),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+  }
+
+  test("torn REFIT window (IVF generation flipped, store marker never " +
+      "written): the stale radii stamps mismatch the live quantizer, " +
+      "the next ingest HEALS by recomputing radii from the stored " +
+      "cells, and the state stays batch-equivalent; re-running " +
+      "compact restores the stamped fast path") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-refit-torn").toString
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s1")
+    val out2 = collect(SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2"))
+    // simulate the crash: ONLY compact's step 1 ran — the inner IVF
+    // refit-folded and flipped its generation (new quantizer + re-keyed
+    // cells live), but pairs/meta/radii were never consolidated and the
+    // store marker never landed
+    graft.engine.IvfIndex.compactEpochsNamed(spark, s"$dir/store/ivf",
+      Set("s1", "s2"), refit = true)
+    assert(SemanticStore.committedEpochs(spark, s"$dir/store") ==
+      Seq("s1", "s2"))
+    // the per-epoch radii now carry stamps from the OLD quantizer —
+    // the next ingest must take the heal path and still be exact
+    val s3d = docs.filter(col("doc_id") === 7L)
+    val s3e = emb.filter(col("doc_id") === 7L)
+    val out3 = collect(SemanticStore.ingest(s"$dir/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    assert(out3 == collect(Extensions.semanticDedup(docs, emb,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+    // snapshot() never looked at radii: unchanged through the window
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == out3)
+    // the re-run completes the fold; the consolidated radii are
+    // recomputed from the (already-refit) base and stamped with the
+    // LIVE version — the fast path is back
+    assert(SemanticStore.compact(spark, s"$dir/store"))
+    val qv = graft.engine.IvfIndex.quantizerDigest(
+      graft.engine.IvfIndex.readQuantizer(spark, s"$dir/store/ivf"))
+    val cName = SemanticStore.committedEpochs(spark, s"$dir/store").head
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/store/radii/$cName/_qv")), "UTF-8")
+    assert(stamp == qv)
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == out3)
+  }
+
+  test("take-down delete: the ids and every pair touching them leave " +
+      "the state (a deleted bridge doc splits its component), a later " +
+      "ingest equals a store that NEVER held the ids, compact " +
+      "physically removes the rows (file-level), and the applied " +
+      "delete state is retired") {
+    val (docs, emb) = fixture
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-semstore-del-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-semstore-del-b").toString
+    // A ingests everything then deletes id 2; B never sees id 2
+    for ((dir, pred) <- Seq(
+        (dirA, col("doc_id") >= 0L),
+        (dirB, col("doc_id") =!= 2L))) {
+      SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id") <= 4 && pred),
+        emb.filter(col("doc_id") <= 4 && pred),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+        epochName = "s1")
+      SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id") > 4 && pred),
+        emb.filter(col("doc_id") > 4 && pred),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+        epochName = "s2")
+    }
+    // a torn delete (staged ids, no marker) is invisible
+    import spark.implicits._
+    Seq(2L).toDF("__del_id")
+      .write.mode("overwrite").parquet(s"$dirA/store/deletes/d1")
+    val full = collect(Extensions.semanticDedup(docs, emb,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4))
+    assert(collect(SemanticStore.snapshot(spark, s"$dirA/store",
+      "doc_id", "q")) == full)
+    // the retry commits; id 2 was the BRIDGE of component {1,2,5}:
+    // deleting it must split 1 and 5 into separate components
+    SemanticStore.delete(s"$dirA/store", Seq(2L).toDF("doc_id"),
+      "doc_id", "d1")
+    val afterDel = collect(SemanticStore.snapshot(spark, s"$dirA/store",
+      "doc_id", "q"))
+    val batchNo2 = collect(Extensions.semanticDedup(
+      docs.filter(col("doc_id") =!= 2L), emb.filter(col("doc_id") =!= 2L),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4))
+    assert(afterDel == batchNo2, s"got $afterDel expected $batchNo2")
+    assert(!afterDel.exists(_._1 == 2L))
+    assert(afterDel.find(_._1 == 1L).get._2 !=
+      afterDel.find(_._1 == 5L).get._2,
+      "deleting the bridge doc must split the component")
+    // a committed-name replay is a no-op
+    SemanticStore.delete(s"$dirA/store", Seq(999L).toDF("doc_id"),
+      "doc_id", "d1")
+    assert(collect(SemanticStore.snapshot(spark, s"$dirA/store",
+      "doc_id", "q")) == afterDel)
+    // ingest-after-delete ≡ the same ingest on the never-held twin
+    val s3d = Seq((8L, 100L)).toDF("doc_id", "q")
+    val s3e = Seq((8L, Array(0f, 0f, 0.98f, -0.198f)))
+      .toDF("doc_id", "embedding")
+    val outA = collect(SemanticStore.ingest(s"$dirA/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    val outB = collect(SemanticStore.ingest(s"$dirB/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    assert(outA == outB, s"after-delete $outA vs never-held $outB")
+    // compact: PHYSICAL removal, file-level asserts on every surface
+    assert(SemanticStore.compact(spark, s"$dirA/store"))
+    val cName = SemanticStore.committedEpochs(spark, s"$dirA/store").head
+    val ivfBase = graft.engine.IvfIndex.baseRoot(s"$dirA/store/ivf")
+    assert(spark.read.parquet(s"$ivfBase/cells")
+      .filter(col("doc_id") === 2L).count() == 0L,
+      "deleted vector survived the compacted IVF generation")
+    assert(spark.read.parquet(s"$dirA/store/meta/$cName")
+      .filter(col("doc_id") === 2L).count() == 0L)
+    assert(spark.read.parquet(s"$dirA/store/pairs/$cName")
+      .filter(col("id_a") === 2L || col("id_b") === 2L).count() == 0L)
+    // applied delete state retired (store epochs + inner tombstones)
+    assert(!new java.io.File(s"$dirA/store/_deletes/d1").exists())
+    assert(!new java.io.File(s"$dirA/store/deletes/d1").exists())
+    assert(!new java.io.File(s"$dirA/store/ivf/_tombstones").exists() ||
+      new java.io.File(s"$dirA/store/ivf/_tombstones").list().isEmpty)
+    // and the state is unchanged through the physical fold
+    assert(collect(SemanticStore.snapshot(spark, s"$dirA/store",
+      "doc_id", "q")) == outA)
+    // a FURTHER ingest against the compacted post-delete store still
+    // equals the never-held twin's (radii were recomputed from the
+    // surviving corpus by the refit)
+    val s4d = Seq((9L, 1L)).toDF("doc_id", "q")
+    val s4e = Seq((9L, Array(0.95f, 0.312f, 0f, 0f)))
+      .toDF("doc_id", "embedding")
+    val outA4 = collect(SemanticStore.ingest(s"$dirA/store", s4d, s4e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s4"))
+    val outB4 = collect(SemanticStore.ingest(s"$dirB/store", s4d, s4e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s4"))
+    assert(outA4 == outB4)
+  }
+
   test("tree-mode store (nCells >= threshold): the two-snapshot " +
       "equivalence law holds under the two-level quantizer — the " +
       "batch twin runs flat blocking, so equality proves the pair " +

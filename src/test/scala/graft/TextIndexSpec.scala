@@ -193,6 +193,36 @@ class TextIndexSpec extends AnyFunSuite {
       == before.nDocs + 1)
   }
 
+  test("a compaction that crashed mid-stage (unpublished segments-N " +
+      "root on disk) heals: the re-run deletes the torn stage, " +
+      "restages, and answers stay bit-identical — errorifexists on " +
+      "the leftover would otherwise wedge every future compaction") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-tidx-torn").toString
+    (0 to 1).foreach(i => graft.engine.TextIndex.appendSegment(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === i),
+      "text", "doc_id", dir, f"snap-$i%03d", nBuckets = 16))
+    val answersBefore = resultSet(graft.engine.TextIndex
+      .loadSegments(spark, dir).query(queries, "qtext", "query_id", k = 10))
+    // simulate the crash: a partial stage for the NEXT generation
+    // exists but the pointer never flipped
+    val torn = new java.io.File(dir, "segments-1/compact-000001/postings")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(torn, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    // the live set is untouched (reads resolve the pointer, which
+    // still names the original root)
+    assert(resultSet(graft.engine.TextIndex.loadSegments(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)) == answersBefore)
+    // the re-run heals: restage, audit, flip — same answers
+    assert(graft.engine.TextIndex.compactSegments(spark, dir))
+    assert(resultSet(graft.engine.TextIndex.loadSegments(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)) == answersBefore)
+    assert(new java.io.File(dir, "segments-1").listFiles()
+      .count(_.isDirectory) == 1)
+  }
+
   test("build rejects reserved internal column names") {
     val bad = Tables.documents(spark, sf)
       .withColumn("tf", org.apache.spark.sql.functions.lit(1))
