@@ -99,20 +99,35 @@ object IngestProbe {
           s => s.getField("x"))
       val src = spark.read.parquet(s"$base/embeddings.parquet")
       val dim = src.select(size(col("embedding"))).head().getInt(0)
-      val clustersPerReplica = 50
+      // 16 clusters per replica keeps the FULL corpus's cluster count
+      // (16·f) equal to the doctrine cell budget (nCells = 16·f): a
+      // quantizer refit can then isolate one cluster per cell. More
+      // clusters than cells would cap what ANY refit can certify —
+      // the first probe cut measured exactly that (400 clusters over
+      // 160 cells → post-refit survivor fraction still 0.96).
+      val clustersPerReplica = 16
       // clustered: row → unit cluster center (fresh per replica) +
       // a 0.35-scaled unit residual of its original embedding. Member
       // cosines within a cluster sit ~0.89 (pairs at the 0.8 operating
       // point), cross-cluster near 0 (prunable once cells track the
-      // clusters) — and each replica's centers are directions the
-      // batch-0 quantizer NEVER saw: the drift case.
-      def centers(k: Int): Seq[Seq[Float]] =
+      // clusters) — and each GROWTH replica's centers are directions
+      // the batch-0 quantizer NEVER saw: the drift case. The RESERVED
+      // final batch's replicas reuse the FIRST batch's directions
+      // (in-distribution near-dups of stored data — the realistic
+      // "refit, then keep ingesting similar data" case): its pruning
+      // payoff is what the refit exists to buy, and its cross-replica
+      // near-dup pairs are found identically by the refit and
+      // non-refit runs (the blocking-independence law, measured).
+      val lastBatchStart = f - f / nBatches
+      def centers(k: Int): Seq[Seq[Float]] = {
+        val kEff = if (k >= lastBatchStart) k - lastBatchStart else k
         (0 until clustersPerReplica).map { j =>
-          val r = new scala.util.Random(7919L * (k + 1) + j)
+          val r = new scala.util.Random(7919L * (kEff + 1) + j)
           val v = Array.fill(dim)(r.nextGaussian())
           val n = math.sqrt(v.map(x => x * x).sum)
           v.map(x => (x / n).toFloat).toSeq
         }
+      }
       def clustered(k: Int)(df: org.apache.spark.sql.DataFrame) = {
         val centLit = typedLit(centers(k))
         val n0 = sqrt(aggregate(
