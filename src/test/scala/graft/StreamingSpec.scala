@@ -983,6 +983,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.engine.SemanticStore
       .committedEpochs(spark, s"$store/s") ==
       Seq("batch-000000000", "batch-000000001"))
+    // TAKE-DOWN between micro-batches (r16): delete the bridge doc 2
+    // while the stream is down — the running store must honor it from
+    // the next batch on, and a checkpoint restart must stay a no-op
+    graft.engine.SemanticStore.delete(s"$store/s",
+      Seq(2L).toDF("doc_id"), "doc_id", "takedown-1")
+    val afterDel = state()
+    assert(!afterDel.exists(_._1 == 2L))
+    assert(afterDel.find(_._1 == 1L).get._2 !=
+      afterDel.find(_._1 == 5L).get._2,
+      "deleting the bridge doc must split its component mid-stream")
+    val q3 = sink()
+    try {
+      // a new wave pairs only against the SURVIVING corpus: id 9
+      // would have paired with the deleted id 2 (cos 0.953) and still
+      // pairs with 1 (cos 0.99) but NOT 5 (cos 0.725) — so it joins
+      // 1's component without re-bridging the split
+      input.addData((9L, 1L, Seq(0.99f, 0.141f, 0f, 0f)))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val st3 = state()
+    assert(!st3.exists(_._1 == 2L))
+    assert(st3.find(_._1 == 9L).get._2 == st3.find(_._1 == 1L).get._2)
+    assert(st3.find(_._1 == 5L).get._2 != st3.find(_._1 == 1L).get._2)
+    // equals the batch run on (union minus the deleted id) plus wave 3
+    val survivors = (wave1 ++ wave2).filter(_._1 != 2L) :+
+      ((9L, 1L, Seq(0.99f, 0.141f, 0f, 0f)))
+    assert(st3 == batchOn(survivors))
   }
 }
 
