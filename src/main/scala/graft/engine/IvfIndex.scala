@@ -660,12 +660,24 @@ object IvfIndex {
     * later append is outside the contract (ids are permanent
     * take-downs; appends require ids disjoint from stored ones). */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String, name: String): Unit = {
+      idCol: String, name: String, overwrite: Boolean = false): Unit = {
     require(name.nonEmpty && !name.contains("/"),
       "tombstone name must be a single path segment")
     val (fs, root) = hadoopFs(spark, s"$path/_tombstones")
     val marker = new org.apache.hadoop.fs.Path(root, name)
-    if (fs.exists(marker)) return // committed replay: no-op
+    if (fs.exists(marker)) {
+      // committed replay: a no-op for user deletes (the commit shape),
+      // but the SemanticStore compact mirror must OVERWRITE — a crash
+      // after the mirror landed but before the fold committed leaves
+      // the same generation name to retry with a possibly-GROWN
+      // deleted set, and a no-op here would physically apply only the
+      // stale subset while the retry retires every delete epoch
+      // (resurrecting the newer ids).
+      if (!overwrite) return
+      fs.delete(marker, false)
+      val (dfs, dd) = hadoopFs(spark, s"$path/tombstones/$name")
+      dfs.delete(dd, true)
+    }
     ids.select(col(idCol).as("__tomb_id")).distinct()
       .write.mode("overwrite").parquet(s"$path/tombstones/$name")
     fs.mkdirs(root)

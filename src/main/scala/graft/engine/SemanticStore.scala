@@ -609,7 +609,8 @@ object SemanticStore {
     // leftover older tombstones are harmless additive filters retired
     // by the sweep below.
     deleted.foreach(d =>
-      IvfIndex.delete(spark, ivfPath, d, "__del_id", s"store-$cName"))
+      IvfIndex.delete(spark, ivfPath, d, "__del_id", s"store-$cName",
+        overwrite = true))
     IvfIndex.compactEpochsNamed(spark, ivfPath, committed.toSet, refit)
     // physical removal of deleted PAIRS and META from the consolidated
     // epoch (the read-path filters applied once, at rest)

@@ -566,6 +566,49 @@ class SemanticStoreSpec extends AnyFunSuite {
     assert(outA4 == outB4)
   }
 
+  test("a compact that crashed AFTER mirroring its tombstone but " +
+      "before committing must not strand a delete committed in " +
+      "between: the retry overwrites the same-generation mirror with " +
+      "the GROWN deleted set, so nothing resurrects") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-del-torn").toString
+    import spark.implicits._
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s1")
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2")
+    SemanticStore.delete(s"$dir/store", Seq(2L).toDF("doc_id"),
+      "doc_id", "d1")
+    // simulate the crash: the compact-1 tombstone mirror landed (only
+    // id 2) but the fold/marker never ran
+    graft.engine.IvfIndex.delete(spark, s"$dir/store/ivf",
+      Seq(2L).toDF("__del_id"), "__del_id", "store-compact-1")
+    // a SECOND delete commits between the crash and the retry
+    SemanticStore.delete(s"$dir/store", Seq(6L).toDF("doc_id"),
+      "doc_id", "d2")
+    assert(SemanticStore.compact(spark, s"$dir/store"))
+    // both ids are PHYSICALLY gone — the stale single-id mirror was
+    // overwritten, not no-op'd
+    val ivfBase = graft.engine.IvfIndex.baseRoot(s"$dir/store/ivf")
+    assert(spark.read.parquet(s"$ivfBase/cells")
+      .filter(col("doc_id").isin(2L, 6L)).count() == 0L,
+      "a delete committed inside the torn-compact window resurrected")
+    val cName = SemanticStore.committedEpochs(spark, s"$dir/store").head
+    assert(spark.read.parquet(s"$dir/store/meta/$cName")
+      .filter(col("doc_id").isin(2L, 6L)).count() == 0L)
+    // and the state equals the batch run without both ids
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == collect(Extensions.semanticDedup(
+      docs.filter(!col("doc_id").isin(2L, 6L)),
+      emb.filter(!col("doc_id").isin(2L, 6L)),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+  }
+
   test("tree-mode store (nCells >= threshold): the two-snapshot " +
       "equivalence law holds under the two-level quantizer — the " +
       "batch twin runs flat blocking, so equality proves the pair " +
