@@ -65,9 +65,10 @@ object IngestProbe {
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // fixture shape: "permuted" (the ScaleProbe adversarial fixture —
     // uniform directions, worst case for angular blocking) or
-    // "clustered" (r16 — replica k's rows gather around 50 fresh
-    // per-replica cluster centers: the DRIFT case a frozen quantizer
-    // loses to and the refit compaction exists for)
+    // "clustered" (r16 — replica k's rows gather around 16 fresh
+    // per-replica cluster centers, 16·f total to match the doctrine
+    // cell budget; see clustersPerReplica below: the DRIFT case a
+    // frozen quantizer loses to and the refit compaction exists for)
     val fixture = sys.env.getOrElse("SPARK_GRAFT_INGEST_FIXTURE",
       "permuted")
     // refit the coarse quantizer at the mid-probe compaction?

@@ -154,9 +154,18 @@ final class IvfIndex private (
       // (ADVICE r15). The sidecar is now (a) overwritten, never
       // pre-deleted, on a tree save, (b) deleted only AFTER the new
       // cells land on a flat save, and (c) tied to its quantizer by
-      // the `_qv` digest marker that [[IvfIndex.loadTree]] validates —
-      // every torn combination either loads a coherent (old or new)
-      // index or fails loudly on the digest/structure check.
+      // the `_qv` digest marker that [[IvfIndex.loadTree]] validates.
+      // Scope of that guarantee (ADVICE r16): for r16+ sidecars it
+      // covers quantizer/sidecar tearing — a stale sidecar beside a
+      // fresh quantizer fails the digest check loudly. CELLS tearing
+      // remains the documented non-atomic save() exposure (a torn
+      // tree re-save that landed quantizer + sidecar but crashed
+      // before the cells write loads cleanly while old cells keep
+      // old-rule assignments), and a PRE-r16 sidecar (no `_qv`,
+      // accepted as-is by loadTree) stranded by a torn flat re-save
+      // can still pair silently with the wrong quantizer — crash-
+      // critical layouts get atomicity from the epoch/generation
+      // lifecycle, not from in-place re-saves.
       val doomed = fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
         p.getName == "_CURRENT" || p.getName == "epochs" ||
           p.getName == "codes" || p.getName == "codebook" ||
@@ -692,10 +701,18 @@ object IvfIndex {
   }
 
   /** All committed tombstoned ids as one `__tomb_id` column; None when
-    * none exist (the common case — read paths add no plan step). */
+    * none exist (the common case — read paths add no plan step). A
+    * marker whose ids dir is MISSING is skipped rather than thrown on:
+    * under the marker-first retire order that combination only arises
+    * mid-sweep (ids already physically removed — the filter is a
+    * no-op), and skipping also heals stores wedged by the pre-r17
+    * data-first order. */
   private[graft] def tombstonedIds(spark: SparkSession,
       path: String): Option[DataFrame] = {
-    val names = tombstoneNames(spark, path)
+    val names = tombstoneNames(spark, path).filter { n =>
+      val (fs, p) = hadoopFs(spark, s"$path/tombstones/$n")
+      fs.exists(p)
+    }
     if (names.isEmpty) None
     else Some(spark.read
       .parquet(names.map(n => s"$path/tombstones/$n"): _*)
@@ -1044,11 +1061,15 @@ object IvfIndex {
     // Single-writer contract as everywhere in the epoch lifecycle;
     // a crash before this sweep leaves no-op filters (rows already
     // gone) that the next compaction retires.
+    // MARKER FIRST, ids dir second (ADVICE r16): a crash between the
+    // two then leaves only an orphaned unreferenced dir, never a
+    // committed marker whose parquet is gone (which would make every
+    // tombstonedIds read throw until hand-repaired).
     if (only.isEmpty) tombs.foreach { n =>
-      val (tfs, td) = hadoopFs(spark, s"$path/tombstones/$n")
-      tfs.delete(td, true)
       val (mfs, mp) = hadoopFs(spark, s"$path/_tombstones/$n")
       mfs.delete(mp, false)
+      val (tfs, td) = hadoopFs(spark, s"$path/tombstones/$n")
+      tfs.delete(td, true)
     }
     true
   }

@@ -206,10 +206,17 @@ object SemanticStore {
 
   /** All committed deleted ids as a one-column (`__del_id`) frame;
     * None when no delete has ever committed — the zero-cost common
-    * case (every read path skips its anti-joins entirely). */
+    * case (every read path skips its anti-joins entirely). A marker
+    * whose ids dir is missing is skipped, not thrown on — only the
+    * mid-retire window produces it under the marker-first sweep order
+    * (ids already physically removed), and skipping heals stores
+    * wedged by the pre-r17 data-first order (ADVICE r16). */
   private def deletedIds(spark: SparkSession,
       storePath: String): Option[DataFrame] = {
-    val names = deleteNames(spark, storePath)
+    val names = deleteNames(spark, storePath).filter { n =>
+      val (fs, p) = hadoopFs(spark, s"$storePath/deletes/$n")
+      fs.exists(p)
+    }
     if (names.isEmpty) None
     else Some(spark.read
       .parquet(names.map(n => s"$storePath/deletes/$n"): _*)
@@ -626,41 +633,27 @@ object SemanticStore {
     // centroids staged inside the published generation
     val cents = IvfIndex.readQuantizer(spark, ivfPath)
     val qv = IvfIndex.quantizerDigest(cents)
-    if (refit) {
-      // the folded radii describe the OLD cells — recompute from the
-      // rewritten base itself (compaction already pays the full
-      // rewrite; one more aggregate pass over the same rows). This is
-      // also the moment radii DEFLATE: per-epoch maxima only ever
-      // grew under the frozen quantizer, while these are the true
-      // per-cell extents under centroids fit to the accumulated
-      // corpus — the pruning power the refit exists to restore.
-      val base = spark.read
-        .parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
-      val embCol = base.schema.fields
-        .find(f => f.dataType.isInstanceOf[
-          org.apache.spark.sql.types.ArrayType] && f.name != "__cell")
-        .map(_.name).getOrElse(sys.error(
-          s"no embedding array column in ${IvfIndex.baseRoot(ivfPath)}"))
-      val centDf = spark.createDataFrame(
-        cents.map { case (i, c) => (i, c.toSeq) })
-        .toDF("__cell", "__cent")
-      base
-        .withColumn("__n", sqrt(Extensions.dot(col(embCol), col(embCol))))
-        .filter(col("__n") > 0) // zero-norm rows never reach a pair
-        .join(broadcast(centDf), "__cell")
-        .select(col("__cell"),
-          acos(least(greatest(
-            Extensions.cosine(col(embCol), col("__cent")),
-            lit(-1.0)), lit(1.0))).as("__r"))
-        .groupBy("__cell").agg(max("__r").as("__r"))
-        .coalesce(1) // ≤ nCells rows
-        .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
-    } else {
+    // the committed radii may only be CONSOLIDATED (max-aggregated)
+    // when every source dir was written under the LIVE quantizer: a
+    // torn earlier REFIT compact (inner IVF generation flipped with a
+    // new quantizer, store marker never written) leaves committed
+    // radii keyed to cells that no longer exist, and folding them
+    // under a freshly-forged live stamp would hand later ingests a
+    // stamped fast path with wrong radii — silently dropping
+    // qualifying pairs, the one thing the recall-1 pruning law
+    // forbids (ADVICE r16). A refit recomputes unconditionally (its
+    // radii must DEFLATE to the new cells' true extents anyway); a
+    // non-refit consolidates only when the stamps all match and
+    // otherwise recomputes from the rewritten base it just staged —
+    // the same one-scan heal the ingest path runs on stamp mismatch.
+    if (refit || !committed.forall(e => IvfIndex.readMarker(spark,
+        s"$storePath/radii/$e/_qv").contains(qv)))
+      writeRadiiFromBase(spark, storePath, ivfPath, cName, cents)
+    else
       spark.read.parquet(committed.map(e => s"$storePath/radii/$e"): _*)
         .groupBy("__cell").agg(max("__r").as("__r"))
         .coalesce(1) // ≤ nCells rows
         .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
-    }
     IvfIndex.writeMarker(spark, s"$storePath/radii/$cName/_qv", qv)
     val manifest = (folded ++ committed).toSeq.sorted.mkString("\n")
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
@@ -685,10 +678,16 @@ object SemanticStore {
     // the snapshotted deletes are now physically realized everywhere
     // (vectors out of the IVF generation, pairs/meta out of the
     // consolidated epoch) — retire the delete epochs and the inner
-    // mirror tombstones. Idempotent; a crash mid-sweep leaves no-op
+    // mirror tombstones. MARKER FIRST, data dir second (ADVICE r16):
+    // deletes are committed by marker existence, so a crash between
+    // the two in the marker-first order leaves only an orphaned
+    // unreferenced ids dir (reclaimed by the next sweep), while the
+    // old data-first order left a committed marker pointing at a
+    // missing parquet dir — every later deletedIds read would throw
+    // and wedge the store. Idempotent; a crash mid-sweep leaves no-op
     // filters the next compact retires.
     delNames.foreach { dn =>
-      Seq(s"$storePath/deletes/$dn", s"$storePath/_deletes/$dn")
+      Seq(s"$storePath/_deletes/$dn", s"$storePath/deletes/$dn")
         .foreach { p =>
           val (dfs, dp) = hadoopFs(spark, p)
           dfs.delete(dp, true)
@@ -699,12 +698,48 @@ object SemanticStore {
       tfs.listStatus(troot).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("store-"))
         .foreach { m =>
+          tfs.delete(m, false) // marker first (same rationale)
           val (ddfs, dd) = hadoopFs(spark,
             s"$ivfPath/tombstones/${m.getName}")
           ddfs.delete(dd, true)
-          tfs.delete(m, false)
         }
     true
+  }
+
+  /** Recompute per-cell radii from the REWRITTEN base generation and
+    * stage them as the compacted epoch's radii dir — the one-scan
+    * recompute shared by the refit branch (where folded radii describe
+    * retired cells by construction, and this is the moment radii
+    * DEFLATE from per-epoch frozen-quantizer maxima to the true
+    * per-cell extents under centroids fit to the accumulated corpus)
+    * and the non-refit stamp-mismatch heal (where a torn earlier refit
+    * left committed radii keyed under a superseded quantizer).
+    * Compaction already pays the full base rewrite; this is one more
+    * aggregate pass over the same rows. */
+  private def writeRadiiFromBase(spark: SparkSession, storePath: String,
+      ivfPath: String, cName: String,
+      cents: Seq[(Int, Array[Float])]): Unit = {
+    val base = spark.read
+      .parquet(s"${IvfIndex.baseRoot(ivfPath)}/cells")
+    val embCol = base.schema.fields
+      .find(f => f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] && f.name != "__cell")
+      .map(_.name).getOrElse(sys.error(
+        s"no embedding array column in ${IvfIndex.baseRoot(ivfPath)}"))
+    val centDf = spark.createDataFrame(
+      cents.map { case (i, c) => (i, c.toSeq) })
+      .toDF("__cell", "__cent")
+    base
+      .withColumn("__n", sqrt(Extensions.dot(col(embCol), col(embCol))))
+      .filter(col("__n") > 0) // zero-norm rows never reach a pair
+      .join(broadcast(centDf), "__cell")
+      .select(col("__cell"),
+        acos(least(greatest(
+          Extensions.cosine(col(embCol), col("__cent")),
+          lit(-1.0)), lit(1.0))).as("__r"))
+      .groupBy("__cell").agg(max("__r").as("__r"))
+      .coalesce(1) // ≤ nCells rows
+      .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
   }
 
   /** The id column of the committed meta (ingest writes it first). */

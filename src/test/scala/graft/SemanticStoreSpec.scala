@@ -609,6 +609,122 @@ class SemanticStoreSpec extends AnyFunSuite {
       "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
   }
 
+  test("non-refit compact after a torn REFIT window must not forge a " +
+      "live stamp over stale radii: the consolidated radii are " +
+      "RECOMPUTED from the rewritten base (they match the live-cell " +
+      "recompute, not the old epochs' max-fold) and carry the live " +
+      "quantizer version") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-norefit-heal").toString
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s1")
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2")
+    val before = collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q"))
+    // the torn refit: the inner IVF flipped to a NEW quantizer with
+    // re-keyed cells, but the store's own fold never committed — the
+    // committed radii keep their OLD-quantizer stamps
+    graft.engine.IvfIndex.compactEpochsNamed(spark, s"$dir/store/ivf",
+      Set("s1", "s2"), refit = true)
+    // the NON-refit retry (the ADVICE r16 window): pre-fix it folded
+    // the stale radii and stamped them with the live digest
+    assert(SemanticStore.compact(spark, s"$dir/store", refit = false))
+    val ivfPath = s"$dir/store/ivf"
+    val cents = graft.engine.IvfIndex.readQuantizer(spark, ivfPath)
+    val qv = graft.engine.IvfIndex.quantizerDigest(cents)
+    val cName = SemanticStore.committedEpochs(spark, s"$dir/store").head
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/store/radii/$cName/_qv")), "UTF-8")
+    assert(stamp == qv)
+    // the staged radii must equal the recompute from the rewritten
+    // base under the LIVE cells — the heal path, not the stale fold
+    val centDf = spark.createDataFrame(
+      cents.map { case (i, c) => (i, c.toSeq) }).toDF("__cell", "__cent")
+    val expected = spark.read
+      .parquet(s"${graft.engine.IvfIndex.baseRoot(ivfPath)}/cells")
+      .withColumn("__n", sqrt(Extensions.dot(col("embedding"),
+        col("embedding"))))
+      .filter(col("__n") > 0)
+      .join(broadcast(centDf), "__cell")
+      .select(col("__cell"),
+        acos(least(greatest(
+          Extensions.cosine(col("embedding"), col("__cent")),
+          lit(-1.0)), lit(1.0))).as("__r"))
+      .groupBy("__cell").agg(max("__r").as("__r"))
+      .as[(Int, Double)].collect().toMap
+    val staged = spark.read.parquet(s"$dir/store/radii/$cName")
+      .as[(Int, Double)].collect().toMap
+    assert(staged == expected,
+      s"staged radii $staged are not the live-cell recompute $expected")
+    // state unchanged, and the fast path serves the next ingest exactly
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == before)
+    val s3d = Seq((8L, 100L)).toDF("doc_id", "q")
+    val s3e = Seq((8L, Array(0f, 0f, 0.98f, -0.198f)))
+      .toDF("doc_id", "embedding")
+    assert(collect(SemanticStore.ingest(s"$dir/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3")) ==
+      collect(Extensions.semanticDedup(docs.union(s3d), emb.union(s3e),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+  }
+
+  test("a committed delete marker whose ids dir is missing (the " +
+      "pre-r17 data-first retire crash window) no longer wedges the " +
+      "store: reads skip the orphan instead of throwing, and the next " +
+      "compact retires it") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-orphan-marker").toString
+    import spark.implicits._
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s1")
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s2")
+    val full = collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q"))
+    // the orphan: a marker with no ids dir — exactly what a crash
+    // between the old order's two deletes left behind (the ids were
+    // already physically applied by the compact that was retiring it,
+    // so skipping is also semantically right)
+    val mroot = new java.io.File(s"$dir/store/_deletes")
+    mroot.mkdirs()
+    assert(new java.io.File(mroot, "d-orphan").createNewFile())
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == full) // pre-fix: threw on the missing parquet
+    // ingest still works through the orphan too
+    val s3d = Seq((8L, 100L)).toDF("doc_id", "q")
+    val s3e = Seq((8L, Array(0f, 0f, 0.98f, -0.198f)))
+      .toDF("doc_id", "embedding")
+    collect(SemanticStore.ingest(s"$dir/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
+      epochName = "s3"))
+    // compact retires the orphan marker
+    assert(SemanticStore.compact(spark, s"$dir/store"))
+    assert(!new java.io.File(mroot, "d-orphan").exists())
+    // same on the inner IvfIndex tombstone surface
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-orphan-marker").toString
+    graft.engine.IvfIndex.build(emb, "embedding", "doc_id", nCells = 4)
+      .save(ivfDir)
+    val troot = new java.io.File(s"$ivfDir/_tombstones")
+    troot.mkdirs()
+    assert(new java.io.File(troot, "t-orphan").createNewFile())
+    val idx = graft.engine.IvfIndex.load(spark, ivfDir, "doc_id",
+      "embedding")
+    assert(idx.queryByIds(Seq(1L), k = 3, nprobe = 4).count() > 0)
+  }
+
   test("tree-mode store (nCells >= threshold): the two-snapshot " +
       "equivalence law holds under the two-level quantizer — the " +
       "batch twin runs flat blocking, so equality proves the pair " +
