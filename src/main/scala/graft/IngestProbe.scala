@@ -74,6 +74,18 @@ object IngestProbe {
     // refit the coarse quantizer at the mid-probe compaction?
     val refit = sys.env.getOrElse("SPARK_GRAFT_INGEST_REFIT", "true")
       .toBoolean
+    // the store's BIRTH cell budget (0 = the doctrine 16·f). A small
+    // birth budget + a clustered fixture is the VERDICT r16 #1 case:
+    // the corpus's cluster structure outgrows the cells the store was
+    // born with, and only a budget-GROWING refit can restore pruning.
+    val bornCells = sys.env.getOrElse("SPARK_GRAFT_INGEST_BORN_CELLS",
+      "0").toInt
+    // rowsPerCell for the refit's budget rule (0 = frozen budget, the
+    // pre-r17 behavior; default = the library default 128, which at
+    // this fixture's 125-row clusters tracks one cell per cluster)
+    val rowsPerCell = sys.env.getOrElse(
+      "SPARK_GRAFT_INGEST_ROWS_PER_CELL",
+      graft.engine.IvfIndex.defaultRowsPerCell.toString).toLong
     require(nBatches >= 3 && f % nBatches == 0,
       s"factor $f must split into nBatches=$nBatches equal replica ranges")
     val spark = SparkSession.builder()
@@ -154,11 +166,14 @@ object IngestProbe {
         .write.mode("overwrite").parquet(fixPath)
     }
     val emb = spark.read.parquet(fixPath)
-    val nCells = 16 * f
+    val nCells = if (bornCells > 0) bornCells else 16 * f
     val repPerBatch = f / nBatches
 
     val store = s"$work/semstore_f${f}_c${(minCos * 100).toInt}" +
-      s"_${fixture}_${if (refit) "refit" else "norefit"}"
+      s"_${fixture}_${if (refit) "refit" else "norefit"}" +
+      (if (bornCells > 0) s"_b$bornCells" else "") +
+      (if (rowsPerCell != graft.engine.IvfIndex.defaultRowsPerCell)
+        s"_rpc$rowsPerCell" else "")
     val (fs, storePath) = {
       val p = new org.apache.hadoop.fs.Path(store)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -252,9 +267,14 @@ object IngestProbe {
         f"t_ingest=$tIngest%.1fs t_snapshot=$tSnap%.1fs pairs=$pairRows " +
         f"survivors=$survFrac%.3f")
     }
+    val cellsBefore = graft.engine.IvfIndex
+      .readQuantizer(spark, s"$store/ivf").size
     val (tCompact, _) = time {
-      graft.engine.SemanticStore.compact(spark, store, refit = refit)
+      graft.engine.SemanticStore.compact(spark, store, refit = refit,
+        rowsPerCell = rowsPerCell)
     }
+    val cellsAfter = graft.engine.IvfIndex
+      .readQuantizer(spark, s"$store/ivf").size
     // post-compaction health: under a refit on the clustered fixture
     // this is where the survivor fraction must FALL — cells re-fit to
     // the accumulated corpus, radii recomputed per new cell
@@ -278,6 +298,9 @@ object IngestProbe {
       f"surv_post_compact=$survPC%.4f surv_final=$survPost%.4f")
     println(s"""{"factor":$f,"n_cells":$nCells,"min_cosine":$minCos,""" +
       s""""fixture":"$fixture","refit":$refit,""" +
+      s""""rows_per_cell":$rowsPerCell,""" +
+      s""""cells_before_compact":$cellsBefore,""" +
+      s""""cells_after_compact":$cellsAfter,""" +
       s""""batches":$nBatches,"growth":[${sb.toString}],""" +
       s""""t_compact":${math.rint(tCompact * 1000) / 1000},""" +
       s""""post_compact_health":{"pairs_total":$pairsPC,""" +

@@ -290,6 +290,26 @@ object IvfIndex {
     } finally vecs.unpersist()
   }
 
+  /** The doctrine cell-count rule, nCells ∝ corpus (see
+    * [[graft.functions.TreeCells]]: proportional cells keep each cell
+    * executor-sized at any corpus scale, and past
+    * [[Extensions.treeCellThreshold]] the two-level tree keeps the
+    * per-row assignment cost √nCells). `rowsPerCell` is the knob; the
+    * default matches the probe fixtures' operating point (the
+    * clustered-drift fixture carries 16 clusters per 2 000-row
+    * replica — 125 rows each) so a store born at the toy-sf budget
+    * grows on the fixture's own curve. Production tunes it to
+    * executor-sized cells; the library-level invariant is only the
+    * SHAPE (budget ∝ n). */
+  private[graft] val defaultRowsPerCell: Long = 128L
+
+  /** Cells the doctrine budget allots `n` rows at `rowsPerCell`. */
+  private[graft] def cellBudget(n: Long, rowsPerCell: Long): Int = {
+    require(rowsPerCell > 0, "rowsPerCell must be positive")
+    math.min((n + rowsPerCell - 1) / rowsPerCell,
+      Int.MaxValue.toLong).toInt.max(1)
+  }
+
   /** md5 over the quantizer's centroid floats in cell order — the
     * content version that ties a `quantizer_tree` sidecar (and the
     * [[SemanticStore]] radii epochs) to the exact quantizer they were
@@ -904,14 +924,15 @@ object IvfIndex {
     * store-COMMITTED epoch names via [[compactEpochsNamed]].
     */
   def compactEpochs(spark: SparkSession, path: String,
-      refit: Boolean = false): Boolean = {
+      refit: Boolean = false,
+      rowsPerCell: Long = defaultRowsPerCell): Boolean = {
     val (sfs, sp) = hadoopFs(spark, s"$path/_SEMSTORE")
     require(!sfs.exists(sp),
       s"$path is the inner index of a SemanticStore — its epoch dirs " +
         "are resolved by committed snapshot name, and folding claimed-" +
         "but-uncommitted epochs would surface phantom vectors; run " +
         "SemanticStore.compact on the store instead")
-    compactEpochsFiltered(spark, path, None, refit)
+    compactEpochsFiltered(spark, path, None, refit, rowsPerCell)
   }
 
   /** [[compactEpochs]] restricted to an explicit epoch-name subset —
@@ -921,8 +942,9 @@ object IvfIndex {
     * until its retry completes). Bypasses the `_SEMSTORE` sentinel by
     * design. */
   private[graft] def compactEpochsNamed(spark: SparkSession,
-      path: String, names: Set[String], refit: Boolean = false): Boolean =
-    compactEpochsFiltered(spark, path, Some(names), refit)
+      path: String, names: Set[String], refit: Boolean = false,
+      rowsPerCell: Long = defaultRowsPerCell): Boolean =
+    compactEpochsFiltered(spark, path, Some(names), refit, rowsPerCell)
 
   /** `refit = true` is the quantizer-REFIT compaction (VERDICT r15
     * #1): compaction already rewrites every live vector into the new
@@ -939,9 +961,25 @@ object IvfIndex {
     * compaction can never resurrect the stale build-time quantizer at
     * `$path/quantizer`. PQ codes need no re-encode (codebooks are
     * cell-independent); their rows re-cluster under the new cells via
-    * an id join with the staged cells. */
+    * an id join with the staged cells.
+    *
+    * The refit also GROWS the cell budget (VERDICT r16 #1): re-fitting
+    * at the frozen birth count forever means a corpus whose cluster
+    * structure outruns it keeps its scan dense no matter who fits the
+    * quantizer (the clustered-drift probe measured exactly that: 400
+    * clusters over 160 cells → survivor stuck at 0.96). The new count
+    * is max(current, [[cellBudget]](live rows, `rowsPerCell`)) — the
+    * doctrine shape nCells ∝ n, monotone so a delete-heavy corpus
+    * never thrashes down — and when growth crosses
+    * [[Extensions.treeCellThreshold]] the refit lands in tree mode
+    * (sidecar staged inside the generation like any tree save).
+    * `rowsPerCell = 0` freezes the current budget (the pre-r17
+    * behavior, kept for fixtures that pin a cell count). Correctness
+    * is budget-independent: probed queries are exact per cell set,
+    * and the SemanticStore pair law is blocking-independent. */
   private def compactEpochsFiltered(spark: SparkSession, path: String,
-      only: Option[Set[String]], refit: Boolean): Boolean = {
+      only: Option[Set[String]], refit: Boolean,
+      rowsPerCell: Long): Boolean = {
     // THE single claimed-epoch snapshot: the staged unions AND the
     // _folded manifest all derive from this one list, so an epoch
     // claimed while this runs is simply not part of this generation —
@@ -991,8 +1029,11 @@ object IvfIndex {
       val idCol = cells.columns
         .filterNot(c => c == "__cell" || c == embCol).head
       val raw = cells.drop("__cell")
+      val targetCells =
+        if (rowsPerCell <= 0) liveCents.size
+        else math.max(liveCents.size, cellBudget(liveCells, rowsPerCell))
       val (cents, assign, treeOpt) =
-        fitFor(raw, embCol, idCol, liveCents.size)
+        fitFor(raw, embCol, idCol, targetCells)
       raw.select(col(idCol), col(embCol), assign(col(embCol)).as("__cell"))
         .repartition(cents.size, col("__cell"))
         .write.mode("errorifexists").partitionBy("__cell")

@@ -581,9 +581,20 @@ object SemanticStore {
     * store unchanged and a re-run heals; replaying a FOLDED epoch
     * name is a no-op. Returns false (nothing to fold) when fewer than
     * two snapshots are committed.
-    */
+    *
+    * A refit also GROWS the inner index's cell budget with the
+    * accumulated corpus (`rowsPerCell`, the [[IvfIndex.cellBudget]]
+    * doctrine — VERDICT r16 #1): a store is born at the FIRST
+    * snapshot's budget, and a corpus whose cluster structure outgrows
+    * it keeps its pair scan dense no matter how often a fixed-budget
+    * refit runs. Growth is invisible to correctness — the pair set is
+    * blocking-independent (the law every compact spec pins) and radii
+    * re-key to whatever cells the refit produces; what it buys is
+    * pruning power tracking corpus size, tree-mode assignment past
+    * the threshold included. `rowsPerCell = 0` freezes the budget. */
   def compact(spark: SparkSession, storePath: String,
-      refit: Boolean = true): Boolean = {
+      refit: Boolean = true,
+      rowsPerCell: Long = IvfIndex.defaultRowsPerCell): Boolean = {
     sweepFolded(spark, storePath) // heal an earlier run's crashed sweep
     // an earlier run's crash between marker staging and rename leaves
     // an orphan staging file at the store root — unreadable by any
@@ -618,7 +629,8 @@ object SemanticStore {
     deleted.foreach(d =>
       IvfIndex.delete(spark, ivfPath, d, "__del_id", s"store-$cName",
         overwrite = true))
-    IvfIndex.compactEpochsNamed(spark, ivfPath, committed.toSet, refit)
+    IvfIndex.compactEpochsNamed(spark, ivfPath, committed.toSet, refit,
+      rowsPerCell)
     // physical removal of deleted PAIRS and META from the consolidated
     // epoch (the read-path filters applied once, at rest)
     notDeleted(notDeleted(spark.read

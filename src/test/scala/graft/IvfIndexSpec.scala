@@ -720,6 +720,67 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/gen-2/quantizer").exists)
   }
 
+  test("refit compaction GROWS the cell budget with the corpus " +
+      "(VERDICT r16 #1): nCells rises to the doctrine budget, answers " +
+      "stay exact under exhaustive probes, and a budget crossing the " +
+      "tree threshold re-fits in TREE mode with the sidecar staged " +
+      "inside the generation; rowsPerCell = 0 freezes the budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count() // 500 at sf0.001
+    // flat growth: born at 8, budget ceil(500/32) = 16
+    val dir = Files.createTempDirectory("graft-ivf-grow").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), "embedding",
+      "vec_id", nCells = 8).save(dir)
+    assert(IvfIndex.appendEpoch(spark, dir,
+      emb.filter(col("vec_id") % 2 === 1), "embedding", "vec_id", "e1"))
+    val before = resultSet(IvfIndex.load(spark, dir, "vec_id",
+      "embedding").queryByIds(queryIds, k = 5, nprobe = n.toInt))
+    assert(IvfIndex.compactEpochs(spark, dir, refit = true,
+      rowsPerCell = 32))
+    val grown = IvfIndex.readQuantizer(spark, dir).size
+    assert(grown == 16, s"born 8, doctrine budget 16, got $grown")
+    assert(resultSet(IvfIndex.load(spark, dir, "vec_id", "embedding")
+      .queryByIds(queryIds, k = 5, nprobe = n.toInt)) == before)
+    // monotone: a later refit at a coarser rowsPerCell must not shrink
+    assert(IvfIndex.compactEpochs(spark, dir, refit = true,
+      rowsPerCell = 256))
+    assert(IvfIndex.readQuantizer(spark, dir).size == 16,
+      "the budget must never shrink below the current cell count")
+    // frozen budget: rowsPerCell = 0 keeps the count across a refit
+    assert(IvfIndex.compactEpochs(spark, dir, refit = true,
+      rowsPerCell = 0))
+    assert(IvfIndex.readQuantizer(spark, dir).size == 16)
+    // tree crossing: budget ceil(500/4) = 125 >= treeCellThreshold —
+    // the refit lands in tree mode, sidecar INSIDE the generation,
+    // and exhaustive answers still match the flat-era ones
+    assert(IvfIndex.compactEpochs(spark, dir, refit = true,
+      rowsPerCell = 4))
+    val treeCells = IvfIndex.readQuantizer(spark, dir).size
+    assert(treeCells >= 64, s"expected a tree-regime budget, " +
+      s"got $treeCells")
+    val genRoot = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .maxBy(_.getName.stripPrefix("gen-").toInt)
+    assert(new java.io.File(genRoot, "quantizer_tree").exists,
+      "a tree-regime refit must stage its sidecar inside the generation")
+    assert(resultSet(IvfIndex.load(spark, dir, "vec_id", "embedding")
+      .queryByIds(queryIds, k = 5, nprobe = n.toInt)) == before)
+    // an append after the tree refit resolves the tree rule: a planted
+    // exact duplicate lands in its original's cell
+    val dups = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.appendEpoch(spark, dir, dups, "embedding",
+      "vec_id", "e-tree"))
+    val baseCells = spark.read.parquet(s"$genRoot/cells")
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val epochCells = spark.read.parquet(s"$dir/epochs/e-tree/cells")
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (q <- 0L until 3L)
+      assert(epochCells(q + 800000L) == baseCells(q))
+  }
+
   test("tombstones (take-down delete on a raw index): queries and the " +
       "PQ scan exclude the ids from the commit on, compactEpochs " +
       "physically removes the rows and retires the tombstone, and a " +

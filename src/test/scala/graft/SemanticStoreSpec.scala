@@ -609,6 +609,51 @@ class SemanticStoreSpec extends AnyFunSuite {
       "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
   }
 
+  test("refit compaction on a GROWN store raises the cell budget " +
+      "above the birth count (VERDICT r16 #1) and every law still " +
+      "holds: snapshot equality across the compact, ingest-after " +
+      "equality vs the batch run — the pair set is budget-independent") {
+    val (docs, emb) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semstore-grow").toString
+    SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") <= 4), emb.filter(col("doc_id") <= 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+      epochName = "s1")
+    val before = collect(SemanticStore.ingest(s"$dir/store",
+      docs.filter(col("doc_id") > 4), emb.filter(col("doc_id") > 4),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+      epochName = "s2"))
+    val born = graft.engine.IvfIndex
+      .readQuantizer(spark, s"$dir/store/ivf").size
+    // born at 2 (4-row first snapshot, kEff caps at the doctrine ask);
+    // 7 stored rows at rowsPerCell = 1 → budget 7 > born
+    assert(SemanticStore.compact(spark, s"$dir/store", refit = true,
+      rowsPerCell = 1))
+    val grown = graft.engine.IvfIndex
+      .readQuantizer(spark, s"$dir/store/ivf").size
+    assert(grown > born, s"budget must grow past birth ($born → $grown)")
+    assert(collect(SemanticStore.snapshot(spark, s"$dir/store",
+      "doc_id", "q")) == before)
+    // radii re-keyed and stamped under the grown quantizer
+    val qv = graft.engine.IvfIndex.quantizerDigest(
+      graft.engine.IvfIndex.readQuantizer(spark, s"$dir/store/ivf"))
+    val cName = SemanticStore.committedEpochs(spark, s"$dir/store").head
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/store/radii/$cName/_qv")),
+      "UTF-8") == qv)
+    // an ingest against the grown-budget store still equals the batch
+    // run — blocking-independence under a GROWN quantizer
+    val s3d = Seq((8L, 100L)).toDF("doc_id", "q")
+    val s3e = Seq((8L, Array(0f, 0f, 0.98f, -0.198f)))
+      .toDF("doc_id", "embedding")
+    assert(collect(SemanticStore.ingest(s"$dir/store", s3d, s3e,
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+      epochName = "s3")) ==
+      collect(Extensions.semanticDedup(docs.union(s3d), emb.union(s3e),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
+  }
+
   test("non-refit compact after a torn REFIT window must not forge a " +
       "live stamp over stale radii: the consolidated radii are " +
       "RECOMPUTED from the rewritten base (they match the live-cell " +
