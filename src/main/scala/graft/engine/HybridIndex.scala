@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object HybridIndex {
 
+  /** Take-down DELETE mirrored through BOTH persisted branches
+    * (VERDICT r16 #2): one call commits the ids as a [[TextIndex]]
+    * delete epoch (BM25 exclusion + exact df/nDocs/sumDl corrections)
+    * AND an [[IvfIndex]] tombstone (dense-branch exclusion), so a
+    * deleted doc stops ranking in lexical, dense, and fused results
+    * together. Each side keeps its own commit (staged ids, marker
+    * last) and its own physical-removal point ([[TextIndex
+    * .compactSegments]] / re-save; [[IvfIndex.compactEpochs]]); a
+    * crash between the two sides leaves one side committed — re-run
+    * the SAME name to finish (both sides replay committed names as
+    * no-ops), the idempotent-retry shape every lifecycle commit here
+    * uses.
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, textPath: String,
+      ivfPath: String, ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    TextIndex.delete(spark, textPath, ids, idCol, name)
+    IvfIndex.delete(spark, ivfPath, ids, idCol, name)
+  }
+
   /** RRF-fused top-k for query documents that are corpus members
     * (`queryIds` in the shared doc/vec id space): `queryDocs` supplies
     * the query TEXT (usually the documents table), the IVF index looks

@@ -37,11 +37,25 @@ final class TextIndex private[engine] (
     val sumDl: Long,
     postings: DataFrame,
     val idCol: String,
-    val nBuckets: Int) {
+    val nBuckets: Int,
+    deleted: Option[DataFrame] = None) {
 
   /** BM25 top-k per query; `queries` carries (queryIdCol, queryTextCol).
     * Output matches [[Extensions.bm25TopK]]:
     * (queryIdCol, idCol, bm25, rank).
+    *
+    * When the loaded layout carries committed take-down deletes
+    * ([[TextIndex.delete]]), the deleted docs leave the result AND the
+    * statistics, exactly: `nDocs`/`sumDl` were already adjusted at
+    * load by the per-delete corrections, and the per-term `df` (a
+    * build-time denormalized fact on each posting) is corrected at
+    * query time by counting the deleted postings among the probed
+    * terms — complete because a term's ENTIRE posting list lives in
+    * one hash bucket, so the pruned scan sees every posting of every
+    * probed term, deleted docs' included. Scores therefore equal a
+    * fresh build over the surviving corpus bit for bit (the
+    * never-ingested law, TextIndexSpec). Without deletes the plan is
+    * unchanged.
     */
   def query(queries: DataFrame, queryTextCol: String, queryIdCol: String,
       k: Int = 10): DataFrame = {
@@ -58,33 +72,85 @@ final class TextIndex private[engine] (
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")
         .as("__bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    def idfOf(dfCol: org.apache.spark.sql.Column) = log(lit(1.0) +
+      (lit(nDocs.toDouble) - dfCol + lit(0.5)) / (dfCol + lit(0.5)))
     val fTf = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) +
         (lit(0.75) * col("dl")) / lit(sumDl.toDouble / nDocs)))
-    val scored = postings
+    val pruned = postings
       .filter(col("__bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
-      .join(broadcast(qterms), "term")
-      .withColumn("__contrib",
-        round(idf * fTf * lit(1000000.0)).cast("long"))
-      .groupBy(col(queryIdCol), col(idCol))
-      .agg(sum("__contrib").as("__score_int"))
+    val scored = deleted match {
+      case None =>
+        pruned
+          .join(broadcast(qterms), "term")
+          .withColumn("__contrib",
+            round(idfOf(col("df")) * fTf * lit(1000000.0)).cast("long"))
+          .groupBy(col(queryIdCol), col(idCol))
+          .agg(sum("__contrib").as("__score_int"))
+      case Some(del) =>
+        val delKeyed = del.withColumnRenamed("__del_id", idCol)
+        val matched = pruned
+          .join(broadcast(qterms.select("term").distinct()), "term")
+        // per-term count of DELETED postings among the probed terms —
+        // the exact df correction (term → one bucket, so the pruned
+        // read is complete per term); df - __df_del is what a fresh
+        // build over the survivors would have denormalized
+        val dfCorr = matched
+          .join(delKeyed, Seq(idCol), "left_semi")
+          .groupBy("term").agg(count(lit(1)).as("__df_del"))
+        matched
+          .join(delKeyed, Seq(idCol), "left_anti")
+          .join(broadcast(dfCorr), Seq("term"), "left")
+          .join(broadcast(qterms), "term")
+          .withColumn("__contrib",
+            round(idfOf(col("df") -
+              coalesce(col("__df_del"), lit(0L))) * fTf *
+              lit(1000000.0)).cast("long"))
+          .groupBy(col(queryIdCol), col(idCol))
+          .agg(sum("__contrib").as("__score_int"))
+    }
     Extensions.bm25RankTail(scored, queryIdCol, idCol, k)
   }
 
   /** Persist: postings partitioned by term-hash bucket + 1-row stats.
     * [[TextIndex.load]] reads it back with the layout intact.
+    *
+    * An index loaded WITH committed deletes saves the POST-delete
+    * corpus: deleted docs' postings are dropped and each surviving
+    * posting's denormalized `df` is corrected, so the written layout
+    * equals a fresh build over the survivors — save() is the plain
+    * layout's physical-removal path (the segmented layout's is
+    * [[TextIndex.compactSegments]]). Any delete epochs at the target
+    * path are cleared first: the postings being written already
+    * reflect them, and leaving them would double-subtract the stats
+    * corrections at the next load. In-place re-save stays the
+    * documented non-atomic exposure (the [[IvfIndex.save]] note).
     */
   def save(path: String): Unit = {
     val spark = postings.sparkSession
     import spark.implicits._
+    val (fs, _) = TextIndex.hadoopFs(spark, path)
+    Seq(s"$path/_deletes", s"$path/deletes").foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    val livePostings = deleted match {
+      case None => postings
+      case Some(del) =>
+        val delKeyed = del.withColumnRenamed("__del_id", idCol)
+        val dfCorr = postings.join(delKeyed, Seq(idCol), "left_semi")
+          .groupBy("term").agg(count(lit(1)).as("__df_del"))
+        postings.join(delKeyed, Seq(idCol), "left_anti")
+          .join(dfCorr, Seq("term"), "left")
+          .withColumn("df",
+            col("df") - coalesce(col("__df_del"), lit(0L)))
+          .drop("__df_del")
+    }
     // cluster by the partition column before partitionBy (the
     // IvfIndex.save note): unclustered, every task writes a sliver
     // into every bucket dir — tasks × buckets small files; clustered,
     // each bucket lands as a handful of full files. Raise the count
     // past nBuckets when buckets outgrow executor-sized files.
-    postings.repartition(nBuckets, col("__bucket"))
+    livePostings.repartition(nBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$path/postings")
     Seq((nDocs, sumDl, nBuckets, idCol)).toDF(
@@ -112,9 +178,16 @@ final class SegmentedTextIndex private[engine] (
     val sumDl: Long,
     postings: DataFrame,
     val idCol: String,
-    val nBuckets: Int) {
+    val nBuckets: Int,
+    deleted: Option[DataFrame] = None) {
 
-  /** BM25 top-k; same output as [[TextIndex.query]]. */
+  /** BM25 top-k; same output as [[TextIndex.query]]. Take-down
+    * deletes are simpler here than on the plain index: the segmented
+    * layout derives `df` from the probed postings at query time, so
+    * excluding deleted docs' postings BEFORE that aggregation makes
+    * the correction automatic — with `nDocs`/`sumDl` already adjusted
+    * at load, scores equal a fresh build over the survivors bit for
+    * bit (the never-ingested law). */
   def query(queries: DataFrame, queryTextCol: String, queryIdCol: String,
       k: Int = 10): DataFrame = {
     require(k > 0, "k must be positive")
@@ -127,9 +200,14 @@ final class SegmentedTextIndex private[engine] (
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int")
         .as("__bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val matched = postings
+    val matched0 = postings
       .filter(col("__bucket").isin(buckets.toSeq.map(Integer.valueOf): _*))
       .join(broadcast(qterms.select("term").distinct()), "term")
+    val matched = deleted match {
+      case None => matched0
+      case Some(del) => matched0.join(
+        del.withColumnRenamed("__del_id", idCol), Seq(idCol), "left_anti")
+    }
     // global df reconstructed from the pruned postings: complete per
     // probed term because term→bucket is a pure function. Computed
     // BEFORE query ids are attached — joining (queryId, term) pairs
@@ -154,12 +232,161 @@ final class SegmentedTextIndex private[engine] (
 
 object TextIndex {
 
+  private[engine] def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Directory (relative to the index path) holding the LIVE segment
     * set: the [[Generations]] pointer target once [[compactSegments]]
     * has run, the original `segments` layout before.
     */
   private def segmentsRoot(path: String): String =
     Generations.currentName(path).getOrElse("segments")
+
+  // ── take-down deletes (VERDICT r16 #2) ───────────────────────────────
+
+  /** Commit a take-down DELETE of document ids against a saved index —
+    * plain ([[TextIndex.load]]) or segmented ([[loadSegments]]) layout.
+    * The missing half of the store's take-down story until r17: the
+    * vector side ([[IvfIndex.delete]] / [[SemanticStore.delete]])
+    * honored deletions while a deleted doc kept ranking in BM25 and
+    * hybrid results and kept inflating df/avgdl.
+    *
+    * Commit shape (the proven staged-ids-then-marker protocol): the id
+    * list stages as `deletes/<name>/` parquet FIRST; the marker
+    * `_deletes/<name>` lands LAST and carries the delete's exact
+    * statistics correction as content — `<nDocs>|<sumDl>` of the docs
+    * actually present and not already deleted — staged outside
+    * `_deletes` and renamed in, one atomic metadata op, because a torn
+    * content write would otherwise be read as a committed delete with
+    * garbage stats (the compact-manifest lesson). Computing the
+    * correction costs one postings scan at delete time (deletes are
+    * rare; the scan is the price of keeping nDocs/sumDl EXACT, which
+    * is what buys the never-ingested score-equality law). A committed
+    * name replays as a no-op; re-using a deleted id later is outside
+    * the contract (permanent take-down).
+    *
+    * Effect from the commit on: both query paths exclude the ids and
+    * correct df/nDocs/sumDl exactly (scores equal a never-ingested
+    * twin bit for bit). Removal is LOGICAL until the next
+    * [[compactSegments]] (segmented) or re-[[TextIndex#save save]]
+    * (plain), which drop the postings physically and retire the
+    * applied epochs after one grace generation.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, name: String): Unit = {
+    require(name.nonEmpty && !name.contains("/"),
+      "delete name must be a single path segment")
+    val (fs, _) = hadoopFs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_deletes/$name")
+    if (fs.exists(marker)) return // committed replay: no-op
+    val postings = allPostings(spark, path)
+    val docCol = savedIdCol(spark, path)
+    val fresh = ids.select(col(idCol).as("__del_id")).distinct()
+    // exclude ids an EARLIER delete already committed: their postings
+    // are already excluded (or physically gone), and counting them
+    // again would double-subtract the stats corrections
+    val newIds = deletedIdsDf(spark, path) match {
+      case None      => fresh
+      case Some(old) => fresh.join(old, Seq("__del_id"), "left_anti")
+    }
+    newIds.write.mode("overwrite").parquet(s"$path/deletes/$name")
+    // the correction counts only docs PRESENT in the live postings —
+    // deleting an absent id is a no-op in every statistic. (id, dl) is
+    // unique per doc (dl is denormalized onto each posting; a doc
+    // lives in exactly one segment by the append contract).
+    val st = postings
+      .join(newIds.withColumnRenamed("__del_id", docCol),
+        Seq(docCol), "left_semi")
+      .select(col(docCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+      .collect().head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_deletes"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_staging-del-$name")
+    val out = fs.create(tmp, true)
+    out.write(s"${st.getLong(0)}|${st.getLong(1)}".getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, marker),
+      s"could not publish delete marker $name") // the commit point
+  }
+
+  /** The live postings union regardless of layout — plain
+    * (`$path/postings`) or segmented (every live segment's). */
+  private def allPostings(spark: SparkSession, path: String): DataFrame = {
+    val (fs, _) = hadoopFs(spark, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings")))
+      spark.read.parquet(s"$path/postings")
+    else segmentDirs(path).map(d =>
+      spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+  }
+
+  /** The saved layout's document id column, from its own stats (plain
+    * layout: `$path/stats`; segmented: any segment's — load validates
+    * they agree). */
+  private def savedIdCol(spark: SparkSession, path: String): String = {
+    val (fs, _) = hadoopFs(spark, path)
+    val statsPath =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
+        s"$path/stats"
+      else s"${segmentDirs(path).head}/stats"
+    val st = spark.read.parquet(statsPath).collect().head
+    st.getString(st.fieldIndex("id_col"))
+  }
+
+  /** Delete-epoch names the CURRENT published segment root has already
+    * applied PHYSICALLY (its `_dels_applied` manifest) — excluded from
+    * every logical filter and stats correction, retired one grace
+    * generation later. Plain layouts (and pre-compaction segmented
+    * ones) have no manifest: empty. */
+  private def appliedDeletes(spark: SparkSession,
+      path: String): Set[String] = {
+    val (fs, p) = hadoopFs(spark,
+      s"$path/${segmentsRoot(path)}/_dels_applied")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Committed UNAPPLIED delete epochs: (name, nDocs corr, sumDl corr).
+    * A marker whose ids dir is missing is skipped (the mid-retire
+    * window — ids already physically gone). */
+  private def deleteEntries(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val (fs, root) = hadoopFs(spark, s"$path/_deletes")
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val applied = appliedDeletes(spark, path)
+      fs.listStatus(root).toSeq
+        .filterNot(st => applied(st.getPath.getName))
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/deletes/${st.getPath.getName}")))
+        .map { st =>
+          val in = fs.open(st.getPath)
+          val parts =
+            try new String(in.readAllBytes(), "UTF-8").split('|')
+            finally in.close()
+          require(parts.length == 2,
+            s"corrupt delete marker ${st.getPath}")
+          (st.getPath.getName, parts(0).toLong, parts(1).toLong)
+        }.sortBy(_._1)
+    }
+  }
+
+  /** All unapplied deleted ids as one `__del_id` frame; None when none
+    * exist (the common case — query paths add no plan step). */
+  private def deletedIdsDf(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val names = deleteEntries(spark, path).map(_._1)
+    if (names.isEmpty) None
+    else Some(spark.read
+      .parquet(names.map(n => s"$path/deletes/$n"): _*)
+      .distinct())
+  }
 
   /** Append one corpus snapshot as a new immutable segment under the
     * live segment root. Documents must be NEW ids (segments never
@@ -199,14 +426,18 @@ object TextIndex {
   }
 
   private def segmentDirs(path: String): Array[java.io.File] = {
-    val dirs = new java.io.File(s"$path/${segmentsRoot(path)}").listFiles()
-    require(dirs != null && dirs.nonEmpty, s"no segments under $path")
+    // directories only: the root also carries the `_dels_applied`
+    // manifest file once a delete-applying compaction has run
+    val dirs = Option(new java.io.File(s"$path/${segmentsRoot(path)}")
+      .listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    require(dirs.nonEmpty, s"no segments under $path")
     dirs.sorted
   }
 
   /** Open all segments under `path` as one queryable index; global
     * corpus stats are the sums of the per-segment stats (exact — doc
-    * sets are disjoint by the append contract).
+    * sets are disjoint by the append contract), minus the exact
+    * corrections of any committed unapplied deletes.
     */
   def loadSegments(spark: SparkSession, path: String): SegmentedTextIndex = {
     val segDirs = segmentDirs(path)
@@ -220,9 +451,12 @@ object TextIndex {
       s"segments disagree on id column: ${idCols.mkString(", ")}")
     val postings = segDirs.map(d =>
       spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+    val dels = deleteEntries(spark, path)
     new SegmentedTextIndex(
-      stats.map(_.getLong(0)).sum, stats.map(_.getLong(1)).sum,
-      postings, idCols.head, buckets.head)
+      stats.map(_.getLong(0)).sum - dels.map(_._2).sum,
+      stats.map(_.getLong(1)).sum - dels.map(_._3).sum,
+      postings, idCols.head, buckets.head,
+      deletedIdsDf(spark, path))
   }
 
   /** Merge every live segment into ONE — the maintenance job a
@@ -247,12 +481,26 @@ object TextIndex {
     */
   def compactSegments(spark: SparkSession, path: String): Boolean = {
     val segDirs = segmentDirs(path)
-    if (segDirs.length == 1) return false
+    // committed unapplied deletes are compaction WORK: even a single-
+    // segment index compacts to realize them physically (the segmented
+    // layout's only physical-removal path)
+    val dels = deleteEntries(spark, path)
+    if (segDirs.length == 1 && dels.isEmpty) return false
     val idx = loadSegments(spark, path) // validates buckets + id column
-    val postings = segDirs.map(d =>
+    // idx.nDocs/sumDl are already NET of the unapplied deletes (exact
+    // per-delete corrections), so they are exactly the stats of the
+    // filtered postings staged below
+    val rawPostings = segDirs.map(d =>
       spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+    val postings = deletedIdsDf(spark, path) match {
+      case None      => rawPostings
+      case Some(del) => rawPostings.join(
+        del.withColumnRenamed("__del_id", idx.idCol),
+        Seq(idx.idCol), "left_anti")
+    }
     val liveCount = postings.count()
     val oldRoot = segmentsRoot(path)
+    val appliedBefore = appliedDeletes(spark, path)
     val nextGen = if (oldRoot == "segments") 1
       else oldRoot.stripPrefix("segments-").toInt + 1
     val newRoot = s"segments-$nextGen"
@@ -275,8 +523,29 @@ object TextIndex {
     val written = spark.read.parquet(s"$seg/postings").count()
     require(written == liveCount,
       s"compaction audit failed: wrote $written postings, live $liveCount")
+    // record the deletes this generation realized physically (carrying
+    // every previously applied name forward, the _folded rule): from
+    // the flip on they stop filtering and stop correcting stats, even
+    // while their epoch dirs await the grace-cycle retire below
+    if (appliedBefore.nonEmpty || dels.nonEmpty) {
+      val (mfs, mp) = hadoopFs(spark, s"$path/$newRoot/_dels_applied")
+      val out = mfs.create(mp, true)
+      out.write((appliedBefore ++ dels.map(_._1)).toSeq.sorted
+        .mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
     Generations.publish(path, newRoot)
     Generations.retain(path, keep = 2)
+    // retire delete epochs the PREVIOUS generation had applied — they
+    // served their one grace cycle (a reader that resolved the old
+    // root before the flip still filters through them; that root was
+    // itself just swept by retain). Marker first, ids dir second (the
+    // r17 retire order); names retired by an earlier cycle no-op.
+    val (fs, _) = hadoopFs(spark, path)
+    appliedBefore.toSeq.sorted.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_deletes/$n"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes/$n"), true)
+    }
     true
   }
 
@@ -314,15 +583,18 @@ object TextIndex {
   }
 
   /** Open a saved index; queries prune its bucket partitions at the
-    * file level.
+    * file level. Committed deletes load as the query-path exclusion +
+    * the exact stats corrections.
     */
   def load(spark: SparkSession, path: String): TextIndex = {
     val st = spark.read.parquet(s"$path/stats").collect().head
+    val dels = deleteEntries(spark, path)
     new TextIndex(
-      st.getLong(st.fieldIndex("n_docs")),
-      st.getLong(st.fieldIndex("sum_dl")),
+      st.getLong(st.fieldIndex("n_docs")) - dels.map(_._2).sum,
+      st.getLong(st.fieldIndex("sum_dl")) - dels.map(_._3).sum,
       spark.read.parquet(s"$path/postings"),
       st.getString(st.fieldIndex("id_col")),
-      st.getInt(st.fieldIndex("n_buckets")))
+      st.getInt(st.fieldIndex("n_buckets")),
+      deletedIdsDf(spark, path))
   }
 }

@@ -79,6 +79,68 @@ class HybridIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("take-down delete mirrors through BOTH branches (VERDICT r16 " +
+      "#2): a deleted doc stops ranking in lexical, dense, and fused " +
+      "results, and after both sides' physical removal the hybrid " +
+      "answer equals a never-ingested twin bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val tDir = Files.createTempDirectory("graft-hyb-del-t").toString
+    val vDir = Files.createTempDirectory("graft-hyb-del-v").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(tDir)
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = NCells).save(vDir)
+    val pre = HybridIndex.queryByIds(TextIndex.load(spark, tDir),
+      IvfIndex.load(spark, vDir, "vec_id", "embedding"),
+      docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
+    // delete the top fused hit of the first query — maximally
+    // non-vacuous on both branches
+    val delId = pre.orderBy("query_id", "rank")
+      .select("doc_id").head().getLong(0)
+    HybridIndex.delete(spark, tDir, vDir, Seq(delId).toDF("doc_id"),
+      "doc_id", "take-down-1")
+    val after = HybridIndex.queryByIds(TextIndex.load(spark, tDir),
+      IvfIndex.load(spark, vDir, "vec_id", "embedding"),
+      docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
+    assert(!after.select("doc_id").collect().map(_.getLong(0))
+      .contains(delId), "deleted doc still ranks in the hybrid result")
+    // the never-ingested twin (fresh builds over the survivors)
+    val tTwin = Files.createTempDirectory("graft-hyb-del-tt").toString
+    val vTwin = Files.createTempDirectory("graft-hyb-del-vt").toString
+    TextIndex.build(docs.filter(col("doc_id") =!= delId), "text",
+      "doc_id", nBuckets = 16).save(tTwin)
+    IvfIndex.build(emb.filter(col("vec_id") =!= delId), "embedding",
+      "vec_id", nCells = NCells).save(vTwin)
+    val twin = HybridIndex.queryByIds(TextIndex.load(spark, tTwin),
+      IvfIndex.load(spark, vTwin, "vec_id", "embedding"),
+      docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
+    // NOTE: dense ranks are exact under exhaustive probes and the
+    // lexical side corrects df/nDocs/sumDl exactly, so the fused rows
+    // must be IDENTICAL to the twin's — logical-exclusion mode first
+    assert(rows(after) == rows(twin),
+      "post-delete hybrid result must equal the never-ingested twin")
+    // physical removal on both sides (text re-save — to a fresh path,
+    // Spark refuses overwriting a location it is reading; ivf
+    // compact), then the same equality through the cleaned layouts
+    val tDir2 = Files.createTempDirectory("graft-hyb-del-t2").toString
+    TextIndex.load(spark, tDir).save(tDir2)
+    IvfIndex.compactEpochs(spark, vDir, refit = false)
+    assert(spark.read.parquet(s"$tDir2/postings")
+      .filter(col("doc_id") === delId).count() == 0L)
+    assert(spark.read
+      .parquet(s"${IvfIndex.baseRoot(vDir)}/cells")
+      .filter(col("vec_id") === delId).count() == 0L)
+    assert(!new java.io.File(s"$vDir/_tombstones").exists() ||
+      new java.io.File(s"$vDir/_tombstones").list().isEmpty,
+      "the applied tombstone must retire at compaction")
+    val afterPhysical = HybridIndex.queryByIds(
+      TextIndex.load(spark, tDir2),
+      IvfIndex.load(spark, vDir, "vec_id", "embedding"),
+      docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
+    assert(rows(afterPhysical) == rows(twin))
+  }
+
   test("hybrid query file-prunes BOTH persisted branches: the postings " +
       "scan carries a __bucket partition filter, the cells scan a " +
       "__cell one") {

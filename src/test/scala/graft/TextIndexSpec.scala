@@ -223,6 +223,128 @@ class TextIndexSpec extends AnyFunSuite {
       .count(_.isDirectory) == 1)
   }
 
+  test("take-down delete on the PLAIN layout: post-delete queries " +
+      "score bit-identically to a fresh build over the survivors " +
+      "(df/nDocs/sumDl corrections exact), a torn delete is " +
+      "invisible, a committed replay no-ops, and re-save removes the " +
+      "rows physically and clears the applied epochs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-tidx-del").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(dir)
+    val pre = TextIndex.load(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)
+    // delete two docs that actually RANK for the test queries (so the
+    // exclusion is non-vacuous) plus one absent id (stats no-op)
+    val ranked = pre.select("doc_id").collect().map(_.getLong(0))
+    val delIds = Seq(ranked.head, ranked.last, 987654321L).distinct
+    import spark.implicits._
+    // torn delete (staged ids, no marker) is invisible
+    delIds.toDF("__del_id")
+      .write.mode("overwrite").parquet(s"$dir/deletes/d1")
+    assert(resultSet(TextIndex.load(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)) == resultSet(pre))
+    TextIndex.delete(spark, dir, delIds.toDF("doc_id"), "doc_id", "d1")
+    val survivors = docs.filter(!col("doc_id").isin(delIds: _*))
+    val twin = TextIndex.build(survivors, "text", "doc_id", nBuckets = 16)
+    val loaded = TextIndex.load(spark, dir)
+    assert(loaded.nDocs == twin.nDocs && loaded.sumDl == twin.sumDl,
+      s"stats (${loaded.nDocs}, ${loaded.sumDl}) vs fresh twin " +
+        s"(${twin.nDocs}, ${twin.sumDl})")
+    val after = resultSet(loaded.query(queries, "qtext", "query_id",
+      k = 10))
+    assert(after == resultSet(twin.query(queries, "qtext", "query_id",
+      k = 10)), "post-delete scores must equal the never-ingested twin")
+    assert(!after.exists(r => delIds.contains(r._2)))
+    assert(after != resultSet(pre), "the delete must be non-vacuous")
+    // committed replay: no-op (even with different ids in the frame)
+    TextIndex.delete(spark, dir, Seq(1L).toDF("doc_id"), "doc_id", "d1")
+    assert(resultSet(TextIndex.load(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)) == after)
+    // re-save = the plain layout's physical removal: rows gone from
+    // the files, delete epochs cleared, answers unchanged
+    val dir2 = Files.createTempDirectory("graft-tidx-del2").toString
+    loaded.save(dir2)
+    assert(spark.read.parquet(s"$dir2/postings")
+      .filter(col("doc_id").isin(delIds: _*)).count() == 0L,
+      "deleted docs' postings survived the physical re-save")
+    assert(!new java.io.File(dir2, "_deletes").exists())
+    val resaved = TextIndex.load(spark, dir2)
+    assert(resaved.nDocs == twin.nDocs && resaved.sumDl == twin.sumDl)
+    assert(resultSet(resaved.query(queries, "qtext", "query_id",
+      k = 10)) == after)
+    // and the re-saved postings carry the CORRECTED df (fresh-build
+    // equality at the file level, not just through the query path)
+    val twinDir = Files.createTempDirectory("graft-tidx-del-twin").toString
+    twin.save(twinDir)
+    val dfOf = (p: String) => spark.read.parquet(p)
+      .select("doc_id", "term", "tf", "dl", "df")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(dfOf(s"$dir2/postings") == dfOf(s"$twinDir/postings"))
+  }
+
+  test("take-down delete on the SEGMENTED layout: logical exclusion " +
+      "equals the never-ingested twin, compactSegments applies the " +
+      "delete physically (single segment included), the applied epoch " +
+      "survives one grace generation, and the next compaction retires " +
+      "it") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-tidx-seg-del").toString
+    (0 to 1).foreach(i => graft.engine.TextIndex.appendSegment(
+      docs.filter(col("doc_id") % 2 === i), "text", "doc_id", dir,
+      f"snap-$i%03d", nBuckets = 16))
+    val pre = graft.engine.TextIndex.loadSegments(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)
+    val delIds = Seq(pre.select("doc_id").collect().map(_.getLong(0))
+      .head, 987654321L)
+    import spark.implicits._
+    graft.engine.TextIndex.delete(spark, dir, delIds.toDF("doc_id"),
+      "doc_id", "d1")
+    val survivors = docs.filter(!col("doc_id").isin(delIds: _*))
+    val twin = TextIndex.build(survivors, "text", "doc_id", nBuckets = 16)
+    val seg = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(seg.nDocs == twin.nDocs && seg.sumDl == twin.sumDl)
+    val want = resultSet(twin.query(queries, "qtext", "query_id", k = 10))
+    assert(resultSet(seg.query(queries, "qtext", "query_id", k = 10))
+      == want)
+    // compaction applies it physically — answers and stats unchanged
+    assert(graft.engine.TextIndex.compactSegments(spark, dir))
+    assert(spark.read
+      .parquet(s"$dir/segments-1/compact-000001/postings")
+      .filter(col("doc_id").isin(delIds: _*)).count() == 0L,
+      "deleted docs' postings survived the compaction")
+    val afterC = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(afterC.nDocs == twin.nDocs && afterC.sumDl == twin.sumDl)
+    assert(resultSet(afterC.query(queries, "qtext", "query_id", k = 10))
+      == want)
+    // the applied epoch gets ONE grace generation (readers of the
+    // superseded root still filter through it), then retires
+    assert(new java.io.File(dir, "_deletes/d1").exists())
+    // a SECOND delete on the single-segment compacted index: the
+    // early-return carve-out — pending deletes are compaction work
+    val delIds2 = Seq(resultSet(afterC.query(queries, "qtext",
+      "query_id", k = 10)).head._2)
+    graft.engine.TextIndex.delete(spark, dir, delIds2.toDF("doc_id"),
+      "doc_id", "d2")
+    assert(graft.engine.TextIndex.compactSegments(spark, dir),
+      "a single-segment index with a pending delete must still compact")
+    assert(!new java.io.File(dir, "_deletes/d1").exists(),
+      "the grace-served epoch must retire on the next compaction")
+    assert(!new java.io.File(dir, "deletes/d1").exists())
+    assert(new java.io.File(dir, "_deletes/d2").exists())
+    val twin2 = TextIndex.build(
+      docs.filter(!col("doc_id").isin((delIds ++ delIds2): _*)),
+      "text", "doc_id", nBuckets = 16)
+    val afterC2 = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(afterC2.nDocs == twin2.nDocs && afterC2.sumDl == twin2.sumDl)
+    assert(resultSet(afterC2.query(queries, "qtext", "query_id", k = 10))
+      == resultSet(twin2.query(queries, "qtext", "query_id", k = 10)))
+    // nothing pending → no-op again
+    assert(!graft.engine.TextIndex.compactSegments(spark, dir))
+  }
+
   test("build rejects reserved internal column names") {
     val bad = Tables.documents(spark, sf)
       .withColumn("tf", org.apache.spark.sql.functions.lit(1))
