@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_INGEST_FACTOR (default 10 — shares IngestProbe's
   * permuted fixture), SPARK_GRAFT_LIFECYCLE_SNAPSHOTS (default 40),
   * SPARK_GRAFT_LIFECYCLE_COMPACT_EVERY (default 0 = never),
+  * SPARK_GRAFT_LIFECYCLE_AUTO (default false — true hands the
+  * cadence to ingest's compactEvery knob; compaction cost then lands
+  * inside t_ingest on the triggering steps),
   * SPARK_GRAFT_INGEST_MINCOS (default 0.8 — the production operating
   * point: few pairs, so the per-epoch METADATA cost under test is not
   * drowned by pair-scan compute), SPARK_GRAFT_CPUS,
@@ -36,6 +39,13 @@ object StoreLifecycleProbe {
     val s = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_SNAPSHOTS", "40").toInt
     val every = sys.env
       .getOrElse("SPARK_GRAFT_LIFECYCLE_COMPACT_EVERY", "0").toInt
+    // auto mode (VERDICT r16 #4): hand the cadence to the STORE via
+    // ingest's compactEvery knob instead of the probe's manual call —
+    // t_compact then shows up inside t_ingest on the triggering steps
+    // (the price a self-policing micro-batch ingester actually pays),
+    // and epochs_live must stay bounded by the knob alone
+    val auto = sys.env
+      .getOrElse("SPARK_GRAFT_LIFECYCLE_AUTO", "false").toBoolean
     val minCos = sys.env.getOrElse("SPARK_GRAFT_INGEST_MINCOS", "0.8").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
@@ -71,7 +81,8 @@ object StoreLifecycleProbe {
     emb.count()
     val nCells = 16 * f
 
-    val store = s"$work/semstore_life_f${f}_s${s}_e$every"
+    val store = s"$work/semstore_life_f${f}_s${s}_e$every" +
+      (if (auto) "_auto" else "")
     val (fs, storePath) = {
       val p = new org.apache.hadoop.fs.Path(store)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -95,7 +106,8 @@ object StoreLifecycleProbe {
         graft.engine.SemanticStore.ingest(store, docs,
           be.select("vec_id", "embedding"), "vec_id", "q", "embedding",
           minCosine = minCos, nCells = nCells,
-          epochName = f"snap-$b%04d").count()
+          epochName = f"snap-$b%04d",
+          compactEvery = if (auto) every else 0).count()
       }
       val (tSnap, _) = time {
         graft.engine.SemanticStore.snapshot(spark, store, "vec_id", "q")
@@ -104,7 +116,7 @@ object StoreLifecycleProbe {
       val epochsLive = graft.engine.SemanticStore
         .committedEpochs(spark, store).size
       val tCompact =
-        if (every > 0 && (b + 1) % every == 0) {
+        if (!auto && every > 0 && (b + 1) % every == 0) {
           val (tc, _) = time {
             graft.engine.SemanticStore.compact(spark, store)
           }
@@ -122,7 +134,7 @@ object StoreLifecycleProbe {
         (if (tCompact >= 0) f" t_compact=$tCompact%.1fs" else ""))
     }
     println(s"""{"factor":$f,"snapshots":$s,"compact_every":$every,""" +
-      s""""n_cells":$nCells,"min_cosine":$minCos,""" +
+      s""""auto":$auto,"n_cells":$nCells,"min_cosine":$minCos,""" +
       s""""steps":[${sb.toString}],"base":"$base"}""")
     spark.stop()
   }

@@ -708,6 +708,30 @@ object ExtensionQueries {
       None,
       lazyOracle = Some(() => PqOracles.knnTreeSql(k = 3, nprobe = 8))),
 
+    // ── PERSISTED tree-mode index, full lifecycle priced into one
+    // entry (VERDICT r16 #5): build past the tree threshold → save
+    // (sidecar + cell-partitioned layout) → load (sidecar round-trip
+    // rebuilds the two-level rule, _qv-validated) → query by ids.
+    // This is the 100 TB SERVING shape — knn_join_tree covers the
+    // ad-hoc tree fit; this covers the layout a cluster would build
+    // once and query many times. The oracle replays the LOADED
+    // sidecar's floats through the two-level assignment, the
+    // self-cell-first probe rule (ADVICE r15), and the shared
+    // guarded-cosine rescore — capture-replay, bit-exact ─────────────────
+    QuerySpec("ivf_tree_topk",
+      (s, d) => {
+        val dir = tempDir("graft-ivftree")
+        IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
+          nCells = 64).save(s"$dir/idx")
+        val idx = IvfIndex.load(s, s"$dir/idx", "vec_id", "embedding")
+        idx.treeQuantizer.foreach(PqOracles.stashIvfTree)
+        idx.queryByIds(Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 8)
+          .orderBy("query_id", "rank")
+      },
+      None,
+      lazyOracle = Some(() => PqOracles.ivfTreeSql(
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 8))),
+
     // ── exact n-gram Jaccard on a bounded sample (the precise scorer; the
     // scale path is minhash_neardup / simhash below) ─────────────────────
     QuerySpec("ngram_jaccard",

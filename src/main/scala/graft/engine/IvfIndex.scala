@@ -42,6 +42,13 @@ final class IvfIndex private (
   private[engine] def centroidArrays: Seq[Array[Float]] =
     centroids.sortBy(_._1).map(_._2)
 
+  /** The tree quantizer a tree-mode index queries with (None = flat) —
+    * for a LOADED index this is the sidecar round-trip, i.e. exactly
+    * the floats [[query]]'s probe kernels see, which is what the
+    * deferred tree twin must replay ([[PqOracles.ivfTreeSql]]). */
+  private[engine] def treeQuantizer: Option[Extensions.TreeQuantizer] =
+    tree
+
   /** Exact cosine top-k within the probed cells for each query id
     * (query vectors are looked up in the corpus). Output schema
     * matches [[Extensions.annIvf]]:

@@ -280,6 +280,113 @@ private[graft] object PqOracles {
          |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
 
+  /** The PERSISTED tree-mode index's quantizer (the sidecar
+    * round-trip a load reconstructs), captured from the ivf_tree_topk
+    * catalog run — build → save → load → query, the 100 TB serving
+    * shape (VERDICT r16 #5). */
+  @volatile private var ivfTreeFit: Option[Extensions.TreeQuantizer] = None
+
+  def stashIvfTree(tq: Extensions.TreeQuantizer): Unit =
+    ivfTreeFit = Option(tq)
+
+  /** DuckDB twin of `ivf_tree_topk` ([[IvfIndex.query]] on a LOADED
+    * tree-built index): [[knnTreeSql]]'s two-level assignment and
+    * probe machinery, with the two differences the persisted query
+    * path carries —
+    *
+    *   - queries are a fixed id batch (corpus lookups), not all rows;
+    *   - the probe set PREPENDS the query's own tree-assigned cell to
+    *     the tree-ranked probes, dedups keeping FIRST occurrence, and
+    *     takes the first `nprobe` — the ADVICE r15 self-cell-first
+    *     rule, `slice(array_distinct(concat(array(self), pr)), 1, n)`
+    *     replayed as ord-0-then-rank row_numbers.
+    *
+    * Same guarded-cosine rescore and (cos desc, neighbor asc) rank as
+    * every knn twin; float centroids enter as shortest-round-trip
+    * doubles of the SIDECAR floats (the exact values the loaded
+    * kernels compare against). */
+  def ivfTreeSql(queryIds: Seq[Long], k: Int,
+      nprobe: Int): Option[String] =
+    ivfTreeFit.map { tq =>
+      val dim = tq.dim
+      val superProbe = tq.superProbeFor(nprobe)
+      val ids = queryIds.mkString(", ")
+      val supRows = (0 until tq.nGroups).map { g =>
+        s"($g, ${listLit(tq.supFlat.slice(g * dim, (g + 1) * dim).toSeq)})"
+      }.mkString(",\n    ")
+      val leafRows = (0 until tq.nLeaves).map { l =>
+        val gid = tq.groupStart.indexWhere(_ > l) - 1
+        s"($l, $gid, " +
+          s"${listLit(tq.leafFlat.slice(l * dim, (l + 1) * dim).toSeq)})"
+      }.mkString(",\n    ")
+      val supDl = diffList("e.emb", "", "sup.w", dim)
+      val leafDl = diffList("e.emb", "", "lv.w", dim)
+      s"""WITH sup(gid, w) AS (VALUES
+         |    $supRows),
+         |leafv(cell, gid, w) AS (VALUES
+         |    $leafRows),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |supd AS (
+         |  SELECT e.vec_id, sup.gid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product($supDl,
+         |                                     $supDl), sup.gid) AS rn
+         |  FROM e, sup),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, lv.cell,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY list_dot_product($leafDl,
+         |                                       $leafDl), lv.cell) AS rn
+         |    FROM supd b
+         |    JOIN leafv lv ON lv.gid = b.gid
+         |    JOIN e ON e.vec_id = b.vec_id
+         |    WHERE b.rn = 1)
+         |  WHERE rn = 1),
+         |treeprobe AS (
+         |  SELECT query_id, cell, rn AS ord FROM (
+         |    SELECT pg.vec_id AS query_id, lv.cell,
+         |           row_number() OVER (PARTITION BY pg.vec_id
+         |             ORDER BY list_dot_product($leafDl,
+         |                                       $leafDl), lv.cell) AS rn
+         |    FROM supd pg
+         |    JOIN leafv lv ON lv.gid = pg.gid
+         |    JOIN e ON e.vec_id = pg.vec_id
+         |    WHERE pg.rn <= $superProbe AND pg.vec_id IN ($ids))
+         |  WHERE rn <= $nprobe),
+         |allp AS (
+         |  SELECT vec_id AS query_id, cell, 0 AS ord FROM asg
+         |  WHERE vec_id IN ($ids)
+         |  UNION ALL SELECT query_id, cell, ord FROM treeprobe),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT query_id, cell, ord,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ord) AS rn FROM (
+         |      SELECT query_id, cell, ord,
+         |             row_number() OVER (PARTITION BY query_id, cell
+         |               ORDER BY ord) AS dup FROM allp)
+         |    WHERE dup = 1)
+         |  WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |s AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(${cosSql("en.emb", "eq.emb")}, 6) AS cosine_sim
+         |  FROM cand c
+         |  JOIN e en ON en.vec_id = c.neighbor_id
+         |  JOIN e eq ON eq.vec_id = c.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine_sim DESC, neighbor_id)::INT AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine_sim, rank
+         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+
   /** quantile_binning's fitted splits (with the ±Infinity end caps
     * MLlib adds), captured from the operator run. */
   @volatile private var quantileSplits: Option[Seq[Double]] = None

@@ -240,11 +240,25 @@ object SemanticStore {
     * union of every committed snapshot. The snapshot's dedup domain is
     * `batchDocs ⋈ batchEmb` on `idCol` (the batch twin's rule). An
     * `epochName` that is already committed replays as a no-op.
+    *
+    * `compactEvery` (opt-in, VERDICT r16 #4) makes the store police
+    * its own epoch growth: once this ingest's commit brings the LIVE
+    * committed-epoch count to the threshold, a [[compact]] (refit
+    * default — the budget-growing, pruning-restoring kind) runs before
+    * the state is returned. The lifecycle probe measured why a
+    * micro-batch ingester needs this: never-compact per-ingest cost
+    * grows ~5× over 40 epochs while compact-every-10 stays flat, and a
+    * production stream should not depend on an operator remembering a
+    * maintenance call. Crash-safe by construction — compact is
+    * idempotent and generation-staged, so a crash inside the
+    * auto-compaction leaves a committed ingest plus a heal-on-retry
+    * fold, exactly as if compact had been called manually. 0 = never
+    * (the default; the streaming sink keeps its own cadence).
     */
   def ingest(storePath: String, batchDocs: DataFrame, batchEmb: DataFrame,
       idCol: String, qualityCol: String, embCol: String,
       minCosine: Double, nCells: Int = 16,
-      epochName: String): DataFrame = {
+      epochName: String, compactEvery: Int = 0): DataFrame = {
     require(minCosine > 0 && minCosine < 1,
       "minCosine must be in (0, 1) — the cosineNearDupsBlocked domain")
     require(epochName.nonEmpty && !epochName.contains("/"),
@@ -306,6 +320,11 @@ object SemanticStore {
       fs0.mkdirs(root0)
       fs0.create(new org.apache.hadoop.fs.Path(root0, epochName), true)
         .close()
+      // even an empty epoch is a metadata dir the threshold counts
+      if (compactEvery > 0 && committed.size + 1 >= compactEvery) {
+        compact(spark, storePath)
+        return snapshot(spark, storePath, idCol, qualityCol)
+      }
       return snapshotOf(spark, storePath, committed :+ epochName,
         idCol, qualityCol)
     }
@@ -496,6 +515,15 @@ object SemanticStore {
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
     fs.mkdirs(root)
     fs.create(new org.apache.hadoop.fs.Path(root, epochName), true).close()
+    // auto-compaction AFTER the commit marker: the ingest is already
+    // durable, so the fold is ordinary maintenance — and the returned
+    // state must be rebuilt from the POST-fold listing (the folded
+    // epochs' dirs are swept; a frame over the stale names would read
+    // deleted paths when the caller finally evaluates it)
+    if (compactEvery > 0 && committed.size + 1 >= compactEvery) {
+      compact(spark, storePath)
+      return snapshot(spark, storePath, idCol, qualityCol)
+    }
     // the committed set is this call's listing + the epoch just
     // committed — reusing it saves the second `_epochs` listing per
     // lifecycle (VERDICT r15 #4's metadata-tax note)

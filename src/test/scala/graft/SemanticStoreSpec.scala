@@ -609,6 +609,52 @@ class SemanticStoreSpec extends AnyFunSuite {
       "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)))
   }
 
+  test("auto-compaction (ingest compactEvery): the live epoch count " +
+      "stays bounded by the knob alone and every returned state " +
+      "equals the manual twin's — the store polices its own growth " +
+      "(VERDICT r16 #4)") {
+    val (docs, emb) = fixture
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-semstore-auto").toString
+    val dirM = java.nio.file.Files
+      .createTempDirectory("graft-semstore-manual").toString
+    // five disjoint snapshots; compactEvery = 2 keeps the live count
+    // at most 2 (each fold collapses to one compact epoch)
+    val batches = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L), Seq(6L),
+      Seq(7L))
+    for ((b, i) <- batches.zipWithIndex) {
+      val d = docs.filter(col("doc_id").isin(b: _*))
+      val e = emb.filter(col("doc_id").isin(b: _*))
+      val auto = collect(SemanticStore.ingest(s"$dirA/store", d, e,
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+        epochName = f"s$i", compactEvery = 2))
+      val manual = collect(SemanticStore.ingest(s"$dirM/store", d, e,
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+        epochName = f"s$i"))
+      assert(auto == manual,
+        s"step $i: auto state $auto != manual state $manual")
+      val live = SemanticStore.committedEpochs(spark, s"$dirA/store")
+      assert(live.size <= 2,
+        s"step $i: live epochs ${live.mkString(",")} exceed the knob")
+    }
+    // the never-compacted twin has all 5 epochs; the auto store ended
+    // folded — and the states agree (the compact equality law, riding
+    // the auto path)
+    assert(SemanticStore.committedEpochs(spark, s"$dirM/store").size == 5)
+    assert(collect(SemanticStore.snapshot(spark, s"$dirA/store",
+      "doc_id", "q")) ==
+      collect(SemanticStore.snapshot(spark, s"$dirM/store",
+        "doc_id", "q")))
+    // replaying a FOLDED name through the auto path is still a no-op
+    assert(collect(SemanticStore.ingest(s"$dirA/store",
+      docs.filter(col("doc_id").isin(1L, 2L)),
+      emb.filter(col("doc_id").isin(1L, 2L)),
+      "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+      epochName = "s0", compactEvery = 2)) ==
+      collect(SemanticStore.snapshot(spark, s"$dirM/store",
+        "doc_id", "q")))
+  }
+
   test("refit compaction on a GROWN store raises the cell budget " +
       "above the birth count (VERDICT r16 #1) and every law still " +
       "holds: snapshot equality across the compact, ingest-after " +
