@@ -34,6 +34,51 @@ object ExtensionQueries {
   private def bm25QueryValues: String = Bm25Queries
     .map { case (id, t) => s"($id::BIGINT, '$t')" }.mkString(", ")
 
+  /** The BM25 twin (integer micro-unit contributions, exact integer
+    * sum, single final division — see [[Extensions.bm25TopK]]), shared
+    * by `bm25_topk` (`docFilter = ""`) and `bm25_delete` (survivors
+    * only): tf/dl/df AND the global n_docs/sum_dl all derive from the
+    * filtered corpus, which is exactly the statistics contract the
+    * TextIndex delete path must reproduce. */
+  private def bm25OracleSql(docFilter: String): String =
+    s"""WITH q AS (
+       |  SELECT * FROM (VALUES $bm25QueryValues) AS v(query_id, qtext)),
+       |qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id,
+       |           unnest(string_split(lower(qtext), ' ')) AS term
+       |    FROM q) WHERE term <> ''),
+       |tk AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents$docFilter),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*)::BIGINT AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |sc AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         CAST(round(
+       |           ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25
+       |               + 0.75 * dl.dl / (st.sum_dl / st.n_docs))))
+       |           * 1000000.0) AS BIGINT) AS contrib
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id,
+       |               CAST(sum(contrib) AS BIGINT) AS score_int
+       |        FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_int,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY score_int DESC, doc_id) AS rank
+       |      FROM agg)
+       |SELECT query_id, doc_id, score_int / 1000000.0 AS bm25,
+       |       rank::INT AS rank
+       |FROM r WHERE rank <= $Bm25K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Per-JVM build-once cache for the `hybrid_topk` pair: the
     * persisted hybrid layout exists to be built ONCE and queried many
     * times, so the two catalog configurations (exhaustive + pruned)
@@ -1199,43 +1244,34 @@ object ExtensionQueries {
           "query_id", k = Bm25K)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH q AS (
-             |  SELECT * FROM (VALUES $bm25QueryValues) AS v(query_id, qtext)),
-             |qt AS (
-             |  SELECT DISTINCT query_id, term FROM (
-             |    SELECT query_id,
-             |           unnest(string_split(lower(qtext), ' ')) AS term
-             |    FROM q) WHERE term <> ''),
-             |tk AS (
-             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-             |       FROM tk WHERE term <> '' GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-             |       FROM tf GROUP BY 1),
-             |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-             |st AS (SELECT count(*)::BIGINT AS n_docs,
-             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-             |sc AS (
-             |  SELECT qt.query_id, tf.doc_id,
-             |         CAST(round(
-             |           ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
-             |           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25
-             |               + 0.75 * dl.dl / (st.sum_dl / st.n_docs))))
-             |           * 1000000.0) AS BIGINT) AS contrib
-             |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-             |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
-             |agg AS (SELECT query_id, doc_id,
-             |               CAST(sum(contrib) AS BIGINT) AS score_int
-             |        FROM sc GROUP BY 1, 2),
-             |r AS (SELECT query_id, doc_id, score_int,
-             |             row_number() OVER (PARTITION BY query_id
-             |               ORDER BY score_int DESC, doc_id) AS rank
-             |      FROM agg)
-             |SELECT query_id, doc_id, score_int / 1000000.0 AS bm25,
-             |       rank::INT AS rank
-             |FROM r WHERE rank <= $Bm25K
-             |ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25OracleSql(""))),
+
+    // ── BM25 through the PERSISTED index after a TAKE-DOWN DELETE
+    // (r17): build + save a TextIndex, commit a delete of doc_id < 25,
+    // load, query. The deleted docs leave the RESULT and the
+    // STATISTICS exactly — n_docs shifts every term's idf, sum_dl
+    // shifts every fTf, and each probed term's denormalized df is
+    // corrected at query time — so the scores hash-match a twin
+    // computed over the surviving corpus alone. This is never a
+    // vacuous check: deleting ANY present doc moves every bm25 value
+    // in the output. The vector-side twin is semantic_dedup_delete;
+    // together the take-down path is oracle-checked on both retrieval
+    // branches ──────────────────────────────────────────────────────────
+    QuerySpec("bm25_delete",
+      (s, d) => {
+        import s.implicits._
+        val dir = tempDir("graft-bm25-del")
+        TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
+          .save(s"$dir/idx")
+        TextIndex.delete(s, s"$dir/idx",
+          documents(s, d).filter(col("doc_id") < 25).select("doc_id"),
+          "doc_id", "take-down-1")
+        TextIndex.load(s, s"$dir/idx")
+          .query(Bm25Queries.toDF("query_id", "query_text"),
+            "query_text", "query_id", k = Bm25K)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25OracleSql(" WHERE doc_id >= 25"))),
 
     // ── hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // list and the cosine dense list per query document (shared
