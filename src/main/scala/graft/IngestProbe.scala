@@ -52,6 +52,9 @@ import org.apache.spark.sql.functions._
   * (default 5 = 4 growth + 1 reserved; must divide the factor),
   * SPARK_GRAFT_INGEST_MINCOS (default 0.35 — the catalog stress
   * threshold; 0.8 is the production operating point),
+  * SPARK_GRAFT_INGEST_SECOND (default 0 — drift batches ingested
+  * AFTER the first compaction, followed by a SECOND refit compaction:
+  * the VERDICT r17 #3 convergence trajectory),
   * SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE.
   */
 object IngestProbe {
@@ -236,10 +239,20 @@ object IngestProbe {
         radii.values.foldLeft(0.0)(math.max), frac)
     }
 
+    // second-compaction phase (VERDICT r17 #3 — CONVERGENCE): after
+    // the first grown refit, `second` MORE drift batches ingest and a
+    // SECOND refit compaction runs. The r17 probe showed one grown
+    // refit lifts a born-small store to survivor 0.48 vs the 0.21 of
+    // a born-at-doctrine store and ARGUED the next compaction closes
+    // the rest; this phase measures that trajectory instead. 0 = the
+    // r17 protocol (one compaction, then the reserved batch).
+    val second = sys.env.getOrElse("SPARK_GRAFT_INGEST_SECOND", "0").toInt
+    require(second >= 0 && second <= nBatches - 2,
+      s"second=$second must leave >= 1 growth and 1 reserved batch")
+
     val sb = new StringBuilder
     var storedRows = 0L
-    val growth = nBatches - 1
-    for (b <- 0 until growth) {
+    def ingestStep(b: Int, buf: StringBuilder, first: Boolean): Unit = {
       val be = batchAt(b)
       val rows = be.count()
       val (tIngest, _) = time {
@@ -253,8 +266,8 @@ object IngestProbe {
           .count()
       }
       val (pairRows, metaRows, meanR, maxR, survFrac) = health()
-      if (b > 0) sb.append(",")
-      sb.append(f"""{"i":$b,"batch_rows":$rows,""" +
+      if (!first) buf.append(",")
+      buf.append(f"""{"i":$b,"batch_rows":$rows,""" +
         f""""stored_rows_before":$storedRows,""" +
         f""""t_ingest":${math.rint(tIngest * 1000) / 1000}%s,""" +
         f""""t_snapshot":${math.rint(tSnap * 1000) / 1000}%s,""" +
@@ -267,6 +280,8 @@ object IngestProbe {
         f"t_ingest=$tIngest%.1fs t_snapshot=$tSnap%.1fs pairs=$pairRows " +
         f"survivors=$survFrac%.3f")
     }
+    val growth = nBatches - 1 - second
+    for (b <- 0 until growth) ingestStep(b, sb, first = b == 0)
     val cellsBefore = graft.engine.IvfIndex
       .readQuantizer(spark, s"$store/ivf").size
     val (tCompact, _) = time {
@@ -283,7 +298,32 @@ object IngestProbe {
       graft.engine.SemanticStore.snapshot(spark, store, "vec_id", "q")
         .count()
     }
-    val bLast = growth
+    // phase 2: more DRIFT batches (fresh cluster directions — only
+    // the final reserved batch folds back to batch-0's) against the
+    // once-compacted store, then the second refit compaction
+    val sb2 = new StringBuilder
+    var cells2 = cellsAfter
+    var tCompact2 = 0.0
+    var pairs2 = 0L
+    var meanR2 = 0.0
+    var maxR2 = 0.0
+    var surv2 = 1.0
+    if (second > 0) {
+      for (b <- growth until growth + second)
+        ingestStep(b, sb2, first = b == growth)
+      val (t2, _) = time {
+        graft.engine.SemanticStore.compact(spark, store, refit = refit,
+          rowsPerCell = rowsPerCell)
+      }
+      tCompact2 = t2
+      cells2 = graft.engine.IvfIndex
+        .readQuantizer(spark, s"$store/ivf").size
+      val h2 = health()
+      pairs2 = h2._1; meanR2 = h2._3; maxR2 = h2._4; surv2 = h2._5
+      System.err.println(f"[ingest-probe] compact2=$tCompact2%.1fs " +
+        f"cells=$cellsAfter->$cells2 pairs=$pairs2 surv2=$surv2%.4f")
+    }
+    val bLast = growth + second
     val beLast = batchAt(bLast)
     val lastRows = beLast.count()
     val (tIngestPost, _) = time {
@@ -292,6 +332,14 @@ object IngestProbe {
         minCosine = minCos, nCells = nCells,
         epochName = f"snap-$bLast%03d").count()
     }
+    val secondJson = if (second == 0) "" else
+      s""""second_growth":[${sb2.toString}],""" +
+      s""""t_compact2":${math.rint(tCompact2 * 1000) / 1000},""" +
+      s""""cells_after_second_compact":$cells2,""" +
+      s""""second_compact_health":{"pairs_total":$pairs2,""" +
+      s""""mean_radius":${math.rint(meanR2 * 1000) / 1000},""" +
+      s""""max_radius":${math.rint(maxR2 * 1000) / 1000},""" +
+      s""""survivor_frac":${math.rint(surv2 * 10000) / 10000}},"""
     val (pairsPost, _, _, _, survPost) = health()
     System.err.println(f"[ingest-probe] compact=$tCompact%.1fs " +
       f"snapshot_after=$tSnapCompacted%.1fs post_ingest=$tIngestPost%.1fs " +
@@ -301,13 +349,15 @@ object IngestProbe {
       s""""rows_per_cell":$rowsPerCell,""" +
       s""""cells_before_compact":$cellsBefore,""" +
       s""""cells_after_compact":$cellsAfter,""" +
-      s""""batches":$nBatches,"growth":[${sb.toString}],""" +
+      s""""batches":$nBatches,"second":$second,""" +
+      s""""growth":[${sb.toString}],""" +
       s""""t_compact":${math.rint(tCompact * 1000) / 1000},""" +
       s""""post_compact_health":{"pairs_total":$pairsPC,""" +
       s""""mean_radius":${math.rint(meanRPC * 1000) / 1000},""" +
       s""""max_radius":${math.rint(maxRPC * 1000) / 1000},""" +
       s""""survivor_frac":${math.rint(survPC * 10000) / 10000}},""" +
       s""""t_snapshot_compacted":${math.rint(tSnapCompacted * 1000) / 1000},""" +
+      secondJson +
       s""""post_compact_ingest":{"batch_rows":$lastRows,""" +
       s""""stored_rows_before":$storedRows,""" +
       s""""t_ingest":${math.rint(tIngestPost * 1000) / 1000},""" +

@@ -22,6 +22,8 @@ object ExtensionQueries {
   private val RrfFinalK = 10
   private val RrfConst = 60
   private val HybridNCells = 8
+  private val HybridTreeNCells = 64
+  private val HybridTreeNProbe = 8
   private val CmsDepth = 4
   private val CmsWidth = 16384
   private val DsirBuckets = 4096
@@ -87,13 +89,16 @@ object ExtensionQueries {
     * layout (the bucketed_join first-run-materialization precedent).
     * JVM-scoped, never cross-run: a fresh Verify/Bench process always
     * rebuilds, so a code change can't serve a stale index. */
-  // keyed by (session, dir): cached indexes hold DataFrames bound to
-  // the session that built them — a later session in the same JVM
-  // (sequential suites in one sbt fork) must rebuild, not inherit
-  // frames whose SparkContext is stopped (a review finding). The temp
-  // build dir is registered for JVM-exit deletion.
+  // keyed by (session, dir, nCells): cached indexes hold DataFrames
+  // bound to the session that built them — a later session in the same
+  // JVM (sequential suites in one sbt fork) must rebuild, not inherit
+  // frames whose SparkContext is stopped (a review finding). nCells
+  // keys the flat (HybridNCells) and tree-mode (HybridTreeNCells, r18)
+  // pairs apart. The temp build dir is registered for JVM-exit
+  // deletion.
   private val hybridIdxCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (TextIndex, IvfIndex)]()
+    (org.apache.spark.sql.SparkSession, String, Int),
+    (TextIndex, IvfIndex)]()
 
   /** Temp dir removed RECURSIVELY at JVM exit: `File.deleteOnExit`
     * silently no-ops on non-empty directories, so a per-run store
@@ -138,16 +143,20 @@ object ExtensionQueries {
     * contract is about. Verify and the specs never call this, so the
     * correctness path still exercises the cold build. */
   def warmHybridIndexes(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit = { hybridIndexes(s, d); () }
+      d: String): Unit = {
+    hybridIndexes(s, d, HybridNCells)
+    hybridIndexes(s, d, HybridTreeNCells)
+    ()
+  }
 
   private def hybridIndexes(s: org.apache.spark.sql.SparkSession,
-      d: String): (TextIndex, IvfIndex) =
-    hybridIdxCache.computeIfAbsent((s, d), _ => {
+      d: String, nCells: Int): (TextIndex, IvfIndex) =
+    hybridIdxCache.computeIfAbsent((s, d, nCells), _ => {
       val dir = tempDir("graft-hybrid")
       TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
         .save(s"$dir/text")
       IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
-        nCells = HybridNCells).save(s"$dir/ivf")
+        nCells = nCells).save(s"$dir/ivf")
       (TextIndex.load(s, s"$dir/text"),
         IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"))
     })
@@ -322,6 +331,89 @@ object ExtensionQueries {
        |  SELECT query_id, cell FROM (
        |    SELECT qcent.*, row_number() OVER (PARTITION BY query_id
        |             ORDER BY c DESC, cell) AS rn FROM qcent)
+       |  WHERE rn <= $nprobe),
+       |""".stripMargin
+    rrfOracleSqlWith(
+      denseFrom = """FROM embeddings e
+        |  JOIN asg a ON a.vec_id = e.vec_id
+        |  JOIN qprobe p ON p.cell = a.cell
+        |  JOIN qe ON qe.query_id = p.query_id""".stripMargin,
+      postQeCtes = preCtes)
+  }
+
+  /** The TREE-MODE dense-branch variant (hybrid_tree_topk, VERDICT
+    * r17 #5): the shared RRF template with the dense branch routed
+    * through the LOADED sidecar's two-level machinery — exactly
+    * [[PqOracles.ivfTreeSql]]'s assignment (nearest super by squared
+    * L2, ties low; nearest leaf within the group, ties low), probe
+    * selection (top-superProbe groups → their leaves ascending
+    * (distance, cell)), and the ADVICE r15 self-cell-first rule
+    * (the query's own tree-assigned cell prepended, dedup keeping
+    * first, cut at nprobe) — generated lazily from the tree quantizer
+    * of THIS run's cached tree-mode hybrid pair. Float centroids
+    * enter as shortest-round-trip doubles of the sidecar floats. */
+  private def rrfOracleSqlTree(tq: Extensions.TreeQuantizer,
+      nprobe: Int): String = {
+    val dim = tq.dim
+    val superProbe = tq.superProbeFor(nprobe)
+    val ids = RrfQueryIds.mkString(", ")
+    val supRows = (0 until tq.nGroups).map { g =>
+      s"($g, ${PqOracles.listLit(
+        tq.supFlat.slice(g * dim, (g + 1) * dim).toSeq)})"
+    }.mkString(",\n    ")
+    val leafRows = (0 until tq.nLeaves).map { l =>
+      val gid = tq.groupStart.indexWhere(_ > l) - 1
+      s"($l, $gid, ${PqOracles.listLit(
+        tq.leafFlat.slice(l * dim, (l + 1) * dim).toSeq)})"
+    }.mkString(",\n    ")
+    val supDl = PqOracles.diffList("ev.emb", "", "sup.w", dim)
+    val leafDl = PqOracles.diffList("ev.emb", "", "lv.w", dim)
+    val preCtes = s"""sup(gid, w) AS (VALUES
+       |    $supRows),
+       |leafv(cell, gid, w) AS (VALUES
+       |    $leafRows),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |supd AS (
+       |  SELECT ev.vec_id, sup.gid,
+       |         row_number() OVER (PARTITION BY ev.vec_id
+       |           ORDER BY list_dot_product($supDl,
+       |                                     $supDl), sup.gid) AS rn
+       |  FROM ev, sup),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, lv.cell,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY list_dot_product($leafDl,
+       |                                       $leafDl), lv.cell) AS rn
+       |    FROM supd b
+       |    JOIN leafv lv ON lv.gid = b.gid
+       |    JOIN ev ON ev.vec_id = b.vec_id
+       |    WHERE b.rn = 1)
+       |  WHERE rn = 1),
+       |treeprobe AS (
+       |  SELECT query_id, cell, rn AS ord FROM (
+       |    SELECT pg.vec_id AS query_id, lv.cell,
+       |           row_number() OVER (PARTITION BY pg.vec_id
+       |             ORDER BY list_dot_product($leafDl,
+       |                                       $leafDl), lv.cell) AS rn
+       |    FROM supd pg
+       |    JOIN leafv lv ON lv.gid = pg.gid
+       |    JOIN ev ON ev.vec_id = pg.vec_id
+       |    WHERE pg.rn <= $superProbe AND pg.vec_id IN ($ids))
+       |  WHERE rn <= $nprobe),
+       |allp AS (
+       |  SELECT vec_id AS query_id, cell, 0 AS ord FROM asg
+       |  WHERE vec_id IN ($ids)
+       |  UNION ALL SELECT query_id, cell, ord FROM treeprobe),
+       |qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, ord,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ord) AS rn FROM (
+       |      SELECT query_id, cell, ord,
+       |             row_number() OVER (PARTITION BY query_id, cell
+       |               ORDER BY ord) AS dup FROM allp)
+       |    WHERE dup = 1)
        |  WHERE rn <= $nprobe),
        |""".stripMargin
     rrfOracleSqlWith(
@@ -1301,7 +1393,7 @@ object ExtensionQueries {
     // production pruned probe on the same layout. ───────────────────────
     QuerySpec("hybrid_topk",
       (s, d) => {
-        val (text, ivf) = hybridIndexes(s, d)
+        val (text, ivf) = hybridIndexes(s, d, HybridNCells)
         HybridIndex.queryByIds(text, ivf,
             documents(s, d), "text", RrfQueryIds,
             kBranch = RrfKBranch, k = RrfFinalK, nprobe = HybridNCells,
@@ -1319,7 +1411,7 @@ object ExtensionQueries {
     // cached index; recall/exactness laws stay in HybridIndexSpec ──────
     QuerySpec("hybrid_topk_pruned",
       (s, d) => {
-        val (text, ivf) = hybridIndexes(s, d)
+        val (text, ivf) = hybridIndexes(s, d, HybridNCells)
         PqOracles.stashHybridIvf(ivf.centroidArrays)
         HybridIndex.queryByIds(text, ivf,
             documents(s, d), "text", RrfQueryIds,
@@ -1330,6 +1422,29 @@ object ExtensionQueries {
       None,
       lazyOracle = Some(() => PqOracles.hybridIvfCents
         .map(c => rrfOracleSqlPruned(c, nprobe = 2)))),
+
+    // ── the hybrid serving shape at TREE scale (VERDICT r17 #5):
+    // the same persisted lexical branch fused with a dense branch
+    // whose IvfIndex was built PAST the tree threshold — save/load
+    // round-trips the sidecar, and the dense probes run the two-level
+    // rule + self-cell-first prepend (the ivf_tree_topk machinery)
+    // instead of the flat centroid scan. The twin routes the shared
+    // RRF template's dense branch through the loaded sidecar's
+    // literal floats — capture-replay, bit-exact; the lexical branch
+    // and the fusion tail are byte-shared with hybrid_topk's. ─────────
+    QuerySpec("hybrid_tree_topk",
+      (s, d) => {
+        val (text, ivf) = hybridIndexes(s, d, HybridTreeNCells)
+        ivf.treeQuantizer.foreach(PqOracles.stashHybridTree)
+        HybridIndex.queryByIds(text, ivf,
+            documents(s, d), "text", RrfQueryIds,
+            kBranch = RrfKBranch, k = RrfFinalK,
+            nprobe = HybridTreeNProbe, rrfK = RrfConst)
+          .orderBy("query_id", "rank")
+      },
+      None,
+      lazyOracle = Some(() => PqOracles.hybridTreeFit
+        .map(tq => rrfOracleSqlTree(tq, nprobe = HybridTreeNProbe)))),
 
     // ── bigram LM quality stats: corpus-frequency profile of each
     // document's bigrams, all-integer + long/long division → exact;

@@ -55,13 +55,26 @@ object Generations {
     * Failed-audit WAP stages count as superseded versions and are
     * collected too once they age out of the keep window — debug them
     * within `keep` publishes or stage under a different root.
+    *
+    * `isGeneration` restricts BOTH the ranking and the sweep to names
+    * the caller's protocol actually versions. A root that carries
+    * non-generation directories beside the generation roots (the
+    * [[TextIndex]] layout: `segments-<n>` roots NEXT TO `deletes/` /
+    * `_deletes/` epoch dirs) must pass it — unfiltered, a recent
+    * delete epoch outranks the superseded segment root by mtime, so
+    * the sweep (a) evicted the OLD root early, breaking the one-cycle
+    * grace guarantee pre-flip readers rely on, and (b) could collect
+    * a live `deletes/` dir outright (r18 review finding; the epoch
+    * dirs survived in practice only because the `_dels_applied`
+    * manifest had already neutralized them).
     */
-  def retain(path: String, keep: Int): Seq[String] = {
+  def retain(path: String, keep: Int,
+      isGeneration: String => Boolean = _ => true): Seq[String] = {
     require(keep >= 1, "retain needs keep >= 1")
     val root = new File(path)
     val cur = currentName(path)
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
+      .filter(_.isDirectory).filter(d => isGeneration(d.getName))
     def rank(d: File): (Long, String) = {
       val suffix = d.getName.stripPrefix("gen-")
       if (d.getName.startsWith("gen-") && suffix.nonEmpty &&

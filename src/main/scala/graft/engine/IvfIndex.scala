@@ -46,7 +46,7 @@ final class IvfIndex private (
     * for a LOADED index this is the sidecar round-trip, i.e. exactly
     * the floats [[query]]'s probe kernels see, which is what the
     * deferred tree twin must replay ([[PqOracles.ivfTreeSql]]). */
-  private[engine] def treeQuantizer: Option[Extensions.TreeQuantizer] =
+  private[graft] def treeQuantizer: Option[Extensions.TreeQuantizer] =
     tree
 
   /** Exact cosine top-k within the probed cells for each query id

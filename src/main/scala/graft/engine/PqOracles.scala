@@ -135,6 +135,20 @@ private[graft] object PqOracles {
 
   def hybridIvfCents: Option[Seq[Array[Float]]] = hybridIvfFit
 
+  /** hybrid_tree_topk's LOADED tree quantizer (the sidecar round-trip
+    * of the tree-mode index the hybrid dense branch queries), captured
+    * from this JVM's cached tree-mode hybrid pair — the twin itself is
+    * generated in ExtensionQueries by routing the shared RRF
+    * template's dense branch through [[ivfTreeSql]]'s two-level
+    * assignment/probe machinery. */
+  @volatile private var hybridTreeQ: Option[Extensions.TreeQuantizer] =
+    None
+
+  def stashHybridTree(tq: Extensions.TreeQuantizer): Unit =
+    hybridTreeQ = Option(tq)
+
+  def hybridTreeFit: Option[Extensions.TreeQuantizer] = hybridTreeQ
+
   /** knn_join_pruned's fitted blocking centroids (float-cast),
     * captured from the operator run. */
   @volatile private var knnPrunedFit: Option[Seq[Array[Float]]] = None

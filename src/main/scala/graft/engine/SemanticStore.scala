@@ -253,7 +253,8 @@ object SemanticStore {
     * idempotent and generation-staged, so a crash inside the
     * auto-compaction leaves a committed ingest plus a heal-on-retry
     * fold, exactly as if compact had been called manually. 0 = never
-    * (the default; the streaming sink keeps its own cadence).
+    * (the default; the streaming sink forwards its own `compactEvery`
+    * knob here — r18).
     */
   def ingest(storePath: String, batchDocs: DataFrame, batchEmb: DataFrame,
       idCol: String, qualityCol: String, embCol: String,
@@ -634,6 +635,29 @@ object SemanticStore {
           .filter(_.getName.startsWith("_staging-marker-"))
           .foreach(p => fs.delete(p, false))
     }
+    // reclaim delete-ids dirs whose marker is gone (ADVICE r17): the
+    // marker-first retire order means a crash between the two retire
+    // deletes orphans the ids dir, and the retire loops iterate
+    // marker names only — once the marker is deleted the orphan was
+    // never listed again. Markerless dirs are invisible to every
+    // reader (deletes resolve via markers), so this is pure GC. The
+    // staged-ids-THEN-marker commit order cannot race this under the
+    // single-maintenance-writer contract. Mirrored for the inner
+    // index's store-named tombstones below (same crash shape).
+    def sweepMarkerless(idsRoot: String, markerRoot: String,
+        prefix: String): Unit = {
+      val (fs, ip) = hadoopFs(spark, idsRoot)
+      if (fs.exists(ip))
+        fs.listStatus(ip).toSeq
+          .filter(st => prefix.isEmpty ||
+            st.getPath.getName.startsWith(prefix))
+          .filterNot(st => fs.exists(new org.apache.hadoop.fs.Path(
+            s"$markerRoot/${st.getPath.getName}")))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+    sweepMarkerless(s"$storePath/deletes", s"$storePath/_deletes", "")
+    sweepMarkerless(s"$storePath/ivf/tombstones",
+      s"$storePath/ivf/_tombstones", "store-")
     val (committed, folded) = markerEntries(spark, storePath)
     // delete state snapshotted ONCE: a delete committed while this
     // runs is not applied by this fold and stays a live filter until

@@ -120,19 +120,45 @@ final class TextIndex private[engine] (
     * posting's denormalized `df` is corrected, so the written layout
     * equals a fresh build over the survivors — save() is the plain
     * layout's physical-removal path (the segmented layout's is
-    * [[TextIndex.compactSegments]]). Any delete epochs at the target
-    * path are cleared first: the postings being written already
-    * reflect them, and leaving them would double-subtract the stats
-    * corrections at the next load. In-place re-save stays the
-    * documented non-atomic exposure (the [[IvfIndex.save]] note).
+    * [[TextIndex.compactSegments]]).
+    *
+    * Protocol (VERDICT r17 #1 — the take-down resurrection window):
+    * the layout stages as a fresh `plain-<n>` generation and the
+    * [[Generations]] pointer flip is the single commit. The pre-r18
+    * order cleared the target's delete epochs FIRST and then
+    * overwrote postings in place, so a crash between the two — or
+    * Spark's cannot-overwrite-read-path rejection of an in-place
+    * re-save, which fired only AFTER the clear — left the OLD
+    * postings with NO delete markers: a committed, legally-required
+    * take-down silently resurrected. Now nothing at the target is
+    * mutated before the flip; in-place re-save (`load(p).save(p)`) is
+    * a supported operation because the staged generation never
+    * collides with the directories the loaded frames read.
+    *
+    * Every delete epoch committed at the target is inapplicable to
+    * the staged layout — when target == source they are the deletes
+    * this write just realized physically; when the target carried an
+    * unrelated older index they reference a corpus the flip replaces
+    * wholesale. They are listed in the generation's `_dels_applied`
+    * manifest (from the flip on they stop filtering and stop
+    * correcting stats) and their dirs are retired one grace cycle
+    * later, exactly the [[compactSegments]] protocol: a reader that
+    * resolved the old generation just before the flip keeps intact
+    * epoch files for the queries it has in flight.
     */
   def save(path: String): Unit = {
     val spark = postings.sparkSession
     import spark.implicits._
     val (fs, _) = TextIndex.hadoopFs(spark, path)
-    Seq(s"$path/_deletes", s"$path/deletes").foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    }
+    val oldRoot = TextIndex.plainRoot(path)
+    val nextGen =
+      oldRoot.map(_.stripPrefix("plain-").toInt + 1).getOrElse(1)
+    val newRoot = s"plain-$nextGen"
+    // a crashed earlier attempt at this generation is unpublished by
+    // construction (the pointer flip below is the only commit) —
+    // delete and restage (the compactSegments restage rule)
+    val stale = new java.io.File(s"$path/$newRoot")
+    if (stale.exists()) TextIndex.deleteRecursively(stale)
     val livePostings = deleted match {
       case None => postings
       case Some(del) =>
@@ -151,11 +177,54 @@ final class TextIndex private[engine] (
     // each bucket lands as a handful of full files. Raise the count
     // past nBuckets when buckets outgrow executor-sized files.
     livePostings.repartition(nBuckets, col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/postings")
+      .write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(s"$path/$newRoot/postings")
     Seq((nDocs, sumDl, nBuckets, idCol)).toDF(
         "n_docs", "sum_dl", "n_buckets", "id_col")
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("errorifexists").parquet(s"$path/$newRoot/stats")
+    // names the OLD generation had already applied — their grace
+    // cycle ends at this flip, retired below. Names retired by an
+    // even earlier cycle have no marker left and drop out of the
+    // manifest here (ADVICE r17: the carried-forever manifest grew
+    // without bound; deleteEntries already skips missing ids dirs,
+    // so a retired name needs no exclusion claim).
+    val appliedBefore = TextIndex.appliedDeletes(spark, path)
+      .filter(n => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_deletes/$n")))
+    val delRoot = new org.apache.hadoop.fs.Path(s"$path/_deletes")
+    val allMarkers =
+      if (!fs.exists(delRoot)) Set.empty[String]
+      else fs.listStatus(delRoot).map(_.getPath.getName).toSet
+    if (allMarkers.nonEmpty) {
+      val (mfs, mp) = TextIndex.hadoopFs(spark,
+        s"$path/$newRoot/_dels_applied")
+      val out = mfs.create(mp, true)
+      out.write(allMarkers.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+    Generations.publish(path, newRoot) // the commit point
+    // retire (a) the epochs whose grace cycle just ended — marker
+    // first, ids dir second (the r17 retire order) — and (b) the
+    // legacy flat layout's dirs once a generation beyond plain-1
+    // supersedes them (they got plain-1's lifetime as THEIR grace)
+    appliedBefore.toSeq.sorted.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_deletes/$n"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes/$n"), true)
+    }
+    if (oldRoot.isDefined)
+      Seq(s"$path/postings", s"$path/stats").foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      }
+    // reclaim markerless ids dirs (crash between the two retire
+    // deletes above) and crashed delete stagings — the same GC
+    // compactSegments runs; markerless dirs are invisible to readers
+    val (dfs, droot) = TextIndex.hadoopFs(spark, s"$path/deletes")
+    if (dfs.exists(droot))
+      dfs.listStatus(droot).toSeq
+        .filterNot(st => dfs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_deletes/${st.getPath.getName}")))
+        .foreach(st => dfs.delete(st.getPath, true))
+    Generations.retain(path, keep = 2, _.startsWith("plain-"))
   }
 }
 
@@ -239,10 +308,40 @@ object TextIndex {
 
   /** Directory (relative to the index path) holding the LIVE segment
     * set: the [[Generations]] pointer target once [[compactSegments]]
-    * has run, the original `segments` layout before.
+    * has run, the original `segments` layout before. A `plain-<n>`
+    * pointer (the plain layout's generational save, r18) never reaches
+    * here — the plain/segmented split happens on the pointer prefix.
     */
   private def segmentsRoot(path: String): String =
-    Generations.currentName(path).getOrElse("segments")
+    Generations.currentName(path).filter(_.startsWith("segments"))
+      .getOrElse("segments")
+
+  /** The live plain-layout generation root name (`plain-<n>`), or None
+    * for a legacy flat layout (postings/stats at the index root) and
+    * for segmented paths. */
+  private[engine] def plainRoot(path: String): Option[String] =
+    Generations.currentName(path).filter(_.startsWith("plain-"))
+
+  /** Where the plain layout's `postings`/`stats` dirs live: the
+    * published generation once a generational [[TextIndex#save save]]
+    * has run, the index root for the legacy flat layout. */
+  private[graft] def plainDataDir(path: String): String =
+    plainRoot(path).map(r => s"$path/$r").getOrElse(path)
+
+  /** Reclaim `_staging-del-*` orphans a crashed [[delete]] left at the
+    * index root (ADVICE r17: a crash between staging the marker
+    * content and the rename strands the staging file forever — a
+    * retry under a DIFFERENT name never overwrites it). Safe under
+    * the single-maintenance-writer contract: no delete() is mid-
+    * commit while another maintenance call runs. */
+  private def sweepStagingOrphans(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(_.getPath.getName.startsWith("_staging-del-"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
 
   // ── take-down deletes (VERDICT r16 #2) ───────────────────────────────
 
@@ -281,6 +380,7 @@ object TextIndex {
     val (fs, _) = hadoopFs(spark, path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/_deletes/$name")
     if (fs.exists(marker)) return // committed replay: no-op
+    sweepStagingOrphans(fs, path)
     val postings = allPostings(spark, path)
     val docCol = savedIdCol(spark, path)
     val fresh = ids.select(col(idCol).as("__del_id")).distinct()
@@ -311,38 +411,45 @@ object TextIndex {
       s"could not publish delete marker $name") // the commit point
   }
 
-  /** The live postings union regardless of layout — plain
-    * (`$path/postings`) or segmented (every live segment's). */
+  /** The live postings union regardless of layout — plain (the
+    * published `plain-<n>` generation, or the legacy flat root) or
+    * segmented (every live segment's). The pointer is resolved FIRST:
+    * after a generational save over a legacy layout, the superseded
+    * flat `postings` dir lingers one grace cycle and must not be
+    * mistaken for the live corpus. */
   private def allPostings(spark: SparkSession, path: String): DataFrame = {
     val (fs, _) = hadoopFs(spark, path)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings")))
-      spark.read.parquet(s"$path/postings")
+    val plain = plainDataDir(path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$plain/postings")))
+      spark.read.parquet(s"$plain/postings")
     else segmentDirs(path).map(d =>
       spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
   }
 
   /** The saved layout's document id column, from its own stats (plain
-    * layout: `$path/stats`; segmented: any segment's — load validates
-    * they agree). */
+    * layout: the live generation's `stats`; segmented: any segment's —
+    * load validates they agree). */
   private def savedIdCol(spark: SparkSession, path: String): String = {
     val (fs, _) = hadoopFs(spark, path)
+    val plain = plainDataDir(path)
     val statsPath =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")))
-        s"$path/stats"
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$plain/stats")))
+        s"$plain/stats"
       else s"${segmentDirs(path).head}/stats"
     val st = spark.read.parquet(statsPath).collect().head
     st.getString(st.fieldIndex("id_col"))
   }
 
-  /** Delete-epoch names the CURRENT published segment root has already
-    * applied PHYSICALLY (its `_dels_applied` manifest) — excluded from
-    * every logical filter and stats correction, retired one grace
-    * generation later. Plain layouts (and pre-compaction segmented
-    * ones) have no manifest: empty. */
-  private def appliedDeletes(spark: SparkSession,
+  /** Delete-epoch names the CURRENT published root — segment root or
+    * plain generation — has already applied PHYSICALLY (its
+    * `_dels_applied` manifest): excluded from every logical filter and
+    * stats correction, retired one grace generation later. Legacy flat
+    * layouts (and pre-compaction segmented ones) have no manifest:
+    * empty. */
+  private[engine] def appliedDeletes(spark: SparkSession,
       path: String): Set[String] = {
-    val (fs, p) = hadoopFs(spark,
-      s"$path/${segmentsRoot(path)}/_dels_applied")
+    val root = plainRoot(path).getOrElse(segmentsRoot(path))
+    val (fs, p) = hadoopFs(spark, s"$path/$root/_dels_applied")
     if (!fs.exists(p)) Set.empty
     else {
       val in = fs.open(p)
@@ -377,6 +484,23 @@ object TextIndex {
     }
   }
 
+  /** Whether committed take-down deletes exist that no generation has
+    * physically realized yet — i.e. whether a maintenance pass has
+    * pending physical-removal work ([[HybridIndex.compact]]'s plain-
+    * layout trigger). */
+  private[engine] def hasUnappliedDeletes(spark: SparkSession,
+      path: String): Boolean = deleteEntries(spark, path).nonEmpty
+
+  /** Whether `path` holds the plain layout (a published `plain-<n>`
+    * generation or the legacy flat root) as opposed to the segmented
+    * one. */
+  private[engine] def isPlainLayout(spark: SparkSession,
+      path: String): Boolean = {
+    val (fs, _) = hadoopFs(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"${plainDataDir(path)}/postings"))
+  }
+
   /** All unapplied deleted ids as one `__del_id` frame; None when none
     * exist (the common case — query paths add no plan step). */
   private def deletedIdsDf(spark: SparkSession,
@@ -388,16 +512,61 @@ object TextIndex {
       .distinct())
   }
 
+  /** Segment names the current root's compaction folded into its
+    * merged segment (`_segs_folded` manifest) — an append replaying
+    * one of these names must refuse, not re-index (their rows live
+    * inside the compacted segment now). Empty before any compaction. */
+  private def foldedSegments(spark: SparkSession,
+      path: String): Set[String] = {
+    val (fs, p) = hadoopFs(spark,
+      s"$path/${segmentsRoot(path)}/_segs_folded")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
   /** Append one corpus snapshot as a new immutable segment under the
     * live segment root. Documents must be NEW ids (segments never
     * overwrite; dedup upstream — see the incremental dedup ops).
     * `nBuckets` must match across segments (validated on load).
+    *
+    * Returns false on a replay: a `segmentName` whose segment is
+    * already fully written (stats dir present — stats land last, the
+    * segment's commit point), or one a compaction has since FOLDED
+    * into its merged segment (`_segs_folded` — without this check a
+    * checkpoint replay straddling an auto-compaction would re-index
+    * the folded batch as a fresh segment and double-count every
+    * document, the [[SemanticStore.ingest]] folded-name refusal
+    * twin; r18 review finding). A segment dir WITHOUT stats is a
+    * crashed half-write — unpublished by construction — and is
+    * deleted and restaged.
+    *
+    * `compactEvery` (VERDICT r17 #2b) bounds the segment count the
+    * way [[SemanticStore.ingest]]'s twin knob bounds epochs: once
+    * this append brings the live segment count to the threshold,
+    * [[compactSegments]] runs before returning. Each query probes one
+    * bucket directory PER SEGMENT, so an unbounded per-micro-batch
+    * append stream pays a linearly growing open-and-merge tax — the
+    * text twin of the measured ~5×-over-40-epochs store curve. 0 =
+    * never (the default).
     */
   def appendSegment(docs: DataFrame, textCol: String, idCol: String,
-      path: String, segmentName: String, nBuckets: Int = 64): Unit = {
+      path: String, segmentName: String, nBuckets: Int = 64,
+      compactEvery: Int = 0): Boolean = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (fs, _) = hadoopFs(spark, path)
+    if (foldedSegments(spark, path).contains(segmentName)) return false
+    val seg = s"$path/${segmentsRoot(path)}/$segmentName"
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$seg/stats")))
+      return false // committed replay: no-op
+    if (fs.exists(new org.apache.hadoop.fs.Path(seg)))
+      fs.delete(new org.apache.hadoop.fs.Path(seg), true) // crashed half-write
     val tf = docs
       .select(col(idCol), explode(Extensions.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
@@ -408,7 +577,6 @@ object TextIndex {
       .withColumn("__bucket",
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seg = s"$path/${segmentsRoot(path)}/$segmentName"
     postings.write.mode("errorifexists").partitionBy("__bucket")
       .parquet(s"$seg/postings")
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("s"))
@@ -417,6 +585,9 @@ object TextIndex {
         "n_docs", "sum_dl", "n_buckets", "id_col")
       .write.mode("errorifexists").parquet(s"$seg/stats")
     postings.unpersist()
+    if (compactEvery > 0 && segmentDirs(path).length >= compactEvery)
+      compactSegments(spark, path)
+    true
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -500,7 +671,15 @@ object TextIndex {
     }
     val liveCount = postings.count()
     val oldRoot = segmentsRoot(path)
+    // bounded manifest (ADVICE r17): names whose epoch dirs an earlier
+    // grace cycle already retired need no exclusion claim
+    // (deleteEntries skips missing ids dirs) — carrying them forever
+    // grew the manifest and the retire loop without bound
+    val (pfs, _) = hadoopFs(spark, path)
+    sweepStagingOrphans(pfs, path)
     val appliedBefore = appliedDeletes(spark, path)
+      .filter(n => pfs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_deletes/$n")))
     val nextGen = if (oldRoot == "segments") 1
       else oldRoot.stripPrefix("segments-").toInt + 1
     val newRoot = s"segments-$nextGen"
@@ -534,8 +713,24 @@ object TextIndex {
         .mkString("\n").getBytes("UTF-8"))
       out.close()
     }
+    // record every segment name this merge folded (carrying the old
+    // root's manifest forward, the SemanticStore `_folded` rule): an
+    // appendSegment replaying one of these names — a checkpoint
+    // replay straddling the compaction — must refuse rather than
+    // re-index the batch as a fresh segment (r18 review finding)
+    locally {
+      val (sfs, sp) = hadoopFs(spark, s"$path/$newRoot/_segs_folded")
+      val out = sfs.create(sp, true)
+      out.write((foldedSegments(spark, path) ++
+          segDirs.map(_.getName)).toSeq.sorted
+        .mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
     Generations.publish(path, newRoot)
-    Generations.retain(path, keep = 2)
+    // sweep only segment roots: unfiltered, a recent deletes/ or
+    // _deletes/ dir outranks the superseded root by mtime and the old
+    // root loses its grace cycle (see Generations.retain)
+    Generations.retain(path, keep = 2, _.startsWith("segments"))
     // retire delete epochs the PREVIOUS generation had applied — they
     // served their one grace cycle (a reader that resolved the old
     // root before the flip still filters through them; that root was
@@ -546,6 +741,18 @@ object TextIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_deletes/$n"), false)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes/$n"), true)
     }
+    // reclaim ids dirs whose marker is gone — the crash-between-the-
+    // two-retire-deletes orphan (ADVICE r17 on the SemanticStore twin
+    // of this sweep: the retire loops iterate marker names only, so
+    // once the marker is deleted a crash-orphaned ids dir was never
+    // listed again). Markerless dirs are invisible to every reader
+    // (reads resolve via markers), so collecting them is pure GC.
+    val (dfs, droot) = hadoopFs(spark, s"$path/deletes")
+    if (dfs.exists(droot))
+      dfs.listStatus(droot).toSeq
+        .filterNot(st => dfs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_deletes/${st.getPath.getName}")))
+        .foreach(st => dfs.delete(st.getPath, true))
     true
   }
 
@@ -584,15 +791,20 @@ object TextIndex {
 
   /** Open a saved index; queries prune its bucket partitions at the
     * file level. Committed deletes load as the query-path exclusion +
-    * the exact stats corrections.
+    * the exact stats corrections — names the published generation's
+    * `_dels_applied` manifest claims are already physically realized
+    * in the loaded postings and are excluded from both
+    * ([[deleteEntries]]). Reads the published `plain-<n>` generation
+    * when one exists, the legacy flat root otherwise.
     */
   def load(spark: SparkSession, path: String): TextIndex = {
-    val st = spark.read.parquet(s"$path/stats").collect().head
+    val base = plainDataDir(path)
+    val st = spark.read.parquet(s"$base/stats").collect().head
     val dels = deleteEntries(spark, path)
     new TextIndex(
       st.getLong(st.fieldIndex("n_docs")) - dels.map(_._2).sum,
       st.getLong(st.fieldIndex("sum_dl")) - dels.map(_._3).sum,
-      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$base/postings"),
       st.getString(st.fieldIndex("id_col")),
       st.getInt(st.fieldIndex("n_buckets")),
       deletedIdsDf(spark, path))

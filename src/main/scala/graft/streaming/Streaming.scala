@@ -390,11 +390,22 @@ object Streaming {
     * [[graft.engine.Extensions.semanticDedup]] over the union of
     * those batches — a streaming corpus dedup with offline-run
     * semantics (StreamingSpec drives the equivalence + the restart).
+    *
+    * `compactEvery` (VERDICT r17 #2a) forwards the store's
+    * self-policing knob: a long-running stream is exactly the caller
+    * that CANNOT remember a maintenance call, and the lifecycle probe
+    * measured the alternative — never-compact per-ingest cost grows
+    * ~5× over 40 epochs while compact-every-10 stays flat. The
+    * auto-compaction composes with checkpoint replay unchanged: a
+    * redelivered micro-batch replays as a committed-epoch no-op
+    * BEFORE the threshold check, and a crash inside the compaction
+    * itself heals on the next fold (generation-staged, idempotent).
+    * 0 = never (the pre-r18 behavior).
     */
   def semanticDedupIngestSink(updates: DataFrame, storePath: String,
       idCol: String, qualityCol: String, embCol: String,
       minCosine: Double, nCells: Int,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -402,7 +413,7 @@ object Streaming {
           batch.select(col(idCol), col(qualityCol)),
           batch.select(col(idCol), col(embCol)),
           idCol, qualityCol, embCol, minCosine, nCells,
-          f"batch-$epochId%09d")
+          f"batch-$epochId%09d", compactEvery = compactEvery)
         ()
       }
       .start()
@@ -609,29 +620,28 @@ object Streaming {
     * immutable epoch-named segment — the search index trails the
     * document stream by one micro-batch, with no rebuild ever.
     * Query side: `TextIndex.loadSegments(spark, indexPath)` at any
-    * time. Segment names embed the epoch id, so checkpoint replay of a
-    * batch hits the existing segment and is refused (errorifexists)
-    * instead of double-indexing — the caller skips and continues.
+    * time. Segment names embed the epoch id, so checkpoint replay of
+    * a batch is refused by [[graft.engine.TextIndex.appendSegment]]
+    * itself (committed segment OR a name a compaction has since
+    * folded — the pre-r18 sink-side catch checked the hardcoded
+    * `segments/` root and missed both the post-compaction root and
+    * the folded case), and a crashed half-written segment is restaged
+    * there too.
+    *
+    * `compactEvery` (VERDICT r17 #2b) bounds the segment count: each
+    * query probes one bucket dir PER SEGMENT, so a per-micro-batch
+    * append stream must fold segments on a cadence or pay a linearly
+    * growing per-query tax. 0 = never (the pre-r18 behavior).
     */
   def indexIngestSink(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, checkpointDir: String,
-      nBuckets: Int = 64): StreamingQuery =
+      nBuckets: Int = 64, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
-          val segName = f"epoch-$epochId%09d"
-          try graft.engine.TextIndex.appendSegment(batch, textCol, idCol,
-            indexPath, segName, nBuckets)
-          catch {
-            // replayed batch after checkpoint recovery: segment already
-            // fully written (stats lands last) → idempotent skip; a
-            // HALF-written segment (postings without stats) rethrows —
-            // delete the partial segment dir and restart
-            case _: org.apache.spark.sql.AnalysisException
-              if new java.io.File(
-                s"$indexPath/segments/$segName/stats").exists() => ()
-          }
+          graft.engine.TextIndex.appendSegment(batch, textCol, idCol,
+            indexPath, f"epoch-$epochId%09d", nBuckets, compactEvery)
         }
         ()
       }

@@ -120,13 +120,14 @@ class HybridIndexSpec extends AnyFunSuite {
     // must be IDENTICAL to the twin's — logical-exclusion mode first
     assert(rows(after) == rows(twin),
       "post-delete hybrid result must equal the never-ingested twin")
-    // physical removal on both sides (text re-save — to a fresh path,
-    // Spark refuses overwriting a location it is reading; ivf
-    // compact), then the same equality through the cleaned layouts
-    val tDir2 = Files.createTempDirectory("graft-hyb-del-t2").toString
-    TextIndex.load(spark, tDir).save(tDir2)
+    // physical removal on both sides (text re-save — IN PLACE, the
+    // generation-staged save supports the target it was loaded from
+    // since r18; ivf compact), then the same equality through the
+    // cleaned layouts
+    TextIndex.load(spark, tDir).save(tDir)
     IvfIndex.compactEpochs(spark, vDir, refit = false)
-    assert(spark.read.parquet(s"$tDir2/postings")
+    assert(spark.read
+      .parquet(s"${TextIndex.plainDataDir(tDir)}/postings")
       .filter(col("doc_id") === delId).count() == 0L)
     assert(spark.read
       .parquet(s"${IvfIndex.baseRoot(vDir)}/cells")
@@ -135,10 +136,126 @@ class HybridIndexSpec extends AnyFunSuite {
       new java.io.File(s"$vDir/_tombstones").list().isEmpty,
       "the applied tombstone must retire at compaction")
     val afterPhysical = HybridIndex.queryByIds(
-      TextIndex.load(spark, tDir2),
+      TextIndex.load(spark, tDir),
       IvfIndex.load(spark, vDir, "vec_id", "embedding"),
       docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
     assert(rows(afterPhysical) == rows(twin))
+  }
+
+  test("TREE-mode hybrid (VERDICT r17 #5): the dense branch of a " +
+      "past-threshold index runs the loaded sidecar's two-level " +
+      "probes; exhaustive probes equal the in-memory rrfFusion " +
+      "bit-for-bit, pruned probes keep the lexical branch exact") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val tDir = Files.createTempDirectory("graft-hyb-tree-t").toString
+    val vDir = Files.createTempDirectory("graft-hyb-tree-v").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(tDir)
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = 64).save(vDir)
+    val text = TextIndex.load(spark, tDir)
+    val ivf = IvfIndex.load(spark, vDir, "vec_id", "embedding")
+    val tq = ivf.treeQuantizer
+    assert(tq.isDefined,
+      "nCells=64 must cross the tree threshold and round-trip the " +
+        "sidecar")
+    // exhaustive: nprobe >= nLeaves probes every leaf, so the dense
+    // branch is exact and the fused result must equal the in-memory
+    // operator (the flat-mode parity law carried into tree mode)
+    val exhaustive = HybridIndex.queryByIds(text, ivf, docs, "text",
+      ids, kBranch = 10, k = 10, nprobe = tq.get.nLeaves)
+    val inMemory = Extensions.rrfFusion(docs, "text", "doc_id",
+      emb, "embedding", "vec_id", queryIds = ids, kBranch = 10, k = 10,
+      rrfK = 60)
+    assert(rows(exhaustive) == rows(inMemory))
+    // pruned: the dense branch inherits the tree recall trade, the
+    // lexical ranks must not move (pruning never touches that branch)
+    val pruned = HybridIndex.queryByIds(text, ivf, docs, "text",
+      ids, kBranch = 10, k = 10, nprobe = 4)
+    def lexRanks(df: DataFrame): Map[(Long, Long), Int] =
+      df.collect().flatMap { r =>
+        Option(r.getAs[Integer]("lex_rank")).map(lr =>
+          (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> lr.toInt)
+      }.toMap
+    val ex = lexRanks(exhaustive)
+    lexRanks(pruned).foreach { case (key, lr) =>
+      assert(ex.get(key).contains(lr), s"lex rank drifted for $key")
+    }
+    assert(pruned.count() > 0)
+  }
+
+  test("one-sided delete crash window (VERDICT r17 #6): a crash " +
+      "between the text and vector commits leaves a visible skew — " +
+      "lexical excludes, dense still ranks — and retrying the SAME " +
+      "name completes the mirror to full exclusion") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val tDir = Files.createTempDirectory("graft-hyb-skew-t").toString
+    val vDir = Files.createTempDirectory("graft-hyb-skew-v").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(tDir)
+    IvfIndex.build(emb, "embedding", "vec_id", nCells = NCells).save(vDir)
+    def query() = HybridIndex.queryByIds(TextIndex.load(spark, tDir),
+      IvfIndex.load(spark, vDir, "vec_id", "embedding"),
+      docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
+    val pre = query().collect()
+    // a doc that ranks on BOTH branches for some query, so each
+    // side's exclusion is independently observable
+    val both = pre.filter(r => r.getAs[Integer]("lex_rank") != null &&
+      r.getAs[Integer]("vec_rank") != null)
+    assert(both.nonEmpty, "fixture needs a dual-branch hit")
+    val delId = both.head.getAs[Long]("doc_id")
+    // the crash: HybridIndex.delete commits text FIRST, then vector —
+    // simulate dying between the two by issuing only the text half
+    TextIndex.delete(spark, tDir, Seq(delId).toDF("doc_id"), "doc_id",
+      "skewed-del")
+    val skewed = query().collect()
+    assert(!skewed.exists(r => r.getAs[Long]("doc_id") == delId &&
+      r.getAs[Integer]("lex_rank") != null),
+      "the committed text half must already exclude lexically")
+    assert(skewed.exists(r => r.getAs[Long]("doc_id") == delId &&
+      r.getAs[Integer]("vec_rank") != null),
+      "the uncommitted vector half must still rank the doc densely " +
+        "(the documented mid-crash skew)")
+    // the heal-by-retry contract: the SAME name replays the committed
+    // text half as a no-op and completes the vector half
+    HybridIndex.delete(spark, tDir, vDir, Seq(delId).toDF("doc_id"),
+      "doc_id", "skewed-del")
+    val healed = query().collect()
+    assert(!healed.exists(_.getAs[Long]("doc_id") == delId),
+      "after the retry the doc must leave lexical, dense, and fused")
+    // ... and equals the never-ingested twin (both-committed state)
+    val tTwin = Files.createTempDirectory("graft-hyb-skew-tt").toString
+    val vTwin = Files.createTempDirectory("graft-hyb-skew-vt").toString
+    TextIndex.build(docs.filter(col("doc_id") =!= delId), "text",
+      "doc_id", nBuckets = 16).save(tTwin)
+    IvfIndex.build(emb.filter(col("vec_id") =!= delId), "embedding",
+      "vec_id", nCells = NCells).save(vTwin)
+    val twin = HybridIndex.queryByIds(TextIndex.load(spark, tTwin),
+      IvfIndex.load(spark, vTwin, "vec_id", "embedding"),
+      docs, "text", ids, kBranch = 10, k = 10, nprobe = NCells)
+    assert(rows(query()) == rows(twin))
+    // unified maintenance (VERDICT r17 #2c): one call realizes the
+    // delete physically on BOTH branches — plain text layout re-saves
+    // generationally, vector side folds epochs
+    val (textDid, ivfDid) = HybridIndex.compact(spark, tDir, vDir)
+    assert(textDid, "plain layout with unapplied deletes must re-save")
+    assert(ivfDid, "vector side must fold the tombstoned epochs")
+    assert(spark.read
+      .parquet(s"${TextIndex.plainDataDir(tDir)}/postings")
+      .filter(col("doc_id") === delId).count() == 0L)
+    assert(spark.read
+      .parquet(s"${IvfIndex.baseRoot(vDir)}/cells")
+      .filter(col("vec_id") === delId).count() == 0L)
+    assert(rows(query()) == rows(twin),
+      "answers must be unchanged through the unified compaction")
+    // idempotent: nothing left to do on either side... except the
+    // text side's grace-cycle epoch retire, which needs one more pass
+    val (textAgain, ivfAgain) = HybridIndex.compact(spark, tDir, vDir)
+    assert(!textAgain && !ivfAgain,
+      "a second compact with no pending work must no-op")
+    assert(rows(query()) == rows(twin))
   }
 
   test("hybrid query file-prunes BOTH persisted branches: the postings " +

@@ -800,9 +800,21 @@ class SemanticStoreSpec extends AnyFunSuite {
     collect(SemanticStore.ingest(s"$dir/store", s3d, s3e,
       "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4,
       epochName = "s3"))
-    // compact retires the orphan marker
+    // ... and the INVERSE orphan (ids dir with no marker — what the
+    // r17 marker-FIRST retire order leaves when it crashes between
+    // its two deletes) is reclaimed by the compact's sweep instead of
+    // leaking forever (ADVICE r17: the retire loops iterate marker
+    // names only, so once the marker was gone the dir was never
+    // listed again). Invisible to reads throughout — deletes resolve
+    // via markers.
+    val iroot = new java.io.File(s"$dir/store/deletes/d-headless")
+    iroot.mkdirs()
+    assert(new java.io.File(iroot, "junk").createNewFile())
+    // compact retires the orphan marker and sweeps the headless dir
     assert(SemanticStore.compact(spark, s"$dir/store"))
     assert(!new java.io.File(mroot, "d-orphan").exists())
+    assert(!iroot.exists(),
+      "a markerless ids dir must be swept by the next compact")
     // same on the inner IvfIndex tombstone surface
     val ivfDir = java.nio.file.Files
       .createTempDirectory("graft-ivf-orphan-marker").toString

@@ -1011,5 +1011,138 @@ class StreamingSpec extends AnyFunSuite {
       ((9L, 1L, Seq(0.99f, 0.141f, 0f, 0f)))
     assert(st3 == batchOn(survivors))
   }
+
+  test("semanticDedupIngestSink(compactEvery): the stream polices its " +
+      "own epoch growth — the fold fires inside the sink, state stays " +
+      "equal to the batch twin, and a checkpoint restart across the " +
+      "auto-compact boundary replays as a folded-name no-op " +
+      "(VERDICT r17 #2a)") {
+    import TestSpark.spark.implicits._
+    val s = math.sqrt(1 - 0.81).toFloat
+    val c2 = (2 * 0.9 * 0.9 - 1).toFloat
+    val s2v = (2 * 0.9 * s).toFloat
+    val emb = Map(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0.9f, s, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f),
+      5L -> Seq(c2, s2v, 0f, 0f),
+      6L -> Seq(0f, 0f, 0.95f, 0.312f), 7L -> Seq(0f, 1f, 0f, 0f))
+    val quality = Map(1L -> 10L, 2L -> 20L, 3L -> 5L,
+      5L -> 30L, 6L -> 50L, 7L -> 2L)
+    val rows = emb.keys.toSeq.sorted
+      .map(id => (id, quality(id), emb(id)))
+    val wave1 = rows.filter(_._1 <= 3)
+    val wave2 = rows.filter(r => r._1 > 3 && r._1 <= 6)
+    val wave3 = rows.filter(_._1 > 6)
+    val store = Files.createTempDirectory("graft-semsink-ac").toString
+    val ckpt = Files.createTempDirectory("graft-semsink-ac-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Float])](spark)
+    def sink() = Streaming.semanticDedupIngestSink(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("q"),
+        col("_3").cast("array<float>").as("embedding")),
+      s"$store/s", "doc_id", "q", "embedding", minCosine = 0.8,
+      nCells = 4, checkpointDir = ckpt, compactEvery = 2)
+    def state() = graft.engine.SemanticStore
+      .snapshot(spark, s"$store/s", "doc_id", "q")
+      .select("doc_id", "component", "q", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    def batchOn(ws: Seq[(Long, Long, Seq[Float])]*) =
+      graft.engine.Extensions.semanticDedup(
+          ws.flatten.map(r => (r._1, r._2)).toDF("doc_id", "q"),
+          ws.flatten.map(r => (r._1, r._3)).toDF("doc_id", "embedding"),
+          "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4)
+        .select("doc_id", "component", "q", "keep")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    def epochs() = graft.engine.SemanticStore
+      .committedEpochs(spark, s"$store/s")
+    val q = sink()
+    try {
+      input.addData(wave1: _*); q.processAllAvailable()
+      assert(state() == batchOn(wave1))
+      assert(epochs() == Seq("batch-000000000"))
+      // batch 1 brings the committed count to the threshold: the fold
+      // fires INSIDE the sink, no operator involved
+      input.addData(wave2: _*); q.processAllAvailable()
+      assert(state() == batchOn(wave1, wave2))
+      assert(epochs() == Seq("compact-1"),
+        "auto-compaction must fold both epochs at the threshold")
+    } finally q.stop()
+    // restart across the auto-compact boundary: a redelivered batch's
+    // epoch name is FOLDED now, not committed — the folded-name
+    // refusal must keep the replay a no-op (double-ingesting it would
+    // double every pair and meta row)
+    val before = state()
+    val q2 = sink()
+    try {
+      q2.processAllAvailable()
+      assert(state() == before)
+      assert(epochs() == Seq("compact-1"))
+      // and the stream keeps ingesting onto the folded store
+      input.addData(wave3: _*); q2.processAllAvailable()
+      assert(state() == batchOn(wave1, wave2, wave3))
+      assert(epochs().length <= 2)
+    } finally q2.stop()
+  }
+
+  test("indexIngestSink(compactEvery): segment count stays bounded by " +
+      "the knob alone, answers keep equaling a fresh full build, and a " +
+      "replay of a FOLDED segment name refuses instead of re-indexing " +
+      "(VERDICT r17 #2b)") {
+    import TestSpark.spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val idx = Files.createTempDirectory("graft-sidx-ac").toString
+    val ckpt = Files.createTempDirectory("graft-sidx-ac-ck").toString
+    val q = Streaming.indexIngestSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, ckpt,
+      nBuckets = 8, compactEvery = 2)
+    val batches = Seq(
+      Seq((1L, "spark window join"), (2L, "merge sort run")),
+      Seq((3L, "spark merge stream")),
+      Seq((4L, "spark rides on")),
+      Seq((5L, "window of sparks")))
+    def liveSegCount() = {
+      val root = graft.engine.Generations.currentName(idx)
+        .getOrElse("segments")
+      new java.io.File(s"$idx/$root").listFiles().count(_.isDirectory)
+    }
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+        assert(liveSegCount() <= 2,
+          s"segment count must stay bounded by the knob, got " +
+            s"${liveSegCount()}")
+      }
+      val loaded = graft.engine.TextIndex.loadSegments(spark, idx)
+      assert(loaded.nDocs == 5)
+      val hits = loaded.query(
+          Seq((1L, "spark")).toDF("query_id", "qtext"),
+          "qtext", "query_id", k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(1L, 3L, 4L))
+    } finally q.stop()
+    // a replay straddling the compaction: the segment's name is in the
+    // folded manifest, so appendSegment refuses (returning false)
+    // rather than re-indexing the batch as a fresh segment — the
+    // double-count hazard the r18 review found in the old sink-side
+    // errorifexists check
+    assert(!graft.engine.TextIndex.appendSegment(
+      batches.head.toDF("doc_id", "text"), "text", "doc_id", idx,
+      "epoch-000000000", nBuckets = 8))
+    assert(graft.engine.TextIndex.loadSegments(spark, idx).nDocs == 5,
+      "a folded-name replay must not re-index")
+    // checkpoint restart replays nothing and ingestion continues
+    val q2 = Streaming.indexIngestSink(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, ckpt,
+      nBuckets = 8, compactEvery = 2)
+    try {
+      q2.processAllAvailable()
+      assert(graft.engine.TextIndex.loadSegments(spark, idx).nDocs == 5)
+      input.addData((6L, "one more spark")); q2.processAllAvailable()
+      val after = graft.engine.TextIndex.loadSegments(spark, idx)
+      assert(after.nDocs == 6)
+      assert(liveSegCount() <= 2)
+    } finally q2.stop()
+  }
 }
 

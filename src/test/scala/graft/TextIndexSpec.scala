@@ -94,7 +94,7 @@ class TextIndexSpec extends AnyFunSuite {
 
   test("segmented index: two appended segments answer bit-identically " +
       "to one fresh build over the union; mismatched buckets rejected; " +
-      "segment overwrite rejected") {
+      "a committed-name replay refuses (no overwrite, no double-index)") {
     val docs = Tables.documents(spark, sf)
     val half1 = docs.filter(org.apache.spark.sql.functions
       .col("doc_id") % 2 === 0)
@@ -110,11 +110,15 @@ class TextIndexSpec extends AnyFunSuite {
     assert(seg.nDocs == fresh.nDocs && seg.sumDl == fresh.sumDl)
     assert(resultSet(seg.query(queries, "qtext", "query_id", k = 10))
       == resultSet(fresh.query(queries, "qtext", "query_id", k = 10)))
-    // appending an existing segment name must fail, not overwrite
-    assertThrows[Exception] {
-      graft.engine.TextIndex.appendSegment(half1, "text", "doc_id", dir,
-        "snap-001", nBuckets = 16)
-    }
+    // appending an existing segment name is a refused replay (the
+    // appendEpoch claim shape, r18): false back, nothing re-indexed —
+    // even with DIFFERENT data in the frame
+    assert(!graft.engine.TextIndex.appendSegment(half2, "text",
+      "doc_id", dir, "snap-001", nBuckets = 16))
+    val afterReplay = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(afterReplay.nDocs == fresh.nDocs &&
+      afterReplay.sumDl == fresh.sumDl,
+      "a committed-name replay must not change the corpus")
     // a segment with a different bucket count is rejected at load
     graft.engine.TextIndex.appendSegment(half1.limit(5), "text", "doc_id",
       dir, "snap-003", nBuckets = 8)
@@ -265,7 +269,8 @@ class TextIndexSpec extends AnyFunSuite {
     // the files, delete epochs cleared, answers unchanged
     val dir2 = Files.createTempDirectory("graft-tidx-del2").toString
     loaded.save(dir2)
-    assert(spark.read.parquet(s"$dir2/postings")
+    assert(spark.read
+      .parquet(s"${TextIndex.plainDataDir(dir2)}/postings")
       .filter(col("doc_id").isin(delIds: _*)).count() == 0L,
       "deleted docs' postings survived the physical re-save")
     assert(!new java.io.File(dir2, "_deletes").exists())
@@ -281,7 +286,8 @@ class TextIndexSpec extends AnyFunSuite {
       .select("doc_id", "term", "tf", "dl", "df")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
-    assert(dfOf(s"$dir2/postings") == dfOf(s"$twinDir/postings"))
+    assert(dfOf(s"${TextIndex.plainDataDir(dir2)}/postings")
+      == dfOf(s"${TextIndex.plainDataDir(twinDir)}/postings"))
   }
 
   test("take-down delete on the SEGMENTED layout: logical exclusion " +
@@ -343,6 +349,110 @@ class TextIndexSpec extends AnyFunSuite {
       == resultSet(twin2.query(queries, "qtext", "query_id", k = 10)))
     // nothing pending → no-op again
     assert(!graft.engine.TextIndex.compactSegments(spark, dir))
+    // manifest boundedness (ADVICE r17): a third compaction's
+    // manifest drops names whose epoch dirs were retired by an
+    // earlier cycle (d1) instead of carrying every applied name
+    // forever — they need no exclusion claim once their dirs are gone
+    val delIds3 = Seq(resultSet(afterC2.query(queries, "qtext",
+      "query_id", k = 10)).head._2)
+    graft.engine.TextIndex.delete(spark, dir, delIds3.toDF("doc_id"),
+      "doc_id", "d3")
+    assert(graft.engine.TextIndex.compactSegments(spark, dir))
+    val root3 = graft.engine.Generations.currentName(dir).get
+    val manifest3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$root3/_dels_applied")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+    assert(manifest3 == Set("d2", "d3"),
+      s"manifest must drop retired names, got $manifest3")
+    val twin3 = TextIndex.build(
+      docs.filter(!col("doc_id").isin(
+        (delIds ++ delIds2 ++ delIds3): _*)),
+      "text", "doc_id", nBuckets = 16)
+    val afterC3 = graft.engine.TextIndex.loadSegments(spark, dir)
+    assert(afterC3.nDocs == twin3.nDocs && afterC3.sumDl == twin3.sumDl)
+    assert(resultSet(afterC3.query(queries, "qtext", "query_id", k = 10))
+      == resultSet(twin3.query(queries, "qtext", "query_id", k = 10)))
+  }
+
+  test("generation-staged plain save (VERDICT r17 #1): a crash at ANY " +
+      "point before the pointer flip leaves committed take-downs " +
+      "intact; after the flip the grace-cycle manifest prevents " +
+      "double-subtraction; the next save retires the applied epochs; " +
+      "in-place re-save is supported") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-tidx-crash").toString
+    TextIndex.build(docs, "text", "doc_id", nBuckets = 16).save(dir)
+    val pre = TextIndex.load(spark, dir)
+      .query(queries, "qtext", "query_id", k = 10)
+    val delId = pre.select("doc_id").collect().map(_.getLong(0)).head
+    TextIndex.delete(spark, dir, Seq(delId).toDF("doc_id"), "doc_id",
+      "takedown")
+    val survivors = docs.filter(col("doc_id") =!= delId)
+    val twin = TextIndex.build(survivors, "text", "doc_id",
+      nBuckets = 16)
+    val want = resultSet(twin.query(queries, "qtext", "query_id",
+      k = 10))
+    def checkLoaded(): Unit = {
+      val l = TextIndex.load(spark, dir)
+      assert(l.nDocs == twin.nDocs && l.sumDl == twin.sumDl,
+        s"stats (${l.nDocs}, ${l.sumDl}) vs twin " +
+          s"(${twin.nDocs}, ${twin.sumDl})")
+      assert(resultSet(l.query(queries, "qtext", "query_id", k = 10))
+        == want)
+    }
+    checkLoaded()
+    // crash BEFORE the flip: a re-save that staged everything —
+    // postings, stats, even the manifest — but never flipped the
+    // pointer. The live state is untouched: the delete still excludes
+    // and corrects (pre-r18, save() had already CLEARED the delete
+    // epochs at this point — the silent resurrection). Faked by
+    // staging a full plain-2 the way save() would, sans publish.
+    val staged = TextIndex.load(spark, dir)
+    spark.read
+      .parquet(s"${TextIndex.plainDataDir(dir)}/postings")
+      .filter(col("doc_id") =!= delId)
+      .write.partitionBy("__bucket").parquet(s"$dir/plain-2/postings")
+    spark.read.parquet(s"${TextIndex.plainDataDir(dir)}/stats")
+      .write.parquet(s"$dir/plain-2/stats")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/plain-2/_dels_applied"),
+      "takedown".getBytes("UTF-8"))
+    assert(new java.io.File(s"$dir/_deletes/takedown").exists(),
+      "the staged-but-unpublished save must not have touched epochs")
+    checkLoaded()
+    // the interrupted save RETRIES: the stale unpublished plain-2 is
+    // restaged, the flip commits, and the state equals the twin with
+    // the applied epoch held for one grace cycle (the crash-AFTER-
+    // flip-before-retire state is exactly this post-save state)
+    staged.save(dir)
+    assert(TextIndex.plainDataDir(dir).endsWith("plain-2"))
+    assert(new java.io.File(s"$dir/_deletes/takedown").exists(),
+      "the applied epoch gets one grace generation")
+    assert(spark.read
+      .parquet(s"${TextIndex.plainDataDir(dir)}/postings")
+      .filter(col("doc_id") === delId).count() == 0L,
+      "the published generation must have removed the postings")
+    checkLoaded() // manifest exclusion: no double-subtraction
+    // next in-place save: grace over, epoch retired, answers unchanged
+    TextIndex.load(spark, dir).save(dir)
+    assert(TextIndex.plainDataDir(dir).endsWith("plain-3"))
+    assert(!new java.io.File(s"$dir/_deletes/takedown").exists() &&
+      !new java.io.File(s"$dir/deletes/takedown").exists(),
+      "the applied epoch must retire after its grace cycle")
+    assert(!new java.io.File(s"$dir/plain-1").exists(),
+      "retain must sweep generations beyond the keep window")
+    checkLoaded()
+    // a crashed delete's staging orphan is reclaimed by the next
+    // maintenance call (ADVICE r17)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_staging-del-zombie"),
+      "9|9".getBytes("UTF-8"))
+    TextIndex.delete(spark, dir, Seq(987654321L).toDF("doc_id"),
+      "doc_id", "noop-del")
+    assert(!new java.io.File(s"$dir/_staging-del-zombie").exists(),
+      "delete() must sweep crashed staging files")
+    checkLoaded()
   }
 
   test("build rejects reserved internal column names") {
