@@ -83,7 +83,7 @@ object HybridIndex {
     * (query_id, <text index idCol>, lex_rank, vec_rank, rrf_score,
     * rank ≤ k).
     */
-  def queryByIds(textIndex: TextIndex, ivfIndex: IvfIndex,
+  def queryByIds(textIndex: Bm25Queryable, ivfIndex: IvfIndex,
       queryDocs: DataFrame, queryTextCol: String, queryIds: Seq[Long],
       kBranch: Int = 20, k: Int = 10, nprobe: Int = 4,
       rrfK: Int = 60): DataFrame = {

@@ -857,7 +857,8 @@ object IvfIndex {
     * must be disjoint from stored ones (dedup upstream).
     */
   def appendEpoch(spark: SparkSession, path: String, emb: DataFrame,
-      embCol: String, idCol: String, epochName: String): Boolean = {
+      embCol: String, idCol: String, epochName: String,
+      compactEvery: Int = 0, compactRefit: Boolean = false): Boolean = {
     require(epochName.nonEmpty && !epochName.contains("/"),
       "epochName must be a single path segment")
     // an epoch that was claimed and then FOLDED by compactEpochs has
@@ -894,6 +895,18 @@ object IvfIndex {
     }
     assigned.unpersist()
     fs.create(claim, false).close()
+    // self-policing cadence (the appendSegment compactEvery twin,
+    // r18): once this append brings the claimed epoch count to the
+    // threshold, fold — an unbounded per-micro-batch append stream
+    // otherwise unions one more branch into every query forever.
+    // compactRefit=true runs the budget-growing quantizer refit at
+    // each fold (the drift posture); false is the cheap layout-only
+    // fold. A SemanticStore's inner index never passes the knob (the
+    // store polices itself via ingest(compactEvery)); if one did,
+    // compactEpochs' _SEMSTORE sentinel fails loudly.
+    if (compactEvery > 0 &&
+        claimedEpochs(spark, path).length >= compactEvery)
+      compactEpochs(spark, path, refit = compactRefit)
     true
   }
 

@@ -3,6 +3,21 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The query surface the plain ([[TextIndex]]) and segmented
+  * ([[SegmentedTextIndex]]) layouts share — what hybrid serving
+  * composes over ([[HybridIndex.queryByIds]]), so a streamed
+  * segment-store serves through the same fused path as a batch-built
+  * plain index (r18). Both implementations return the identical
+  * (queryIdCol, idCol, bm25, rank) schema with bit-equal scores (the
+  * TextIndexSpec layout-equivalence law). */
+trait Bm25Queryable {
+  def nDocs: Long
+  def sumDl: Long
+  def idCol: String
+  def query(queries: DataFrame, queryTextCol: String,
+      queryIdCol: String, k: Int): DataFrame
+}
+
 /** Build-once / query-many inverted text index — the persisted form of
   * [[Extensions.bm25TopK]], the way [[IvfIndex]] is the persisted form
   * of [[Extensions.annIvf]].
@@ -38,7 +53,7 @@ final class TextIndex private[engine] (
     postings: DataFrame,
     val idCol: String,
     val nBuckets: Int,
-    deleted: Option[DataFrame] = None) {
+    deleted: Option[DataFrame] = None) extends Bm25Queryable {
 
   /** BM25 top-k per query; `queries` carries (queryIdCol, queryTextCol).
     * Output matches [[Extensions.bm25TopK]]:
@@ -248,7 +263,7 @@ final class SegmentedTextIndex private[engine] (
     postings: DataFrame,
     val idCol: String,
     val nBuckets: Int,
-    deleted: Option[DataFrame] = None) {
+    deleted: Option[DataFrame] = None) extends Bm25Queryable {
 
   /** BM25 top-k; same output as [[TextIndex.query]]. Take-down
     * deletes are simpler here than on the plain index: the segmented

@@ -363,15 +363,72 @@ object Streaming {
     * mid-write leaves an unclaimed dir every load ignores and the
     * replay rewrites. New ids must be disjoint from stored ones
     * (dedup upstream — [[watermarkDedup]] composes in front).
+    *
+    * `compactEvery` bounds the epoch count (r18 — the lifecycle-
+    * maintenance parity knob): at the threshold, appendEpoch folds the
+    * claimed epochs into the base generation (`compactRefit` chooses
+    * the budget-growing quantizer refit vs the cheap layout-only
+    * fold). Replay across the fold stays exactly-once: a folded
+    * epoch's name is refused by the `_folded` manifest. 0 = never.
     */
   def vectorIngestSink(updates: DataFrame, indexPath: String,
       embCol: String, idCol: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0,
+      compactRefit: Boolean = false): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         graft.engine.IvfIndex.appendEpoch(batch.sparkSession, indexPath,
-          batch, embCol, idCol, f"batch-$epochId%09d")
+          batch, embCol, idCol, f"batch-$epochId%09d",
+          compactEvery, compactRefit)
+        ()
+      }
+      .start()
+
+  /** Streaming ingest into BOTH persisted retrieval branches — the
+    * hybrid lifecycle's missing ingress (r18; [[HybridIndex.delete]]
+    * mirrors take-downs, [[HybridIndex.compact]] mirrors maintenance,
+    * this mirrors GROWTH): each micro-batch of (id, text, embedding)
+    * rows lands as one [[graft.engine.TextIndex.appendSegment]]
+    * segment AND one [[graft.engine.IvfIndex.appendEpoch]] epoch
+    * under the SAME batch-derived name, so the two branches stay in
+    * id lockstep. The vector side requires a pre-built index at
+    * `ivfPath` (the frozen-quantizer growth contract — build it from
+    * the first corpus snapshot); the text side bootstraps itself.
+    *
+    * Replay and crash shapes compose from the branches' own commits:
+    * a redelivered batch is refused on both sides (committed segment
+    * stats / epoch claim, or the post-compaction folded manifests); a
+    * crash BETWEEN the two appends leaves the text half committed and
+    * heals on replay — the text side refuses, the vector side
+    * appends, the idempotent-retry shape [[HybridIndex.delete]]
+    * documents. The batch is persisted across the two appends (each
+    * would otherwise re-read the micro-batch source — the
+    * semanticDedupIngestSink review finding).
+    *
+    * `compactEvery` forwards to BOTH branches: the text side folds
+    * segments at the threshold, the vector side folds epochs
+    * (`compactRefit` as in [[vectorIngestSink]]).
+    */
+  def hybridIngestSink(docs: DataFrame, textCol: String, embCol: String,
+      idCol: String, textPath: String, ivfPath: String,
+      checkpointDir: String, nBuckets: Int = 64,
+      compactEvery: Int = 0,
+      compactRefit: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val name = f"epoch-$epochId%09d"
+          val b = batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.engine.TextIndex.appendSegment(b, textCol, idCol,
+            textPath, name, nBuckets, compactEvery)
+          graft.engine.IvfIndex.appendEpoch(b.sparkSession, ivfPath,
+            b.select(col(idCol), col(embCol)), embCol, idCol, name,
+            compactEvery, compactRefit)
+          b.unpersist()
+        }
         ()
       }
       .start()

@@ -1084,6 +1084,111 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("hybridIngestSink: one stream grows BOTH persisted branches in " +
+      "id lockstep; the streamed layout serves through the same fused " +
+      "path as batch builds (segmented text via Bm25Queryable); " +
+      "restart replays nothing across the auto-compact boundary; " +
+      "delete + compact complete the lifecycle on the streamed store") {
+    import TestSpark.spark.implicits._
+    val docsAll = graft.engine.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val embAll = graft.engine.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val joined = docsAll.select("doc_id", "text")
+      .join(embAll.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .filter(col("doc_id") < 80)
+    val base = joined.filter(col("doc_id") < 50)
+    val tDir = Files.createTempDirectory("graft-hybsink-t").toString
+    val vDir = Files.createTempDirectory("graft-hybsink-v").toString
+    val ckpt = Files.createTempDirectory("graft-hybsink-ck").toString
+    // bootstrap: vector side needs a quantizer (frozen-growth
+    // contract); text side takes the same base as segment zero
+    graft.engine.TextIndex.appendSegment(base, "text", "doc_id", tDir,
+      "base", nBuckets = 8)
+    graft.engine.IvfIndex.build(
+        base.select(col("doc_id"), col("embedding")),
+        "embedding", "doc_id", nCells = 4)
+      .save(vDir)
+    val waves = Seq((50L, 60L), (60L, 70L), (70L, 80L)).map {
+      case (lo, hi) =>
+        joined.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"), col("text"),
+            col("embedding").cast("array<float>"))
+          .as[(Long, String, Seq[Float])].collect().toSeq
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Seq[Float])](spark)
+    def sink() = Streaming.hybridIngestSink(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
+        col("_3").cast("array<float>").as("embedding")),
+      "text", "embedding", "doc_id", tDir, vDir, ckpt,
+      nBuckets = 8, compactEvery = 2)
+    val ids = Seq(0L, 1L, 2L)
+    def streamedQuery() = graft.engine.HybridIndex.queryByIds(
+      graft.engine.TextIndex.loadSegments(spark, tDir),
+      graft.engine.IvfIndex.load(spark, vDir, "doc_id", "embedding"),
+      docsAll, "text", ids, kBranch = 10, k = 10, nprobe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val q = sink()
+    try {
+      waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // both branches carry all 80 ids, counts bounded by the knob
+    assert(graft.engine.TextIndex.loadSegments(spark, tDir).nDocs == 80)
+    assert(graft.engine.IvfIndex
+      .cellsWithEpochs(spark, vDir).count() == 80L)
+    val segRoot = graft.engine.Generations.currentName(tDir)
+      .getOrElse("segments")
+    assert(new java.io.File(s"$tDir/$segRoot").listFiles()
+      .count(_.isDirectory) <= 2)
+    // the streamed layout answers exactly like fresh batch builds over
+    // the same corpus, through the SAME fused serving path
+    val corpus = docsAll.filter(col("doc_id") < 80)
+    val embC = embAll.filter(col("vec_id") < 80)
+    val tTwin = Files.createTempDirectory("graft-hybsink-tt").toString
+    val vTwin = Files.createTempDirectory("graft-hybsink-vt").toString
+    graft.engine.TextIndex.build(corpus, "text", "doc_id",
+      nBuckets = 8).save(tTwin)
+    graft.engine.IvfIndex.build(embC, "embedding", "vec_id",
+      nCells = 4).save(vTwin)
+    def twinQuery() = graft.engine.HybridIndex.queryByIds(
+      graft.engine.TextIndex.load(spark, tTwin),
+      graft.engine.IvfIndex.load(spark, vTwin, "vec_id", "embedding"),
+      docsAll, "text", ids, kBranch = 10, k = 10, nprobe = 4)
+    assert(rows(streamedQuery()) == rows(twinQuery()),
+      "streamed hybrid layout must serve exactly like batch builds")
+    // restart across the auto-compact boundary: replays nothing
+    val q2 = sink()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.engine.TextIndex.loadSegments(spark, tDir).nDocs == 80)
+    assert(graft.engine.IvfIndex
+      .cellsWithEpochs(spark, vDir).count() == 80L)
+    // lifecycle close: take-down + unified compact on the STREAMED
+    // store — the delete leaves both branches, compaction realizes it
+    // physically, answers keep matching the never-ingested twin
+    val delId = streamedQuery().orderBy("query_id", "rank")
+      .select("doc_id").head().getLong(0)
+    graft.engine.HybridIndex.delete(spark, tDir, vDir,
+      Seq(delId).toDF("doc_id"), "doc_id", "stream-takedown")
+    val (textDid, ivfDid) =
+      graft.engine.HybridIndex.compact(spark, tDir, vDir)
+    assert(textDid && ivfDid)
+    val tTwin2 = Files.createTempDirectory("graft-hybsink-tt2").toString
+    val vTwin2 = Files.createTempDirectory("graft-hybsink-vt2").toString
+    graft.engine.TextIndex.build(corpus.filter(col("doc_id") =!= delId),
+      "text", "doc_id", nBuckets = 8).save(tTwin2)
+    graft.engine.IvfIndex.build(embC.filter(col("vec_id") =!= delId),
+      "embedding", "vec_id", nCells = 4).save(vTwin2)
+    val twin2 = graft.engine.HybridIndex.queryByIds(
+      graft.engine.TextIndex.load(spark, tTwin2),
+      graft.engine.IvfIndex.load(spark, vTwin2, "vec_id", "embedding"),
+      docsAll, "text", ids, kBranch = 10, k = 10, nprobe = 4)
+    assert(rows(streamedQuery()) == rows(twin2),
+      "post-delete streamed store must equal the never-ingested twin")
+  }
+
   test("indexIngestSink(compactEvery): segment count stays bounded by " +
       "the knob alone, answers keep equaling a fresh full build, and a " +
       "replay of a FOLDED segment name refuses instead of re-indexing " +
