@@ -424,9 +424,22 @@ object ExtensionQueries {
       postQeCtes = preCtes)
   }
 
+  /** `qidOffset`/`selfExclude` parameterize the EXTERNAL-query form
+    * (hybrid_query_topk, r18): query ids offset out of the corpus id
+    * space and NO self-exclusion on either branch — an external query
+    * has no corpus row to exclude, so a duplicate-text query surfaces
+    * its stored twin at rank 1. Defaults reproduce the corpus-member
+    * template byte-for-byte. */
   private def rrfOracleSqlWith(denseFrom: String,
-      postQeCtes: String): String = s"""WITH q AS (
-             |  SELECT doc_id AS query_id, text AS qtext FROM documents
+      postQeCtes: String, qidOffset: Long = 0L,
+      selfExclude: Boolean = true): String = {
+    val qid = if (qidOffset == 0L) "doc_id" else s"doc_id + $qidOffset"
+    val qvid = if (qidOffset == 0L) "vec_id" else s"vec_id + $qidOffset"
+    val lexSelf = if (selfExclude) "WHERE tf.doc_id <> qt.query_id" else ""
+    val denseSelf =
+      if (selfExclude) "WHERE e.vec_id <> qe.query_id" else ""
+    s"""WITH q AS (
+             |  SELECT $qid AS query_id, text AS qtext FROM documents
              |  WHERE doc_id IN (${RrfQueryIds.mkString(", ")})),
              |qt AS (
              |  SELECT DISTINCT query_id, term FROM (
@@ -452,7 +465,7 @@ object ExtensionQueries {
              |           * 1000000.0) AS BIGINT) AS contrib
              |  FROM qt JOIN tf USING (term) JOIN dfq USING (term)
              |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-             |  WHERE tf.doc_id <> qt.query_id),
+             |  $lexSelf),
              |lagg AS (SELECT query_id, doc_id,
              |                CAST(sum(contrib) AS BIGINT) AS score_int
              |         FROM sc GROUP BY 1, 2),
@@ -461,7 +474,7 @@ object ExtensionQueries {
              |                  ORDER BY score_int DESC, doc_id) AS lex_rank
              |         FROM lagg),
              |lex AS (SELECT * FROM lexr WHERE lex_rank <= $RrfKBranch),
-             |qe AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             |qe AS (SELECT $qvid AS query_id, embedding::DOUBLE[] AS qe
              |       FROM embeddings
              |       WHERE vec_id IN (${RrfQueryIds.mkString(", ")})),
              |${postQeCtes}cs AS (
@@ -475,7 +488,7 @@ object ExtensionQueries {
              |                     * sqrt(list_dot_product(qe.qe, qe.qe)))
              |               END, 6) AS cosine_sim
              |  $denseFrom
-             |  WHERE e.vec_id <> qe.query_id),
+             |  $denseSelf),
              |denser AS (SELECT query_id, doc_id,
              |                  row_number() OVER (PARTITION BY query_id
              |                    ORDER BY cosine_sim DESC, doc_id) AS vec_rank
@@ -497,6 +510,7 @@ object ExtensionQueries {
              |      FROM f)
              |SELECT * FROM r WHERE rank <= $RrfFinalK
              |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Shared DuckDB twin for semantic_dedup AND
     * semantic_dedup_incremental: all-pairs cosine + WITH RECURSIVE
@@ -1422,6 +1436,35 @@ object ExtensionQueries {
       None,
       lazyOracle = Some(() => PqOracles.hybridIvfCents
         .map(c => rrfOracleSqlPruned(c, nprobe = 2)))),
+
+    // ── EXTERNAL-query hybrid serving (r18): the search-box shape —
+    // (id, text, vector) queries that are NOT corpus members, fused
+    // over the same persisted layouts with NO self-exclusion (an
+    // external query has no corpus row to exclude; a duplicate-text
+    // query surfaces its stored twin at rank 1 on both branches).
+    // Query ids offset by 10^6 out of the corpus id space — the
+    // documented collision contract (IvfIndex.query's shared plan
+    // carries the corpus-member self rule). The twin is the shared
+    // RRF template with the exclusions dropped and the id offset
+    // applied — same lexical arithmetic, same fusion tail. ─────────────
+    QuerySpec("hybrid_query_topk",
+      (s, d) => {
+        val (text, ivf) = hybridIndexes(s, d, HybridNCells)
+        val q = documents(s, d)
+          .filter(col("doc_id").isin(RrfQueryIds: _*))
+          .join(embeddings(s, d)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+            "doc_id")
+          .select((col("doc_id") + lit(1000000L)).as("qid"),
+            col("text").as("qtext"), col("embedding").as("qvec"))
+        HybridIndex.query(text, ivf, q, "qid", "qtext", "qvec",
+            kBranch = RrfKBranch, k = RrfFinalK, nprobe = HybridNCells,
+            rrfK = RrfConst)
+          .orderBy("query_id", "rank")
+      },
+      Some(rrfOracleSqlWith(
+        denseFrom = "FROM embeddings e CROSS JOIN qe",
+        postQeCtes = "", qidOffset = 1000000L, selfExclude = false))),
 
     // ── the hybrid serving shape at TREE scale (VERDICT r17 #5):
     // the same persisted lexical branch fused with a dense branch

@@ -75,6 +75,48 @@ object HybridIndex {
     (textDid, ivfDid)
   }
 
+  /** RRF-fused top-k for EXTERNAL queries — (id, text, vector) rows
+    * that are NOT corpus members: the search-box serving shape, where
+    * a fresh document arrives and needs its fused neighbors without
+    * ever being ingested (r18; [[queryByIds]] is the corpus-member
+    * variant with self-exclusion). No self rule applies — an external
+    * query has no corpus row to exclude — so the top hit of a query
+    * whose text/vector duplicate a stored doc is that doc at rank 1
+    * on both branches.
+    *
+    * Query ids must be disjoint from the corpus id space:
+    * [[IvfIndex.query]] carries the corpus-member self-exclusion
+    * (`neighbor_id =!= query_id`) in its shared plan, so a colliding
+    * id would silently drop exactly its own doc from the dense
+    * branch. Offset external ids (the catalog entry adds 10^6).
+    *
+    * Both branch scans file-prune the saved layouts exactly as
+    * [[queryByIds]]'s do — the query vocabulary and probed cells
+    * become literals; the fusion tail is the shared
+    * [[Extensions.rrfFuseRanked]]. Output:
+    * (query_id, <text index idCol>, lex_rank, vec_rank, rrf_score,
+    * rank ≤ k).
+    */
+  def query(textIndex: Bm25Queryable, ivfIndex: IvfIndex,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      queryVecCol: String, kBranch: Int = 20, k: Int = 10,
+      nprobe: Int = 4, rrfK: Int = 60): DataFrame = {
+    require(kBranch >= 1 && k >= 1 && nprobe >= 1 && rrfK >= 1,
+      "need kBranch >= 1, k >= 1, nprobe >= 1, rrfK >= 1")
+    val idCol = textIndex.idCol
+    val lex = textIndex.query(
+        queries.select(col(queryIdCol).as("query_id"),
+          col(queryTextCol).as("__qtext")),
+        "__qtext", "query_id", kBranch)
+      .select(col("query_id"), col(idCol), col("rank").as("lex_rank"))
+    val dense = ivfIndex.query(
+        queries.select(col(queryIdCol).as("query_id"),
+          col(queryVecCol).as("__q")), kBranch, nprobe)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("rank").as("vec_rank"))
+    Extensions.rrfFuseRanked(lex, dense, idCol, k, rrfK)
+  }
+
   /** RRF-fused top-k for query documents that are corpus members
     * (`queryIds` in the shared doc/vec id space): `queryDocs` supplies
     * the query TEXT (usually the documents table), the IVF index looks

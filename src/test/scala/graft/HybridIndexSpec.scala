@@ -142,6 +142,40 @@ class HybridIndexSpec extends AnyFunSuite {
     assert(rows(afterPhysical) == rows(twin))
   }
 
+  test("EXTERNAL-query hybrid (r18): a query that duplicates a stored " +
+      "document surfaces that document at fused rank 1 with dense " +
+      "rank 1 (no self-exclusion; cosine with itself is exactly 1.0 — " +
+      "lexical leadership is NOT a theorem: BM25's length " +
+      "normalization can rank a shorter doc above the twin), ids " +
+      "offset out of the corpus space, ranks well-formed") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val dupIds = Seq(5L, 17L)
+    val q = docs.filter(col("doc_id").isin(dupIds: _*))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .select((col("doc_id") + org.apache.spark.sql.functions
+        .lit(1000000L)).as("qid"),
+        col("text").as("qtext"), col("embedding").as("qvec"))
+    val out = HybridIndex.query(savedText, savedIvf, q, "qid", "qtext",
+      "qvec", kBranch = 10, k = 10, nprobe = NCells)
+    val rows = out.collect()
+    dupIds.foreach { id =>
+      val top = rows.filter(r => r.getAs[Long]("query_id") ==
+        id + 1000000L && r.getAs[Int]("rank") == 1).head
+      assert(top.getAs[Long]("doc_id") == id,
+        s"duplicate query of doc $id must surface it at rank 1")
+      assert(top.getAs[Integer]("vec_rank") == 1,
+        "the stored twin must lead the dense branch — no " +
+          "self-exclusion on external queries")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+    }
+  }
+
   test("TREE-mode hybrid (VERDICT r17 #5): the dense branch of a " +
       "past-threshold index runs the loaded sidecar's two-level " +
       "probes; exhaustive probes equal the in-memory rrfFusion " +
