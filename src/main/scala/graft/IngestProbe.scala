@@ -247,8 +247,12 @@ object IngestProbe {
     // the rest; this phase measures that trajectory instead. 0 = the
     // r17 protocol (one compaction, then the reserved batch).
     val second = sys.env.getOrElse("SPARK_GRAFT_INGEST_SECOND", "0").toInt
-    require(second >= 0 && second <= nBatches - 2,
-      s"second=$second must leave >= 1 growth and 1 reserved batch")
+    // >= 2 growth batches: SemanticStore.compact no-ops on a single
+    // committed epoch with no deletes, and a silent no-op here would
+    // record a "post-compact" trajectory for a fold that never ran
+    // (r18 review finding F2)
+    require(second >= 0 && second <= nBatches - 3,
+      s"second=$second must leave >= 2 growth and 1 reserved batch")
 
     val sb = new StringBuilder
     var storedRows = 0L

@@ -97,8 +97,12 @@ object ExtensionQueries {
   // pairs apart. The temp build dir is registered for JVM-exit
   // deletion.
   private val hybridIdxCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int),
-    (TextIndex, IvfIndex)]()
+    (org.apache.spark.sql.SparkSession, String, Int), IvfIndex]()
+  // the text index is nCells-INDEPENDENT — one per (session, dir),
+  // shared by the flat and tree pairs (r18 review finding F5: keying
+  // it under nCells built and saved the same text index twice)
+  private val hybridTextCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), TextIndex]()
 
   /** Temp dir removed RECURSIVELY at JVM exit: `File.deleteOnExit`
     * silently no-ops on non-empty directories, so a per-run store
@@ -150,16 +154,21 @@ object ExtensionQueries {
   }
 
   private def hybridIndexes(s: org.apache.spark.sql.SparkSession,
-      d: String, nCells: Int): (TextIndex, IvfIndex) =
-    hybridIdxCache.computeIfAbsent((s, d, nCells), _ => {
-      val dir = tempDir("graft-hybrid")
+      d: String, nCells: Int): (TextIndex, IvfIndex) = {
+    val text = hybridTextCache.computeIfAbsent((s, d), _ => {
+      val dir = tempDir("graft-hybrid-text")
       TextIndex.build(documents(s, d), "text", "doc_id", nBuckets = 16)
         .save(s"$dir/text")
+      TextIndex.load(s, s"$dir/text")
+    })
+    val ivf = hybridIdxCache.computeIfAbsent((s, d, nCells), _ => {
+      val dir = tempDir("graft-hybrid")
       IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
         nCells = nCells).save(s"$dir/ivf")
-      (TextIndex.load(s, s"$dir/text"),
-        IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding"))
+      IvfIndex.load(s, s"$dir/ivf", "vec_id", "embedding")
     })
+    (text, ivf)
+  }
 
   /** Generated DuckDB twin for `ann_bucketed`: the seeded gaussian
     * hyperplanes come from the SAME generator the operator buckets

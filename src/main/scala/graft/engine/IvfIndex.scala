@@ -663,8 +663,15 @@ object IvfIndex {
     * (review finding). */
   private[engine] def foldedEpochs(spark: SparkSession,
       path: String): Set[String] =
+    foldedEpochsOrdered(spark, path).toSet
+
+  /** [[foldedEpochs]] in manifest FILE order — fold order, oldest
+    * first (compactions append new names at the tail), which is what
+    * lets `retainFolded` drop from the head. */
+  private def foldedEpochsOrdered(spark: SparkSession,
+      path: String): Seq[String] =
     readMarker(spark, s"${baseRoot(path)}/_folded")
-      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      .map(_.split("\n").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
 
   /** Directories of CLAIMED ingest epochs under `path/epochs` — an
     * epoch becomes visible only once its `_claim` marker exists, which
@@ -855,10 +862,14 @@ object IvfIndex {
     * contract made replay-safe — the streaming ingest path
     * (`Streaming.vectorIngestSink`) calls it per micro-batch; new ids
     * must be disjoint from stored ones (dedup upstream).
+    * `retainFolded` forwards to the self-policed [[compactEpochs]]'s
+    * `_folded` manifest horizon (see its doc for the replay
+    * contract); 0 = keep every folded name forever.
     */
   def appendEpoch(spark: SparkSession, path: String, emb: DataFrame,
       embCol: String, idCol: String, epochName: String,
-      compactEvery: Int = 0, compactRefit: Boolean = false): Boolean = {
+      compactEvery: Int = 0, compactRefit: Boolean = false,
+      retainFolded: Int = 0): Boolean = {
     require(epochName.nonEmpty && !epochName.contains("/"),
       "epochName must be a single path segment")
     // an epoch that was claimed and then FOLDED by compactEpochs has
@@ -906,7 +917,8 @@ object IvfIndex {
     // compactEpochs' _SEMSTORE sentinel fails loudly.
     if (compactEvery > 0 &&
         claimedEpochs(spark, path).length >= compactEvery)
-      compactEpochs(spark, path, refit = compactRefit)
+      compactEpochs(spark, path, refit = compactRefit,
+        retainFolded = retainFolded)
     true
   }
 
@@ -942,17 +954,30 @@ object IvfIndex {
     * torn epoch's vectors as stored — phantom pairs (ADVICE r14).
     * [[SemanticStore.compact]] is the store-aware path: it folds only
     * store-COMMITTED epoch names via [[compactEpochsNamed]].
+    *
+    * `retainFolded` (r18 review finding F4) bounds the `_folded`
+    * replay-refusal manifest: keep at most that many names — always
+    * ALL of this fold's own, plus the newest carried tail up to the
+    * budget; a carried name beyond the horizon is dropped ONLY once
+    * its epoch dir is physically gone (dropping the claim while the
+    * dir exists would resurrect it as a live epoch). 0 (default)
+    * keeps every name forever. Setting it is a CONTRACT: the caller
+    * asserts replays older than the horizon cannot arrive (the
+    * streaming sinks pass 4×compactEvery — checkpoint redelivery
+    * only reaches batches at/after the last committed offset).
     */
   def compactEpochs(spark: SparkSession, path: String,
       refit: Boolean = false,
-      rowsPerCell: Long = defaultRowsPerCell): Boolean = {
+      rowsPerCell: Long = defaultRowsPerCell,
+      retainFolded: Int = 0): Boolean = {
     val (sfs, sp) = hadoopFs(spark, s"$path/_SEMSTORE")
     require(!sfs.exists(sp),
       s"$path is the inner index of a SemanticStore — its epoch dirs " +
         "are resolved by committed snapshot name, and folding claimed-" +
         "but-uncommitted epochs would surface phantom vectors; run " +
         "SemanticStore.compact on the store instead")
-    compactEpochsFiltered(spark, path, None, refit, rowsPerCell)
+    compactEpochsFiltered(spark, path, None, refit, rowsPerCell,
+      retainFolded)
   }
 
   /** [[compactEpochs]] restricted to an explicit epoch-name subset —
@@ -964,7 +989,8 @@ object IvfIndex {
   private[graft] def compactEpochsNamed(spark: SparkSession,
       path: String, names: Set[String], refit: Boolean = false,
       rowsPerCell: Long = defaultRowsPerCell): Boolean =
-    compactEpochsFiltered(spark, path, Some(names), refit, rowsPerCell)
+    compactEpochsFiltered(spark, path, Some(names), refit, rowsPerCell,
+      retainFolded = 0)
 
   /** `refit = true` is the quantizer-REFIT compaction (VERDICT r15
     * #1): compaction already rewrites every live vector into the new
@@ -999,7 +1025,7 @@ object IvfIndex {
     * and the SemanticStore pair law is blocking-independent. */
   private def compactEpochsFiltered(spark: SparkSession, path: String,
       only: Option[Set[String]], refit: Boolean,
-      rowsPerCell: Long): Boolean = {
+      rowsPerCell: Long, retainFolded: Int): Boolean = {
     // THE single claimed-epoch snapshot: the staged unions AND the
     // _folded manifest all derive from this one list, so an epoch
     // claimed while this runs is simply not part of this generation —
@@ -1102,10 +1128,31 @@ object IvfIndex {
       readMarker(spark, s"$path/codebook/_pqv").foreach(v =>
         writeMarker(spark, s"$stage/codes/_pqv", v))
     }
-    val foldedNow = foldedEpochs(spark, path) ++
-      epochs.map(e => new org.apache.hadoop.fs.Path(e).getName)
-    writeMarker(spark, s"$stage/_folded", foldedNow.toSeq.sorted
-      .mkString("\n"))
+    // _folded in fold order, new names at the tail. retainFolded
+    // (r18 review finding F4) drops carried names from the HEAD —
+    // never this fold's own names (a replay straddling THIS
+    // compaction is the live hazard), and never a name whose epoch
+    // dir still exists on disk (a crash before an earlier sweep:
+    // dropping the claim would RESURRECT the dir as a live epoch and
+    // count its rows twice — the claim must outlive the dir).
+    locally {
+      val own = epochs.map(e =>
+        new org.apache.hadoop.fs.Path(e).getName).sorted
+      val carried = foldedEpochsOrdered(spark, path)
+        .filterNot(own.contains)
+      val kept =
+        if (retainFolded <= 0) carried ++ own
+        else {
+          val budget = math.max(0, retainFolded - own.length)
+          val (beyondHorizon, withinHorizon) = carried.splitAt(
+            math.max(0, carried.length - budget))
+          val (efs2, _) = hadoopFs(spark, s"$path/epochs")
+          beyondHorizon.filter(n => efs2.exists(
+            new org.apache.hadoop.fs.Path(s"$path/epochs/$n"))) ++
+            withinHorizon ++ own
+        }
+      writeMarker(spark, s"$stage/_folded", kept.mkString("\n"))
+    }
     Generations.publish(path, s"gen-$nextGen") // the commit point
     // cleanup, driven by the PUBLISHED state rather than this run's
     // working set, so a crash inside an EARLIER run's sweep heals

@@ -53,7 +53,15 @@ final class TextIndex private[engine] (
     postings: DataFrame,
     val idCol: String,
     val nBuckets: Int,
-    deleted: Option[DataFrame] = None) extends Bm25Queryable {
+    deleted: Option[DataFrame] = None,
+    // where this instance was loaded from and which delete epochs its
+    // deleted/nDocs/sumDl snapshot CONSUMED — what save() needs to
+    // decide which target markers the staged layout actually realizes
+    // (r18 review finding F1: a delete committed AFTER load is NOT
+    // realized by this instance's postings, and claiming it applied
+    // would resurrect the take-down)
+    srcPath: Option[String] = None,
+    consumedDeletes: Set[String] = Set.empty) extends Bm25Queryable {
 
   /** BM25 top-k per query; `queries` carries (queryIdCol, queryTextCol).
     * Output matches [[Extensions.bm25TopK]]:
@@ -150,16 +158,18 @@ final class TextIndex private[engine] (
     * a supported operation because the staged generation never
     * collides with the directories the loaded frames read.
     *
-    * Every delete epoch committed at the target is inapplicable to
-    * the staged layout — when target == source they are the deletes
-    * this write just realized physically; when the target carried an
-    * unrelated older index they reference a corpus the flip replaces
-    * wholesale. They are listed in the generation's `_dels_applied`
-    * manifest (from the flip on they stop filtering and stop
-    * correcting stats) and their dirs are retired one grace cycle
-    * later, exactly the [[compactSegments]] protocol: a reader that
-    * resolved the old generation just before the flip keeps intact
-    * epoch files for the queries it has in flight.
+    * The generation's `_dels_applied` manifest records which target
+    * delete epochs the staged layout REALIZES (from the flip on they
+    * stop filtering and stop correcting stats; their dirs retire one
+    * grace cycle later, exactly the [[compactSegments]] protocol — a
+    * reader that resolved the old generation just before the flip
+    * keeps intact epoch files for the queries it has in flight).
+    * Which ones those are depends on the target (r18 review finding
+    * F1): on an in-place re-save, exactly the epochs THIS instance
+    * consumed at load plus the already-applied carry — a delete
+    * committed after the load is not in the staged postings and must
+    * stay live; on any other target, every marker (they reference a
+    * corpus the flip replaces wholesale).
     */
   def save(path: String): Unit = {
     val spark = postings.sparkSession
@@ -210,11 +220,30 @@ final class TextIndex private[engine] (
     val allMarkers =
       if (!fs.exists(delRoot)) Set.empty[String]
       else fs.listStatus(delRoot).map(_.getPath.getName).toSet
-    if (allMarkers.nonEmpty) {
+    // which target markers does the STAGED layout actually realize?
+    // In-place re-save (target == the path this instance was loaded
+    // from): exactly the epochs the load consumed into
+    // deleted/nDocs/sumDl, plus the already-applied carry — a delete
+    // committed AFTER the load is NOT in the staged postings and must
+    // STAY LIVE (claiming it applied would silently resurrect the
+    // take-down against the stale instance: r18 review finding F1;
+    // the staged stats never subtracted it, so keeping it live keeps
+    // the arithmetic exact too). Any OTHER target's markers reference
+    // a corpus this flip replaces wholesale: all inapplicable.
+    // Path-normalized comparison ("dir/" vs "dir" must not flip an
+    // in-place save into the claim-all branch)
+    val inPlace = srcPath.exists(sp =>
+      new org.apache.hadoop.fs.Path(sp).toString ==
+        new org.apache.hadoop.fs.Path(path).toString)
+    val realized =
+      if (inPlace)
+        (appliedBefore ++ consumedDeletes).intersect(allMarkers)
+      else allMarkers
+    if (realized.nonEmpty) {
       val (mfs, mp) = TextIndex.hadoopFs(spark,
         s"$path/$newRoot/_dels_applied")
       val out = mfs.create(mp, true)
-      out.write(allMarkers.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.write(realized.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       out.close()
     }
     Generations.publish(path, newRoot) // the commit point
@@ -530,19 +559,26 @@ object TextIndex {
   /** Segment names the current root's compaction folded into its
     * merged segment (`_segs_folded` manifest) — an append replaying
     * one of these names must refuse, not re-index (their rows live
-    * inside the compacted segment now). Empty before any compaction. */
-  private def foldedSegments(spark: SparkSession,
-      path: String): Set[String] = {
+    * inside the compacted segment now). Empty before any compaction.
+    * FILE ORDER is fold order (oldest first — compactions append new
+    * names at the tail), which is what lets `retainFolded` drop from
+    * the head. */
+  private def foldedSegmentsOrdered(spark: SparkSession,
+      path: String): Seq[String] = {
     val (fs, p) = hadoopFs(spark,
       s"$path/${segmentsRoot(path)}/_segs_folded")
-    if (!fs.exists(p)) Set.empty
+    if (!fs.exists(p)) Seq.empty
     else {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8")
-        .split("\n").filter(_.nonEmpty).toSet
+        .split("\n").filter(_.nonEmpty).toSeq
       finally in.close()
     }
   }
+
+  private def foldedSegments(spark: SparkSession,
+      path: String): Set[String] =
+    foldedSegmentsOrdered(spark, path).toSet
 
   /** Append one corpus snapshot as a new immutable segment under the
     * live segment root. Documents must be NEW ids (segments never
@@ -567,19 +603,48 @@ object TextIndex {
     * bucket directory PER SEGMENT, so an unbounded per-micro-batch
     * append stream pays a linearly growing open-and-merge tax — the
     * text twin of the measured ~5×-over-40-epochs store curve. 0 =
-    * never (the default).
+    * never (the default). `retainFolded` forwards to
+    * [[compactSegments]]'s manifest horizon (see its doc for the
+    * replay contract); 0 = keep every folded name.
     */
   def appendSegment(docs: DataFrame, textCol: String, idCol: String,
       path: String, segmentName: String, nBuckets: Int = 64,
-      compactEvery: Int = 0): Boolean = {
+      compactEvery: Int = 0, retainFolded: Int = 0): Boolean = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val (fs, _) = hadoopFs(spark, path)
     if (foldedSegments(spark, path).contains(segmentName)) return false
     val seg = s"$path/${segmentsRoot(path)}/$segmentName"
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$seg/stats")))
-      return false // committed replay: no-op
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$seg/stats"))) {
+      // committed replay: no-op — but verify the refused batch IS a
+      // redelivery, not a caller naming bug reusing the name for a
+      // different corpus snapshot, which would otherwise drop the
+      // documents silently (r18 review finding F3; the pre-r18
+      // errorifexists at least threw). One tokenize+agg on this rare
+      // path buys the (n_docs, sum_dl) fingerprint — same-data
+      // redelivery reproduces it exactly (the stats are a pure
+      // function of the batch), different data virtually never does.
+      // A FOLDED name can't be checked (its rows merged away) — the
+      // immutable-name contract is all that guards that path.
+      val st = spark.read.parquet(s"$seg/stats").collect().head
+      val fp = docs
+        .select(col(idCol),
+          explode(Extensions.tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+        .collect().head
+      require(fp.getLong(0) == st.getLong(st.fieldIndex("n_docs")) &&
+        fp.getLong(1) == st.getLong(st.fieldIndex("sum_dl")),
+        s"segment name '$segmentName' is already committed with " +
+          s"DIFFERENT documents (committed n_docs=" +
+          s"${st.getLong(st.fieldIndex("n_docs"))}/sum_dl=" +
+          s"${st.getLong(st.fieldIndex("sum_dl"))}, this batch " +
+          s"${fp.getLong(0)}/${fp.getLong(1)}) — segment names are " +
+          "immutable; use a fresh name for a new snapshot")
+      return false
+    }
     if (fs.exists(new org.apache.hadoop.fs.Path(seg)))
       fs.delete(new org.apache.hadoop.fs.Path(seg), true) // crashed half-write
     val tf = docs
@@ -601,7 +666,7 @@ object TextIndex {
       .write.mode("errorifexists").parquet(s"$seg/stats")
     postings.unpersist()
     if (compactEvery > 0 && segmentDirs(path).length >= compactEvery)
-      compactSegments(spark, path)
+      compactSegments(spark, path, retainFolded)
     true
   }
 
@@ -663,9 +728,25 @@ object TextIndex {
     * the NEXT compaction, by which point the flip it straddled is long
     * visible. Single-maintenance-writer contract (appends racing a
     * compaction can land in the superseded root).
+    *
+    * `retainFolded` (r18 review finding F4) bounds the `_segs_folded`
+    * replay-refusal manifest: keep at most that many folded names —
+    * always ALL of this merge's own names (a replay straddling THIS
+    * compaction is the live hazard) plus the newest tail of the
+    * carried names up to the budget. 0 (default) keeps every name
+    * forever — fully sound, but a per-micro-batch stream folding for
+    * months grows the manifest and every append's read of it without
+    * bound. Setting it is a CONTRACT: the caller asserts its
+    * checkpoint can only redeliver batches younger than the retained
+    * horizon (Structured Streaming redelivers at/after the last
+    * committed offset — sinks folding every `compactEvery` batches
+    * are safe with any retainFolded ≥ compactEvery; the sinks pass
+    * 4× for margin). A replay OLDER than the horizon would re-index
+    * its batch as a fresh segment.
     * Returns true when a merge happened (false = already compact).
     */
-  def compactSegments(spark: SparkSession, path: String): Boolean = {
+  def compactSegments(spark: SparkSession, path: String,
+      retainFolded: Int = 0): Boolean = {
     val segDirs = segmentDirs(path)
     // committed unapplied deletes are compaction WORK: even a single-
     // segment index compacts to realize them physically (the segmented
@@ -732,13 +813,19 @@ object TextIndex {
     // root's manifest forward, the SemanticStore `_folded` rule): an
     // appendSegment replaying one of these names — a checkpoint
     // replay straddling the compaction — must refuse rather than
-    // re-index the batch as a fresh segment (r18 review finding)
+    // re-index the batch as a fresh segment (r18 review finding).
+    // File order = fold order (new names at the tail); retainFolded
+    // drops from the HEAD, never below this merge's own names.
     locally {
+      val own = segDirs.map(_.getName).sorted
+      val carried = foldedSegmentsOrdered(spark, path)
+        .filterNot(own.contains)
+      val kept =
+        if (retainFolded <= 0) carried ++ own
+        else carried.takeRight(math.max(0, retainFolded - own.length)) ++ own
       val (sfs, sp) = hadoopFs(spark, s"$path/$newRoot/_segs_folded")
       val out = sfs.create(sp, true)
-      out.write((foldedSegments(spark, path) ++
-          segDirs.map(_.getName)).toSeq.sorted
-        .mkString("\n").getBytes("UTF-8"))
+      out.write(kept.mkString("\n").getBytes("UTF-8"))
       out.close()
     }
     Generations.publish(path, newRoot)
@@ -822,6 +909,12 @@ object TextIndex {
       spark.read.parquet(s"$base/postings"),
       st.getString(st.fieldIndex("id_col")),
       st.getInt(st.fieldIndex("n_buckets")),
-      deletedIdsDf(spark, path))
+      deletedIdsDf(spark, path),
+      // save() needs to know which target markers this snapshot
+      // realizes: exactly these names, at exactly this path — a
+      // delete committed after this load stays live through an
+      // in-place re-save (r18 review finding F1)
+      srcPath = Some(path),
+      consumedDeletes = dels.map(_._1).toSet)
   }
 }

@@ -369,7 +369,10 @@ object Streaming {
     * claimed epochs into the base generation (`compactRefit` chooses
     * the budget-growing quantizer refit vs the cheap layout-only
     * fold). Replay across the fold stays exactly-once: a folded
-    * epoch's name is refused by the `_folded` manifest. 0 = never.
+    * epoch's name is refused by the `_folded` manifest — bounded to
+    * the last 4×compactEvery names (r18 review finding F4; sound
+    * because checkpoint redelivery never reaches older batches).
+    * 0 = never.
     */
   def vectorIngestSink(updates: DataFrame, indexPath: String,
       embCol: String, idCol: String,
@@ -380,7 +383,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         graft.engine.IvfIndex.appendEpoch(batch.sparkSession, indexPath,
           batch, embCol, idCol, f"batch-$epochId%09d",
-          compactEvery, compactRefit)
+          compactEvery, compactRefit, retainFolded = 4 * compactEvery)
         ()
       }
       .start()
@@ -408,7 +411,10 @@ object Streaming {
     *
     * `compactEvery` forwards to BOTH branches: the text side folds
     * segments at the threshold, the vector side folds epochs
-    * (`compactRefit` as in [[vectorIngestSink]]).
+    * (`compactRefit` as in [[vectorIngestSink]]). Both folded-name
+    * manifests are bounded to the last 4×compactEvery names (r18
+    * review finding F4; checkpoint redelivery never reaches older
+    * batches).
     */
   def hybridIngestSink(docs: DataFrame, textCol: String, embCol: String,
       idCol: String, textPath: String, ivfPath: String,
@@ -423,10 +429,11 @@ object Streaming {
           val b = batch.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           graft.engine.TextIndex.appendSegment(b, textCol, idCol,
-            textPath, name, nBuckets, compactEvery)
+            textPath, name, nBuckets, compactEvery,
+            retainFolded = 4 * compactEvery)
           graft.engine.IvfIndex.appendEpoch(b.sparkSession, ivfPath,
             b.select(col(idCol), col(embCol)), embCol, idCol, name,
-            compactEvery, compactRefit)
+            compactEvery, compactRefit, retainFolded = 4 * compactEvery)
           b.unpersist()
         }
         ()
@@ -688,7 +695,13 @@ object Streaming {
     * `compactEvery` (VERDICT r17 #2b) bounds the segment count: each
     * query probes one bucket dir PER SEGMENT, so a per-micro-batch
     * append stream must fold segments on a cadence or pay a linearly
-    * growing per-query tax. 0 = never (the pre-r18 behavior).
+    * growing per-query tax. 0 = never (the pre-r18 behavior). The
+    * folded-name replay manifest is bounded to the last
+    * 4×compactEvery names (r18 review finding F4 — unbounded, a
+    * months-long stream re-reads millions of names per append): sound
+    * here because Structured Streaming redelivers only batches
+    * at/after the last committed checkpoint offset, never one older
+    * than the horizon.
     */
   def indexIngestSink(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, checkpointDir: String,
@@ -698,7 +711,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           graft.engine.TextIndex.appendSegment(batch, textCol, idCol,
-            indexPath, f"epoch-$epochId%09d", nBuckets, compactEvery)
+            indexPath, f"epoch-$epochId%09d", nBuckets, compactEvery,
+            retainFolded = 4 * compactEvery)
         }
         ()
       }

@@ -463,6 +463,55 @@ class IvfIndexSpec extends AnyFunSuite {
       s"no partition-filtered codes scan in:\n$plan")
   }
 
+  test("retainFolded bounds the _folded replay manifest (r18 review " +
+      "finding F4): own fold names always survive, a beyond-horizon " +
+      "name keeps its claim while its epoch dir still exists (the " +
+      "crash-before-sweep resurrection guard), and retained names " +
+      "still refuse replay") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = (i: Int) => emb.filter(col("vec_id") % 5 === i)
+    val dir = Files.createTempDirectory("graft-ivf-retain").toString
+    def manifest(): Seq[String] = {
+      val root = graft.engine.Generations.currentName(dir).get
+      val f = java.nio.file.Paths.get(s"$dir/$root/_folded")
+      if (!java.nio.file.Files.exists(f)) Seq.empty
+      else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+    IvfIndex.build(p(0), "embedding", "vec_id", nCells = 4).save(dir)
+    assert(IvfIndex.appendEpoch(spark, dir, p(1), "embedding",
+      "vec_id", "e1"))
+    assert(IvfIndex.appendEpoch(spark, dir, p(2), "embedding",
+      "vec_id", "e2"))
+    assert(IvfIndex.compactEpochs(spark, dir, retainFolded = 2))
+    assert(manifest() == Seq("e1", "e2"))
+    // a retained folded name refuses replay (dir long swept)
+    assert(!IvfIndex.appendEpoch(spark, dir, p(1), "embedding",
+      "vec_id", "e1"))
+    // crash-before-sweep shape: a folded epoch dir is still on disk
+    // when the NEXT fold's manifest is written — dropping its name
+    // would resurrect the dir as a live epoch (rows counted twice),
+    // so the horizon must NOT drop it until the dir is gone
+    new java.io.File(s"$dir/epochs/e1/cells").mkdirs()
+    assert(IvfIndex.appendEpoch(spark, dir, p(3), "embedding",
+      "vec_id", "e3"))
+    assert(IvfIndex.compactEpochs(spark, dir, retainFolded = 1))
+    assert(manifest() == Seq("e1", "e3"),
+      "e1 (dir alive) must keep its claim; e2 (dir swept) drops")
+    assert(!new java.io.File(s"$dir/epochs/e1").exists(),
+      "this fold's own sweep reclaims the resurrected dir")
+    // with the dir gone, the next fold finally drops e1 (and e3,
+    // also beyond the 1-name horizon and swept)
+    assert(IvfIndex.appendEpoch(spark, dir, p(4), "embedding",
+      "vec_id", "e4"))
+    assert(IvfIndex.compactEpochs(spark, dir, retainFolded = 1))
+    assert(manifest() == Seq("e4"))
+    // exactly-once throughout: every ingested id, once
+    val cells = graft.engine.IvfIndex.cellsWithEpochs(spark, dir)
+    assert(cells.count() == emb.count())
+    assert(cells.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("lifecycle hardening (ADVICE r12): an epoch-less compactEpochs " +
       "heals sweep orphans, re-save over a compacted path resets the " +
       "generation/epoch state, and a torn addPqCodes fails loudly via " +

@@ -110,15 +110,22 @@ class TextIndexSpec extends AnyFunSuite {
     assert(seg.nDocs == fresh.nDocs && seg.sumDl == fresh.sumDl)
     assert(resultSet(seg.query(queries, "qtext", "query_id", k = 10))
       == resultSet(fresh.query(queries, "qtext", "query_id", k = 10)))
-    // appending an existing segment name is a refused replay (the
-    // appendEpoch claim shape, r18): false back, nothing re-indexed —
-    // even with DIFFERENT data in the frame
-    assert(!graft.engine.TextIndex.appendSegment(half2, "text",
+    // appending an existing segment name with the SAME data is a
+    // refused replay (the appendEpoch claim shape, r18): false back,
+    // nothing re-indexed
+    assert(!graft.engine.TextIndex.appendSegment(half1, "text",
       "doc_id", dir, "snap-001", nBuckets = 16))
     val afterReplay = graft.engine.TextIndex.loadSegments(spark, dir)
     assert(afterReplay.nDocs == fresh.nDocs &&
       afterReplay.sumDl == fresh.sumDl,
       "a committed-name replay must not change the corpus")
+    // ... but reusing the name for DIFFERENT documents is a caller
+    // naming bug and fails LOUDLY instead of dropping the batch (the
+    // stats-fingerprint guard, r18 review finding)
+    assertThrows[IllegalArgumentException] {
+      graft.engine.TextIndex.appendSegment(half2, "text", "doc_id",
+        dir, "snap-001", nBuckets = 16)
+    }
     // a segment with a different bucket count is rejected at load
     graft.engine.TextIndex.appendSegment(half1.limit(5), "text", "doc_id",
       dir, "snap-003", nBuckets = 8)
@@ -195,6 +202,47 @@ class TextIndexSpec extends AnyFunSuite {
     assert(graft.engine.TextIndex.compactSegments(spark, dir))
     assert(graft.engine.TextIndex.loadSegments(spark, dir).nDocs
       == before.nDocs + 1)
+  }
+
+  test("retainFolded bounds the _segs_folded replay manifest (r18 " +
+      "review finding F4): this fold's own names always survive the " +
+      "budget, carried names drop oldest-first, retained names still " +
+      "refuse replay, and the corpus is unchanged throughout") {
+    val docs = Tables.documents(spark, sf)
+    val part = (i: Int) => docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 5 === i)
+    val dir = Files.createTempDirectory("graft-tidx-retain").toString
+    def manifest(): Seq[String] = {
+      val root = graft.engine.Generations.currentName(dir).get
+      val f = java.nio.file.Paths.get(s"$dir/$root/_segs_folded")
+      if (!java.nio.file.Files.exists(f)) Seq.empty
+      else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+    (0 to 2).foreach(i => graft.engine.TextIndex.appendSegment(
+      part(i), "text", "doc_id", dir, f"snap-$i%03d", nBuckets = 16))
+    assert(graft.engine.TextIndex.compactSegments(spark, dir,
+      retainFolded = 2))
+    // own names survive even PAST the budget — a replay straddling
+    // this very compaction is the live hazard the manifest exists for
+    assert(manifest() == Seq("snap-000", "snap-001", "snap-002"))
+    (3 to 4).foreach(i => graft.engine.TextIndex.appendSegment(
+      part(i), "text", "doc_id", dir, f"snap-$i%03d", nBuckets = 16))
+    assert(graft.engine.TextIndex.compactSegments(spark, dir,
+      retainFolded = 2))
+    // second fold's own set (the merged segment + two appends) fills
+    // the budget, so every carried first-fold name drops
+    assert(manifest() == Seq("compact-000001", "snap-003", "snap-004"))
+    // a RETAINED folded name still refuses replay
+    assert(!graft.engine.TextIndex.appendSegment(part(3), "text",
+      "doc_id", dir, "snap-003", nBuckets = 16))
+    val after = graft.engine.TextIndex.loadSegments(spark, dir)
+    val fresh = TextIndex.build(
+      (0 to 4).map(part).reduce(_.unionByName(_)),
+      "text", "doc_id", nBuckets = 16)
+    assert(after.nDocs == fresh.nDocs && after.sumDl == fresh.sumDl)
+    assert(resultSet(after.query(queries, "qtext", "query_id", k = 10))
+      == resultSet(fresh.query(queries, "qtext", "query_id", k = 10)))
   }
 
   test("a compaction that crashed mid-stage (unpublished segments-N " +
@@ -453,6 +501,33 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/_staging-del-zombie").exists(),
       "delete() must sweep crashed staging files")
     checkLoaded()
+    // STALE-instance in-place re-save (r18 review finding F1): a
+    // delete committed AFTER this instance loaded is NOT in its
+    // staged postings, so the manifest must leave it LIVE — claiming
+    // it applied would silently resurrect the take-down (the exact
+    // failure class the generational protocol exists to close)
+    val stale3 = TextIndex.load(spark, dir)
+    val lateId = want.head._2
+    TextIndex.delete(spark, dir, Seq(lateId).toDF("doc_id"),
+      "doc_id", "late-del")
+    stale3.save(dir) // staged postings still CONTAIN lateId's rows
+    assert(new java.io.File(s"$dir/_deletes/late-del").exists(),
+      "a post-load delete must stay live through a stale re-save")
+    val twinLate = TextIndex.build(
+      docs.filter(col("doc_id") =!= delId && col("doc_id") =!= lateId),
+      "text", "doc_id", nBuckets = 16)
+    val afterLate = TextIndex.load(spark, dir)
+    assert(afterLate.nDocs == twinLate.nDocs &&
+      afterLate.sumDl == twinLate.sumDl,
+      s"stats (${afterLate.nDocs}, ${afterLate.sumDl}) vs late twin " +
+        s"(${twinLate.nDocs}, ${twinLate.sumDl}) — a stale re-save " +
+        "must not realize a delete it never consumed")
+    val lateRows = resultSet(afterLate.query(queries, "qtext",
+      "query_id", k = 10))
+    assert(!lateRows.exists(_._2 == lateId),
+      "the post-load take-down must still exclude after the stale save")
+    assert(lateRows == resultSet(twinLate.query(queries, "qtext",
+      "query_id", k = 10)))
   }
 
   test("build rejects reserved internal column names") {
