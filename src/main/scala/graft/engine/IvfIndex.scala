@@ -988,9 +988,10 @@ object IvfIndex {
     * design. */
   private[graft] def compactEpochsNamed(spark: SparkSession,
       path: String, names: Set[String], refit: Boolean = false,
-      rowsPerCell: Long = defaultRowsPerCell): Boolean =
+      rowsPerCell: Long = defaultRowsPerCell,
+      retainFolded: Int = 0): Boolean =
     compactEpochsFiltered(spark, path, Some(names), refit, rowsPerCell,
-      retainFolded = 0)
+      retainFolded)
 
   /** `refit = true` is the quantizer-REFIT compaction (VERDICT r15
     * #1): compaction already rewrites every live vector into the new

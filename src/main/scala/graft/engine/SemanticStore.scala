@@ -157,6 +157,33 @@ object SemanticStore {
       storePath: String): Set[String] =
     markerEntries(spark, storePath)._2
 
+  /** Folded names in manifest FILE order — fold order, oldest first
+    * ([[compact]] appends its own fold's names at the tail), which is
+    * what lets `retainFolded` drop from the head. Markers are read in
+    * name order; at steady state exactly one compacted marker carries
+    * content (sweepFolded retires superseded ones), so the
+    * cross-marker order only matters inside crash windows, where every
+    * name is kept anyway (the drop guard below). */
+  private def foldedOrdered(spark: SparkSession,
+      storePath: String): Seq[String] = {
+    val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val names = fs.listStatus(root).toSeq
+        .sortBy(_.getPath.getName)
+        .flatMap { st =>
+          if (st.getLen == 0) Nil
+          else {
+            val in = fs.open(st.getPath)
+            try new String(in.readAllBytes(), "UTF-8")
+              .split("\n").filter(_.nonEmpty).toSeq
+            finally in.close()
+          }
+        }
+      names.distinct
+    }
+  }
+
   // ── take-down deletes (VERDICT r15 #5) ───────────────────────────────
 
   /** Commit a take-down DELETE of document ids (licensing/opt-out
@@ -254,12 +281,14 @@ object SemanticStore {
     * auto-compaction leaves a committed ingest plus a heal-on-retry
     * fold, exactly as if compact had been called manually. 0 = never
     * (the default; the streaming sink forwards its own `compactEvery`
-    * knob here — r18).
+    * knob here — r18). `retainFolded` forwards to the auto-compact's
+    * folded-manifest horizon (see [[compact]]); 0 = keep every name.
     */
   def ingest(storePath: String, batchDocs: DataFrame, batchEmb: DataFrame,
       idCol: String, qualityCol: String, embCol: String,
       minCosine: Double, nCells: Int = 16,
-      epochName: String, compactEvery: Int = 0): DataFrame = {
+      epochName: String, compactEvery: Int = 0,
+      retainFolded: Int = 0): DataFrame = {
     require(minCosine > 0 && minCosine < 1,
       "minCosine must be in (0, 1) — the cosineNearDupsBlocked domain")
     require(epochName.nonEmpty && !epochName.contains("/"),
@@ -323,7 +352,7 @@ object SemanticStore {
         .close()
       // even an empty epoch is a metadata dir the threshold counts
       if (compactEvery > 0 && committed.size + 1 >= compactEvery) {
-        compact(spark, storePath)
+        compact(spark, storePath, retainFolded = retainFolded)
         return snapshot(spark, storePath, idCol, qualityCol)
       }
       return snapshotOf(spark, storePath, committed :+ epochName,
@@ -522,7 +551,7 @@ object SemanticStore {
     // epochs' dirs are swept; a frame over the stale names would read
     // deleted paths when the caller finally evaluates it)
     if (compactEvery > 0 && committed.size + 1 >= compactEvery) {
-      compact(spark, storePath)
+      compact(spark, storePath, retainFolded = retainFolded)
       return snapshot(spark, storePath, idCol, qualityCol)
     }
     // the committed set is this call's listing + the epoch just
@@ -620,10 +649,21 @@ object SemanticStore {
     * blocking-independent (the law every compact spec pins) and radii
     * re-key to whatever cells the refit produces; what it buys is
     * pruning power tracking corpus size, tree-mode assignment past
-    * the threshold included. `rowsPerCell = 0` freezes the budget. */
+    * the threshold included. `rowsPerCell = 0` freezes the budget.
+    *
+    * `retainFolded` (r18 review finding F4) bounds the folded-name
+    * replay manifest the compacted marker carries — at most that many
+    * names, always ALL of this fold's own, dropping carried names
+    * oldest-first and never one whose marker or data dirs still
+    * linger (see the manifest block below). Forwarded to the inner
+    * index's `_folded` horizon so both layers drop in lockstep. 0
+    * (default) keeps every name forever; setting it is the
+    * redelivery-horizon contract ([[ingest]]'s auto-compact and the
+    * streaming sink pass it through). */
   def compact(spark: SparkSession, storePath: String,
       refit: Boolean = true,
-      rowsPerCell: Long = IvfIndex.defaultRowsPerCell): Boolean = {
+      rowsPerCell: Long = IvfIndex.defaultRowsPerCell,
+      retainFolded: Int = 0): Boolean = {
     sweepFolded(spark, storePath) // heal an earlier run's crashed sweep
     // an earlier run's crash between marker staging and rename leaves
     // an orphan staging file at the store root — unreadable by any
@@ -682,7 +722,7 @@ object SemanticStore {
       IvfIndex.delete(spark, ivfPath, d, "__del_id", s"store-$cName",
         overwrite = true))
     IvfIndex.compactEpochsNamed(spark, ivfPath, committed.toSet, refit,
-      rowsPerCell)
+      rowsPerCell, retainFolded)
     // physical removal of deleted PAIRS and META from the consolidated
     // epoch (the read-path filters applied once, at rest)
     notDeleted(notDeleted(spark.read
@@ -719,7 +759,36 @@ object SemanticStore {
         .coalesce(1) // ≤ nCells rows
         .write.mode("overwrite").parquet(s"$storePath/radii/$cName")
     IvfIndex.writeMarker(spark, s"$storePath/radii/$cName/_qv", qv)
-    val manifest = (folded ++ committed).toSeq.sorted.mkString("\n")
+    // Manifest in fold order, this fold's names at the tail.
+    // retainFolded (the r18 F4 horizon, third manifest) drops carried
+    // names from the HEAD — never this fold's own names, and never a
+    // name whose `_epochs/<e>` marker or pairs/meta/radii dirs still
+    // exist: a lingering marker would RESURRECT the epoch as committed
+    // (it is only invisible because the manifest folds it), and
+    // lingering dirs would leak forever (sweepFolded is
+    // manifest-driven). 0 (default) keeps every name; setting it is
+    // the same redelivery-horizon contract as the TextIndex/IvfIndex
+    // twins (the streaming sink passes 4×compactEvery).
+    val manifest = {
+      val ownSet = committed.toSet
+      val carried = foldedOrdered(spark, storePath).filterNot(ownSet)
+      val kept =
+        if (retainFolded <= 0) carried ++ committed
+        else {
+          val budget = math.max(0, retainFolded - committed.length)
+          val (beyondHorizon, withinHorizon) = carried.splitAt(
+            math.max(0, carried.length - budget))
+          def lingers(e: String): Boolean =
+            Seq(s"$storePath/_epochs/$e", s"$storePath/pairs/$e",
+              s"$storePath/meta/$e", s"$storePath/radii/$e")
+              .exists { p =>
+                val (f2, pp) = hadoopFs(spark, p)
+                f2.exists(pp)
+              }
+          beyondHorizon.filter(lingers) ++ withinHorizon ++ committed
+        }
+      kept.mkString("\n")
+    }
     val (fs, root) = hadoopFs(spark, s"$storePath/_epochs")
     // the marker's CONTENT is the commit (it carries the folded-name
     // manifest), so create-write-close is NOT atomic enough here: a

@@ -464,7 +464,10 @@ object Streaming {
     * redelivered micro-batch replays as a committed-epoch no-op
     * BEFORE the threshold check, and a crash inside the compaction
     * itself heals on the next fold (generation-staged, idempotent).
-    * 0 = never (the pre-r18 behavior).
+    * 0 = never (the pre-r18 behavior). The store's folded-name
+    * manifest is bounded to the last 4×compactEvery names (r18 review
+    * finding F4; sound because checkpoint redelivery only reaches
+    * batches at/after the last committed offset).
     */
   def semanticDedupIngestSink(updates: DataFrame, storePath: String,
       idCol: String, qualityCol: String, embCol: String,
@@ -477,7 +480,8 @@ object Streaming {
           batch.select(col(idCol), col(qualityCol)),
           batch.select(col(idCol), col(embCol)),
           idCol, qualityCol, embCol, minCosine, nCells,
-          f"batch-$epochId%09d", compactEvery = compactEvery)
+          f"batch-$epochId%09d", compactEvery = compactEvery,
+          retainFolded = 4 * compactEvery)
         ()
       }
       .start()

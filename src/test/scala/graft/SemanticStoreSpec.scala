@@ -655,6 +655,72 @@ class SemanticStoreSpec extends AnyFunSuite {
         "doc_id", "q")))
   }
 
+  test("retainFolded bounds the store's folded-name manifest (r18 " +
+      "review finding F4, third manifest): own fold names always " +
+      "survive the budget, a lingering crash-window marker is healed " +
+      "before any drop, retained names still refuse replay, and " +
+      "state equals the keep-all twin throughout") {
+    val (docs, emb) = fixture
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-semstore-retain").toString
+    val dirM = java.nio.file.Files
+      .createTempDirectory("graft-semstore-retain-m").toString
+    def ing(dir: String, ids: Seq[Long], name: String) =
+      collect(SemanticStore.ingest(s"$dir/store",
+        docs.filter(col("doc_id").isin(ids: _*)),
+        emb.filter(col("doc_id").isin(ids: _*)),
+        "doc_id", "q", "embedding", minCosine = 0.8, nCells = 2,
+        epochName = name))
+    def snap(dir: String) =
+      collect(SemanticStore.snapshot(spark, s"$dir/store",
+        "doc_id", "q"))
+    def manifest(): Seq[String] =
+      new java.io.File(s"$dirA/store/_epochs").listFiles()
+        .filterNot(_.getName.startsWith(".")) // local-FS .crc sidecars
+        .filter(_.length() > 0).sortBy(_.getName)
+        .flatMap(f => new String(java.nio.file.Files
+          .readAllBytes(f.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty)).toSeq
+    Seq(("s0", Seq(1L, 2L)), ("s1", Seq(3L, 4L)), ("s2", Seq(5L)))
+      .foreach { case (n, ids) => ing(dirA, ids, n); ing(dirM, ids, n) }
+    assert(SemanticStore.compact(spark, s"$dirA/store", retainFolded = 2))
+    assert(SemanticStore.compact(spark, s"$dirM/store"))
+    // own names survive even PAST the budget — a replay straddling
+    // this very fold is the live hazard the manifest exists for
+    assert(manifest() == Seq("s0", "s1", "s2"))
+    // crash-window shape: a torn earlier sweep left a folded epoch's
+    // MARKER on disk. The drop is safe only because compact() heals
+    // it BEFORE the manifest is written (entry sweepFolded — with the
+    // marker gone, markerEntries can never resurrect the epoch as
+    // committed; the manifest-side lingers() guard is defense in
+    // depth should that delete silently fail)
+    new java.io.File(s"$dirA/store/_epochs/s0").createNewFile()
+    Seq(("s3", Seq(6L)), ("s4", Seq(7L))).foreach { case (n, ids) =>
+      ing(dirA, ids, n); ing(dirM, ids, n)
+    }
+    assert(SemanticStore.compact(spark, s"$dirA/store", retainFolded = 2))
+    assert(SemanticStore.compact(spark, s"$dirM/store"))
+    assert(!new java.io.File(s"$dirA/store/_epochs/s0").exists(),
+      "the entry sweep must retire the lingering marker before the " +
+        "manifest can drop the name")
+    assert(manifest() == Seq("compact-1", "s3", "s4"),
+      "own names fill the budget; healed beyond-horizon names drop")
+    assert(snap(dirA) == snap(dirM))
+    // a RETAINED folded name still refuses replay
+    assert(ing(dirA, Seq(6L), "s3") == snap(dirM))
+    // a delete-driven third fold (single committed epoch): own leaves
+    // one budget slot, the newest carried name fills it, older ones
+    // drop
+    SemanticStore.delete(s"$dirA/store", Seq(7L).toDF("doc_id"),
+      "doc_id", "d1")
+    SemanticStore.delete(s"$dirM/store", Seq(7L).toDF("doc_id"),
+      "doc_id", "d1")
+    assert(SemanticStore.compact(spark, s"$dirA/store", retainFolded = 2))
+    assert(SemanticStore.compact(spark, s"$dirM/store"))
+    assert(manifest() == Seq("s4", "compact-2"))
+    assert(snap(dirA) == snap(dirM))
+  }
+
   test("refit compaction on a GROWN store raises the cell budget " +
       "above the birth count (VERDICT r16 #1) and every law still " +
       "holds: snapshot equality across the compact, ingest-after " +
