@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_INGEST_MINCOS (default 0.8 — the production operating
   * point: few pairs, so the per-epoch METADATA cost under test is not
   * drowned by pair-scan compute), SPARK_GRAFT_CPUS,
-  * SPARK_GRAFT_SHUFFLE.
+  * SPARK_GRAFT_SHUFFLE, SPARK_GRAFT_LIFECYCLE_RETAIN (default 0 =
+  * keep-all — the r18 F4 folded-manifest horizon, forwarded to
+  * ingest/compact; per-step `folded_names`/`ivf_folded` counts make
+  * the bound OBSERVABLE: keep-all grows with every fold while the
+  * horizon caps both manifests — counts are volume-independent,
+  * they depend only on (snapshots, compact_every, retain)).
   */
 object StoreLifecycleProbe {
   def main(args: Array[String]): Unit = {
@@ -47,6 +52,8 @@ object StoreLifecycleProbe {
     val auto = sys.env
       .getOrElse("SPARK_GRAFT_LIFECYCLE_AUTO", "false").toBoolean
     val minCos = sys.env.getOrElse("SPARK_GRAFT_INGEST_MINCOS", "0.8").toDouble
+    val retain = sys.env
+      .getOrElse("SPARK_GRAFT_LIFECYCLE_RETAIN", "0").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
@@ -82,7 +89,8 @@ object StoreLifecycleProbe {
     val nCells = 16 * f
 
     val store = s"$work/semstore_life_f${f}_s${s}_e$every" +
-      (if (auto) "_auto" else "")
+      (if (auto) "_auto" else "") +
+      (if (retain > 0) s"_r$retain" else "")
     val (fs, storePath) = {
       val p = new org.apache.hadoop.fs.Path(store)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -107,7 +115,8 @@ object StoreLifecycleProbe {
           be.select("vec_id", "embedding"), "vec_id", "q", "embedding",
           minCosine = minCos, nCells = nCells,
           epochName = f"snap-$b%04d",
-          compactEvery = if (auto) every else 0).count()
+          compactEvery = if (auto) every else 0,
+          retainFolded = retain).count()
       }
       val (tSnap, _) = time {
         graft.engine.SemanticStore.snapshot(spark, store, "vec_id", "q")
@@ -118,23 +127,43 @@ object StoreLifecycleProbe {
       val tCompact =
         if (!auto && every > 0 && (b + 1) % every == 0) {
           val (tc, _) = time {
-            graft.engine.SemanticStore.compact(spark, store)
+            graft.engine.SemanticStore.compact(spark, store,
+              retainFolded = retain)
           }
           tc
         } else -1.0
+      // folded-manifest sizes (r18 F4): the store's live compacted
+      // marker content + the inner index's _folded — the two
+      // replay-refusal lists whose unbounded growth the horizon caps
+      val foldedNames = Option(new java.io.File(s"$store/_epochs")
+          .listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName.startsWith("."))
+        .map(mf => scala.io.Source.fromFile(mf).getLines()
+          .count(_.nonEmpty))
+        .sum
+      val ivfFolded = graft.engine.Generations
+        .currentName(s"$store/ivf")
+        .map(g => new java.io.File(s"$store/ivf/$g/_folded"))
+        .filter(_.exists())
+        .map(mf => scala.io.Source.fromFile(mf).getLines()
+          .count(_.nonEmpty))
+        .getOrElse(0)
       if (b > 0) sb.append(",")
       sb.append(f"""{"i":$b,"epochs_live":$epochsLive,""" +
+        f""""folded_names":$foldedNames,"ivf_folded":$ivfFolded,""" +
         f""""t_ingest":${math.rint(tIngest * 1000) / 1000}%s,""" +
         f""""t_snapshot":${math.rint(tSnap * 1000) / 1000}%s""" +
         (if (tCompact >= 0)
           f""","t_compact":${math.rint(tCompact * 1000) / 1000}%s"""
         else "") + "}")
       System.err.println(f"[life-probe] every=$every b=$b " +
-        f"epochs=$epochsLive t_ingest=$tIngest%.2fs t_snap=$tSnap%.2fs" +
+        f"epochs=$epochsLive folded=$foldedNames/$ivfFolded " +
+        f"t_ingest=$tIngest%.2fs t_snap=$tSnap%.2fs" +
         (if (tCompact >= 0) f" t_compact=$tCompact%.1fs" else ""))
     }
     println(s"""{"factor":$f,"snapshots":$s,"compact_every":$every,""" +
-      s""""auto":$auto,"n_cells":$nCells,"min_cosine":$minCos,""" +
+      s""""auto":$auto,"retain_folded":$retain,"n_cells":$nCells,""" +
+      s""""min_cosine":$minCos,""" +
       s""""steps":[${sb.toString}],"base":"$base"}""")
     spark.stop()
   }
