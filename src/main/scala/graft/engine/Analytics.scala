@@ -269,7 +269,10 @@ object Analytics {
       iters: Int = 3, damping: Double = 0.85,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
+    // LAZY cut (r18): the every-4th-iter cut only needs to sever the
+    // plan; materialization rides the caller's action
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir,
+      eager = false)
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
@@ -388,7 +391,11 @@ object Analytics {
       maxIter: Int = 30, outCol: String = "id",
       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be at least 1")
-    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
+    // LAZY cuts (r18): each round's keep-set count materializes both
+    // the keep cut and (transitively) the previous round's surviving
+    // edge cut — one driver action per round instead of three
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir,
+      eager = false)
     requireNoReserved(edges, Seq("__a", "__b", "__n", "__m", "__deg"))
     val und = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
@@ -447,7 +454,13 @@ object Analytics {
       rounds: Int = 4, outCol: String = "id",
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds must be in [1, 20]")
-    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
+    // LAZY cuts (r18): the recurrence is fixed-depth with no
+    // data-dependent driver decision, so no per-round action is needed
+    // at all — every cut still severs the plan (analyzer cost stays
+    // linear in rounds) and the final action materializes the chain,
+    // round by round, in one job
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir,
+      eager = false)
     requireNoReserved(edges,
       Seq("__a", "__b", "__n", "__m", "__label", "__c", "__best"))
     val und = edges
@@ -2225,7 +2238,14 @@ object Analytics {
       outCol: String = "id",
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be >= 0")
-    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir)
+    // LAZY cuts (r18): each round's frontier is counted right after
+    // the cut, so materialization rides the count — one driver action
+    // per round where ckpt + isEmpty + ckpt(dist) was three. `dist`
+    // itself is no longer checkpointed per round: it is a union of
+    // already-checkpointed frontiers, so its plan depth grows only by
+    // one shallow Union node per round (bounded by maxDepth).
+    val ckpt = Lineage.truncator(edges.sparkSession, checkpointDir,
+      eager = false)
     requireNoReserved(edges, Seq("__s", "__t", "__n", "dist"))
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
@@ -2243,9 +2263,12 @@ object Analytics {
         .select(col("__t").as("__n")).distinct()
         .join(dist, Seq("__n"), "left_anti")
         .withColumn("dist", lit(d)))
-      if (next.isEmpty) drained = true
+      // count() materializes the lazy cut AND answers the drain check
+      // (the round's only action); the left_anti above reads dist's
+      // checkpointed leaves, never recomputing earlier rounds
+      if (next.count() == 0L) drained = true
       else {
-        dist = ckpt(dist.union(next))
+        dist = dist.union(next)
         frontier = next
       }
     }

@@ -2536,7 +2536,11 @@ object ExtensionQueries {
         val docs = documents(s, d)
         val emb = embeddings(s, d).filter(col("vec_id") < 500)
           .select(col("vec_id").as("doc_id"), col("embedding"))
-        SemanticStore.ingest(s"$dir/store",
+        // first snapshot commits via ingestOnly: its returned state is
+        // discarded here, and building it runs an EAGER transitive-
+        // closure fixpoint (r18 optimization — committed bytes and the
+        // final state are identical, SemanticStoreSpec's ingestOnly law)
+        SemanticStore.ingestOnly(s"$dir/store",
           docs.filter(col("doc_id") < 250),
           emb.filter(col("doc_id") < 250),
           "doc_id", "n_chars", "embedding", minCosine = 0.35,
@@ -2566,12 +2570,15 @@ object ExtensionQueries {
         val docs = documents(s, d)
         val emb = embeddings(s, d).filter(col("vec_id") < 500)
           .select(col("vec_id").as("doc_id"), col("embedding"))
-        SemanticStore.ingest(s"$dir/store",
+        // both snapshots commit via ingestOnly — neither intermediate
+        // state is read; only the post-delete snapshot below is (r18
+        // optimization, same committed bytes)
+        SemanticStore.ingestOnly(s"$dir/store",
           docs.filter(col("doc_id") < 250),
           emb.filter(col("doc_id") < 250),
           "doc_id", "n_chars", "embedding", minCosine = 0.35,
           nCells = 16, epochName = "s1")
-        SemanticStore.ingest(s"$dir/store",
+        SemanticStore.ingestOnly(s"$dir/store",
           docs.filter(col("doc_id") >= 250),
           emb.filter(col("doc_id") >= 250),
           "doc_id", "n_chars", "embedding", minCosine = 0.35,

@@ -129,18 +129,14 @@ object Extensions {
     * reproducibility for the correctness gate.
     */
   def simhashSignaturesMd5(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val masks = typedLit((0 until 60).map(1L << _))
-    val votes = aggregate(
-      transform(tokens(col(textCol)), t => md5Hash60(t)),
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, masks, (a, m) =>
-        a + when(h.bitwiseAND(m) =!= lit(0L), lit(1L)).otherwise(lit(-1L))))
+      idCol: String): DataFrame =
+    // one codegen'd expression per row (graft.functions.SimHashMd5) —
+    // replaces the interpreted per-token 60-wide zip_with HOF fold it
+    // is bit-identical to (r18 optimization; equality law pinned in
+    // SimHashSpec, oracle twins unchanged)
     docs.select(col(idCol),
-      aggregate(zip_with(votes, masks, (w, m) =>
-          when(w > lit(0L), m).otherwise(lit(0L))),
-        lit(0L), (a, x) => a + x).as("simhash"))
-  }
+      graft.functions.SimHashMd5.simhashMd5(tokens(col(textCol)))
+        .as("simhash"))
 
   /** SimHash near-dup candidate pairs: band the 64-bit signature into
     * `numBands` equal bands (standard LSH trick), self-join per band,

@@ -28,15 +28,25 @@ private[graft] object Lineage {
 
   /** A per-round truncation function: reliable `checkpoint` into
     * `checkpointDir` when given (the dir is registered once, here),
-    * `localCheckpoint` otherwise. Both are EAGER — iterative callers
-    * count/aggregate the frame right after, and eagerness is what
-    * guarantees the old round's plan is actually severed.
+    * `localCheckpoint` otherwise.
+    *
+    * `eager = true` (the default) materializes at the call — its own
+    * Spark job per round. `eager = false` severs the plan identically
+    * (the returned Dataset is backed by the checkpoint-marked RDD
+    * either way) but defers materialization to the caller's NEXT
+    * full-pass action — callers that aggregate/count the frame right
+    * after the cut get the truncation for one job instead of two
+    * (guide §1.2: per-round driver actions are the iterative
+    * operators' dominant fixed cost). Lazy callers must guarantee a
+    * full-pass action runs before the frame is consumed twice in one
+    * job, or the cut plan evaluates twice inside that job.
     */
   def truncator(spark: SparkSession,
-      checkpointDir: Option[String]): DataFrame => DataFrame = {
+      checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame => DataFrame = {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     df =>
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (checkpointDir.isDefined) df.checkpoint(eager = eager)
+      else df.localCheckpoint(eager = eager)
   }
 }

@@ -288,7 +288,37 @@ object SemanticStore {
       idCol: String, qualityCol: String, embCol: String,
       minCosine: Double, nCells: Int = 16,
       epochName: String, compactEvery: Int = 0,
-      retainFolded: Int = 0): DataFrame = {
+      retainFolded: Int = 0): DataFrame =
+    ingestImpl(storePath, batchDocs, batchEmb, idCol, qualityCol, embCol,
+      minCosine, nCells, epochName, compactEvery, retainFolded,
+      wantState = true)
+
+  /** [[ingest]] without the returned dedup state: commits the epoch
+    * (same staging, marker, and auto-compaction) but SKIPS the
+    * snapshot construction — whose transitive closure is an EAGER
+    * iterative fixpoint (per-round jobs) even when the caller discards
+    * the frame. The callers that discard it are exactly the hot ones:
+    * the streaming sink (one wasted closure per micro-batch) and the
+    * intermediate snapshots of a multi-ingest lifecycle. Optimization
+    * only — state-needing callers keep [[ingest]]; committed bytes are
+    * identical (guide §1.2: don't compute things you throw away). */
+  def ingestOnly(storePath: String, batchDocs: DataFrame,
+      batchEmb: DataFrame, idCol: String, qualityCol: String,
+      embCol: String, minCosine: Double, nCells: Int = 16,
+      epochName: String, compactEvery: Int = 0,
+      retainFolded: Int = 0): Unit = {
+    ingestImpl(storePath, batchDocs, batchEmb, idCol, qualityCol, embCol,
+      minCosine, nCells, epochName, compactEvery, retainFolded,
+      wantState = false)
+    ()
+  }
+
+  private def ingestImpl(storePath: String, batchDocs: DataFrame,
+      batchEmb: DataFrame,
+      idCol: String, qualityCol: String, embCol: String,
+      minCosine: Double, nCells: Int,
+      epochName: String, compactEvery: Int,
+      retainFolded: Int, wantState: Boolean): DataFrame = {
     require(minCosine > 0 && minCosine < 1,
       "minCosine must be in (0, 1) — the cosineNearDupsBlocked domain")
     require(epochName.nonEmpty && !epochName.contains("/"),
@@ -299,7 +329,9 @@ object SemanticStore {
     // compacted epoch now, and re-ingesting them would double every
     // pair and meta row (the appendEpoch folded-refusal twin)
     if (committed.contains(epochName) || folded.contains(epochName))
-      return snapshotOf(spark, storePath, committed, idCol, qualityCol)
+      return (if (wantState)
+        snapshotOf(spark, storePath, committed, idCol, qualityCol)
+      else null)
     val ivfPath = s"$storePath/ivf"
     // persist the joined batch once: the radii collect, the pair scan,
     // the meta write, and the epoch append all read it (uncached, each
@@ -353,10 +385,11 @@ object SemanticStore {
       // even an empty epoch is a metadata dir the threshold counts
       if (compactEvery > 0 && committed.size + 1 >= compactEvery) {
         compact(spark, storePath, retainFolded = retainFolded)
-        return snapshot(spark, storePath, idCol, qualityCol)
+        return (if (wantState)
+          snapshot(spark, storePath, idCol, qualityCol) else null)
       }
-      return snapshotOf(spark, storePath, committed :+ epochName,
-        idCol, qualityCol)
+      return (if (wantState) snapshotOf(spark, storePath,
+        committed :+ epochName, idCol, qualityCol) else null)
     }
     val vecs = batch.select(col(idCol), col(embCol))
     // first snapshot fits the quantizer (bounded sample, IvfIndex
@@ -552,12 +585,16 @@ object SemanticStore {
     // deleted paths when the caller finally evaluates it)
     if (compactEvery > 0 && committed.size + 1 >= compactEvery) {
       compact(spark, storePath, retainFolded = retainFolded)
-      return snapshot(spark, storePath, idCol, qualityCol)
+      return (if (wantState)
+        snapshot(spark, storePath, idCol, qualityCol) else null)
     }
     // the committed set is this call's listing + the epoch just
     // committed — reusing it saves the second `_epochs` listing per
     // lifecycle (VERDICT r15 #4's metadata-tax note)
-    snapshotOf(spark, storePath, committed :+ epochName, idCol, qualityCol)
+    if (wantState)
+      snapshotOf(spark, storePath, committed :+ epochName, idCol,
+        qualityCol)
+    else null
   }
 
   /** Dedup state of the accumulated corpus WITHOUT ingesting: ids ∪

@@ -105,3 +105,100 @@ object SimHash64 {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   }
 }
+
+/** 60-bit SimHash over the md5-60 token hash — the codegen'd twin of
+  * the `aggregate(transform(tokens, md5Hash60), ...)` HOF chain the
+  * oracle-exact simhash entries used through r17. Bit-identical by
+  * construction: per token, `h` = the first 15 hex chars of
+  * `md5(utf8 bytes)` as a 60-bit integer (= the first 8 digest bytes
+  * read big-endian, shifted right 4 — same value, no hex string); per
+  * bit b, votes accumulate +1/−1 on `(h >> b) & 1`; the output sets
+  * bit b iff the vote sum is positive. All-integer, so equality with
+  * the HOF form is exact, not approximate (pinned in SimHashSpec and
+  * the unchanged DuckDB twins).
+  *
+  * Why (r18 optimization, guide §4/§1.2): Spark's array HOFs evaluate
+  * their lambdas interpreted, per element — the old form paid a boxed
+  * 60-element zip_with per TOKEN (≈60 lambda invocations + 2 array
+  * allocations per token) and kept the whole projection out of
+  * whole-stage codegen. This expression is one tight primitive loop
+  * per token inside codegen, like [[SimHash64]]; measured ~6× on the
+  * sf0.1 signature pass.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5 requires array<string>, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashMd5.eval(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashMd5$$.MODULE$$.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  // MessageDigest is not thread-safe; one per task thread
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared by interpreted eval and generated code. A null token votes
+    * like the HOF form's null lambda result: the old zip_with produced
+    * a null vote array for a null element only if md5(null) were null —
+    * split() never yields null elements, but for safety nulls are
+    * skipped (contributing no votes), matching aggregate's null-safe
+    * `+` on the all-zero accumulator for the empty case. */
+  def eval(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val digest = md.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        digest.reset()
+        val d = digest.digest(s.getBytes)
+        // first 15 hex chars of the digest = first 8 bytes big-endian,
+        // dropped low nibble — the exact md5Hash60 value
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = h >>> 4
+        var k = 0
+        while (k < 60) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 60) {
+      if (votes(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  /** Column-API entry point, [[SimHash64.simhash64]]'s shape. */
+  def simhashMd5(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(tokens)))
+  }
+}

@@ -30,6 +30,12 @@ object ConnectedComponents {
   def components(nodes: DataFrame, edges: DataFrame, idCol: String,
       srcCol: String, dstCol: String, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
+    // EAGER cuts, deliberately (r18 measured both): every round's
+    // label frame feeds a join (msgs, and the jump self-join), and a
+    // LAZY cut leaves the LogicalRDD without size stats at planning
+    // time — the per-round joins lose their broadcast plan and the
+    // min-of-5 read 1.3× slower. The materialization job is the price
+    // of keeping stats-informed planning each round.
     val ckpt = graft.engine.Lineage.truncator(nodes.sparkSession,
       checkpointDir)
     // symmetrize by exploding each edge into both directions — ONE
@@ -56,8 +62,11 @@ object ConnectedComponents {
     // decimal(38,0) keeps the sum exact (no long overflow at any n).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var converged = labels.isEmpty
-    var prevSum = if (converged) null else labelSum(labels)
+    // sum over an empty frame is null — the emptiness check rides the
+    // same aggregate job that materializes the lazy cut (one action,
+    // where isEmpty-then-sum was two)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null
     var iter = 0
     while (!converged && iter < maxIter) {
       // (1) neighbor min

@@ -476,7 +476,11 @@ object Streaming {
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        graft.engine.SemanticStore.ingest(storePath,
+        // ingestOnly: the sink never reads the returned dedup state,
+        // and building it runs an eager transitive-closure fixpoint
+        // per micro-batch (r18 optimization — the committed epoch is
+        // identical; readers call SemanticStore.snapshot)
+        graft.engine.SemanticStore.ingestOnly(storePath,
           batch.select(col(idCol), col(qualityCol)),
           batch.select(col(idCol), col(embCol)),
           idCol, qualityCol, embCol, minCosine, nCells,

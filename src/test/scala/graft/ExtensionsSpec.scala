@@ -275,6 +275,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bandedMd5.nonEmpty || bandedNative.nonEmpty)
   }
 
+  test("SimHashMd5 codegen expression equals the r17 HOF vote fold " +
+      "bit for bit (r18 optimization law)") {
+    // the interpreted form the expression replaced, verbatim: per
+    // token, md5Hash60 votes +1/−1 into a 60-wide accumulator; a bit
+    // sets iff its vote sum is positive
+    val corpus = graft.engine.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val masks = typedLit((0 until 60).map(1L << _))
+    val votes = aggregate(
+      transform(Extensions.tokens(col("text")),
+        t => Extensions.md5Hash60(t)),
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= lit(0L), lit(1L)).otherwise(lit(-1L))))
+    val hof = corpus.select(col("doc_id"),
+      aggregate(zip_with(votes, masks, (w, m) =>
+          when(w > lit(0L), m).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Extensions.simhashSignaturesMd5(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+    // degenerate rows: empty token set (empty text tokenizes to [""],
+    // a real token — so exercise a truly empty array directly)
+    import spark.implicits._
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("a")),
+      (3L, Seq("a", "a", "b"))).toDF("doc_id", "toks")
+    val exprOut = edge.select(col("doc_id"),
+      graft.functions.SimHashMd5.simhashMd5(col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hofOut = edge.select(col("doc_id"),
+      aggregate(zip_with(
+          aggregate(transform(col("toks"), t => Extensions.md5Hash60(t)),
+            array_repeat(lit(0L), 60),
+            (acc, h) => zip_with(acc, masks, (a, m) =>
+              a + when(h.bitwiseAND(m) =!= lit(0L), lit(1L))
+                .otherwise(lit(-1L)))),
+          masks, (w, m) => when(w > lit(0L), m).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprOut == hofOut)
+    assert(exprOut(1L) == 0L)
+  }
+
   test("fuzzy dedup: candidate-first plan matches corpus-wide rescoring") {
     // the scale-safe form (prune to candidates BEFORE the shingle join)
     // must produce exactly the pairs+scores of the naive reference form

@@ -922,4 +922,39 @@ class SemanticStoreSpec extends AnyFunSuite {
       "doc_id", "q", "embedding", minCosine = 0.8, nCells = 4))
     assert(out == batch, s"tree-mode incremental $out vs batch $batch")
   }
+
+  test("ingestOnly commits the identical epoch as ingest (r18 " +
+      "optimization law): a store grown via ingestOnly snapshots equal " +
+      "to one grown via ingest, replays as a no-op, and its returned " +
+      "state is simply skipped") {
+    val (docs, emb) = fixture
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-semstore-ingestonly-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-semstore-ingestonly-b").toString
+    val s1d = docs.filter(col("doc_id") <= 4)
+    val s1e = emb.filter(col("doc_id") <= 4)
+    val s2d = docs.filter(col("doc_id") > 4)
+    val s2e = emb.filter(col("doc_id") > 4)
+    // store A: the state-returning path; store B: ingestOnly twice
+    val outA = collect(locally {
+      SemanticStore.ingest(s"$dirA/store", s1d, s1e, "doc_id", "q",
+        "embedding", minCosine = 0.8, nCells = 4, epochName = "s1")
+      SemanticStore.ingest(s"$dirA/store", s2d, s2e, "doc_id", "q",
+        "embedding", minCosine = 0.8, nCells = 4, epochName = "s2")
+    })
+    SemanticStore.ingestOnly(s"$dirB/store", s1d, s1e, "doc_id", "q",
+      "embedding", minCosine = 0.8, nCells = 4, epochName = "s1")
+    SemanticStore.ingestOnly(s"$dirB/store", s2d, s2e, "doc_id", "q",
+      "embedding", minCosine = 0.8, nCells = 4, epochName = "s2")
+    val outB = collect(SemanticStore.snapshot(spark, s"$dirB/store",
+      "doc_id", "q"))
+    assert(outB == outA,
+      s"ingestOnly-grown store state $outB != ingest-grown $outA")
+    // committed-epoch replay stays a no-op through ingestOnly too
+    SemanticStore.ingestOnly(s"$dirB/store", s2d, s2e, "doc_id", "q",
+      "embedding", minCosine = 0.8, nCells = 4, epochName = "s2")
+    assert(collect(SemanticStore.snapshot(spark, s"$dirB/store",
+      "doc_id", "q")) == outA, "replayed ingestOnly must change nothing")
+  }
 }
