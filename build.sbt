@@ -27,5 +27,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (opt r18, guide §5): local[32] runs 32 concurrent
+  // tasks in ONE JVM — at the old 8g (0.25 g/core) the heavy catalog
+  // entries were GC-bound and bimodal (edge_jaccard min-of-3 read
+  // 6.4–23 s at 8g vs 3.9–4.7 s at 24g, same code). 0.75 g/core is
+  // ordinary executor sizing, parameterised for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

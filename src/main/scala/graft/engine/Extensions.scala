@@ -102,6 +102,28 @@ object Extensions {
   /** Tokenized lowercase words — the shared text preprocessing. */
   def tokens(c: Column): Column = split(lower(c), " ")
 
+  /** Unsplittable-source relief (opt guide §2.5/§6): a scan whose
+    * planned split count is below the session's parallelism (a
+    * single-row-group parquet file, one gzip member, one huge file)
+    * serializes EVERY pre-exchange operator — tokenize, explode,
+    * hash, decode, pair scoring — on one core no matter how many the
+    * machine has. Round-robin repartition to the default parallelism
+    * immediately after the read unlocks the machine; the guard makes
+    * it a strict no-op whenever the source already splits wide enough
+    * (any real table at cluster scale), so nothing here is tuned to
+    * local mode.
+    *
+    * Apply ONLY where the downstream result is order-independent
+    * (per-row projections, integer/decimal aggregation, sorted
+    * collects, bounded heaps with total tiebreaks): round-robin
+    * changes per-partition accumulation order, which is observable
+    * through float-sum rounding.
+    */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** SimHash signatures per document (custom Catalyst expression,
     * graft.functions.SimHash64): one narrow projection, no shuffle.
     * Near-dups = small hamming distance between signatures.
@@ -1415,6 +1437,24 @@ object Extensions {
     require(nprobe >= 1 && nprobe <= nCells, "need 1 <= nprobe <= nCells")
     if (nCells >= knnTreeCellThreshold)
       return knnJoinTree(emb, embCol, idCol, k, nCells, nprobe, seed)
+    if (nprobe == nCells) {
+      // Exhaustive probes make the blocking semantically INERT: every
+      // pair is scored exactly once whatever the assignment (each
+      // candidate lives in one cell, each row probes all cells), so
+      // the KMeans fit, the sample count, and the two persists bought
+      // nothing but ~15 driver actions and a serial fit scan
+      // (opt r18, guide §1.2: don't compute things you throw away).
+      // Deterministic hash cells keep the identical cell/probe/heap
+      // plan shape — and the identical output, row for row (the
+      // brute-force law in ExtensionsSpec covers this path).
+      lastKnnJoinFit.set(null)
+      lastKnnTreeFit.set(null)
+      val assigned = widen(emb.select(col(idCol), col(embCol)))
+        .withColumn("__cell",
+          pmod(xxhash64(col(idCol)), lit(nCells.toLong)).cast("int"))
+      return knnScoredTail(assigned, embCol, idCol,
+        typedLit((0 until nCells).toList), k)
+    }
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1431,8 +1471,14 @@ object Extensions {
       lastKnnJoinFit.set(centroids.map(_._2))
       lastKnnTreeFit.set(null) // flat run: no stale tree capture
       // assignment by the shared literal float-centroid projection
-      // ([[nearestCellExpr]] — the r13 IVF-family rule)
-      val assigned = vecs.drop("__vec")
+      // ([[nearestCellExpr]] — the r13 IVF-family rule). Widened (opt
+      // r18): assignment and the pair scan it feeds are per-row, so
+      // the round-robin is invisible to the result — but NOT to the
+      // clock on an unsplittable source (the fit above deliberately
+      // reads the UNwidened frame: KMeans' takeSample is
+      // partition-order sensitive, widening it would change the
+      // centroids and so the pruned entry's rows).
+      val assigned = widen(vecs.drop("__vec"))
         .withColumn("__cell",
           nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1487,7 +1533,10 @@ object Extensions {
     // OWN stash for the tree twin ([[PqOracles.knnTreeSql]], r16).
     lastKnnJoinFit.set(null)
     lastKnnTreeFit.set(tq)
-    val assigned = emb.select(col(idCol), col(embCol))
+    // widened (opt r18): same rationale as the flat path — the fit
+    // above already consumed the unwidened frame, assignment is
+    // per-row, the pair scan is the expensive part
+    val assigned = widen(emb.select(col(idCol), col(embCol)))
       .withColumn("__cell", graft.functions.TreeCells.nearestLeaf(
         col(embCol), tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3949,7 +3998,12 @@ object Extensions {
     requireNoReserved(docs, Seq("__toks", "__feat", "__f", "__n", "__m",
       "__vec", "__lbl", "__s", "n_feats", "log_odds", "predict"))
     val b = buckets.toLong
-    val toks = docs.select(col(idCol),
+    // widened (opt r18): tokenize + bigram explode + md5 hashing all
+    // run BELOW the first exchange — on a one-row-group source that
+    // whole chain was one task (guide §2.5); per-row work, so the
+    // round-robin is invisible to every downstream aggregate
+    val docsW = widen(docs)
+    val toks = docsW.select(col(idCol),
       filter(tokens(col(textCol)), x => x =!= lit("")).as("__toks"))
     val featStream = toks.select(col(idCol),
         explode(concat(col("__toks"), zip_with(
@@ -3967,17 +4021,6 @@ object Extensions {
       .agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docF.count()
-    val counts = docF.groupBy(idCol)
-      .agg(map_from_entries(collect_list(
-        struct(col("__f").cast("int"), col("__n").cast("double"))))
-        .as("__m"))
-      .select(col(idCol),
-        org.apache.spark.ml.functions.array_to_vector(
-          transform(sequence(lit(0), lit(buckets - 1)),
-            k => coalesce(element_at(col("__m"), k), lit(0.0))))
-          .as("__vec"))
-    val labels = gopherRules(docs, textCol, idCol)
-      .select(col(idCol), col("passes").cast("double").as("__lbl"))
     // the FIT is a bounded-sample problem at every corpus size (the
     // pqCodebookOf doctrine): a `buckets`-dim logistic regression
     // stops improving long before millions of examples, while each
@@ -3992,11 +4035,41 @@ object Extensions {
     // sampled count ≤ fitSampleCap at every corpus size
     val stride = math.max(1L,
       (docs.count() + fitSampleCap - 1) / fitSampleCap)
+    // the stride filter sits BELOW the vector assembly and the label
+    // scan (opt r18, guide §1.2 "don't compute things you throw
+    // away"): both only ever feed the fit, and pre-push they ran over
+    // the WHOLE corpus — a `buckets`-wide per-doc projection plus a
+    // second tokenize pass, unbounded in n — before the filter threw
+    // all but ≤ fitSampleCap rows away. The filter is a deterministic
+    // function of idCol alone and both sides are per-doc, so
+    // filter-then-assemble ≡ assemble-then-filter row for row: the
+    // fit input is IDENTICAL, it just never materializes the rest.
+    def keepSampled(d: DataFrame): DataFrame =
+      if (stride == 1L) d
+      else d.filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+    // the explicit hash repartition pins the assembly's parallelism:
+    // its shuffle input is a few MB of (id, bucket, count) rows, so
+    // AQE's byte-targeted coalescing folds the post-exchange stage to
+    // ~1 partition and the `buckets`-wide projection — the expensive
+    // part, invisible to byte statistics — runs serial (opt r18,
+    // measured 7.6 s → 1.0 s at sf0.1; bounded: ≤ fitSampleCap rows)
+    val counts = keepSampled(docF).groupBy(idCol)
+      .agg(map_from_entries(collect_list(
+        struct(col("__f").cast("int"), col("__n").cast("double"))))
+        .as("__m"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol),
+        org.apache.spark.ml.functions.array_to_vector(
+          transform(sequence(lit(0), lit(buckets - 1)),
+            k => coalesce(element_at(col("__m"), k), lit(0.0))))
+          .as("__vec"))
+    val labels = gopherRules(keepSampled(docsW), textCol, idCol)
+      .select(col(idCol), col("passes").cast("double").as("__lbl"))
     // persist the assembled training frame: every LBFGS iteration is a
     // treeAggregate over it — uncached, each of the maxIter passes
     // would re-run the vector assembly and the gopher label scan
     val train = counts.join(labels, idCol)
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model =
       try new org.apache.spark.ml.classification.LogisticRegression()
