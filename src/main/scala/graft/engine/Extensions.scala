@@ -2110,6 +2110,30 @@ object Extensions {
   def annIvf(emb: DataFrame, embCol: String, idCol: String,
       queryIds: Seq[Long], k: Int = 10, nCells: Int = 16,
       nprobe: Int = 4): DataFrame = {
+    if (nprobe >= nCells) {
+      // Exhaustive probes (the multimodal similarity entries run 8/8)
+      // make the quantizer semantically INERT: every query scans every
+      // cell, so the result is the exact brute-force top-k under ANY
+      // assignment — the KMeans fit, its sample count, and the probe
+      // ranking window bought nothing (opt r18; the knnJoin exhaustive
+      // rule). Hash cells keep the identical cell-keyed join shape and
+      // the identical rows; on a one-row-group source the widen also
+      // parallelizes the upstream decode chain the count materializes.
+      lastAnnIvfFit.set(null)
+      val assigned = widen(emb.select(col(idCol), col(embCol)))
+        .withColumn("__cell",
+          pmod(xxhash64(col(idCol)), lit(nCells.toLong)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+          .select(col(idCol).as("query_id"), col(embCol).as("__q"),
+            sqrt(dot(col(embCol), col(embCol))).as("__nq"))
+        val probed = queries.select(col("query_id"), col("__q"),
+          col("__nq"), explode(typedLit((0 until nCells).toList))
+            .as("__cell"))
+        return annIvfScoredTail(assigned, embCol, idCol, probed, k)
+      } finally assigned.unpersist()
+    }
     // cached: the KMeans fit iterates over it, then transform reads it again
     val vecs = emb.select(col(idCol), col(embCol),
       array_to_vector(col(embCol)).as("__vec"))
@@ -2135,8 +2159,11 @@ object Extensions {
     // assignment by the shared literal float-centroid projection
     // ([[nearestCellExpr]] — the r13 IVF-family rule: one codegen
     // pass, replayable, consistent with the persisted-index appends);
-    // assigned feeds both the query-probe filter and the candidate scan
-    val assigned = vecs.drop("__vec")
+    // assigned feeds both the query-probe filter and the candidate
+    // scan. Widened (opt r18): per-row, result-invisible — the fit
+    // above deliberately read the UNwidened frame (takeSample is
+    // partition-order sensitive; the captured centroids must not move)
+    val assigned = widen(vecs.drop("__vec"))
       .withColumn("__cell",
         nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2155,6 +2182,19 @@ object Extensions {
         Window.partitionBy("query_id").orderBy(asc("__cdist"), asc("__cell"))))
       .filter(col("__crank") <= nprobe)
       .select(col("query_id"), col("__q"), col("__nq"), col("__cell"))
+    annIvfScoredTail(assigned, embCol, idCol, probed, k)
+    } finally {
+      vecs.unpersist()
+      assigned.unpersist()
+    }
+  }
+
+  /** The shared candidate-scan tail of [[annIvf]]'s two probe paths:
+    * cell-keyed equi-join of the probed queries against the assigned
+    * corpus, guarded-cosine rescore with hoisted norms, bounded-heap
+    * top-k. `probed` carries (query_id, __q, __nq, __cell). */
+  private def annIvfScoredTail(assigned: DataFrame, embCol: String,
+      idCol: String, probed: DataFrame, k: Int): DataFrame = {
     // candidate norms hoisted to one per-row column (the knnJoin
     // optimization): cosine() would refold |e| and |q| per candidate —
     // d / (ne * nq) with precomputed norms is the identical op
@@ -2175,17 +2215,13 @@ object Extensions {
       .transform(topKBy(_, "query_id", "neighbor_id", "cosine_sim", k,
         smallestFirst = false))
       // k rows per query — persist + count materializes the result so
-      // the finally can release the corpus-sized fit/assign caches (the
-      // ad-hoc operator owns them for ONE query batch; the build-once
-      // path is IvfIndex). The small result stays persisted; callers
-      // may .unpersist() it when done.
+      // the caller's finally can release the corpus-sized fit/assign
+      // caches (the ad-hoc operator owns them for ONE query batch; the
+      // build-once path is IvfIndex). The small result stays persisted;
+      // callers may .unpersist() it when done.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     result
-    } finally {
-      vecs.unpersist()
-      assigned.unpersist()
-    }
   }
 
   /** Deterministic hash split: assign each row to train/holdout by a
@@ -3905,7 +3941,10 @@ object Extensions {
     // docF's aggregate (idCol is a grouping key), de-canonicalizing
     // the subtree so the target branch re-scanned and re-tokenized the
     // corpus — with the flag inline, ONE scan feeds every count table
-    val toks = docs.select(col(idCol),
+    // widened (opt r18, guide §2.5): the tokenize/bigram/md5 chain is
+    // the map side of docF's exchange — one task on a one-row-group
+    // source; per-row work, integer counts downstream
+    val toks = widen(docs).select(col(idCol),
       when(isTarget, 1L).otherwise(0L).as("__t"),
       filter(tokens(col(textCol)), x => x =!= lit("")).as("__toks"))
     val featStream = toks.select(col(idCol), col("__t"),

@@ -131,7 +131,13 @@ object Multimodal {
     */
   def synthesizeMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    // widened (opt r18, guide §2.5): PNG/WAV encode — and the decode
+    // chain every consumer stacks on top — runs inside mapPartitions
+    // BELOW the first exchange; on a one-row-group source that whole
+    // pipeline was one task. Synthesis is a pure per-id function, so
+    // the round-robin is invisible to every downstream value.
+    graft.engine.Extensions.widen(docs.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         java.lang.Math.floorMod(id, 3L) match {
           case 0L =>
