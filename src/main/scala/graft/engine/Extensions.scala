@@ -3152,18 +3152,31 @@ object Extensions {
       "merge_rank", "left", "right", "pair_count"))
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs.select(explode(tokens(col(textCol))).as("__w"))
-      .filter(length(col("__w")) > 0)
+    // widened (opt r18): tokenize + explode run below the word count's
+    // exchange; the pinned repartition spreads the word table so every
+    // round's symbol-fold projection (array-heavy compute over a
+    // few-hundred-KB frame AQE would coalesce to ~1 partition) stays
+    // parallel — per-row folds and integer sums, order-free
+    var words = widen(docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
       // split("", -1) keeps a trailing empty string — drop it, an empty
       // symbol would fabricate (lastChar, "") pairs
       .select(filter(split(col("__w"), ""), x => length(x) > 0)
         .as("__syms"), col("__f"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = new scala.collection.mutable.ArrayBuffer[
       (Int, String, String, Long)]
     var r = 0
     var exhausted = false
+    // ONE action per round (opt r18, guide §1.2): the top-pair collect
+    // itself materializes the round's (persisted) word frame — the old
+    // loop paid a second count() action per round purely to let it
+    // unpersist the parent early, and it folded/persisted/counted one
+    // LAST frame whose symbols nothing ever read. The parent now
+    // releases right after the collect that materialized its child.
+    var release: Option[DataFrame] = None
     while (r < merges && !exhausted) {
       val s = col("__syms")
       val top = words
@@ -3176,27 +3189,31 @@ object Extensions {
         .agg(sum("__f").as("pair_count"))
         .orderBy(col("pair_count").desc, col("a"), col("b"))
         .limit(1).collect()
+      release.foreach(_.unpersist())
+      release = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r + 1, a, b, c))
-        val fused = lit(a + b)
-        val emptySyms = filter(array(lit("")), _ => lit(false))
-        val next = words.select(aggregate(col("__syms"), emptySyms,
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
-            .otherwise(concat(acc, array(x)))).as("__syms"),
-          col("__f"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist()
-        words = next
+        if (r + 1 < merges) {
+          val fused = lit(a + b)
+          val emptySyms = filter(array(lit("")), _ => lit(false))
+          val next = words.select(aggregate(col("__syms"), emptySyms,
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+              .otherwise(concat(acc, array(x)))).as("__syms"),
+            col("__f"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          release = Some(words)
+          words = next
+        }
       }
       r += 1
     }
     words.unpersist()
+    release.foreach(_.unpersist())
     out.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
@@ -3277,9 +3294,13 @@ object Extensions {
       .collect()
       .map(r => (r.getString(1), r.getString(2)))
       .toSeq
-    val words = docs.select(explode(tokens(col(textCol))).as("__w"))
-      .filter(length(col("__w")) > 0)
+    // widened + pinned like bpeMerges' build (opt r18): the `merges`
+    // nested folds below run per distinct word — parallel, not on the
+    // 1-2 partitions AQE leaves a few-hundred-KB word table
+    val words = widen(docs.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("__f"),
         filter(split(col("__w"), ""), x => length(x) > 0).as("__syms"))
     val encoded = rules.foldLeft(col("__syms")) { case (c, (a, b)) =>
@@ -3337,7 +3358,10 @@ object Extensions {
     // on null would propagate size() = -1 into the counts)
     val ws = filter(tokens(coalesce(col(textCol), lit(""))),
       x => length(x) > 0)
-    docs.select(col(idCol), ws.as("__ws"))
+    // widened (opt r18): the encode is a PURE projection — with no
+    // exchange anywhere, the whole per-occurrence fold ran as one task
+    // on a one-row-group source; per-row, so rows are unchanged
+    widen(docs).select(col(idCol), ws.as("__ws"))
       .select(col(idCol),
         size(col("__ws")).as("n_words"),
         aggregate(transform(col("__ws"), w => length(w)), lit(0L),

@@ -72,33 +72,32 @@ object ConnectedComponents {
       // (1) neighbor min
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      // next feeds BOTH sides of the jump self-join below; checkpoint it
-      // so the neighbor-min aggregation runs once per round, not twice
-      // (AQE re-plans defeat ReuseExchange on this shape).
+      // next feeds BOTH sides of the jump self-join below; checkpoint
+      // it so the neighbor-min aggregation runs once per round, not
+      // twice (AQE re-plans defeat ReuseExchange on this shape).
       val next = ckpt(labels.select(col("id"), col("comp"))
         .unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp")))
-      val nextSum = labelSum(next)
-      if (nextSum.compareTo(prevSum) == 0) {
-        // neighbor-min is at its fixpoint: every edge already connects
-        // equal labels, so the pointer jump would be the identity —
-        // the certificate rides the round's own aggregate and the
-        // final jump join + checkpoint never runs
-        labels = next
-        converged = true
-      } else {
-        // (2) pointer jump: comp := label(comp) — labels only decrease,
-        // so this path-halving squares the propagation rate
-        // (O(log diameter) rounds instead of O(diameter))
-        val compMap = next.select(col("id").as("__mid"),
-          col("comp").as("__mcomp"))
-        val jumped = ckpt(next.join(compMap,
-            next("comp") === compMap("__mid"), "left")
-          .select(col("id"),
-            coalesce(col("__mcomp"), col("comp")).as("comp")))
-        prevSum = labelSum(jumped)
-        labels = jumped
-      }
+      // (2) pointer jump: comp := label(comp) — labels only decrease,
+      // so this path-halving squares the propagation rate
+      // (O(log diameter) rounds instead of O(diameter))
+      val compMap = next.select(col("id").as("__mid"),
+        col("comp").as("__mcomp"))
+      val jumped = ckpt(next.join(compMap,
+          next("comp") === compMap("__mid"), "left")
+        .select(col("id"),
+          coalesce(col("__mcomp"), col("comp")).as("comp")))
+      // ONE convergence certificate per round (opt r18; the old loop
+      // also summed `next` mid-round to skip the last jump): labels
+      // are monotone non-increasing through BOTH steps, so
+      // sum-unchanged across the full round ⇔ neighbor-min changed
+      // nothing AND the jump changed nothing ⇔ fixpoint — detected
+      // on the same round with identical labels (at the neighbor-min
+      // fixpoint the jump is the identity).
+      val nextSum = labelSum(jumped)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = jumped
       iter += 1
     }
     sym.unpersist()
