@@ -910,7 +910,9 @@ object Extensions {
         val tq = fitTreeQuantizer(
           vecs.select(col(idCol), unitF.as("__u")), "__u", idCol,
           nCells, seed)
-        val asg = vecs
+        // widened (opt r18): the assignment and the pair scan it feeds
+        // are per-row; the fit above read the UNwidened frame
+        val asg = widen(vecs)
           .select(col(idCol), col(embCol), col("__n"),
             graft.functions.TreeCells.nearestLeaf(unitF, tq.supFlat,
               tq.leafFlat, tq.groupStart, tq.dim).as("__cell"))
@@ -931,7 +933,9 @@ object Extensions {
         val km = new org.apache.spark.ml.clustering.KMeans()
           .setFeaturesCol("__vec").setPredictionCol("__cell")
           .setK(kmK).setSeed(seed).setMaxIter(5).fit(fitSample)
-        val asg = km.transform(vecs)
+        // widened (opt r18): the per-row assignment + radii + pair
+        // scan run wide; the fit consumed the unwidened cache above
+        val asg = km.transform(widen(vecs))
           .select(col(idCol), col(embCol), col("__n"), col("__cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (km.clusterCenters.map(_.toArray.map(_.toFloat)).toSeq, asg)
@@ -1949,9 +1953,12 @@ object Extensions {
     val q = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(embCol).as("__q"),
         sqrt(dot(col(embCol), col(embCol))).as("__nq"))
-    val scored = emb
+    // widened (opt r18): the |corpus|·|Q| pair scoring runs below the
+    // heap's exchange — one task on a one-row-group source; per-row
+    // scores + bounded heap with total tiebreaks, order-free
+    val scored = widen(emb
       .select(col(idCol), col(embCol),
-        sqrt(dot(col(embCol), col(embCol))).as("__ne"))
+        sqrt(dot(col(embCol), col(embCol))).as("__ne")))
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -3771,7 +3778,12 @@ object Extensions {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame, queryTextCol: String, queryIdCol: String,
       k: Int = 10): DataFrame = {
-    val toks = docs
+    // widened (opt r18, guide §2.5): tokenize+explode is tf's map side
+    // — one task on a one-row-group source; every downstream stat is
+    // an integer count/sum and the contribs are micro-unit ints, so
+    // partitioning is invisible to the result (the docstring's own
+    // determinism argument)
+    val toks = widen(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term"))

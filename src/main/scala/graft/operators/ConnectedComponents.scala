@@ -80,7 +80,12 @@ object ConnectedComponents {
         .groupBy("id").agg(min("comp").as("comp")))
       // (2) pointer jump: comp := label(comp) — labels only decrease,
       // so this path-halving squares the propagation rate
-      // (O(log diameter) rounds instead of O(diameter))
+      // (O(log diameter) rounds instead of O(diameter)). A DOUBLE
+      // jump per round was tried and reverted (opt r18): the
+      // un-checkpointed second self-join doubled every round's plan
+      // and drove driver planning time from ~11 s to 75+ s on
+      // semantic_dedup_delete — planning, not execution, is the
+      // marginal cost of plan depth here (guide §7.3).
       val compMap = next.select(col("id").as("__mid"),
         col("comp").as("__mcomp"))
       val jumped = ckpt(next.join(compMap,
