@@ -43,8 +43,8 @@ object AnalyticsQueries {
 
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Extensions.widen(lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
       .select(explode(flatten(transform(col("__items"), (a, i) =>
@@ -295,8 +295,8 @@ object AnalyticsQueries {
         // part array — no orderkey self-join, no second shuffle of the
         // item stream; collect_set dedups in-aggregate, so the scan
         // needs no separate distinct exchange at all
-        val edges = Extensions.widen(lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey")))
+        val edges = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
           .select(explode(flatten(transform(col("__items"), (a, i) =>
@@ -1307,8 +1307,8 @@ object AnalyticsQueries {
         // ≥2 filter (the ≥1 graph is non-degenerate at sf0.01 AND
         // sf0.1) and no pair-count rollup — edgeJaccard's canonical
         // distinct absorbs cross-order duplicates
-        val edges = Extensions.widen(lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey")))
+        val edges = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
           .select(explode(flatten(transform(col("__items"), (a, i) =>
@@ -1450,8 +1450,8 @@ object AnalyticsQueries {
     QuerySpec("bfs_distances",
       (s, d) => {
         val li = lineitem(s, d)
-        val canon = Extensions.widen(li
-            .select(col("l_orderkey"), col("l_partkey")))
+        val canon = li
+          .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
           .select(explode(flatten(transform(col("__items"), (a, i) =>
@@ -1728,8 +1728,8 @@ object AnalyticsQueries {
         // same join-free in-array pair build as bfs_distances/
         // triangle_count; degreeDistribution's canonical distinct
         // absorbs cross-order duplicates
-        val pairs = Extensions.widen(lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey")))
+        val pairs = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
           .select(explode(flatten(transform(col("__items"), (a, i) =>

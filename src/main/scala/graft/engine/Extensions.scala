@@ -910,9 +910,7 @@ object Extensions {
         val tq = fitTreeQuantizer(
           vecs.select(col(idCol), unitF.as("__u")), "__u", idCol,
           nCells, seed)
-        // widened (opt r18): the assignment and the pair scan it feeds
-        // are per-row; the fit above read the UNwidened frame
-        val asg = widen(vecs)
+        val asg = vecs
           .select(col(idCol), col(embCol), col("__n"),
             graft.functions.TreeCells.nearestLeaf(unitF, tq.supFlat,
               tq.leafFlat, tq.groupStart, tq.dim).as("__cell"))
@@ -933,9 +931,7 @@ object Extensions {
         val km = new org.apache.spark.ml.clustering.KMeans()
           .setFeaturesCol("__vec").setPredictionCol("__cell")
           .setK(kmK).setSeed(seed).setMaxIter(5).fit(fitSample)
-        // widened (opt r18): the per-row assignment + radii + pair
-        // scan run wide; the fit consumed the unwidened cache above
-        val asg = km.transform(widen(vecs))
+        val asg = km.transform(vecs)
           .select(col(idCol), col(embCol), col("__n"), col("__cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (km.clusterCenters.map(_.toArray.map(_.toFloat)).toSeq, asg)
@@ -1475,14 +1471,8 @@ object Extensions {
       lastKnnJoinFit.set(centroids.map(_._2))
       lastKnnTreeFit.set(null) // flat run: no stale tree capture
       // assignment by the shared literal float-centroid projection
-      // ([[nearestCellExpr]] — the r13 IVF-family rule). Widened (opt
-      // r18): assignment and the pair scan it feeds are per-row, so
-      // the round-robin is invisible to the result — but NOT to the
-      // clock on an unsplittable source (the fit above deliberately
-      // reads the UNwidened frame: KMeans' takeSample is
-      // partition-order sensitive, widening it would change the
-      // centroids and so the pruned entry's rows).
-      val assigned = widen(vecs.drop("__vec"))
+      // ([[nearestCellExpr]] — the r13 IVF-family rule)
+      val assigned = vecs.drop("__vec")
         .withColumn("__cell",
           nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1537,10 +1527,7 @@ object Extensions {
     // OWN stash for the tree twin ([[PqOracles.knnTreeSql]], r16).
     lastKnnJoinFit.set(null)
     lastKnnTreeFit.set(tq)
-    // widened (opt r18): same rationale as the flat path — the fit
-    // above already consumed the unwidened frame, assignment is
-    // per-row, the pair scan is the expensive part
-    val assigned = widen(emb.select(col(idCol), col(embCol)))
+    val assigned = emb.select(col(idCol), col(embCol))
       .withColumn("__cell", graft.functions.TreeCells.nearestLeaf(
         col(embCol), tq.supFlat, tq.leafFlat, tq.groupStart, tq.dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1953,12 +1940,9 @@ object Extensions {
     val q = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(embCol).as("__q"),
         sqrt(dot(col(embCol), col(embCol))).as("__nq"))
-    // widened (opt r18): the |corpus|·|Q| pair scoring runs below the
-    // heap's exchange — one task on a one-row-group source; per-row
-    // scores + bounded heap with total tiebreaks, order-free
-    val scored = widen(emb
+    val scored = emb
       .select(col(idCol), col(embCol),
-        sqrt(dot(col(embCol), col(embCol))).as("__ne")))
+        sqrt(dot(col(embCol), col(embCol))).as("__ne"))
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -2166,11 +2150,8 @@ object Extensions {
     // assignment by the shared literal float-centroid projection
     // ([[nearestCellExpr]] — the r13 IVF-family rule: one codegen
     // pass, replayable, consistent with the persisted-index appends);
-    // assigned feeds both the query-probe filter and the candidate
-    // scan. Widened (opt r18): per-row, result-invisible — the fit
-    // above deliberately read the UNwidened frame (takeSample is
-    // partition-order sensitive; the captured centroids must not move)
-    val assigned = widen(vecs.drop("__vec"))
+    // assigned feeds both the query-probe filter and the candidate scan
+    val assigned = vecs.drop("__vec")
       .withColumn("__cell",
         nearestCellExpr(col(embCol), centroids.map(_._2.toSeq)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
