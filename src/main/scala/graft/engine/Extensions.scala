@@ -1037,7 +1037,10 @@ object Extensions {
     require(minDf >= 2, "minDf < 2 would flag every window")
     requireNoReserved(docs, Seq("__toks", "__spans", "__span", "__pos",
       "__df", "__brk", "__seg", "span_start", "span_end", "n_windows"))
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // widened (opt r18): tokenize + the n-gram shingling + posexplode
+    // are the map side of the df count — heavy per row, one task on a
+    // one-row-group source; integer counts and per-id windows after
+    val toks = widen(docs).select(col(idCol), tokens(col(textCol)).as("__toks"))
     val ngram = new org.apache.spark.ml.feature.NGram()
       .setN(n).setInputCol("__toks").setOutputCol("__spans")
     val spans = ngram.transform(toks)
@@ -2869,7 +2872,9 @@ object Extensions {
     require(window >= 1, "window must be >= 1")
     requireNoReserved(docs, Seq("__toks", "__pairs", "__p", "w1", "w2",
       "c_ab", "__ca", "__cb", "__t", "pmi"))
-    val toks = docs.select(tokens(col(textCol)).as("__toks"))
+    // widened (opt r18): tokenize + windowed pair explosion are the
+    // map side of the pair count — heavy per row; integer counts after
+    val toks = widen(docs).select(tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2)
     // per-row ordered pairs straight out of the token array:
     // for i in [1, n-1], for o in [1, min(window, n-i)]: (t[i], t[i+o])
@@ -2993,7 +2998,9 @@ object Extensions {
     // per consumer instead of reusing (the tokenPmi/cramers_v
     // canonical-form lesson). Same reason __s wraps in coalesce: a
     // nullable salt would diverge the join branches' constraints.
-    val freq = docs.select(explode(tokens(col(textCol))).as("__w"))
+    // widened (opt r18): tokenize+explode is freq's map side — heavy
+    // per row; everything downstream is integer/decimal-exact
+    val freq = widen(docs).select(explode(tokens(col(textCol))).as("__w"))
       .filter(col("__w").isNotNull)
       .groupBy("__w").agg(count(lit(1)).as("__f"))
     // salted word table: the ONE consumer of the corpus-sized freq
@@ -3704,7 +3711,9 @@ object Extensions {
 
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
-    val tf = docs
+    // widened (opt r18): tokenize+explode is tf's map side — heavy per
+    // row; integer counts + per-value tfidf + total-tiebreak rank after
+    val tf = widen(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
@@ -4282,7 +4291,9 @@ object Extensions {
 
   def bigramStats(docs: DataFrame, textCol: String, idCol: String,
       rareBelow: Long = 5L): DataFrame = {
-    val t = docs.select(col(idCol),
+    // widened (opt r18): tokenize + bigram zip are the map side of the
+    // (doc, bigram) pre-aggregate — heavy per row; integer counts after
+    val t = widen(docs).select(col(idCol),
       filter(tokens(col(textCol)), x => x =!= lit("")).as("__t"))
     val bg = t.select(col(idCol), explode(zip_with(
         slice(col("__t"), lit(1), greatest(lit(0), size(col("__t")) - 1)),
