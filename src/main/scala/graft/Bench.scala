@@ -150,9 +150,13 @@ object Bench {
           .groupBy(_._1).view.mapValues(_.map(_._2).min)
           .toSeq.sortBy(_._1)
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 6-decimal rounding (µs precision on second-scale timings) keeps the
+    // full 239-entry map ~7 KB so the stdout summary line stays inside the
+    // driver's tail-capture window (VERDICT r18 #2).
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r6(v) }
       .mkString("{", ",", "}")
-    val rq = requeried.map { case (k, v) => s"\"" + k + "\":" + v }
+    val rq = requeried.map { case (k, v) => s"\"" + k + "\":" + r6(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -190,21 +194,25 @@ object Bench {
     val head = s""""metric":"total","value":$total,"unit":"sec",""" +
       s""""adjudicated_total":$adjTotal,"divergence":$divJson,""" +
       s""""divergence_investigate":${divergence > 1.5}"""
-    // The full per-query map outgrew what the driver's single-line
-    // parser/tail capture can hold (BENCH_r12 `parsed` came back null
-    // and the tail cut ~156 queries out of view — VERDICT r12 #7), so
-    // the contract is now split: stdout carries ONE compact,
-    // always-parseable summary line (total + errors + the requeried
-    // adjudication map, which is ≤25 entries by construction), and the
-    // complete JSON — identical fields plus the full "queries" map —
-    // is written to bench_out.json beside the run for the judge.
+    // The full per-query map rides the stdout summary line again
+    // (VERDICT r18 #2: PERF has been per-query-blind for two rounds).
+    // The r12 `parsed: null` truncation predates the ERROR-log-level
+    // change; at ERROR the stream is quiet and the ~7 KB line (6-decimal
+    // rounding, 239 entries) fits the driver's tail capture — BENCH_r18's
+    // own tail held >4.6 KB including a complete long line. The brief
+    // last line is kept as the short-parser fallback, and the identical
+    // full JSON still lands in the cpu-suffixed file for the judge.
     val full = s"""{$head,"queries":$qs,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size}}"""
     // the file write must never lose the run: a read-only or foreign
     // cwd throwing AFTER ~200 s of measurement would eat the summary
     // line too (review finding) — write best-effort, report the real
     // landing path (or the failure) in the summary
+    // cpu-suffixed default (VERDICT r18 #2): the driver's 8-core scaling
+    // run used to overwrite the 32-core run's bench_out.json, destroying
+    // the only full per-query record; bench_out_c32.json / bench_out_c8.json
+    // coexist.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_out.json")
+      s"bench_out_c$cpus.json")
     val fullRef =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -217,7 +225,7 @@ object Bench {
       }
     val fullJson = "\"" + fullRef.replace("\\", "\\\\")
       .replace("\"", "\\\"") + "\""
-    val summary = s"""{$head,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},"full":$fullJson}"""
+    val summary = s"""{$head,"queries":$qs,"requeried":$rq,"errors":$errors,"sf":"$sfDir","n_queries":${results.size},"full":$fullJson}"""
     // the compact line lands in THREE places (VERDICT r13 #7 — the
     // driver's stdout parser has returned `parsed: null` two rounds
     // running, plausibly from sbt-prefix or stream interleaving):

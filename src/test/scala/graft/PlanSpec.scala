@@ -727,10 +727,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"the encode projection must not shuffle on a key:\n$plan")
-    // exactly one exchange: the rangepartitioning the catalog entry's
-    // .orderBy("doc_id") adds for the driver's ordered oracle compare
+    // at most two exchanges, neither keyed: the rangepartitioning the
+    // catalog entry's .orderBy("doc_id") adds for the driver's ordered
+    // oracle compare, plus (on an unsplittable toy source only) the
+    // r18 widen's RoundRobin — the assertion that was stale through
+    // r18's red suite (VERDICT r18 #1: the widen landed without
+    // updating this count; at any wide source the RoundRobin no-ops
+    // away and the order-by exchange is alone again)
     val exchanges = plan.linesIterator.count(_.contains("Exchange "))
-    assert(exchanges == 1, s"expected only the order-by exchange:\n$plan")
+    val roundRobins = plan.linesIterator.count(
+      _.contains("Exchange RoundRobinPartitioning"))
+    assert(exchanges - roundRobins == 1 && roundRobins <= 1,
+      s"expected the order-by exchange plus at most one widen " +
+        s"RoundRobin:\n$plan")
   }
 
   test("html_extract is one pure projection: a single documents scan, " +
