@@ -121,7 +121,22 @@ object Extensions {
     */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Exchange-bearing frames are left alone (ADVICE r18): calling
+    // .rdd on them under AQE finalizes the adaptive plan and EAGERLY
+    // materializes upstream shuffle stages whose output is then thrown
+    // away when the real action re-plans — and a frame that already
+    // shuffled has session-parallelism partitioning at any real scale
+    // (the callers that need a post-shuffle pin use an explicit
+    // repartition). The probe reads `sparkPlan` (the pre-adaptive
+    // physical plan, memoized on the frame's QueryExecution), so an
+    // exchange-free frame pays one planning, no job.
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
+      case _ => false
+    }
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** SimHash signatures per document (custom Catalyst expression,
@@ -870,13 +885,13 @@ object Extensions {
     requireNoReserved(emb, Seq("__n", "__u", "__vec", "__cell", "__cent",
       "__ca", "__cb", "__r"))
     val spark = emb.sparkSession
-    // unit-normalize for the FIT only (Euclidean k-means on the unit
-    // sphere groups by direction); scoring always uses the raw arrays
+    // unit vectors (via unitF below) feed the FIT only (k-means on the
+    // unit sphere groups by direction); scoring always uses the raw
+    // arrays. The MLlib-vector column is gone with the distributed fit
+    // (opt r19) — the cache is one array column lighter.
     val vecs = emb.select(col(idCol), col(embCol),
         sqrt(dot(col(embCol), col(embCol))).as("__n"))
       .filter(col("__n") > 0)
-      .withColumn("__vec", array_to_vector(
-        transform(col(embCol), x => x.cast("double") / col("__n"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a corpus with fewer than two nonzero-norm rows has no pairs
     // (and neither quantizer can fit) — return the typed empty result
@@ -917,24 +932,34 @@ object Extensions {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (tq.leafArrays, asg)
       } else {
-        // the 1-in-4 hash-sample fit and its fallback (see annIvf) —
-        // the counts live INSIDE the flat branch so the tree path
-        // never pays them
-        val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-        val sampleN = sample.count()
-        val (fitSample, fitN) =
-          if (sampleN >= nCells.toLong * 4) (sample, sampleN)
-          else (vecs, vecs.count())
-        // k capped at the fit-set size (MLlib needs k <= points);
-        // >= 2 is guaranteed by the nonzero-rows guard above
-        val kmK = math.min(nCells.toLong, fitN).toInt
-        val km = new org.apache.spark.ml.clustering.KMeans()
-          .setFeaturesCol("__vec").setPredictionCol("__cell")
-          .setK(kmK).setSeed(seed).setMaxIter(5).fit(fitSample)
-        val asg = km.transform(vecs)
-          .select(col(idCol), col(embCol), col("__n"), col("__cell"))
+        // Bounded DRIVER-SIDE fit (opt r19, the pqCodebookOf/
+        // fitTreeQuantizer doctrine): coarse-quantizer training is a
+        // bounded-sample problem at every corpus size, and the blocked
+        // plan's recall is exactly 1 for ANY centroids (the law above;
+        // scores come from the raw arrays) — so the distributed MLlib
+        // fit here bought ~14 scheduler-bound jobs (sample count +
+        // fallback count + kmeans|| init + 5 Lloyd passes) for
+        // something one smallest-xxhash64 TakeOrdered collect +
+        // localKMeans computes. Deterministic: the sample is
+        // partition-order independent, the RNG seeded. Assignment
+        // swaps MLlib's transform for the family's literal-centroid
+        // codegen rule on the same unit-float vectors — any
+        // assignment is correct, and radii are computed from the
+        // cells actually assigned.
+        val sample = vecs
+          .select(unitF.as("__u"), xxhash64(col(idCol)).as("__h"),
+            col(idCol))
+          .orderBy(col("__h"), col(idCol))
+          .limit(16384)
+          .select(col("__u"))
+          .collect().map(_.getSeq[Float](0).toArray)
+        val kmK = math.min(nCells, sample.length)
+        val cents = localKMeans(sample, kmK, seed, iters = 8)
+        val asg = vecs
+          .select(col(idCol), col(embCol), col("__n"),
+            nearestCellExpr(unitF, cents.map(_.toSeq)).as("__cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (km.clusterCenters.map(_.toArray.map(_.toFloat)).toSeq, asg)
+        (cents, asg)
       }
     try {
     val centroids = centArrays.zipWithIndex.map { case (c, i) => (i, c) }
@@ -1653,8 +1678,8 @@ object Extensions {
     * oracles are bit-unchanged by the extraction. May return FEWER than
     * k centers when the points have fewer distinct values (kmeans++
     * exhausts: sumD2 == 0 ⇒ every point is already a center value). */
-  private def localKMeans(pts: Array[Array[Float]], k: Int, seed: Long,
-      iters: Int): Seq[Array[Float]] = {
+  private[engine] def localKMeans(pts: Array[Array[Float]], k: Int,
+      seed: Long, iters: Int): Seq[Array[Float]] = {
     val n = pts.length
     val sub = pts.head.length
     val rnd = new scala.util.Random(seed)
@@ -3145,18 +3170,60 @@ object Extensions {
     require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
     requireNoReserved(docs, Seq("__w", "__f", "__syms", "__p",
       "merge_rank", "left", "right", "pair_count"))
-    val spark = docs.sparkSession
-    import spark.implicits._
     // widened (opt r18): tokenize + explode run below the word count's
-    // exchange; the pinned repartition spreads the word table so every
-    // round's symbol-fold projection (array-heavy compute over a
-    // few-hundred-KB frame AQE would coalesce to ~1 partition) stays
-    // parallel — per-row folds and integer sums, order-free
-    var words = widen(docs.select(explode(tokens(col(textCol))).as("__w"))
-      .filter(length(col("__w")) > 0))
+    // exchange
+    val wordsAgg = bpeWordTable(docs, textCol)
+    val out = bpeMergesOnWords(wordsAgg, merges)
+    wordsAgg.unpersist()
+    out
+  }
+
+  /** The persisted corpus word-frequency table — shared by
+    * [[bpeMerges]] and [[bpeStats]] (opt r19: bpeStats used to pay the
+    * full tokenize + count TWICE, once inside the trainer and once for
+    * its own apply pass). Caller owns the unpersist. */
+  private def bpeWordTable(docs: DataFrame, textCol: String): DataFrame =
+    widen(docs
+        .select(explode(tokens(col(textCol))).as("__w"))
+        .filter(length(col("__w")) > 0))
       .groupBy("__w").agg(count(lit(1)).as("__f"))
-      // split("", -1) keeps a trailing empty string — drop it, an empty
-      // symbol would fabricate (lastChar, "") pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[bpeMerges]] body over an already-persisted word table. The
+    * trainer's results never depend on who built the table. */
+  private def bpeMergesOnWords(wordsAgg: DataFrame,
+      merges: Int): DataFrame = {
+    val spark = wordsAgg.sparkSession
+    import spark.implicits._
+    // ── Bounded driver-side training short-circuit (opt r19, the
+    // CC-union-find / pqCodebookOf doctrine): BPE training operates on
+    // the VOCABULARY-bounded word-frequency table, which is exactly
+    // how production tokenizer trainers (SentencePiece, HF tokenizers)
+    // run — single-machine over word counts. When the vocab fits the
+    // driver budget, one collect + the local loop replaces `merges`
+    // rounds of (pair-explode shuffle + 1-row collect + re-persist).
+    // EXACT, not approximate: same integer pair counts, same greedy
+    // apply, and the tie-break compares UTF-8 bytes unsigned — the
+    // UTF8String order Spark's orderBy(a, b) uses (the local ≡
+    // distributed law in ExtensionsSpec). Above the threshold (a
+    // driver-memory bound, not a local-mode constant) the distributed
+    // loop below runs unchanged.
+    val localCap = spark.conf.getOption(
+      "spark.graft.bpe.localVocabThreshold").map(_.toLong)
+      .getOrElse(2000000L)
+    if (localCap > 0 && wordsAgg.count() <= localCap) {
+      val wf = wordsAgg.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      return localBpeMerges(spark, wf, merges)
+    }
+    // the at-scale distributed loop: the pinned repartition spreads
+    // the word table so every round's symbol projection (array-heavy
+    // compute over a few-hundred-KB frame AQE would coalesce to ~1
+    // partition) stays parallel — per-row folds and integer sums,
+    // order-free.
+    // split("", -1) keeps a trailing empty string — drop it, an empty
+    // symbol would fabricate (lastChar, "") pairs
+    var words = wordsAgg
       .select(filter(split(col("__w"), ""), x => length(x) > 0)
         .as("__syms"), col("__f"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -3192,13 +3259,12 @@ object Extensions {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r + 1, a, b, c))
         if (r + 1 < merges) {
-          val fused = lit(a + b)
-          val emptySyms = filter(array(lit("")), _ => lit(false))
-          val next = words.select(aggregate(col("__syms"), emptySyms,
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
-              .otherwise(concat(acc, array(x)))).as("__syms"),
+          // codegen'd greedy pass (opt r19, guide §4): replaces the
+          // interpreted O(len²) `aggregate` fold — bit-identical, the
+          // BpeMachinery equality law in ExtensionsSpec
+          val next = words.select(
+            graft.functions.BpeApply.bpeApply(col("__syms"),
+              Seq((a, b))).as("__syms"),
             col("__f"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           release = Some(words)
@@ -3210,6 +3276,114 @@ object Extensions {
     words.unpersist()
     release.foreach(_.unpersist())
     out.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** The driver-side BPE training loop over a collected word-frequency
+    * table — the [[bpeMerges]] short-circuit body. Semantics match the
+    * distributed loop exactly: symbols start as code points (the
+    * `split("", -1)`-minus-empties rule — regex boundaries never fall
+    * inside a surrogate pair), each round counts every adjacent symbol
+    * position weighted by word frequency, the argmax breaks count ties
+    * toward the UTF-8-byte-smallest (a, b) — Spark's UTF8String string
+    * order — and the winning rule applies greedily left-to-right (the
+    * [[graft.functions.BpeMachinery]] pass). */
+  private def localBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      wf: Array[(String, Long)], merges: Int): DataFrame = {
+    import spark.implicits._
+    val (rules, _) = localBpeCore(wf, merges, applyAll = false)
+    rules.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** The local training loop proper. Returns the learned rules and,
+    * when `applyAll`, the per-word FINAL token counts with every
+    * learned rule applied (the training loop itself skips applying the
+    * last rule — nothing downstream of it retrains — but [[bpeStats]]
+    * reports the corpus encoded under ALL rules). */
+  private def localBpeCore(wf: Array[(String, Long)], merges: Int,
+      applyAll: Boolean)
+      : (Seq[(Int, String, String, Long)], Array[Int]) = {
+    def splitCodePoints(w: String): Array[String] = {
+      val out = new Array[String](w.codePointCount(0, w.length))
+      var i = 0
+      var n = 0
+      while (i < w.length) {
+        val c = w.codePointAt(i)
+        val step = Character.charCount(c)
+        out(n) = w.substring(i, i + step)
+        n += 1
+        i += step
+      }
+      out
+    }
+    // unsigned UTF-8 byte order — what Spark's orderBy compares
+    def u8lt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8")
+      val b = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val syms: Array[Array[String]] = wf.map(p => splitCodePoints(p._1))
+    val freqs: Array[Long] = wf.map(_._2)
+    val lens: Array[Int] = syms.map(_.length)
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val counts =
+        new scala.collection.mutable.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        val f = freqs(i)
+        var j = 0
+        while (j + 1 < lens(i)) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bk: (String, String) = null
+        var bc = Long.MinValue
+        counts.foreach { case (k, c) =>
+          if (c > bc || (c == bc && (u8lt(k._1, bk._1) ||
+              (k._1 == bk._1 && u8lt(k._2, bk._2))))) {
+            bk = k; bc = c
+          }
+        }
+        out += ((r + 1, bk._1, bk._2, bc))
+        if (r + 1 < merges || applyAll) {
+          val (a, b) = bk
+          val ab = a + b
+          var i2 = 0
+          while (i2 < syms.length) {
+            // in-place greedy pass (we own the arrays)
+            val s = syms(i2)
+            val len = lens(i2)
+            var w = 0
+            var rd = 0
+            while (rd < len) {
+              val x = s(rd)
+              if (w > 0 && s(w - 1) == a && x == b) s(w - 1) = ab
+              else { s(w) = x; w += 1 }
+              rd += 1
+            }
+            lens(i2) = w
+            i2 += 1
+          }
+        }
+      }
+      r += 1
+    }
+    (out.toSeq, lens)
   }
 
   /** Temperature-weighted corpus mixing (the multilingual-LM sampling
@@ -3265,7 +3439,10 @@ object Extensions {
     * accumulator's last symbol is the rule's left and the incoming
     * symbol its right — after a fusion the new symbol can't re-match
     * as the left side because left+right ≠ left. */
-  private def bpeApplyRule(syms: Column, a: String, b: String): Column = {
+  // No longer on the hot path (replaced by graft.functions.BpeApply /
+  // BpeEncodeWords, opt r19) — kept as the executable REFERENCE
+  // semantics the ExtensionsSpec equality law compares against.
+  private[graft] def bpeApplyRule(syms: Column, a: String, b: String): Column = {
     val emptySyms = filter(array(lit("")), _ => lit(false))
     aggregate(syms, emptySyms, (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === lit(a) &&
@@ -3276,7 +3453,7 @@ object Extensions {
 
   /** Character-split + all `rules` applied in rank order — the full
     * BPE encode of one word as a single nested codegen'd expression. */
-  private def bpeEncodeWord(w: Column,
+  private[graft] def bpeEncodeWord(w: Column,
       rules: Seq[(String, String)]): Column =
     rules.foldLeft(filter(split(w, ""), x => length(x) > 0)) {
       case (c, (a, b)) => bpeApplyRule(c, a, b)
@@ -3284,11 +3461,53 @@ object Extensions {
 
   def bpeStats(docs: DataFrame, textCol: String,
       merges: Int = 6): DataFrame = {
-    val rules = bpeMerges(docs, textCol, merges)
+    require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
+    requireNoReserved(docs, Seq("__w", "__f", "__syms", "__p",
+      "merge_rank", "left", "right", "pair_count"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE word table shared by trainer and apply pass (opt r19, guide
+    // §1.2): bpeStats used to pay the corpus tokenize+count TWICE. On
+    // the bounded local path (the bpeMergesOnWords threshold) the
+    // collected table serves both — train locally, then the corpus
+    // totals are exact vocab-bounded sums: n_words = Σf, n_chars =
+    // Σ f·|codepoints|, n_tokens = Σ f·|tokens under ALL rules| — and
+    // the final division reproduces Spark's round(x, 6) bit-for-bit
+    // (java BigDecimal.valueOf + HALF_UP, the Round expression's own
+    // double kernel).
+    val wordsAgg = bpeWordTable(docs, textCol)
+    val localCap = spark.conf.getOption(
+      "spark.graft.bpe.localVocabThreshold").map(_.toLong)
+      .getOrElse(2000000L)
+    val vocabN = wordsAgg.count()
+    if (localCap > 0 && vocabN > 0 && vocabN <= localCap) {
+      val wf = wordsAgg.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      wordsAgg.unpersist()
+      val (_, finalLens) = localBpeCore(wf, merges, applyAll = true)
+      var nWords = 0L; var nChars = 0L; var nToks = 0L
+      var i = 0
+      while (i < wf.length) {
+        val f = wf(i)._2
+        nWords += f
+        nChars += f * wf(i)._1.codePointCount(0, wf(i)._1.length)
+        nToks += f * finalLens(i)
+        i += 1
+      }
+      val cpt = java.math.BigDecimal.valueOf(nChars.toDouble / nToks)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      return Seq((nWords, nChars, nToks, cpt))
+        .toDF("n_words", "n_chars", "n_tokens", "chars_per_token")
+    }
+    // at-scale fallback (vocab above the driver budget): distributed
+    // trainer over the shared table, then the apply pass rebuilds its
+    // own — one extra corpus scan, the r18 shape, unchanged
+    val rules = bpeMergesOnWords(wordsAgg, merges)
       .orderBy("merge_rank")
       .collect()
       .map(r => (r.getString(1), r.getString(2)))
       .toSeq
+    wordsAgg.unpersist()
     // widened + pinned like bpeMerges' build (opt r18): the `merges`
     // nested folds below run per distinct word — parallel, not on the
     // 1-2 partitions AQE leaves a few-hundred-KB word table
@@ -3298,9 +3517,9 @@ object Extensions {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("__f"),
         filter(split(col("__w"), ""), x => length(x) > 0).as("__syms"))
-    val encoded = rules.foldLeft(col("__syms")) { case (c, (a, b)) =>
-      bpeApplyRule(c, a, b)
-    }
+    // one codegen'd pass over all rules in rank order (opt r19) — the
+    // foldLeft-of-bpeApplyRule chain's bit-identical replacement
+    val encoded = graft.functions.BpeApply.bpeApply(col("__syms"), rules)
     words
       .select(col("__f"), size(col("__syms")).as("__chars"),
         size(encoded).as("__toks"))
@@ -3355,16 +3574,23 @@ object Extensions {
       x => length(x) > 0)
     // widened (opt r18): the encode is a PURE projection — with no
     // exchange anywhere, the whole per-occurrence fold ran as one task
-    // on a one-row-group source; per-row, so rows are unchanged
+    // on a one-row-group source; per-row, so rows are unchanged.
+    // Codegen'd flat encode (opt r19, guide §4): BpeEncodeWords
+    // replaces flatten(transform(__ws, bpeEncodeWord)) — the per-word
+    // interpreted lambda over an O(len²) fold — with one primitive
+    // loop per document (bit-identical, ExtensionsSpec law). n_chars
+    // folds to length(concat_ws("", __ws)): equal to the summed word
+    // lengths on the null-free token stream the filter guarantees,
+    // and it keeps the whole row inside whole-stage codegen.
     widen(docs).select(col(idCol), ws.as("__ws"))
       .select(col(idCol),
         size(col("__ws")).as("n_words"),
-        aggregate(transform(col("__ws"), w => length(w)), lit(0L),
-          (acc, x) => acc + x.cast("long")).as("n_chars"),
-        transform(col("__ws"), w => bpeEncodeWord(w, rules)).as("__enc"))
+        length(concat_ws("", col("__ws"))).cast("long").as("n_chars"),
+        graft.functions.BpeEncodeWords.bpeEncodeWords(col("__ws"), rules)
+          .as("__toks"))
       .select(col(idCol), col("n_words"), col("n_chars"),
-        size(flatten(col("__enc"))).as("n_tokens"),
-        concat_ws(" ", flatten(col("__enc"))).as("bpe_tokens"))
+        size(col("__toks")).as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("bpe_tokens"))
   }
 
   /** Length-grouped batching manifest — the dynamic-batching trick:

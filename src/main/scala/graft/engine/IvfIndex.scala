@@ -42,6 +42,9 @@ final class IvfIndex private (
   private[engine] def centroidArrays: Seq[Array[Float]] =
     centroids.sortBy(_._1).map(_._2)
 
+  /** The raw (cell, centroid) pairs — see [[IvfIndex.centroidPairsOf]]. */
+  private[engine] def centroidPairs: Seq[(Int, Array[Float])] = centroids
+
   /** The tree quantizer a tree-mode index queries with (None = flat) —
     * for a LOADED index this is the sidecar round-trip, i.e. exactly
     * the floats [[query]]'s probe kernels see, which is what the
@@ -250,6 +253,51 @@ object IvfIndex {
     new IvfIndex(cents, corpus, idCol, embCol, treeOpt)
   }
 
+  /** [[build]] with a DRIVER-SIDE bounded-sample coarse fit (opt r19 —
+    * the pqCodebookOf doctrine): one smallest-xxhash64 TakeOrdered
+    * collect + [[Extensions.localKMeans]] replaces the distributed
+    * MLlib fit's ~14 scheduler-bound jobs. For [[SemanticStore]] ONLY:
+    * its pair set is blocking-independent (recall exactly 1 under ANY
+    * quantizer — the law SemanticStoreSpec pins), so swapping the fit
+    * moves cost, never results. [[build]] itself keeps the MLlib fit
+    * untouched because the ANN/hybrid/PQ entries' OUTPUTS (pruned
+    * probes) depend on the exact centroids — changing those would
+    * change what their declared queries compute. Same save/load/append
+    * contract: flat centroids in cell order, assignment by the shared
+    * literal rule, sidecar-free (below the tree threshold only). */
+  private[engine] def buildLocalFit(emb: DataFrame, embCol: String,
+      idCol: String, nCells: Int, seed: Long = 42L,
+      sampleCap: Int = 16384): IvfIndex = {
+    require(nCells > 0 && nCells < Extensions.treeCellThreshold,
+      "buildLocalFit is the flat-mode path; tree mode already fits locally")
+    val clash = emb.columns.toSet
+      .intersect(Set("__vec", "__cell", "__q", "__e"))
+    require(clash.isEmpty,
+      s"input uses reserved internal column names: ${clash.mkString(", ")}")
+    val sample = emb
+      .select(transform(col(embCol), _.cast("float")).as(embCol),
+        xxhash64(col(idCol)).as("__h"), col(idCol))
+      .orderBy(col("__h"), col(idCol))
+      .limit(sampleCap)
+      .select(col(embCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot fit a quantizer on an empty corpus")
+    val k = math.min(nCells, sample.length)
+    val cents = Extensions.localKMeans(sample, k, seed, iters = 8)
+      .zipWithIndex.map { case (c, i) => (i, c) }
+    val corpus = emb.select(col(idCol), col(embCol),
+      Extensions.nearestCellExpr(col(embCol),
+        cents.map(_._2.toSeq)).as("__cell"))
+    new IvfIndex(cents, corpus, idCol, embCol, None)
+  }
+
+  /** The build-time centroids, for callers that just built+saved and
+    * would otherwise read the identical floats straight back
+    * ([[SemanticStore.ingest]]'s first snapshot — parquet float
+    * round-trips are exact). */
+  private[engine] def centroidPairsOf(idx: IvfIndex)
+      : Seq[(Int, Array[Float])] = idx.centroidPairs
+
   /** The coarse-quantizer fit shared by [[build]] and the REFIT
     * compaction ([[compactEpochs]] with `refit = true`): below
     * [[Extensions.treeCellThreshold]] a hash-sampled MLlib KMeans and
@@ -275,10 +323,16 @@ object IvfIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sample = vecs.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-      val sampleN = sample.count()
+      // ONE action for both counts (opt r19): the old sample.count() +
+      // fallback vecs.count() paid two jobs over the same cached frame
+      // whenever the fallback fired — a conditional aggregate returns
+      // both in one pass, fit inputs bit-identical
+      val cnts = vecs.agg(count(lit(1)),
+        count(when(pmod(xxhash64(col(idCol)), lit(4)) === 0, 1))).head()
+      val (fullN, sampleN) = (cnts.getLong(0), cnts.getLong(1))
       val (fitSample, fitN) =
         if (sampleN >= nCells.toLong * 4) (sample, sampleN)
-        else (vecs, vecs.count())
+        else (vecs, fullN)
       // k capped at the fit-set size: MLlib's blockified KMeans throws
       // (out-of-bounds in the center aggregator) when k exceeds the
       // point count — a first snapshot smaller than nCells must build

@@ -392,25 +392,38 @@ object SemanticStore {
         committed :+ epochName, idCol, qualityCol) else null)
     }
     val vecs = batch.select(col(idCol), col(embCol))
-    // first snapshot fits the quantizer (bounded sample, IvfIndex
-    // rules) and saves the base layout; every later snapshot reuses
-    // the FROZEN quantizer — the IVF growth contract
-    if (committed.isEmpty) {
-      IvfIndex.build(vecs, embCol, idCol, nCells).save(ivfPath)
-      // sentinel: the raw IvfIndex.compactEpochs must refuse this
-      // inner index (ADVICE r14 — the committed-union law was only
-      // stated in a comment before); SemanticStore.compact is the
-      // store-aware fold path
-      val (sfs, sp) = hadoopFs(spark, s"$ivfPath/_SEMSTORE")
-      sfs.create(sp, true).close()
-    }
+    // first snapshot fits the quantizer and saves the base layout;
+    // every later snapshot reuses the FROZEN quantizer — the IVF
+    // growth contract. The flat-mode fit is DRIVER-SIDE bounded-sample
+    // (opt r19, [[IvfIndex.buildLocalFit]]): the store's pair set is
+    // blocking-independent (the SemanticStoreSpec law), so the
+    // quantizer choice moves cost, never results — and the MLlib fit
+    // was ~14 scheduler-bound jobs on the hot ingest path. The
+    // just-fitted centroids are reused directly below instead of
+    // reading straight back the floats this call just wrote (parquet
+    // float round-trips are exact).
+    val builtCents: Option[Seq[(Int, Array[Float])]] =
+      if (committed.isEmpty) {
+        val built =
+          if (nCells < Extensions.treeCellThreshold)
+            IvfIndex.buildLocalFit(vecs, embCol, idCol, nCells)
+          else IvfIndex.build(vecs, embCol, idCol, nCells)
+        built.save(ivfPath)
+        // sentinel: the raw IvfIndex.compactEpochs must refuse this
+        // inner index (ADVICE r14 — the committed-union law was only
+        // stated in a comment before); SemanticStore.compact is the
+        // store-aware fold path
+        val (sfs, sp) = hadoopFs(spark, s"$ivfPath/_SEMSTORE")
+        sfs.create(sp, true).close()
+        Some(IvfIndex.centroidPairsOf(built))
+      } else None
     // the LIVE quantizer, resolved via quantizerRoot: after a refit
     // compaction the live centroids sit inside the published IVF
     // generation, not at the build-time $ivfPath/quantizer (reading
     // the stale table there would assign the batch under a quantizer
     // the stored layout no longer uses)
     val centPairs: Seq[(Int, Array[Float])] =
-      IvfIndex.readQuantizer(spark, ivfPath)
+      builtCents.getOrElse(IvfIndex.readQuantizer(spark, ivfPath))
     val qv = IvfIndex.quantizerDigest(centPairs)
     val cents: Seq[Seq[Float]] = centPairs.map(_._2.toSeq)
     // take-down deletes: deleted vectors leave the stored side of the
@@ -438,13 +451,12 @@ object SemanticStore {
     val centDf = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("__cell", "__cent")
-    val batchRadii: Map[Int, Double] = batchA
+    val batchRadiiAgg = batchA
       .join(broadcast(centDf), "__cell")
       .select(col("__cell"),
         acos(least(greatest(Extensions.cosine(col(embCol), col("__cent")),
           lit(-1.0)), lit(1.0))).as("__r"))
       .groupBy("__cell").agg(max("__r").as("__r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     // effective per-cell radius = max over committed epochs ∪ this
     // batch: radii are max-aggregates, so the store never needs a
     // corpus rescan to refresh them — and a LARGER radius only admits
@@ -459,27 +471,47 @@ object SemanticStore {
     // one-scan recompute from the stored cells themselves (keyed by
     // the live rule, so always sound) — re-running compact restores
     // the stamped fast path.
-    val storedRadii: Map[Int, Double] =
-      if (committed.isEmpty) Map.empty
-      else if (committed.forall(e => IvfIndex.readMarker(spark,
-          s"$storePath/radii/$e/_qv").contains(qv)))
-        spark.read
-          .parquet(committed.map(e => s"$storePath/radii/$e"): _*)
-          .groupBy("__cell").agg(max("__r").as("__r"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      else
-        notDeleted(storedCellsDf(spark, storePath, committed), deleted,
-            idCol)
-          .withColumn("__n",
-            sqrt(Extensions.dot(col(embCol), col(embCol))))
-          .filter(col("__n") > 0)
-          .join(broadcast(centDf), "__cell")
-          .select(col("__cell"),
-            acos(least(greatest(
-              Extensions.cosine(col(embCol), col("__cent")),
-              lit(-1.0)), lit(1.0))).as("__r"))
-          .groupBy("__cell").agg(max("__r").as("__r"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def toRadiiMap(rows: Array[org.apache.spark.sql.Row]): Map[Int, Double] =
+      rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val stampedFast = committed.nonEmpty &&
+      committed.forall(e => IvfIndex.readMarker(spark,
+        s"$storePath/radii/$e/_qv").contains(qv))
+    // ONE collect for both radii maps on the stamped fast path (opt
+    // r19): the batch aggregate and the committed-radii fold union
+    // under a side flag and split driver-side — each side's aggregate
+    // expression is unchanged, so the batch radii WRITTEN below stay
+    // bit-identical to the two-collect form.
+    val (batchRadii: Map[Int, Double], storedRadii: Map[Int, Double]) =
+      if (stampedFast) {
+        val rows = batchRadiiAgg
+          .select(col("__cell"), col("__r"), lit(true).as("__batch"))
+          .unionByName(spark.read
+            .parquet(committed.map(e => s"$storePath/radii/$e"): _*)
+            .groupBy("__cell").agg(max("__r").as("__r"))
+            .select(col("__cell"), col("__r"), lit(false).as("__batch")))
+          .collect()
+        (toRadiiMap(rows.filter(_.getBoolean(2))),
+          toRadiiMap(rows.filterNot(_.getBoolean(2))))
+      } else {
+        val b = toRadiiMap(batchRadiiAgg.collect())
+        val s: Map[Int, Double] =
+          if (committed.isEmpty) Map.empty
+          else
+            toRadiiMap(notDeleted(
+                storedCellsDf(spark, storePath, committed), deleted,
+                idCol)
+              .withColumn("__n",
+                sqrt(Extensions.dot(col(embCol), col(embCol))))
+              .filter(col("__n") > 0)
+              .join(broadcast(centDf), "__cell")
+              .select(col("__cell"),
+                acos(least(greatest(
+                  Extensions.cosine(col(embCol), col("__cent")),
+                  lit(-1.0)), lit(1.0))).as("__r"))
+              .groupBy("__cell").agg(max("__r").as("__r"))
+              .collect())
+        (b, s)
+      }
     val radii: Map[Int, Double] =
       (storedRadii.keySet ++ batchRadii.keySet).map { c =>
         c -> math.max(storedRadii.getOrElse(c, -1.0),

@@ -30,14 +30,7 @@ object ConnectedComponents {
   def components(nodes: DataFrame, edges: DataFrame, idCol: String,
       srcCol: String, dstCol: String, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    // EAGER cuts, deliberately (r18 measured both): every round's
-    // label frame feeds a join (msgs, and the jump self-join), and a
-    // LAZY cut leaves the LogicalRDD without size stats at planning
-    // time — the per-round joins lose their broadcast plan and the
-    // min-of-5 read 1.3× slower. The materialization job is the price
-    // of keeping stats-informed planning each round.
-    val ckpt = graft.engine.Lineage.truncator(nodes.sparkSession,
-      checkpointDir)
+    val spark = nodes.sparkSession
     // symmetrize by exploding each edge into both directions — ONE
     // evaluation of the (often expensive: near-dup scoring) edge plan,
     // where a union of two selects would execute it twice
@@ -48,6 +41,51 @@ object ConnectedComponents {
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .cache()
+    // ── Bounded driver-side union-find short-circuit (opt r19, the
+    // pqCodebookOf bounded-fit doctrine): a near-dup pair graph is the
+    // scorer's BOUNDED output (pairs above a production threshold ≪
+    // corpus²), so when the symmetric edge set fits a driver budget,
+    // one collect + union-find replaces the O(log diameter) rounds of
+    // 2-shuffle jobs below. The result is EXACTLY the loop's fixpoint —
+    // component = min reachable id, computed as the min over each
+    // union-find set (integral ids, so Spark's `min` ordering and the
+    // JVM's coincide; the local≡distributed law is pinned in
+    // ConnectedComponentsSpec). At any real scale the count gate sends
+    // graphs above the threshold down the distributed loop unchanged —
+    // the threshold is a DRIVER-MEMORY bound (~32 MB of primitive state
+    // at the default), not a local-mode tuning constant. Non-integral
+    // id types always take the distributed loop (whose own r18
+    // decimal-sum certificate already requires numerically-castable
+    // ids — every catalog caller uses long ids).
+    val localEdgeCap = spark.conf.getOption(
+      "spark.graft.cc.localEdgeThreshold").map(_.toLong)
+      .getOrElse(2000000L)
+    val integralIds = sym.schema("src").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // the count is one pass over the just-cached frame — the loop's
+    // first certificate aggregate paid the same materialization
+    if (integralIds && localEdgeCap > 0 && sym.count() <= localEdgeCap) {
+      val labels = localComponents(sym, spark)
+      sym.unpersist()
+      val lab = labels.withColumnRenamed("id", "__cc_id")
+      return nodes.select(col(idCol))
+        .join(lab, col(idCol) === col("__cc_id"), "left")
+        .select(col(idCol),
+          coalesce(col("comp"), col(idCol)).as("component"))
+    }
+    // EAGER cuts, deliberately (r18 measured both): every round's
+    // label frame feeds a join (msgs, and the jump self-join), and a
+    // LAZY cut leaves the LogicalRDD without size stats at planning
+    // time — the per-round joins lose their broadcast plan and the
+    // min-of-5 read 1.3× slower. The materialization job is the price
+    // of keeping stats-informed planning each round.
+    val ckpt = graft.engine.Lineage.truncator(nodes.sparkSession,
+      checkpointDir)
     // iterate ONLY over nodes that appear in edges — isolated nodes are
     // their own component by definition, and in near-dup graphs the
     // edge-touched subgraph is a tiny fraction of the corpus, so the
@@ -110,5 +148,69 @@ object ConnectedComponents {
     nodes.select(col(idCol))
       .join(lab, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
+  }
+
+  /** Union-find over a collected symmetric edge list: (id, comp) for
+    * every edge-touched node, comp = min id of its component — the
+    * distributed loop's exact fixpoint. Union by rank + path
+    * compression, one primitive pass; min-id is folded into the union
+    * so no second traversal is needed. Returns a frame in the edge
+    * columns' original integral type. */
+  private def localComponents(sym: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val idType = sym.schema("src").dataType
+    val rows = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(v: Long): Int =
+      idx.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    // pre-index every endpoint, then run union-find on dense ints
+    val es = new Array[(Int, Int)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      es(i) = (nodeOf(rows(i).getLong(0)), nodeOf(rows(i).getLong(1)))
+      i += 1
+    }
+    val parent = Array.tabulate(ids.length)(identity)
+    val rank = new Array[Byte](ids.length)
+    val minId = ids.toArray // per-root min id, maintained through unions
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    i = 0
+    while (i < es.length) {
+      val (a, b) = es(i)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (hi, lo) =
+          if (rank(ra) < rank(rb)) (rb, ra) else (ra, rb)
+        parent(lo) = hi
+        if (rank(hi) == rank(lo)) rank(hi) = (rank(hi) + 1).toByte
+        if (minId(lo) < minId(hi)) minId(hi) = minId(lo)
+      }
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) {
+      out(i) = (ids(i), minId(find(i)))
+      i += 1
+    }
+    import spark.implicits._
+    // parallelize (not a LocalRelation): at the threshold this is
+    // millions of rows — embedding them in the plan would make
+    // planning itself the bottleneck (guide §7.3)
+    spark.createDataset(spark.sparkContext.parallelize(out.toSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          out.length / 65536 + 1))))
+      .toDF("id", "comp")
+      .select(col("id").cast(idType).as("id"),
+        col("comp").cast(idType).as("comp"))
   }
 }

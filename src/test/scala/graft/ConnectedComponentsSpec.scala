@@ -40,10 +40,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val local = ConnectedComponents
         .components(nodes, edges, "id", "a", "b")
         .as[(Long, Long)].collect().sorted.toSeq
-      val reliable = ConnectedComponents
-        .components(nodes, edges, "id", "a", "b",
-          checkpointDir = Some(dir.toString))
-        .as[(Long, Long)].collect().sorted.toSeq
+      // force the DISTRIBUTED loop (threshold 0): the r19 local
+      // union-find path never checkpoints, and this test is about the
+      // loop's reliable-checkpoint plumbing
+      spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+      val reliable =
+        try ConnectedComponents
+          .components(nodes, edges, "id", "a", "b",
+            checkpointDir = Some(dir.toString))
+          .as[(Long, Long)].collect().sorted.toSeq
+        finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
       assert(reliable == local)
       // the reliable path must really have checkpointed into the dir
       // (files persist until the caller cleans the directory — Spark
@@ -77,6 +83,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       rm(dir)
       assert(!dir.exists())
     }
+  }
+
+  test("bounded local union-find short-circuit equals the distributed " +
+      "loop on random graphs (the opt-r19 law: component = min " +
+      "reachable id on both paths, bit for bit)") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 5).foreach { _ =>
+      val n = 40 + rnd.nextInt(60)
+      val m = 10 + rnd.nextInt(80)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("id")
+      // default threshold ⇒ the local union-find path
+      val local = ConnectedComponents
+        .components(nodes, edges, "id", "a", "b")
+        .as[(Long, Long)].collect().sorted.toSeq
+      // threshold 0 disables the short-circuit ⇒ the distributed loop
+      spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+      val dist =
+        try ConnectedComponents.components(nodes, edges, "id", "a", "b")
+          .as[(Long, Long)].collect().sorted.toSeq
+        finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+      assert(local == dist)
+    }
+  }
+
+  test("narrower integral ids (int) take the local path, components " +
+      "keep the original column type") {
+    val nodes = Seq(1, 2, 3, 4).toDF("id")
+    val edges = Seq((2, 3), (3, 1)).toDF("s", "t")
+    val out = ConnectedComponents.components(nodes, edges, "id", "s", "t")
+    assert(out.schema("component").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val comps = out.as[(Int, Int)].collect().toMap
+    assert(comps(1) == 1 && comps(2) == 1 && comps(3) == 1 && comps(4) == 4)
   }
 
   test("dedup clusters keep exactly one survivor per duplicate group") {
