@@ -119,6 +119,165 @@ object OptProbe {
       }
     }
 
+    if (probes("ej2")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def edges() = li
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+        .select(explode(flatten(transform(col("__items"), (a, i) =>
+          transform(
+            slice(col("__items"), i + lit(2), size(col("__items"))),
+            b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
+        .select(col("__p.part_a"), col("__p.part_b"))
+      // replicate edgeJaccard's body with variants
+      def adjOf(e: DataFrame) = e
+        .filter(col("part_a").isNotNull && col("part_b").isNotNull &&
+          col("part_a") =!= col("part_b"))
+        .select(explode(array(
+          struct(col("part_a").as("n"), col("part_b").as("m")),
+          struct(col("part_b").as("n"), col("part_a").as("m")))).as("__e"))
+        .select(col("__e.n").as("__n"), col("__e.m").as("__m"))
+        .groupBy("__n")
+        .agg(sort_array(collect_set(col("__m"))).as("__nbrs"))
+      def tail(adj: DataFrame, pin: Boolean) = {
+        val probe = adj
+          .select(col("__n"), col("__nbrs").as("__nba"),
+            explode(filter(col("__nbrs"), m => m > col("__n"))).as("__m"))
+        val probe2 = if (pin)
+          probe.repartition(spark.sparkContext.defaultParallelism,
+            col("__m"))
+        else probe
+        probe2
+          .join(adj.select(col("__n").as("__m"), col("__nbrs").as("__nbb"))
+            .hint("shuffle_hash"), "__m")
+          .select(col("__n").as("part_a"), col("__m").as("part_b"),
+            size(array_intersect(col("__nba"), col("__nbb"))).cast("long")
+              .as("common_cnt"),
+            size(col("__nba")).cast("long").as("deg_a"),
+            size(col("__nbb")).cast("long").as("deg_b"))
+          .withColumn("jaccard",
+            round(col("common_cnt").cast("double") /
+              (col("deg_a") + col("deg_b") - col("common_cnt"))
+                .cast("double"), 6))
+          .orderBy(desc("jaccard"), col("part_a"), col("part_b"))
+          .limit(100)
+      }
+      val P = spark.sparkContext.defaultParallelism
+      def edgesPinned() = li
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+        .repartition(P)
+        .select(explode(flatten(transform(col("__items"), (a, i) =>
+          transform(
+            slice(col("__items"), i + lit(2), size(col("__items"))),
+            b => struct(a.as("part_a"), b.as("part_b")))))).as("__p"))
+        .select(col("__p.part_a"), col("__p.part_b"))
+      def tailAdjPinned(adjIn: DataFrame) = {
+        val adj = adjIn.repartition(P)
+        tail(adj, pin = false)
+      }
+      (1 to 3).foreach { i =>
+        time(spark, s"ej2.v0.current r$i")(tail(adjOf(edges()), pin = false))
+        time(spark, s"ej2.v4.aggpins r$i")(
+          tailAdjPinned(adjOf(edgesPinned())))
+        time(spark, s"ej2.v5.adjpin r$i")(tailAdjPinned(adjOf(edges())))
+        time(spark, s"ej2.v6.edgepin r$i")(
+          tail(adjOf(edgesPinned()), pin = false))
+        time(spark, s"ej2.v2.pinned r$i")(tail(adjOf(edges()), pin = true))
+        locally {
+          val adj = adjOf(edges())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time(spark, s"ej2.v1.persist r$i")(tail(adj, pin = false))
+          adj.unpersist()
+        }
+        locally {
+          val adj = adjOf(edges())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time(spark, s"ej2.v3.persist+pin r$i")(tail(adj, pin = true))
+          adj.unpersist()
+        }
+      }
+    }
+
+    if (probes("ejstage")) {
+      @volatile var stages = Vector.empty[(Int, String, Int, Long, Long)]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = sc.stageInfo
+            stages :+= ((si.stageId, si.name.take(60), si.numTasks,
+              si.completionTime.getOrElse(0L) -
+                si.submissionTime.getOrElse(0L),
+              si.taskMetrics.executorRunTime))
+          }
+        })
+      (1 to 2).foreach { i =>
+        stages = Vector.empty
+        val t0 = System.nanoTime()
+        SparkEntry.queries("edge_jaccard")(spark, sfDir).count()
+        println(f"[optprobe] ejstage r$i total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        Thread.sleep(400)
+        stages.foreach { case (id, n, nt, wall, run) =>
+          println(f"[optprobe]   stage$id%4d tasks=$nt%3d wall=${wall / 1e3}%7.3f s cpuSum=${run / 1e3}%8.3f s  $n%s")
+        }
+      }
+    }
+
+    def phase(label: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(label)
+      val t0 = System.nanoTime()
+      body
+      println(f"[optprobe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (probes("bm25del")) {
+      import graft.engine.TextIndex
+      import spark.implicits._
+      (1 to 3).foreach { i =>
+        val dir = java.nio.file.Files.createTempDirectory("probe-bm25")
+          .toString
+        var idx: TextIndex = null
+        var loaded: TextIndex = null
+        phase(s"bm25.build r$i") {
+          idx = TextIndex.build(docs, "text", "doc_id", nBuckets = 16) }
+        phase(s"bm25.save r$i") { idx.save(s"$dir/idx") }
+        phase(s"bm25.delete r$i") {
+          TextIndex.delete(spark, s"$dir/idx",
+            docs.filter(col("doc_id") < 25).select("doc_id"),
+            "doc_id", "take-down-1") }
+        phase(s"bm25.load r$i") {
+          loaded = TextIndex.load(spark, s"$dir/idx") }
+        phase(s"bm25.query r$i") {
+          loaded.query(Seq(0L -> "fast hash join", 1L -> "spark window agg",
+              2L -> "slow scan filter").toDF("query_id", "query_text"),
+            "query_text", "query_id", k = 10)
+            .orderBy("query_id", "rank").count() }
+      }
+    }
+
+    if (probes("ivftree")) {
+      import graft.engine.IvfIndex
+      (1 to 3).foreach { i =>
+        val dir = java.nio.file.Files.createTempDirectory("probe-ivft")
+          .toString
+        var idx: IvfIndex = null
+        var loaded: IvfIndex = null
+        phase(s"ivftree.build r$i") {
+          idx = IvfIndex.build(emb, "embedding", "vec_id", nCells = 64) }
+        phase(s"ivftree.save r$i") { idx.save(s"$dir/idx") }
+        phase(s"ivftree.load r$i") {
+          loaded = IvfIndex.load(spark, s"$dir/idx", "vec_id", "embedding") }
+        phase(s"ivftree.query r$i") {
+          loaded.queryByIds(Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 8)
+            .orderBy("query_id", "rank").count() }
+      }
+    }
+
     if (probes("knn")) {
       // the pair-scan tail in isolation: 1-partition input vs widened
       val withNorm = emb.select(col("vec_id"), col("embedding"))

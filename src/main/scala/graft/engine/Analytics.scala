@@ -549,6 +549,8 @@ object Analytics {
       }
     val adj = kept.groupBy("__n")
       .agg(sort_array(collect_set(col("__m"))).as("__nbrs"))
+    val adjElemType = adj.schema("__nbrs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     // canonical edges fall out of the adjacency rows themselves:
     // exploding n's own (sorted, deduped) array to its m > n neighbors
     // yields each undirected edge exactly once WITH n's array already
@@ -568,7 +570,19 @@ object Analytics {
       .join(adj.select(col("__n").as("__m"), col("__nbrs").as("__nbb"))
         .hint("shuffle_hash"), "__m")
       .select(col("__n").as(aCol), col("__m").as(bCol),
-        size(array_intersect(col("__nba"), col("__nbb"))).cast("long")
+        // codegen'd merge walk on the sorted deduped adjacency arrays
+        // (opt r19, §4): size(array_intersect) built a boxed hash set
+        // per edge — ~80% of the join stage's CPU. Identical count by
+        // construction (sort_array(collect_set) inputs; equality law
+        // in AnalyticsSpec). Non-integral id types keep the generic
+        // kernel.
+        (adjElemType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType =>
+            graft.functions.SortedIntersectCount.sortedIntersectCount(
+              col("__nba"), col("__nbb"))
+          case _ => size(array_intersect(col("__nba"), col("__nbb")))
+        }).cast("long")
           .as("common_cnt"),
         size(col("__nba")).cast("long").as("deg_a"),
         size(col("__nbb")).cast("long").as("deg_b"))

@@ -299,6 +299,12 @@ object AnalyticsQueries {
           .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          // pinned post-agg repartition (opt r19, §2.4): AQE coalesces
+          // the byte-light basket table to ~4 partitions, starving the
+          // CPU-heavy in-array pair explode downstream (stage probe:
+          // 3.4 s CPU on 4 tasks). Rows unchanged; downstream is
+          // key-aggregated, order-free.
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(flatten(transform(col("__items"), (a, i) =>
             transform(
               slice(col("__items"), i + lit(2), size(col("__items"))),
@@ -1311,6 +1317,13 @@ object AnalyticsQueries {
           .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          // pinned post-agg repartition (opt r19, §2.4 — the measured
+          // v6 variant, min-of-3 2.85 → 2.52 s): AQE coalesces the
+          // byte-light basket table to ~4 partitions while the in-array
+          // pair explode + adjacency partial agg above it are the
+          // CPU-heavy stage (probe: 3.4 s CPU on 4 tasks). Rows
+          // unchanged; everything downstream aggregates by key.
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(flatten(transform(col("__items"), (a, i) =>
             transform(
               slice(col("__items"), i + lit(2), size(col("__items"))),

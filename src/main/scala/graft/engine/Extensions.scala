@@ -119,6 +119,32 @@ object Extensions {
     * changes per-partition accumulation order, which is observable
     * through float-sum rounding.
     */
+  /** Run `body` (a partitioned-layout `spark.read.parquet`) with
+    * partition discovery kept ON THE DRIVER up to
+    * `spark.graft.io.driverListThreshold` paths (default 1024; opt
+    * r19, guide §6). Spark's default threshold (32) launches a
+    * DISTRIBUTED listing job for any store past 32 partition dirs —
+    * on the 64-cell tree index that job alone cost 0.2-0.7 s per
+    * load, orders of magnitude more than listing 64 dirs from the
+    * driver. Production posture: the raised threshold still hands
+    * thousand-dir layouts (the true 100 TB cell counts) to the
+    * distributed lister; the knob parameterizes the crossover.
+    * Set/restore is scoped to `body` — listing happens eagerly inside
+    * `spark.read` resolution, so the restored conf never leaks into
+    * query execution. */
+  private[graft] def withDriverListing[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, spark.conf.getOption(
+      "spark.graft.io.driverListThreshold").getOrElse("1024"))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private[graft] def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // Exchange-bearing frames are left alone (ADVICE r18): calling
@@ -4359,7 +4385,12 @@ object Extensions {
       .select(col(idCol), col("passes").cast("double").as("__lbl"))
     // persist the assembled training frame: every LBFGS iteration is a
     // treeAggregate over it — uncached, each of the maxIter passes
-    // would re-run the vector assembly and the gopher label scan
+    // would re-run the vector assembly and the gopher label scan.
+    // (Tried and REVERTED, opt r19: dropping this persist to let MLlib
+    // cache its decoded Instance RDD instead — handlePersistence —
+    // measured WORSE, 6.8 → 7.0 s warm and +8 jobs: MLlib's own
+    // persistence path adds actions that cost more than the per-
+    // iteration row decode it saves at this train size.)
     val train = counts.join(labels, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model =

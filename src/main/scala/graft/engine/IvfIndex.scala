@@ -851,10 +851,15 @@ object IvfIndex {
     * recorded as folded (its rows then count twice forever). */
   private def cellsOf(spark: SparkSession, path: String,
       epochs: Seq[String]): DataFrame =
-    excludeTombstoned(spark, path, epochs
-      .filter(e => hasCellData(spark, s"$e/cells"))
-      .foldLeft(spark.read.parquet(s"${baseRoot(path)}/cells"))((df, e) =>
-        df.unionByName(spark.read.parquet(s"$e/cells"))))
+    // driver-side partition discovery (opt r19, §6): each branch is a
+    // cell-partitioned dir fan-out; Spark's 32-path default launched a
+    // distributed listing job per load on the 64-cell tree layout
+    Extensions.withDriverListing(spark) {
+      excludeTombstoned(spark, path, epochs
+        .filter(e => hasCellData(spark, s"$e/cells"))
+        .foldLeft(spark.read.parquet(s"${baseRoot(path)}/cells"))((df, e) =>
+          df.unionByName(spark.read.parquet(s"$e/cells"))))
+    }
 
   /** PQ-codes twin of [[cellsWithEpochs]], version-gated: an epoch
     * codes dir joins the union ONLY when its `_pqv` stamp matches the
@@ -899,11 +904,13 @@ object IvfIndex {
           "addPqCodes run did not complete; ") +
         "re-run addPqCodes to re-encode the corpus under the " +
         "committed codebook")
-    excludeTombstoned(spark, path, epochs
-      .filter(e => hasCellData(spark, s"$e/codes"))
-      .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
-      .foldLeft(spark.read.parquet(s"${baseRoot(path)}/codes"))((df, e) =>
-        df.unionByName(spark.read.parquet(s"$e/codes"))))
+    Extensions.withDriverListing(spark) {
+      excludeTombstoned(spark, path, epochs
+        .filter(e => hasCellData(spark, s"$e/codes"))
+        .filter(e => readMarker(spark, s"$e/codes/_pqv") == current)
+        .foldLeft(spark.read.parquet(s"${baseRoot(path)}/codes"))((df, e) =>
+          df.unionByName(spark.read.parquet(s"$e/codes"))))
+    }
   }
 
   /** Exactly-once epoch append under the FROZEN quantizer (and frozen

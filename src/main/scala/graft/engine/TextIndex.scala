@@ -111,23 +111,32 @@ final class TextIndex private[engine] (
           .groupBy(col(queryIdCol), col(idCol))
           .agg(sum("__contrib").as("__score_int"))
       case Some(del) =>
-        val delKeyed = del.withColumnRenamed("__del_id", idCol)
-        val matched = pruned
-          .join(broadcast(qterms.select("term").distinct()), "term")
         // per-term count of DELETED postings among the probed terms —
         // the exact df correction (term → one bucket, so the pruned
         // read is complete per term); df - __df_del is what a fresh
-        // build over the survivors would have denormalized
-        val dfCorr = matched
-          .join(delKeyed, Seq(idCol), "left_semi")
-          .groupBy("term").agg(count(lit(1)).as("__df_del"))
-        matched
-          .join(delKeyed, Seq(idCol), "left_anti")
-          .join(broadcast(dfCorr), Seq("term"), "left")
+        // build over the survivors would have denormalized.
+        // ONE pruned-postings scan (opt r19, guide §1.2/§2): the old
+        // shape evaluated `matched` twice (a df-correction aggregate
+        // plus a left_anti of the same scan). Deleted ids are globally
+        // DISTINCT by construction ([[TextIndex.delete]] dedups and
+        // excludes already-committed ids), so a left join with a
+        // marker column is exactly the anti-join's row set, the
+        // correction is a whole-partition window count over the probed
+        // stream — same integers (count of deleted postings per term;
+        // a term with none counts 0, the old coalesce(_, 0L)) — and
+        // the deleted rows drop AFTER the count, BEFORE the per-query
+        // fan-out (counting after the qterms fan-out would multiply
+        // the correction by the number of queries sharing the term).
+        val delKeyed = del.withColumnRenamed("__del_id", idCol)
+        pruned
+          .join(broadcast(qterms.select("term").distinct()), "term")
+          .join(delKeyed.withColumn("__del", lit(1)), Seq(idCol), "left")
+          .withColumn("__df_del", count(col("__del")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("term")))
+          .filter(col("__del").isNull)
           .join(broadcast(qterms), "term")
           .withColumn("__contrib",
-            round(idfOf(col("df") -
-              coalesce(col("__df_del"), lit(0L))) * fTf *
+            round(idfOf(col("df") - col("__df_del")) * fTf *
               lit(1000000.0)).cast("long"))
           .groupBy(col(queryIdCol), col(idCol))
           .agg(sum("__contrib").as("__score_int"))
@@ -464,10 +473,15 @@ object TextIndex {
   private def allPostings(spark: SparkSession, path: String): DataFrame = {
     val (fs, _) = hadoopFs(spark, path)
     val plain = plainDataDir(path)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$plain/postings")))
-      spark.read.parquet(s"$plain/postings")
-    else segmentDirs(path).map(d =>
-      spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+    // driver-side partition discovery (opt r19, §6 — the IvfIndex
+    // cellsOf rationale): bucket-partitioned dirs past Spark's 32-path
+    // default otherwise pay a distributed listing job per open
+    Extensions.withDriverListing(spark) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$plain/postings")))
+        spark.read.parquet(s"$plain/postings")
+      else segmentDirs(path).map(d =>
+        spark.read.parquet(s"$d/postings")).reduce(_.unionByName(_))
+    }
   }
 
   /** The saved layout's document id column, from its own stats (plain
@@ -906,7 +920,8 @@ object TextIndex {
     new TextIndex(
       st.getLong(st.fieldIndex("n_docs")) - dels.map(_._2).sum,
       st.getLong(st.fieldIndex("sum_dl")) - dels.map(_._3).sum,
-      spark.read.parquet(s"$base/postings"),
+      Extensions.withDriverListing(spark)(
+        spark.read.parquet(s"$base/postings")),
       st.getString(st.fieldIndex("id_col")),
       st.getInt(st.fieldIndex("n_buckets")),
       deletedIdsDf(spark, path),

@@ -812,6 +812,54 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 3L, 0L, 2L, 1L, 0.0)))
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted " +
+      "deduped arrays (long and int, with and without a null element) " +
+      "— the r19 edgeJaccard kernel law") {
+    val rnd = new scala.util.Random(20260819L)
+    val rows = (0 until 400).map { i =>
+      def arr(): Seq[Option[Long]] = {
+        val base = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+          .distinct.sorted.map(Option(_))
+        if (rnd.nextInt(5) == 0) None +: base else base
+      }
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("i", "xa", "xb")
+    val got = df.select(col("i"),
+      graft.functions.SortedIntersectCount.sortedIntersectCount(
+        col("xa"), col("xb")).as("fast"),
+      size(array_intersect(col("xa"), col("xb"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row $r"))
+    // int-typed twin
+    val dfi = rows.map { case (i, a, b) =>
+      (i, a.map(_.map(_.toInt)), b.map(_.map(_.toInt))) }
+      .toDF("i", "xa", "xb")
+    val goti = dfi.select(col("i"),
+      graft.functions.SortedIntersectCount.sortedIntersectCount(
+        col("xa"), col("xb")).as("fast"),
+      size(array_intersect(col("xa"), col("xb"))).as("ref"))
+      .collect()
+    goti.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row $r"))
+  }
+
+  test("edgeJaccard on STRING ids (the generic-kernel fallback) matches " +
+      "the long-id result relabeled") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+    val longOut = Analytics.edgeJaccard(edges.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b")
+      .select("a", "b", "common_cnt", "deg_a", "deg_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val strOut = Analytics.edgeJaccard(
+        edges.map { case (a, b) => (s"n$a", s"n$b") }.toDF("a", "b"),
+        "a", "b")
+      .orderBy("a", "b")
+      .select("a", "b", "common_cnt", "deg_a", "deg_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(strOut == longOut.map { case (a, b, c, da, db, j) =>
+      (s"n$a", s"n$b", c, da, db, j) })
+  }
+
   test("edgeJaccard matches brute force on a seeded random graph, and " +
       "the hub cap equals the uncapped result on the hub-free subgraph") {
     val rnd = new scala.util.Random(7)
