@@ -1967,6 +1967,12 @@ object Analytics {
       else items.groupBy(basketCol).agg(count(lit(1)).as("__bsz"))
         .agg(count(col(basketCol)).cast("double").as("__nbaskets"))
     val pairs = baskets
+      // pinned post-agg repartition on the pair-build branch only (opt
+      // r19, §2.4 — the edge_jaccard stage-probe rationale): AQE
+      // coalesces the byte-light basket table under the CPU-heavy
+      // in-array pair explode; the nBaskets 1-row count reads the
+      // un-pinned rollup directly
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("__items"), (a, i) =>
         transform(
           slice(col("__items"), i + lit(2), size(col("__items"))),

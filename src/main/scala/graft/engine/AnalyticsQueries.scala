@@ -47,6 +47,10 @@ object AnalyticsQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+      // pinned post-agg repartition (opt r19, §2.4 — the edge_jaccard
+      // stage-probe rationale): AQE coalesces the byte-light basket
+      // table under the CPU-heavy in-array pair explode
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(flatten(transform(col("__items"), (a, i) =>
         transform(
           slice(col("__items"), i + lit(2), size(col("__items"))),
@@ -1467,6 +1471,9 @@ object AnalyticsQueries {
           .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          // pinned post-agg repartition (opt r19, §2.4 — see
+          // coPurchaseEdges)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(flatten(transform(col("__items"), (a, i) =>
             transform(
               slice(col("__items"), i + lit(2), size(col("__items"))),
@@ -1745,6 +1752,9 @@ object AnalyticsQueries {
           .select(col("l_orderkey"), col("l_partkey"))
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+          // pinned post-agg repartition (opt r19, §2.4 — see
+          // coPurchaseEdges)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(flatten(transform(col("__items"), (a, i) =>
             transform(
               slice(col("__items"), i + lit(2), size(col("__items"))),
