@@ -201,6 +201,51 @@ object OptProbe {
       }
     }
 
+    if (probes("rrf2")) {
+      import graft.engine.Extensions
+      import spark.implicits._
+      val qids = Seq(0L, 1L, 2L)
+      val qDocs = docs.filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("query_id"), col("text").as("__qtext"))
+      (1 to 3).foreach { i =>
+        time(spark, s"rrf2.lex r$i")(
+          Extensions.bm25TopK(docs, "text", "doc_id", qDocs,
+            "__qtext", "query_id", 21))
+        time(spark, s"rrf2.dense r$i")(
+          Extensions.cosineTopK(emb, "embedding", "vec_id", qids, 20))
+        time(spark, s"rrf2.full r$i")(
+          Extensions.rrfFusion(docs, "text", "doc_id", emb, "embedding",
+            "vec_id", qids, 20, 10, 60))
+      }
+    }
+
+    if (probes("qstage")) {
+      val qname = sys.env.getOrElse("SPARK_GRAFT_QSTAGE", "rrf_fusion")
+      @volatile var stages = Vector.empty[(Int, String, Int, Long, Long)]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = sc.stageInfo
+            stages :+= ((si.stageId, si.name.take(60), si.numTasks,
+              si.completionTime.getOrElse(0L) -
+                si.submissionTime.getOrElse(0L),
+              si.taskMetrics.executorRunTime))
+          }
+        })
+      (1 to 2).foreach { i =>
+        stages = Vector.empty
+        val t0 = System.nanoTime()
+        SparkEntry.queries(qname)(spark, sfDir).count()
+        println(f"[optprobe] qstage($qname) r$i total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        Thread.sleep(400)
+        stages.foreach { case (id, n, nt, wall, run) =>
+          println(f"[optprobe]   stage$id%4d tasks=$nt%3d wall=${wall / 1e3}%7.3f s cpuSum=${run / 1e3}%8.3f s  $n%s")
+        }
+      }
+    }
+
     if (probes("ejstage")) {
       @volatile var stages = Vector.empty[(Int, String, Int, Long, Long)]
       spark.sparkContext.addSparkListener(

@@ -1612,9 +1612,18 @@ object Extensions {
       idCol: String, probes: Column, k: Int): DataFrame = {
     val withNorm = assigned.withColumn("__n",
       sqrt(dot(col(embCol), col(embCol))))
+    // pinned join-side exchange (opt r19, §2.4): the cell-keyed join's
+    // inputs are byte-light (few MB of vectors) but its output stage
+    // computes every candidate-pair dot product — AQE's byte-targeted
+    // coalescing folded the pruned path's whole pair scan onto ONE
+    // task (stage probe: 1.56 s CPU, 1 task). REPARTITION_BY_NUM on
+    // the probe side is the same exchange the join required anyway,
+    // now non-coalescable; rows and scores are bit-unchanged.
     val queries = withNorm.select(col(idCol).as("query_id"),
       col(embCol).as("__q"), col("__n").as("__qn"),
       explode(probes).as("__cell"))
+      .repartition(assigned.sparkSession.sparkContext.defaultParallelism,
+        col("__cell"))
     val candidates = withNorm.select(col(idCol).as("neighbor_id"),
       col(embCol).as("__e"), col("__n").as("__en"), col("__cell"))
     // each candidate lives in ONE cell and a row's probe cells are
