@@ -516,7 +516,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan(SparkEntry.queries("edge_jaccard")(spark, sf))
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
-    assert(plan.contains("array_intersect"),
+    // r19: the intersection is the codegen'd SortedIntersectCount
+    // merge walk on integral ids (array_intersect remains the
+    // generic-kernel fallback for other id types)
+    assert(plan.contains("sortedintersectcount") ||
+        plan.contains("array_intersect"),
       s"no in-array intersection:\n$plan")
     val joins = plan.linesIterator.count(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin") ||
