@@ -1503,6 +1503,15 @@ object Extensions {
       // brute-force law in ExtensionsSpec covers this path).
       lastKnnJoinFit.set(null)
       lastKnnTreeFit.set(null)
+      // `assigned` is deliberately NOT persisted although the scored
+      // tail reads it on both join sides (ADVICE r18 item 3): the plan
+      // here is scan + one hash projection — re-evaluating it costs a
+      // second parquet scan of the (OS-cached) source, strictly less
+      // than a MEMORY_AND_DISK write+read round-trip of the same rows
+      // plus the persist's materialization action. annIvf keeps its
+      // persist because its assignment is the literal-centroid
+      // projection over a FITTED quantizer — recomputing that side
+      // would re-pay the nearest-cell arithmetic per row.
       val assigned = widen(emb.select(col(idCol), col(embCol)))
         .withColumn("__cell",
           pmod(xxhash64(col(idCol)), lit(nCells.toLong)).cast("int"))
